@@ -1,13 +1,601 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.Transformers
+import graft.operators._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Driver contract — one `queries` entry per operator from SURVEY.md §2
+  * plus the training-data-pipeline extensions (dedup / similarity / text /
+  * multimodal / sessionization). Every oracle is ANSI SQL DuckDB runs on
+  * the same parquet tables; column names and row order match the Spark
+  * side exactly.
+  *
+  * Float-parity rules used throughout:
+  *  - any SUM over doubles goes through DECIMAL (exact, order-insensitive)
+  *    and is cast to double once at the end;
+  *  - DuckDB CAST(double AS INT) rounds while Spark truncates, so integer
+  *    coercions spell out trunc();
+  *  - time gaps compare exact microseconds (unix_micros / epoch_us);
+  *  - every query ends in a deterministic total ORDER BY.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table is TIMESTAMP(NANOS) parquet, which Spark's reader
+    * rejects by default; read nanos as long and floor-convert to the
+    * engine's microsecond timestamps (DuckDB does the same ns->us floor).
+    */
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  private val dec = (c: Column) => c.cast(DecimalType(18, 2))
+  private def sumd(c: Column): Column = sum(dec(c)).cast(DoubleType)
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    groupAgg(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- §2.4
+
+  private def filterTenant(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .filter(col("l_suppkey") === 3)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  private def searchIlikeOr(s: SparkSession, d: String): DataFrame =
+    t(s, d, "part")
+      .filter(col("p_name").ilike("%widget%") ||
+        col("p_brand").ilike("%and#1%") || col("p_type").ilike("econ%"))
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"))
+      .orderBy(col("p_partkey"))
+
+  private def pointLookup(s: SparkSession, d: String): DataFrame =
+    t(s, d, "part").filter(col("p_partkey") === 42)
+      .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+
+  // ---------------------------------------------------------------- §2.7
+
+  private def rankPaginate(s: SparkSession, d: String): DataFrame = {
+    val q = "small widget"
+    t(s, d, "part")
+      .filter(col("p_name").ilike(s"%$q%"))
+      .select(col("p_partkey"), col("p_name"),
+        when(lower(col("p_name")) === lower(lit(q)), 0).otherwise(1).as("rank_exact"),
+        when(col("p_name").ilike(s"$q%"), 0).otherwise(1).as("rank_prefix"))
+      .orderBy(col("rank_exact"), col("rank_prefix"), col("p_name"), col("p_partkey"))
+      .offset(5).limit(10)
+  }
+
+  private def paginateDefault(s: SparkSession, d: String): DataFrame =
+    t(s, d, "part").select(col("p_partkey"), col("p_name"))
+      .orderBy(col("p_name"), col("p_partkey"))
+      .offset(10).limit(5)
+
+  // ---------------------------------------------------------------- §2.5
+
+  private def antiJoin(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  private def semiJoin(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  private def mergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val part = t(s, d, "part")
+    val target = part.select(col("p_partkey").as("key"),
+      col("p_name").as("title"), col("p_retailprice").as("price"))
+    val updates = part.filter(col("p_partkey") % 7 === 0)
+      .select(col("p_partkey").as("key"), upper(col("p_name")).as("title"),
+        lit(null).cast(DoubleType).as("price"))
+    val inserts = part.filter(col("p_partkey") % 97 === 0)
+      .select((col("p_partkey") + 1000000).as("key"),
+        concat(lit("new "), col("p_name")).as("title"), col("p_retailprice").as("price"))
+    MergeOps.coalesceMerge(target, updates.unionByName(inserts), Seq("key"))
+      .orderBy(col("key"))
+  }
+
+  private def fullUpdateDeactivate(s: SparkSession, d: String): DataFrame = {
+    val part = t(s, d, "part")
+    val target = part.select(col("p_partkey").as("key"),
+      col("p_name").as("title"), lit(true).as("active"))
+    val ingested = part.filter(col("p_partkey") % 3 === 0)
+      .select(col("p_partkey").as("key"))
+    val (updated, _) = MergeOps.antiUpdate(target, ingested, Seq("key"),
+      scope = lit(true), updates = Map("active" -> lit(false)))
+    updated.select(col("key"), col("title"), col("active")).orderBy(col("key"))
+  }
+
+  private def joinFk(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"), col("r_name"))
+      .orderBy(col("c_custkey"))
+
+  // ---------------------------------------------------------------- §2.6
+
+  private def distinctFlags(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem").select(col("l_returnflag"), col("l_linestatus"))
+      .distinct().orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private def ingestStats(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem").filter(col("l_quantity") > 25)
+      .agg(count(lit(1)).as("processed_count"),
+        countDistinct(col("l_partkey")).as("distinct_keys"))
+
+  private def groupAgg(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sumd(col("l_quantity")).as("sum_qty"),
+        sumd(col("l_extendedprice")).as("sum_base"),
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast(DoubleType).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  // ---------------------------------------------------------------- §2.3
+
+  private def transformText(s: SparkSession, d: String): DataFrame =
+    t(s, d, "part").select(col("p_partkey"),
+      Transformers.text(concat(lit("  "), col("p_name"), lit(" "))).as("cleaned"))
+      .orderBy(col("p_partkey"))
+
+  private def transformDecimal(s: SparkSession, d: String): DataFrame =
+    t(s, d, "part").select(col("p_partkey"),
+      Transformers.decimal(concat(lit("$"), col("p_retailprice").cast(StringType)))
+        .cast(DoubleType).as("price_dec"),
+      Transformers.decimal(lit("£1,234.50")).cast(DoubleType).as("gbp_dec"))
+      .orderBy(col("p_partkey"))
+
+  private def transformInteger(s: SparkSession, d: String): DataFrame = {
+    val raw = when(col("p_partkey") % 5 === 0, lit("garbage"))
+      .otherwise(concat(col("p_size").cast(StringType), lit(".7")))
+    t(s, d, "part").select(col("p_partkey"), Transformers.integer(raw).as("int_val"))
+      .orderBy(col("p_partkey"))
+  }
+
+  private def transformBoolean(s: SparkSession, d: String): DataFrame = {
+    val raw = when(col("p_partkey") % 6 === 0, "yes")
+      .when(col("p_partkey") % 6 === 1, " No ")
+      .when(col("p_partkey") % 6 === 2, "TRUE")
+      .when(col("p_partkey") % 6 === 3, "0")
+      .when(col("p_partkey") % 6 === 4, "1")
+      .otherwise("false")
+    t(s, d, "part").select(col("p_partkey"), Transformers.boolean(raw).as("bool_val"))
+      .orderBy(col("p_partkey"))
+  }
+
+  // ---------------------------------------------------------------- §2.8 / windows
+
+  private def exceptKeys(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem").select(col("l_partkey").as("key"))
+      .except(t(s, d, "part").filter(col("p_partkey") % 2 === 0)
+        .select(col("p_partkey").as("key")))
+      .orderBy(col("key"))
+
+  private def intersectKeys(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem").select(col("l_partkey").as("key"))
+      .intersect(t(s, d, "part").filter(col("p_partkey") % 3 === 0)
+        .select(col("p_partkey").as("key")))
+      .orderBy(col("key"))
+
+  private def unionTagged(s: SparkSession, d: String): DataFrame = {
+    val part = t(s, d, "part")
+    part.filter(col("p_partkey") % 5 === 0)
+      .select(col("p_partkey").as("key"), lit("a").as("src"))
+      .unionByName(part.filter(col("p_partkey") % 7 === 0)
+        .select(col("p_partkey").as("key"), lit("b").as("src")))
+      .orderBy(col("key"), col("src"))
+  }
+
+  private def windowTopk(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    t(s, d, "lineitem")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("l_returnflag"), col("rn"), col("l_orderkey"),
+        col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_returnflag"), col("rn"))
+  }
+
+  private def windowRunning(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, d, "lineitem").filter(col("l_suppkey") <= 2)
+      .select(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+        col("l_linenumber"),
+        sum(dec(col("l_quantity"))).over(w).cast(DoubleType).as("running_qty"))
+      .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  // ---------------------------------------------------------------- sources
+
+  private def jsonScan(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_id"),
+        from_json(col("props"), StructType(Seq(StructField("k", LongType))))
+          .getField("k").as("k"))
+      .orderBy(col("event_id"))
+
+  // ---------------------------------------------------------------- events
+
+  private def eventsTumbling(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sumd(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  private def eventsSession(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .withColumn("_prev", lag(col("ts"), 1).over(byUser))
+      .withColumn("_new", when(col("_prev").isNull ||
+        unix_micros(col("ts")) - unix_micros(col("_prev")) > 1800000000L, 1).otherwise(0))
+      .withColumn("session_seq",
+        sum(col("_new")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"), sumd(col("value")).as("session_value"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
+  // ---------------------------------------------------------------- dedup / text
+
+  private def dedupExact(s: SparkSession, d: String): DataFrame =
+    Dedup.exact(t(s, d, "documents"), "text", "doc_id")
+      .select(col("keep_id"), col("n_copies"), col("text"))
+      .orderBy(col("keep_id"))
+
+  private def dedupJaccard(s: SparkSession, d: String): DataFrame =
+    Dedup.jaccardPairs(t(s, d, "documents").filter(col("doc_id") < 200),
+        "text", "doc_id", n = 3, minJaccard = 0.6)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private def dedupMinhash(s: SparkSession, d: String): DataFrame =
+    Dedup.minHashLsh(t(s, d, "documents").filter(col("doc_id") < 300),
+        "text", "doc_id", numHashes = 64, bands = 16, threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private def dedupSimhash(s: SparkSession, d: String): DataFrame =
+    Dedup.simHashNearDup(t(s, d, "documents").filter(col("doc_id") < 300),
+        "text", "doc_id", maxHamming = 10, pieces = 4)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private def embedTopk(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(Similarity.toDouble(col("embedding")))
+      .head().getSeq[Double](0)
+    Similarity.bruteForceTopK(emb, "embedding", "vec_id", qv, k = 10)
+      .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+  }
+
+  private def embedAnnLsh(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(Similarity.toDouble(col("embedding")))
+      .head().getSeq[Double](0)
+    Similarity.lshTopK(emb, "embedding", "vec_id", qv, k = 10, planes = 8)
+      .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+  }
+
+  private val stopList = Seq("the", "a", "an", "of", "and", "to", "in", "is",
+    "it", "that", "for", "on", "with", "as", "was", "at", "by")
+
+  private def textStats(s: SparkSession, d: String): DataFrame = {
+    val txt = col("text")
+    val nChars = length(txt)
+    val ws = split(trim(txt), "\\s+")
+    val nWords = size(ws)
+    val nonSpace = length(regexp_replace(trim(txt), "\\s+", ""))
+    val punct = regexp_count(txt, lit("[^A-Za-z0-9\\s]"))
+    val stopHits = size(filter(split(lower(trim(txt)), "\\s+"),
+      w => w.isin(stopList.map(lit): _*)))
+    t(s, d, "documents").select(
+        col("doc_id"),
+        nWords.cast(LongType).as("n_words"),
+        round(nonSpace.cast(DoubleType) / nWords, 4).as("mean_word_len"),
+        round(punct.cast(DoubleType) / nChars, 4).as("punct_ratio"),
+        round(stopHits.cast(DoubleType) / nWords, 4).as("stopword_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def tokenCount(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast(LongType).as("ws_tokens"),
+        TextAnalysis.bpeishTokenCount(col("text")).cast(LongType).as("bpeish_tokens"))
+      .orderBy(col("doc_id"))
+
+  private def textLangid(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").select(col("doc_id"), col("lang"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))
+      .orderBy(col("doc_id"))
+
+  private def textFingerprint(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  // ---------------------------------------------------------------- multimodal
+
+  private def multimodalBytes(s: SparkSession, d: String): DataFrame =
+    Multimodal.withByteStats(Multimodal.fromDocuments(t(s, d, "documents")))
+      .select(col("media_id"), col("kind"), col("meta.width").as("width"),
+        col("meta.height").as("height"), col("n_bytes"), col("payload_md5"))
+      .orderBy(col("media_id"))
+
+  private def frameSample(s: SparkSession, d: String): DataFrame =
+    Multimodal.sampleFrames(Multimodal.fromDocuments(t(s, d, "documents")),
+        everyMs = 5000, maxFrames = 32)
+      .orderBy(col("media_id"), col("frame_ts_ms"))
+
+  // ----------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_filter_tenant" -> (filterTenant _),
+    "q_search_ilike_or" -> (searchIlikeOr _),
+    "q_point_lookup" -> (pointLookup _),
+    "q_rank_paginate" -> (rankPaginate _),
+    "q_paginate_default" -> (paginateDefault _),
+    "q_anti_join" -> (antiJoin _),
+    "q_semi_join" -> (semiJoin _),
+    "q_merge_upsert" -> (mergeUpsert _),
+    "q_full_update_deactivate" -> (fullUpdateDeactivate _),
+    "q_join_fk" -> (joinFk _),
+    "q_distinct_flags" -> (distinctFlags _),
+    "q_ingest_stats" -> (ingestStats _),
+    "q_group_agg" -> (groupAgg _),
+    "q_transform_text" -> (transformText _),
+    "q_transform_decimal" -> (transformDecimal _),
+    "q_transform_integer" -> (transformInteger _),
+    "q_transform_boolean" -> (transformBoolean _),
+    "q_except" -> (exceptKeys _),
+    "q_intersect" -> (intersectKeys _),
+    "q_union_tagged" -> (unionTagged _),
+    "q_window_topk" -> (windowTopk _),
+    "q_window_running" -> (windowRunning _),
+    "q_json_scan" -> (jsonScan _),
+    "q_events_tumbling" -> (eventsTumbling _),
+    "q_events_session" -> (eventsSession _),
+    "q_dedup_exact" -> (dedupExact _),
+    "q_dedup_jaccard" -> (dedupJaccard _),
+    "q_dedup_minhash" -> (dedupMinhash _),
+    "q_dedup_simhash" -> (dedupSimhash _),
+    "q_embed_topk" -> (embedTopk _),
+    "q_embed_ann_lsh" -> (embedAnnLsh _),
+    "q_text_stats" -> (textStats _),
+    "q_token_count" -> (tokenCount _),
+    "q_text_langid" -> (textLangid _),
+    "q_text_fingerprint" -> (textFingerprint _),
+    "q_multimodal_bytes" -> (multimodalBytes _),
+    "q_frame_sample" -> (frameSample _)
+  )
+
+  private val stopSql = stopList.map(w => s"'$w'").mkString(", ")
+
+  def oracleSql: Map[String, String] = Map(
+    "q_filter_tenant" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_suppkey = 3
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_search_ilike_or" ->
+      """SELECT p_partkey, p_name, p_brand, p_type FROM part
+        |WHERE p_name ILIKE '%widget%' OR p_brand ILIKE '%and#1%' OR p_type ILIKE 'econ%'
+        |ORDER BY p_partkey""".stripMargin,
+    "q_point_lookup" ->
+      "SELECT p_partkey, p_name, p_retailprice FROM part WHERE p_partkey = 42",
+    "q_rank_paginate" ->
+      """SELECT p_partkey, p_name,
+        |  CASE WHEN lower(p_name) = lower('small widget') THEN 0 ELSE 1 END AS rank_exact,
+        |  CASE WHEN p_name ILIKE 'small widget%' THEN 0 ELSE 1 END AS rank_prefix
+        |FROM part WHERE p_name ILIKE '%small widget%'
+        |ORDER BY rank_exact, rank_prefix, p_name, p_partkey
+        |LIMIT 10 OFFSET 5""".stripMargin,
+    "q_paginate_default" ->
+      "SELECT p_partkey, p_name FROM part ORDER BY p_name, p_partkey LIMIT 5 OFFSET 10",
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_merge_upsert" ->
+      """WITH target AS (
+        |  SELECT p_partkey AS key, p_name AS title, p_retailprice AS price FROM part),
+        |staged AS (
+        |  SELECT p_partkey AS key, upper(p_name) AS title, CAST(NULL AS DOUBLE) AS price
+        |  FROM part WHERE p_partkey % 7 = 0
+        |  UNION ALL
+        |  SELECT p_partkey + 1000000 AS key, 'new ' || p_name AS title, p_retailprice AS price
+        |  FROM part WHERE p_partkey % 97 = 0)
+        |SELECT coalesce(t.key, s.key) AS key,
+        |       coalesce(s.title, t.title) AS title,
+        |       coalesce(s.price, t.price) AS price
+        |FROM target t FULL OUTER JOIN staged s ON t.key = s.key
+        |ORDER BY key""".stripMargin,
+    "q_full_update_deactivate" ->
+      """SELECT p_partkey AS key, p_name AS title, (p_partkey % 3 = 0) AS active
+        |FROM part ORDER BY key""".stripMargin,
+    "q_join_fk" ->
+      """SELECT c_custkey, c_name, n_name, r_name
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY c_custkey""".stripMargin,
+    "q_distinct_flags" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_ingest_stats" ->
+      """SELECT count(*) AS processed_count, count(DISTINCT l_partkey) AS distinct_keys
+        |FROM lineitem WHERE l_quantity > 25""".stripMargin,
+    "q_group_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_transform_text" ->
+      """SELECT p_partkey, trim(concat('  ', p_name, ' ')) AS cleaned
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_transform_decimal" ->
+      """SELECT p_partkey,
+        |  CAST(CAST(regexp_replace(concat('$', CAST(p_retailprice AS VARCHAR)), '[$£,\s]', '', 'g') AS DECIMAL(12,2)) AS DOUBLE) AS price_dec,
+        |  CAST(CAST(regexp_replace('£1,234.50', '[$£,\s]', '', 'g') AS DECIMAL(12,2)) AS DOUBLE) AS gbp_dec
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_transform_integer" ->
+      """SELECT p_partkey,
+        |  coalesce(CAST(trunc(TRY_CAST(trim(CASE WHEN p_partkey % 5 = 0 THEN 'garbage'
+        |    ELSE concat(CAST(p_size AS VARCHAR), '.7') END) AS DOUBLE)) AS INTEGER), 0) AS int_val
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_transform_boolean" ->
+      """SELECT p_partkey,
+        |  CASE WHEN lower(trim(s)) IN ('yes','true','1') THEN true
+        |       WHEN lower(trim(s)) IN ('no','false','0') THEN false
+        |       ELSE NULL END AS bool_val
+        |FROM (SELECT p_partkey,
+        |  CASE WHEN p_partkey % 6 = 0 THEN 'yes' WHEN p_partkey % 6 = 1 THEN ' No '
+        |       WHEN p_partkey % 6 = 2 THEN 'TRUE' WHEN p_partkey % 6 = 3 THEN '0'
+        |       WHEN p_partkey % 6 = 4 THEN '1' ELSE 'false' END AS s FROM part)
+        |ORDER BY p_partkey""".stripMargin,
+    "q_except" ->
+      """SELECT l_partkey AS key FROM lineitem
+        |EXCEPT
+        |SELECT p_partkey AS key FROM part WHERE p_partkey % 2 = 0
+        |ORDER BY key""".stripMargin,
+    "q_intersect" ->
+      """SELECT l_partkey AS key FROM lineitem
+        |INTERSECT
+        |SELECT p_partkey AS key FROM part WHERE p_partkey % 3 = 0
+        |ORDER BY key""".stripMargin,
+    "q_union_tagged" ->
+      """SELECT p_partkey AS key, 'a' AS src FROM part WHERE p_partkey % 5 = 0
+        |UNION ALL
+        |SELECT p_partkey AS key, 'b' AS src FROM part WHERE p_partkey % 7 = 0
+        |ORDER BY key, src""".stripMargin,
+    "q_window_topk" ->
+      """SELECT l_returnflag, rn, l_orderkey, l_linenumber, l_extendedprice FROM (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem) WHERE rn <= 3
+        |ORDER BY l_returnflag, rn""".stripMargin,
+    "q_window_running" ->
+      """SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_qty
+        |FROM lineitem WHERE l_suppkey <= 2
+        |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin,
+    "q_json_scan" ->
+      """SELECT event_id, CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_events_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "q_events_session" ->
+      """WITH seq AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM seq)
+        |SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        |FROM sess GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies, text
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "q_dedup_jaccard" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        |words AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM docs),
+        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+        |       FROM words, UNNEST(range(1, len(ws) - 1)) AS t(i)
+        |       WHERE len(ws) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT id_a, id_b, CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.6
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_embed_topk" ->
+      """WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT vec_id,
+        |    round(list_dot_product(CAST(embedding AS DOUBLE[]), (SELECT CAST(e AS DOUBLE[]) FROM q)) /
+        |      (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+        |       sqrt((SELECT list_dot_product(CAST(e AS DOUBLE[]), CAST(e AS DOUBLE[])) FROM q))), 4) AS cosine
+        |  FROM embeddings)
+        |SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    "q_text_stats" ->
+      s"""SELECT doc_id,
+         |  len(string_split_regex(trim(text), '\\s+')) AS n_words,
+         |  round(CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE) /
+         |    len(string_split_regex(trim(text), '\\s+')), 4) AS mean_word_len,
+         |  round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / length(text), 4) AS punct_ratio,
+         |  round(CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |    w -> w IN ($stopSql))) AS DOUBLE) /
+         |    len(string_split_regex(trim(text), '\\s+')), 4) AS stopword_ratio
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpeish_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_multimodal_bytes" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio'
+        |       ELSE 'video' END AS kind,
+        |  CAST((doc_id % 64) * 16 + 16 AS INTEGER) AS width,
+        |  CAST((doc_id % 48) * 16 + 16 AS INTEGER) AS height,
+        |  CAST(length(text) AS BIGINT) AS n_bytes,
+        |  md5(text) AS payload_md5
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "q_frame_sample" ->
+      """SELECT media_id, frame_ts_ms FROM (
+        |  SELECT doc_id AS media_id,
+        |    UNNEST(list_slice(range(0, greatest(n_chars * 10 - 1, 0) + 1, 5000), 1, 32)) AS frame_ts_ms
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |ORDER BY media_id, frame_ts_ms""".stripMargin
+  )
 }

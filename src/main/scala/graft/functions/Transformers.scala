@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Scalar transformer catalog.
+  *
+  * Re-expresses the reference's row-at-a-time Python transformers
+  * (reference: ingestion/transformers.py:19-68) as pure Catalyst `Column`
+  * expressions — never UDFs — so they stay inside whole-stage codegen and
+  * survive predicate pushdown. Registry discovery by string id mirrors
+  * reference config.py:131-137.
+  *
+  * Error-channel note: the reference *raises* on an unparseable boolean or
+  * decimal, aborting the whole batch (ingestion/service.py:56-64). A
+  * distributed engine must not crash tasks mid-write, so the strict
+  * variants yield NULL and [[Transformers.errorFlag]] marks rows whose
+  * input was present but unparseable; the ingestion service counts those
+  * flags *before* any sink write and aborts the batch with a failure
+  * report — same all-or-nothing semantics, scale-safe mechanics.
+  */
+object Transformers {
+
+  val Money: DecimalType = DecimalType(12, 2)
+
+  /** `text`: str(value).strip() — reference ingestion/transformers.py:33-38. */
+  def text(c: Column): Column = trim(c.cast(StringType))
+
+  /** `decimal`: strip currency symbols / thousands separators / whitespace,
+    * parse as exact decimal — reference ingestion/transformers.py:19-30.
+    * Unparseable input yields NULL (flag via [[errorFlag]]).
+    */
+  def decimal(c: Column): Column =
+    regexp_replace(c.cast(StringType), "[$£,\\s]", "").try_cast(Money)
+
+  /** `integer`: truncate-toward-zero of the float value ("3.7" -> 3);
+    * unparseable or missing input -> 0 — reference transformers.py:40-53.
+    * Spark's double->int cast truncates toward zero, matching Python
+    * int(float(s)).
+    */
+  def integer(c: Column): Column =
+    coalesce(
+      trim(c.cast(StringType)).try_cast(DoubleType).try_cast(IntegerType),
+      lit(0))
+
+  /** `boolean`: case-insensitive trimmed membership in {yes,true,1} /
+    * {no,false,0}; anything else is a strict error (reference
+    * transformers.py:55-68 raises TransformerError -> batch abort).
+    */
+  def boolean(c: Column): Column = {
+    val s = lower(trim(c.cast(StringType)))
+    when(s.isin("yes", "true", "1"), lit(true))
+      .when(s.isin("no", "false", "0"), lit(false))
+      .otherwise(lit(null).cast(BooleanType))
+  }
+
+  /** Transformer ids whose NULL output on non-NULL input means
+    * "unparseable" and must abort the batch (strict reference semantics).
+    */
+  val strictIds: Set[String] = Set("boolean", "decimal")
+
+  /** True when the raw input was present (non-null, non-empty after trim)
+    * but the strict transform produced NULL — the reportable error channel.
+    */
+  def errorFlag(raw: Column, transformed: Column): Column =
+    raw.isNotNull && length(trim(raw.cast(StringType))) > 0 && transformed.isNull
+
+  val registry: Map[String, Column => Column] = Map(
+    "text" -> text,
+    "decimal" -> decimal,
+    "integer" -> integer,
+    "boolean" -> boolean
+  )
+
+  def apply(id: String): Column => Column =
+    registry.getOrElse(id,
+      throw new IllegalArgumentException(s"Unknown transformer id: $id"))
+}

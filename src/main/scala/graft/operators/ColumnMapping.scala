@@ -1,0 +1,101 @@
+package graft.operators
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.ProductSchema
+import graft.functions.Transformers
+import graft.sources.IngestSource
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import scala.jdk.CollectionConverters._
+
+/** Parser configuration: which source columns map to which canonical
+  * columns through which transformer.
+  *
+  * Mirrors reference ParserConfig (ingestion/base.py:19-22):
+  * `column_mapping: client_column -> (canonical_column, transformer_id)`.
+  * Unmapped source columns are dropped; mapped columns are renamed and
+  * type-coerced. Mapping to an unknown canonical column or transformer is
+  * rejected at plan-build time (the reference asserts per element at run
+  * time, ingestion/base.py:41-46 — plan-time is the distributed
+  * equivalent: fail before any task launches).
+  */
+case class ParserConfig(
+    parserId: String,
+    columnMapping: Seq[(String, (String, String))]) {
+
+  def validated(allowedTargets: Set[String] = ProductSchema.allowedTargets): ParserConfig = {
+    require(IngestSource.registry.contains(parserId),
+      s"Unknown parser id: $parserId")
+    columnMapping.foreach { case (src, (dst, transformerId)) =>
+      require(allowedTargets.contains(dst),
+        s"Element interpreted to non-canonical column: $dst (from $src)")
+      require(Transformers.registry.contains(transformerId),
+        s"Unknown transformer id: $transformerId")
+    }
+    val dsts = columnMapping.map(_._2._1)
+    require(dsts.distinct.size == dsts.size,
+      s"Multiple source columns map to the same target: ${dsts.diff(dsts.distinct).mkString(",")}")
+    this
+  }
+}
+
+object ParserConfig {
+
+  /** JSON codec for the reference's wire format
+    * (tests/web/api/test_products.py:72-80):
+    * {"parser_id": "csv", "column_mapping": {"sku": ["sku","text"], ...}}
+    * Jackson ships on the Spark classpath; field order of the JSON object
+    * is preserved (insertion order) to keep mapping application
+    * deterministic.
+    */
+  def fromJson(json: String): ParserConfig = {
+    val root = new ObjectMapper().readTree(json)
+    val parserId = Option(root.get("parser_id")).map(_.asText())
+      .getOrElse(throw new IllegalArgumentException("parser_id missing"))
+    val cm = Option(root.get("column_mapping"))
+      .getOrElse(throw new IllegalArgumentException("column_mapping missing"))
+    val mapping = cm.fields().asScala.map { e =>
+      val arr = e.getValue
+      require(arr.isArray && arr.size() == 2,
+        s"column_mapping entry for ${e.getKey} must be [target, transformer]")
+      e.getKey -> (arr.get(0).asText(), arr.get(1).asText())
+    }.toSeq
+    ParserConfig(parserId, mapping)
+  }
+}
+
+/** The projection/rename/coercion stage — one `select` over the raw
+  * all-string DataFrame (reference does this row-at-a-time in Python,
+  * ingestion/base.py:38-68; here it is a single codegen'd projection that
+  * Catalyst can push column pruning through to the scan).
+  */
+object ColumnMapping {
+
+  /** Apply a validated mapping. Source columns absent from the input (a
+    * row-varying source in the reference) surface as typed NULL targets.
+    * Adds one `_err_<target>` flag column per strict transformer so the
+    * service can count unparseable inputs before writing anything.
+    */
+  def apply(raw: DataFrame, cfg: ParserConfig): DataFrame = {
+    cfg.validated()
+    val present = raw.columns.toSet
+    val mapped: Seq[Column] = cfg.columnMapping.map {
+      case (src, (dst, tid)) =>
+        if (present.contains(src)) Transformers(tid)(col(s"`$src`")).as(dst)
+        else lit(null).cast(targetType(dst)).as(dst)
+    }
+    val errFlags: Seq[Column] = cfg.columnMapping.collect {
+      case (src, (dst, tid)) if Transformers.strictIds.contains(tid) && present.contains(src) =>
+        Transformers.errorFlag(col(s"`$src`"), Transformers(tid)(col(s"`$src`")))
+          .as(s"_err_$dst")
+    }
+    val passthrough: Seq[Column] =
+      if (present.contains(IngestSource.ROW_IDX)) Seq(col(IngestSource.ROW_IDX)) else Nil
+    raw.select(mapped ++ errFlags ++ passthrough: _*)
+  }
+
+  private def targetType(dst: String) =
+    if (ProductSchema.allowedTargets.contains(dst)) ProductSchema.fieldType(dst)
+    else org.apache.spark.sql.types.StringType
+}

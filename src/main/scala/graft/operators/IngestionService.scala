@@ -1,0 +1,130 @@
+package graft.operators
+
+import graft.ProductSchema
+import graft.sources.IngestSource
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import java.sql.Timestamp
+
+/** Batch ingestion outcome — reference IngestionReport
+  * (ingestion/base.py:25-30, service.py:36-54). Any failure anywhere in
+  * the batch yields success=false and *nothing written*.
+  */
+case class IngestionReport(
+    success: Boolean,
+    message: String,
+    processedCount: Long,
+    stats: Map[String, Long])
+
+/** End-to-end ingest orchestration — the reference's
+  * DataIngestionService.ingest_data (ingestion/service.py:27-64)
+  * re-expressed as one declarative pipeline:
+  *
+  *   source read (all-string) -> mapping select (rename+coerce) ->
+  *   strict-error count (abort gate) -> within-batch last-wins dedup ->
+  *   [full-update: anti-join deactivation] -> full-outer coalesce-merge ->
+  *   atomic table swap.
+  *
+  * Semantics pinned by the reference tests (tests/web/api/test_products.py):
+  *  - rows with empty/absent sku always insert, never merge (:216-236);
+  *  - a merge updates only supplied, non-null, non-sku columns and bumps
+  *    last_changed_on (:187-214, 238-267);
+  *  - full-update deactivates absent skus BEFORE upserting, so re-ingested
+  *    skus end active (:321-339); default mode never deactivates (:341-359);
+  *  - one unparseable strict value fails the whole batch, nothing committed.
+  */
+class IngestionService(spark: SparkSession, store: ProductStore, clientId: Int) {
+
+  def ingest(
+      cfg: ParserConfig,
+      path: String,
+      fullUpdate: Boolean = false,
+      batchTs: Timestamp = new Timestamp(System.currentTimeMillis())): IngestionReport =
+    try {
+      val raw = IngestSource(cfg.parserId).read(spark, path)
+      val mapped = ColumnMapping(raw, cfg.validated())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try doIngest(mapped, fullUpdate, batchTs)
+      finally mapped.unpersist()
+    } catch {
+      case e: Exception =>
+        IngestionReport(success = false,
+          s"Error during data ingestion: ${e.getMessage}", 0L, Map.empty)
+    }
+
+  private def doIngest(
+      mapped: DataFrame,
+      fullUpdate: Boolean,
+      batchTs: Timestamp): IngestionReport = {
+    val errCols = mapped.columns.filter(_.startsWith("_err_"))
+    val badCount =
+      if (errCols.isEmpty) 0L
+      else mapped.filter(errCols.map(col).reduce(_ || _)).count()
+    if (badCount > 0)
+      return IngestionReport(success = false,
+        s"Error during data ingestion: $badCount row(s) failed transformation",
+        0L, Map.empty)
+
+    val stamp = lit(batchTs)
+    val clean = mapped.drop(errCols.toIndexedSeq: _*)
+    val processed = clean.count()
+
+    val hasSku = clean.columns.contains("sku")
+    val skuPresent =
+      if (hasSku) col("sku").isNotNull && length(col("sku")) > 0 else lit(false)
+
+    val staged = clean.withColumn("client_id", lit(clientId))
+    val keyed = staged.filter(skuPresent)
+    val inserts = staged.filter(!skuPresent).drop(IngestSource.ROW_IDX)
+
+    val target = store.read()
+    var stats = Map("processed_count" -> processed)
+
+    // Within-batch duplicate skus: later row wins column-wise (reference
+    // processes file order sequentially; second occurrence hits the update
+    // path — service.py:83-102).
+    val dataColsInBatch =
+      keyed.columns.toSeq.filterNot(ProductSchema.mergeKeys.contains)
+        .filterNot(_ == IngestSource.ROW_IDX)
+    val deduped =
+      if (hasSku)
+        MergeOps.lastNonNullWins(keyed, ProductSchema.mergeKeys,
+          IngestSource.ROW_IDX, dataColsInBatch)
+      else keyed.drop(IngestSource.ROW_IDX)
+
+    // Full-update: deactivate this client's skus absent from the batch,
+    // BEFORE the merge so re-ingested skus are reactivated/updated by it.
+    val (base, deactStats) =
+      if (fullUpdate && hasSku) {
+        val ingestedSkus = deduped.select("client_id", "sku")
+        val (updated, affectedFlag) = MergeOps.antiUpdate(
+          target, ingestedSkus, Seq("client_id", "sku"),
+          scope = col("client_id") === clientId && col("sku").isNotNull &&
+            length(col("sku")) > 0,
+          updates = Map(
+            "active" -> lit(false),
+            "last_changed_on" -> stamp))
+        val materialized = updated.persist(StorageLevel.MEMORY_AND_DISK)
+        val deactivated = materialized.filter(affectedFlag).count()
+        (materialized.drop("_deactivated", "_hit"),
+          Map("deactivated_count" -> deactivated,
+            "total_ingested_skus" -> ingestedSkus.count()))
+      } else (target, Map.empty[String, Long])
+    stats ++= deactStats
+
+    val merged = MergeOps.coalesceMerge(
+      base, deduped, ProductSchema.mergeKeys,
+      touchedCol = Some("last_changed_on"), stamp = stamp)
+
+    val result = merged
+      .unionByName(inserts, allowMissingColumns = true)
+      .withColumn("active", coalesce(col("active"), lit(true)))
+      .withColumn("last_changed_on", coalesce(col("last_changed_on"), stamp))
+
+    store.overwriteAtomic(result)
+    IngestionReport(success = true,
+      s"Successfully processed $processed items", processed, stats)
+  }
+}

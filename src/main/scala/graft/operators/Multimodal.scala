@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling: image/audio/video payloads travel as opaque
+  * `binary` columns with a typed metadata struct, exactly as a 100 TB
+  * training corpus stores them (parquet binary + metadata, decode deferred
+  * to the feature step).
+  *
+  * The decode step itself requires native codec libraries that are NOT in
+  * this environment, so `decodeStub` is a clearly-marked deterministic
+  * fake. Everything around it — the schema, the batch iterator boundary
+  * (`mapPartitions`, Spark's Scala equivalent of `mapInPandas`: one
+  * invocation per batch of rows, vectorizable), partitioning, and the
+  * output contract — is real and tested.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false), // image | audio | video
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true),
+      StructField("codec", StringType, nullable = true)
+    )), nullable = true)
+  ))
+
+  /** Build a media table from any binary-ish source column; here we derive
+    * payloads from document text bytes so the plumbing is exercised on the
+    * harness testdata.
+    */
+  def fromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      (when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio")
+        .otherwise("video")).as("kind"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        (pmod(col("doc_id"), lit(64)) * 16 + 16).cast("int").as("width"),
+        (pmod(col("doc_id"), lit(48)) * 16 + 16).cast("int").as("height"),
+        (col("n_chars") * 10).cast("long").as("duration_ms"),
+        lit("stub").as("codec")).as("meta"))
+
+  /** Cheap payload statistics — pure expressions, no decode. */
+  def withByteStats(media: DataFrame): DataFrame =
+    media
+      .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
+      .withColumn("payload_md5", md5(col("payload")))
+
+  case class MediaFeature(media_id: Long, kind: String, n_bytes: Long,
+      feature: Array[Double])
+
+  /** The decode / feature-extract boundary. Real pipeline shape: batched
+    * rows in, fixed-width feature vectors out, executed per partition so a
+    * native decoder could be initialized once per task.
+    *
+    * STUB: the real image/audio decode would live in `decodeBytes`; the
+    * container has no codec libs, so it derives a deterministic
+    * pseudo-feature from payload bytes instead.
+    */
+  def extractFeatures(spark: SparkSession, media: DataFrame, dim: Int = 8): Dataset[MediaFeature] = {
+    import spark.implicits._
+    media.select("media_id", "kind", "payload")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition init point for a native decoder (one per task)
+        rows.map { case (id, kind, payload) =>
+          val bytes = Option(payload).getOrElse(Array.emptyByteArray)
+          MediaFeature(id, kind, bytes.length.toLong, decodeBytes(bytes, dim))
+        }
+      }
+  }
+
+  /** STUB decoder: deterministic fake features (byte-bucket sums). A real
+    * implementation would decode pixels/samples here.
+    */
+  private def decodeBytes(bytes: Array[Byte], dim: Int): Array[Double] = {
+    val acc = new Array[Double](dim)
+    var i = 0
+    while (i < bytes.length) {
+      acc(i % dim) += (bytes(i) & 0xff) / 255.0
+      i += 1
+    }
+    acc.map(v => math.round(v * 1000.0) / 1000.0)
+  }
+
+  /** Metadata-level "resize": recompute target dims preserving aspect
+    * ratio — expression-only (the pixel work would happen in
+    * [[extractFeatures]]'s decode boundary).
+    */
+  def resizeMeta(media: DataFrame, maxSide: Int): DataFrame = {
+    val w = col("meta.width").cast("double")
+    val h = col("meta.height").cast("double")
+    val scale = least(lit(1.0), lit(maxSide.toDouble) / greatest(w, h))
+    media
+      .withColumn("resized_w", round(w * scale).cast("int"))
+      .withColumn("resized_h", round(h * scale).cast("int"))
+  }
+
+  /** Frame-sampling plan for video rows: one output row per sampled frame
+    * timestamp (every `everyMs`), capped at `maxFrames` — an explode of a
+    * generated sequence, no decode.
+    */
+  def sampleFrames(media: DataFrame, everyMs: Long, maxFrames: Int = 32): DataFrame =
+    media.filter(col("kind") === "video")
+      .withColumn("frame_ts_ms", explode(slice(
+        sequence(lit(0L), greatest(col("meta.duration_ms") - 1, lit(0L)), lit(everyMs)),
+        1, maxFrames)))
+      .select(col("media_id"), col("frame_ts_ms"))
+}

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: language ID,
+  * quality scoring, token counting, document fingerprinting. All pure
+  * Catalyst expressions (whole-stage codegen; no UDFs), so they run at
+  * scan speed over 100 TB of parquet text.
+  */
+object TextAnalysis {
+
+  private val enStop = Seq("the", "a", "an", "of", "and", "to", "in", "is",
+    "it", "that", "for", "on", "with", "as", "was", "at", "by")
+  private val esStop = Seq("el", "la", "de", "que", "y", "en", "un", "una",
+    "es", "por", "con", "para", "los", "las")
+  private val frStop = Seq("le", "la", "les", "de", "des", "et", "un", "une",
+    "est", "en", "que", "pour", "dans", "qui")
+  private val deStop = Seq("der", "die", "das", "und", "ist", "ein", "eine",
+    "zu", "den", "von", "mit", "für", "auf", "nicht")
+
+  def words(textCol: Column): Column =
+    filter(split(trim(textCol), "\\s+"), w => length(w) > 0)
+
+  def tokenCount(textCol: Column): Column = size(words(textCol))
+
+  /** BPE-ish subword proxy: runs of letters, runs of digits, or single
+    * punctuation — a public, deterministic approximation of byte-pair
+    * token counts (close to len/4 heuristics but content-aware).
+    */
+  def bpeishTokenCount(textCol: Column): Column =
+    regexp_count(textCol, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+
+  private def stopHits(textCol: Column, stop: Seq[String]): Column =
+    size(filter(words(lower(textCol)), w => w.isin(stop.map(lit): _*)))
+
+  /** N-gram/stopword-heuristic language ID over a fixed candidate set:
+    * the language whose marker-word hit rate is highest; `und`
+    * (undetermined) when nothing scores.
+    */
+  def langId(textCol: Column): Column = {
+    val scores = Seq(
+      "en" -> stopHits(textCol, enStop),
+      "es" -> stopHits(textCol, esStop),
+      "fr" -> stopHits(textCol, frStop),
+      "de" -> stopHits(textCol, deStop))
+    val best = scores.map(_._2).reduce(greatest(_, _))
+    scores.foldLeft(lit("und")) { case (acc, (langCode, s)) =>
+      when(s === best && best > 0, lit(langCode)).otherwise(acc)
+    }
+  }
+
+  /** Quality features + composite score: length, word stats, punctuation /
+    * digit / stopword ratios. The score is a simple public-recipe blend
+    * (length in range, low symbol noise, has stopwords) in [0,1].
+    */
+  def withQuality(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t)
+    val nWords = tokenCount(t)
+    val meanWordLen = when(nWords > 0,
+      aggregate(words(t), lit(0L), (acc, w) => acc + length(w)).cast("double") / nWords)
+      .otherwise(lit(0.0))
+    val punct = regexp_count(t, lit("[^A-Za-z0-9\\s]")).cast("double") /
+      greatest(nChars.cast("double"), lit(1.0))
+    val digits = regexp_count(t, lit("[0-9]")).cast("double") /
+      greatest(nChars.cast("double"), lit(1.0))
+    val stopRatio = stopHits(t, enStop).cast("double") /
+      greatest(nWords.cast("double"), lit(1.0))
+    val lengthOk = when(nChars.between(20, 100000), lit(1.0)).otherwise(lit(0.0))
+    val score = round(
+      lit(0.4) * lengthOk +
+        lit(0.3) * when(punct < 0.2, 1.0).otherwise(0.0) +
+        lit(0.3) * when(stopRatio > 0.01, 1.0).otherwise(0.0), 2)
+    df.withColumn("n_chars_calc", nChars.cast("long"))
+      .withColumn("n_words", nWords.cast("long"))
+      .withColumn("mean_word_len", round(meanWordLen, 4))
+      .withColumn("punct_ratio", round(punct, 4))
+      .withColumn("digit_ratio", round(digits, 4))
+      .withColumn("stopword_ratio", round(stopRatio, 4))
+      .withColumn("quality_score", score)
+  }
+
+  /** Content-defined document fingerprint: md5 of the
+    * whitespace-normalized, lowercased text. Identical up to formatting
+    * => identical fingerprint; groupBy(fingerprint) is the scalable
+    * near-exact dedup key.
+    */
+  def fingerprint(textCol: Column): Column =
+    md5(regexp_replace(lower(trim(textCol)), "\\s+", " "))
+
+  /** 63-bit polynomial rolling hash over words (base 1000003, mod 2^61-1)
+    * — an order-sensitive fingerprint, cheap to maintain incrementally.
+    */
+  def rollingHash(textCol: Column): Column =
+    aggregate(words(lower(textCol)), lit(0L),
+      (acc, w) => pmod(acc * lit(1000003L) + xxhash64(w), lit((1L << 61) - 1)))
+}

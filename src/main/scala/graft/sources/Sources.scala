@@ -1,0 +1,78 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Ingest source formats.
+  *
+  * Mirrors the reference's parser registry (reference:
+  * ingestion/parsers.py:10-48, config.py:139-145): a format id resolves to
+  * a reader that produces an *all-string* DataFrame — source data carries
+  * no types; meaning and types come only from the column mapping +
+  * transformers, exactly like the reference's csv.DictReader rows.
+  *
+  * Every source appends `_row_idx` (read-order index) so that
+  * duplicate-SKU-within-batch semantics ("later row wins", reference
+  * ingestion/service.py:83-106 processes rows sequentially) survive the
+  * shuffle. At 100 TB the index is per input split and only needs to be
+  * monotone within a key's occurrences in one file, which
+  * monotonically_increasing_id guarantees per partition.
+  */
+trait IngestSource {
+  def id: String
+  def read(spark: SparkSession, path: String): DataFrame
+}
+
+object IngestSource {
+  val ROW_IDX = "_row_idx"
+
+  /** CSV with header row, all columns read as strings (no inference —
+    * reference semantics: types come only from transformers). Header names
+    * are trimmed; columns with empty header are dropped; fully-empty rows
+    * are dropped (reference ingestion/parsers.py:34-48).
+    */
+  object CsvSource extends IngestSource {
+    val id = "csv"
+    def read(spark: SparkSession, path: String): DataFrame = {
+      val raw = spark.read
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("inferSchema", "false")
+        .csv(path)
+      normalize(raw)
+    }
+  }
+
+  /** JSON lines, primitives kept as strings (README backlog task 2 —
+    * reference /root/reference/README.md:33, never implemented there).
+    */
+  object JsonSource extends IngestSource {
+    val id = "json"
+    def read(spark: SparkSession, path: String): DataFrame = {
+      val raw = spark.read
+        .option("primitivesAsString", "true")
+        .json(path)
+      normalize(raw.drop("_corrupt_record"))
+    }
+  }
+
+  /** Trim headers, drop empty-named columns, drop all-null rows, append
+    * read-order index.
+    */
+  private[graft] def normalize(raw: DataFrame): DataFrame = {
+    val kept = raw.columns.filter(_.trim.nonEmpty)
+    val renamed = raw.select(kept.map(c => col(s"`$c`").as(c.trim)): _*)
+    val anyPresent = renamed.columns
+      .map(c => col(s"`$c`").isNotNull)
+      .reduceOption(_ || _)
+      .getOrElse(lit(false))
+    renamed.filter(anyPresent).withColumn(ROW_IDX, monotonically_increasing_id())
+  }
+
+  val registry: Map[String, IngestSource] =
+    Seq(CsvSource, JsonSource).map(s => s.id -> s).toMap
+
+  def apply(id: String): IngestSource =
+    registry.getOrElse(id,
+      throw new IllegalArgumentException(s"Unknown parser id: $id"))
+}
