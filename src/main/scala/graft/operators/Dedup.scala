@@ -34,11 +34,14 @@ object Dedup {
 
   /** Distinct word n-gram shingles per document: (id, shingle). */
   def shingles(docs: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame = {
-    val words = split(trim(col(textCol)), "\\s+")
+    // Guard: sequence(0, -1) is a DESCENDING sequence in Spark, so a doc
+    // with fewer than n words must short-circuit to an empty shingle set.
     val grams = expr(
-      s"""transform(
-         |  sequence(0, greatest(size(split(trim(`$textCol`), '\\\\s+')) - $n, -1)),
-         |  i -> concat_ws(' ', slice(split(trim(`$textCol`), '\\\\s+'), i + 1, $n)))""".stripMargin)
+      s"""CASE WHEN size(split(trim(`$textCol`), '\\\\s+')) >= $n THEN
+         |  transform(
+         |    sequence(0, size(split(trim(`$textCol`), '\\\\s+')) - $n),
+         |    i -> concat_ws(' ', slice(split(trim(`$textCol`), '\\\\s+'), i + 1, $n)))
+         |ELSE array() END""".stripMargin)
     docs
       .select(col(idCol).as("id"), explode(grams).as("shingle"))
       .filter(length(col("shingle")) > 0)
@@ -199,10 +202,11 @@ object Dedup {
       vecCol: String,
       idCol: String,
       threshold: Double = 0.95,
-      planes: Int = 8): DataFrame = {
+      planes: Int = 8,
+      dim: Int = 64): DataFrame = {
     val unit = Similarity.withUnitVector(embeddings, vecCol).select(
       col(idCol).as("id"), col("_unit"),
-      Similarity.hyperplaneBucket(col("_unit"), planes).as("bucket"))
+      Similarity.hyperplaneBucket(col("_unit"), planes, dim).as("bucket"))
     unit.as("x").join(unit.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
       .withColumn("cosine", Similarity.dot(col("x._unit"), col("y._unit")))

@@ -66,9 +66,12 @@ object Similarity {
     Array.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Bucket id = sign bits of the vector against `planes` hyperplanes. */
-  def hyperplaneBucket(unitVec: Column, planes: Int): Column = {
-    val hp = hyperplanes(planes)
+  /** Bucket id = sign bits of the vector against `planes` hyperplanes.
+    * `dim` must match the embedding dimensionality — a mismatched plane
+    * length would null out the dot product (zip_with pads with nulls).
+    */
+  def hyperplaneBucket(unitVec: Column, planes: Int, dim: Int = 64): Column = {
+    val hp = hyperplanes(planes, dim)
     (0 until planes).map { i =>
       when(dot(unitVec, lit(hp(i))) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
@@ -84,7 +87,8 @@ object Similarity {
       queryVec: Seq[Double],
       k: Int = 10,
       planes: Int = 8): DataFrame = {
-    val hp = hyperplanes(planes)
+    val dim = queryVec.length
+    val hp = hyperplanes(planes, dim)
     val qn = math.sqrt(queryVec.map(x => x * x).sum)
     val qUnit = queryVec.map(_ / qn)
     val qBucket = (0 until planes).map { i =>
@@ -93,7 +97,7 @@ object Similarity {
     }.reduce(_ | _)
     val probes = qBucket +: (0 until planes).map(i => qBucket ^ (1L << i))
     val bucketed = withUnitVector(embeddings, vecCol)
-      .withColumn("_bucket", hyperplaneBucket(col("_unit"), planes))
+      .withColumn("_bucket", hyperplaneBucket(col("_unit"), planes, dim))
       .filter(col("_bucket").isin(probes: _*))
     bucketed
       .withColumn("cosine", dot(col("_unit"), lit(qUnit.toArray)))

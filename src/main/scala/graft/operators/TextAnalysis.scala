@@ -89,10 +89,13 @@ object TextAnalysis {
   def fingerprint(textCol: Column): Column =
     md5(regexp_replace(lower(trim(textCol)), "\\s+", " "))
 
-  /** 63-bit polynomial rolling hash over words (base 1000003, mod 2^61-1)
-    * — an order-sensitive fingerprint, cheap to maintain incrementally.
+  /** Polynomial rolling hash over words (base 1000003, mod 2^31-1) — an
+    * order-sensitive fingerprint, cheap to maintain incrementally. The
+    * modulus keeps acc*base < 2^52, so the multiply never overflows a long
+    * under ANSI arithmetic.
     */
   def rollingHash(textCol: Column): Column =
     aggregate(words(lower(textCol)), lit(0L),
-      (acc, w) => pmod(acc * lit(1000003L) + xxhash64(w), lit((1L << 61) - 1)))
+      (acc, w) => pmod(acc * lit(1000003L) + pmod(xxhash64(w), lit((1L << 31) - 1)),
+        lit((1L << 31) - 1)))
 }

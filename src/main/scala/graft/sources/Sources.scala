@@ -57,10 +57,12 @@ object IngestSource {
   }
 
   /** Trim headers, drop empty-named columns, drop all-null rows, append
-    * read-order index.
+    * read-order index. Spark's CSV reader renames an empty header to
+    * `_cN`, so those placeholder names are dropped too (reference drops
+    * empty-header columns, ingestion/parsers.py:41-43).
     */
   private[graft] def normalize(raw: DataFrame): DataFrame = {
-    val kept = raw.columns.filter(_.trim.nonEmpty)
+    val kept = raw.columns.filter(c => c.trim.nonEmpty && !c.matches("_c\\d+"))
     val renamed = raw.select(kept.map(c => col(s"`$c`").as(c.trim)): _*)
     val anyPresent = renamed.columns
       .map(c => col(s"`$c`").isNotNull)

@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators.CatalogQueries
+import org.apache.spark.sql.DataFrame
+
+/** List/search/rank/paginate — reference web/api/products.py:36-74 and
+  * pagination tests (:118-141).
+  */
+class CatalogQueriesSpec extends SparkSpec {
+
+  private def products: DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1, "apple-1", "r1", "Apple One"),
+      (1, "apple-2", "r2", "Apple Two"),
+      (1, "banana", "r3", "Yellow Banana"),
+      (1, "cherry", "apple", "Cherry"),
+      (2, "apple-1", "x", "Other Tenant Apple")
+    ).toDF("client_id", "sku", "remote_id", "title")
+  }
+
+  test("tenant filter is always applied") {
+    assert(CatalogQueries.list(products, clientId = 1, limit = 50).count() === 4)
+    assert(CatalogQueries.list(products, clientId = 2, limit = 50).count() === 1)
+  }
+
+  test("default ordering by sku, offset/limit window") {
+    val page = CatalogQueries.list(products, 1, offset = 1, limit = 2)
+      .collect().map(_.getAs[String]("sku"))
+    assert(page.toSeq === Seq("apple-2", "banana"))
+  }
+
+  test("search matches title OR remote_id OR sku, case-insensitive") {
+    val hit = CatalogQueries.list(products, 1, query = Some("APPLE"), limit = 50)
+      .collect().map(_.getAs[String]("sku")).toSet
+    // apple-1, apple-2 by sku/title; cherry by remote_id
+    assert(hit === Set("apple-1", "apple-2", "cherry"))
+  }
+
+  test("ranking: exact sku match first, then prefix, then sku order") {
+    val ranked = CatalogQueries.list(products, 1, query = Some("apple-2"), limit = 50)
+      .collect().map(_.getAs[String]("sku"))
+    assert(ranked.head === "apple-2")
+  }
+
+  test("limit bounds enforced: [1, 50]") {
+    intercept[IllegalArgumentException] { CatalogQueries.list(products, 1, limit = 0) }
+    intercept[IllegalArgumentException] { CatalogQueries.list(products, 1, limit = 51) }
+    intercept[IllegalArgumentException] { CatalogQueries.list(products, 1, offset = -1) }
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import graft.streaming.EventStreams
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+class EventStreamsSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def events = {
+    import spark.implicits._
+    Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0),
+      (2L, ts("2024-01-01 10:10:00"), 1L, "click", 2.0),
+      (3L, ts("2024-01-01 11:30:00"), 1L, "view", 3.0),  // >30min gap -> new session
+      (4L, ts("2024-01-01 10:05:00"), 2L, "click", 4.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+  }
+
+  test("batch sessionization: 30-minute gap starts a new session") {
+    val out = EventStreams.sessionizeBatch(events, gapMinutes = 30)
+      .orderBy("user_id", "session_seq").collect()
+    assert(out.length === 3)
+    assert(out(0).getAs[Long]("user_id") === 1L && out(0).getAs[Long]("n_events") === 2)
+    assert(out(1).getAs[Long]("user_id") === 1L && out(1).getAs[Long]("n_events") === 1)
+    assert(out(2).getAs[Long]("user_id") === 2L)
+  }
+
+  test("tumbling windows aggregate per hour and type") {
+    val out = EventStreams.tumbling(events, "1 hour")
+      .orderBy("window_start", "event_type").collect()
+    assert(out.map(r => (r.getAs[Timestamp]("window_start").toString,
+      r.getAs[String]("event_type"), r.getAs[Long]("n_events"))).toSeq === Seq(
+      ("2024-01-01 10:00:00.0", "click", 3L),
+      ("2024-01-01 11:00:00.0", "view", 1L)))
+  }
+
+  test("sliding windows produce overlapping windows") {
+    val out = EventStreams.sliding(events, "1 hour", "30 minutes")
+      .filter(col("event_type") === "click")
+      .orderBy("window_start").collect()
+    // 3 clicks in 10:00-10:10 fall in both [9:30,10:30) and [10:00,11:00)
+    assert(out.map(r => (r.getAs[Timestamp]("window_start").toString,
+      r.getAs[Long]("n_events"))).toSeq === Seq(
+      ("2024-01-01 09:30:00.0", 3L), ("2024-01-01 10:00:00.0", 3L)))
+  }
+
+  test("streaming sessionization via session_window + AvailableNow") {
+    val dir = tmpDir("stream")
+    events.write.mode("overwrite").parquet(dir)
+    val stream = EventStreams.fromDirectory(spark, dir)
+    assert(stream.isStreaming)
+    val q = EventStreams.runToMemory(
+      EventStreams.sessionizeStream(stream, "30 minutes"), "sessions_test")
+    q.awaitTermination(60000)
+    val out = spark.table("sessions_test")
+    assert(out.count() === 3) // same 3 sessions as the batch path
+    assert(out.columns.toSet ===
+      Set("session_start", "session_end", "user_id", "n_events", "session_value"))
+  }
+
+  test("foreachBatch ingest bridge delivers batches") {
+    val dir = tmpDir("stream2")
+    events.write.mode("overwrite").parquet(dir)
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = EventStreams.foreachBatchIngest(
+        EventStreams.fromDirectory(spark, dir)) { (batch, _) =>
+        seen.addAndGet(batch.count())
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(seen.get() === 4)
+  }
+}

@@ -1,0 +1,167 @@
+package graft
+
+import graft.operators.{CatalogQueries, IngestionService, ParserConfig, ProductStore}
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+/** End-to-end ingest scenarios mirroring the reference API tests
+  * (tests/web/api/test_products.py): creation counts, upsert semantics,
+  * empty-sku inserts, full-update deactivation, tenant isolation, and the
+  * all-or-nothing error model.
+  */
+class IngestionServiceSpec extends SparkSpec {
+
+  private val cfg = ParserConfig("csv", Seq(
+    "sku" -> ("sku", "text"),
+    "title" -> ("title", "text"),
+    "active" -> ("active", "boolean")))
+
+  private val ts1 = Timestamp.valueOf("2024-01-01 00:00:00")
+  private val ts2 = Timestamp.valueOf("2024-02-02 00:00:00")
+
+  private def freshStore() = new ProductStore(spark, tmpDir("store"))
+
+  private def csv(rows: String*): String = {
+    val dir = tmpDir("ingest")
+    writeText(dir, "data.csv", ("sku,title,active" +: rows).mkString("\n"))
+  }
+
+  test("ingest small file creates N rows (reference :157-170)") {
+    val store = freshStore()
+    val svc = new IngestionService(spark, store, clientId = 1)
+    val rep = svc.ingest(cfg, csv("a1,Widget,1", "a2,Gadget,0", "a3,Doohickey,1"))
+    assert(rep.success, rep.message)
+    assert(rep.processedCount === 3)
+    val rows = store.read().orderBy("sku").collect()
+    assert(rows.length === 3)
+    assert(rows.map(_.getAs[String]("sku")).toSeq === Seq("a1", "a2", "a3"))
+    assert(rows.map(_.getAs[Boolean]("active")).toSeq === Seq(true, false, true))
+  }
+
+  test("ingest 50 rows (largest reference dataset, :172-185)") {
+    val store = freshStore()
+    val svc = new IngestionService(spark, store, clientId = 1)
+    val rep = svc.ingest(cfg, csv((1 to 50).map(i => s"s$i,Item $i,1"): _*))
+    assert(rep.success && rep.processedCount === 50)
+    assert(store.read().count() === 50)
+  }
+
+  test("upsert updates supplied columns only, bumps last_changed_on (:187-214)") {
+    val store = freshStore()
+    val svc = new IngestionService(spark, store, clientId = 1)
+    assert(svc.ingest(cfg, csv("a1,Original,1"), batchTs = ts1).success)
+
+    // second ingest: same sku, active flips, title NOT supplied
+    val dir = tmpDir("upd")
+    val p = writeText(dir, "d.csv", "sku,active\na1,0")
+    val rep = svc.ingest(cfg, p, batchTs = ts2)
+    assert(rep.success, rep.message)
+
+    val r = store.read().head()
+    assert(r.getAs[String]("title") === "Original") // unsupplied survives
+    assert(r.getAs[Boolean]("active") === false)    // supplied updates
+    assert(r.getAs[Timestamp]("last_changed_on") === ts2)
+    assert(store.read().count() === 1)              // updated, not duplicated
+  }
+
+  test("empty-sku rows always insert, never merge (:216-236)") {
+    val store = freshStore()
+    val svc = new IngestionService(spark, store, clientId = 1)
+    assert(svc.ingest(cfg, csv(",NoSku A,1")).success)
+    assert(svc.ingest(cfg, csv(",NoSku B,1")).success)
+    val rows = store.read().collect()
+    assert(rows.length === 2)
+    assert(rows.forall(_.getAs[String]("sku") == null) ||
+      rows.forall(r => Option(r.getAs[String]("sku")).forall(_.isEmpty)))
+  }
+
+  test("mixed batch: update + insert + empty-sku insert (:238-267)") {
+    val store = freshStore()
+    val svc = new IngestionService(spark, store, clientId = 1)
+    assert(svc.ingest(cfg, csv("a1,Old Title,1"), batchTs = ts1).success)
+    val rep = svc.ingest(cfg,
+      csv("a1,New Title,0", "b9,Brand New,1", ",Anon,1"), batchTs = ts2)
+    assert(rep.success && rep.processedCount === 3)
+    val bySku = store.read().collect()
+      .groupBy(r => Option(r.getAs[String]("sku")).getOrElse(""))
+    assert(bySku.keySet === Set("a1", "b9", ""))
+    val a1 = bySku("a1").head
+    assert(a1.getAs[String]("title") === "New Title")
+    assert(a1.getAs[Boolean]("active") === false)
+  }
+
+  test("full-update deactivates absent skus, reactivates present (:321-339)") {
+    val store = freshStore()
+    val svc = new IngestionService(spark, store, clientId = 1)
+    assert(svc.ingest(cfg, csv("a1,Keep,1", "b2,Drop,1"), batchTs = ts1).success)
+    val rep = svc.ingest(cfg, csv("a1,Keep Updated,1"),
+      fullUpdate = true, batchTs = ts2)
+    assert(rep.success, rep.message)
+    assert(rep.stats("deactivated_count") === 1)
+    assert(rep.stats("total_ingested_skus") === 1)
+    val bySku = store.read().collect().groupBy(_.getAs[String]("sku"))
+    assert(bySku("a1").head.getAs[Boolean]("active") === true)
+    assert(bySku("a1").head.getAs[String]("title") === "Keep Updated")
+    assert(bySku("b2").head.getAs[Boolean]("active") === false)
+    assert(bySku("b2").head.getAs[Timestamp]("last_changed_on") === ts2)
+  }
+
+  test("default mode does NOT deactivate absent skus (:341-359)") {
+    val store = freshStore()
+    val svc = new IngestionService(spark, store, clientId = 1)
+    assert(svc.ingest(cfg, csv("a1,One,1", "b2,Two,1")).success)
+    val rep = svc.ingest(cfg, csv("a1,One Updated,1"))
+    assert(rep.success && !rep.stats.contains("deactivated_count"))
+    val b2 = store.read().filter(col("sku") === "b2").head()
+    assert(b2.getAs[Boolean]("active") === true)
+  }
+
+  test("one bad strict value fails the whole batch; nothing written (error model)") {
+    val store = freshStore()
+    val svc = new IngestionService(spark, store, clientId = 1)
+    val rep = svc.ingest(cfg, csv("a1,Good,1", "a2,Bad,maybe"))
+    assert(!rep.success)
+    assert(rep.message.contains("Error during data ingestion"))
+    assert(store.read().count() === 0)
+  }
+
+  test("failed batch leaves previous table version intact (atomic swap)") {
+    val store = freshStore()
+    val svc = new IngestionService(spark, store, clientId = 1)
+    assert(svc.ingest(cfg, csv("a1,Keep,1")).success)
+    assert(!svc.ingest(cfg, csv("a2,Bad,garbage-bool")).success)
+    assert(store.read().count() === 1)
+    assert(store.read().head().getAs[String]("sku") === "a1")
+  }
+
+  test("duplicate sku within batch: later row wins column-wise (file order)") {
+    val store = freshStore()
+    val svc = new IngestionService(spark, store, clientId = 1)
+    val dir = tmpDir("dup")
+    val p = writeText(dir, "d.csv",
+      "sku,title,active\na1,First,1\na1,Second,0")
+    assert(svc.ingest(cfg, p).success)
+    val r = store.read().head()
+    assert(store.read().count() === 1)
+    assert(r.getAs[String]("title") === "Second")
+    assert(r.getAs[Boolean]("active") === false)
+  }
+
+  test("tenant isolation: two clients, same store, separate rows (:43-58)") {
+    val store = freshStore()
+    assert(new IngestionService(spark, store, 1).ingest(cfg, csv("a1,C1 Item,1")).success)
+    assert(new IngestionService(spark, store, 2).ingest(cfg, csv("a1,C2 Item,1")).success)
+    assert(store.read().count() === 2)
+    val c1 = CatalogQueries.list(store.read(), clientId = 1, limit = 50).collect()
+    assert(c1.length === 1 && c1.head.getAs[String]("title") === "C1 Item")
+  }
+
+  test("unknown parser/bad config yields failure report, not exception") {
+    val store = freshStore()
+    val svc = new IngestionService(spark, store, 1)
+    val rep = svc.ingest(ParserConfig("xml", Seq("a" -> ("title", "text"))),
+      csv("a1,X,1"))
+    assert(!rep.success && rep.message.contains("Unknown parser id"))
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (0L, "image payload text", 18L),
+      (1L, "audio payload", 13L),
+      (2L, "video payload content here", 26L)
+    ).toDF("doc_id", "text", "n_chars")
+  }
+
+  test("media table schema: binary payload + typed metadata struct") {
+    val m = Multimodal.fromDocuments(docs)
+    assert(m.schema("payload").dataType.typeName === "binary")
+    assert(m.schema("meta").dataType.typeName === "struct")
+    val kinds = m.orderBy("media_id").collect().map(_.getAs[String]("kind"))
+    assert(kinds.toSeq === Seq("image", "audio", "video"))
+  }
+
+  test("byte stats computed without decode") {
+    val m = Multimodal.withByteStats(Multimodal.fromDocuments(docs))
+    val r = m.filter(col("media_id") === 0).head()
+    assert(r.getAs[Long]("n_bytes") === 18L)
+    assert(r.getAs[String]("payload_md5").length === 32)
+  }
+
+  test("feature extraction: fixed-width vectors via mapPartitions boundary") {
+    val feats = Multimodal.extractFeatures(spark,
+      Multimodal.fromDocuments(docs), dim = 8).collect()
+    assert(feats.length === 3)
+    assert(feats.forall(_.feature.length === 8))
+    // deterministic stub: same payload -> same feature
+    val again = Multimodal.extractFeatures(spark,
+      Multimodal.fromDocuments(docs), dim = 8).collect()
+    assert(feats.map(_.feature.toSeq).toSeq === again.map(_.feature.toSeq).toSeq)
+  }
+
+  test("resizeMeta preserves aspect ratio, caps max side") {
+    val m = Multimodal.resizeMeta(Multimodal.fromDocuments(docs), maxSide = 8)
+    val r = m.filter(col("media_id") === 2).head()
+    val (w, h) = (r.getAs[Int]("resized_w"), r.getAs[Int]("resized_h"))
+    assert(math.max(w, h) <= 8)
+  }
+
+  test("frame sampling: video rows only, capped frame count, everyMs stride") {
+    val frames = Multimodal.sampleFrames(Multimodal.fromDocuments(docs),
+      everyMs = 100, maxFrames = 2)
+    val rows = frames.collect()
+    assert(rows.forall(_.getAs[Long]("media_id") === 2L))
+    assert(rows.map(_.getAs[Long]("frame_ts_ms")).toSeq === Seq(0L, 100L))
+  }
+}

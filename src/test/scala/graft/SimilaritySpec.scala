@@ -1,0 +1,44 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.DataFrame
+
+class SimilaritySpec extends SparkSpec {
+
+  private def emb: DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1)
+    val q = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val near = q.map(x => x + 0.01f)
+    val rows = (2L to 50L).map(i => (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    ((0L, q) +: (1L, near) +: rows).toDF("vec_id", "embedding")
+  }
+
+  private def queryVec: Seq[Double] =
+    emb.filter("vec_id = 0").select(Similarity.toDouble(org.apache.spark.sql.functions.col("embedding")))
+      .head().getSeq[Double](0)
+
+  test("brute-force top-k: self first with cosine ~1, near-dup second") {
+    val top = Similarity.bruteForceTopK(emb, "embedding", "vec_id", queryVec, k = 5)
+      .collect()
+    assert(top.head.getAs[Long]("vec_id") === 0L)
+    assert(math.abs(top.head.getAs[Double]("cosine") - 1.0) < 1e-9)
+    assert(top(1).getAs[Long]("vec_id") === 1L)
+    assert(top(1).getAs[Double]("cosine") > 0.999)
+  }
+
+  test("LSH top-k: probed buckets still surface self + near-dup") {
+    val top = Similarity.lshTopK(emb, "embedding", "vec_id", queryVec, k = 5, planes = 6)
+      .collect().map(_.getAs[Long]("vec_id"))
+    assert(top.take(2).toSeq === Seq(0L, 1L))
+  }
+
+  test("LSH recall vs brute force on top-10") {
+    val exact = Similarity.bruteForceTopK(emb, "embedding", "vec_id", queryVec, k = 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val approx = Similarity.lshTopK(emb, "embedding", "vec_id", queryVec, k = 10, planes = 4)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    // multi-probe over 2^4 buckets on 51 vectors: expect decent overlap
+    assert((exact & approx).size >= 5, s"recall too low: ${(exact & approx).size}/10")
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import graft.sources.IngestSource
+
+/** Source-format semantics — reference ingestion/parsers.py:34-48. */
+class SourcesSpec extends SparkSpec {
+
+  test("csv: header trim, empty-header drop, all-string, empty-row drop") {
+    val dir = tmpDir("csv")
+    val p = writeText(dir, "in.csv",
+      " sku , title ,,qty\na1,Widget,junk,5\n,,,\na2,Gadget,junk,7\n")
+    val df = IngestSource("csv").read(spark, p)
+    val cols = df.columns.filterNot(_ == IngestSource.ROW_IDX).toSet
+    assert(cols === Set("sku", "title", "qty"))
+    assert(df.schema.fields.filter(_.name != IngestSource.ROW_IDX)
+      .forall(_.dataType.typeName === "string"))
+    val rows = df.orderBy(IngestSource.ROW_IDX)
+      .select("sku", "title", "qty").collect()
+    assert(rows.length === 2) // fully-empty row dropped
+    assert(rows.map(_.getString(0)).toSeq === Seq("a1", "a2"))
+    assert(rows.head.getString(2) === "5") // numbers stay strings
+  }
+
+  test("json lines: primitives kept as strings") {
+    val dir = tmpDir("json")
+    val p = writeText(dir, "in.json",
+      """{"sku": "a1", "qty": 5, "active": true}
+        |{"sku": "a2", "qty": 7, "active": false}
+        |""".stripMargin)
+    val df = IngestSource("json").read(spark, p)
+    assert(df.schema("qty").dataType.typeName === "string")
+    assert(df.select("sku", "qty", "active").orderBy("sku")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq ===
+      Seq(("a1", "5", "true"), ("a2", "7", "false")))
+  }
+
+  test("row index is monotone in file order within a partition") {
+    val dir = tmpDir("csvord")
+    val p = writeText(dir, "in.csv",
+      "sku,title\n" + (1 to 100).map(i => s"a$i,t$i").mkString("\n"))
+    val idx = IngestSource("csv").read(spark, p)
+      .select(IngestSource.ROW_IDX).collect().map(_.getLong(0))
+    assert(idx.toSeq === idx.sorted.toSeq)
+  }
+
+  test("unknown parser id rejected") {
+    intercept[IllegalArgumentException] { IngestSource("xml") }
+  }
+}
