@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions.{DotProduct, TopKRows}
+
+/** Registers the engine's native Catalyst expressions as SQL functions:
+  *
+  * {{{
+  * SparkSession.builder().withExtensions(new GraftExtensions) ...
+  * // or: .config("spark.sql.extensions", "graft.GraftExtensions")
+  * spark.sql("SELECT graft_dot(a.vec, b.vec) FROM ...")
+  * }}}
+  *
+  * The Scala Column API ([[graft.functions.GraftFunctions]]) does not
+  * require this — it constructs the expressions directly.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(args.length == 2, "graft_dot(a, b) takes 2 arguments")
+        DotProduct(args(0), args(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKRows].getName, "graft_topk"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(args.length == 3, "graft_topk(key, value, k) takes 3 arguments")
+        TopKRows(args(0), args(1), args(2))
+      }))
+  }
+}

@@ -206,12 +206,13 @@ object SparkEntry {
   }
 
   private def windowTopk(s: SparkSession, d: String): DataFrame =
-    // Two-phase top-k (local per input partition, then global): 3 groups
-    // with a single-window plan would serialize 600k rows through 3
-    // reducers; TopK keeps the big pass fully parallel.
-    TopK.perGroup(t(s, d, "lineitem"),
+    // Native top-k aggregate: 3 groups with a single-window plan would
+    // serialize 600k rows through 3 reducers; graft_topk's map-side heaps
+    // shuffle only k rows per task per group.
+    TopK.perGroupAgg(t(s, d, "lineitem"),
         groupCols = Seq(col("l_returnflag")),
-        order = Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber")),
+        sortKey = struct(negate(col("l_extendedprice")), col("l_orderkey"),
+          col("l_linenumber")),
         k = 3)
       .select(col("l_returnflag"), col("rn"), col("l_orderkey"),
         col("l_linenumber"), col("l_extendedprice"))

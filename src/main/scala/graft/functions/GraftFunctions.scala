@@ -1,0 +1,27 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSqlBridge => B}
+
+/** Column-API entry points for the native Catalyst expressions. These
+  * build Columns directly (no session registry needed), so they work in
+  * any SparkSession; [[graft.GraftExtensions]] additionally registers the
+  * same expressions as SQL functions for `spark.sql("... graft_dot(...)")`.
+  */
+object GraftFunctions {
+
+  /** Codegen'd dot product over array<float|double>. */
+  def graftDot(a: Column, b: Column): Column =
+    B.column(DotProduct(B.expression(a), B.expression(b)))
+
+  /** Squared L2 norm — dot of a vector with itself. */
+  def graftNorm2(v: Column): Column = graftDot(v, v)
+
+  /** Exact top-k aggregate: smallest k `value` structs by `key`, as a
+    * sorted array. Encode DESC by negating the key component.
+    */
+  def graftTopK(key: Column, value: Column, k: Int): Column =
+    B.column(
+      TopKRows(B.expression(key), B.expression(value),
+        org.apache.spark.sql.catalyst.expressions.Literal(k))
+        .toAggregateExpression())
+}

@@ -3,46 +3,30 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.GraftFunctions.{graftDot, graftNorm2}
+
 /** Approximate-nearest-neighbor search over an embedding column
   * (array<float>). Two tiers:
   *
   *  - [[bruteForceTopK]]: exact cosine top-k — one codegen'd projection
-  *    (zip_with + aggregate, all double math) followed by a distributed
-  *    TakeOrdered; the correctness baseline and fine up to ~10^7 vectors.
+  *    followed by a distributed TakeOrdered; the correctness baseline and
+  *    fine up to ~10^7 vectors.
   *  - [[lshTopK]]: sign-random-projection LSH — deterministic hyperplanes
   *    from a fixed seed hash the corpus into 2^planes buckets; the query
   *    probes its own bucket (multi-probe: plus Hamming-1 neighbors), so at
   *    100 TB the scan prunes to ~corpus/2^planes with bucket as a
   *    partition key.
   *
-  * Everything is expression-based; no UDFs, no driver-side vectors beyond
-  * the query literal.
+  * All vector math goes through the native [[graft.functions.DotProduct]]
+  * expression (tight primitive loop inside whole-stage codegen — no UDFs,
+  * no interpreted higher-order functions, no per-element boxing).
   */
 object Similarity {
 
-  /** Dot product of two double arrays. Higher-order functions are
-    * interpreted (not codegen'd) — use [[flatDot]] when one side is a
-    * driver-side literal.
-    */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Codegen'd dot product of two numeric arrays (float or double). */
+  def dot(a: Column, b: Column): Column = graftDot(a, b)
 
-  /** Dot against a literal weight vector, unrolled to flat arithmetic
-    * (element_at + multiply-add) that stays inside whole-stage codegen —
-    * ~10x faster per pass than the interpreted HOF form.
-    */
-  def flatDot(v: Column, w: Seq[Double]): Column =
-    w.zipWithIndex.map { case (x, i) =>
-      element_at(v, i + 1).cast("double") * lit(x)
-    }.reduce(_ + _)
-
-  /** Squared L2 norm with known dimensionality, codegen-friendly. */
-  def flatNorm2(v: Column, dim: Int): Column =
-    (1 to dim).map { i =>
-      val e = element_at(v, i).cast("double"); e * e
-    }.reduce(_ + _)
-
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  def norm(a: Column): Column = sqrt(graftNorm2(a))
 
   def toDouble(vec: Column): Column = transform(vec, x => x.cast("double"))
 
@@ -68,12 +52,11 @@ object Similarity {
       idCol: String,
       queryVec: Seq[Double],
       k: Int = 10): DataFrame = {
-    val dim = queryVec.length
     val qNorm = math.sqrt(queryVec.map(x => x * x).sum)
     val v = col(vecCol)
     embeddings
       .withColumn("cosine",
-        flatDot(v, queryVec) / (sqrt(flatNorm2(v, dim)) * lit(qNorm)))
+        graftDot(v, lit(queryVec.toArray)) / (sqrt(graftNorm2(v)) * lit(qNorm)))
       .select(col(idCol), col("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
@@ -88,13 +71,12 @@ object Similarity {
   }
 
   /** Bucket id = sign bits of the vector against `planes` hyperplanes.
-    * `dim` must match the embedding dimensionality — a mismatched plane
-    * length would null out the dot product (zip_with pads with nulls).
+    * Scale-invariant (sign of v·h), so it works on raw or unit vectors.
     */
-  def hyperplaneBucket(unitVec: Column, planes: Int, dim: Int = 64): Column = {
+  def hyperplaneBucket(vec: Column, planes: Int, dim: Int = 64): Column = {
     val hp = hyperplanes(planes, dim)
     (0 until planes).map { i =>
-      when(dot(unitVec, lit(hp(i))) >= 0, lit(1L << i)).otherwise(lit(0L))
+      when(graftDot(vec, lit(hp(i))) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
   }
 
@@ -116,19 +98,15 @@ object Similarity {
       if (d >= 0) 1L << i else 0L
     }.reduce(_ | _)
     val probes = qBucket +: (0 until planes).map(i => qBucket ^ (1L << i))
-    // The sign of v.h is scale-invariant, so bucket straight from the raw
-    // vector — no normalization pass. All dots are flat codegen arithmetic;
-    // the exact cosine only runs on rows surviving the bucket filter
+    // Bucket straight from the raw vector (sign is scale-invariant); the
+    // exact cosine only runs on rows surviving the bucket filter
     // (~ (planes+1)/2^planes of the corpus).
     val v = col(vecCol)
-    val bucket = (0 until planes).map { i =>
-      when(flatDot(v, hp(i).toSeq) >= 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
     embeddings
-      .withColumn("_bucket", bucket)
+      .withColumn("_bucket", hyperplaneBucket(v, planes, dim))
       .filter(col("_bucket").isin(probes: _*))
       .withColumn("cosine",
-        flatDot(v, queryVec) / (sqrt(flatNorm2(v, dim)) * lit(qNorm)))
+        graftDot(v, lit(queryVec.toArray)) / (sqrt(graftNorm2(v)) * lit(qNorm)))
       .select(col(idCol), col("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
