@@ -270,27 +270,54 @@ object SparkEntry {
       .orderBy(col("keep_id"))
 
   private def dedupJaccard(s: SparkSession, d: String): DataFrame =
+    // maxDf=100 (half the 200-doc corpus): stop-shingles above that
+    // document frequency are dropped from the Jaccard universe before the
+    // candidate self-join — the scale guard against a near-cross-product
+    // bucket. The oracle applies the identical df filter.
     Dedup.jaccardPairs(t(s, d, "documents").filter(col("doc_id") < 200),
-        "text", "doc_id", n = 3, minJaccard = 0.6)
+        "text", "doc_id", n = 3, minJaccard = 0.6, maxDf = 100)
       .orderBy(col("id_a"), col("id_b"))
 
-  private def dedupMinhash(s: SparkSession, d: String): DataFrame =
-    Dedup.minHashLsh(t(s, d, "documents").filter(col("doc_id") < 300),
-        "text", "doc_id", numHashes = 64, bands = 16, threshold = 0.5)
+  /** MinHash-LSH generates CANDIDATES (xxhash64-based, not reproducible by
+    * another engine); the emitted pairs are then verified with the EXACT
+    * shingle-set Jaccard, which any engine can recompute — so the result
+    * set is fully determined by a DuckDB-checkable predicate, and the LSH
+    * stage only has to achieve recall (bands=32 → r=2: a pair at the 0.8
+    * verify threshold survives banding with p = 1-(1-0.64)^32 ≈ 1-1e-14).
+    */
+  private def dedupMinhash(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").filter(col("doc_id") < 300)
+    val cands = Dedup.minHashLsh(docs, "text", "doc_id",
+      numHashes = 64, bands = 32, threshold = 0.35)
+    Dedup.exactShingleJaccard(cands, docs, "text", "doc_id", n = 3, minJaccard = 0.8)
       .orderBy(col("id_a"), col("id_b"))
+  }
 
-  private def dedupSimhash(s: SparkSession, d: String): DataFrame =
-    Dedup.simHashNearDup(t(s, d, "documents").filter(col("doc_id") < 300),
-        "text", "doc_id", maxHamming = 10, pieces = 4)
+  /** SimHash banding generates candidates — COMPLETE for Hamming <= 15 by
+    * pigeonhole (16 pieces of 4 bits; any pair differing in <= 15 bits
+    * shares an exact piece) — then the emitted pairs are verified with the
+    * exact word-multiset (bag) Jaccard, the frequency-weighted metric
+    * SimHash approximates. Near-dups in this corpus sit at bag-J >= 0.95
+    * (Hamming <= ~3) with the next pair down at 0.68, so the 0.8 verify
+    * threshold is far inside the candidate set's completeness region.
+    */
+  private def dedupSimhash(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").filter(col("doc_id") < 300)
+    val cands = Dedup.simHashNearDup(docs, "text", "doc_id",
+      maxHamming = 15, pieces = 16)
+    Dedup.exactBagJaccard(cands, docs, "text", "doc_id", minJaccard = 0.8)
       .orderBy(col("id_a"), col("id_b"))
+  }
 
   private def embedTopk(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")
     val qv = emb.filter(col("vec_id") === 0)
       .select(Similarity.toDouble(col("embedding")))
       .head().getSeq[Double](0)
-    Similarity.bruteForceTopK(emb, "embedding", "vec_id", qv, k = 10)
-      .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
+    // roundTo=4: rank by the ROUNDED cosine (ties broken by vec_id) so the
+    // ordering is engine-reproducible — ranking unrounded and rounding
+    // after would make the top-k boundary depend on sub-round-off noise.
+    Similarity.bruteForceTopK(emb, "embedding", "vec_id", qv, k = 10, roundTo = 4)
       .orderBy(col("cosine").desc, col("vec_id"))
   }
 
@@ -299,8 +326,7 @@ object SparkEntry {
     val qv = emb.filter(col("vec_id") === 0)
       .select(Similarity.toDouble(col("embedding")))
       .head().getSeq[Double](0)
-    Similarity.lshTopK(emb, "embedding", "vec_id", qv, k = 10, planes = 8)
-      .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
+    Similarity.lshTopK(emb, "embedding", "vec_id", qv, k = 10, planes = 8, roundTo = 4)
       .orderBy(col("cosine").desc, col("vec_id"))
   }
 
@@ -308,20 +334,23 @@ object SparkEntry {
     "it", "that", "for", "on", "with", "as", "was", "at", "by")
 
   private def textStats(s: SparkSession, d: String): DataFrame = {
+    // The words array is materialized ONCE (one split per row; codegen
+    // subexpression elimination then shares it across the three consumers)
+    // instead of re-splitting per output column.
     val txt = col("text")
-    val nChars = length(txt)
-    val ws = split(trim(txt), "\\s+")
+    val ws = col("_ws")
     val nWords = size(ws)
-    val nonSpace = length(regexp_replace(trim(txt), "\\s+", ""))
-    val punct = regexp_count(txt, lit("[^A-Za-z0-9\\s]"))
-    val stopHits = size(filter(split(lower(trim(txt)), "\\s+"),
-      w => w.isin(stopList.map(lit): _*)))
-    t(s, d, "documents").select(
+    t(s, d, "documents")
+      .withColumn("_ws", split(lower(trim(txt)), "\\s+"))
+      .select(
         col("doc_id"),
         nWords.cast(LongType).as("n_words"),
-        round(nonSpace.cast(DoubleType) / nWords, 4).as("mean_word_len"),
-        round(punct.cast(DoubleType) / nChars, 4).as("punct_ratio"),
-        round(stopHits.cast(DoubleType) / nWords, 4).as("stopword_ratio"))
+        round(length(regexp_replace(trim(txt), "\\s+", "")).cast(DoubleType) / nWords, 4)
+          .as("mean_word_len"),
+        round(regexp_count(txt, lit("[^A-Za-z0-9\\s]")).cast(DoubleType) / length(txt), 4)
+          .as("punct_ratio"),
+        round(size(filter(ws, w => w.isin(stopList.map(lit): _*))).cast(DoubleType) / nWords, 4)
+          .as("stopword_ratio"))
       .orderBy(col("doc_id"))
   }
 
@@ -340,6 +369,78 @@ object SparkEntry {
     t(s, d, "documents").select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fingerprint"))
       .orderBy(col("doc_id"))
+
+  // ---------------------------------------------------------------- e2e ingest
+
+  /** Directory the end-to-end ingest fixtures + store live under; the
+    * oracle SQL reads the same CSVs back with DuckDB read_csv.
+    */
+  private val e2eDir = "/root/repo/target/e2e"
+
+  private val e2eBatch1 =
+    """sku,title,active,price
+      |SKU0,Product 0,1,$10.00
+      |SKU1,Product 1,0,"1,234.50"
+      |SKU2,Product 2,yes,£9.99
+      |,No SKU Product,1,5.00
+      |""".stripMargin
+  private val e2eBatch2 =
+    """sku,title,active
+      |SKU0,Product 0 v2,0
+      |SKU3,Product 3,1
+      |""".stripMargin
+  private val e2eBatch3 =
+    """sku,title
+      |SKU0,Product 0 v3
+      |SKU3,Product 3 v2
+      |""".stripMargin
+
+  /** The reference's flagship path end-to-end under the oracle gate:
+    * CSV -> mapping -> strict gate -> merge -> atomic swap, three batches
+    * (insert, upsert, full-update), pinned batch timestamps
+    * (reference ingestion/service.py:27-64; tests
+    * tests/web/api/test_products.py:238-267,321-339). The emitted rows are
+    * the final table state; the oracle replays the same three CSVs through
+    * equivalent SQL (mapping, coalesce-merge, deactivation) in DuckDB.
+    */
+  private def ingestE2e(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete()
+    }
+    val dir = new java.io.File(e2eDir)
+    if (dir.exists) rm(dir)
+    dir.mkdirs()
+    def write(name: String, content: String): String = {
+      val p = Paths.get(e2eDir, name)
+      Files.writeString(p, content)
+      p.toString
+    }
+    val b1 = write("batch1.csv", e2eBatch1)
+    val b2 = write("batch2.csv", e2eBatch2)
+    val b3 = write("batch3.csv", e2eBatch3)
+    val cfg1 = ParserConfig("csv", Seq(
+      "sku" -> ("sku", "text"), "title" -> ("title", "text"),
+      "active" -> ("active", "boolean"), "price" -> ("max_price", "decimal")))
+    val cfg2 = ParserConfig("csv", Seq(
+      "sku" -> ("sku", "text"), "title" -> ("title", "text"),
+      "active" -> ("active", "boolean")))
+    val cfg3 = ParserConfig("csv", Seq(
+      "sku" -> ("sku", "text"), "title" -> ("title", "text")))
+    val store = new ProductStore(s, s"$e2eDir/store")
+    val svc = new IngestionService(s, store, clientId = 1)
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-0$day%d 00:00:00")
+    val r1 = svc.ingest(cfg1, b1, fullUpdate = false, batchTs = ts(1))
+    val r2 = svc.ingest(cfg2, b2, fullUpdate = false, batchTs = ts(2))
+    val r3 = svc.ingest(cfg3, b3, fullUpdate = true, batchTs = ts(3))
+    require(r1.success && r2.success && r3.success,
+      s"e2e ingest failed: ${Seq(r1, r2, r3).filterNot(_.success).map(_.message).mkString("; ")}")
+    store.read()
+      .select(col("client_id"), col("sku"), col("title"), col("active"),
+        col("max_price").cast(DoubleType).as("max_price"), col("last_changed_on"))
+      .orderBy(col("sku"))
+  }
 
   // ---------------------------------------------------------------- multimodal
 
@@ -393,10 +494,87 @@ object SparkEntry {
     "q_text_langid" -> (textLangid _),
     "q_text_fingerprint" -> (textFingerprint _),
     "q_multimodal_bytes" -> (multimodalBytes _),
-    "q_frame_sample" -> (frameSample _)
+    "q_frame_sample" -> (frameSample _),
+    "q_ingest_e2e" -> (ingestE2e _)
   )
 
   private val stopSql = stopList.map(w => s"'$w'").mkString(", ")
+
+  private def inList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
+
+  /** Oracle for q_embed_ann_lsh: the sign-random-projection hyperplanes
+    * are deterministic constants, so they are INLINED into the SQL — DuckDB
+    * recomputes the exact same bucket ids, probe set, and rounded cosines,
+    * making the approximate query exactly checkable.
+    */
+  private def annLshOracle: String = {
+    val planes = 8
+    val hp = Similarity.hyperplanes(planes, 64)
+    def arr(a: Array[Double]) = a.map(_.toString).mkString("[", ", ", "]")
+    def bucketExpr(vec: String) = (0 until planes).map { i =>
+      s"(CASE WHEN list_dot_product($vec, ${arr(hp(i))}) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    val probeUnion = (0 until planes)
+      .map(i => s"SELECT xor(qbucket, ${1L << i}) AS p FROM q")
+      .mkString("SELECT qbucket AS p FROM q UNION ALL ",
+        " UNION ALL ", "")
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |b AS (SELECT vec_id, e, ${bucketExpr("e")} AS bucket FROM emb),
+       |q AS (SELECT e AS qe, bucket AS qbucket FROM b WHERE vec_id = 0),
+       |probes AS ($probeUnion),
+       |scored AS (
+       |  SELECT vec_id,
+       |    round(list_dot_product(e, (SELECT qe FROM q)) /
+       |      (sqrt(list_dot_product(e, e)) * (SELECT sqrt(list_dot_product(qe, qe)) FROM q)), 4) AS cosine
+       |  FROM b WHERE bucket IN (SELECT p FROM probes))
+       |SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+  }
+
+  /** Oracle for q_ingest_e2e: replays the three fixture CSVs through the
+    * same mapping/merge/deactivation algebra in DuckDB (read_csv on the
+    * files the query wrote; transformer SQL mirrors Transformers exactly).
+    */
+  private def ingestE2eOracle: String = {
+    val bool =
+      """CASE WHEN lower(trim(active)) IN ('yes','true','1') THEN true
+        |       WHEN lower(trim(active)) IN ('no','false','0') THEN false
+        |       ELSE NULL END""".stripMargin
+    s"""WITH b1 AS (SELECT * FROM read_csv('$e2eDir/batch1.csv', header=true, all_varchar=true)),
+       |b2 AS (SELECT * FROM read_csv('$e2eDir/batch2.csv', header=true, all_varchar=true)),
+       |b3 AS (SELECT * FROM read_csv('$e2eDir/batch3.csv', header=true, all_varchar=true)),
+       |m1 AS (SELECT trim(sku) AS sku, trim(title) AS title, $bool AS active,
+       |         TRY_CAST(trim(regexp_replace(price, '[$$£,]', '', 'g')) AS DECIMAL(12,2)) AS max_price
+       |       FROM b1),
+       |m2 AS (SELECT trim(sku) AS sku, trim(title) AS title, $bool AS active FROM b2),
+       |m3 AS (SELECT trim(sku) AS sku, trim(title) AS title FROM b3),
+       |s1 AS (SELECT sku, title, coalesce(active, true) AS active, max_price,
+       |         TIMESTAMP '2024-01-01 00:00:00' AS lco FROM m1),
+       |s2 AS (SELECT coalesce(t.sku, s.sku) AS sku,
+       |         coalesce(s.title, t.title) AS title,
+       |         coalesce(s.active, t.active, true) AS active,
+       |         t.max_price AS max_price,
+       |         CASE WHEN s.sku IS NOT NULL THEN TIMESTAMP '2024-01-02 00:00:00'
+       |              ELSE t.lco END AS lco
+       |       FROM s1 t FULL JOIN m2 s ON t.sku = s.sku),
+       |deact AS (SELECT sku, title,
+       |         CASE WHEN sku IS NOT NULL AND len(sku) > 0
+       |                   AND sku NOT IN (SELECT sku FROM m3 WHERE sku IS NOT NULL)
+       |              THEN false ELSE active END AS active,
+       |         max_price,
+       |         CASE WHEN sku IS NOT NULL AND len(sku) > 0
+       |                   AND sku NOT IN (SELECT sku FROM m3 WHERE sku IS NOT NULL)
+       |              THEN TIMESTAMP '2024-01-03 00:00:00' ELSE lco END AS lco
+       |       FROM s2)
+       |SELECT CAST(1 AS INTEGER) AS client_id,
+       |       coalesce(t.sku, s.sku) AS sku,
+       |       coalesce(s.title, t.title) AS title,
+       |       coalesce(t.active, true) AS active,
+       |       CAST(t.max_price AS DOUBLE) AS max_price,
+       |       CASE WHEN s.sku IS NOT NULL THEN TIMESTAMP '2024-01-03 00:00:00'
+       |            ELSE t.lco END AS last_changed_on
+       |FROM deact t FULL JOIN m3 s ON t.sku = s.sku
+       |ORDER BY sku NULLS FIRST""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_filter_tenant" ->
@@ -469,8 +647,8 @@ object SparkEntry {
         |FROM part ORDER BY p_partkey""".stripMargin,
     "q_transform_decimal" ->
       """SELECT p_partkey,
-        |  CAST(CAST(regexp_replace(concat('$', CAST(p_retailprice AS VARCHAR)), '[$£,\s]', '', 'g') AS DECIMAL(12,2)) AS DOUBLE) AS price_dec,
-        |  CAST(CAST(regexp_replace('£1,234.50', '[$£,\s]', '', 'g') AS DECIMAL(12,2)) AS DOUBLE) AS gbp_dec
+        |  CAST(CAST(trim(regexp_replace(concat('$', CAST(p_retailprice AS VARCHAR)), '[$£,]', '', 'g')) AS DECIMAL(12,2)) AS DOUBLE) AS price_dec,
+        |  CAST(CAST(trim(regexp_replace('£1,234.50', '[$£,]', '', 'g')) AS DECIMAL(12,2)) AS DOUBLE) AS gbp_dec
         |FROM part ORDER BY p_partkey""".stripMargin,
     "q_transform_integer" ->
       """SELECT p_partkey,
@@ -517,7 +695,7 @@ object SparkEntry {
         |FROM lineitem WHERE l_suppkey <= 2
         |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin,
     "q_json_scan" ->
-      """SELECT event_id, CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS k
+      """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
     "q_events_tumbling" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
@@ -546,6 +724,25 @@ object SparkEntry {
     "q_dedup_jaccard" ->
       """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
         |words AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM docs),
+        |sh0 AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+        |       FROM words, UNNEST(range(1, len(ws) - 1)) AS t(i)
+        |       WHERE len(ws) >= 3),
+        |rare AS (SELECT shingle FROM (SELECT shingle, count(*) AS df FROM sh0 GROUP BY 1)
+        |         WHERE df <= 100),
+        |sh AS (SELECT sh0.* FROM sh0 JOIN rare USING (shingle)),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT id_a, id_b, CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.6
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_minhash" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+        |words AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM docs),
         |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
         |       FROM words, UNNEST(range(1, len(ws) - 1)) AS t(i)
         |       WHERE len(ws) >= 3),
@@ -557,8 +754,43 @@ object SparkEntry {
         |FROM inter
         |JOIN sizes sa ON sa.doc_id = id_a
         |JOIN sizes sb ON sb.doc_id = id_b
-        |WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.6
+        |WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_simhash" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+        |w AS (SELECT doc_id,
+        |        unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) AS word
+        |      FROM docs),
+        |cnt AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, sum(c) AS n FROM cnt GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(least(a.c, b.c)) AS ni
+        |          FROM cnt a JOIN cnt b ON a.word = b.word AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT id_a, id_b, CAST(ni AS DOUBLE) / (ta.n + tb.n - ni) AS bag_jaccard
+        |FROM inter
+        |JOIN tot ta ON ta.doc_id = id_a
+        |JOIN tot tb ON tb.doc_id = id_b
+        |WHERE CAST(ni AS DOUBLE) / (ta.n + tb.n - ni) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_embed_ann_lsh" -> annLshOracle,
+    "q_ingest_e2e" -> ingestE2eOracle,
+    "q_text_langid" ->
+      s"""WITH w AS (SELECT doc_id, lang,
+         |        list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> len(x) > 0) AS ws
+         |      FROM documents),
+         |sc AS (SELECT doc_id, lang,
+         |        len(list_filter(ws, x -> x IN (${inList(TextAnalysis.enStop)}))) AS s_en,
+         |        len(list_filter(ws, x -> x IN (${inList(TextAnalysis.esStop)}))) AS s_es,
+         |        len(list_filter(ws, x -> x IN (${inList(TextAnalysis.frStop)}))) AS s_fr,
+         |        len(list_filter(ws, x -> x IN (${inList(TextAnalysis.deStop)}))) AS s_de
+         |      FROM w)
+         |SELECT doc_id, lang,
+         |  CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+         |       WHEN s_de = greatest(s_en, s_es, s_fr, s_de) THEN 'de'
+         |       WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+         |       WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+         |       ELSE 'en' END AS lang_pred
+         |FROM sc ORDER BY doc_id""".stripMargin,
     "q_embed_topk" ->
       """WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
         |scored AS (
@@ -580,7 +812,7 @@ object SparkEntry {
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q_token_count" ->
       """SELECT doc_id,
-        |  len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+        |  len(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) AS ws_tokens,
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpeish_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_text_fingerprint" ->
@@ -592,7 +824,7 @@ object SparkEntry {
         |       ELSE 'video' END AS kind,
         |  CAST((doc_id % 64) * 16 + 16 AS INTEGER) AS width,
         |  CAST((doc_id % 48) * 16 + 16 AS INTEGER) AS height,
-        |  CAST(length(text) AS BIGINT) AS n_bytes,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS payload_md5
         |FROM documents ORDER BY media_id""".stripMargin,
     "q_frame_sample" ->

@@ -24,4 +24,13 @@ object GraftFunctions {
       TopKRows(B.expression(key), B.expression(value),
         org.apache.spark.sql.catalyst.expressions.Literal(k))
         .toAggregateExpression())
+
+  /** MinHash signature aggregate over per-row shingle hashes: a k-long
+    * array of elementwise minima of k affine permutations of the hash.
+    */
+  def graftMinHash(hash: Column, k: Int): Column =
+    B.column(
+      MinHashSig(B.expression(hash),
+        org.apache.spark.sql.catalyst.expressions.Literal(k))
+        .toAggregateExpression())
 }

@@ -27,12 +27,15 @@ object Transformers {
   /** `text`: str(value).strip() — reference ingestion/transformers.py:33-38. */
   def text(c: Column): Column = trim(c.cast(StringType))
 
-  /** `decimal`: strip currency symbols / thousands separators / whitespace,
-    * parse as exact decimal — reference ingestion/transformers.py:19-30.
-    * Unparseable input yields NULL (flag via [[errorFlag]]).
+  /** `decimal`: strip currency symbols and thousands separators anywhere,
+    * trim leading/trailing whitespace only, parse as exact decimal —
+    * reference ingestion/transformers.py:19-30 (`replace('$','')
+    * .replace('£','').replace(',','').strip()`; INTERNAL whitespace is
+    * kept, so "1 234.50" raises there and yields NULL here). Unparseable
+    * input yields NULL (flag via [[errorFlag]]).
     */
   def decimal(c: Column): Column =
-    regexp_replace(c.cast(StringType), "[$£,\\s]", "").try_cast(Money)
+    trim(regexp_replace(c.cast(StringType), "[$£,]", "")).try_cast(Money)
 
   /** `integer`: truncate-toward-zero of the float value ("3.7" -> 3);
     * unparseable or missing input -> 0 — reference transformers.py:40-53.
@@ -60,11 +63,20 @@ object Transformers {
     */
   val strictIds: Set[String] = Set("boolean", "decimal")
 
-  /** True when the raw input was present (non-null, non-empty after trim)
-    * but the strict transform produced NULL — the reportable error channel.
+  /** True when the raw input was present (non-null) but the strict
+    * transform produced NULL — the reportable error channel. An empty or
+    * whitespace-only string IS an error (the reference raises on
+    * `Decimal('')` / `bool('')`, aborting the batch).
+    *
+    * Known deviation: Spark's CSV reader surfaces an empty unquoted cell
+    * as NULL, indistinguishable from a short row's missing column, so an
+    * empty strict cell in a CSV batch is treated as "not supplied"
+    * (skipped) rather than aborting as the reference's csv.DictReader
+    * (which yields '' for empty cells) would. JSON sources and any source
+    * that preserves empty strings get the reference's abort behavior.
     */
   def errorFlag(raw: Column, transformed: Column): Column =
-    raw.isNotNull && length(trim(raw.cast(StringType))) > 0 && transformed.isNull
+    raw.isNotNull && transformed.isNull
 
   val registry: Map[String, Column => Column] = Map(
     "text" -> text,

@@ -4,6 +4,9 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.GraftFunctions.graftMinHash
+import graft.functions.MinHash
+
 /** Document deduplication operators for large-scale training-data
   * pipelines. All of them are pure DataFrame plans (no driver loops, no
   * UDFs): exact dedup is a hash aggregate, the near-dup families follow
@@ -13,8 +16,11 @@ import org.apache.spark.sql.functions._
   *
   * Scale: every self-join here is keyed on a high-cardinality bucket
   * column; skewed buckets (a shingle appearing in half the corpus) are the
-  * classic hazard, so candidate generation caps bucket width via a
-  * per-bucket row_number guard where noted.
+  * classic hazard, so [[jaccardPairs]] drops stop-shingles above a
+  * document-frequency cap before its self-join, and the LSH candidate
+  * joins carry only (id_a, id_b) through their distinct — signatures are
+  * re-joined after, so the dedup shuffle moves two longs per pair, not two
+  * 64-long arrays.
   */
 object Dedup {
 
@@ -32,34 +38,55 @@ object Dedup {
     docs.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
   }
 
+  /** Whitespace words of a text column (empty tokens dropped). */
+  private def wordArr(textCol: Column): Column =
+    filter(split(trim(textCol), "\\s+"), w => length(w) > 0)
+
+  /** Word n-gram shingle array of a text column (with duplicates; wrap in
+    * array_distinct for the set). Documents with fewer than n words yield
+    * an empty array — sequence(0, negative) would be a DESCENDING sequence
+    * in Spark, so the short-circuit is required, not just cosmetic.
+    */
+  private def shingleArr(textCol: Column, n: Int): Column = {
+    val ws = split(trim(textCol), "\\s+")
+    when(size(ws) >= n,
+      transform(sequence(lit(0), size(ws) - n),
+        i => concat_ws(" ", slice(ws, i + lit(1), lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Distinct word n-gram shingles per document: (id, shingle). */
-  def shingles(docs: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame = {
-    // Guard: sequence(0, -1) is a DESCENDING sequence in Spark, so a doc
-    // with fewer than n words must short-circuit to an empty shingle set.
-    val grams = expr(
-      s"""CASE WHEN size(split(trim(`$textCol`), '\\\\s+')) >= $n THEN
-         |  transform(
-         |    sequence(0, size(split(trim(`$textCol`), '\\\\s+')) - $n),
-         |    i -> concat_ws(' ', slice(split(trim(`$textCol`), '\\\\s+'), i + 1, $n)))
-         |ELSE array() END""".stripMargin)
+  def shingles(docs: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame =
     docs
-      .select(col(idCol).as("id"), explode(grams).as("shingle"))
+      .select(col(idCol).as("id"), explode(shingleArr(col(textCol), n)).as("shingle"))
       .filter(length(col("shingle")) > 0)
       .distinct()
-  }
 
   /** Exact pairwise n-gram Jaccard >= threshold. The shingle equi-join is
     * the candidate generator; Jaccard = |A∩B| / (|A|+|B|-|A∩B|) from three
-    * aggregates. Quadratic only within a shingle bucket, which is the
-    * standard trade: restrict corpus (or cap buckets) upstream.
+    * aggregates.
+    *
+    * `maxDf` is the scale guard: a stop-shingle present in a large
+    * fraction of the corpus would make the self-join on that one shingle
+    * degenerate toward N^2, so shingles whose document frequency exceeds
+    * maxDf are dropped from the universe BEFORE sizes and intersections
+    * are computed (both sides see the same filtered shingle sets, so the
+    * metric stays a true Jaccard over the retained universe — the standard
+    * stop-shingle trade).
     */
   def jaccardPairs(
       docs: DataFrame,
       textCol: String,
       idCol: String,
       n: Int = 3,
-      minJaccard: Double = 0.8): DataFrame = {
-    val sh = shingles(docs, textCol, idCol, n)
+      minJaccard: Double = 0.8,
+      maxDf: Int = 1000): DataFrame = {
+    val all = shingles(docs, textCol, idCol, n)
+    val rare = all.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= maxDf)
+      .select("shingle")
+    val sh = all.join(rare, "shingle")
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
@@ -74,50 +101,82 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** Deterministic affine permutation constants for MinHash, from a fixed
-    * seed so signatures are reproducible across runs/sessions.
+  /** Exact shingle-set Jaccard for an already-small candidate pair set
+    * (id_a, id_b): join the texts back and verify with array expressions.
+    * This is the verification stage after LSH candidate generation —
+    * exact, deterministic, and recomputable by any engine (no hashes).
     */
-  private def minhashParams(numHashes: Int): (Array[Long], Array[Long]) = {
-    val rnd = new scala.util.Random(42)
-    val a = Array.fill(numHashes)(math.abs(rnd.nextLong()) % MersennePrime | 1L)
-    val b = Array.fill(numHashes)(math.abs(rnd.nextLong()) % MersennePrime)
-    (a, b)
+  def exactShingleJaccard(
+      cands: DataFrame,
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      minJaccard: Double = 0.8): DataFrame = {
+    val sets = docs.select(col(idCol).as("_id"),
+      array_distinct(shingleArr(col(textCol), n)).as("_sh"))
+    cands.select("id_a", "id_b")
+      .join(sets.select(col("_id").as("id_a"), col("_sh").as("_sh_a")), "id_a")
+      .join(sets.select(col("_id").as("id_b"), col("_sh").as("_sh_b")), "id_b")
+      .withColumn("_ni", size(array_intersect(col("_sh_a"), col("_sh_b"))))
+      .withColumn("jaccard", col("_ni").cast("double") /
+        (size(col("_sh_a")) + size(col("_sh_b")) - col("_ni")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
   }
-  // 2^31-1: products a*h stay under 2^62, no 64-bit overflow in codegen.
-  private val MersennePrime = (1L << 31) - 1
+
+  /** Exact word-multiset (bag) Jaccard for a candidate pair set:
+    * sum over distinct words of min(count_a, count_b), over
+    * total_a + total_b - intersection. Frequency-weighted, so documents
+    * sharing a vocabulary but not a word distribution score low — the
+    * right exact verifier for SimHash candidates (SimHash itself is
+    * frequency-weighted). Candidate sets are small, so the per-pair
+    * quadratic word scan is bounded and never shuffles.
+    */
+  def exactBagJaccard(
+      cands: DataFrame,
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      minJaccard: Double = 0.8): DataFrame = {
+    val bags = docs.select(col(idCol).as("_id"), wordArr(col(textCol)).as("_ws"))
+    val wa = col("_ws_a")
+    val wb = col("_ws_b")
+    val inter = aggregate(
+      array_distinct(concat(wa, wb)), lit(0),
+      (acc, w) => acc + least(
+        size(filter(wa, x => x === w)), size(filter(wb, x => x === w))))
+    cands.select("id_a", "id_b")
+      .join(bags.select(col("_id").as("id_a"), col("_ws").as("_ws_a")), "id_a")
+      .join(bags.select(col("_id").as("id_b"), col("_ws").as("_ws_b")), "id_b")
+      .withColumn("_ni", inter)
+      .withColumn("bag_jaccard",
+        col("_ni").cast("double") / (size(wa) + size(wb) - col("_ni")))
+      .filter(col("bag_jaccard") >= minJaccard)
+      .select("id_a", "id_b", "bag_jaccard")
+  }
 
   /** MinHash signature per document: sig[i] = min over shingles of
-    * (a_i * xxhash64(shingle) + b_i) mod p. One explode + one hash
-    * aggregate; the elementwise-min is a single `transform`+`min` on the
-    * per-shingle hash array via posexplode, keyed (id, i) — both shuffles
-    * are on high-cardinality keys.
+    * (a_i * xxhash64(shingle) + b_i) mod p — one explode + ONE map-side
+    * combinable [[graft.functions.MinHashSig]] aggregate. No posexplode
+    * row amplification: each task folds its shingles into a k-slot min
+    * array per doc and the shuffle carries one array per doc per task.
     */
   def minHashSignatures(
       docs: DataFrame,
       textCol: String,
       idCol: String,
       numHashes: Int = 64,
-      shingleN: Int = 3): DataFrame = {
-    val (a, b) = minhashParams(numHashes)
-    val aSql = a.mkString("array(", "L,", "L)")
-    val bSql = b.mkString("array(", "L,", "L)")
-    val sh = shingles(docs, textCol, idCol, shingleN)
-      .withColumn("h", pmod(xxhash64(col("shingle")), lit(MersennePrime)))
-    // per-shingle k-vector of permuted hashes, then elementwise min:
-    sh.select(col("id"),
-        posexplode(expr(
-          s"""transform(sequence(0, ${numHashes - 1}),
-             |  i -> ($aSql[i] * h + $bSql[i]) % ${MersennePrime}L)"""
-            .stripMargin)).as(Seq("i", "hv")))
-      .groupBy("id", "i").agg(min("hv").as("mh"))
-      .groupBy("id").agg(
-        array_sort(collect_list(struct(col("i"), col("mh")))).as("_s"))
-      .select(col("id"), expr("transform(_s, x -> x.mh)").as("signature"))
-  }
+      shingleN: Int = 3): DataFrame =
+    shingles(docs, textCol, idCol, shingleN)
+      .withColumn("h", pmod(xxhash64(col("shingle")), lit(MinHash.MersennePrime)))
+      .groupBy("id")
+      .agg(graftMinHash(col("h"), numHashes).as("signature"))
 
   /** MinHash-LSH near-duplicate pairs: band the signature, bucket-join on
     * (band, hash(band-slice)), then filter candidates by the signature
-    * Jaccard estimate (fraction of equal positions).
+    * Jaccard estimate (fraction of equal positions). The candidate
+    * distinct runs on bare (id_a, id_b); signatures re-join afterwards.
     */
   def minHashLsh(
       docs: DataFrame,
@@ -130,19 +189,20 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
     val sigs = minHashSignatures(docs, textCol, idCol, numHashes, shingleN)
-    val banded = sigs.select(col("id"), col("signature"),
+    val banded = sigs.select(col("id"),
       posexplode(expr(
         s"transform(sequence(0, ${bands - 1}), b -> hash(slice(signature, b * $r + 1, $r)))"))
         .as(Seq("band", "bucket")))
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        col("x.signature").as("sig_a"), col("y.signature").as("sig_b"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
     cand
+      .join(sigs.select(col("id").as("id_a"), col("signature").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("signature").as("sig_b")), "id_b")
       .withColumn("est_jaccard",
-        expr(s"aggregate(zip_with(sig_a, sig_b, (p, q) -> if(p = q, 1, 0)), 0, (acc, v) -> acc + v)")
+        expr("aggregate(zip_with(sig_a, sig_b, (p, q) -> if(p = q, 1, 0)), 0, (acc, v) -> acc + v)")
           .cast("double") / numHashes)
       .filter(col("est_jaccard") >= threshold)
       .select("id_a", "id_b", "est_jaccard")
@@ -167,8 +227,11 @@ object Dedup {
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming, using the
     * pigeonhole band trick: split 64 bits into `pieces` chunks; any pair
-    * within distance maxHamming (< pieces) shares at least one exact chunk,
-    * so candidates come from an equi-join on (chunk_idx, chunk_value).
+    * within distance maxHamming (< pieces — enforced) shares at least one
+    * exact chunk, so candidates come from an equi-join on
+    * (chunk_idx, chunk_value) and the candidate set is COMPLETE for the
+    * distance bound. The candidate distinct runs on bare (id_a, id_b);
+    * fingerprints re-join afterwards.
     */
   def simHashNearDup(
       docs: DataFrame,
@@ -176,18 +239,22 @@ object Dedup {
       idCol: String,
       maxHamming: Int = 3,
       pieces: Int = 4): DataFrame = {
+    require(64 % pieces == 0, "pieces must divide 64")
+    require(maxHamming < pieces,
+      s"pigeonhole completeness requires maxHamming < pieces (got $maxHamming >= $pieces)")
     val width = 64 / pieces
     val sigs = simHash(docs, textCol, idCol)
-    val chunked = sigs.select(col("id"), col("simhash"),
+    val chunked = sigs.select(col("id"),
       posexplode(expr(
         s"transform(sequence(0, ${pieces - 1}), p -> (simhash >> (p * $width)) & ${(1L << width) - 1}L)"))
         .as(Seq("piece", "chunk")))
     chunked.as("x").join(chunked.as("y"),
         col("x.piece") === col("y.piece") && col("x.chunk") === col("y.chunk") &&
           col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        col("x.simhash").as("sh_a"), col("y.simhash").as("sh_b"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
+      .join(sigs.select(col("id").as("id_a"), col("simhash").as("sh_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("simhash").as("sh_b")), "id_b")
       .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")

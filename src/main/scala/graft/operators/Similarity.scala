@@ -45,18 +45,25 @@ object Similarity {
   /** Exact top-k by cosine similarity against a literal query vector.
     * sort+limit compiles to TakeOrderedAndProject: each partition keeps its
     * local k, the driver merges — no full shuffle-sort.
+    *
+    * `roundTo >= 0` rounds the cosine to that many digits BEFORE ranking,
+    * so the (score, id) ordering is reproducible by any engine that agrees
+    * on the rounded value — two vectors whose exact cosines differ only
+    * past the rounding digit tie-break deterministically by id instead of
+    * by sub-ULP noise.
     */
   def bruteForceTopK(
       embeddings: DataFrame,
       vecCol: String,
       idCol: String,
       queryVec: Seq[Double],
-      k: Int = 10): DataFrame = {
+      k: Int = 10,
+      roundTo: Int = -1): DataFrame = {
     val qNorm = math.sqrt(queryVec.map(x => x * x).sum)
     val v = col(vecCol)
+    val cos = graftDot(v, lit(queryVec.toArray)) / (sqrt(graftNorm2(v)) * lit(qNorm))
     embeddings
-      .withColumn("cosine",
-        graftDot(v, lit(queryVec.toArray)) / (sqrt(graftNorm2(v)) * lit(qNorm)))
+      .withColumn("cosine", if (roundTo >= 0) round(cos, roundTo) else cos)
       .select(col(idCol), col("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
@@ -65,7 +72,7 @@ object Similarity {
   /** Deterministic pseudo-random hyperplanes (seed fixed) — public
     * sign-random-projection construction.
     */
-  private[operators] def hyperplanes(planes: Int, dim: Int = 64): Array[Array[Double]] = {
+  private[graft] def hyperplanes(planes: Int, dim: Int = 64): Array[Array[Double]] = {
     val rnd = new scala.util.Random(7)
     Array.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
   }
@@ -89,7 +96,8 @@ object Similarity {
       idCol: String,
       queryVec: Seq[Double],
       k: Int = 10,
-      planes: Int = 8): DataFrame = {
+      planes: Int = 8,
+      roundTo: Int = -1): DataFrame = {
     val dim = queryVec.length
     val hp = hyperplanes(planes, dim)
     val qNorm = math.sqrt(queryVec.map(x => x * x).sum)
@@ -102,11 +110,11 @@ object Similarity {
     // exact cosine only runs on rows surviving the bucket filter
     // (~ (planes+1)/2^planes of the corpus).
     val v = col(vecCol)
+    val cos = graftDot(v, lit(queryVec.toArray)) / (sqrt(graftNorm2(v)) * lit(qNorm))
     embeddings
       .withColumn("_bucket", hyperplaneBucket(v, planes, dim))
       .filter(col("_bucket").isin(probes: _*))
-      .withColumn("cosine",
-        graftDot(v, lit(queryVec.toArray)) / (sqrt(graftNorm2(v)) * lit(qNorm)))
+      .withColumn("cosine", if (roundTo >= 0) round(cos, roundTo) else cos)
       .select(col(idCol), col("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)

@@ -10,14 +10,19 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  private val enStop = Seq("the", "a", "an", "of", "and", "to", "in", "is",
+  private[graft] val enStop = Seq("the", "a", "an", "of", "and", "to", "in", "is",
     "it", "that", "for", "on", "with", "as", "was", "at", "by")
-  private val esStop = Seq("el", "la", "de", "que", "y", "en", "un", "una",
+  private[graft] val esStop = Seq("el", "la", "de", "que", "y", "en", "un", "una",
     "es", "por", "con", "para", "los", "las")
-  private val frStop = Seq("le", "la", "les", "de", "des", "et", "un", "une",
+  private[graft] val frStop = Seq("le", "la", "les", "de", "des", "et", "un", "une",
     "est", "en", "que", "pour", "dans", "qui")
-  private val deStop = Seq("der", "die", "das", "und", "ist", "ein", "eine",
+  private[graft] val deStop = Seq("der", "die", "das", "und", "ist", "ein", "eine",
     "zu", "den", "von", "mit", "für", "auf", "nicht")
+
+  /** Tie-break priority of [[langId]]: later entries in this order win a
+    * tied top score (the fold applies them last): de > fr > es > en.
+    */
+  private[graft] val langOrder = Seq("en", "es", "fr", "de")
 
   def words(textCol: Column): Column =
     filter(split(trim(textCol), "\\s+"), w => length(w) > 0)

@@ -53,9 +53,9 @@ class DedupSpec extends SparkSpec {
   }
 
   test("simhash: identical -> hamming 0; reported pairs respect threshold") {
-    val maxH = 16
+    val maxH = 15 // pigeonhole completeness requires maxHamming < pieces
     val pairs = Dedup.simHashNearDup(docs, "text", "doc_id",
-        maxHamming = maxH, pieces = 4)
+        maxHamming = maxH, pieces = 16)
       .collect().map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
         r.getAs[Int]("hamming"))).toMap
     assert(pairs((1L, 2L)) === 0)

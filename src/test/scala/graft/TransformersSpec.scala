@@ -39,9 +39,18 @@ class TransformersSpec extends SparkSpec {
 
   test("errorFlag marks present-but-unparseable strict inputs only") {
     import spark.implicits._
+    // empty string IS an error (reference raises on bool('')/Decimal(''));
+    // only a truly absent value (null) is "not supplied"
     val df = Seq("yes", "maybe", "", null).toDF("v")
       .select(Transformers.errorFlag(col("v"), Transformers.boolean(col("v"))).as("e"))
-    assert(df.collect().map(_.getBoolean(0)).toSeq === Seq(false, true, false, false))
+    assert(df.collect().map(_.getBoolean(0)).toSeq === Seq(false, true, true, false))
+  }
+
+  test("decimal keeps internal whitespace unparseable (reference strips only outer)") {
+    import spark.implicits._
+    val df = Seq("  $1,234.50 ", "1 234.50").toDF("v")
+      .select(Transformers.decimal(col("v")).cast("string").as("d"))
+    assert(df.collect().map(_.getString(0)).toSeq === Seq("1234.50", null))
   }
 
   test("unknown transformer id rejected") {
