@@ -90,9 +90,15 @@ object ColumnMapping {
         Transformers.errorFlag(col(s"`$src`"), Transformers(tid)(col(s"`$src`")))
           .as(s"_err_$dst")
     }
+    // Raw source value alongside each strict flag, so an aborting batch
+    // can report WHICH value failed (reference IngestionReport.report).
+    val rawVals: Seq[Column] = cfg.columnMapping.collect {
+      case (src, (dst, tid)) if Transformers.strictIds.contains(tid) && present.contains(src) =>
+        col(s"`$src`").cast(org.apache.spark.sql.types.StringType).as(s"_raw_$dst")
+    }
     val passthrough: Seq[Column] =
       if (present.contains(IngestSource.ROW_IDX)) Seq(col(IngestSource.ROW_IDX)) else Nil
-    raw.select(mapped ++ errFlags ++ passthrough: _*)
+    raw.select(mapped ++ errFlags ++ rawVals ++ passthrough: _*)
   }
 
   private def targetType(dst: String) =

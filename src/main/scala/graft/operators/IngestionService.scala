@@ -10,13 +10,24 @@ import java.sql.Timestamp
 
 /** Batch ingestion outcome — reference IngestionReport
   * (ingestion/base.py:25-30, service.py:36-54). Any failure anywhere in
-  * the batch yields success=false and *nothing written*.
+  * the batch yields success=false and *nothing written*. `report` carries
+  * up to [[IngestionService.MaxReportedErrors]] per-row failure details
+  * (row index, column, offending raw value) so a failed batch is
+  * debuggable, mirroring the reference's `IngestionReport.report` list.
   */
 case class IngestionReport(
     success: Boolean,
     message: String,
     processedCount: Long,
-    stats: Map[String, Long])
+    stats: Map[String, Long],
+    report: Seq[String] = Nil)
+
+object IngestionService {
+  /** Cap on per-row error details collected to the driver on a failed
+    * batch — bounded regardless of batch size.
+    */
+  val MaxReportedErrors = 10
+}
 
 /** End-to-end ingest orchestration — the reference's
   * DataIngestionService.ingest_data (ingestion/service.py:27-64)
@@ -65,10 +76,12 @@ class IngestionService(spark: SparkSession, store: ProductStore, clientId: Int) 
     if (badCount > 0)
       return IngestionReport(success = false,
         s"Error during data ingestion: $badCount row(s) failed transformation",
-        0L, Map.empty)
+        0L, Map.empty, errorDetails(mapped, errCols))
 
     val stamp = lit(batchTs)
-    val clean = mapped.drop(errCols.toIndexedSeq: _*)
+    val aux = mapped.columns.filter(c =>
+      c.startsWith("_err_") || c.startsWith("_raw_"))
+    val clean = mapped.drop(aux.toIndexedSeq: _*)
     val processed = clean.count()
 
     val hasSku = clean.columns.contains("sku")
@@ -79,7 +92,10 @@ class IngestionService(spark: SparkSession, store: ProductStore, clientId: Int) 
     val keyed = staged.filter(skuPresent)
     val inserts = staged.filter(!skuPresent).drop(IngestSource.ROW_IDX)
 
-    val target = store.read()
+    // Tenant scope from the start: the merge reads ONLY this client's
+    // partition (pruned scan) and the final write rewrites only that
+    // partition — another tenant's files are never touched by this batch.
+    val target = store.readClient(clientId)
     var stats = Map("processed_count" -> processed)
 
     // Within-batch duplicate skus: later row wins column-wise (reference
@@ -123,8 +139,37 @@ class IngestionService(spark: SparkSession, store: ProductStore, clientId: Int) 
       .withColumn("active", coalesce(col("active"), lit(true)))
       .withColumn("last_changed_on", coalesce(col("last_changed_on"), stamp))
 
-    store.overwriteAtomic(result)
+    store.overwriteClientAtomic(clientId, result)
     IngestionReport(success = true,
       s"Successfully processed $processed items", processed, stats)
+  }
+
+  /** Per-row failure details for the abort report: up to
+    * [[IngestionService.MaxReportedErrors]] (row, column, raw value)
+    * triples, smallest row indexes first. The collect is bounded by the
+    * limit — never a full-table driver fetch.
+    */
+  private def errorDetails(mapped: DataFrame, errCols: Array[String]): Seq[String] = {
+    val hasIdx = mapped.columns.contains(graft.sources.IngestSource.ROW_IDX)
+    errCols.toSeq.flatMap { ec =>
+      val dst = ec.stripPrefix("_err_")
+      val rawCol =
+        if (mapped.columns.contains(s"_raw_$dst")) col(s"_raw_$dst")
+        else lit(null).cast("string")
+      val idxCol =
+        if (hasIdx) col(graft.sources.IngestSource.ROW_IDX) else lit(-1L)
+      mapped.filter(col(ec))
+        .select(idxCol.as("_i"), rawCol.as("_v"))
+        .orderBy(col("_i"))
+        .limit(IngestionService.MaxReportedErrors)
+        .collect()
+        .map(r => (r.getLong(0), dst,
+          Option(r.getString(1)).getOrElse("<null>")))
+    }
+      .sortBy(t => (t._1, t._2))
+      .take(IngestionService.MaxReportedErrors)
+      .map { case (i, dst, v) =>
+        s"row $i: column '$dst' could not interpret value '$v'"
+      }
   }
 }

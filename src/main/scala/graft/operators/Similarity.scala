@@ -80,15 +80,42 @@ object Similarity {
   /** Bucket id = sign bits of the vector against `planes` hyperplanes.
     * Scale-invariant (sign of v·h), so it works on raw or unit vectors.
     */
-  def hyperplaneBucket(vec: Column, planes: Int, dim: Int = 64): Column = {
-    val hp = hyperplanes(planes, dim)
-    (0 until planes).map { i =>
+  def hyperplaneBucket(vec: Column, planes: Int, dim: Int = 64): Column =
+    bucketFor(vec, hyperplanes(planes, dim))
+
+  private def bucketFor(vec: Column, hp: Array[Array[Double]]): Column =
+    hp.indices.map { i =>
       when(graftDot(vec, lit(hp(i))) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
-  }
 
-  /** ANN top-k via LSH: score only vectors whose bucket matches the query
-    * bucket or differs by one bit (multi-probe), then exact-cosine rank.
+  private def scalarBucket(v: Seq[Double], hp: Array[Array[Double]]): Long =
+    hp.indices.map { i =>
+      val d = v.zip(hp(i)).map { case (x, y) => x * y }.sum
+      if (d >= 0) 1L << i else 0L
+    }.reduce(_ | _)
+
+  /** The `tables` hash tables' hyperplane sets: table t uses rows
+    * [t*planes, (t+1)*planes) of one deterministic draw, so adding tables
+    * never changes earlier tables' buckets.
+    */
+  private[graft] def tableHyperplanes(
+      planes: Int, tables: Int, dim: Int): Array[Array[Array[Double]]] =
+    hyperplanes(planes * tables, dim).grouped(planes).toArray
+
+  /** ANN top-k via multi-table sign-LSH: `tables` independent hyperplane
+    * sets; a vector is scored iff in SOME table its bucket matches the
+    * query bucket or differs by one bit (multi-probe). Recall compounds
+    * across tables (1-(1-p)^L) while the scanned fraction stays ~
+    * L*(planes+1)/2^planes of the corpus — the standard quality/cost lever
+    * for sign-random-projection LSH. The bucket filter is one codegen'd
+    * scan predicate (L*planes dot products per row), and bucket columns
+    * are partitionable keys at 100 TB.
+    *
+    * Note the regime: LSH prunes when near neighbors are meaningfully
+    * closer than the bulk (real embedding corpora). On uniform random
+    * vectors no sublinear index helps — raise `tables`/`planes` toward a
+    * fuller scan, or use [[bruteForceTopK]] (codegen + TakeOrdered), which
+    * is exact and already distributed.
     */
   def lshTopK(
       embeddings: DataFrame,
@@ -97,23 +124,22 @@ object Similarity {
       queryVec: Seq[Double],
       k: Int = 10,
       planes: Int = 8,
+      tables: Int = 1,
       roundTo: Int = -1): DataFrame = {
     val dim = queryVec.length
-    val hp = hyperplanes(planes, dim)
+    val hps = tableHyperplanes(planes, tables, dim)
     val qNorm = math.sqrt(queryVec.map(x => x * x).sum)
-    val qBucket = (0 until planes).map { i =>
-      val d = queryVec.zip(hp(i)).map { case (x, y) => x * y }.sum
-      if (d >= 0) 1L << i else 0L
-    }.reduce(_ | _)
-    val probes = qBucket +: (0 until planes).map(i => qBucket ^ (1L << i))
-    // Bucket straight from the raw vector (sign is scale-invariant); the
-    // exact cosine only runs on rows surviving the bucket filter
-    // (~ (planes+1)/2^planes of the corpus).
     val v = col(vecCol)
+    // Bucket straight from the raw vector (sign is scale-invariant); the
+    // exact cosine only runs on rows surviving some table's bucket filter.
+    val tableHit: Seq[Column] = hps.toSeq.map { hp =>
+      val qBucket = scalarBucket(queryVec, hp)
+      val probes = qBucket +: hp.indices.map(i => qBucket ^ (1L << i))
+      bucketFor(v, hp).isin(probes: _*)
+    }
     val cos = graftDot(v, lit(queryVec.toArray)) / (sqrt(graftNorm2(v)) * lit(qNorm))
     embeddings
-      .withColumn("_bucket", hyperplaneBucket(v, planes, dim))
-      .filter(col("_bucket").isin(probes: _*))
+      .filter(tableHit.reduce(_ || _))
       .withColumn("cosine", if (roundTo >= 0) round(cos, roundTo) else cos)
       .select(col(idCol), col("cosine"))
       .orderBy(col("cosine").desc, col(idCol))

@@ -20,7 +20,7 @@ class ColumnMappingSpec extends SparkSpec {
       .toDF("SKU Code", "Name", "Price", "Active", "Extra")
     val out = ColumnMapping(raw, cfg)
     assert(out.columns.toSet === Set("sku", "title", "max_price", "active",
-      "_err_max_price", "_err_active"))
+      "_err_max_price", "_err_active", "_raw_max_price", "_raw_active"))
     val r = out.head()
     assert(r.getAs[String]("sku") === "a1")
     assert(r.getAs[java.math.BigDecimal]("max_price").toString === "9.99")

@@ -43,6 +43,29 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("jaccard maxDf cap bounds stop-shingle candidate blowup") {
+    import spark.implicits._
+    // 40 documents that all share one stop-shingle ("common stop shingle")
+    // but are otherwise pairwise unrelated, plus one true near-dup pair.
+    val corpus = (1L to 40L).map(i =>
+      (i, s"common stop shingle unique$i word$i token$i item$i thing$i")) ++
+      Seq((100L, "alpha beta gamma delta epsilon zeta"),
+          (101L, "alpha beta gamma delta epsilon eta"))
+    val df = corpus.toDF("doc_id", "text")
+    // Uncapped, the stop shingle alone generates C(40,2) = 780 candidate
+    // pairs; with maxDf below 40 it is dropped from the universe and only
+    // genuinely-overlapping pairs survive candidate generation.
+    val capped = Dedup.jaccardPairs(df, "text", "doc_id",
+      n = 3, minJaccard = 0.1, maxDf = 10)
+    val pairs = capped.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs === Set((100L, 101L)))
+    // and the metric over the retained universe is still a true Jaccard
+    val j = Dedup.jaccardPairs(df, "text", "doc_id", n = 3, minJaccard = 0.1, maxDf = 10)
+      .collect().head.getAs[Double]("jaccard")
+    assert(j > 0.3 && j < 1.0)
+  }
+
   test("minhash LSH finds exact and near dups, skips unrelated") {
     val pairs = Dedup.minHashLsh(docs, "text", "doc_id",
         numHashes = 64, bands = 16, threshold = 0.5)

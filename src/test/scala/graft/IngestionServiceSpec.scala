@@ -126,6 +126,54 @@ class IngestionServiceSpec extends SparkSpec {
     assert(store.read().count() === 0)
   }
 
+  test("failed batch report names the offending row, column, and value") {
+    val store = freshStore()
+    val svc = new IngestionService(spark, store, clientId = 1)
+    val rep = svc.ingest(cfg, csv("a1,Good,1", "a2,Bad,maybe", "a3,Worse,nope"))
+    assert(!rep.success)
+    assert(rep.report.size === 2)
+    assert(rep.report.head.contains("row 1") &&
+      rep.report.head.contains("'active'") && rep.report.head.contains("'maybe'"))
+    assert(rep.report(1).contains("row 2") && rep.report(1).contains("'nope'"))
+  }
+
+  test("error report is capped at MaxReportedErrors entries") {
+    val store = freshStore()
+    val svc = new IngestionService(spark, store, clientId = 1)
+    val rows = (1 to 25).map(i => s"a$i,Item $i,bogus$i")
+    val rep = svc.ingest(cfg, csv(rows: _*))
+    assert(!rep.success)
+    assert(rep.report.size === IngestionService.MaxReportedErrors)
+  }
+
+  test("a client's ingest leaves other tenants' files byte-identical") {
+    import java.nio.file.{Files, Path, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = tmpDir("store")
+    val store = new ProductStore(spark, root)
+    assert(new IngestionService(spark, store, 1).ingest(cfg, csv("a1,C1 v1,1")).success)
+    assert(new IngestionService(spark, store, 2).ingest(cfg, csv("b1,C2 Item,1")).success)
+    def snapshot(client: Int): Map[String, Long] = {
+      val dir = Paths.get(root, "data", s"client_id=$client")
+      Files.walk(dir).iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .map(p => p.toString -> Files.getLastModifiedTime(p).toMillis)
+        .toMap
+    }
+    val c2Before = snapshot(2)
+    val c2Bytes = c2Before.keys.map(p => p -> Files.readAllBytes(Paths.get(p)).toSeq).toMap
+    // client 1 ingests again (upsert): client 2's partition must be untouched
+    assert(new IngestionService(spark, store, 1).ingest(cfg, csv("a1,C1 v2,0")).success)
+    assert(snapshot(2) === c2Before)
+    c2Bytes.foreach { case (p, bytes) =>
+      assert(Files.readAllBytes(Paths.get(p)).toSeq === bytes, s"file $p changed")
+    }
+    // and client 1's merge actually applied
+    val c1 = store.readClient(1).collect()
+    assert(c1.length === 1 && c1.head.getAs[String]("title") === "C1 v2")
+    assert(store.readClient(2).head.getAs[String]("title") === "C2 Item")
+  }
+
   test("failed batch leaves previous table version intact (atomic swap)") {
     val store = freshStore()
     val svc = new IngestionService(spark, store, clientId = 1)
