@@ -1,24 +1,51 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch micro-profiler for expression variants (not part of the
+  * driver contract; used to attribute per-query bench cost).
+  */
 object Prof {
   def main(args: Array[String]): Unit = {
-    val sfDir = "/root/testdata/sf0.1"
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", 4)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // warm up session: touch every table once
-    Seq("part","lineitem","documents","embeddings").foreach(n =>
-      spark.read.parquet(s"$sfDir/$n.parquet").count())
-    val names = Seq("q_search_ilike_or","q_text_stats","q_embed_ann_lsh",
-      "q_embed_topk","q_dedup_minhash","q_dedup_simhash","q_window_topk","q_events_session")
-    names.foreach { n =>
-      val fn = SparkEntry.queries(n)
-      (1 to 2).foreach { i =>
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs.count()
+    val txt = col("text")
+    val stopList = Seq("the", "a", "an", "of", "and", "to", "in", "is",
+      "it", "that", "for", "on", "with", "as", "was", "at", "by")
+    def time(name: String)(f: => Any): Unit = {
+      (1 to 3).foreach { i =>
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
-        println(f"$n run$i: ${(System.nanoTime()-t0)/1e9}%.2f s")
+        f
+        println(f"$name run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
       }
+    }
+    time("split_only") {
+      docs.select(size(split(trim(txt), "\\s+"))).agg(sum(col("size(split(trim(text), \\s+, -1))"))).head()
+    }
+    time("nonspace_regex") {
+      docs.select(length(regexp_replace(trim(txt), "\\s+", "")).as("x")).agg(sum(col("x"))).head()
+    }
+    time("punct_regex") {
+      docs.select(regexp_count(txt, lit("[^A-Za-z0-9\\s]")).as("x")).agg(sum(col("x"))).head()
+    }
+    time("stop_hof") {
+      docs.select(size(filter(split(lower(trim(txt)), "\\s+"),
+        w => w.isin(stopList.map(lit): _*))).as("x")).agg(sum(col("x"))).head()
+    }
+    time("full_text_stats") {
+      val df = SparkEntry.queries("q_text_stats")(spark, sfDir)
+      df.agg(sum(xxhash64(struct(df.columns.map(col): _*)))).head()
+    }
+    time("full_langid") {
+      val df = SparkEntry.queries("q_text_langid")(spark, sfDir)
+      df.agg(sum(xxhash64(struct(df.columns.map(col): _*)))).head()
     }
     spark.stop()
   }

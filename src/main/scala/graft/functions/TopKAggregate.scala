@@ -98,7 +98,11 @@ case class TopKRows(
 
   override def serialize(buf: TopKBuffer): Array[Byte] = {
     val rows = buf.heap.toArray.map { case (kv, vv) =>
-      pairProj(InternalRow(kv, vv)).getBytes
+      // copy() before getBytes: UnsafeProjection reuses one backing buffer,
+      // and for exactly-sized (fixed-width) rows getBytes returns that
+      // buffer UNCOPIED — without the copy every serialized pair aliases
+      // the last one written.
+      pairProj(InternalRow(kv, vv)).copy().getBytes
     }
     val size = 4 + rows.map(4 + _.length).sum
     val bb = ByteBuffer.allocate(size)

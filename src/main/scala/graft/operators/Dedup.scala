@@ -126,12 +126,18 @@ object Dedup {
   }
 
   /** Exact word-multiset (bag) Jaccard for a candidate pair set:
-    * sum over distinct words of min(count_a, count_b), over
+    * sum over shared words of min(count_a, count_b), over
     * total_a + total_b - intersection. Frequency-weighted, so documents
     * sharing a vocabulary but not a word distribution score low — the
     * right exact verifier for SimHash candidates (SimHash itself is
-    * frequency-weighted). Candidate sets are small, so the per-pair
-    * quadratic word scan is bounded and never shuffles.
+    * frequency-weighted).
+    *
+    * Shape: relational (per-doc word counts equi-joined through the
+    * candidate pairs, then one sum aggregate) rather than a per-pair
+    * higher-order-function scan — HOF lambdas are interpreted per element,
+    * and quadratic-per-pair word scans dominate once candidates number in
+    * the thousands; the join/aggregate stays in codegen and shuffles on
+    * high-cardinality (pair, word) keys.
     */
   def exactBagJaccard(
       cands: DataFrame,
@@ -139,19 +145,24 @@ object Dedup {
       textCol: String,
       idCol: String,
       minJaccard: Double = 0.8): DataFrame = {
-    val bags = docs.select(col(idCol).as("_id"), wordArr(col(textCol)).as("_ws"))
-    val wa = col("_ws_a")
-    val wb = col("_ws_b")
-    val inter = aggregate(
-      array_distinct(concat(wa, wb)), lit(0),
-      (acc, w) => acc + least(
-        size(filter(wa, x => x === w)), size(filter(wb, x => x === w))))
-    cands.select("id_a", "id_b")
-      .join(bags.select(col("_id").as("id_a"), col("_ws").as("_ws_a")), "id_a")
-      .join(bags.select(col("_id").as("id_b"), col("_ws").as("_ws_b")), "id_b")
-      .withColumn("_ni", inter)
+    val words = docs.select(col(idCol).as("_id"),
+      explode(wordArr(col(textCol))).as("_w"))
+    val cnt = words.groupBy("_id", "_w").agg(count(lit(1)).as("_c"))
+    val tot = cnt.groupBy("_id").agg(sum(col("_c")).as("_n"))
+    val pairs = cands.select("id_a", "id_b")
+    val inter = pairs
+      .join(cnt.select(col("_id").as("id_a"), col("_w"), col("_c").as("_ca")), "id_a")
+      .join(cnt.select(col("_id").as("id_b"), col("_w"), col("_c").as("_cb")),
+        Seq("id_b", "_w"))
+      .groupBy("id_a", "id_b")
+      .agg(sum(least(col("_ca"), col("_cb"))).as("_ni"))
+    pairs
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .na.fill(0L, Seq("_ni"))
+      .join(tot.select(col("_id").as("id_a"), col("_n").as("_na")), "id_a")
+      .join(tot.select(col("_id").as("id_b"), col("_n").as("_nb")), "id_b")
       .withColumn("bag_jaccard",
-        col("_ni").cast("double") / (size(wa) + size(wb) - col("_ni")))
+        col("_ni").cast("double") / (col("_na") + col("_nb") - col("_ni")))
       .filter(col("bag_jaccard") >= minJaccard)
       .select("id_a", "id_b", "bag_jaccard")
   }

@@ -70,9 +70,14 @@ class IngestionService(spark: SparkSession, store: ProductStore, clientId: Int) 
       fullUpdate: Boolean,
       batchTs: Timestamp): IngestionReport = {
     val errCols = mapped.columns.filter(_.startsWith("_err_"))
-    val badCount =
-      if (errCols.isEmpty) 0L
-      else mapped.filter(errCols.map(col).reduce(_ || _)).count()
+    // One pass over the batch yields both the strict-error count (abort
+    // gate) and the processed count — not two separate jobs.
+    val errOr =
+      if (errCols.isEmpty) lit(false) else errCols.map(col).reduce(_ || _)
+    val gate = mapped.agg(
+      count(lit(1)).as("n"),
+      coalesce(sum(when(errOr, 1L).otherwise(0L)), lit(0L)).as("bad")).head()
+    val (processed, badCount) = (gate.getLong(0), gate.getLong(1))
     if (badCount > 0)
       return IngestionReport(success = false,
         s"Error during data ingestion: $badCount row(s) failed transformation",
@@ -82,7 +87,6 @@ class IngestionService(spark: SparkSession, store: ProductStore, clientId: Int) 
     val aux = mapped.columns.filter(c =>
       c.startsWith("_err_") || c.startsWith("_raw_"))
     val clean = mapped.drop(aux.toIndexedSeq: _*)
-    val processed = clean.count()
 
     val hasSku = clean.columns.contains("sku")
     val skuPresent =
