@@ -1,10 +1,20 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
+
+/** Accumulated per-user state carried across micro-batches by
+  * [[EventStreams.runningUserTotals]].
+  */
+case class UserRunningState(nEvents: Long, totalValue: Double)
+
+/** One emitted row per user per micro-batch: the cumulative totals after
+  * folding that batch's events into state.
+  */
+case class UserRunningUpdate(user_id: Long, n_events: Long, total_value: Double)
 
 /** Event-stream operators. The reference's ingest endpoint is a
   * micro-batch-per-upload pattern (one POST = one batch,
@@ -74,6 +84,34 @@ object EventStreams {
   def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Complete()): StreamingQuery =
     df.writeStream.outputMode(mode).format("memory").queryName(name)
       .trigger(Trigger.AvailableNow()).start()
+
+  /** Custom streaming state via `flatMapGroupsWithState`: cumulative
+    * per-user event count and value total, updated per micro-batch and
+    * carried in the state store. This is the escape hatch for stateful
+    * semantics the built-in windowed aggregations cannot express (the
+    * built-ins stay preferred where they can — see [[sessionizeStream]]).
+    *
+    * Scale shape: state is partitioned by user_id (high cardinality), one
+    * small fixed-size record per user, and each batch shuffles only that
+    * batch's events — the standard keyed-state pattern.
+    */
+  def runningUserTotals(spark: SparkSession, events: DataFrame): Dataset[UserRunningUpdate] = {
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserRunningState, UserRunningUpdate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[(Long, Double)], state: GroupState[UserRunningState]) =>
+          val prev = state.getOption.getOrElse(UserRunningState(0L, 0.0))
+          var n = prev.nEvents
+          var tot = prev.totalValue
+          rows.foreach { case (_, v) => n += 1; tot += v }
+          state.update(UserRunningState(n, tot))
+          Iterator(UserRunningUpdate(uid, n, tot))
+      }
+  }
 
   /** The micro-batch ingest bridge: every arriving file batch runs an
     * arbitrary batch sink function — the reference's one-POST-one-batch

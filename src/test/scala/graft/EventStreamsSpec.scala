@@ -61,6 +61,31 @@ class EventStreamsSpec extends SparkSpec {
       Set("session_start", "session_end", "user_id", "n_events", "session_value"))
   }
 
+  test("flatMapGroupsWithState carries per-user totals across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Double)]
+    val updates = EventStreams.runningUserTotals(
+      spark, input.toDF().toDF("user_id", "value"))
+    val q = updates.writeStream.outputMode("append")
+      .format("memory").queryName("running_totals")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData((1L, 10.0), (1L, 5.0), (2L, 1.0))
+      q.processAllAvailable()
+      input.addData((1L, 2.0)) // second batch: state must accumulate
+      q.processAllAvailable()
+      val rows = spark.table("running_totals")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // batch 1 emissions
+      assert(rows.contains((1L, 2L, 15.0)) && rows.contains((2L, 1L, 1.0)))
+      // batch 2: user 1's state carried over (2 events + 1 new)
+      assert(rows.contains((1L, 3L, 17.0)))
+    } finally q.stop()
+  }
+
   test("foreachBatch ingest bridge delivers batches") {
     val dir = tmpDir("stream2")
     events.write.mode("overwrite").parquet(dir)

@@ -1,0 +1,119 @@
+package graft
+
+import graft.functions.GraftFunctions.{graftDot, graftMinHash, graftNorm2, graftTopK}
+import graft.functions.MinHash
+import graft.operators.TopK
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Differential tests for the native Catalyst expressions: each one is
+  * checked against an independent Spark formulation of the same semantics
+  * on seeded-random data, across partial-aggregation boundaries (multiple
+  * partitions force serialize/merge paths — the round-2 TopK aliased
+  * buffer bug lived exactly there and only for fixed-width pairs).
+  */
+class NativeExpressionDifferentialSpec extends SparkSpec {
+
+  private val rnd = new scala.util.Random(2024)
+
+  test("graft_topk(fixed-width pairs) == row_number window, many partitions") {
+    import spark.implicits._
+    val rows = (1 to 500).map(i => (rnd.nextInt(5), rnd.nextInt(1000), i))
+    val df = spark.createDataset(rows).repartition(13).toDF("g", "key", "id")
+    val viaAgg = df.groupBy(col("g"))
+      .agg(graftTopK(struct(col("key"), col("id")), struct(col("key"), col("id")), 7).as("t"))
+      .select(col("g"), explode(col("t")).as("r"))
+      .select(col("g"), col("r.key").as("key"), col("r.id").as("id"))
+    val w = Window.partitionBy(col("g")).orderBy(col("key"), col("id"))
+    val viaWindow = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 7).select("g", "key", "id")
+    assert(viaAgg.except(viaWindow).count() === 0)
+    assert(viaWindow.except(viaAgg).count() === 0)
+    assert(viaAgg.count() === viaWindow.count())
+  }
+
+  test("graft_topk long-key/long-value (the exactly-sized row shape)") {
+    import spark.implicits._
+    val rows = (1L to 300L).map(i => (i % 3, rnd.nextLong() % 10000))
+    val df = spark.createDataset(rows).repartition(11).toDF("g", "v")
+    val viaAgg = df.groupBy(col("g"))
+      .agg(graftTopK(col("v"), col("v"), 5).as("t"))
+      .select(col("g"), explode(col("t")).as("v"))
+    val w = Window.partitionBy(col("g")).orderBy(col("v"))
+    val viaWindow = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5).select("g", "v")
+    val a = viaAgg.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val b = viaWindow.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(a === b)
+  }
+
+  test("TopK.perGroupAgg == TopK.perGroup window formulation") {
+    import spark.implicits._
+    val rows = (1 to 400).map(i =>
+      (s"g${rnd.nextInt(4)}", rnd.nextDouble() * 100, i.toLong))
+    val df = spark.createDataset(rows).repartition(9).toDF("g", "score", "id")
+    val viaAgg = TopK.perGroupAgg(df, Seq(col("g")),
+      struct(negate(col("score")), col("id")), k = 6)
+      .select("rn", "g", "score", "id")
+    val viaWin = TopK.perGroup(df, Seq(col("g")),
+      Seq(col("score").desc, col("id")), k = 6)
+      .select("rn", "g", "score", "id")
+    assert(viaAgg.except(viaWin).count() === 0)
+    assert(viaWin.except(viaAgg).count() === 0)
+  }
+
+  test("graft_minhash == explicit per-permutation min over permuted hashes") {
+    import spark.implicits._
+    val k = 32
+    val (a, b) = MinHash.params(k)
+    val shingles = (1 to 60).flatMap { doc =>
+      (1 to 20).map(s => (doc.toLong, s"sh-${rnd.nextInt(200)}-$s"))
+    }
+    val df = spark.createDataset(shingles).repartition(7).toDF("id", "shingle")
+      .withColumn("h", pmod(xxhash64(col("shingle")), lit(MinHash.MersennePrime)))
+    val native = df.groupBy("id").agg(graftMinHash(col("h"), k).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // independent formulation: k aggregate mins of the affine-permuted hash
+    val mins = (0 until k).map(i =>
+      min(pmod(lit(a(i)) * col("h") + lit(b(i)), lit(MinHash.MersennePrime))).as(s"m$i"))
+    val viaAgg = df.groupBy("id").agg(mins.head, mins.tail: _*)
+      .collect().map(r => r.getLong(0) -> (1 to k).map(r.getLong(_)).toSeq).toMap
+    assert(native.keySet === viaAgg.keySet)
+    native.foreach { case (id, sig) => assert(sig === viaAgg(id), s"doc $id") }
+  }
+
+  test("graft_dot == aggregate(zip_with(...)) on float and double arrays") {
+    import spark.implicits._
+    val vecs = (1 to 50).map { i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat),
+        Array.fill(16)(rnd.nextGaussian()))
+    }
+    val df = spark.createDataset(vecs).toDF("id", "f", "d")
+    val ref = expr(
+      "aggregate(zip_with(f, d, (x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+    val out = df.select(
+        graftDot(col("f"), col("d")).as("native"), ref.as("reference"))
+      .collect()
+    out.foreach(r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+    // norm2 consistency + mismatched lengths take min-length prefix
+    val n = df.select(graftNorm2(col("f")).as("n2"),
+        graftDot(col("f"), col("f")).as("dd")).head()
+    assert(n.getDouble(0) === n.getDouble(1))
+    val short = df.select(graftDot(col("f"), slice(col("d"), 1, 8)).as("x"),
+        expr("aggregate(zip_with(slice(f, 1, 8), slice(d, 1, 8), (x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)").as("y"))
+      .head()
+    assert(math.abs(short.getDouble(0) - short.getDouble(1)) < 1e-12)
+  }
+
+  test("graft_dot null-element and null-array semantics") {
+    import spark.implicits._
+    val df = Seq(
+      (Array[java.lang.Double](1.0, null, 3.0), Array[java.lang.Double](2.0, 5.0, 4.0)),
+      (null, Array[java.lang.Double](1.0, 1.0, 1.0))
+    ).toDF("a", "b")
+    val out = df.select(graftDot(col("a"), col("b")).as("d")).collect()
+    assert(out(0).getDouble(0) === 14.0) // null element contributes 0
+    assert(out(1).isNullAt(0))           // null array -> null
+  }
+}
