@@ -128,6 +128,21 @@ object SparkEntry {
       .select(col("c_custkey"), col("c_name"), col("n_name"), col("r_name"))
       .orderBy(col("c_custkey"))
 
+  /** Salted join (skew mitigation): results must be IDENTICAL to the
+    * plain join — the oracle is the unsalted SQL join, so the gate proves
+    * salting is semantics-preserving.
+    */
+  private def skewSaltedJoin(s: SparkSession, d: String): DataFrame = {
+    val big = t(s, d, "lineitem")
+      .select(col("l_suppkey").as("k"), col("l_quantity"), col("l_orderkey"),
+        col("l_linenumber"))
+    val small = t(s, d, "supplier").select(col("s_suppkey").as("k"), col("s_name"))
+    SkewJoin.saltedJoin(big, small, Seq("k"), "left", factor = 8)
+      .groupBy(col("k"), col("s_name"))
+      .agg(count(lit(1)).as("n_rows"), sumd(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("k"))
+  }
+
   // ---------------------------------------------------------------- §2.6
 
   private def distinctFlags(s: SparkSession, d: String): DataFrame =
@@ -471,6 +486,7 @@ object SparkEntry {
     "q_anti_join" -> (antiJoin _),
     "q_semi_join" -> (semiJoin _),
     "q_merge_upsert" -> (mergeUpsert _),
+    "q_skew_salted_join" -> (skewSaltedJoin _),
     "q_full_update_deactivate" -> (fullUpdateDeactivate _),
     "q_join_fk" -> (joinFk _),
     "q_distinct_flags" -> (distinctFlags _),
@@ -632,6 +648,11 @@ object SparkEntry {
     "q_full_update_deactivate" ->
       """SELECT p_partkey AS key, p_name AS title, (p_partkey % 3 = 0) AS active
         |FROM part ORDER BY key""".stripMargin,
+    "q_skew_salted_join" ->
+      """SELECT l_suppkey AS k, s_name, count(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1, 2 ORDER BY k""".stripMargin,
     "q_join_fk" ->
       """SELECT c_custkey, c_name, n_name, r_name
         |FROM customer
