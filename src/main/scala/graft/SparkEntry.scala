@@ -385,6 +385,15 @@ object SparkEntry {
         TextAnalysis.langId(col("text")).as("lang_pred"))
       .orderBy(col("doc_id"))
 
+  /** The composed curation pipeline (dedup -> language gate -> quality
+    * gate -> token stats) as one oracle-checked plan — the integration
+    * proof that the individually-verified text operators compose.
+    */
+  private def curateDocs(s: SparkSession, d: String): DataFrame =
+    CuratePipeline.curate(t(s, d, "documents"), "text", "doc_id",
+        minQuality = 0.7, keepLang = "en")
+      .orderBy(col("doc_id"))
+
   private def textFingerprint(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents").select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fingerprint"))
@@ -514,6 +523,7 @@ object SparkEntry {
     "q_token_count" -> (tokenCount _),
     "q_text_langid" -> (textLangid _),
     "q_text_fingerprint" -> (textFingerprint _),
+    "q_curate_docs" -> (curateDocs _),
     "q_multimodal_bytes" -> (multimodalBytes _),
     "q_frame_sample" -> (frameSample _),
     "q_ingest_e2e" -> (ingestE2e _)
@@ -849,6 +859,43 @@ object SparkEntry {
     "q_text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_curate_docs" ->
+      s"""WITH base AS (SELECT doc_id, text,
+         |        md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+         |      FROM documents),
+         |dedup AS (SELECT * FROM base
+         |      QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1),
+         |feats AS (SELECT doc_id, fingerprint, text,
+         |        list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> len(x) > 0) AS wsl,
+         |        list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS ws,
+         |        length(text) AS n_chars
+         |      FROM dedup),
+         |sc AS (SELECT *,
+         |        len(list_filter(wsl, x -> x IN (${inList(TextAnalysis.enStop)}))) AS s_en,
+         |        len(list_filter(wsl, x -> x IN (${inList(TextAnalysis.esStop)}))) AS s_es,
+         |        len(list_filter(wsl, x -> x IN (${inList(TextAnalysis.frStop)}))) AS s_fr,
+         |        len(list_filter(wsl, x -> x IN (${inList(TextAnalysis.deStop)}))) AS s_de
+         |      FROM feats),
+         |lang AS (SELECT *,
+         |        CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+         |             WHEN s_de = greatest(s_en, s_es, s_fr, s_de) THEN 'de'
+         |             WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+         |             WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+         |             ELSE 'en' END AS lang_pred
+         |      FROM sc),
+         |q AS (SELECT doc_id, fingerprint, lang_pred,
+         |        round(CAST(
+         |          0.4 * (CASE WHEN n_chars BETWEEN 20 AND 100000 THEN 1.0 ELSE 0.0 END)
+         |        + 0.3 * (CASE WHEN CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+         |                           / greatest(CAST(n_chars AS DOUBLE), 1.0) < 0.2 THEN 1.0 ELSE 0.0 END)
+         |        + 0.3 * (CASE WHEN CAST(s_en AS DOUBLE)
+         |                           / greatest(CAST(len(ws) AS DOUBLE), 1.0) > 0.01 THEN 1.0 ELSE 0.0 END)
+         |        AS DOUBLE), 2) AS quality_score,
+         |        CAST(len(ws) AS BIGINT) AS ws_tokens,
+         |        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpeish_tokens
+         |      FROM lang WHERE lang_pred = 'en')
+         |SELECT doc_id, fingerprint, lang_pred, quality_score, ws_tokens, bpeish_tokens
+         |FROM q WHERE quality_score >= 0.7 ORDER BY doc_id""".stripMargin,
     "q_multimodal_bytes" ->
       """SELECT doc_id AS media_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio'
