@@ -4,17 +4,17 @@ import org.apache.spark.sql.functions._
 
 /** Per-round benchmark main. Prints one JSON line with per-query seconds.
   *
-  * Evaluation is forced with sum(xxhash64(struct(*))) over the full result
-  * — unlike count(), this makes every projected column actually compute
-  * (Catalyst cannot prune the projection under the hash), so
-  * projection-heavy queries are measured honestly. A warmup query runs
-  * first so JVM/codegen/parquet-footer startup is not billed to the first
-  * map entry.
+  * Evaluation is forced with bit_xor(xxhash64(struct(*))) over the full
+  * result — unlike count(), this makes every projected column actually
+  * compute (Catalyst cannot prune the projection under the hash), and
+  * unlike sum() it cannot overflow under ANSI arithmetic. A warmup query
+  * runs first so JVM/codegen/parquet-footer startup is not billed to the
+  * first map entry.
   */
 object Bench {
   private def force(df: DataFrame): Unit = {
     val cols = df.columns.map(col).toSeq
-    df.agg(sum(xxhash64(struct(cols: _*)))).head()
+    df.agg(bit_xor(xxhash64(struct(cols: _*)))).head()
   }
 
   def main(args: Array[String]): Unit = {

@@ -39,14 +39,20 @@ object Prof {
       docs.select(size(filter(split(lower(trim(txt)), "\\s+"),
         w => w.isin(stopList.map(lit): _*))).as("x")).agg(sum(col("x"))).head()
     }
-    time("full_text_stats") {
-      val df = SparkEntry.queries("q_text_stats")(spark, sfDir)
-      df.agg(sum(xxhash64(struct(df.columns.map(col): _*)))).head()
+    def force(name: String): Unit = {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.agg(bit_xor(xxhash64(struct(df.columns.map(col): _*)))).head()
     }
-    time("full_langid") {
-      val df = SparkEntry.queries("q_text_langid")(spark, sfDir)
-      df.agg(sum(xxhash64(struct(df.columns.map(col): _*)))).head()
+    time("stop_regex_padded") {
+      val pat = " (" + stopList.mkString("|") + ") "
+      docs.select(regexp_count(
+          concat(lit(" "), regexp_replace(lower(trim(txt)), "\\s+", "  "), lit(" ")),
+          lit(pat)).as("x"))
+        .agg(sum(col("x"))).head()
     }
+    time("full_text_stats") { force("q_text_stats") }
+    time("full_langid") { force("q_text_langid") }
+    time("ingest_e2e") { force("q_ingest_e2e") }
     spark.stop()
   }
 }

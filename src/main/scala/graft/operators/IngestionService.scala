@@ -70,14 +70,22 @@ class IngestionService(spark: SparkSession, store: ProductStore, clientId: Int) 
       fullUpdate: Boolean,
       batchTs: Timestamp): IngestionReport = {
     val errCols = mapped.columns.filter(_.startsWith("_err_"))
-    // One pass over the batch yields both the strict-error count (abort
-    // gate) and the processed count — not two separate jobs.
+    // One pass over the batch yields the strict-error count (abort gate),
+    // the processed count, AND the distinct-sku count full-update needs —
+    // not three separate jobs.
     val errOr =
       if (errCols.isEmpty) lit(false) else errCols.map(col).reduce(_ || _)
+    val rawHasSku = mapped.columns.contains("sku")
+    val distinctSkus =
+      if (rawHasSku)
+        countDistinct(when(col("sku").isNotNull && length(col("sku")) > 0, col("sku")))
+      else lit(0L)
     val gate = mapped.agg(
       count(lit(1)).as("n"),
-      coalesce(sum(when(errOr, 1L).otherwise(0L)), lit(0L)).as("bad")).head()
-    val (processed, badCount) = (gate.getLong(0), gate.getLong(1))
+      coalesce(sum(when(errOr, 1L).otherwise(0L)), lit(0L)).as("bad"),
+      distinctSkus.as("n_skus")).head()
+    val (processed, badCount, nSkus) =
+      (gate.getLong(0), gate.getLong(1), gate.getLong(2))
     if (badCount > 0)
       return IngestionReport(success = false,
         s"Error during data ingestion: $badCount row(s) failed transformation",
@@ -130,7 +138,7 @@ class IngestionService(spark: SparkSession, store: ProductStore, clientId: Int) 
         val deactivated = materialized.filter(affectedFlag).count()
         (materialized.drop("_deactivated", "_hit"),
           Map("deactivated_count" -> deactivated,
-            "total_ingested_skus" -> ingestedSkus.count()))
+            "total_ingested_skus" -> nSkus))
       } else (target, Map.empty[String, Long])
     stats ++= deactStats
 
