@@ -350,6 +350,30 @@ object SparkEntry {
       .orderBy(col("cosine").desc, col("vec_id"))
   }
 
+  /** IVF ANN under the oracle gate: centroid training is deterministic
+    * (seed-free Lloyd's on an id-ordered sample), the query DUMPS the
+    * trained centroids to parquet, and the oracle replays cell assignment
+    * and probe selection from that file with the exact same score formula
+    * (2 v.c - ||c||^2, sequential sums) — bitwise-equal scores, so the
+    * approximate result set is exactly checkable, like q_embed_ann_lsh.
+    */
+  private val ivfDir = "/root/repo/target/ivf"
+
+  private def embedIvf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, d, "embeddings")
+    val cs = IvfIndex.trainCentroids(emb, "embedding", "vec_id", nlist = 8, iters = 5)
+    cs.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$ivfDir/centroids.parquet")
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(Similarity.toDouble(col("embedding")))
+      .head().getSeq[Double](0)
+    IvfIndex.ivfTopK(emb, "embedding", "vec_id", qv, cs,
+        k = 10, nprobe = 4, roundTo = 4)
+      .orderBy(col("cosine").desc, col("vec_id"))
+  }
+
   private val stopList = Seq("the", "a", "an", "of", "and", "to", "in", "is",
     "it", "that", "for", "on", "with", "as", "was", "at", "by")
 
@@ -519,6 +543,7 @@ object SparkEntry {
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_embed_topk" -> (embedTopk _),
     "q_embed_ann_lsh" -> (embedAnnLsh _),
+    "q_embed_ivf" -> (embedIvf _),
     "q_text_stats" -> (textStats _),
     "q_token_count" -> (tokenCount _),
     "q_text_langid" -> (textLangid _),
@@ -814,6 +839,24 @@ object SparkEntry {
         |WHERE CAST(ni AS DOUBLE) / (ta.n + tb.n - ni) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
     "q_embed_ann_lsh" -> annLshOracle,
+    "q_embed_ivf" ->
+      s"""WITH cents AS (SELECT cell, CAST(centroid AS DOUBLE[]) AS c
+         |      FROM read_parquet('$ivfDir/centroids.parquet/*.parquet')),
+         |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |q AS (SELECT e AS qe FROM emb WHERE vec_id = 0),
+         |probe AS (SELECT cell FROM cents
+         |      ORDER BY 2 * list_dot_product(c, (SELECT qe FROM q)) - list_dot_product(c, c) DESC, cell
+         |      LIMIT 4),
+         |assign AS (SELECT vec_id, e,
+         |      (SELECT cell FROM cents
+         |       ORDER BY 2 * list_dot_product(cents.c, emb.e) - list_dot_product(cents.c, cents.c) DESC, cell
+         |       LIMIT 1) AS cell
+         |      FROM emb),
+         |scored AS (SELECT vec_id,
+         |      round(list_dot_product(e, (SELECT qe FROM q)) /
+         |        (sqrt(list_dot_product(e, e)) * (SELECT sqrt(list_dot_product(qe, qe)) FROM q)), 4) AS cosine
+         |      FROM assign WHERE cell IN (SELECT cell FROM probe))
+         |SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
     "q_ingest_e2e" -> ingestE2eOracle,
     "q_text_langid" ->
       s"""WITH w AS (SELECT doc_id, lang,
