@@ -447,6 +447,12 @@ object SparkEntry {
       |SKU0,Product 0 v3
       |SKU3,Product 3 v2
       |""".stripMargin
+  // Batch 4 arrives as JSON lines (README backlog task 2): an upsert that
+  // reactivates SKU1 and inserts SKU4 through the json parser.
+  private val e2eBatch4 =
+    """{"sku": "SKU1", "title": "Product 1 vj", "active": "yes"}
+      |{"sku": "SKU4", "title": "Product 4", "active": "0"}
+      |""".stripMargin
 
   /** The reference's flagship path end-to-end under the oracle gate:
     * CSV -> mapping -> strict gate -> merge -> atomic swap, three batches
@@ -473,6 +479,7 @@ object SparkEntry {
     val b1 = write("batch1.csv", e2eBatch1)
     val b2 = write("batch2.csv", e2eBatch2)
     val b3 = write("batch3.csv", e2eBatch3)
+    val b4 = write("batch4.json", e2eBatch4)
     val cfg1 = ParserConfig("csv", Seq(
       "sku" -> ("sku", "text"), "title" -> ("title", "text"),
       "active" -> ("active", "boolean"), "price" -> ("max_price", "decimal")))
@@ -481,14 +488,18 @@ object SparkEntry {
       "active" -> ("active", "boolean")))
     val cfg3 = ParserConfig("csv", Seq(
       "sku" -> ("sku", "text"), "title" -> ("title", "text")))
+    val cfg4 = ParserConfig("json", Seq(
+      "sku" -> ("sku", "text"), "title" -> ("title", "text"),
+      "active" -> ("active", "boolean")))
     val store = new ProductStore(s, s"$e2eDir/store")
     val svc = new IngestionService(s, store, clientId = 1)
     def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-0$day%d 00:00:00")
     val r1 = svc.ingest(cfg1, b1, fullUpdate = false, batchTs = ts(1))
     val r2 = svc.ingest(cfg2, b2, fullUpdate = false, batchTs = ts(2))
     val r3 = svc.ingest(cfg3, b3, fullUpdate = true, batchTs = ts(3))
-    require(r1.success && r2.success && r3.success,
-      s"e2e ingest failed: ${Seq(r1, r2, r3).filterNot(_.success).map(_.message).mkString("; ")}")
+    val r4 = svc.ingest(cfg4, b4, fullUpdate = false, batchTs = ts(4))
+    require(r1.success && r2.success && r3.success && r4.success,
+      s"e2e ingest failed: ${Seq(r1, r2, r3, r4).filterNot(_.success).map(_.message).mkString("; ")}")
     store.read()
       .select(col("client_id"), col("sku"), col("title"), col("active"),
         col("max_price").cast(DoubleType).as("max_price"), col("last_changed_on"))
@@ -603,11 +614,14 @@ object SparkEntry {
     s"""WITH b1 AS (SELECT * FROM read_csv('$e2eDir/batch1.csv', header=true, all_varchar=true)),
        |b2 AS (SELECT * FROM read_csv('$e2eDir/batch2.csv', header=true, all_varchar=true)),
        |b3 AS (SELECT * FROM read_csv('$e2eDir/batch3.csv', header=true, all_varchar=true)),
+       |b4 AS (SELECT * FROM read_json('$e2eDir/batch4.json', format='newline_delimited',
+       |         columns={sku: 'VARCHAR', title: 'VARCHAR', active: 'VARCHAR'})),
        |m1 AS (SELECT trim(sku) AS sku, trim(title) AS title, $bool AS active,
        |         TRY_CAST(trim(regexp_replace(price, '[$$£,]', '', 'g')) AS DECIMAL(12,2)) AS max_price
        |       FROM b1),
        |m2 AS (SELECT trim(sku) AS sku, trim(title) AS title, $bool AS active FROM b2),
        |m3 AS (SELECT trim(sku) AS sku, trim(title) AS title FROM b3),
+       |m4 AS (SELECT trim(sku) AS sku, trim(title) AS title, $bool AS active FROM b4),
        |s1 AS (SELECT sku, title, coalesce(active, true) AS active, max_price,
        |         TIMESTAMP '2024-01-01 00:00:00' AS lco FROM m1),
        |s2 AS (SELECT coalesce(t.sku, s.sku) AS sku,
@@ -625,15 +639,22 @@ object SparkEntry {
        |         CASE WHEN sku IS NOT NULL AND len(sku) > 0
        |                   AND sku NOT IN (SELECT sku FROM m3 WHERE sku IS NOT NULL)
        |              THEN TIMESTAMP '2024-01-03 00:00:00' ELSE lco END AS lco
-       |       FROM s2)
+       |       FROM s2),
+       |s3 AS (SELECT coalesce(t.sku, s.sku) AS sku,
+       |         coalesce(s.title, t.title) AS title,
+       |         coalesce(t.active, true) AS active,
+       |         t.max_price AS max_price,
+       |         CASE WHEN s.sku IS NOT NULL THEN TIMESTAMP '2024-01-03 00:00:00'
+       |              ELSE t.lco END AS lco
+       |       FROM deact t FULL JOIN m3 s ON t.sku = s.sku)
        |SELECT CAST(1 AS INTEGER) AS client_id,
        |       coalesce(t.sku, s.sku) AS sku,
        |       coalesce(s.title, t.title) AS title,
-       |       coalesce(t.active, true) AS active,
+       |       coalesce(s.active, t.active, true) AS active,
        |       CAST(t.max_price AS DOUBLE) AS max_price,
-       |       CASE WHEN s.sku IS NOT NULL THEN TIMESTAMP '2024-01-03 00:00:00'
+       |       CASE WHEN s.sku IS NOT NULL THEN TIMESTAMP '2024-01-04 00:00:00'
        |            ELSE t.lco END AS last_changed_on
-       |FROM deact t FULL JOIN m3 s ON t.sku = s.sku
+       |FROM s3 t FULL JOIN m4 s ON t.sku = s.sku
        |ORDER BY sku NULLS FIRST""".stripMargin
   }
 
