@@ -14,6 +14,12 @@ import graft.functions.MinHash
   * verify shape so that the candidate join is an equi-join Spark can
   * shuffle-partition by bucket — never an O(N^2) cross join.
   *
+  * The constructions are the classic public ones: shingle-resemblance
+  * MinHash (Broder's min-wise permutations, banded for LSH as in the
+  * standard MMDS treatment) and Charikar's SimHash random-projection
+  * fingerprint with the pigeonhole piece-join used by web-scale near-dup
+  * detection.
+  *
   * Scale: every self-join here is keyed on a high-cardinality bucket
   * column; skewed buckets (a shingle appearing in half the corpus) are the
   * classic hazard, so [[jaccardPairs]] drops stop-shingles above a

@@ -8,7 +8,9 @@ import graft.functions.GraftFunctions.{graftDot, graftNorm2}
 /** IVF (inverted-file) approximate nearest neighbor: a coarse quantizer
   * partitions the corpus into `nlist` cells; a query scores only the
   * `nprobe` cells whose centroids are nearest — the other standard ANN
-  * scale path next to sign-LSH ([[Similarity.lshTopK]]).
+  * scale path next to sign-LSH ([[Similarity.lshTopK]]), the public
+  * inverted-file design popularized by the FAISS/IVFADC line of work
+  * (here without product quantization: cells prune, cosine ranks).
   *
   * The coarse quantizer here is deterministic Lloyd's k-means over a
   * bounded driver-side sample (seeded reservoir by id order), which is

@@ -19,9 +19,10 @@ case class UserRunningUpdate(user_id: Long, n_events: Long, total_value: Double)
 /** Event-stream operators. The reference's ingest endpoint is a
   * micro-batch-per-upload pattern (one POST = one batch,
   * reference web/api/products.py:77-95); Structured Streaming's
-  * file-arrival source + foreachBatch is its native Spark shape, and the
-  * windowed/sessionized aggregations here are the analytics the `events`
-  * table exists for.
+  * file-arrival source + foreachBatch is its native Spark shape (the
+  * incremental-query model of the Structured Streaming paper, SIGMOD
+  * 2018 — see PAPERS.md), and the windowed/sessionized aggregations here
+  * are the analytics the `events` table exists for.
   */
 object EventStreams {
 
