@@ -36,6 +36,12 @@ case class ParserConfig(
     val dsts = columnMapping.map(_._2._1)
     require(dsts.distinct.size == dsts.size,
       s"Multiple source columns map to the same target: ${dsts.diff(dsts.distinct).mkString(",")}")
+    // The reference wire format is a JSON object (unique keys), so one
+    // source column can never map twice; reject it for direct construction
+    // too rather than silently keeping both projections.
+    val srcs = columnMapping.map(_._1)
+    require(srcs.distinct.size == srcs.size,
+      s"Source column mapped more than once: ${srcs.diff(srcs.distinct).mkString(",")}")
     this
   }
 }

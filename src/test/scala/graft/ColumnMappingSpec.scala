@@ -50,6 +50,12 @@ class ColumnMappingSpec extends SparkSpec {
       ParserConfig("csv", Seq(
         "x" -> ("title", "text"), "y" -> ("title", "text"))).validated()
     }
+    // one source mapped twice is inexpressible in the reference's JSON
+    // wire format (object keys are unique) — rejected here too
+    intercept[IllegalArgumentException] {
+      ParserConfig("csv", Seq(
+        "x" -> ("title", "text"), "x" -> ("brand", "text"))).validated()
+    }
   }
 
   test("JSON codec parses the reference wire format") {
