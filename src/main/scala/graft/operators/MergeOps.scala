@@ -52,10 +52,12 @@ object MergeOps {
     * For every key: if present in both, staged non-null values overwrite
     * target values (target value survives a staged NULL); staged-only keys
     * insert; target-only keys pass through unchanged. `touchedCol`, when
-    * set, is (re)stamped with `stamp` on every row the staged side touched
-    * with at least one supplied value — the reference's
-    * `last_changed_on = now()` on update (service.py:100) and the column
-    * default on insert (db/models.py:43).
+    * set, is (re)stamped with `stamp` on EVERY row the staged side has the
+    * key for — the reference's update path sets `last_changed_on = now()`
+    * unconditionally, even when no non-sku column was supplied
+    * (service.py:95-100: the setattr loop may apply nothing, the timestamp
+    * assignment always runs) — and the column default covers inserts
+    * (db/models.py:43).
     */
   def coalesceMerge(
       target: DataFrame,
@@ -65,16 +67,11 @@ object MergeOps {
       stamp: Column = current_timestamp()): DataFrame = {
     val stagedData = staged.columns.filterNot(keys.contains).toSeq
     val targetData = target.columns.filterNot(keys.contains).toSeq
-    val t = target.withColumn("_in_t", lit(true)).as("t")
+    val t = target.as("t")
     val s = staged.withColumn("_in_s", lit(true)).as("s")
     val joined = t.join(s, keys, "full_outer")
 
-    val inT = col("t._in_t").isNotNull
     val inS = col("s._in_s").isNotNull
-    val suppliedAny = stagedData
-      .filterNot(c => touchedCol.contains(c))
-      .map(c => col(s"s.`$c`").isNotNull)
-      .reduceOption(_ || _).getOrElse(lit(false))
 
     val merged: Seq[Column] = targetData.map { c =>
       val base =
@@ -82,9 +79,7 @@ object MergeOps {
         else col(s"t.`$c`")
       touchedCol match {
         case Some(tc) if tc == c =>
-          when(inS && suppliedAny, stamp)
-            .when(inS && !inT, stamp)
-            .otherwise(base).as(c)
+          when(inS, stamp).otherwise(base).as(c)
         case _ => base.as(c)
       }
     }
