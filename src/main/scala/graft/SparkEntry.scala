@@ -154,6 +154,20 @@ object SparkEntry {
       .agg(count(lit(1)).as("processed_count"),
         countDistinct(col("l_partkey")).as("distinct_keys"))
 
+  /** Exact per-group order statistics: percentile() is Spark's exact
+    * sorted-interpolation implementation (an ObjectHashAggregate), same
+    * linear-interpolation definition as SQL quantile_cont — rounded to 4
+    * digits for cross-engine double parity.
+    */
+  private def groupPercentile(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
   private def groupAgg(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem")
       .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -536,6 +550,7 @@ object SparkEntry {
     "q_distinct_flags" -> (distinctFlags _),
     "q_ingest_stats" -> (ingestStats _),
     "q_group_agg" -> (groupAgg _),
+    "q_group_percentile" -> (groupPercentile _),
     "q_transform_text" -> (transformText _),
     "q_transform_decimal" -> (transformDecimal _),
     "q_transform_integer" -> (transformInteger _),
@@ -721,6 +736,12 @@ object SparkEntry {
     "q_ingest_stats" ->
       """SELECT count(*) AS processed_count, count(DISTINCT l_partkey) AS distinct_keys
         |FROM lineitem WHERE l_quantity > 25""".stripMargin,
+    "q_group_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_group_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

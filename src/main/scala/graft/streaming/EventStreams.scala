@@ -86,6 +86,17 @@ object EventStreams {
     df.writeStream.outputMode(mode).format("memory").queryName(name)
       .trigger(Trigger.AvailableNow()).start()
 
+  /** Streaming exact dedup on an id column: duplicates arriving within
+    * the watermark window are dropped, and state for ids older than the
+    * watermark is evicted — the bounded-state streaming counterpart of
+    * [[graft.operators.Dedup.exact]] (without the watermark bound,
+    * streaming dedup state grows forever).
+    */
+  def dedupStream(events: DataFrame, idCol: String = "event_id",
+      tsCol: String = "ts", watermark: String = "1 hour"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(idCol)
+
   /** Custom streaming state via `flatMapGroupsWithState`: cumulative
     * per-user event count and value total, updated per micro-batch and
     * carried in the state store. This is the escape hatch for stateful

@@ -86,6 +86,28 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops duplicate ids within the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val deduped = EventStreams.dedupStream(
+      input.toDF().toDF("event_id", "ts", "value"), "event_id", "ts", "1 hour")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_stream")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+      input.addData((1L, t0, 1.0), (1L, t0, 1.0), (2L, t0, 2.0))
+      q.processAllAvailable()
+      input.addData((2L, t0, 2.0), (3L, t0, 3.0)) // 2 is a cross-batch dup
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("foreachBatch ingest bridge delivers batches") {
     val dir = tmpDir("stream2")
     events.write.mode("overwrite").parquet(dir)
