@@ -2,6 +2,7 @@ package graft
 
 import graft.functions.Transformers
 import graft.operators._
+import graft.streaming.EventStreams
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -277,6 +278,10 @@ object SparkEntry {
         col("n_events"), col("total_value"))
       .orderBy(col("window_start"), col("event_type"))
 
+  private def eventsSliding(s: SparkSession, d: String): DataFrame =
+    EventStreams.sliding(events(s, d), width = "1 hour", slide = "15 minutes")
+      .orderBy(col("window_start"), col("event_type"))
+
   private def eventsSession(s: SparkSession, d: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     events(s, d)
@@ -528,6 +533,12 @@ object SparkEntry {
         col("meta.height").as("height"), col("n_bytes"), col("payload_md5"))
       .orderBy(col("media_id"))
 
+  private def multimodalResize(s: SparkSession, d: String): DataFrame =
+    Multimodal.resizeMeta(Multimodal.fromDocuments(t(s, d, "documents")), maxSide = 256)
+      .select(col("media_id"), col("meta.width").as("width"),
+        col("meta.height").as("height"), col("resized_w"), col("resized_h"))
+      .orderBy(col("media_id"))
+
   private def frameSample(s: SparkSession, d: String): DataFrame =
     Multimodal.sampleFrames(Multimodal.fromDocuments(t(s, d, "documents")),
         everyMs = 5000, maxFrames = 32)
@@ -562,6 +573,7 @@ object SparkEntry {
     "q_window_running" -> (windowRunning _),
     "q_json_scan" -> (jsonScan _),
     "q_events_tumbling" -> (eventsTumbling _),
+    "q_events_sliding" -> (eventsSliding _),
     "q_events_session" -> (eventsSession _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_jaccard" -> (dedupJaccard _),
@@ -577,6 +589,7 @@ object SparkEntry {
     "q_curate_docs" -> (curateDocs _),
     "q_multimodal_bytes" -> (multimodalBytes _),
     "q_frame_sample" -> (frameSample _),
+    "q_multimodal_resize" -> (multimodalResize _),
     "q_ingest_e2e" -> (ingestE2e _)
   )
 
@@ -810,6 +823,13 @@ object SparkEntry {
         |  count(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "q_events_sliding" ->
+      """WITH w AS (SELECT event_type,
+        |    make_timestamp(CAST(floor(epoch_us(ts) / 900000000) AS BIGINT) * 900000000
+        |      - CAST(t.k AS BIGINT) * 900000000) AS window_start
+        |  FROM events, UNNEST([0, 1, 2, 3]) AS t(k))
+        |SELECT window_start, event_type, count(*) AS n_events
+        |FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
     "q_events_session" ->
       """WITH seq AS (
         |  SELECT user_id, ts, event_id, value,
@@ -989,6 +1009,15 @@ object SparkEntry {
         |  CAST((doc_id % 48) * 16 + 16 AS INTEGER) AS height,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS payload_md5
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "q_multimodal_resize" ->
+      """SELECT doc_id AS media_id,
+        |  CAST((doc_id % 64) * 16 + 16 AS INTEGER) AS width,
+        |  CAST((doc_id % 48) * 16 + 16 AS INTEGER) AS height,
+        |  CAST(round(((doc_id % 64) * 16 + 16) *
+        |    least(1.0, 256.0 / greatest((doc_id % 64) * 16 + 16, (doc_id % 48) * 16 + 16))) AS INTEGER) AS resized_w,
+        |  CAST(round(((doc_id % 48) * 16 + 16) *
+        |    least(1.0, 256.0 / greatest((doc_id % 64) * 16 + 16, (doc_id % 48) * 16 + 16))) AS INTEGER) AS resized_h
         |FROM documents ORDER BY media_id""".stripMargin,
     "q_frame_sample" ->
       """SELECT media_id, frame_ts_ms FROM (
