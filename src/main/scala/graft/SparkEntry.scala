@@ -327,18 +327,26 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** SimHash banding generates candidates — COMPLETE for Hamming <= 15 by
-    * pigeonhole (16 pieces of 4 bits; any pair differing in <= 15 bits
-    * shares an exact piece) — then the emitted pairs are verified with the
-    * exact word-multiset (bag) Jaccard, the frequency-weighted metric
-    * SimHash approximates. Near-dups in this corpus sit at bag-J >= 0.95
-    * (Hamming <= ~3) with the next pair down at 0.68, so the 0.8 verify
-    * threshold is far inside the candidate set's completeness region.
+  /** SimHash banding generates candidates — COMPLETE for Hamming <= 6 by
+    * multi-block pigeonhole (8 pieces of 8 bits: a pair within Hamming 6
+    * agrees exactly on >= 2 chunks, and the candidate join enumerates all
+    * C(8,2) = 28 chunk pairs as 16-bit keys) — then the emitted pairs are
+    * verified with the exact word-multiset (bag) Jaccard, the
+    * frequency-weighted metric SimHash approximates. The corpus' bag-J >=
+    * 0.8 pairs all sit at Hamming <= 5 (next pair down is at bag-J 0.68),
+    * so the Hamming-6 completeness region covers the verify threshold with
+    * margin, and DedupSpec pins both the result and the candidate bound.
+    *
+    * Scale shape: every banding key is 16 bits wide (65,536 bucket values
+    * per subset), keeping candidate generation sub-quadratic. The previous
+    * parameterization (pieces=16, single 4-bit chunks) bought provable
+    * Hamming-15 completeness with 16-bucket joins — ~N^2/32 candidates, an
+    * all-pairs cross-product in disguise. See Dedup.simHashCandidates.
     */
   private def dedupSimhash(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents").filter(col("doc_id") < 300)
     val cands = Dedup.simHashNearDup(docs, "text", "doc_id",
-      maxHamming = 15, pieces = 16)
+      maxHamming = 6, pieces = 8)
     Dedup.exactBagJaccard(cands, docs, "text", "doc_id", minJaccard = 0.8)
       .orderBy(col("id_a"), col("id_b"))
   }

@@ -71,7 +71,13 @@ case class MinHashSig(
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val hv = hash.eval(input)
     if (hv != null) {
-      val h = hv.asInstanceOf[Long]
+      // Reduce mod p BEFORE the affine permutation: graft_minhash is a
+      // public SQL function, so a caller may feed raw xxhash64 values —
+      // unreduced, a_i * h overflows Long and yields negative residues
+      // (garbage signatures with no error). For already-reduced input
+      // (h < p) floorMod is the identity, so existing signatures are
+      // unchanged.
+      val h = Math.floorMod(hv.asInstanceOf[Long], MersennePrime)
       var i = 0
       while (i < k) {
         val v = (pa(i) * h + pb(i)) % MersennePrime

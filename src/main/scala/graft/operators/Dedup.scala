@@ -256,25 +256,62 @@ object Dedup {
       idCol: String,
       maxHamming: Int = 3,
       pieces: Int = 4): DataFrame = {
-    require(64 % pieces == 0, "pieces must divide 64")
-    require(maxHamming < pieces,
-      s"pigeonhole completeness requires maxHamming < pieces (got $maxHamming >= $pieces)")
-    val width = 64 / pieces
     val sigs = simHash(docs, textCol, idCol)
-    val chunked = sigs.select(col("id"),
-      posexplode(expr(
-        s"transform(sequence(0, ${pieces - 1}), p -> (simhash >> (p * $width)) & ${(1L << width) - 1}L)"))
-        .as(Seq("piece", "chunk")))
-    chunked.as("x").join(chunked.as("y"),
-        col("x.piece") === col("y.piece") && col("x.chunk") === col("y.chunk") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .distinct()
+    simHashCandidates(sigs, maxHamming, pieces)
       .join(sigs.select(col("id").as("id_a"), col("simhash").as("sh_a")), "id_a")
       .join(sigs.select(col("id").as("id_b"), col("simhash").as("sh_b")), "id_b")
       .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+  }
+
+  /** The candidate stage of [[simHashNearDup]], exposed so its selectivity
+    * is testable: distinct (id_a, id_b) pairs that could be within
+    * `maxHamming` of each other, generated by multi-block banding.
+    *
+    * Construction (the standard block-combination scheme for Hamming-range
+    * search over fingerprints, as used by web-scale near-dup detection):
+    * split the 64 bits into `pieces` chunks; a pair within Hamming
+    * `maxHamming` can differ in at most `maxHamming` chunks, so it agrees
+    * EXACTLY on some `shared = pieces - maxHamming` of them. Enumerate all
+    * C(pieces, shared) chunk subsets and equi-join on
+    * (subset_id, concatenated chunk values) — complete for the radius by
+    * pigeonhole, while the join key stays `shared * (64/pieces)` bits wide.
+    *
+    * Chunk width times `shared` is the scale lever: each subset's equi-join
+    * hashes N docs into 2^(shared*width) buckets, so candidates stay
+    * sub-quadratic as long as the combined key is wide (>= 16 bits).
+    * pieces=4/maxHamming=3 gives 4 single-chunk 16-bit keys; the
+    * pieces=8/maxHamming=6 registered configuration gives 28 chunk-PAIR
+    * 16-bit keys — same per-key selectivity, twice the Hamming radius.
+    * The degenerate corner this replaces (pieces=16/maxHamming=15: 16
+    * single-chunk keys of 4 bits = 16 bucket values, ~N^2/32 candidates
+    * per piece) is now impossible to reach with a >= 8-bit combined key.
+    */
+  def simHashCandidates(sigs: DataFrame, maxHamming: Int, pieces: Int): DataFrame = {
+    require(64 % pieces == 0, "pieces must divide 64")
+    require(maxHamming < pieces,
+      s"pigeonhole completeness requires maxHamming < pieces (got $maxHamming >= $pieces)")
+    val width = 64 / pieces
+    val shared = pieces - maxHamming
+    val combos = (0 until pieces).combinations(shared).map(_.toSeq).toSeq
+    require(combos.size <= 256,
+      s"C($pieces, $shared) = ${combos.size} banding subsets — too much row replication")
+    val mask = (1L << width) - 1
+    def chunk(p: Int) = shiftright(col("simhash"), p * width).bitwiseAND(lit(mask))
+    val keyed = combos.zipWithIndex.map { case (c, ci) =>
+      val key = c.zipWithIndex
+        .map { case (p, i) => shiftleft(chunk(p), i * width) }
+        .reduce(_.bitwiseOR(_))
+      struct(lit(ci).as("combo"), key.as("bkey"))
+    }
+    val banded = sigs.select(col("id"), explode(array(keyed: _*)).as("ck"))
+      .select(col("id"), col("ck.combo").as("combo"), col("ck.bkey").as("bkey"))
+    banded.as("x").join(banded.as("y"),
+        col("x.combo") === col("y.combo") && col("x.bkey") === col("y.bkey") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
   }
 
   /** Embedding near-duplicate pairs: cosine >= threshold, candidates from

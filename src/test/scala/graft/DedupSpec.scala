@@ -86,6 +86,57 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("simhash candidates stay far below all-pairs under wide-chunk banding") {
+    import spark.implicits._
+    // 80 pairwise-unrelated docs plus a planted near-dup cluster of 3:
+    // word-order permutations of one sentence (SimHash is bag-based, so
+    // permutations sit at Hamming 0 — inside any small radius).
+    val corpus = (1L to 80L).map(i =>
+      (i, s"unique$i totally distinct words$i content$i row$i payload$i value$i")) ++
+      Seq((200L, "shared cluster sentence about spark shuffle partitioning at scale"),
+          (201L, "about spark shuffle partitioning at scale shared cluster sentence"),
+          (202L, "spark shuffle partitioning shared cluster sentence at scale about"))
+    val df = corpus.toDF("doc_id", "text")
+    val n = corpus.size
+    val allPairs = n.toLong * (n - 1) / 2
+    val sigs = Dedup.simHash(df, "text", "doc_id")
+    // Component defaults: 4 pieces of 16 bits (65,536 bucket values per
+    // piece) — unrelated fingerprints almost never share a chunk, so the
+    // candidate set is the planted cluster plus at most stray noise. The
+    // degenerate narrow-chunk parameterization (16 pieces of 4 bits) would
+    // emit ~N^2/32 per piece, i.e. the all-pairs blowup this asserts away.
+    for ((maxH, pieces) <- Seq((3, 4), (6, 8))) {
+      val nCands = Dedup.simHashCandidates(sigs, maxH, pieces).count()
+      assert(nCands >= 3,
+        s"($maxH,$pieces): planted cluster must be candidate-joined (got $nCands)")
+      assert(nCands < allPairs / 20,
+        s"($maxH,$pieces): candidate count $nCands is not << all-pairs $allPairs")
+      // and the end-to-end operator still finds exactly the cluster
+      val pairs = Dedup.simHashNearDup(df, "text", "doc_id", maxH, pieces)
+        .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+      assert(pairs === Set((200L, 201L), (200L, 202L), (201L, 202L)))
+    }
+  }
+
+  test("simhash combination banding is complete for the Hamming radius") {
+    import spark.implicits._
+    // Exhaustive check on synthetic fingerprints: plant pairs at every
+    // Hamming distance 0..8 off random bases; candidates from (6, 8)
+    // banding must contain every pair at distance <= 6.
+    val rnd = new scala.util.Random(7)
+    val rows = (0 to 8).flatMap { d =>
+      val base = rnd.nextLong()
+      val flipped = (0 until d).foldLeft(base)((v, i) => v ^ (1L << (i * 7 % 64)))
+      Seq((d * 10L, base), (d * 10L + 1L, flipped))
+    }
+    val sigs = rows.toDF("id", "simhash")
+    val cands = Dedup.simHashCandidates(sigs, maxHamming = 6, pieces = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (d <- 0 to 6)
+      assert(cands.contains((d * 10L, d * 10L + 1L)),
+        s"pair at Hamming $d must be a candidate under (6, 8) banding")
+  }
+
   test("simhash fingerprints: deterministic, equal only for equal word bags") {
     val sigs = Dedup.simHash(docs, "text", "doc_id")
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("simhash")).toMap

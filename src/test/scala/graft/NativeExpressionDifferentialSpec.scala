@@ -82,6 +82,25 @@ class NativeExpressionDifferentialSpec extends SparkSpec {
     native.foreach { case (id, sig) => assert(sig === viaAgg(id), s"doc $id") }
   }
 
+  test("graft_minhash on raw xxhash64 input == on pre-reduced input") {
+    import spark.implicits._
+    // The public SQL surface lets a caller skip the pmod reduction; the
+    // aggregate must reduce internally instead of overflowing a_i * h.
+    val shingles = (1 to 30).flatMap { doc =>
+      (1 to 15).map(s => (doc.toLong, s"sh-${rnd.nextInt(150)}-$s"))
+    }
+    val df = spark.createDataset(shingles).toDF("id", "shingle")
+    val raw = df.withColumn("h", xxhash64(col("shingle")))
+      .groupBy("id").agg(graftMinHash(col("h"), 16).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val reduced = df
+      .withColumn("h", pmod(xxhash64(col("shingle")), lit(MinHash.MersennePrime)))
+      .groupBy("id").agg(graftMinHash(col("h"), 16).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(raw === reduced)
+    raw.values.foreach(sig => assert(sig.forall(v => v >= 0 && v < MinHash.MersennePrime)))
+  }
+
   test("graft_dot == aggregate(zip_with(...)) on float and double arrays") {
     import spark.implicits._
     val vecs = (1 to 50).map { i =>
