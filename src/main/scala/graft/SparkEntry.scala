@@ -159,6 +159,15 @@ object SparkEntry {
     * sorted-interpolation implementation (an ObjectHashAggregate), same
     * linear-interpolation definition as SQL quantile_cont — rounded to 4
     * digits for cross-engine double parity.
+    *
+    * Bounded-state caveat: exact percentile buffers a value->count map per
+    * group, which on a continuous column grows linearly with the data and
+    * funnels through only 3 reducers here — correct and fine at moderate
+    * scale, a reducer-memory hazard at 100 TB. The scale path is
+    * [[groupPercentileApprox]] (Greenwald-Khanna sketch, state bounded by
+    * the accuracy parameter regardless of input size); keep the exact
+    * variant for bounded-cardinality domains (e.g. prices quantized to
+    * cents), where the count map is domain-bounded.
     */
   private def groupPercentile(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem")
@@ -168,6 +177,36 @@ object SparkEntry {
         round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
         count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag"))
+
+  /** Approximate per-group percentiles — the 100 TB percentile path.
+    * approx_percentile is Spark's Greenwald-Khanna quantile summary: the
+    * aggregation state is bounded by the accuracy parameter (here 1000 ->
+    * relative rank error eps = 1/1000), NOT by the input size, so three
+    * reducers hold kilobytes of sketch where the exact variant would hold
+    * the whole value distribution.
+    *
+    * Oracle technique: the estimates are data-dependent (merge order of
+    * partial sketches), so the query DUMPS its result to parquet and the
+    * oracle reads it back, recomputes the exact rank-error envelope
+    * (quantile_disc at p +/- 2*eps — twice the documented bound for
+    * merge-order slack) in DuckDB, and emits the dumped rows only when the
+    * estimate lands inside the envelope. An out-of-bound estimate drops
+    * the row -> row-count mismatch -> red.
+    */
+  private val approxPctDir = "/root/repo/target/approxpct"
+
+  private def groupPercentileApprox(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_quantity, 0.5, 1000)").cast(DoubleType)
+          .as("approx_median_qty"),
+        expr("approx_percentile(l_extendedprice, 0.9, 1000)").cast(DoubleType)
+          .as("approx_p90_price"),
+        count(lit(1)).as("n_rows"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$approxPctDir/result.parquet")
+    s.read.parquet(s"$approxPctDir/result.parquet").orderBy(col("l_returnflag"))
+  }
 
   private def groupAgg(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem")
@@ -464,10 +503,16 @@ object SparkEntry {
       |SKU2,Product 2,yes,£9.99
       |,No SKU Product,1,5.00
       |""".stripMargin
+  // Batch 2 carries a within-batch duplicate SKU: the reference processes
+  // file order sequentially, so SKU3's later row wins column-wise — its
+  // title overrides, but its EMPTY active cell does not erase the earlier
+  // row's value (service.py:83-102 applies only supplied, non-None
+  // columns). The oracle replays this with a last-non-null-wins window.
   private val e2eBatch2 =
     """sku,title,active
       |SKU0,Product 0 v2,0
       |SKU3,Product 3,1
+      |SKU3,Product 3 v2,
       |""".stripMargin
   private val e2eBatch3 =
     """sku,title
@@ -479,6 +524,17 @@ object SparkEntry {
   private val e2eBatch4 =
     """{"sku": "SKU1", "title": "Product 1 vj", "active": "yes"}
       |{"sku": "SKU4", "title": "Product 4", "active": "0"}
+      |""".stripMargin
+  // Batch 5 must ABORT: one unparseable strict boolean fails the whole
+  // batch — nothing is committed (the emitted table state must equal the
+  // post-batch-4 state) and the failure report names the offending
+  // (row, column, value), which the oracle recomputes from the CSV with
+  // the same strict CASE (reference ingestion/service.py:56-64,
+  // transformers.py:55-68).
+  private val e2eBatch5 =
+    """sku,title,active
+      |SKU9,Product 9,1
+      |SKU0,Product 0 bad,maybe
       |""".stripMargin
 
   /** The reference's flagship path end-to-end under the oracle gate:
@@ -507,6 +563,7 @@ object SparkEntry {
     val b2 = write("batch2.csv", e2eBatch2)
     val b3 = write("batch3.csv", e2eBatch3)
     val b4 = write("batch4.json", e2eBatch4)
+    val b5 = write("batch5.csv", e2eBatch5)
     val cfg1 = ParserConfig("csv", Seq(
       "sku" -> ("sku", "text"), "title" -> ("title", "text"),
       "active" -> ("active", "boolean"), "price" -> ("max_price", "decimal")))
@@ -527,10 +584,30 @@ object SparkEntry {
     val r4 = svc.ingest(cfg4, b4, fullUpdate = false, batchTs = ts(4))
     require(r1.success && r2.success && r3.success && r4.success,
       s"e2e ingest failed: ${Seq(r1, r2, r3, r4).filterNot(_.success).map(_.message).mkString("; ")}")
+    // Batch 5 must abort on the strict boolean: success=false, NOTHING
+    // committed (the table-state rows below must still equal the oracle's
+    // post-batch-4 replay), and the per-row report is emitted as extra
+    // rows the oracle recomputes independently from the CSV.
+    val r5 = svc.ingest(cfg2, b5, fullUpdate = false, batchTs = ts(5))
+    require(!r5.success, "batch 5 must abort on the unparseable boolean")
+    require(r5.report.nonEmpty, "aborted batch must carry per-row details")
+    val reportRows = {
+      import s.implicits._
+      r5.report.toDF("report").select(
+        lit(null).cast(IntegerType).as("client_id"),
+        lit(null).cast(StringType).as("sku"),
+        lit(null).cast(StringType).as("title"),
+        lit(null).cast(BooleanType).as("active"),
+        lit(null).cast(DoubleType).as("max_price"),
+        lit(null).cast(TimestampType).as("last_changed_on"),
+        col("report"))
+    }
     store.read()
       .select(col("client_id"), col("sku"), col("title"), col("active"),
-        col("max_price").cast(DoubleType).as("max_price"), col("last_changed_on"))
-      .orderBy(col("sku"))
+        col("max_price").cast(DoubleType).as("max_price"), col("last_changed_on"),
+        lit(null).cast(StringType).as("report"))
+      .unionByName(reportRows)
+      .orderBy(col("sku").asc_nulls_first, col("report").asc_nulls_first)
   }
 
   // ---------------------------------------------------------------- multimodal
@@ -570,6 +647,7 @@ object SparkEntry {
     "q_ingest_stats" -> (ingestStats _),
     "q_group_agg" -> (groupAgg _),
     "q_group_percentile" -> (groupPercentile _),
+    "q_group_percentile_approx" -> (groupPercentileApprox _),
     "q_transform_text" -> (transformText _),
     "q_transform_decimal" -> (transformDecimal _),
     "q_transform_integer" -> (transformInteger _),
@@ -638,9 +716,14 @@ object SparkEntry {
        |SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
   }
 
-  /** Oracle for q_ingest_e2e: replays the three fixture CSVs through the
+  /** Oracle for q_ingest_e2e: replays the fixture batches through the
     * same mapping/merge/deactivation algebra in DuckDB (read_csv on the
     * files the query wrote; transformer SQL mirrors Transformers exactly).
+    * Batch 2's duplicate SKU goes through a last-non-null-wins window
+    * (file order = read_csv order, DuckDB preserves insertion order);
+    * batch 5's rows are scanned with the same strict boolean CASE to
+    * recompute the abort report — and contribute NOTHING to the table
+    * state, proving the no-commit semantics externally.
     */
   private def ingestE2eOracle: String = {
     val bool =
@@ -648,16 +731,33 @@ object SparkEntry {
         |       WHEN lower(trim(active)) IN ('no','false','0') THEN false
         |       ELSE NULL END""".stripMargin
     s"""WITH b1 AS (SELECT * FROM read_csv('$e2eDir/batch1.csv', header=true, all_varchar=true)),
-       |b2 AS (SELECT * FROM read_csv('$e2eDir/batch2.csv', header=true, all_varchar=true)),
+       |b2 AS (SELECT *, row_number() OVER () AS ridx
+       |       FROM read_csv('$e2eDir/batch2.csv', header=true, all_varchar=true)),
        |b3 AS (SELECT * FROM read_csv('$e2eDir/batch3.csv', header=true, all_varchar=true)),
        |b4 AS (SELECT * FROM read_json('$e2eDir/batch4.json', format='newline_delimited',
        |         columns={sku: 'VARCHAR', title: 'VARCHAR', active: 'VARCHAR'})),
+       |b5 AS (SELECT *, row_number() OVER () - 1 AS ridx
+       |       FROM read_csv('$e2eDir/batch5.csv', header=true, all_varchar=true)),
        |m1 AS (SELECT trim(sku) AS sku, trim(title) AS title, $bool AS active,
        |         TRY_CAST(trim(regexp_replace(price, '[$$£,]', '', 'g')) AS DECIMAL(12,2)) AS max_price
        |       FROM b1),
-       |m2 AS (SELECT trim(sku) AS sku, trim(title) AS title, $bool AS active FROM b2),
+       |m2r AS (SELECT trim(sku) AS sku, trim(title) AS title, $bool AS active, ridx FROM b2),
+       |m2 AS (SELECT sku, title, active FROM (
+       |         SELECT sku,
+       |           last_value(title IGNORE NULLS) OVER w AS title,
+       |           last_value(active IGNORE NULLS) OVER w AS active,
+       |           row_number() OVER (PARTITION BY sku ORDER BY ridx DESC) AS rn
+       |         FROM m2r
+       |         WINDOW w AS (PARTITION BY sku ORDER BY ridx
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+       |       WHERE rn = 1),
        |m3 AS (SELECT trim(sku) AS sku, trim(title) AS title FROM b3),
        |m4 AS (SELECT trim(sku) AS sku, trim(title) AS title, $bool AS active FROM b4),
+       |rep AS (SELECT CAST(NULL AS INTEGER) AS client_id, CAST(NULL AS VARCHAR) AS sku,
+       |         CAST(NULL AS VARCHAR) AS title, CAST(NULL AS BOOLEAN) AS active,
+       |         CAST(NULL AS DOUBLE) AS max_price, CAST(NULL AS TIMESTAMP) AS last_changed_on,
+       |         'row ' || ridx || ': column ''active'' could not interpret value ''' || active || '''' AS report
+       |       FROM b5 WHERE active IS NOT NULL AND ($bool) IS NULL),
        |s1 AS (SELECT sku, title, coalesce(active, true) AS active, max_price,
        |         TIMESTAMP '2024-01-01 00:00:00' AS lco FROM m1),
        |s2 AS (SELECT coalesce(t.sku, s.sku) AS sku,
@@ -682,16 +782,19 @@ object SparkEntry {
        |         t.max_price AS max_price,
        |         CASE WHEN s.sku IS NOT NULL THEN TIMESTAMP '2024-01-03 00:00:00'
        |              ELSE t.lco END AS lco
-       |       FROM deact t FULL JOIN m3 s ON t.sku = s.sku)
-       |SELECT CAST(1 AS INTEGER) AS client_id,
+       |       FROM deact t FULL JOIN m3 s ON t.sku = s.sku),
+       |s4 AS (SELECT CAST(1 AS INTEGER) AS client_id,
        |       coalesce(t.sku, s.sku) AS sku,
        |       coalesce(s.title, t.title) AS title,
        |       coalesce(s.active, t.active, true) AS active,
        |       CAST(t.max_price AS DOUBLE) AS max_price,
        |       CASE WHEN s.sku IS NOT NULL THEN TIMESTAMP '2024-01-04 00:00:00'
-       |            ELSE t.lco END AS last_changed_on
-       |FROM s3 t FULL JOIN m4 s ON t.sku = s.sku
-       |ORDER BY sku NULLS FIRST""".stripMargin
+       |            ELSE t.lco END AS last_changed_on,
+       |       CAST(NULL AS VARCHAR) AS report
+       |FROM s3 t FULL JOIN m4 s ON t.sku = s.sku)
+       |SELECT * FROM s4
+       |UNION ALL SELECT * FROM rep
+       |ORDER BY sku NULLS FIRST, report NULLS FIRST""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -763,6 +866,21 @@ object SparkEntry {
         |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_group_percentile_approx" ->
+      s"""WITH est AS (SELECT * FROM read_parquet('$approxPctDir/result.parquet/*.parquet')),
+         |b AS (SELECT l_returnflag,
+         |        quantile_disc(l_quantity, 0.498) AS qlo,
+         |        quantile_disc(l_quantity, 0.502) AS qhi,
+         |        quantile_disc(l_extendedprice, 0.898) AS plo,
+         |        quantile_disc(l_extendedprice, 0.902) AS phi,
+         |        count(*) AS n
+         |      FROM lineitem GROUP BY 1)
+         |SELECT e.l_returnflag, e.approx_median_qty, e.approx_p90_price, e.n_rows
+         |FROM est e JOIN b ON e.l_returnflag = b.l_returnflag
+         |WHERE e.approx_median_qty BETWEEN b.qlo AND b.qhi
+         |  AND e.approx_p90_price BETWEEN b.plo AND b.phi
+         |  AND e.n_rows = b.n
+         |ORDER BY e.l_returnflag""".stripMargin,
     "q_group_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
