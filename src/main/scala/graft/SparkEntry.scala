@@ -366,6 +366,34 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** MinHash-LSH dedup over the FULL documents table — no doc_id cap, so
+    * the bench exercises dedup at the real corpus size (5,000 docs at
+    * sf0.1 vs the 300-doc capped variant: sub-quadratic growth is visible
+    * in BENCH per-query times).
+    *
+    * Oracle technique (containment, not completeness): a complete oracle
+    * needs the all-pairs Jaccard — quadratic in DuckDB and the reason the
+    * capped variants exist. Instead the query DUMPS its verified pairs to
+    * parquet, and the oracle recomputes the exact shingle Jaccard for
+    * ONLY those pairs (restricting the shingle universe to docs that
+    * appear in a pair), emitting a row when the recomputed metric clears
+    * the threshold AND equals the stored value. Any false-positive pair
+    * drops out -> row-count mismatch -> red. Oracle cost is O(pairs).
+    * Recall is covered by the banding-probability argument (bands=32,
+    * r=2: survival at the 0.8 verify threshold is 1-(1-0.64)^32) and the
+    * capped variant's complete oracle.
+    */
+  private val lshFullDir = "/root/repo/target/lshfull"
+
+  private def dedupLshFull(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val cands = Dedup.minHashLsh(docs, "text", "doc_id",
+      numHashes = 64, bands = 32, threshold = 0.35)
+    Dedup.exactShingleJaccard(cands, docs, "text", "doc_id", n = 3, minJaccard = 0.8)
+      .coalesce(1).write.mode("overwrite").parquet(s"$lshFullDir/pairs.parquet")
+    s.read.parquet(s"$lshFullDir/pairs.parquet").orderBy(col("id_a"), col("id_b"))
+  }
+
   /** SimHash banding generates candidates — COMPLETE for Hamming <= 6 by
     * multi-block pigeonhole (8 pieces of 8 bits: a pair within Hamming 6
     * agrees exactly on >= 2 chunks, and the candidate join enumerates all
@@ -664,6 +692,7 @@ object SparkEntry {
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_jaccard" -> (dedupJaccard _),
     "q_dedup_minhash" -> (dedupMinhash _),
+    "q_dedup_lsh_full" -> (dedupLshFull _),
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_embed_topk" -> (embedTopk _),
     "q_embed_ann_lsh" -> (embedAnnLsh _),
@@ -1010,6 +1039,29 @@ object SparkEntry {
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_lsh_full" ->
+      s"""WITH pairs AS (SELECT * FROM read_parquet('$lshFullDir/pairs.parquet/*.parquet')),
+         |ids AS (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs),
+         |docs AS (SELECT doc_id, text FROM documents WHERE doc_id IN (SELECT id FROM ids)),
+         |words AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM docs),
+         |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+         |       FROM words, UNNEST(range(1, len(ws) - 1)) AS t(i)
+         |       WHERE len(ws) >= 3),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |inter AS (SELECT p.id_a, p.id_b, count(*) AS n_inter
+         |          FROM pairs p
+         |          JOIN sh a ON a.doc_id = p.id_a
+         |          JOIN sh b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+         |          GROUP BY 1, 2),
+         |checked AS (SELECT p.id_a, p.id_b, p.jaccard,
+         |          CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) AS recomputed
+         |          FROM pairs p
+         |          JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+         |          JOIN sizes sa ON sa.doc_id = p.id_a
+         |          JOIN sizes sb ON sb.doc_id = p.id_b)
+         |SELECT id_a, id_b, jaccard FROM checked
+         |WHERE recomputed >= 0.8 AND recomputed = jaccard
+         |ORDER BY id_a, id_b""".stripMargin,
     "q_dedup_simhash" ->
       """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
         |w AS (SELECT doc_id,

@@ -108,6 +108,64 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  /** The real events table (sf0.001), nanos floored to the engine's
+    * microsecond timestamps and rewritten as standard-timestamp parquet so
+    * the streaming reader's schema applies.
+    */
+  private def realEventsDir: String = {
+    val dir = tmpDir("real_events")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("stream-vs-batch differential: sessionizeStream == sessionizeBatch") {
+    // The streaming sessionizer must produce the SAME session set as the
+    // oracle-verified batch plan on the real events table. session_window
+    // ends at last-event + gap while the batch session ends at the last
+    // event, so compare on (user, start, n, value); Complete output mode
+    // emits every session regardless of the final watermark position.
+    val dir = realEventsDir
+    val q = EventStreams.runToMemory(
+      EventStreams.sessionizeStream(EventStreams.fromDirectory(spark, dir),
+        gap = "30 minutes"), "sessions_diff")
+    q.awaitTermination(120000)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id"), col("session_start"), col("n_events"),
+        round(col("session_value"), 4).as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val streamed = key(spark.table("sessions_diff"))
+    val batch = key(EventStreams.sessionizeBatch(
+      spark.read.parquet(dir), gapMinutes = 30)
+      .withColumnRenamed("session_start", "session_start"))
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
+  test("stream-vs-batch differential: dedupStream == batch distinct") {
+    // Streaming watermarked dedup on user_id over the real events table
+    // must emit exactly the batch-distinct user set: the watermark (far
+    // beyond the data's time span) evicts nothing, so stream state covers
+    // the whole corpus and parity is exact.
+    val dir = realEventsDir
+    val deduped = EventStreams.dedupStream(
+      EventStreams.fromDirectory(spark, dir), "user_id", "ts", "3650 days")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_diff")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("dedup_diff")
+      .select("user_id").collect().map(_.getLong(0)).toSet
+    val batch = spark.read.parquet(dir)
+      .select("user_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("foreachBatch ingest bridge delivers batches") {
     val dir = tmpDir("stream2")
     events.write.mode("overwrite").parquet(dir)
