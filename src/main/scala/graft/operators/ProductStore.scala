@@ -12,31 +12,50 @@ import scala.util.Try
   * The reference's transactional guarantee is a single Postgres commit at
   * the end of a batch — any failure rolls everything back
   * (ingestion/service.py:56-64,108). Plain parquet has no MERGE or
-  * transactions, so the store writes every new table version to a staging
-  * directory and swaps it in with two atomic renames; readers never see a
-  * partial write (each version directory is complete before it becomes
-  * visible), though there is a short no-directory window between the two
-  * renames — see [[swap]] for the exact guarantee and recovery path.
+  * transactions, so this store uses a versioned-directory scheme with a
+  * current-pointer file (the core idea behind table-format transaction
+  * logs, in miniature):
+  *
+  *   root/CURRENT            — text file naming the live version directory
+  *   root/versions/v-<n>/    — immutable, complete table versions
+  *
+  * A writer builds a NEW version directory (invisible to readers), then
+  * publishes it by atomically replacing CURRENT. Readers resolve CURRENT
+  * once and scan an immutable directory — there is NO window in which the
+  * table path does not exist (the two-rename swap this replaces had one),
+  * and a crash mid-build leaves only an unpublished orphan directory that
+  * the next publish garbage-collects. Old versions are retained
+  * (`keepVersions`) so in-flight readers of a just-replaced version still
+  * see complete data; production retention would be time-based.
   *
   * Scale design: the table is written `partitionBy(client_id)` so tenant
   * scoped reads prune to one partition, and [[overwriteClientAtomic]]
-  * rewrites ONLY the ingesting client's partition directory — other
-  * tenants' files stay byte-identical across a batch. On a real
-  * deployment this store is the place to swap in a table format with
-  * MERGE (Delta/Iceberg) — the operator semantics above it do not change.
+  * rewrites ONLY the ingesting client's partition — every other tenant's
+  * files are HARD-LINKED into the new version (same inodes, zero copy,
+  * byte-identical). On a real deployment this store is the place to swap
+  * in a table format with MERGE and a transaction log (Delta/Iceberg) —
+  * the operator semantics above it do not change.
   */
-class ProductStore(spark: SparkSession, root: String) {
+class ProductStore(spark: SparkSession, root: String, keepVersions: Int = 3) {
 
-  private val dataDir = Paths.get(root, "data")
+  private val currentPtr = Paths.get(root, "CURRENT")
+  private val versionsDir = Paths.get(root, "versions")
 
-  def exists: Boolean = Files.exists(dataDir)
+  def exists: Boolean = currentVersion.isDefined
+
+  private def currentVersion: Option[Path] =
+    if (Files.exists(currentPtr))
+      Some(versionsDir.resolve(Files.readString(currentPtr).trim))
+    else None
 
   def read(): DataFrame =
-    if (exists)
-      spark.read.schema(ProductSchema.CLIENT_PRODUCTS_SCHEMA).parquet(dataDir.toString)
-    else
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row], ProductSchema.CLIENT_PRODUCTS_SCHEMA)
+    currentVersion match {
+      case Some(dir) =>
+        spark.read.schema(ProductSchema.CLIENT_PRODUCTS_SCHEMA).parquet(dir.toString)
+      case None =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row], ProductSchema.CLIENT_PRODUCTS_SCHEMA)
+    }
 
   /** Read only one client's partition — partition pruning makes this a
     * scan of the `client_id=X` directory alone, not the whole table.
@@ -44,70 +63,145 @@ class ProductStore(spark: SparkSession, root: String) {
   def readClient(clientId: Int): DataFrame =
     read().filter(col("client_id") === clientId)
 
-  /** Write a full new table version and atomically swap it in. Used for
+  /** Write a full new table version and atomically publish it. Used for
     * whole-table operations; per-client batches should use
     * [[overwriteClientAtomic]] so one tenant's MB-scale upload does not
     * rewrite every other tenant's files.
     */
   def overwriteAtomic(df: DataFrame): Unit = {
-    val tmp = Paths.get(root, s"_staging_${System.nanoTime()}")
+    val name = newVersionName()
     align(df).write
       .mode(SaveMode.Overwrite)
       .partitionBy("client_id")
-      .parquet(tmp.toString)
-    swap(tmp)
+      .parquet(versionsDir.resolve(name).toString)
+    publish(name)
   }
 
-  /** Replace ONLY `client_id=clientId`'s partition directory with the
-    * given rows (all rows must belong to that client). Every other
-    * client's files are untouched — byte-identical across another
-    * tenant's ingest. Same two-rename swap discipline as [[swap]], scoped
-    * to the one partition directory.
+  /** Replace ONLY `client_id=clientId`'s partition with the given rows
+    * (all rows must belong to that client). Every other client's files
+    * are hard-linked into the new version — byte-identical (same inodes)
+    * across another tenant's ingest.
+    *
+    * An empty staged partition is an ABORT, not a truncate: a df with no
+    * rows for this client (empty input, or rows carrying another
+    * client_id) would otherwise silently wipe the tenant's data. Explicit
+    * truncation is a separate, deliberate operation ([[truncateClient]]).
     */
   def overwriteClientAtomic(clientId: Int, df: DataFrame): Unit = {
+    val part = s"client_id=$clientId"
     val tmp = Paths.get(root, s"_staging_${System.nanoTime()}")
     align(df).write
       .mode(SaveMode.Overwrite)
       .partitionBy("client_id")
       .parquet(tmp.toString)
-    val part = s"client_id=$clientId"
     val src = tmp.resolve(part)
-    Files.createDirectories(dataDir)
-    val dst = dataDir.resolve(part)
-    val old = Paths.get(root, s"_old_${System.nanoTime()}")
-    if (Files.exists(dst)) Files.move(dst, old, StandardCopyOption.ATOMIC_MOVE)
-    if (Files.exists(src)) Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
-    Try(deleteRecursively(old))
+    if (!Files.exists(src)) {
+      Try(deleteRecursively(tmp))
+      throw new IllegalStateException(
+        s"staged batch contains no rows for client_id=$clientId — refusing to " +
+          "replace the live partition (use truncateClient for deliberate truncation)")
+    }
+    replacePartition(part, Some(src))
     Try(deleteRecursively(tmp))
   }
 
-  /** Plain append (insert-only ingest without merge). */
-  def append(df: DataFrame): Unit =
-    align(df).write.mode(SaveMode.Append).partitionBy("client_id")
-      .parquet(dataDir.toString)
+  /** Deliberately remove one client's partition (the explicit form of
+    * what a silently-empty staged batch must never do).
+    */
+  def truncateClient(clientId: Int): Unit =
+    replacePartition(s"client_id=$clientId", None)
+
+  /** Plain append (insert-only ingest without merge): new version =
+    * hard links to every current file + the newly written files.
+    */
+  def append(df: DataFrame): Unit = {
+    val tmp = Paths.get(root, s"_staging_${System.nanoTime()}")
+    align(df).write
+      .mode(SaveMode.Overwrite)
+      .partitionBy("client_id")
+      .parquet(tmp.toString)
+    val name = newVersionName()
+    val target = versionsDir.resolve(name)
+    currentVersion.foreach(cur => linkTree(cur, target))
+    mergeMove(tmp, target)
+    publish(name)
+    Try(deleteRecursively(tmp))
+  }
+
+  /** Build a new version that equals the current one except for `part`,
+    * which is replaced by `src` (or dropped when None), then publish.
+    */
+  private def replacePartition(part: String, src: Option[Path]): Unit = {
+    val name = newVersionName()
+    val target = versionsDir.resolve(name)
+    Files.createDirectories(target)
+    currentVersion.foreach { cur =>
+      if (Files.exists(cur)) {
+        Files.list(cur).forEach { child =>
+          if (child.getFileName.toString != part)
+            linkTree(child, target.resolve(child.getFileName))
+        }
+      }
+    }
+    src.foreach(s => Files.move(s, target.resolve(part), StandardCopyOption.ATOMIC_MOVE))
+    publish(name)
+  }
+
+  private def newVersionName(): String = f"v-${System.nanoTime()}%019d"
+
+  /** Publish: write the pointer to a temp file, atomically replace
+    * CURRENT. Readers see the old complete version or the new complete
+    * version, never a missing or partial table. Then GC versions beyond
+    * the retention count (the published one is always kept).
+    */
+  private def publish(name: String): Unit = {
+    Files.createDirectories(Paths.get(root))
+    val tmp = Paths.get(root, s"_ptr_${System.nanoTime()}")
+    Files.writeString(tmp, name)
+    Files.move(tmp, currentPtr, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    gc(name)
+  }
+
+  private def gc(liveName: String): Unit = Try {
+    if (Files.exists(versionsDir)) {
+      import scala.jdk.CollectionConverters._
+      val all = Files.list(versionsDir).iterator().asScala.toSeq
+        .map(_.getFileName.toString).sorted.reverse
+      all.drop(keepVersions).filterNot(_ == liveName)
+        .foreach(n => Try(deleteRecursively(versionsDir.resolve(n))))
+    }
+  }
+
+  /** Recursively hard-link a tree (zero-copy, same inodes); directories
+    * are created, files are linked.
+    */
+  private def linkTree(src: Path, dst: Path): Unit = {
+    if (Files.isDirectory(src)) {
+      Files.createDirectories(dst)
+      Files.list(src).forEach(child => linkTree(child, dst.resolve(child.getFileName)))
+    } else {
+      Files.createDirectories(dst.getParent)
+      Files.createLink(dst, src)
+    }
+  }
+
+  /** Move the contents of `src` into `dst`, merging directories (Spark
+    * part-file names are UUID-unique, so files never collide).
+    */
+  private def mergeMove(src: Path, dst: Path): Unit = {
+    Files.createDirectories(dst)
+    Files.list(src).forEach { child =>
+      val t = dst.resolve(child.getFileName)
+      if (Files.isDirectory(child) && Files.exists(t)) mergeMove(child, t)
+      else Files.move(child, t, StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
 
   private def align(df: DataFrame): DataFrame =
     df.select(ProductSchema.CLIENT_PRODUCTS_SCHEMA.fields.toSeq.map(f =>
       (if (df.columns.contains(f.name)) col(f.name)
        else lit(null)).cast(f.dataType).as(f.name)): _*)
-
-  /** Swap discipline: move the live dir (or partition dir) aside, move the
-    * staged one in. Each rename is atomic, but there IS a short window
-    * between the two where the path does not exist — a concurrent read()
-    * in that window sees an empty table, and a crash between the moves
-    * leaves the data recoverable under `_old_*` (re-run recovery: move the
-    * newest `_old_*` back). The reference gets full atomicity from a
-    * Postgres commit; plain-parquet cannot, and closing the window needs a
-    * versioned-directory + current-pointer scheme or a table format with a
-    * transaction log (Delta/Iceberg) — which is the documented production
-    * swap-in point for this store.
-    */
-  private def swap(tmp: Path): Unit = {
-    val old = Paths.get(root, s"_old_${System.nanoTime()}")
-    if (Files.exists(dataDir)) Files.move(dataDir, old, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(tmp, dataDir, StandardCopyOption.ATOMIC_MOVE)
-    Try(deleteRecursively(old))
-  }
 
   private def deleteRecursively(p: Path): Unit = {
     if (Files.exists(p)) {

@@ -39,7 +39,21 @@ object IngestSource {
         .option("mode", "PERMISSIVE")
         .option("inferSchema", "false")
         .csv(path)
-      normalize(raw)
+      // Spark renames a BLANK header at position i to the placeholder
+      // `_ci`, indistinguishable by name from a client column genuinely
+      // called `_c0`. Disambiguate by re-reading just the header line
+      // (header=false + head(): a bounded one-row driver fetch) and
+      // dropping `_ci` only where position i's original header really is
+      // blank — a real `_cN` header survives.
+      val headerRow = spark.read
+        .option("header", "false")
+        .option("inferSchema", "false")
+        .csv(path)
+        .head()
+      val placeholders = headerRow.toSeq.zipWithIndex.collect {
+        case (v, i) if v == null || v.toString.trim.isEmpty => s"_c$i"
+      }.toSet
+      normalize(raw, placeholders)
     }
   }
 
@@ -57,12 +71,16 @@ object IngestSource {
   }
 
   /** Trim headers, drop empty-named columns, drop all-null rows, append
-    * read-order index. Spark's CSV reader renames an empty header to
-    * `_cN`, so those placeholder names are dropped too (reference drops
-    * empty-header columns, ingestion/parsers.py:41-43).
+    * read-order index. `placeholders` carries the `_cN` names Spark
+    * assigned to genuinely BLANK headers (computed by the source from the
+    * raw header line) — only those are dropped (reference drops
+    * empty-header columns, ingestion/parsers.py:41-43), so a client
+    * column actually named `_c0` is kept.
     */
-  private[graft] def normalize(raw: DataFrame): DataFrame = {
-    val kept = raw.columns.filter(c => c.trim.nonEmpty && !c.matches("_c\\d+"))
+  private[graft] def normalize(
+      raw: DataFrame,
+      placeholders: Set[String] = Set.empty): DataFrame = {
+    val kept = raw.columns.filter(c => c.trim.nonEmpty && !placeholders.contains(c))
     val renamed = raw.select(kept.map(c => col(s"`$c`").as(c.trim)): _*)
     val anyPresent = renamed.columns
       .map(c => col(s"`$c`").isNotNull)

@@ -153,25 +153,82 @@ class IngestionServiceSpec extends SparkSpec {
     val store = new ProductStore(spark, root)
     assert(new IngestionService(spark, store, 1).ingest(cfg, csv("a1,C1 v1,1")).success)
     assert(new IngestionService(spark, store, 2).ingest(cfg, csv("b1,C2 Item,1")).success)
-    def snapshot(client: Int): Map[String, Long] = {
-      val dir = Paths.get(root, "data", s"client_id=$client")
+    // Resolve the live version via the CURRENT pointer; snapshot keys are
+    // paths relative to the version dir (versions change names per batch,
+    // but another tenant's files must be hard links to the SAME inodes).
+    def liveDir: Path = Paths.get(root, "versions",
+      Files.readString(Paths.get(root, "CURRENT")).trim)
+    def snapshot(client: Int): Map[String, Object] = {
+      val dir = liveDir.resolve(s"client_id=$client")
       Files.walk(dir).iterator().asScala
         .filter(Files.isRegularFile(_))
-        .map(p => p.toString -> Files.getLastModifiedTime(p).toMillis)
+        .map(p => dir.relativize(p).toString ->
+          Files.getAttribute(p, "unix:ino"))
         .toMap
     }
     val c2Before = snapshot(2)
-    val c2Bytes = c2Before.keys.map(p => p -> Files.readAllBytes(Paths.get(p)).toSeq).toMap
-    // client 1 ingests again (upsert): client 2's partition must be untouched
+    val c2Bytes = c2Before.keys.map(rel => rel ->
+      Files.readAllBytes(liveDir.resolve(s"client_id=2").resolve(rel)).toSeq).toMap
+    // client 1 ingests again (upsert): client 2's partition must be the
+    // same inodes (hard-linked, zero-copy) with identical bytes
     assert(new IngestionService(spark, store, 1).ingest(cfg, csv("a1,C1 v2,0")).success)
     assert(snapshot(2) === c2Before)
-    c2Bytes.foreach { case (p, bytes) =>
-      assert(Files.readAllBytes(Paths.get(p)).toSeq === bytes, s"file $p changed")
+    c2Bytes.foreach { case (rel, bytes) =>
+      assert(Files.readAllBytes(liveDir.resolve(s"client_id=2").resolve(rel)).toSeq === bytes,
+        s"file $rel changed")
     }
     // and client 1's merge actually applied
     val c1 = store.readClient(1).collect()
     assert(c1.length === 1 && c1.head.getAs[String]("title") === "C1 v2")
     assert(store.readClient(2).head.getAs[String]("title") === "C2 Item")
+  }
+
+  test("concurrent reads never observe an empty table mid-publish") {
+    // The versioned-dir + CURRENT-pointer scheme replaces the two-rename
+    // swap, whose no-directory window could expose an empty table. A
+    // reader loop racing several ingests must always see a complete
+    // version (>= 1 row, never a transient zero).
+    import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong, AtomicReference}
+    val store = new ProductStore(spark, tmpDir("store"), keepVersions = 100)
+    val svc = new IngestionService(spark, store, clientId = 1)
+    assert(svc.ingest(cfg, csv("a1,Initial,1")).success)
+    val stop = new AtomicBoolean(false)
+    val minSeen = new AtomicLong(Long.MaxValue)
+    val failure = new AtomicReference[Throwable](null)
+    val reader = new Thread(() => {
+      try {
+        while (!stop.get()) {
+          val n = store.read().count()
+          minSeen.getAndUpdate(m => math.min(m, n))
+        }
+      } catch { case t: Throwable => failure.set(t) }
+    })
+    reader.start()
+    try (1 to 5).foreach { i =>
+      assert(svc.ingest(cfg, csv(s"a$i,Version $i,1")).success)
+    } finally {
+      stop.set(true)
+      reader.join(60000)
+    }
+    assert(failure.get() == null, s"reader failed: ${failure.get()}")
+    assert(minSeen.get() >= 1L, s"reader observed ${minSeen.get()} rows mid-publish")
+  }
+
+  test("empty staged batch for a client aborts instead of wiping the partition") {
+    val store = freshStore()
+    val svc = new IngestionService(spark, store, clientId = 1)
+    assert(svc.ingest(cfg, csv("a1,Keep,1")).success)
+    // direct store call with rows belonging to ANOTHER client: the staged
+    // partition for client 1 is missing -> must throw, not truncate
+    import spark.implicits._
+    val other = Seq((2, "zz", "Other")).toDF("client_id", "sku", "title")
+    intercept[IllegalStateException] {
+      store.overwriteClientAtomic(1, other)
+    }
+    assert(store.readClient(1).count() === 1)
+    // explicit truncation is the deliberate path
+    store.truncateClient(1)
+    assert(store.readClient(1).count() === 0)
   }
 
   test("failed batch leaves previous table version intact (atomic swap)") {

@@ -21,6 +21,20 @@ class SourcesSpec extends SparkSpec {
     assert(rows.head.getString(2) === "5") // numbers stay strings
   }
 
+  test("csv: a client column genuinely named _c0 survives the placeholder drop") {
+    // Spark names a BLANK header at position i `_ci`; the source must drop
+    // only those placeholders, never a real column that happens to be
+    // called _c0 (or sit at a different position than its digit suggests).
+    val dir = tmpDir("csvc0")
+    val p = writeText(dir, "in.csv",
+      "_c0,title,,qty\nv1,Widget,junk,5\nv2,Gadget,junk,7\n")
+    val df = IngestSource("csv").read(spark, p)
+    val cols = df.columns.filterNot(_ == IngestSource.ROW_IDX).toSet
+    assert(cols === Set("_c0", "title", "qty")) // blank header (pos 2) dropped
+    assert(df.select("_c0").orderBy(IngestSource.ROW_IDX)
+      .collect().map(_.getString(0)).toSeq === Seq("v1", "v2"))
+  }
+
   test("json lines: primitives kept as strings") {
     val dir = tmpDir("json")
     val p = writeText(dir, "in.json",
