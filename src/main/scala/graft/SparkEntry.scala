@@ -468,6 +468,21 @@ object SparkEntry {
       .orderBy(col("cosine").desc, col("vec_id"))
   }
 
+  /** Embedding near-duplicate pairs: cosine >= threshold with candidates
+    * from sign-LSH buckets (8 deterministic hyperplanes -> 256 buckets;
+    * the pair join is a bucket equi-join, never all-pairs). The
+    * hyperplanes are inlined constants, so the oracle reproduces bucket
+    * assignment, the unit-vector cosine (bit-for-bit: both engines run
+    * the same sequential IEEE reduction), and the threshold exactly.
+    * Threshold 0.3 on this corpus keeps a small true pair set (the
+    * embeddings are near-orthogonal noise; same-bucket pairs are the
+    * positively-correlated tail).
+    */
+  private def embedNearDup(s: SparkSession, d: String): DataFrame =
+    Dedup.embeddingNearDup(t(s, d, "embeddings"), "embedding", "vec_id",
+        threshold = 0.3, planes = 8)
+      .orderBy(col("id_a"), col("id_b"))
+
   private val stopList = Seq("the", "a", "an", "of", "and", "to", "in", "is",
     "it", "that", "for", "on", "with", "as", "was", "at", "by")
 
@@ -536,9 +551,13 @@ object SparkEntry {
   // title overrides, but its EMPTY active cell does not erase the earlier
   // row's value (service.py:83-102 applies only supplied, non-None
   // columns). The oracle replays this with a last-non-null-wins window.
+  // The fully-empty row must be DROPPED by the source (reference
+  // parsers.py:44-48 skips empty rows) — if it leaked through, it would
+  // surface as a spurious no-sku insert and fail the oracle compare.
   private val e2eBatch2 =
     """sku,title,active
       |SKU0,Product 0 v2,0
+      |,,
       |SKU3,Product 3,1
       |SKU3,Product 3 v2,
       |""".stripMargin
@@ -697,6 +716,7 @@ object SparkEntry {
     "q_embed_topk" -> (embedTopk _),
     "q_embed_ann_lsh" -> (embedAnnLsh _),
     "q_embed_ivf" -> (embedIvf _),
+    "q_embed_neardup" -> (embedNearDup _),
     "q_text_stats" -> (textStats _),
     "q_token_count" -> (tokenCount _),
     "q_text_langid" -> (textLangid _),
@@ -745,6 +765,29 @@ object SparkEntry {
        |SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
   }
 
+  /** Oracle for q_embed_neardup: inlines the same deterministic
+    * hyperplanes as the Spark plan, recomputes unit vectors, the sign-LSH
+    * bucket PER UNIT VECTOR (mirroring the operator exactly), the bucket
+    * equi-join, and the unit-cosine threshold — all bit-reproducible.
+    */
+  private def embedNearDupOracle: String = {
+    val hp = Similarity.hyperplanes(8, 64)
+    def arr(a: Array[Double]) = a.map(_.toString).mkString("[", ", ", "]")
+    val bucketExpr = hp.indices.map { i =>
+      s"(CASE WHEN list_dot_product(unit, ${arr(hp(i))}) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |u AS (SELECT vec_id,
+       |        list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS unit
+       |      FROM emb),
+       |b AS (SELECT vec_id, unit, $bucketExpr AS bucket FROM u)
+       |SELECT a.vec_id AS id_a, x.vec_id AS id_b,
+       |       list_dot_product(a.unit, x.unit) AS cosine
+       |FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id < x.vec_id
+       |WHERE list_dot_product(a.unit, x.unit) >= 0.3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** Oracle for q_ingest_e2e: replays the fixture batches through the
     * same mapping/merge/deactivation algebra in DuckDB (read_csv on the
     * files the query wrote; transformer SQL mirrors Transformers exactly).
@@ -770,7 +813,8 @@ object SparkEntry {
        |m1 AS (SELECT trim(sku) AS sku, trim(title) AS title, $bool AS active,
        |         TRY_CAST(trim(regexp_replace(price, '[$$£,]', '', 'g')) AS DECIMAL(12,2)) AS max_price
        |       FROM b1),
-       |m2r AS (SELECT trim(sku) AS sku, trim(title) AS title, $bool AS active, ridx FROM b2),
+       |m2r AS (SELECT trim(sku) AS sku, trim(title) AS title, $bool AS active, ridx
+       |        FROM b2 WHERE NOT (sku IS NULL AND title IS NULL AND active IS NULL)),
        |m2 AS (SELECT sku, title, active FROM (
        |         SELECT sku,
        |           last_value(title IGNORE NULLS) OVER w AS title,
@@ -1079,6 +1123,7 @@ object SparkEntry {
         |WHERE CAST(ni AS DOUBLE) / (ta.n + tb.n - ni) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
     "q_embed_ann_lsh" -> annLshOracle,
+    "q_embed_neardup" -> embedNearDupOracle,
     "q_embed_ivf" ->
       s"""WITH cents AS (SELECT cell, CAST(centroid AS DOUBLE[]) AS c
          |      FROM read_parquet('$ivfDir/centroids.parquet/*.parquet')),
