@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{DotProduct, MinHashSig, TopKRows}
+import graft.functions.{DotProduct, MinHashSig, TopKRows, WordShingles}
 
 /** Registers the engine's native Catalyst expressions as SQL functions:
   *
@@ -32,6 +32,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(args.length == 3, "graft_topk(key, value, k) takes 3 arguments")
         TopKRows(args(0), args(1), args(2))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(args.length == 2, "graft_shingles(text, n) takes 2 arguments")
+        WordShingles(args(0), args(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_minhash"),

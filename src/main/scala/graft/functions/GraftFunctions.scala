@@ -25,6 +25,13 @@ object GraftFunctions {
         org.apache.spark.sql.catalyst.expressions.Literal(k))
         .toAggregateExpression())
 
+  /** Distinct word n-gram shingles of a text column — one codegen'd pass
+    * per row (replaces the interpreted transform/slice/concat_ws chain).
+    */
+  def graftShingles(text: Column, n: Int): Column =
+    B.column(WordShingles(B.expression(text),
+      org.apache.spark.sql.catalyst.expressions.Literal(n)))
+
   /** MinHash signature aggregate over per-row shingle hashes: a k-long
     * array of elementwise minima of k affine permutations of the hash.
     */

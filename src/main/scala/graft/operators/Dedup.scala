@@ -48,25 +48,25 @@ object Dedup {
   private def wordArr(textCol: Column): Column =
     filter(split(trim(textCol), "\\s+"), w => length(w) > 0)
 
-  /** Word n-gram shingle array of a text column (with duplicates; wrap in
-    * array_distinct for the set). Documents with fewer than n words yield
-    * an empty array — sequence(0, negative) would be a DESCENDING sequence
-    * in Spark, so the short-circuit is required, not just cosmetic.
+  /** Distinct word n-gram shingle array of a text column — the native
+    * [[graft.functions.WordShingles]] expression: one codegen'd pass per
+    * row. Documents with fewer than n words yield an empty array.
     */
-  private def shingleArr(textCol: Column, n: Int): Column = {
-    val ws = split(trim(textCol), "\\s+")
-    when(size(ws) >= n,
-      transform(sequence(lit(0), size(ws) - n),
-        i => concat_ws(" ", slice(ws, i + lit(1), lit(n)))))
-      .otherwise(array().cast("array<string>"))
-  }
+  private def shingleArr(textCol: Column, n: Int): Column =
+    graft.functions.GraftFunctions.graftShingles(textCol, n)
 
-  /** Distinct word n-gram shingles per document: (id, shingle). */
+  /** Distinct word n-gram shingles per document: (id, shingle).
+    *
+    * Distinctness is PER DOCUMENT (id is part of the pair), so it comes
+    * from the shingle expression itself — a per-row pass — rather than a
+    * global `.distinct()` after the explode, which would shuffle every
+    * (id, shingle) string in the corpus just to dedup within rows.
+    */
   def shingles(docs: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame =
     docs
-      .select(col(idCol).as("id"), explode(shingleArr(col(textCol), n)).as("shingle"))
+      .select(col(idCol).as("id"),
+        explode(shingleArr(col(textCol), n)).as("shingle"))
       .filter(length(col("shingle")) > 0)
-      .distinct()
 
   /** Exact pairwise n-gram Jaccard >= threshold. The shingle equi-join is
     * the candidate generator; Jaccard = |A∩B| / (|A|+|B|-|A∩B|) from three
@@ -120,7 +120,7 @@ object Dedup {
       n: Int = 3,
       minJaccard: Double = 0.8): DataFrame = {
     val sets = docs.select(col(idCol).as("_id"),
-      array_distinct(shingleArr(col(textCol), n)).as("_sh"))
+      shingleArr(col(textCol), n).as("_sh"))
     cands.select("id_a", "id_b")
       .join(sets.select(col("_id").as("id_a"), col("_sh").as("_sh_a")), "id_a")
       .join(sets.select(col("_id").as("id_b"), col("_sh").as("_sh_b")), "id_b")

@@ -101,6 +101,35 @@ class NativeExpressionDifferentialSpec extends SparkSpec {
     raw.values.foreach(sig => assert(sig.forall(v => v >= 0 && v < MinHash.MersennePrime)))
   }
 
+  test("graft_shingles == array_distinct of the HOF shingle composition") {
+    import spark.implicits._
+    import graft.functions.GraftFunctions.graftShingles
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a b c a b c a b c",            // repeated shingles -> dedup
+      "one two",                       // fewer than n words -> empty
+      "",                              // empty -> empty
+      "   leading and trailing   ",    // space trim
+      "\ttab lead keeps empty word token yes", // leading tab edge
+      "x y z"                          // exactly n words -> one shingle
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = texts.toDF("id", "text")
+    val hof = {
+      val ws = split(trim(col("text")), "\\s+")
+      array_distinct(
+        when(size(ws) >= 3,
+          transform(sequence(lit(0), size(ws) - 3),
+            i => concat_ws(" ", slice(ws, i + lit(1), lit(3)))))
+          .otherwise(array().cast("array<string>")))
+    }
+    val out = df.select(col("id"),
+        graftShingles(col("text"), 3).as("native"), hof.as("reference"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getSeq[String](1) === r.getSeq[String](2), s"id ${r.getLong(0)}")
+    }
+  }
+
   test("graft_dot == aggregate(zip_with(...)) on float and double arrays") {
     import spark.implicits._
     val vecs = (1 to 50).map { i =>
