@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{DotProduct, MinHashSig, TopKRows, WordShingles}
+import graft.functions.{DotProduct, MinHashSig, SimHashAgg, TopKRows, WordShingles}
 
 /** Registers the engine's native Catalyst expressions as SQL functions:
   *
@@ -39,6 +39,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(args.length == 2, "graft_shingles(text, n) takes 2 arguments")
         WordShingles(args(0), args(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHashAgg].getName, "graft_simhash"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(args.length == 1, "graft_simhash(hash) takes 1 argument")
+        SimHashAgg(args(0))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_minhash"),

@@ -32,6 +32,10 @@ object GraftFunctions {
     B.column(WordShingles(B.expression(text),
       org.apache.spark.sql.catalyst.expressions.Literal(n)))
 
+  /** 64-bit SimHash fingerprint aggregate over per-row word hashes. */
+  def graftSimHash(hash: Column): Column =
+    B.column(SimHashAgg(B.expression(hash)).toAggregateExpression())
+
   /** MinHash signature aggregate over per-row shingle hashes: a k-long
     * array of elementwise minima of k affine permutations of the hash.
     */

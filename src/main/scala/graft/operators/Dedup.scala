@@ -227,20 +227,18 @@ object Dedup {
 
   /** 64-bit SimHash per document from word-level xxhash64: bit i of the
     * fingerprint is the sign of the sum over words of (+1 if word-hash has
-    * bit i set, else -1). Pure expressions; one aggregate.
+    * bit i set, else -1). One native map-side-combinable aggregate
+    * ([[graft.functions.SimHashAgg]]) holding int[64] per group — the
+    * 64-sum-column formulation it replaces generated a codegen method so
+    * large its compilation dominated the cold run.
     */
-  def simHash(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val words = docs.select(col(idCol).as("id"),
+  def simHash(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
         explode(split(trim(col(textCol)), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
       .withColumn("h", xxhash64(col("w")))
-    val bitSums = (0 until 64).map(i =>
-      sum(when(expr(s"(h >> $i) & 1") === 1, 1).otherwise(-1)).as(s"_b$i"))
-    val assembled = (0 until 64).map(i =>
-      when(col(s"_b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-    words.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
-      .select(col("id"), assembled.reduce(_.bitwiseOR(_)).as("simhash"))
-  }
+      .groupBy("id")
+      .agg(graft.functions.GraftFunctions.graftSimHash(col("h")).as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming, using the
     * pigeonhole band trick: split 64 bits into `pieces` chunks; any pair

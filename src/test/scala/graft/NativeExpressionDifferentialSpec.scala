@@ -101,6 +101,27 @@ class NativeExpressionDifferentialSpec extends SparkSpec {
     raw.values.foreach(sig => assert(sig.forall(v => v >= 0 && v < MinHash.MersennePrime)))
   }
 
+  test("graft_simhash == 64 sign-of-bit-sum aggregate columns") {
+    import spark.implicits._
+    import graft.functions.GraftFunctions.graftSimHash
+    val words = (1 to 40).flatMap { doc =>
+      (1 to 25).map(w => (doc.toLong, s"word-${rnd.nextInt(120)}-$w"))
+    }
+    val df = spark.createDataset(words).repartition(5).toDF("id", "w")
+      .withColumn("h", xxhash64(col("w")))
+    val native = df.groupBy("id").agg(graftSimHash(col("h")).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent formulation: 64 per-bit sign sums assembled into a long
+    val bitSums = (0 until 64).map(i =>
+      sum(when(expr(s"(h >> $i) & 1") === 1, 1).otherwise(-1)).as(s"_b$i"))
+    val assembled = (0 until 64).map(i =>
+      when(col(s"_b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+    val viaCols = df.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"), assembled.reduce(_.bitwiseOR(_)).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native === viaCols)
+  }
+
   test("graft_shingles == array_distinct of the HOF shingle composition") {
     import spark.implicits._
     import graft.functions.GraftFunctions.graftShingles
