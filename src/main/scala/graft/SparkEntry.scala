@@ -527,6 +527,31 @@ object SparkEntry {
         minQuality = 0.7, keepLang = "en")
       .orderBy(col("doc_id"))
 
+  /** PII scrubbing: the corpus carries no PII, so the query INJECTS
+    * deterministic synthetic PII (email, phone, URL derived from doc_id)
+    * and scrubs it — the oracle rebuilds the same dirty text and applies
+    * the same regex chain, verifying both the patterns and the
+    * replacement order externally.
+    */
+  private def textScrub(s: SparkSession, d: String): DataFrame = {
+    val dirty = concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@example.com or +1 (555) 010-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast(StringType), 4, "0"),
+      lit(" see https://example.com/doc/"), col("doc_id"), lit(" end"))
+    t(s, d, "documents")
+      .select(col("doc_id"), TextAnalysis.scrubPii(dirty).as("scrubbed"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic train/valid/test split — multiplicative-hash bucket,
+    * pure arithmetic (engine-reproducible, repartition-stable), the
+    * standard shuffle-free way to split a 100 TB corpus.
+    */
+  private def sampleSplit(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.withSplit(t(s, d, "documents").select(col("doc_id")),
+        "doc_id", trainPct = 80, validPct = 10)
+      .orderBy(col("doc_id"))
+
   private def textFingerprint(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents").select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fingerprint"))
@@ -721,6 +746,8 @@ object SparkEntry {
     "q_token_count" -> (tokenCount _),
     "q_text_langid" -> (textLangid _),
     "q_text_fingerprint" -> (textFingerprint _),
+    "q_text_scrub" -> (textScrub _),
+    "q_sample_split" -> (sampleSplit _),
     "q_curate_docs" -> (curateDocs _),
     "q_multimodal_bytes" -> (multimodalBytes _),
     "q_frame_sample" -> (frameSample _),
@@ -1187,6 +1214,29 @@ object SparkEntry {
     "q_text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_scrub" ->
+      """WITH dirty AS (SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@example.com or +1 (555) 010-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      || ' see https://example.com/doc/' || doc_id || ' end' AS d
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(d, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      'https?://[^\s]+', '<URL>', 'g'),
+        |    '\+?[0-9][0-9() .-]{6,}[0-9]', '<PHONE>', 'g') AS scrubbed
+        |FROM dirty ORDER BY doc_id""".stripMargin,
+    "q_sample_split" ->
+      """WITH h AS (SELECT doc_id,
+        |    ((doc_id % 2147483647) * 2654435761) % 2147483647 AS y
+        |  FROM documents),
+        |b AS (SELECT doc_id, (y * y) % 2147483647 % 100 AS split_bucket FROM h)
+        |SELECT doc_id, split_bucket,
+        |  CASE WHEN split_bucket < 80 THEN 'train'
+        |       WHEN split_bucket < 90 THEN 'valid'
+        |       ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
     "q_curate_docs" ->
       s"""WITH base AS (SELECT doc_id, text,
          |        md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint

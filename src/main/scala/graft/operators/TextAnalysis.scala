@@ -86,6 +86,52 @@ object TextAnalysis {
       .withColumn("quality_score", score)
   }
 
+  /** PII scrubbing for training-data curation: redact emails, URLs, and
+    * phone-like number runs with typed placeholder tokens. A chain of
+    * regexp_replace expressions — scan-speed, no shuffle, and the regexes
+    * are plain POSIX-ish classes every engine interprets identically
+    * (no lookarounds or engine-specific escapes). Order matters: URLs
+    * before emails would still be safe here, but emails are redacted
+    * first so `user@host` inside a URL never half-matches.
+    */
+  def scrubPii(textCol: Column): Column = {
+    val email = regexp_replace(textCol,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val url = regexp_replace(email,
+      "https?://[^\\s]+", "<URL>")
+    regexp_replace(url,
+      "\\+?[0-9][0-9() .-]{6,}[0-9]", "<PHONE>")
+  }
+
+  /** Deterministic train/validation/test split: a multiplicative
+    * (Knuth-style) integer hash of the id, mod 100, compared against
+    * cumulative percentage cuts. Pure arithmetic on the id — reproducible
+    * across engines and runs (no RNG, no engine-specific hash), stable
+    * under repartitioning, and a scan-speed expression at 100 TB. The
+    * id is reduced mod 2^31-1 BEFORE the multiply so every product stays
+    * under 2^63 (no overflow under ANSI arithmetic — the same bound
+    * argument as [[rollingHash]]); SQUARING the multiplied value makes
+    * the map nonlinear, so consecutive ids do not stride through buckets
+    * (an affine-only map would assign ids to splits in a periodic
+    * pattern, correlating the split with any id-ordered property).
+    */
+  def splitBucket(idCol: Column): Column = {
+    val p = lit((1L << 31) - 1)
+    val y = pmod(pmod(idCol.cast("long"), p) * lit(2654435761L), p)
+    pmod(pmod(y * y, p), lit(100L))
+  }
+
+  def withSplit(df: DataFrame, idCol: String,
+      trainPct: Int = 80, validPct: Int = 10): DataFrame = {
+    require(trainPct + validPct < 100, "train + valid must leave room for test")
+    val b = splitBucket(col(idCol))
+    df.withColumn("split_bucket", b)
+      .withColumn("split",
+        when(b < trainPct, "train")
+          .when(b < trainPct + validPct, "valid")
+          .otherwise("test"))
+  }
+
   /** Content-defined document fingerprint: md5 of the
     * whitespace-normalized, lowercased text. Identical up to formatting
     * => identical fingerprint; groupBy(fingerprint) is the scalable

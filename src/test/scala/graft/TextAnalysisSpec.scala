@@ -60,4 +60,41 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(_.getLong(0))
     assert(hs(0) !== hs(1))
   }
+
+  test("scrubPii redacts emails, urls, and phone runs; leaves prose alone") {
+    import spark.implicits._
+    val out = Seq(
+      "write to jane.doe+spam@mail.example.org today",
+      "docs at https://example.com/a/b?q=1 ok",
+      "call +1 (555) 010-4242 now",
+      "年号 2024 and plain words stay untouched"
+    ).toDF("t").select(TextAnalysis.scrubPii(col("t")).as("s"))
+      .collect().map(_.getString(0))
+    assert(out(0) === "write to <EMAIL> today")
+    assert(out(1) === "docs at <URL> ok")
+    assert(out(2) === "call <PHONE> now")
+    assert(out(3) === "年号 2024 and plain words stay untouched")
+  }
+
+  test("deterministic split: stable, complete, near the requested fractions") {
+    import spark.implicits._
+    val ids = (0L until 5000L).toDF("id")
+    val out = TextAnalysis.withSplit(ids, "id", trainPct = 80, validPct = 10)
+    val dist = out.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dist.values.sum === 5000L)
+    assert(dist("train") > 3800 && dist("train") < 4200)
+    assert(dist("valid") > 350 && dist("valid") < 650)
+    assert(dist("test") > 350 && dist("test") < 650)
+    // repartition-stable: same assignment regardless of layout
+    val a = out.select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = TextAnalysis.withSplit(ids.repartition(13), "id", 80, 10)
+      .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a === b)
+    // nonlinear: consecutive ids do not stride through buckets periodically
+    val buckets = out.orderBy("id").select("split_bucket")
+      .limit(20).collect().map(_.getLong(0))
+    val strides = buckets.sliding(2).map(p => (p(1) - p(0) + 100) % 100).toSet
+    assert(strides.size > 1, s"bucket stride is constant: $strides")
+  }
 }
