@@ -28,4 +28,35 @@ class CuratePipelineSpec extends SparkSpec {
     assert(out(1L).getAs[Long]("ws_tokens") === goodEn.split("\\s+").length.toLong)
     assert(out(1L).getAs[String]("fingerprint").length === 32)
   }
+
+  test("stream-vs-batch differential: curateStream == curate on the real corpus") {
+    import org.apache.spark.sql.functions._
+    // Same documents, streamed with a synthetic event time: the curated
+    // set must match the batch pipeline on every content-derived column.
+    // doc_id is excluded from the compare: the batch dedup keeps the
+    // min-id representative while streaming keeps the first ARRIVAL —
+    // for byte-identical duplicate content every other column is equal.
+    val dir = tmpDir("curate_stream")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("ts", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = CuratePipeline.curateStream(stream, "text", "doc_id", "ts",
+        watermark = "10 minutes", minQuality = 0.7, keepLang = "en")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("curate_stream_diff")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("fingerprint", "lang_pred", "quality_score", "ws_tokens", "bpeish_tokens")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    val streamed = key(spark.table("curate_stream_diff"))
+    val batch = key(CuratePipeline.curate(
+      spark.read.parquet(dir), "text", "doc_id", minQuality = 0.7, keepLang = "en"))
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
 }
