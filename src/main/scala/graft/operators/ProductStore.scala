@@ -198,10 +198,18 @@ class ProductStore(spark: SparkSession, root: String, keepVersions: Int = 3) {
     }
   }
 
+  /** Schema-align and cluster by the partition column: without the
+    * repartition, `partitionBy(client_id)` writes one file per shuffle
+    * partition per client — the classic small-files problem (and most of
+    * the fixture-batch write cost). One task per client per version is
+    * the right shape for MB-scale tenant batches; a tenant large enough
+    * to need parallel writers would add a bucketing column here.
+    */
   private def align(df: DataFrame): DataFrame =
     df.select(ProductSchema.CLIENT_PRODUCTS_SCHEMA.fields.toSeq.map(f =>
       (if (df.columns.contains(f.name)) col(f.name)
        else lit(null)).cast(f.dataType).as(f.name)): _*)
+      .repartition(col("client_id"))
 
   private def deleteRecursively(p: Path): Unit = {
     if (Files.exists(p)) {
