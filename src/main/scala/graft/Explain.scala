@@ -17,7 +17,9 @@ object Explain {
     val names =
       if (args.nonEmpty) args.toSeq
       else Seq("q_filter_tenant", "q_join_fk", "q_window_topk", "q_embed_topk",
-        "q_rank_paginate", "q_merge_upsert", "q_group_agg")
+        "q_rank_paginate", "q_merge_upsert", "q_group_agg",
+        "q_dedup_lsh_full", "q_dedup_simhash", "q_embed_neardup",
+        "q_group_percentile_approx", "q_curate_docs", "q_sample_split")
     names.foreach { n =>
       println(s"\n=============== $n ===============")
       try println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(
