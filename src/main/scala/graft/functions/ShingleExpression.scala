@@ -24,7 +24,10 @@ object ShingleUtil {
   def distinctShingles(text: UTF8String, n: Int): ArrayData = {
     val s = text.trim().toString // UTF8String.trim removes ASCII spaces only
     if (s.isEmpty) return new GenericArrayData(Array.empty[Any])
-    val words = s.split("\\s+")
+    // limit -1: SQL split keeps TRAILING empty strings (text ending in a
+    // tab/newline yields a trailing "" word); Java's default limit 0
+    // drops them and would lose the final shingle.
+    val words = s.split("\\s+", -1)
     if (words.length < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String]()
     val sb = new java.lang.StringBuilder()

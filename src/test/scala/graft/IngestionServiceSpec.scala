@@ -214,6 +214,22 @@ class IngestionServiceSpec extends SparkSpec {
     assert(minSeen.get() >= 1L, s"reader observed ${minSeen.get()} rows mid-publish")
   }
 
+  test("versioned store GC keeps the retention count and the live version") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = tmpDir("store")
+    val store = new ProductStore(spark, root, keepVersions = 2)
+    val svc = new IngestionService(spark, store, clientId = 1)
+    (1 to 5).foreach(i => assert(svc.ingest(cfg, csv(s"a$i,V$i,1")).success))
+    val versions = Files.list(Paths.get(root, "versions")).iterator().asScala
+      .map(_.getFileName.toString).toSeq.sorted
+    assert(versions.size <= 2, s"GC left ${versions.size} versions: $versions")
+    val live = Files.readString(Paths.get(root, "CURRENT")).trim
+    assert(versions.contains(live), "live version must survive GC")
+    // and the surviving table is complete
+    assert(store.read().count() === 5)
+  }
+
   test("empty staged batch for a client aborts instead of wiping the partition") {
     val store = freshStore()
     val svc = new IngestionService(spark, store, clientId = 1)

@@ -151,6 +151,36 @@ class NativeExpressionDifferentialSpec extends SparkSpec {
     }
   }
 
+  test("graft_shingles == HOF composition on randomized messy text") {
+    import spark.implicits._
+    import graft.functions.GraftFunctions.graftShingles
+    // Random texts over an alphabet that stresses the edge cases every
+    // dedup oracle depends on: repeated words (dedup), runs of spaces,
+    // tabs/newlines (\s+ but not SQL-trim), unicode, empty strings.
+    val alphabet = Vector("fox", "dog", "the", "42", "naïve", "日本", "a-b.",
+      " ", "  ", "\t", "\n")
+    val texts = (0 until 300).map { i =>
+      val len = rnd.nextInt(30)
+      (i.toLong, (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.size))).mkString)
+    }
+    val df = texts.toDF("id", "text")
+    val hof = {
+      val ws = split(trim(col("text")), "\\s+")
+      array_distinct(
+        when(size(ws) >= 3,
+          transform(sequence(lit(0), size(ws) - 3),
+            i => concat_ws(" ", slice(ws, i + lit(1), lit(3)))))
+          .otherwise(array().cast("array<string>")))
+    }
+    val out = df.select(col("id"), col("text"),
+        graftShingles(col("text"), 3).as("native"), hof.as("reference"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getSeq[String](2) === r.getSeq[String](3),
+        s"id ${r.getLong(0)} text='${r.getString(1)}'")
+    }
+  }
+
   test("graft_dot == aggregate(zip_with(...)) on float and double arrays") {
     import spark.implicits._
     val vecs = (1 to 50).map { i =>
