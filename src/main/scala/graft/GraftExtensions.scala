@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{DotProduct, MinHashSig, SimHashAgg, TopKRows, WordShingles}
+import graft.functions.{DotProduct, MinHashSig, SimHashAgg, TopKRows, WordSetCount, WordShingles}
 
 /** Registers the engine's native Catalyst expressions as SQL functions:
   *
@@ -39,6 +39,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(args.length == 2, "graft_shingles(text, n) takes 2 arguments")
         WordShingles(args(0), args(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_wordset_count"),
+      new ExpressionInfo(classOf[WordSetCount].getName, "graft_wordset_count"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(args.length == 2, "graft_wordset_count(text, words) takes 2 arguments")
+        WordSetCount(args(0), args(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_simhash"),

@@ -502,7 +502,8 @@ object SparkEntry {
           .as("mean_word_len"),
         round(regexp_count(txt, lit("[^A-Za-z0-9\\s]")).cast(DoubleType) / length(txt), 4)
           .as("punct_ratio"),
-        round(size(filter(ws, w => w.isin(stopList.map(lit): _*))).cast(DoubleType) / nWords, 4)
+        round(graft.functions.GraftFunctions.graftWordSetCount(lower(txt), stopList)
+          .cast(DoubleType) / nWords, 4)
           .as("stopword_ratio"))
       .orderBy(col("doc_id"))
   }

@@ -32,6 +32,13 @@ object GraftFunctions {
     B.column(WordShingles(B.expression(text),
       org.apache.spark.sql.catalyst.expressions.Literal(n)))
 
+  /** Count of whitespace words of `text` that are in the literal word
+    * set — one codegen'd pass (replaces interpreted filter+isin chains).
+    */
+  def graftWordSetCount(text: Column, words: Seq[String]): Column =
+    B.column(WordSetCount(B.expression(text),
+      B.expression(org.apache.spark.sql.functions.typedLit(words))))
+
   /** 64-bit SimHash fingerprint aggregate over per-row word hashes. */
   def graftSimHash(hash: Column): Column =
     B.column(SimHashAgg(B.expression(hash)).toAggregateExpression())

@@ -36,8 +36,12 @@ object TextAnalysis {
   def bpeishTokenCount(textCol: Column): Column =
     regexp_count(textCol, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
 
+  /** Marker-word hit count via the native [[graft.functions.WordSetCount]]
+    * — one codegen'd pass with a hashed set; the interpreted
+    * filter+isin formulation it replaces ran per word per language.
+    */
   private def stopHits(textCol: Column, stop: Seq[String]): Column =
-    size(filter(words(lower(textCol)), w => w.isin(stop.map(lit): _*)))
+    graft.functions.GraftFunctions.graftWordSetCount(lower(textCol), stop)
 
   /** N-gram/stopword-heuristic language ID over a fixed candidate set:
     * the language whose marker-word hit rate is highest; `und`

@@ -151,6 +151,26 @@ class NativeExpressionDifferentialSpec extends SparkSpec {
     }
   }
 
+  test("graft_wordset_count == size(filter(split, isin)) on randomized text") {
+    import spark.implicits._
+    import graft.functions.GraftFunctions.graftWordSetCount
+    val stop = Seq("the", "a", "of", "und", "naïve")
+    val alphabet = Vector("the", "a", "of", "und", "naïve", "fox", "42",
+      " ", "  ", "\t", "\n", "THE")
+    val texts = (0 until 300).map { i =>
+      val len = rnd.nextInt(25)
+      (i.toLong, (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.size))).mkString(" "))
+    }
+    val df = texts.toDF("id", "text")
+    val hof = size(filter(
+      filter(split(trim(lower(col("text"))), "\\s+"), w => length(w) > 0),
+      w => w.isin(stop.map(lit): _*)))
+    val out = df.select(col("id"),
+        graftWordSetCount(lower(col("text")), stop).as("native"), hof.as("reference"))
+      .collect()
+    out.foreach(r => assert(r.getInt(1) === r.getInt(2), s"id ${r.getLong(0)}"))
+  }
+
   test("graft_shingles == HOF composition on randomized messy text") {
     import spark.implicits._
     import graft.functions.GraftFunctions.graftShingles
