@@ -54,6 +54,22 @@ object CuratePipeline {
         TextAnalysis.tokenCount(col(textCol)).cast("long").as("ws_tokens"),
         TextAnalysis.bpeishTokenCount(col(textCol)).cast("long").as("bpeish_tokens"))
 
+  /** Materialize a curated corpus for training consumption: assign the
+    * deterministic train/valid/test split and write parquet partitioned
+    * by split, clustered so each split lands in contiguous files.
+    * Downstream loaders read `split=train/` with partition pruning —
+    * no filter scan over the full corpus.
+    */
+  def materialize(
+      curated: DataFrame,
+      idCol: String,
+      outDir: String,
+      trainPct: Int = 80,
+      validPct: Int = 10): Unit =
+    TextAnalysis.withSplit(curated, idCol, trainPct, validPct)
+      .repartition(col("split"))
+      .write.mode("overwrite").partitionBy("split").parquet(outDir)
+
   def curate(
       docs: DataFrame,
       textCol: String = "text",

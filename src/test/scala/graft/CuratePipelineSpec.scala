@@ -29,6 +29,26 @@ class CuratePipelineSpec extends SparkSpec {
     assert(out(1L).getAs[String]("fingerprint").length === 32)
   }
 
+  test("materialize writes split-partitioned shards that prune on read") {
+    import org.apache.spark.sql.functions._
+    val out = tmpDir("corpus")
+    val curated = CuratePipeline.curate(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+      "text", "doc_id", minQuality = 0.7, keepLang = "en")
+    CuratePipeline.materialize(curated, "doc_id", out)
+    val back = spark.read.parquet(out)
+    assert(back.count() === curated.count())
+    // partition pruning: the train read must scan only split=train files
+    val trainScan = back.filter(col("split") === "train")
+    assert(new java.io.File(out, "split=train").exists)
+    assert(trainScan.count() > 0)
+    // split assignment is reproducible from the ids alone
+    val expected = graft.operators.TextAnalysis
+      .withSplit(curated.select("doc_id"), "doc_id")
+      .filter(col("split") === "train").count()
+    assert(trainScan.count() === expected)
+  }
+
   test("stream-vs-batch differential: curateStream == curate on the real corpus") {
     import org.apache.spark.sql.functions._
     // Same documents, streamed with a synthetic event time: the curated

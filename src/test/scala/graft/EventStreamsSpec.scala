@@ -166,6 +166,31 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("native top-k aggregate composes with streaming windows") {
+    // graft_topk (a custom TypedImperativeAggregate) inside a streaming
+    // windowed aggregation: per hour, the top-2 events by value must
+    // equal the batch computation over the same data.
+    import graft.functions.GraftFunctions.graftTopK
+    val dir = realEventsDir
+    def topkPlan(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graftTopK(struct(negate(col("value")), col("event_id")),
+        struct(col("event_id"), col("value")), 2).as("top"))
+      .select(col("window.start").as("window_start"), explode(col("top")).as("e"))
+      .select(col("window_start"), col("e.event_id").as("event_id"),
+        col("e.value").as("value"))
+    val q = EventStreams.runToMemory(
+      topkPlan(spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir)),
+      "topk_stream")
+    q.awaitTermination(120000)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSet
+    val streamed = key(spark.table("topk_stream"))
+    val batch = key(topkPlan(spark.read.parquet(dir)))
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("foreachBatch ingest bridge delivers batches") {
     val dir = tmpDir("stream2")
     events.write.mode("overwrite").parquet(dir)
