@@ -553,6 +553,27 @@ object SparkEntry {
         "doc_id", trainPct = 80, validPct = 10)
       .orderBy(col("doc_id"))
 
+  /** The full corpus-production flow under one gate: curate ->
+    * deterministic split -> MATERIALIZE split-partitioned shards ->
+    * read the shards back -> per-split document/token totals. The
+    * read-back means the oracle (curation CTEs + split arithmetic in
+    * SQL) externally verifies what was actually WRITTEN, not just the
+    * in-memory plan — the capstone check on the training-data pipeline.
+    */
+  private val corpusDir = "/root/repo/target/corpus"
+
+  private def corpusShards(s: SparkSession, d: String): DataFrame = {
+    val curated = CuratePipeline.curate(t(s, d, "documents"), "text", "doc_id",
+      minQuality = 0.7, keepLang = "en")
+    CuratePipeline.materialize(curated, "doc_id", corpusDir)
+    s.read.parquet(corpusDir)
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens")).as("total_ws_tokens"),
+        sum(col("bpeish_tokens")).as("total_bpeish_tokens"))
+      .orderBy(col("split"))
+  }
+
   private def textFingerprint(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents").select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fingerprint"))
@@ -750,6 +771,7 @@ object SparkEntry {
     "q_text_scrub" -> (textScrub _),
     "q_sample_split" -> (sampleSplit _),
     "q_curate_docs" -> (curateDocs _),
+    "q_corpus_shards" -> (corpusShards _),
     "q_multimodal_bytes" -> (multimodalBytes _),
     "q_frame_sample" -> (frameSample _),
     "q_multimodal_resize" -> (multimodalResize _),
@@ -792,6 +814,47 @@ object SparkEntry {
        |  FROM b WHERE $hit)
        |SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
   }
+
+  /** The curation pipeline as DuckDB CTEs (mirrors CuratePipeline.curate
+    * stage by stage), shared by the q_curate_docs oracle and the
+    * q_corpus_shards oracle (which composes it with the split
+    * arithmetic). `q` holds the curated rows BEFORE the quality cut.
+    */
+  private def curateOracleCtes: String =
+    s"""base AS (SELECT doc_id, text,
+       |        md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+       |      FROM documents),
+       |dedup AS (SELECT * FROM base
+       |      QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1),
+       |feats AS (SELECT doc_id, fingerprint, text,
+       |        list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> len(x) > 0) AS wsl,
+       |        list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS ws,
+       |        length(text) AS n_chars
+       |      FROM dedup),
+       |sc AS (SELECT *,
+       |        len(list_filter(wsl, x -> x IN (${inList(TextAnalysis.enStop)}))) AS s_en,
+       |        len(list_filter(wsl, x -> x IN (${inList(TextAnalysis.esStop)}))) AS s_es,
+       |        len(list_filter(wsl, x -> x IN (${inList(TextAnalysis.frStop)}))) AS s_fr,
+       |        len(list_filter(wsl, x -> x IN (${inList(TextAnalysis.deStop)}))) AS s_de
+       |      FROM feats),
+       |lang AS (SELECT *,
+       |        CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+       |             WHEN s_de = greatest(s_en, s_es, s_fr, s_de) THEN 'de'
+       |             WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+       |             WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+       |             ELSE 'en' END AS lang_pred
+       |      FROM sc),
+       |q AS (SELECT doc_id, fingerprint, lang_pred,
+       |        round(CAST(
+       |          0.4 * (CASE WHEN n_chars BETWEEN 20 AND 100000 THEN 1.0 ELSE 0.0 END)
+       |        + 0.3 * (CASE WHEN CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+       |                           / greatest(CAST(n_chars AS DOUBLE), 1.0) < 0.2 THEN 1.0 ELSE 0.0 END)
+       |        + 0.3 * (CASE WHEN CAST(s_en AS DOUBLE)
+       |                           / greatest(CAST(len(ws) AS DOUBLE), 1.0) > 0.01 THEN 1.0 ELSE 0.0 END)
+       |        AS DOUBLE), 2) AS quality_score,
+       |        CAST(len(ws) AS BIGINT) AS ws_tokens,
+       |        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpeish_tokens
+       |      FROM lang WHERE lang_pred = 'en')""".stripMargin
 
   /** Oracle for q_embed_neardup: inlines the same deterministic
     * hyperplanes as the Spark plan, recomputes unit vectors, the sign-LSH
@@ -1239,42 +1302,19 @@ object SparkEntry {
         |       ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
     "q_curate_docs" ->
-      s"""WITH base AS (SELECT doc_id, text,
-         |        md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
-         |      FROM documents),
-         |dedup AS (SELECT * FROM base
-         |      QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1),
-         |feats AS (SELECT doc_id, fingerprint, text,
-         |        list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> len(x) > 0) AS wsl,
-         |        list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS ws,
-         |        length(text) AS n_chars
-         |      FROM dedup),
-         |sc AS (SELECT *,
-         |        len(list_filter(wsl, x -> x IN (${inList(TextAnalysis.enStop)}))) AS s_en,
-         |        len(list_filter(wsl, x -> x IN (${inList(TextAnalysis.esStop)}))) AS s_es,
-         |        len(list_filter(wsl, x -> x IN (${inList(TextAnalysis.frStop)}))) AS s_fr,
-         |        len(list_filter(wsl, x -> x IN (${inList(TextAnalysis.deStop)}))) AS s_de
-         |      FROM feats),
-         |lang AS (SELECT *,
-         |        CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
-         |             WHEN s_de = greatest(s_en, s_es, s_fr, s_de) THEN 'de'
-         |             WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
-         |             WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
-         |             ELSE 'en' END AS lang_pred
-         |      FROM sc),
-         |q AS (SELECT doc_id, fingerprint, lang_pred,
-         |        round(CAST(
-         |          0.4 * (CASE WHEN n_chars BETWEEN 20 AND 100000 THEN 1.0 ELSE 0.0 END)
-         |        + 0.3 * (CASE WHEN CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
-         |                           / greatest(CAST(n_chars AS DOUBLE), 1.0) < 0.2 THEN 1.0 ELSE 0.0 END)
-         |        + 0.3 * (CASE WHEN CAST(s_en AS DOUBLE)
-         |                           / greatest(CAST(len(ws) AS DOUBLE), 1.0) > 0.01 THEN 1.0 ELSE 0.0 END)
-         |        AS DOUBLE), 2) AS quality_score,
-         |        CAST(len(ws) AS BIGINT) AS ws_tokens,
-         |        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpeish_tokens
-         |      FROM lang WHERE lang_pred = 'en')
+      s"""WITH $curateOracleCtes
          |SELECT doc_id, fingerprint, lang_pred, quality_score, ws_tokens, bpeish_tokens
          |FROM q WHERE quality_score >= 0.7 ORDER BY doc_id""".stripMargin,
+    "q_corpus_shards" ->
+      s"""WITH $curateOracleCtes,
+         |cur AS (SELECT doc_id, ws_tokens, bpeish_tokens FROM q WHERE quality_score >= 0.7),
+         |h AS (SELECT *, ((doc_id % 2147483647) * 2654435761) % 2147483647 AS y FROM cur),
+         |sp AS (SELECT *, (y * y) % 2147483647 % 100 AS b FROM h)
+         |SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' ELSE 'test' END AS split,
+         |  count(*) AS n_docs,
+         |  sum(ws_tokens) AS total_ws_tokens,
+         |  sum(bpeish_tokens) AS total_bpeish_tokens
+         |FROM sp GROUP BY 1 ORDER BY split""".stripMargin,
     "q_multimodal_bytes" ->
       """SELECT doc_id AS media_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio'
