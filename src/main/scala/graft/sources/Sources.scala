@@ -41,19 +41,48 @@ object IngestSource {
         .csv(path)
       // Spark renames a BLANK header at position i to the placeholder
       // `_ci`, indistinguishable by name from a client column genuinely
-      // called `_c0`. Disambiguate by re-reading just the header line
-      // (header=false + head(): a bounded one-row driver fetch) and
-      // dropping `_ci` only where position i's original header really is
-      // blank — a real `_cN` header survives.
-      val headerRow = spark.read
-        .option("header", "false")
-        .option("inferSchema", "false")
-        .csv(path)
-        .head()
-      val placeholders = headerRow.toSeq.zipWithIndex.collect {
-        case (v, i) if v == null || v.toString.trim.isEmpty => s"_c$i"
-      }.toSet
+      // called `_c0`. Disambiguate by reading just the header LINE
+      // driver-side (Hadoop FS + the same univocity CSV parser Spark
+      // uses, so quoting semantics match) and dropping `_ci` only where
+      // position i's original header really is blank — a real `_cN`
+      // header survives. Falls back to a one-row Spark probe if the
+      // direct read fails (exotic filesystems).
+      val placeholders = blankHeaderPlaceholders(spark, path)
       normalize(raw, placeholders)
+    }
+
+    private def blankHeaderPlaceholders(spark: SparkSession, path: String): Set[String] = {
+      val fields: Array[String] =
+        try {
+          val p = new org.apache.hadoop.fs.Path(path)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val target =
+            if (fs.getFileStatus(p).isDirectory)
+              fs.listStatus(p).filter(_.isFile).map(_.getPath)
+                .filterNot(_.getName.startsWith("_")).sortBy(_.getName).head
+            else p
+          val in = fs.open(target)
+          val line =
+            try new java.io.BufferedReader(
+              new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+              .readLine()
+            finally in.close()
+          if (line == null) Array.empty
+          else {
+            val settings = new com.univocity.parsers.csv.CsvParserSettings
+            settings.setMaxColumns(4096)
+            Option(new com.univocity.parsers.csv.CsvParser(settings).parseLine(line))
+              .getOrElse(Array.empty[String])
+          }
+        } catch {
+          case _: Exception =>
+            // bounded fallback: one-row Spark probe of the raw header line
+            spark.read.option("header", "false").option("inferSchema", "false")
+              .csv(path).head().toSeq.map(v => if (v == null) null else v.toString).toArray
+        }
+      fields.zipWithIndex.collect {
+        case (v, i) if v == null || v.trim.isEmpty => s"_c$i"
+      }.toSet
     }
   }
 
