@@ -67,8 +67,10 @@ object TextAnalysis {
     val t = col(textCol)
     val nChars = length(t)
     val nWords = tokenCount(t)
+    // sum of word lengths == count of non-whitespace chars: one codegen'd
+    // regex instead of an interpreted per-word aggregate HOF
     val meanWordLen = when(nWords > 0,
-      aggregate(words(t), lit(0L), (acc, w) => acc + length(w)).cast("double") / nWords)
+      length(regexp_replace(t, "\\s+", "")).cast("double") / nWords)
       .otherwise(lit(0.0))
     val punct = regexp_count(t, lit("[^A-Za-z0-9\\s]")).cast("double") /
       greatest(nChars.cast("double"), lit(1.0))
