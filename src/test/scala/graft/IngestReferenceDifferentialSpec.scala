@@ -119,4 +119,55 @@ class IngestReferenceDifferentialSpec extends SparkSpec {
       }
     }
   }
+
+  test("random sequences with abort batches: failures commit nothing (seeded)") {
+    // Same differential, but ~1 in 3 batches carries an unparseable strict
+    // boolean: the engine must report failure WITHOUT touching the table
+    // (the reference's transaction rollback), and resume cleanly on the
+    // next good batch.
+    val rnd = new Random(101)
+    val skuPool = Seq("A1", "B2", "C3", "D4")
+    val boolPool = Seq("1", "0", "yes", "no")
+    (1 to 3).foreach { trial =>
+      val store = new ProductStore(spark, tmpDir(s"astore$trial"))
+      val svc = new IngestionService(spark, store, clientId = 1)
+      val state = mutable.ArrayBuffer.empty[SimRow]
+      (1 to 5).foreach { b =>
+        val n = 1 + rnd.nextInt(8)
+        val poison = rnd.nextInt(3) == 0
+        val badAt = if (poison) rnd.nextInt(n) else -1
+        val rows = (0 until n).map { i =>
+          val sku = Some(skuPool(rnd.nextInt(skuPool.length)))
+          val title = Some(s"T${rnd.nextInt(30)}")
+          val active =
+            if (i == badAt) Some(s"bogus${rnd.nextInt(9)}")
+            else if (rnd.nextInt(4) == 0) None
+            else Some(boolPool(rnd.nextInt(boolPool.length)))
+          (sku, title, active)
+        }
+        val fullUpdate = rnd.nextInt(3) == 0
+        val ts = Timestamp.valueOf(f"2024-03-0$b%d 00:00:00")
+        val rep = svc.ingest(cfg, csvFor(rows), fullUpdate, ts)
+        if (poison) {
+          assert(!rep.success, s"trial $trial batch $b must abort")
+          assert(rep.report.nonEmpty, "abort must carry row details")
+          // state NOT simulated: table must equal the pre-batch state
+        } else {
+          assert(rep.success, s"trial $trial batch $b: ${rep.message}")
+          simulate(state, rows, fullUpdate, ts)
+        }
+        val actual = store.read()
+          .collect()
+          .map(r => (Option(r.getAs[String]("sku")),
+            Option(r.getAs[String]("title")),
+            r.getAs[Boolean]("active"),
+            r.getAs[Timestamp]("last_changed_on")))
+          .sortBy(_.toString)
+        val expected = state
+          .map(r => (r.sku, r.title, r.active, r.ts))
+          .sortBy(_.toString)
+        assert(actual.toSeq === expected.toSeq, s"trial $trial after batch $b")
+      }
+    }
+  }
 }
