@@ -335,6 +335,27 @@ object SparkEntry {
       .orderBy(col("user_id"), col("session_seq"))
   }
 
+  /** AS-OF join under the gate: for every click, the user's most recent
+    * purchase at-or-before that click. The right side is deduplicated to
+    * one row per (user, ts) with a deterministic max-event pick, so the
+    * carry-forward window and DuckDB's native ASOF JOIN agree exactly.
+    * Timestamps are compared at microsecond precision on both sides
+    * (the engine's resolution; the oracle floors ns the same way).
+    */
+  private def asofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(struct(col("event_id"), col("value"))).as("m"))
+      .select(col("user_id"), col("ts"),
+        col("m.event_id").as("purchase_id"), col("m.value").as("purchase_value"))
+    AsOfJoin.asOf(clicks, purchases, Seq("user_id"), "ts", "ts",
+        Seq("purchase_id", "purchase_value"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   // ---------------------------------------------------------------- dedup / text
 
   private def dedupExact(s: SparkSession, d: String): DataFrame =
@@ -755,6 +776,7 @@ object SparkEntry {
     "q_events_tumbling" -> (eventsTumbling _),
     "q_events_sliding" -> (eventsSliding _),
     "q_events_session" -> (eventsSession _),
+    "q_asof_join" -> (asofJoin _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_jaccard" -> (dedupJaccard _),
     "q_dedup_minhash" -> (dedupMinhash _),
@@ -1136,6 +1158,20 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
         |FROM sess GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+    "q_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT user_id, event_id, make_timestamp(epoch_us(ts)) AS ts, value
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, make_timestamp(epoch_us(ts)) AS ts,
+        |    max(event_id) AS purchase_id,
+        |    arg_max(value, event_id) AS purchase_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT c.user_id, c.event_id, c.ts, c.value,
+        |  p.purchase_id AS asof_purchase_id,
+        |  p.purchase_value AS asof_purchase_value
+        |FROM clicks c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.user_id, c.event_id""".stripMargin,
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies, text
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** AS-OF join: for every left row, attach the most recent right row (by
+  * time) with `right.ts <= left.ts`, per key — the temporal lookup
+  * ("state as of this event") that Spark has no native operator for.
+  *
+  * Spark-first construction, not a range join: tag both sides, UNION
+  * them, and run ONE carry-forward window per key ordered by
+  * (timestamp, side) with right rows sorting before left rows at equal
+  * timestamps (so a same-instant right row is visible, matching the
+  * `<=` bound). `last(value, ignoreNulls)` over the running frame fills
+  * each left row with the latest preceding right values; left rows are
+  * then filtered back out.
+  *
+  * Scale shape: one shuffle on the key (the window partition), linear
+  * scan within each key — no per-row range probe, no interval
+  * cross-product, and keys are independent (embarrassingly parallel
+  * across a 1000-executor cluster). The classic alternative — a
+  * non-equi range join — degenerates to per-key quadratic work.
+  *
+  * Requirement: `right` must be unique per (keys, rightTsCol); ties
+  * there would be resolved by partition order (nondeterministic).
+  * Deduplicate with a deterministic pick first (see `q_asof_join`).
+  */
+object AsOfJoin {
+
+  def asOf(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTsCol: String,
+      rightTsCol: String,
+      valueCols: Seq[String],
+      prefix: String = "asof_"): DataFrame = {
+    require(keys.nonEmpty, "as-of join requires at least one key column")
+    require(valueCols.nonEmpty, "as-of join requires value columns to carry")
+    val lTagged = left
+      .withColumn("_ats", col(leftTsCol))
+      .withColumn("_side", lit(1))
+    val rTagged = right.select(
+        keys.map(col) ++ Seq(col(rightTsCol).as("_ats")) ++
+          valueCols.map(c => col(c).as(s"$prefix$c")): _*)
+      .withColumn("_side", lit(0))
+    val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_ats"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = valueCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"$prefix$c", last(col(s"$prefix$c"), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("_side") === 1).drop("_ats", "_side")
+  }
+}
