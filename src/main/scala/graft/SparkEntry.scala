@@ -335,6 +335,24 @@ object SparkEntry {
       .orderBy(col("user_id"), col("session_seq"))
   }
 
+  /** Range (interval-containment) join under the gate: every event
+    * matched to the session interval that contains it, via bucket
+    * expansion (equi-join on (user, hour-bucket) + residual containment
+    * filter — never a per-key nested loop). The oracle recomputes the
+    * sessions and joins with a plain BETWEEN, an independent formulation
+    * of the same containment.
+    */
+  private def rangeJoin(s: SparkSession, d: String): DataFrame = {
+    val sessions = eventsSession(s, d)
+      .select(col("user_id"), col("session_seq"),
+        col("session_start"), col("session_end"))
+    val pts = events(s, d).select(col("event_id"), col("user_id"), col("ts"))
+    RangeJoin.intervalJoin(pts, sessions, Seq("user_id"),
+        "ts", "session_start", "session_end", bucketWidthSec = 3600L)
+      .select(col("event_id"), col("user_id"), col("ts"), col("session_seq"))
+      .orderBy(col("event_id"))
+  }
+
   /** AS-OF join under the gate: for every click, the user's most recent
     * purchase at-or-before that click. The right side is deduplicated to
     * one row per (user, ts) with a deterministic max-event pick, so the
@@ -777,6 +795,7 @@ object SparkEntry {
     "q_events_sliding" -> (eventsSliding _),
     "q_events_session" -> (eventsSession _),
     "q_asof_join" -> (asofJoin _),
+    "q_range_join" -> (rangeJoin _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_jaccard" -> (dedupJaccard _),
     "q_dedup_minhash" -> (dedupMinhash _),
@@ -836,6 +855,27 @@ object SparkEntry {
        |  FROM b WHERE $hit)
        |SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
   }
+
+  /** The gaps-and-islands sessionization as DuckDB CTEs, shared by the
+    * q_events_session oracle and the q_range_join oracle (which joins
+    * points into the session intervals with a plain BETWEEN).
+    */
+  private def sessionOracleCtes: String =
+    """seq AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_s
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, ts, value,
+      |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      |  FROM seq),
+      |sessions AS (
+      |  SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end,
+      |    count(*) AS n_events,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+      |  FROM sess GROUP BY user_id, session_seq)""".stripMargin
 
   /** The curation pipeline as DuckDB CTEs (mirrors CuratePipeline.curate
     * stage by stage), shared by the q_curate_docs oracle and the
@@ -1143,21 +1183,18 @@ object SparkEntry {
         |SELECT window_start, event_type, count(*) AS n_events
         |FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
     "q_events_session" ->
-      """WITH seq AS (
-        |  SELECT user_id, ts, event_id, value,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_s
-        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |sess AS (
-        |  SELECT user_id, ts, value,
-        |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
-        |  FROM seq)
-        |SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end,
-        |  count(*) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
-        |FROM sess GROUP BY user_id, session_seq
-        |ORDER BY user_id, session_seq""".stripMargin,
+      s"""WITH $sessionOracleCtes
+         |SELECT user_id, session_seq, session_start, session_end,
+         |  n_events, session_value
+         |FROM sessions ORDER BY user_id, session_seq""".stripMargin,
+    "q_range_join" ->
+      s"""WITH $sessionOracleCtes,
+         |pts AS (SELECT event_id, user_id, ts FROM events)
+         |SELECT p.event_id, p.user_id, p.ts, s.session_seq
+         |FROM pts p JOIN sessions s
+         |  ON p.user_id = s.user_id
+         | AND p.ts BETWEEN s.session_start AND s.session_end
+         |ORDER BY p.event_id""".stripMargin,
     "q_asof_join" ->
       """WITH clicks AS (
         |  SELECT user_id, event_id, make_timestamp(epoch_us(ts)) AS ts, value
