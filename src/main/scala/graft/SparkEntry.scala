@@ -298,6 +298,44 @@ object SparkEntry {
       .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
   }
 
+  private def windowLag(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    t(s, d, "lineitem").filter(col("l_suppkey") <= 2)
+      .select(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+        col("l_linenumber"), col("l_quantity"),
+        lag(col("l_quantity"), 1).over(w).as("prev_qty"),
+        lead(col("l_quantity"), 1).over(w).as("next_qty"))
+      .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+        col("l_linenumber"))
+  }
+
+  /** ROLLUP aggregation: subtotals per (flag, status), per flag, and the
+    * grand total in one pass — grouping-set nulls labeled 'ALL' (the flag
+    * and status domains never contain that value, so labels are
+    * unambiguous and engine-portable).
+    */
+  private def rollupAgg(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sumd(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("sum_qty"), col("n_rows"))
+      .orderBy(col("flag"), col("status"))
+
+  /** PIVOT: line status becomes columns (explicit value list, so the
+    * output schema is static — the scale-safe form; dynamic pivot values
+    * would need a driver-side distinct first).
+    */
+  private def pivotAgg(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(dec(col("l_quantity"))).cast(DoubleType))
+      .na.fill(0.0, Seq("F", "O"))
+      .orderBy(col("l_returnflag"))
+
   // ---------------------------------------------------------------- sources
 
   private def jsonScan(s: SparkSession, d: String): DataFrame =
@@ -790,6 +828,9 @@ object SparkEntry {
     "q_union_tagged" -> (unionTagged _),
     "q_window_topk" -> (windowTopk _),
     "q_window_running" -> (windowRunning _),
+    "q_window_lag" -> (windowLag _),
+    "q_rollup" -> (rollupAgg _),
+    "q_pivot" -> (pivotAgg _),
     "q_json_scan" -> (jsonScan _),
     "q_events_tumbling" -> (eventsTumbling _),
     "q_events_sliding" -> (eventsSliding _),
@@ -1167,6 +1208,28 @@ object SparkEntry {
         |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_qty
         |FROM lineitem WHERE l_suppkey <= 2
         |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin,
+    "q_window_lag" ->
+      """SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_quantity,
+        |  lag(l_quantity, 1) OVER w AS prev_qty,
+        |  lead(l_quantity, 1) OVER w AS next_qty
+        |FROM lineitem WHERE l_suppkey <= 2
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+        |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin,
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |  coalesce(l_linestatus, 'ALL') AS status,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
+    "q_pivot" ->
+      """SELECT l_returnflag,
+        |  CAST(coalesce(SUM(CASE WHEN l_linestatus = 'F'
+        |    THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS F,
+        |  CAST(coalesce(SUM(CASE WHEN l_linestatus = 'O'
+        |    THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS O
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_json_scan" ->
       """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
