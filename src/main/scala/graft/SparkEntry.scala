@@ -336,6 +336,32 @@ object SparkEntry {
       .na.fill(0.0, Seq("F", "O"))
       .orderBy(col("l_returnflag"))
 
+  /** UNPIVOT (wide -> long): numeric part attributes melted to
+    * (key, attribute, value) rows — the reshape feature tables need
+    * before per-attribute aggregation. Pure projection+explode; no
+    * shuffle.
+    */
+  private def unpivotAttrs(s: SparkSession, d: String): DataFrame =
+    t(s, d, "part")
+      .select(col("p_partkey"),
+        col("p_size").cast(DoubleType).as("size"),
+        col("p_retailprice").cast(DoubleType).as("retailprice"))
+      .unpivot(Array(col("p_partkey")), Array(col("size"), col("retailprice")),
+        "attr", "val")
+      .orderBy(col("p_partkey"), col("attr"))
+
+  private def windowNtile(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+    t(s, d, "lineitem").filter(col("l_suppkey") <= 2)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"))
+      .orderBy(col("l_suppkey"), col("l_quantity"), col("l_orderkey"),
+        col("l_linenumber"))
+  }
+
   // ---------------------------------------------------------------- sources
 
   private def jsonScan(s: SparkSession, d: String): DataFrame =
@@ -829,8 +855,10 @@ object SparkEntry {
     "q_window_topk" -> (windowTopk _),
     "q_window_running" -> (windowRunning _),
     "q_window_lag" -> (windowLag _),
+    "q_window_ntile" -> (windowNtile _),
     "q_rollup" -> (rollupAgg _),
     "q_pivot" -> (pivotAgg _),
+    "q_unpivot" -> (unpivotAttrs _),
     "q_json_scan" -> (jsonScan _),
     "q_events_tumbling" -> (eventsTumbling _),
     "q_events_sliding" -> (eventsSliding _),
@@ -1230,6 +1258,19 @@ object SparkEntry {
         |  CAST(coalesce(SUM(CASE WHEN l_linestatus = 'O'
         |    THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS O
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_window_ntile" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+        |  ntile(4) OVER w AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank
+        |FROM lineitem WHERE l_suppkey <= 2
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_quantity, l_orderkey, l_linenumber)
+        |ORDER BY l_suppkey, l_quantity, l_orderkey, l_linenumber""".stripMargin,
+    "q_unpivot" ->
+      """SELECT p_partkey, attr, val FROM (
+        |  SELECT p_partkey, 'size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, 'retailprice' AS attr, CAST(p_retailprice AS DOUBLE) AS val FROM part)
+        |ORDER BY p_partkey, attr""".stripMargin,
     "q_json_scan" ->
       """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
