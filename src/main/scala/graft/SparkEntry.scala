@@ -208,6 +208,26 @@ object SparkEntry {
     s.read.parquet(s"$approxPctDir/result.parquet").orderBy(col("l_returnflag"))
   }
 
+  /** Approximate distinct counts — the HyperLogLog++ twin of
+    * [[groupPercentileApprox]]'s bounded-state story: countDistinct
+    * shuffles every distinct key; the sketch holds kilobytes per group
+    * regardless of cardinality. Same oracle technique: dump the
+    * estimates, let DuckDB emit them only when inside the configured
+    * relative-error envelope of the exact count (rsd 0.02, envelope 3x
+    * for merge slack — HLL++ error is a standard deviation, not a hard
+    * bound).
+    */
+  private val approxDistinctDir = "/root/repo/target/approxdistinct"
+
+  private def approxDistinct(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
+        count(lit(1)).as("n_rows"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$approxDistinctDir/result.parquet")
+    s.read.parquet(s"$approxDistinctDir/result.parquet").orderBy(col("l_returnflag"))
+  }
+
   private def groupAgg(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem")
       .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -845,6 +865,7 @@ object SparkEntry {
     "q_group_agg" -> (groupAgg _),
     "q_group_percentile" -> (groupPercentile _),
     "q_group_percentile_approx" -> (groupPercentileApprox _),
+    "q_approx_distinct" -> (approxDistinct _),
     "q_transform_text" -> (transformText _),
     "q_transform_decimal" -> (transformDecimal _),
     "q_transform_integer" -> (transformInteger _),
@@ -1175,6 +1196,15 @@ object SparkEntry {
          |WHERE e.approx_median_qty BETWEEN b.qlo AND b.qhi
          |  AND e.approx_p90_price BETWEEN b.plo AND b.phi
          |  AND e.n_rows = b.n
+         |ORDER BY e.l_returnflag""".stripMargin,
+    "q_approx_distinct" ->
+      s"""WITH est AS (SELECT * FROM read_parquet('$approxDistinctDir/result.parquet/*.parquet')),
+         |ex AS (SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+         |         count(*) AS n FROM lineitem GROUP BY 1)
+         |SELECT e.l_returnflag, e.approx_parts, e.n_rows
+         |FROM est e JOIN ex ON e.l_returnflag = ex.l_returnflag
+         |WHERE abs(e.approx_parts - ex.exact_parts) <= 0.06 * ex.exact_parts
+         |  AND e.n_rows = ex.n
          |ORDER BY e.l_returnflag""".stripMargin,
     "q_group_agg" ->
       """SELECT l_returnflag, l_linestatus,
