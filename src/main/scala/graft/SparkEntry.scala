@@ -166,15 +166,20 @@ object SparkEntry {
     * scale, a reducer-memory hazard at 100 TB. The scale path is
     * [[groupPercentileApprox]] (Greenwald-Khanna sketch, state bounded by
     * the accuracy parameter regardless of input size); keep the exact
-    * variant for bounded-cardinality domains (e.g. prices quantized to
-    * cents), where the count map is domain-bounded.
+    * variant for bounded-cardinality domains, where the count map is
+    * domain-bounded: here the raw `l_quantity` (50 distinct values) and
+    * `l_extendedprice` quantized to whole dollars (domain bounded by the
+    * price range, not the row count — the map stops growing once every
+    * dollar value has been seen). The un-quantized continuous column is
+    * served by [[groupPercentileApprox]] only.
     */
   private def groupPercentile(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
         round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
+        round(expr("percentile(floor(l_extendedprice), 0.9)"), 4)
+          .as("p90_price_dollar"),
         count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag"))
 
@@ -193,7 +198,21 @@ object SparkEntry {
     * estimate lands inside the envelope. An out-of-bound estimate drops
     * the row -> row-count mismatch -> red.
     */
-  private val approxPctDir = "/root/repo/target/approxpct"
+  /** Root for artifacts the dump-and-verify queries WRITE during
+    * construction (approx sketches, LSH pair dumps, IVF probes, corpus
+    * shards, e2e fixtures). Per-process unique (pid suffix) so concurrent
+    * verify/bench runs can't cross-read each other's scale factor;
+    * overridable via SPARK_GRAFT_ARTIFACT_DIR for externally-managed runs.
+    * The matching oracle SQL interpolates the same value, and Verify dumps
+    * oracle_sql.json in the same JVM, so the paths always agree within a
+    * run. Note: these queries run an eager write job at construction time
+    * (the oracle verifies what was WRITTEN) — `explain` on them executes.
+    */
+  private lazy val artifactRoot: String =
+    sys.env.getOrElse("SPARK_GRAFT_ARTIFACT_DIR",
+      s"${System.getProperty("java.io.tmpdir")}/graft-artifacts-${ProcessHandle.current().pid()}")
+
+  private lazy val approxPctDir = s"$artifactRoot/approxpct"
 
   private def groupPercentileApprox(s: SparkSession, d: String): DataFrame = {
     t(s, d, "lineitem")
@@ -217,7 +236,7 @@ object SparkEntry {
     * for merge slack — HLL++ error is a standard deviation, not a hard
     * bound).
     */
-  private val approxDistinctDir = "/root/repo/target/approxdistinct"
+  private lazy val approxDistinctDir = s"$artifactRoot/approxdistinct"
 
   private def approxDistinct(s: SparkSession, d: String): DataFrame = {
     t(s, d, "lineitem")
@@ -506,7 +525,7 @@ object SparkEntry {
     * r=2: survival at the 0.8 verify threshold is 1-(1-0.64)^32) and the
     * capped variant's complete oracle.
     */
-  private val lshFullDir = "/root/repo/target/lshfull"
+  private lazy val lshFullDir = s"$artifactRoot/lshfull"
 
   private def dedupLshFull(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
@@ -574,7 +593,7 @@ object SparkEntry {
     * (2 v.c - ||c||^2, sequential sums) — bitwise-equal scores, so the
     * approximate result set is exactly checkable, like q_embed_ann_lsh.
     */
-  private val ivfDir = "/root/repo/target/ivf"
+  private lazy val ivfDir = s"$artifactRoot/ivf"
 
   private def embedIvf(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -683,7 +702,7 @@ object SparkEntry {
     * SQL) externally verifies what was actually WRITTEN, not just the
     * in-memory plan — the capstone check on the training-data pipeline.
     */
-  private val corpusDir = "/root/repo/target/corpus"
+  private lazy val corpusDir = s"$artifactRoot/corpus"
 
   private def corpusShards(s: SparkSession, d: String): DataFrame = {
     val curated = CuratePipeline.curate(t(s, d, "documents"), "text", "doc_id",
@@ -707,7 +726,7 @@ object SparkEntry {
   /** Directory the end-to-end ingest fixtures + store live under; the
     * oracle SQL reads the same CSVs back with DuckDB read_csv.
     */
-  private val e2eDir = "/root/repo/target/e2e"
+  private lazy val e2eDir = s"$artifactRoot/e2e"
 
   private val e2eBatch1 =
     """sku,title,active,price
@@ -1179,7 +1198,7 @@ object SparkEntry {
     "q_group_percentile" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
-        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+        |  round(quantile_cont(floor(l_extendedprice), 0.9), 4) AS p90_price_dollar,
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_group_percentile_approx" ->
@@ -1519,8 +1538,8 @@ object SparkEntry {
          |sp AS (SELECT *, (y * y) % 2147483647 % 100 AS b FROM h)
          |SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' ELSE 'test' END AS split,
          |  count(*) AS n_docs,
-         |  sum(ws_tokens) AS total_ws_tokens,
-         |  sum(bpeish_tokens) AS total_bpeish_tokens
+         |  CAST(sum(ws_tokens) AS BIGINT) AS total_ws_tokens,
+         |  CAST(sum(bpeish_tokens) AS BIGINT) AS total_bpeish_tokens
          |FROM sp GROUP BY 1 ORDER BY split""".stripMargin,
     "q_multimodal_bytes" ->
       """SELECT doc_id AS media_id,
