@@ -12,9 +12,14 @@ import org.apache.spark.sql.functions._
   * them, and run ONE carry-forward window per key ordered by
   * (timestamp, side) with right rows sorting before left rows at equal
   * timestamps (so a same-instant right row is visible, matching the
-  * `<=` bound). `last(value, ignoreNulls)` over the running frame fills
-  * each left row with the latest preceding right values; left rows are
-  * then filtered back out.
+  * `<=` bound). All value columns are packed into ONE struct per right
+  * row and `last(struct, ignoreNulls)` over the running frame fills each
+  * left row with the latest preceding right ROW as a unit; left rows are
+  * then filtered back out and the struct unpacked. Carrying the struct —
+  * not each column independently — is what gives true AS-OF semantics
+  * for nullable values: a NULL field in the most-recent right row stays
+  * NULL instead of being back-filled from an older right row, and every
+  * output column is guaranteed to come from the same right row.
   *
   * Scale shape: one shuffle on the key (the window partition), linear
   * scan within each key — no per-row range probe, no interval
@@ -42,16 +47,21 @@ object AsOfJoin {
       .withColumn("_ats", col(leftTsCol))
       .withColumn("_side", lit(1))
     val rTagged = right.select(
-        keys.map(col) ++ Seq(col(rightTsCol).as("_ats")) ++
-          valueCols.map(c => col(c).as(s"$prefix$c")): _*)
+        keys.map(col) ++ Seq(col(rightTsCol).as("_ats"),
+          struct(valueCols.map(col): _*).as("_aval")): _*)
       .withColumn("_side", lit(0))
     val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_ats"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = valueCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"$prefix$c", last(col(s"$prefix$c"), ignoreNulls = true).over(w))
+    // _aval is null on left rows (missing column in the union), non-null
+    // on every right row — ignoreNulls therefore means "latest right row",
+    // never "latest non-null value per column".
+    val filled = unioned
+      .withColumn("_aval", last(col("_aval"), ignoreNulls = true).over(w))
+    val unpacked = valueCols.foldLeft(filled) { (df, c) =>
+      df.withColumn(s"$prefix$c", col("_aval").getField(c))
     }
-    filled.filter(col("_side") === 1).drop("_ats", "_side")
+    unpacked.filter(col("_side") === 1).drop("_ats", "_side", "_aval")
   }
 }

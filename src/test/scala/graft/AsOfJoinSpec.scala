@@ -38,6 +38,27 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out("t5") === None)
   }
 
+  test("NULL fields in the matched right row stay NULL (no back-fill from older rows)") {
+    import spark.implicits._
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Some(100.0), Some("nyse")),
+      (1L, ts("2024-01-01 10:05:00"), None, Some("arca")), // px NULL here
+      (1L, ts("2024-01-01 10:10:00"), Some(102.0), None)   // venue NULL here
+    ).toDF("k", "qts", "px", "venue")
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:06:00"), "a"), // matches 10:05 -> px NULL, venue arca
+      (1L, ts("2024-01-01 10:11:00"), "b")  // matches 10:10 -> px 102, venue NULL
+    ).toDF("k", "tts", "tag")
+    val out = AsOfJoin.asOf(trades, quotes, Seq("k"), "tts", "qts", Seq("px", "venue"))
+      .collect()
+      .map(r => r.getAs[String]("tag") ->
+        ((Option(r.getAs[Any]("asof_px")), Option(r.getAs[String]("asof_venue")))))
+      .toMap
+    // per-column carry-forward would wrongly give a -> (100.0, arca), b -> (102.0, arca)
+    assert(out("a") === ((None, Some("arca"))))
+    assert(out("b") === ((Some(102.0), None)))
+  }
+
   test("differential vs per-row scan on random data (seeded)") {
     import spark.implicits._
     val rnd = new scala.util.Random(19)
