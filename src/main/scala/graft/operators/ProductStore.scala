@@ -4,7 +4,8 @@ import graft.ProductSchema
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.channels.FileChannel
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
 import scala.util.Try
 
 /** Parquet-backed product table with atomic overwrite.
@@ -35,11 +36,44 @@ import scala.util.Try
   * byte-identical). On a real deployment this store is the place to swap
   * in a table format with MERGE and a transaction log (Delta/Iceberg) —
   * the operator semantics above it do not change.
+  *
+  * Concurrency: every version BUILD that derives from CURRENT (partition
+  * replace, append) plus the publish itself runs under a per-root write
+  * lock — a JVM monitor nested inside an OS file lock, so both threads in
+  * one process and separate processes serialize. Without it, two
+  * concurrent tenant ingests would each link the SAME starting version
+  * and the second publish would silently drop the first tenant's
+  * just-committed partition (the reference gets this serialization for
+  * free from Postgres transactions). The expensive Spark staging write
+  * stays OUTSIDE the lock; only the link-and-publish section (driver-side
+  * metadata work, milliseconds) is serialized, so tenant ingests still
+  * overlap on the cluster.
   */
 class ProductStore(spark: SparkSession, root: String, keepVersions: Int = 3) {
 
   private val currentPtr = Paths.get(root, "CURRENT")
   private val versionsDir = Paths.get(root, "versions")
+
+  /** Serialize read-CURRENT -> build-version -> publish. The JVM monitor
+    * (per canonical root) orders threads in this process; the OS file
+    * lock ([[FileChannel#lock]] blocks until acquired) orders separate
+    * writer processes. The monitor must wrap the file lock: the JVM
+    * throws OverlappingFileLockException instead of queueing when two
+    * threads of one process lock the same file.
+    */
+  private def withWriteLock[T](body: => T): T = {
+    val monitor = ProductStore.jvmLocks.computeIfAbsent(
+      Paths.get(root).toAbsolutePath.normalize.toString, _ => new Object)
+    monitor.synchronized {
+      Files.createDirectories(Paths.get(root))
+      val ch = FileChannel.open(Paths.get(root, "_write.lock"),
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      try {
+        val lk = ch.lock()
+        try body finally lk.release()
+      } finally ch.close()
+    }
+  }
 
   def exists: Boolean = currentVersion.isDefined
 
@@ -74,7 +108,7 @@ class ProductStore(spark: SparkSession, root: String, keepVersions: Int = 3) {
       .mode(SaveMode.Overwrite)
       .partitionBy("client_id")
       .parquet(versionsDir.resolve(name).toString)
-    publish(name)
+    withWriteLock(publish(name))
   }
 
   /** Replace ONLY `client_id=clientId`'s partition with the given rows
@@ -120,18 +154,20 @@ class ProductStore(spark: SparkSession, root: String, keepVersions: Int = 3) {
       .mode(SaveMode.Overwrite)
       .partitionBy("client_id")
       .parquet(tmp.toString)
-    val name = newVersionName()
-    val target = versionsDir.resolve(name)
-    currentVersion.foreach(cur => linkTree(cur, target))
-    mergeMove(tmp, target)
-    publish(name)
+    withWriteLock {
+      val name = newVersionName()
+      val target = versionsDir.resolve(name)
+      currentVersion.foreach(cur => linkTree(cur, target))
+      mergeMove(tmp, target)
+      publish(name)
+    }
     Try(deleteRecursively(tmp))
   }
 
   /** Build a new version that equals the current one except for `part`,
     * which is replaced by `src` (or dropped when None), then publish.
     */
-  private def replacePartition(part: String, src: Option[Path]): Unit = {
+  private def replacePartition(part: String, src: Option[Path]): Unit = withWriteLock {
     val name = newVersionName()
     val target = versionsDir.resolve(name)
     Files.createDirectories(target)
@@ -217,4 +253,11 @@ class ProductStore(spark: SparkSession, root: String, keepVersions: Int = 3) {
       Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
     }
   }
+}
+
+object ProductStore {
+  /** One monitor per canonical store root, shared by all ProductStore
+    * instances in this JVM (see [[ProductStore#withWriteLock]]).
+    */
+  private val jvmLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
 }

@@ -214,6 +214,36 @@ class IngestionServiceSpec extends SparkSpec {
     assert(minSeen.get() >= 1L, s"reader observed ${minSeen.get()} rows mid-publish")
   }
 
+  test("concurrent tenant writers don't lose each other's publishes") {
+    // Every partition replace derives a new version from CURRENT; without
+    // the write lock two concurrent ingests link the SAME starting
+    // version and the second publish silently drops the first tenant's
+    // partition. Four tenants ingesting simultaneously for several rounds
+    // must all survive with their latest batch.
+    import java.util.concurrent.atomic.AtomicReference
+    import spark.implicits._
+    val store = new ProductStore(spark, tmpDir("store"), keepVersions = 100)
+    val clients = 1 to 4
+    val failure = new AtomicReference[Throwable](null)
+    val threads = clients.map { c =>
+      new Thread(() => {
+        try (1 to 3).foreach { round =>
+          val df = Seq((c, s"sku-$c", s"C$c round $round"))
+            .toDF("client_id", "sku", "title")
+          store.overwriteClientAtomic(c, df)
+        } catch { case t: Throwable => failure.compareAndSet(null, t) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    assert(failure.get() == null, s"writer failed: ${failure.get()}")
+    clients.foreach { c =>
+      val rows = store.readClient(c).collect()
+      assert(rows.length === 1, s"client $c lost its partition")
+      assert(rows.head.getAs[String]("title") === s"C$c round 3")
+    }
+  }
+
   test("versioned store GC keeps the retention count and the live version") {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
