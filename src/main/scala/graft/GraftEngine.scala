@@ -1,7 +1,9 @@
 package graft
 
 import graft.operators.{CatalogQueries, IngestionReport, IngestionService, ParserConfig, ProductStore}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import java.sql.Timestamp
 
@@ -32,12 +34,30 @@ class GraftEngine(val spark: SparkSession, storeRoot: String) {
     new IngestionService(spark, store, clientId)
       .ingest(ParserConfig.fromJson(parserConfigJson), dataPath, fullUpdate, batchTs)
 
+  /** `decimalAsFloat = true` reproduces the reference's API boundary:
+    * its response model declares the money columns as `float`
+    * (web/api/products.py:27-29), so Postgres NUMERIC(12,2) is coerced
+    * to double on the way out. The engine keeps DecimalType(12,2)
+    * end-to-end internally (exact money math on executors) and re-types
+    * only here, at the same seam the reference does — off by default
+    * because exact decimals are the better contract when the caller
+    * isn't a float-typed wire format.
+    */
   def listProducts(
       clientId: Int,
       query: Option[String] = None,
       offset: Int = 0,
-      limit: Int = CatalogQueries.DefaultLimit): DataFrame =
-    CatalogQueries.list(store.readClient(clientId), clientId, query, offset, limit)
+      limit: Int = CatalogQueries.DefaultLimit,
+      decimalAsFloat: Boolean = false): DataFrame = {
+    val out = CatalogQueries.list(store.readClient(clientId), clientId, query, offset, limit)
+    if (!decimalAsFloat) out
+    else out.select(out.schema.fields.map { f =>
+      (f.dataType match {
+        case _: DecimalType => col(f.name).cast(DoubleType)
+        case _              => col(f.name)
+      }).as(f.name): Column
+    }.toSeq: _*)
+  }
 }
 
 object GraftEngine {

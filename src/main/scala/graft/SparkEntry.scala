@@ -375,6 +375,19 @@ object SparkEntry {
       .na.fill(0.0, Seq("F", "O"))
       .orderBy(col("l_returnflag"))
 
+  /** Dynamic PIVOT: order status values become columns, discovered from
+    * the data by [[Reshape.pivotDynamic]] under its hard cap (here 10 —
+    * the guard a dynamic pivot must have before it is allowed near a
+    * 100 TB column). The oracle can still be static SQL because the
+    * discovered set is the data's actual domain {F, O, P}.
+    */
+  private def pivotDynamicAgg(s: SparkSession, d: String): DataFrame =
+    Reshape.pivotDynamic(
+        t(s, d, "orders"), Seq("o_orderpriority"), "o_orderstatus",
+        count(lit(1)), maxValues = 10)
+      .na.fill(0L, Seq("F", "O", "P"))
+      .orderBy(col("o_orderpriority"))
+
   /** UNPIVOT (wide -> long): numeric part attributes melted to
     * (key, attribute, value) rows — the reshape feature tables need
     * before per-attribute aggregation. Pure projection+explode; no
@@ -898,6 +911,7 @@ object SparkEntry {
     "q_window_ntile" -> (windowNtile _),
     "q_rollup" -> (rollupAgg _),
     "q_pivot" -> (pivotAgg _),
+    "q_pivot_dynamic" -> (pivotDynamicAgg _),
     "q_unpivot" -> (unpivotAttrs _),
     "q_json_scan" -> (jsonScan _),
     "q_events_tumbling" -> (eventsTumbling _),
@@ -1307,6 +1321,12 @@ object SparkEntry {
         |  CAST(coalesce(SUM(CASE WHEN l_linestatus = 'O'
         |    THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS O
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_pivot_dynamic" ->
+      """SELECT o_orderpriority,
+        |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F,
+        |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O,
+        |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_window_ntile" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
         |  ntile(4) OVER w AS quartile,

@@ -49,6 +49,27 @@ class GraftEngineSpec extends SparkSpec {
     assert(a1.getAs[Boolean]("active")) // untouched by the partial update
   }
 
+  test("decimalAsFloat re-types money columns at the API boundary only") {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val engine = new GraftEngine(spark, tmpDir("engine"))
+    val dir = tmpDir("upload")
+    val p = writeText(dir, "upload.csv",
+      """sku,title,active,price
+        |A1,Widget,1,$10.10
+        |""".stripMargin)
+    assert(engine.ingest(clientId = 7, cfgJson, p).success)
+    val exact = engine.listProducts(7, limit = 10)
+    val floaty = engine.listProducts(7, limit = 10, decimalAsFloat = true)
+    assert(exact.schema("max_price").dataType === DecimalType(12, 2))
+    assert(floaty.schema("max_price").dataType === DoubleType)
+    // same value, same column names, only the type differs (the
+    // reference's response model declares prices as float)
+    assert(floaty.schema.fieldNames === exact.schema.fieldNames)
+    assert(floaty.collect().head.getAs[Double]("max_price") === 10.10)
+    assert(exact.collect().head.getAs[java.math.BigDecimal]("max_price")
+      .compareTo(new java.math.BigDecimal("10.10")) === 0)
+  }
+
   test("a bad strict value aborts through the facade, nothing committed") {
     val engine = new GraftEngine(spark, tmpDir("engine"))
     val dir = tmpDir("upload")

@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Bench regression gate — encodes BASELINE.md's acceptance bound so a
+slow round fails loudly instead of relying on manual table reads.
+
+  check_bench.py <bench.json> [prev_bench.json]
+
+Gates (nonzero exit on breach):
+  1. zero per-query errors in the run;
+  2. analytic total (the "queries" map; "fixtures" reported separately)
+     within 2x of the 32.67 s round-1 anchor (BASELINE.md contract);
+  3. with a previous round's file: no single query above 2x its previous
+     time (hard fail); >1.3x is printed as a warning only — BASELINE.md
+     documents ~8% box variance, and sub-1.3x single-query deltas are
+     noise at sf0.1.
+New queries (absent from prev) are listed, never failed.
+"""
+import json
+import sys
+
+ANCHOR_TOTAL_SEC = 32.67  # BENCH_r01.json total, see BASELINE.md
+TOTAL_BOUND = 2.0
+PER_QUERY_BOUND = 2.0
+PER_QUERY_WARN = 1.3
+
+
+def main():
+    if len(sys.argv) < 2:
+        print(__doc__)
+        return 2
+    def load(path):
+        # Accept either the raw Bench JSON line or the driver's BENCH_rN.json
+        # wrapper, whose "tail" field embeds that line in captured stdout.
+        d = json.load(open(path))
+        if "queries" not in d and "tail" in d:
+            for line in d["tail"].splitlines():
+                i = line.find('{"metric"')
+                if i >= 0:
+                    return json.loads(line[i:])
+            raise ValueError(f"no bench JSON line found in {path}")
+        return d
+
+    cur = load(sys.argv[1])
+    prev = load(sys.argv[2]) if len(sys.argv) > 2 else None
+    failures = []
+
+    errs = cur.get("errors") or {}
+    if errs:
+        failures.append(f"{len(errs)} queries errored: {sorted(errs)}")
+
+    queries = cur.get("queries") or {}
+    total = sum(queries.values())
+    ratio = total / ANCHOR_TOTAL_SEC
+    status = "OK" if ratio <= TOTAL_BOUND else "FAIL"
+    print(f"total: {total:.2f}s over {len(queries)} queries = "
+          f"{ratio:.2f}x of {ANCHOR_TOTAL_SEC}s anchor "
+          f"(bound {TOTAL_BOUND}x) {status}")
+    if ratio > TOTAL_BOUND:
+        failures.append(f"total {total:.2f}s breaches {TOTAL_BOUND}x anchor")
+
+    if prev is not None:
+        pq = prev.get("queries") or {}
+        new = sorted(set(queries) - set(pq))
+        if new:
+            print(f"new queries (no prior time): {', '.join(new)}")
+        for name in sorted(set(queries) & set(pq)):
+            if pq[name] <= 0:
+                continue
+            r = queries[name] / pq[name]
+            if r > PER_QUERY_BOUND:
+                failures.append(
+                    f"{name}: {queries[name]:.2f}s = {r:.2f}x of previous "
+                    f"{pq[name]:.2f}s (bound {PER_QUERY_BOUND}x)")
+            elif r > PER_QUERY_WARN:
+                print(f"warn: {name} {pq[name]:.2f}s -> {queries[name]:.2f}s "
+                      f"({r:.2f}x)")
+
+    if failures:
+        print("\nBENCH GATE FAILED:")
+        for f in failures:
+            print(f"  - {f}")
+        return 1
+    print("bench gate passed")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
