@@ -21,9 +21,14 @@ import java.sql.Timestamp
   * tenancy survives as the mandatory `clientId` argument, which is the
   * analytically meaningful part.
   */
-class GraftEngine(val spark: SparkSession, storeRoot: String) {
+class GraftEngine(val spark: SparkSession, val store: operators.ProductBackend) {
 
-  val store = new ProductStore(spark, storeRoot)
+  /** Default backend: the versioned parquet store rooted at `storeRoot`.
+    * Pass a [[operators.JdbcProductStore]] instead to run against the
+    * reference's storage shape (a JDBC database).
+    */
+  def this(spark: SparkSession, storeRoot: String) =
+    this(spark, new ProductStore(spark, storeRoot))
 
   def ingest(
       clientId: Int,

@@ -573,6 +573,28 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** SimHash near-dup over the FULL documents table — the twin of
+    * [[dedupLshFull]], closing the gap where sub-quadratic SimHash was
+    * only demonstrated on the 300-doc slice. Same containment oracle:
+    * dump the verified pairs, recompute the exact bag Jaccard in DuckDB
+    * for ONLY those pairs (O(pairs), no all-pairs), emit a row when the
+    * recomputed metric clears the threshold AND equals the stored value.
+    * Completeness for the Hamming<=6 radius is the multi-block
+    * pigeonhole argument on [[dedupSimhash]]'s complete 300-doc oracle;
+    * runtime vs that slice (see BENCH) is the sub-quadratic evidence —
+    * 16x the documents for far less than 256x the time.
+    */
+  private lazy val simhashFullDir = s"$artifactRoot/simhashfull"
+
+  private def dedupSimhashFull(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val cands = Dedup.simHashNearDup(docs, "text", "doc_id",
+      maxHamming = 6, pieces = 8)
+    Dedup.exactBagJaccard(cands, docs, "text", "doc_id", minJaccard = 0.8)
+      .coalesce(1).write.mode("overwrite").parquet(s"$simhashFullDir/pairs.parquet")
+    s.read.parquet(s"$simhashFullDir/pairs.parquet").orderBy(col("id_a"), col("id_b"))
+  }
+
   private def embedTopk(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")
     val qv = emb.filter(col("vec_id") === 0)
@@ -924,6 +946,7 @@ object SparkEntry {
     "q_dedup_minhash" -> (dedupMinhash _),
     "q_dedup_lsh_full" -> (dedupLshFull _),
     "q_dedup_simhash" -> (dedupSimhash _),
+    "q_dedup_simhash_full" -> (dedupSimhashFull _),
     "q_embed_topk" -> (embedTopk _),
     "q_embed_ann_lsh" -> (embedAnnLsh _),
     "q_embed_ivf" -> (embedIvf _),
@@ -1459,6 +1482,29 @@ object SparkEntry {
         |JOIN tot tb ON tb.doc_id = id_b
         |WHERE CAST(ni AS DOUBLE) / (ta.n + tb.n - ni) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_simhash_full" ->
+      s"""WITH pairs AS (SELECT * FROM read_parquet('$simhashFullDir/pairs.parquet/*.parquet')),
+         |ids AS (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs),
+         |docs AS (SELECT doc_id, text FROM documents WHERE doc_id IN (SELECT id FROM ids)),
+         |w AS (SELECT doc_id,
+         |        unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0)) AS word
+         |      FROM docs),
+         |cnt AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2),
+         |tot AS (SELECT doc_id, sum(c) AS n FROM cnt GROUP BY 1),
+         |inter AS (SELECT p.id_a, p.id_b, sum(least(a.c, b.c)) AS ni
+         |          FROM pairs p
+         |          JOIN cnt a ON a.doc_id = p.id_a
+         |          JOIN cnt b ON b.doc_id = p.id_b AND b.word = a.word
+         |          GROUP BY 1, 2),
+         |checked AS (SELECT p.id_a, p.id_b, p.bag_jaccard,
+         |          CAST(i.ni AS DOUBLE) / (ta.n + tb.n - i.ni) AS recomputed
+         |          FROM pairs p
+         |          JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+         |          JOIN tot ta ON ta.doc_id = p.id_a
+         |          JOIN tot tb ON tb.doc_id = p.id_b)
+         |SELECT id_a, id_b, bag_jaccard FROM checked
+         |WHERE recomputed >= 0.8 AND recomputed = bag_jaccard
+         |ORDER BY id_a, id_b""".stripMargin,
     "q_embed_ann_lsh" -> annLshOracle,
     "q_embed_neardup" -> embedNearDupOracle,
     "q_embed_ivf" ->

@@ -46,7 +46,7 @@ object IngestionService {
   *    skus end active (:321-339); default mode never deactivates (:341-359);
   *  - one unparseable strict value fails the whole batch, nothing committed.
   */
-class IngestionService(spark: SparkSession, store: ProductStore, clientId: Int) {
+class IngestionService(spark: SparkSession, store: ProductBackend, clientId: Int) {
 
   def ingest(
       cfg: ParserConfig,

@@ -1,0 +1,222 @@
+package graft.operators
+
+import graft.ProductSchema
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import org.apache.spark.sql.jdbc.{JdbcDialect, JdbcDialects, JdbcType}
+import org.apache.spark.sql.types.StringType
+
+import java.sql.{Connection, DriverManager, Types}
+import java.util.Properties
+import scala.util.Try
+
+/** JDBC-backed product table — the reference's real storage shape
+  * (Postgres via SQLAlchemy, db/models.py:34-50, default_settings.py:1-8)
+  * behind the same [[ProductBackend]] contract as the parquet store.
+  *
+  * Reads go through `spark.read.jdbc`; `readClient`'s tenant filter is
+  * pushed into the database as a WHERE clause (visible as PushedFilters
+  * in the scan). Large-table reads can parallelize with
+  * [[readPartitioned]], which splits the scan into `numPartitions` range
+  * queries on a numeric column — the JDBC equivalent of parquet's
+  * splittable files (a single-partition JDBC read funnels the whole
+  * table through one task).
+  *
+  * Writes stage through Spark, then commit with ONE database transaction
+  * (the same place the reference gets its all-or-nothing guarantee,
+  * ingestion/service.py:56-64):
+  *
+  *   1. executors write the batch to a staging table (parallel INSERTs,
+  *      schema forced to the reference DDL's VARCHAR(n) types);
+  *   2. the driver runs DELETE target-rows + INSERT..SELECT FROM staging
+  *      inside a single transaction and commits — readers see the old
+  *      tenant state or the new one, never both, and concurrent tenant
+  *      ingests serialize on the database's own locks (no lost updates);
+  *   3. the staging table is dropped.
+  *
+  * An empty staged batch ABORTS (same contract as the parquet store): a
+  * batch with no rows for the client must not silently truncate the
+  * tenant. Explicit truncation is [[truncateClient]].
+  *
+  * Tested against embedded Derby (`jdbc:derby:memory:...`); the URL/
+  * properties are standard `spark.read.jdbc` arguments, so a Postgres
+  * deployment only changes the connection string.
+  */
+object JdbcProductStore {
+
+  /** Spark's built-in Derby dialect maps StringType to CLOB, which makes
+    * the writer call `setNull(pos, Types.CLOB)` for null string values —
+    * Derby then refuses the CLOB→VARCHAR conversion into our reference-DDL
+    * VARCHAR(n) columns (ERROR 22005). Registering this partial dialect
+    * ahead of the built-in one (Spark aggregates matching dialects,
+    * first Some wins) pins StringType to VARCHAR; every other type falls
+    * through to the stock Derby mappings.
+    */
+  private object DerbyVarcharDialect extends JdbcDialect {
+    override def canHandle(url: String): Boolean = url.startsWith("jdbc:derby")
+    override def getJDBCType(dt: org.apache.spark.sql.types.DataType): Option[JdbcType] =
+      dt match {
+        case StringType => Some(JdbcType("VARCHAR(255)", Types.VARCHAR))
+        case _ => None
+      }
+  }
+
+  @volatile private var dialectRegistered = false
+
+  private[operators] def ensureDerbyDialect(): Unit =
+    if (!dialectRegistered) synchronized {
+      if (!dialectRegistered) {
+        JdbcDialects.registerDialect(DerbyVarcharDialect)
+        dialectRegistered = true
+      }
+    }
+}
+
+class JdbcProductStore(
+    spark: SparkSession,
+    url: String,
+    table: String = "client_products",
+    props: Properties = new Properties()) extends ProductBackend {
+
+  if (url.startsWith("jdbc:derby")) JdbcProductStore.ensureDerbyDialect()
+
+  /** Reference DDL column types (001_up_init.sql:22-36) for tables Spark
+    * creates: without this, Spark's Derby dialect maps StringType to
+    * CLOB, which can't be compared or inserted into the VARCHAR target.
+    */
+  private val columnTypes =
+    "sku VARCHAR(100), remote_id VARCHAR(100), brand VARCHAR(100), " +
+      "title VARCHAR(255)"
+
+  /** Spark's JDBC writer quotes column identifiers (so the staging table
+    * gets case-sensitive lowercase names); quote ours the same way or the
+    * driver-side INSERT..SELECT can't resolve columns across the two.
+    */
+  private def q(name: String): String = "\"" + name + "\""
+
+  private val createDdl =
+    s"""CREATE TABLE $table (
+       |  ${q("client_id")} INTEGER NOT NULL,
+       |  ${q("sku")} VARCHAR(100),
+       |  ${q("remote_id")} VARCHAR(100),
+       |  ${q("brand")} VARCHAR(100),
+       |  ${q("title")} VARCHAR(255),
+       |  ${q("last_changed_on")} TIMESTAMP,
+       |  ${q("stock_quantity")} INTEGER,
+       |  ${q("active")} BOOLEAN,
+       |  ${q("max_price")} DECIMAL(12,2),
+       |  ${q("min_price")} DECIMAL(12,2),
+       |  ${q("reference_price")} DECIMAL(12,2)
+       |)""".stripMargin
+
+  ensureTable() // after the DDL vals above — class body runs in order
+
+  private def withConnection[T](body: Connection => T): T = {
+    val conn = DriverManager.getConnection(url, props)
+    try body(conn) finally conn.close()
+  }
+
+  private def tableExists(conn: Connection, name: String): Boolean = {
+    val rs = conn.getMetaData.getTables(null, null, name.toUpperCase, null)
+    try rs.next() finally rs.close()
+  }
+
+  private def ensureTable(): Unit = withConnection { conn =>
+    if (!tableExists(conn, table)) {
+      val st = conn.createStatement()
+      try st.executeUpdate(createDdl) finally st.close()
+    }
+  }
+
+  def exists: Boolean = withConnection(tableExists(_, table))
+
+  /** Databases report their own identifier case (Derby upper-cases); alias
+    * back to the canonical schema names so downstream operators and
+    * `Row.getAs` (case-sensitive) see the same columns as the parquet store.
+    */
+  private def canonical(df: DataFrame): DataFrame =
+    df.select(ProductSchema.CLIENT_PRODUCTS_SCHEMA.fieldNames.toSeq
+      .map(n => col(n).as(n)): _*)
+
+  def read(): DataFrame = canonical(spark.read.jdbc(url, table, props))
+
+  def readClient(clientId: Int): DataFrame =
+    read().filter(col("client_id") === clientId)
+
+  /** Parallel range-partitioned read for large tables: `numPartitions`
+    * concurrent range queries on `partitionCol` (the standard
+    * `spark.read.jdbc` partitioning), each executor pulling one slice.
+    */
+  def readPartitioned(
+      partitionCol: String,
+      lowerBound: Long,
+      upperBound: Long,
+      numPartitions: Int): DataFrame =
+    canonical(spark.read.jdbc(url, table, partitionCol, lowerBound, upperBound,
+      numPartitions, props))
+
+  def overwriteAtomic(df: DataFrame): Unit =
+    stageAndSwap(df, deleteWhere = None, requireRows = false)
+
+  def overwriteClientAtomic(clientId: Int, df: DataFrame): Unit =
+    stageAndSwap(align(df).filter(col("client_id") === clientId),
+      deleteWhere = Some(s"${q("client_id")} = $clientId"), requireRows = true,
+      abortMsg = s"staged batch contains no rows for client_id=$clientId — " +
+        "refusing to replace the live rows (use truncateClient for " +
+        "deliberate truncation)")
+
+  def truncateClient(clientId: Int): Unit = withConnection { conn =>
+    conn.setAutoCommit(false)
+    val st = conn.createStatement()
+    try {
+      st.executeUpdate(s"DELETE FROM $table WHERE ${q("client_id")} = $clientId")
+      conn.commit()
+    } finally st.close()
+  }
+
+  def append(df: DataFrame): Unit =
+    align(df).write.mode(SaveMode.Append)
+      .option("createTableColumnTypes", columnTypes)
+      .jdbc(url, table, props)
+
+  /** Stage via parallel executor INSERTs, swap in one driver-side
+    * transaction. `deleteWhere=None` means full-table replace.
+    */
+  private def stageAndSwap(
+      df: DataFrame,
+      deleteWhere: Option[String],
+      requireRows: Boolean,
+      abortMsg: String = "empty staged batch"): Unit = {
+    val staging = s"${table}_stage_${ProcessHandle.current().pid()}_${Thread.currentThread().getId}"
+    align(df).write.mode(SaveMode.Overwrite)
+      .option("createTableColumnTypes", columnTypes)
+      .jdbc(url, staging, props)
+    try withConnection { conn =>
+      conn.setAutoCommit(false)
+      val st = conn.createStatement()
+      try {
+        if (requireRows) {
+          val rs = st.executeQuery(s"SELECT count(*) FROM $staging")
+          val n = try { rs.next(); rs.getLong(1) } finally rs.close()
+          if (n == 0) throw new IllegalStateException(abortMsg)
+        }
+        st.executeUpdate(
+          s"DELETE FROM $table${deleteWhere.fold("")(w => s" WHERE $w")}")
+        val cols = ProductSchema.CLIENT_PRODUCTS_SCHEMA.fieldNames.map(q).mkString(", ")
+        st.executeUpdate(s"INSERT INTO $table ($cols) SELECT $cols FROM $staging")
+        conn.commit()
+      } catch {
+        case t: Throwable => Try(conn.rollback()); throw t
+      } finally st.close()
+    } finally withConnection { conn =>
+      val st = conn.createStatement()
+      try Try(st.executeUpdate(s"DROP TABLE $staging")) finally st.close()
+    }
+  }
+
+  private def align(df: DataFrame): DataFrame =
+    df.select(ProductSchema.CLIENT_PRODUCTS_SCHEMA.fields.toSeq.map(f =>
+      (if (df.columns.contains(f.name)) col(f.name)
+       else lit(null)).cast(f.dataType).as(f.name)): _*)
+}

@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Storage contract the ingestion/query operators run against — the seam
+  * where the reference's single hardwired Postgres
+  * (default_settings.py:1-8, db/models.py:34-50) becomes a selectable
+  * backend. Two implementations:
+  *
+  *  - [[ProductStore]]: versioned parquet directories with an atomic
+  *    CURRENT pointer — the data-lake shape, where the 100 TB corpus
+  *    lives and where a real deployment would swap in a transaction-log
+  *    table format (Delta/Iceberg);
+  *  - [[JdbcProductStore]]: a JDBC database via `spark.read/write.jdbc`,
+  *    matching the reference's actual storage; transactional swap
+  *    semantics come from the database itself.
+  *
+  * Shared contract (what the operators rely on, regardless of backend):
+  *
+  *  1. `overwriteClientAtomic` replaces exactly one tenant's rows and is
+  *     all-or-nothing: readers see the old tenant state or the new one,
+  *     never a partial batch — and an EMPTY staged batch ABORTS rather
+  *     than truncating (deliberate truncation is [[truncateClient]]).
+  *  2. Writes for different tenants must not lose each other's commits.
+  *  3. `readClient` prunes to one tenant's data (partition pruning on
+  *     parquet, predicate pushdown over JDBC).
+  */
+trait ProductBackend {
+  def exists: Boolean
+  def read(): DataFrame
+  def readClient(clientId: Int): DataFrame
+  def overwriteAtomic(df: DataFrame): Unit
+  def overwriteClientAtomic(clientId: Int, df: DataFrame): Unit
+  def truncateClient(clientId: Int): Unit
+  def append(df: DataFrame): Unit
+}

@@ -49,7 +49,8 @@ import scala.util.Try
   * metadata work, milliseconds) is serialized, so tenant ingests still
   * overlap on the cluster.
   */
-class ProductStore(spark: SparkSession, root: String, keepVersions: Int = 3) {
+class ProductStore(spark: SparkSession, root: String, keepVersions: Int = 3)
+    extends ProductBackend {
 
   private val currentPtr = Paths.get(root, "CURRENT")
   private val versionsDir = Paths.get(root, "versions")
