@@ -43,4 +43,16 @@ object ProductSchema {
 
   def fieldType(name: String): DataType =
     CLIENT_PRODUCTS_SCHEMA(name).dataType
+
+  /** Declared VARCHAR(n) widths from the reference DDL
+    * (db/migrations/000/001_up_init.sql:22-36). Spark strings are
+    * unbounded, so the mapping layer enforces these lengths explicitly
+    * (see ColumnMapping / VarcharPolicy) — otherwise a >n-char value that
+    * the reference's database would reject silently round-trips here.
+    */
+  val varcharLen: Map[String, Int] = Map(
+    "sku" -> 100,
+    "remote_id" -> 100,
+    "brand" -> 100,
+    "title" -> 255)
 }

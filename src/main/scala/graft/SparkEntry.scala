@@ -796,17 +796,21 @@ object SparkEntry {
     """{"sku": "SKU1", "title": "Product 1 vj", "active": "yes"}
       |{"sku": "SKU4", "title": "Product 4", "active": "0"}
       |""".stripMargin
-  // Batch 5 must ABORT: one unparseable strict boolean fails the whole
-  // batch — nothing is committed (the emitted table state must equal the
-  // post-batch-4 state) and the failure report names the offending
-  // (row, column, value), which the oracle recomputes from the CSV with
-  // the same strict CASE (reference ingestion/service.py:56-64,
-  // transformers.py:55-68).
+  // Batch 5 must ABORT: one unparseable strict boolean plus one title
+  // wider than the reference DDL's VARCHAR(255) (001_up_init.sql:29) fail
+  // the whole batch — nothing is committed (the emitted table state must
+  // equal the post-batch-4 state) and the failure report names each
+  // offending (row, column, value), which the oracle recomputes from the
+  // CSV with the same strict CASE / length check (reference
+  // ingestion/service.py:56-64, transformers.py:55-68; the width
+  // violation is what Postgres would reject at INSERT).
+  private val e2eOverlongTitle = "Product 8 " + "x" * 250
   private val e2eBatch5 =
-    """sku,title,active
-      |SKU9,Product 9,1
-      |SKU0,Product 0 bad,maybe
-      |""".stripMargin
+    s"""sku,title,active
+       |SKU9,Product 9,1
+       |SKU0,Product 0 bad,maybe
+       |SKU8,$e2eOverlongTitle,1
+       |""".stripMargin
 
   /** The reference's flagship path end-to-end under the oracle gate:
     * CSV -> mapping -> strict gate -> merge -> atomic swap, three batches
@@ -1129,7 +1133,13 @@ object SparkEntry {
        |         CAST(NULL AS VARCHAR) AS title, CAST(NULL AS BOOLEAN) AS active,
        |         CAST(NULL AS DOUBLE) AS max_price, CAST(NULL AS TIMESTAMP) AS last_changed_on,
        |         'row ' || ridx || ': column ''active'' could not interpret value ''' || active || '''' AS report
-       |       FROM b5 WHERE active IS NOT NULL AND ($bool) IS NULL),
+       |       FROM b5 WHERE active IS NOT NULL AND ($bool) IS NULL
+       |       UNION ALL
+       |       SELECT CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR),
+       |         CAST(NULL AS VARCHAR), CAST(NULL AS BOOLEAN),
+       |         CAST(NULL AS DOUBLE), CAST(NULL AS TIMESTAMP),
+       |         'row ' || ridx || ': column ''title'' value exceeds VARCHAR(255): ''' || title || ''''
+       |       FROM b5 WHERE len(trim(title)) > 255),
        |s1 AS (SELECT sku, title, coalesce(active, true) AS active, max_price,
        |         TIMESTAMP '2024-01-01 00:00:00' AS lco FROM m1),
        |s2 AS (SELECT coalesce(t.sku, s.sku) AS sku,

@@ -46,7 +46,11 @@ object IngestionService {
   *    skus end active (:321-339); default mode never deactivates (:341-359);
   *  - one unparseable strict value fails the whole batch, nothing committed.
   */
-class IngestionService(spark: SparkSession, store: ProductBackend, clientId: Int) {
+class IngestionService(
+    spark: SparkSession,
+    store: ProductBackend,
+    clientId: Int,
+    varchar: VarcharPolicy = VarcharPolicy.Strict) {
 
   def ingest(
       cfg: ParserConfig,
@@ -55,7 +59,7 @@ class IngestionService(spark: SparkSession, store: ProductBackend, clientId: Int
       batchTs: Timestamp = new Timestamp(System.currentTimeMillis())): IngestionReport =
     try {
       val raw = IngestSource(cfg.parserId).read(spark, path)
-      val mapped = ColumnMapping(raw, cfg.validated())
+      val mapped = ColumnMapping(raw, cfg.validated(), varchar)
         .persist(StorageLevel.MEMORY_AND_DISK)
       try doIngest(mapped, fullUpdate, batchTs)
       finally mapped.unpersist()
@@ -165,6 +169,10 @@ class IngestionService(spark: SparkSession, store: ProductBackend, clientId: Int
     val hasIdx = mapped.columns.contains(graft.sources.IngestSource.ROW_IDX)
     errCols.toSeq.flatMap { ec =>
       val dst = ec.stripPrefix("_err_")
+      // VARCHAR(n) violations ride the same flag channel under a `len_`
+      // sub-prefix and report a width message instead of a parse message.
+      val target = dst.stripPrefix("len_")
+      val overLength = dst.startsWith("len_")
       val rawCol =
         if (mapped.columns.contains(s"_raw_$dst")) col(s"_raw_$dst")
         else lit(null).cast("string")
@@ -175,13 +183,16 @@ class IngestionService(spark: SparkSession, store: ProductBackend, clientId: Int
         .orderBy(col("_i"))
         .limit(IngestionService.MaxReportedErrors)
         .collect()
-        .map(r => (r.getLong(0), dst,
+        .map(r => (r.getLong(0), target, overLength,
           Option(r.getString(1)).getOrElse("<null>")))
     }
       .sortBy(t => (t._1, t._2))
       .take(IngestionService.MaxReportedErrors)
-      .map { case (i, dst, v) =>
-        s"row $i: column '$dst' could not interpret value '$v'"
+      .map {
+        case (i, dst, true, v) =>
+          s"row $i: column '$dst' value exceeds VARCHAR(${graft.ProductSchema.varcharLen(dst)}): '$v'"
+        case (i, dst, false, v) =>
+          s"row $i: column '$dst' could not interpret value '$v'"
       }
   }
 }
