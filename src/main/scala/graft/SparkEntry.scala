@@ -183,6 +183,42 @@ object SparkEntry {
         count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag"))
 
+  /** ANSI WITHIN GROUP ordered-set aggregates: PERCENTILE_DISC (smallest
+    * value whose cumulative distribution reaches p — always an actual
+    * data value) and PERCENTILE_CONT median. Same bounded-state rule as
+    * [[groupPercentile]]: exact percentiles are registered only on
+    * `l_quantity` (50 distinct values, so the per-group counts-map state
+    * is bounded by the DOMAIN, not the row count); continuous columns go
+    * through the approx path. The cont fraction is pinned to 0.5 so the
+    * interpolation is exact in binary floating point — engine-portable
+    * without rounding.
+    */
+  private def percentileDisc(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity)")
+          .cast(DoubleType).as("p25_qty"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)")
+          .cast(DoubleType).as("median_disc_qty"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity)")
+          .cast(DoubleType).as("p90_qty"),
+        expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity)")
+          .cast(DoubleType).as("median_cont_qty"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  /** Per-group moment statistics (variance, stddev, covariance,
+    * correlation, regression line) via [[StatMoments]] — exact decimal
+    * power sums, moments derived in one fixed double formula. See the
+    * operator scaladoc for why this beats built-in corr()/covar_samp()
+    * under an external bit-exact gate.
+    */
+  private def statsMoments(s: SparkSession, d: String): DataFrame =
+    StatMoments.moments(t(s, d, "lineitem"), Seq(col("l_returnflag")),
+        x = col("l_quantity"), y = col("l_extendedprice"))
+      .orderBy(col("l_returnflag"))
+
   /** Approximate per-group percentiles — the 100 TB percentile path.
     * approx_percentile is Spark's Greenwald-Khanna quantile summary: the
     * aggregation state is bounded by the accuracy parameter (here 1000 ->
@@ -357,6 +393,37 @@ object SparkEntry {
   private def rollupAgg(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem")
       .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sumd(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("sum_qty"), col("n_rows"))
+      .orderBy(col("flag"), col("status"))
+
+  /** CUBE aggregation: all four grouping sets of (flag, status) — the
+    * per-combination totals, both one-dimension subtotals, and the grand
+    * total — in one pass (Spark expands grouping sets before the shuffle,
+    * so it stays a single map-side-combinable aggregate).
+    */
+  private def cubeAgg(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sumd(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("sum_qty"), col("n_rows"))
+      .orderBy(col("flag"), col("status"))
+
+  /** Explicit GROUPING SETS: exactly the two one-dimension marginals, no
+    * cross product and no grand total — the form reporting queries use
+    * when CUBE would compute sets nobody reads. 100 TB note: each
+    * requested set adds one expanded copy of every input row before the
+    * shuffle, so listing only the needed sets is a real cost lever.
+    */
+  private def groupingSetsAgg(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
       .agg(sumd(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
       .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("status"),
@@ -691,6 +758,16 @@ object SparkEntry {
         TextAnalysis.bpeishTokenCount(col("text")).cast(LongType).as("bpeish_tokens"))
       .orderBy(col("doc_id"))
 
+  /** The composite quality score per document, standalone — inside
+    * [[curateDocs]] it only ever appears thresholded, so this row gates
+    * the score VALUES (and the digit-ratio component q_text_stats doesn't
+    * cover) directly against the oracle's recomputation.
+    */
+  private def textQuality(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.withQuality(t(s, d, "documents"), "text")
+      .select(col("doc_id"), col("digit_ratio"), col("quality_score"))
+      .orderBy(col("doc_id"))
+
   private def textLangid(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents").select(col("doc_id"), col("lang"),
         TextAnalysis.langId(col("text")).as("lang_pred"))
@@ -923,6 +1000,8 @@ object SparkEntry {
     "q_group_agg" -> (groupAgg _),
     "q_group_percentile" -> (groupPercentile _),
     "q_group_percentile_approx" -> (groupPercentileApprox _),
+    "q_percentile_disc" -> (percentileDisc _),
+    "q_stats_moments" -> (statsMoments _),
     "q_approx_distinct" -> (approxDistinct _),
     "q_transform_text" -> (transformText _),
     "q_transform_decimal" -> (transformDecimal _),
@@ -936,6 +1015,8 @@ object SparkEntry {
     "q_window_lag" -> (windowLag _),
     "q_window_ntile" -> (windowNtile _),
     "q_rollup" -> (rollupAgg _),
+    "q_cube" -> (cubeAgg _),
+    "q_grouping_sets" -> (groupingSetsAgg _),
     "q_pivot" -> (pivotAgg _),
     "q_pivot_dynamic" -> (pivotDynamicAgg _),
     "q_unpivot" -> (unpivotAttrs _),
@@ -956,6 +1037,7 @@ object SparkEntry {
     "q_embed_ivf" -> (embedIvf _),
     "q_embed_neardup" -> (embedNearDup _),
     "q_text_stats" -> (textStats _),
+    "q_text_quality" -> (textQuality _),
     "q_token_count" -> (tokenCount _),
     "q_text_langid" -> (textLangid _),
     "q_text_fingerprint" -> (textFingerprint _),
@@ -1263,6 +1345,59 @@ object SparkEntry {
          |  AND e.approx_p90_price BETWEEN b.plo AND b.phi
          |  AND e.n_rows = b.n
          |ORDER BY e.l_returnflag""".stripMargin,
+    // PERCENTILE_DISC per the standard definition (smallest value whose
+    // cume_dist reaches p) rather than DuckDB's quantile_disc, whose
+    // floor((n-1)p) index disagrees with the standard when frac(np) < p.
+    // The CONT median interpolates between the two middle values with an
+    // exact 0/0.5 fraction, so the arithmetic is engine-exact.
+    "q_percentile_disc" ->
+      """WITH cd AS (SELECT l_returnflag, l_quantity,
+        |        cume_dist() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS cd,
+        |        row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) - 1 AS rn,
+        |        count(*) OVER (PARTITION BY l_returnflag) AS n
+        |      FROM lineitem),
+        |disc AS (SELECT l_returnflag,
+        |        CAST(min(CASE WHEN cd >= 0.25 THEN l_quantity END) AS DOUBLE) AS p25_qty,
+        |        CAST(min(CASE WHEN cd >= 0.5 THEN l_quantity END) AS DOUBLE) AS median_disc_qty,
+        |        CAST(min(CASE WHEN cd >= 0.9 THEN l_quantity END) AS DOUBLE) AS p90_qty,
+        |        count(*) AS n_rows
+        |      FROM cd GROUP BY l_returnflag),
+        |cont AS (SELECT l_returnflag,
+        |        CAST(min(CASE WHEN rn = CAST(floor((n - 1) * 0.5) AS BIGINT) THEN l_quantity END) AS DOUBLE) AS lo,
+        |        CAST(min(CASE WHEN rn = CAST(ceil((n - 1) * 0.5) AS BIGINT) THEN l_quantity END) AS DOUBLE) AS hi,
+        |        (CAST(max(n) - 1 AS DOUBLE) * 0.5) - floor(CAST(max(n) - 1 AS DOUBLE) * 0.5) AS frac
+        |      FROM cd GROUP BY l_returnflag)
+        |SELECT d.l_returnflag, d.p25_qty, d.median_disc_qty, d.p90_qty,
+        |  c.lo + c.frac * (c.hi - c.lo) AS median_cont_qty, d.n_rows
+        |FROM disc d JOIN cont c ON d.l_returnflag = c.l_returnflag
+        |ORDER BY d.l_returnflag""".stripMargin,
+    // Mirrors StatMoments operation-for-operation: exact decimal power
+    // sums, then one fixed double formula — IEEE ops are deterministic,
+    // so identical sums + identical expression trees = identical bits.
+    "q_stats_moments" ->
+      """WITH sums AS (SELECT l_returnflag,
+        |        count(*) AS n_rows,
+        |        sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+        |        sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+        |        sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+        |        sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+        |        sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+        |      FROM lineitem GROUP BY l_returnflag),
+        |d AS (SELECT l_returnflag, n_rows,
+        |        CAST(n_rows AS DOUBLE) AS n,
+        |        CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+        |        CAST(sxx AS DOUBLE) AS sxx, CAST(syy AS DOUBLE) AS syy,
+        |        CAST(sxy AS DOUBLE) AS sxy
+        |      FROM sums)
+        |SELECT l_returnflag, n_rows,
+        |  sx / n AS mean_x,
+        |  (n * sxx - sx * sx) / (n * (n - 1.0)) AS var_samp_x,
+        |  sqrt((n * sxx - sx * sx) / (n * (n - 1.0))) AS stddev_samp_x,
+        |  (n * sxy - sx * sy) / (n * (n - 1.0)) AS covar_samp_xy,
+        |  (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_xy,
+        |  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS regr_slope,
+        |  sy / n - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * (sx / n) AS regr_intercept
+        |FROM d ORDER BY l_returnflag""".stripMargin,
     "q_approx_distinct" ->
       s"""WITH est AS (SELECT * FROM read_parquet('$approxDistinctDir/result.parquet/*.parquet')),
          |ex AS (SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
@@ -1346,6 +1481,22 @@ object SparkEntry {
         |  count(*) AS n_rows
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
+    "q_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |  coalesce(l_linestatus, 'ALL') AS status,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |  coalesce(l_linestatus, 'ALL') AS status,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         |ORDER BY flag, status""".stripMargin,
     "q_pivot" ->
       """SELECT l_returnflag,
@@ -1571,6 +1722,20 @@ object SparkEntry {
          |  round(CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
          |    w -> w IN ($stopSql))) AS DOUBLE) /
          |    len(string_split_regex(trim(text), '\\s+')), 4) AS stopword_ratio
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_quality" ->
+      s"""SELECT doc_id,
+         |  round(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) /
+         |    greatest(CAST(length(text) AS DOUBLE), 1.0), 4) AS digit_ratio,
+         |  round(CAST(
+         |    0.4 * (CASE WHEN length(text) BETWEEN 20 AND 100000 THEN 1.0 ELSE 0.0 END)
+         |  + 0.3 * (CASE WHEN CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+         |               / greatest(CAST(length(text) AS DOUBLE), 1.0) < 0.2 THEN 1.0 ELSE 0.0 END)
+         |  + 0.3 * (CASE WHEN CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |                 w -> len(w) > 0 AND w IN ($stopSql))) AS DOUBLE)
+         |               / greatest(CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |                 w -> len(w) > 0)) AS DOUBLE), 1.0) > 0.01 THEN 1.0 ELSE 0.0 END)
+         |  AS DOUBLE), 2) AS quality_score
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q_token_count" ->
       """SELECT doc_id,
