@@ -22,7 +22,7 @@ object Bench {
   /** Queries whose cost is dominated by fixture setup + multi-batch write
     * orchestration on rows of data, not by the analytic plan.
     */
-  private val fixtureQueries = Set("q_ingest_e2e")
+  private val fixtureQueries = Set("q_ingest_e2e", "q_jdbc_roundtrip")
 
   private def force(df: DataFrame): Unit = {
     val cols = df.columns.map(col).toSeq

@@ -962,6 +962,45 @@ object SparkEntry {
       .orderBy(col("sku").asc_nulls_first, col("report").asc_nulls_first)
   }
 
+  /** The JDBC backend under the oracle gate: stage a deterministic slice
+    * of `part` into an on-disk embedded Derby through
+    * [[operators.JdbcProductStore]]'s transactional swap (two tenants,
+    * then a second swap that rewrites tenant 1's titles), read it back
+    * THROUGH the JDBC scan, and aggregate. The oracle recomputes the
+    * expected post-swap state from the parquet table alone — so the
+    * staging write, the delete+insert transaction, tenant isolation, and
+    * the typed read path (DECIMAL(12,2), BOOLEAN round-trips) are all
+    * externally verified. Derby is the sandbox stand-in for the
+    * reference's Postgres (default_settings.py:1-8); only the URL
+    * changes in a real deployment.
+    */
+  private lazy val jdbcDir = s"$artifactRoot/jdbcdb"
+
+  private def jdbcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val store = new JdbcProductStore(s, s"jdbc:derby:$jdbcDir;create=true")
+    val batch = t(s, d, "part").filter(col("p_partkey") % 10 === 0)
+      .select(
+        lit(1).cast(IntegerType).as("client_id"),
+        concat(lit("SKU"), col("p_partkey")).as("sku"),
+        col("p_name").as("title"),
+        col("p_brand").as("brand"),
+        (col("p_partkey") % 3 === 0).as("active"),
+        col("p_retailprice").cast(DecimalType(12, 2)).as("max_price"))
+    store.overwriteClientAtomic(1, batch)
+    store.overwriteClientAtomic(2, batch.withColumn("client_id", lit(2)))
+    // Second swap for tenant 1 only: titles uppercased. Tenant 2's rows
+    // must come through the final read untouched.
+    store.overwriteClientAtomic(1, batch.withColumn("title", upper(col("title"))))
+    store.read()
+      .groupBy(col("client_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("active"), 1L).otherwise(0L)).as("n_active"),
+        sum(col("max_price")).cast(DoubleType).as("sum_price"),
+        sum(when(col("title") === upper(col("title")), 1L).otherwise(0L))
+          .as("n_upper_titles"))
+      .orderBy(col("client_id"))
+  }
+
   // ---------------------------------------------------------------- multimodal
 
   private def multimodalBytes(s: SparkSession, d: String): DataFrame =
@@ -1048,7 +1087,8 @@ object SparkEntry {
     "q_multimodal_bytes" -> (multimodalBytes _),
     "q_frame_sample" -> (frameSample _),
     "q_multimodal_resize" -> (multimodalResize _),
-    "q_ingest_e2e" -> (ingestE2e _)
+    "q_ingest_e2e" -> (ingestE2e _),
+    "q_jdbc_roundtrip" -> (jdbcRoundtrip _)
   )
 
   private val stopSql = stopList.map(w => s"'$w'").mkString(", ")
@@ -1687,6 +1727,20 @@ object SparkEntry {
          |      FROM assign WHERE cell IN (SELECT cell FROM probe))
          |SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
     "q_ingest_e2e" -> ingestE2eOracle,
+    // Recomputes the expected post-swap Derby state from parquet alone;
+    // the Spark side must deliver exactly this through the JDBC scan.
+    "q_jdbc_roundtrip" ->
+      """WITH batch AS (SELECT p_name AS title, (p_partkey % 3 = 0) AS active,
+        |         CAST(p_retailprice AS DECIMAL(12,2)) AS max_price
+        |       FROM part WHERE p_partkey % 10 = 0),
+        |allr AS (SELECT 1 AS client_id, upper(title) AS title, active, max_price FROM batch
+        |         UNION ALL
+        |         SELECT 2 AS client_id, title, active, max_price FROM batch)
+        |SELECT client_id, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN active THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+        |  CAST(sum(max_price) AS DOUBLE) AS sum_price,
+        |  CAST(sum(CASE WHEN title = upper(title) THEN 1 ELSE 0 END) AS BIGINT) AS n_upper_titles
+        |FROM allr GROUP BY client_id ORDER BY client_id""".stripMargin,
     "q_text_langid" ->
       s"""WITH w AS (SELECT doc_id, lang,
          |        list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> len(x) > 0) AS ws
