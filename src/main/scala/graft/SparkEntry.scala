@@ -616,6 +616,24 @@ object SparkEntry {
     s.read.parquet(s"$lshFullDir/pairs.parquet").orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Incremental dedup: the 20% of docs with doc_id % 5 == 0 arrive as a
+    * new batch and are classified against the standing 80% — exact /
+    * near / unique with the smallest matching corpus id. The oracle is
+    * COMPLETE (fingerprint join for exact, all inc×ex shingle-Jaccard
+    * via the shingle equi-join for near), so both the LSH recall and the
+    * status precedence are externally pinned. See
+    * [[operators.Dedup.incrementalStatus]] for why this batch-vs-corpus
+    * shape, not whole-corpus re-dedup, is the 100 TB production path.
+    */
+  private def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    Dedup.incrementalStatus(
+        existing = docs.filter(col("doc_id") % 5 =!= 0),
+        incoming = docs.filter(col("doc_id") % 5 === 0),
+        "text", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
   /** SimHash banding generates candidates — COMPLETE for Hamming <= 6 by
     * multi-block pigeonhole (8 pieces of 8 bits: a pair within Hamming 6
     * agrees exactly on >= 2 chunks, and the candidate join enumerates all
@@ -660,6 +678,34 @@ object SparkEntry {
     Dedup.exactBagJaccard(cands, docs, "text", "doc_id", minJaccard = 0.8)
       .coalesce(1).write.mode("overwrite").parquet(s"$simhashFullDir/pairs.parquet")
     s.read.parquet(s"$simhashFullDir/pairs.parquet").orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Batch similarity search — top-k neighbors for MANY query vectors in
+    * ONE corpus pass, the shape production retrieval actually runs
+    * (single-query scans don't amortize at 100 TB). The query set is
+    * broadcast (small side by construction), every corpus row scores all
+    * queries in a codegen'd projection, and the native `graft_topk`
+    * aggregate keeps per-(task, query) heaps so the shuffle carries only
+    * k rows per task per query — never the scored cross product.
+    * Cosines are rounded before ranking so the ordering is
+    * engine-reproducible (see [[operators.Similarity.bruteForceTopK]]).
+    */
+  private def annBatch(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"),
+        Similarity.toDouble(col("embedding")).as("q_vec"))
+    val corpus = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("c_vec"))
+    val scored = corpus.crossJoin(broadcast(queries))
+      .withColumn("cosine",
+        round(Similarity.dot(col("c_vec"), col("q_vec")) /
+          (Similarity.norm(col("c_vec")) * Similarity.norm(col("q_vec"))), 4))
+      .select(col("q_id"), col("vec_id"), col("cosine"))
+    TopK.perGroupAgg(scored, Seq(col("q_id")),
+        sortKey = struct(negate(col("cosine")), col("vec_id")), k = 5)
+      .select(col("q_id"), col("rn"), col("vec_id"), col("cosine"))
+      .orderBy(col("q_id"), col("rn"))
   }
 
   private def embedTopk(s: SparkSession, d: String): DataFrame = {
@@ -1071,7 +1117,9 @@ object SparkEntry {
     "q_dedup_lsh_full" -> (dedupLshFull _),
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_dedup_simhash_full" -> (dedupSimhashFull _),
+    "q_dedup_incremental" -> (dedupIncremental _),
     "q_embed_topk" -> (embedTopk _),
+    "q_ann_batch" -> (annBatch _),
     "q_embed_ann_lsh" -> (embedAnnLsh _),
     "q_embed_ivf" -> (embedIvf _),
     "q_embed_neardup" -> (embedNearDup _),
@@ -1644,6 +1692,41 @@ object SparkEntry {
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+    // Complete oracle: exact via the fingerprint join, near via ALL
+    // inc x ex shingle-set Jaccards (shingle equi-join — the same
+    // technique as the q_dedup_minhash complete oracle, restricted to
+    // cross-corpus pairs). Status precedence and min-match-id mirrored.
+    "q_dedup_incremental" ->
+      """WITH docs AS (SELECT doc_id, text,
+        |        md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |      FROM documents),
+        |inc AS (SELECT * FROM docs WHERE doc_id % 5 = 0),
+        |ex AS (SELECT * FROM docs WHERE doc_id % 5 <> 0),
+        |exact AS (SELECT i.doc_id, min(e.doc_id) AS m
+        |          FROM inc i JOIN ex e ON e.fp = i.fp GROUP BY 1),
+        |words AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM docs),
+        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+        |       FROM words, UNNEST(range(1, len(ws) - 1)) AS t(i)
+        |       WHERE len(ws) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |          WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+        |          GROUP BY 1, 2),
+        |near AS (SELECT id_a AS doc_id, min(id_b) AS m
+        |         FROM inter
+        |         JOIN sizes sa ON sa.doc_id = id_a
+        |         JOIN sizes sb ON sb.doc_id = id_b
+        |         WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
+        |         GROUP BY 1)
+        |SELECT i.doc_id,
+        |  CASE WHEN x.m IS NOT NULL THEN 'exact'
+        |       WHEN n.m IS NOT NULL THEN 'near' ELSE 'unique' END AS status,
+        |  coalesce(x.m, n.m) AS match_id
+        |FROM inc i
+        |LEFT JOIN exact x ON x.doc_id = i.doc_id
+        |LEFT JOIN near n ON n.doc_id = i.doc_id
+        |ORDER BY i.doc_id""".stripMargin,
     "q_dedup_lsh_full" ->
       s"""WITH pairs AS (SELECT * FROM read_parquet('$lshFullDir/pairs.parquet/*.parquet')),
          |ids AS (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs),
@@ -1767,6 +1850,19 @@ object SparkEntry {
         |       sqrt((SELECT list_dot_product(CAST(e AS DOUBLE[]), CAST(e AS DOUBLE[])) FROM q))), 4) AS cosine
         |  FROM embeddings)
         |SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    "q_ann_batch" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |      FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+        |      FROM embeddings WHERE vec_id >= 10),
+        |scored AS (SELECT q.q_id, c.vec_id,
+        |    round(list_dot_product(cv, qv) /
+        |      (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))), 4) AS cosine
+        |  FROM c CROSS JOIN q),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY cosine DESC, vec_id) AS rn FROM scored)
+        |SELECT q_id, rn, vec_id, cosine FROM ranked WHERE rn <= 5
+        |ORDER BY q_id, rn""".stripMargin,
     "q_text_stats" ->
       s"""SELECT doc_id,
          |  len(string_split_regex(trim(text), '\\s+')) AS n_words,

@@ -225,6 +225,75 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard")
   }
 
+  /** Incremental dedup — classify INCOMING documents against an EXISTING
+    * corpus without ever re-pairing the corpus against itself. This is
+    * the production shape at 100 TB: the standing corpus is indexed once
+    * (fingerprints + banded MinHash buckets, both persistable tables) and
+    * each arriving batch joins only new-vs-old; cost scales with the
+    * batch, not the corpus.
+    *
+    * Per incoming doc: `status` is 'exact' (identical normalized text
+    * exists), else 'near' (some existing doc's shingle Jaccard clears
+    * `minJaccard`, LSH candidates verified exactly), else 'unique';
+    * `match_id` is the smallest matching existing id (deterministic).
+    *
+    * Bucket joins only (band/bucket, fingerprint) — the all-pairs
+    * inc × ex product never materializes.
+    */
+  def incrementalStatus(
+      existing: DataFrame,
+      incoming: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int = 64,
+      bands: Int = 32,
+      estThreshold: Double = 0.35,
+      shingleN: Int = 3,
+      minJaccard: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    val fp = (t: Column) => md5(regexp_replace(lower(trim(t)), "\\s+", " "))
+
+    val exactM = incoming
+      .select(col(idCol), fp(col(textCol)).as("_fp"))
+      .join(existing.select(col(idCol).as("_ex_id"), fp(col(textCol)).as("_fp")), "_fp")
+      .groupBy(col(idCol)).agg(min(col("_ex_id")).as("_exact_m"))
+
+    def bandedOf(sigs: DataFrame): DataFrame =
+      sigs.select(col("id"),
+        posexplode(expr(
+          s"transform(sequence(0, ${bands - 1}), b -> hash(slice(signature, b * $r + 1, $r)))"))
+          .as(Seq("band", "bucket")))
+    val sigsEx = minHashSignatures(existing, textCol, idCol, numHashes, shingleN)
+    val sigsInc = minHashSignatures(incoming, textCol, idCol, numHashes, shingleN)
+    val cand = bandedOf(sigsInc).as("x")
+      .join(bandedOf(sigsEx).as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    val est = cand
+      .join(sigsInc.select(col("id").as("id_a"), col("signature").as("sig_a")), "id_a")
+      .join(sigsEx.select(col("id").as("id_b"), col("signature").as("sig_b")), "id_b")
+      .withColumn("_est",
+        expr("aggregate(zip_with(sig_a, sig_b, (p, q) -> if(p = q, 1, 0)), 0, (acc, v) -> acc + v)")
+          .cast("double") / numHashes)
+      .filter(col("_est") >= estThreshold)
+      .select("id_a", "id_b")
+    val union = existing.select(col(idCol), col(textCol))
+      .unionByName(incoming.select(col(idCol), col(textCol)))
+    val nearM = exactShingleJaccard(est, union, textCol, idCol, shingleN, minJaccard)
+      .groupBy(col("id_a").as(idCol)).agg(min(col("id_b")).as("_near_m"))
+
+    incoming.select(col(idCol))
+      .join(exactM, Seq(idCol), "left")
+      .join(nearM, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("_exact_m").isNotNull, lit("exact"))
+          .when(col("_near_m").isNotNull, lit("near"))
+          .otherwise(lit("unique")).as("status"),
+        coalesce(col("_exact_m"), col("_near_m")).as("match_id"))
+  }
+
   /** 64-bit SimHash per document from word-level xxhash64: bit i of the
     * fingerprint is the sign of the sum over words of (+1 if word-hash has
     * bit i set, else -1). One native map-side-combinable aggregate
