@@ -385,6 +385,38 @@ object SparkEntry {
         col("l_linenumber"))
   }
 
+  /** first/last/nth_value over an explicit full frame: the default window
+    * frame stops at CURRENT ROW, which silently turns last_value into
+    * "current row's value" — the classic trap; both engines get the
+    * explicit UNBOUNDED..UNBOUNDED frame. Ordering is total (price desc,
+    * then the line's natural key) so every value is deterministic.
+    */
+  private def windowFirstLast(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, d, "lineitem").filter(col("l_suppkey") <= 2)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"),
+        first(col("l_orderkey")).over(w).as("top_order"),
+        last(col("l_orderkey")).over(w).as("bottom_order"),
+        nth_value(col("l_orderkey"), 3).over(w).as("third_order"))
+      .orderBy(col("l_suppkey"), col("l_extendedprice").desc, col("l_orderkey"),
+        col("l_linenumber"))
+  }
+
+  /** Calendar-bucket aggregation: revenue by month via date_trunc — the
+    * time-series rollup every reporting pipeline runs. Group count is
+    * bounded by the calendar, so the aggregate state is trivially small
+    * at any data scale.
+    */
+  private def monthlyRevenue(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(sumd(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("month"))
+
   /** ROLLUP aggregation: subtotals per (flag, status), per flag, and the
     * grand total in one pass — grouping-set nulls labeled 'ALL' (the flag
     * and status domains never contain that value, so labels are
@@ -517,6 +549,47 @@ object SparkEntry {
         count(lit(1)).as("n_events"), sumd(col("value")).as("session_value"))
       .orderBy(col("user_id"), col("session_seq"))
   }
+
+  /** Funnel analysis — the ordered-conversion query every product
+    * pipeline runs: first view, first click strictly after it, first
+    * purchase strictly after that, per user. Three conditional min
+    * aggregates chained by time comparisons; all three shuffles hash the
+    * same user_id key, so a real cluster co-partitions them (one exchange
+    * reused by AQE). No window over a user's full history is needed —
+    * state per user is three timestamps.
+    */
+  private def eventsFunnel(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id")
+      .filter(col("ts") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .filter(col("ts") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(col("user_id"),
+        when(col("t_purchase").isNotNull, 3)
+          .when(col("t_click").isNotNull, 2).otherwise(1).as("reached"),
+        col("t_view"), col("t_click"), col("t_purchase"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Semi-structured payloads: typed extraction from the JSON `props`
+    * column with a path expression — scan-level (codegen'd JSON parse per
+    * row, filter pushed into the scan), no shuffle.
+    */
+  private def eventsProps(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast(IntegerType).as("k"),
+        col("value"))
+      .filter(col("k") > 50)
+      .orderBy(col("event_id"))
 
   /** Range (interval-containment) join under the gate: every event
     * matched to the session interval that contains it, via bucket
@@ -1098,6 +1171,8 @@ object SparkEntry {
     "q_window_topk" -> (windowTopk _),
     "q_window_running" -> (windowRunning _),
     "q_window_lag" -> (windowLag _),
+    "q_window_firstlast" -> (windowFirstLast _),
+    "q_monthly_revenue" -> (monthlyRevenue _),
     "q_window_ntile" -> (windowNtile _),
     "q_rollup" -> (rollupAgg _),
     "q_cube" -> (cubeAgg _),
@@ -1109,6 +1184,8 @@ object SparkEntry {
     "q_events_tumbling" -> (eventsTumbling _),
     "q_events_sliding" -> (eventsSliding _),
     "q_events_session" -> (eventsSession _),
+    "q_events_funnel" -> (eventsFunnel _),
+    "q_events_props" -> (eventsProps _),
     "q_asof_join" -> (asofJoin _),
     "q_range_join" -> (rangeJoin _),
     "q_dedup_exact" -> (dedupExact _),
@@ -1548,6 +1625,44 @@ object SparkEntry {
         |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
         |  FROM lineitem) WHERE rn <= 3
         |ORDER BY l_returnflag, rn""".stripMargin,
+    "q_window_firstlast" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |  first_value(l_orderkey) OVER w AS top_order,
+        |  last_value(l_orderkey) OVER w AS bottom_order,
+        |  nth_value(l_orderkey, 3) OVER w AS third_order
+        |FROM lineitem WHERE l_suppkey <= 2
+        |WINDOW w AS (PARTITION BY l_suppkey
+        |  ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY l_suppkey, l_extendedprice DESC, l_orderkey, l_linenumber""".stripMargin,
+    "q_monthly_revenue" ->
+      """SELECT date_trunc('month', o_orderdate) AS month,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
+    "q_events_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t_click
+        |      FROM events e JOIN v ON v.user_id = e.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+        |      FROM events e JOIN c ON c.user_id = e.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1)
+        |SELECT v.user_id,
+        |  CASE WHEN p.t_purchase IS NOT NULL THEN 3
+        |       WHEN c.t_click IS NOT NULL THEN 2 ELSE 1 END AS reached,
+        |  v.t_view, c.t_click, p.t_purchase
+        |FROM v
+        |LEFT JOIN c ON c.user_id = v.user_id
+        |LEFT JOIN p ON p.user_id = v.user_id
+        |ORDER BY v.user_id""".stripMargin,
+    "q_events_props" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, value
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+        |ORDER BY event_id""".stripMargin,
     "q_window_running" ->
       """SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_suppkey
