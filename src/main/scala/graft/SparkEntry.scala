@@ -1139,6 +1139,66 @@ object SparkEntry {
         everyMs = 5000, maxFrames = 32)
       .orderBy(col("media_id"), col("frame_ts_ms"))
 
+  /** Audio segmentation plan: fixed windows with a hop over the metadata
+    * duration (the ASR front-end shape) — explode of a generated
+    * sequence, sample counts by integer arithmetic, decode deferred.
+    */
+  private def audioChunks(s: SparkSession, d: String): DataFrame =
+    Multimodal.chunkAudio(Multimodal.fromDocuments(t(s, d, "documents")),
+        chunkMs = 10000, strideMs = 5000)
+      .orderBy(col("media_id"), col("start_ms"))
+
+  /** ORC source/sink round-trip under the gate: a deterministic orders
+    * slice is written as ORC (the other columnar format large estates
+    * actually hold), read back through the ORC reader, and aggregated;
+    * the oracle recomputes from the original parquet, so the round-trip
+    * must be lossless across types (timestamp, decimal-ish doubles,
+    * strings).
+    */
+  private lazy val orcDir = s"$artifactRoot/orc"
+
+  private def orcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "orders").filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate"))
+      .write.mode("overwrite").orc(s"$orcDir/orders")
+    s.read.orc(s"$orcDir/orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sumd(col("o_totalprice")).as("total_price"),
+        min(col("o_orderdate")).as("first_date"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Bucketed co-located join under the gate: both sides written
+    * bucketed+sorted by the join key (external tables under the run's
+    * artifact dir), then joined WITHOUT any exchange — the pay-the-
+    * shuffle-once-at-write lever for repeated large-large joins.
+    * BucketingSpec asserts the zero-Exchange plan; this row gates the
+    * RESULT against the oracle's plain parquet join.
+    */
+  private lazy val bucketedDir = s"$artifactRoot/bucketed"
+
+  private def bucketedJoinAgg(s: SparkSession, d: String): DataFrame = {
+    Bucketing.writeBucketed(
+      t(s, d, "lineitem").select(col("l_orderkey"), col("l_quantity")),
+      "graft_bj_lineitem", Seq("l_orderkey"), numBuckets = 8,
+      path = Some(s"$bucketedDir/lineitem"))
+    Bucketing.writeBucketed(
+      t(s, d, "orders").select(col("o_orderkey").as("l_orderkey"),
+        col("o_totalprice")),
+      "graft_bj_orders", Seq("l_orderkey"), numBuckets = 8,
+      path = Some(s"$bucketedDir/orders"))
+    Bucketing.bucketedJoin(s, "graft_bj_lineitem", "graft_bj_orders",
+        Seq("l_orderkey"))
+      .groupBy(pmod(col("l_orderkey"), lit(10)).as("key_bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        sumd(col("l_quantity")).as("sum_qty"),
+        sumd(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("key_bucket"))
+  }
+
   // ----------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1211,7 +1271,10 @@ object SparkEntry {
     "q_corpus_shards" -> (corpusShards _),
     "q_multimodal_bytes" -> (multimodalBytes _),
     "q_frame_sample" -> (frameSample _),
+    "q_audio_chunks" -> (audioChunks _),
     "q_multimodal_resize" -> (multimodalResize _),
+    "q_orc_roundtrip" -> (orcRoundtrip _),
+    "q_bucketed_join" -> (bucketedJoinAgg _),
     "q_ingest_e2e" -> (ingestE2e _),
     "q_jdbc_roundtrip" -> (jdbcRoundtrip _)
   )
@@ -2070,6 +2133,34 @@ object SparkEntry {
         |  SELECT doc_id AS media_id,
         |    UNNEST(list_slice(range(0, greatest(n_chars * 10 - 1, 0) + 1, 5000), 1, 32)) AS frame_ts_ms
         |  FROM documents WHERE doc_id % 3 = 2)
-        |ORDER BY media_id, frame_ts_ms""".stripMargin
+        |ORDER BY media_id, frame_ts_ms""".stripMargin,
+    "q_audio_chunks" ->
+      """WITH st AS (
+        |  SELECT doc_id AS media_id, n_chars * 10 AS dur,
+        |    UNNEST(list_slice(range(0, greatest(n_chars * 10 - 1, 0) + 1, 5000), 1, 64)) AS start_ms
+        |  FROM documents WHERE doc_id % 3 = 1)
+        |SELECT media_id, start_ms,
+        |  least(start_ms + 10000, dur) AS end_ms,
+        |  ((least(start_ms + 10000, dur) - start_ms) * 16000) // 1000 AS n_samples
+        |FROM st ORDER BY media_id, start_ms""".stripMargin,
+    // Oracle computes straight from the parquet table — the ORC write +
+    // read-back on the Spark side must be value-lossless to match.
+    "q_orc_roundtrip" ->
+      """SELECT o_orderstatus,
+        |  count(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  min(o_orderdate) AS first_date,
+        |  max(o_orderkey) AS max_key
+        |FROM orders WHERE o_orderkey % 7 = 0
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // Plain parquet join — the bucketed zero-exchange plan must produce
+    // identical aggregates.
+    "q_bucketed_join" ->
+      """SELECT l_orderkey % 10 AS key_bucket,
+        |  count(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY key_bucket""".stripMargin
   )
 }

@@ -21,21 +21,25 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Bucketing {
 
-  /** Write `df` as a bucketed, per-bucket-sorted managed table. */
+  /** Write `df` as a bucketed, per-bucket-sorted table; `path` makes it
+    * external (data under the caller's directory instead of the session
+    * warehouse — what per-run artifact isolation needs).
+    */
   def writeBucketed(
       df: DataFrame,
       table: String,
       bucketCols: Seq[String],
       numBuckets: Int,
-      sortCols: Seq[String] = Nil): Unit = {
+      sortCols: Seq[String] = Nil,
+      path: Option[String] = None): Unit = {
     require(bucketCols.nonEmpty, "bucketing requires at least one column")
     val sorts = if (sortCols.nonEmpty) sortCols else bucketCols
-    df.write
+    val w = df.write
       .mode(SaveMode.Overwrite)
       .format("parquet")
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(sorts.head, sorts.tail: _*)
-      .saveAsTable(table)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
   }
 
   /** Join two tables bucketed on the same key with the same bucket

@@ -103,6 +103,30 @@ object Multimodal {
       .withColumn("resized_h", round(h * scale).cast("int"))
   }
 
+  /** Chunking plan for audio rows: fixed `chunkMs` windows every
+    * `strideMs` over the metadata duration — the segmentation an
+    * ASR/audio-feature pipeline feeds its decoder, as a pure explode of a
+    * generated sequence (decode deferred to the
+    * [[extractFeatures]] boundary). `n_samples` is integer arithmetic at
+    * the metadata sample rate so any engine reproduces it exactly.
+    */
+  def chunkAudio(
+      media: DataFrame,
+      chunkMs: Long,
+      strideMs: Long,
+      sampleRate: Int = 16000,
+      maxChunks: Int = 64): DataFrame =
+    media.filter(col("kind") === "audio")
+      .withColumn("start_ms", explode(slice(
+        sequence(lit(0L), greatest(col("meta.duration_ms") - 1, lit(0L)),
+          lit(strideMs)),
+        1, maxChunks)))
+      .withColumn("end_ms",
+        least(col("start_ms") + chunkMs, col("meta.duration_ms")))
+      .withColumn("n_samples",
+        expr(s"((end_ms - start_ms) * $sampleRate) div 1000"))
+      .select(col("media_id"), col("start_ms"), col("end_ms"), col("n_samples"))
+
   /** Frame-sampling plan for video rows: one output row per sampled frame
     * timestamp (every `everyMs`), capped at `maxFrames` — an explode of a
     * generated sequence, no decode.
