@@ -144,6 +144,39 @@ class DedupSpec extends SparkSpec {
     assert(sigs(1L) !== sigs(4L))
   }
 
+  test("incremental status: exact beats near, min match id, unique falls through") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    val existing = Seq(
+      (10L, base),                      // exact twin of incoming 100
+      (11L, base),                      // same text, larger id — min wins
+      (20L, base + " extra trailing words here"), // near-dup of 101
+      (30L, "совершенно другой текст " * 20)
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (100L, base),                     // exact (match 10, not 11)
+      (101L, base + " extra trailing words here plus one"), // near of 20
+      (102L, "unrelated content entirely different words " * 10)
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalStatus(existing, incoming, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("status"))).toSeq ===
+      Seq((100L, "exact"), (101L, "near"), (102L, "unique")))
+    assert(out(0).getAs[Long]("match_id") === 10L, "smallest exact match id")
+    assert(out(1).getAs[Long]("match_id") === 20L)
+    assert(out(2).isNullAt(out(2).fieldIndex("match_id")))
+  }
+
+  test("incremental status: empty incoming and empty existing are safe") {
+    import spark.implicits._
+    val docs = Seq((1L, "some words here")).toDF("doc_id", "text")
+    val none = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.incrementalStatus(docs, none, "text", "doc_id").count() === 0L)
+    val out = Dedup.incrementalStatus(none, docs, "text", "doc_id").collect()
+    assert(out.map(_.getAs[String]("status")).toSeq === Seq("unique"),
+      "nothing to match against -> everything unique")
+  }
+
   test("embedding near-dup via LSH buckets") {
     import spark.implicits._
     val vecs = Seq(

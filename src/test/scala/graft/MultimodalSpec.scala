@@ -54,4 +54,23 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("media_id") === 2L))
     assert(rows.map(_.getAs[Long]("frame_ts_ms")).toSeq === Seq(0L, 100L))
   }
+
+  test("audio chunking: audio rows only, hop/width/samples, final short chunk") {
+    // media_id 1 is the audio row; its duration is n_chars * 10.
+    val chunks = Multimodal.chunkAudio(Multimodal.fromDocuments(docs),
+        chunkMs = 100, strideMs = 60, sampleRate = 16000)
+      .orderBy("start_ms").collect()
+    assert(chunks.nonEmpty && chunks.forall(_.getAs[Long]("media_id") === 1L))
+    val dur = Multimodal.fromDocuments(docs).filter(col("kind") === "audio")
+      .select(col("meta.duration_ms")).head().getLong(0)
+    chunks.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("start_ms") === i * 60L, "stride hop")
+      val expectEnd = math.min(i * 60L + 100L, dur)
+      assert(r.getAs[Long]("end_ms") === expectEnd, "width capped at duration")
+      assert(r.getAs[Long]("n_samples") ===
+        (expectEnd - i * 60L) * 16000L / 1000L, "integer sample count")
+    }
+    assert(chunks.last.getAs[Long]("end_ms") === dur,
+      "final chunk clipped to the duration")
+  }
 }
