@@ -917,6 +917,31 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** URL canonicalization under the gate: deterministic messy URLs
+    * (mixed-case hosts, default ports, tracking params in every
+    * position, fragments, trailing slashes) are synthesized from doc_id
+    * — the [[textScrub]] injection pattern — canonicalized, and the
+    * oracle replays the same regexp chain. The canonical form is the
+    * group key URL-level dedup runs on.
+    */
+  private def urlCanon(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val dirty = when(id % 4 === 0,
+        concat(lit("HTTPS://Example.COM:443/Data/"), id,
+          lit("?utm_source=feed&page="), id, lit("#sec")))
+      .when(id % 4 === 1,
+        concat(lit("http://EXAMPLE.com:80/data/"), id,
+          lit("?page="), id, lit("&utm_campaign=x&ref=ok")))
+      .when(id % 4 === 2,
+        concat(lit("https://example.com/data/"), id, lit("/")))
+      .otherwise(
+        concat(lit("http://sub.Example.Com/p"), id, lit("?fbclid=abc"), id))
+    t(s, d, "documents")
+      .select(col("doc_id"), dirty.as("url"),
+        TextAnalysis.canonicalizeUrl(dirty).as("url_canon"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic train/valid/test split — multiplicative-hash bucket,
     * pure arithmetic (engine-reproducible, repartition-stable), the
     * standard shuffle-free way to split a 100 TB corpus.
@@ -1266,6 +1291,7 @@ object SparkEntry {
     "q_text_langid" -> (textLangid _),
     "q_text_fingerprint" -> (textFingerprint _),
     "q_text_scrub" -> (textScrub _),
+    "q_url_canon" -> (urlCanon _),
     "q_sample_split" -> (sampleSplit _),
     "q_curate_docs" -> (curateDocs _),
     "q_corpus_shards" -> (corpusShards _),
@@ -2086,6 +2112,30 @@ object SparkEntry {
         |      'https?://[^\s]+', '<URL>', 'g'),
         |    '\+?[0-9][0-9() .-]{6,}[0-9]', '<PHONE>', 'g') AS scrubbed
         |FROM dirty ORDER BY doc_id""".stripMargin,
+    "q_url_canon" ->
+      """WITH dirty AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0 THEN 'HTTPS://Example.COM:443/Data/' || doc_id
+        |           || '?utm_source=feed&page=' || doc_id || '#sec'
+        |         WHEN doc_id % 4 = 1 THEN 'http://EXAMPLE.com:80/data/' || doc_id
+        |           || '?page=' || doc_id || '&utm_campaign=x&ref=ok'
+        |         WHEN doc_id % 4 = 2 THEN 'https://example.com/data/' || doc_id || '/'
+        |         ELSE 'http://sub.Example.Com/p' || doc_id || '?fbclid=abc' || doc_id
+        |    END AS url
+        |  FROM documents),
+        |c1 AS (SELECT doc_id, url,
+        |    regexp_replace(lower(regexp_extract(url, '^((?i:https?)://[^/?#]+)', 1)),
+        |      ':(80|443)$', '') AS host,
+        |    regexp_extract(url, '^(?i:https?)://[^/?#]+(.*)$', 1) AS rest
+        |  FROM dirty),
+        |c2 AS (SELECT doc_id, url, host,
+        |    regexp_replace(regexp_replace(rest, '#.*$', ''),
+        |      '[?&](utm_[a-z]+|fbclid)=[^&#]*', '', 'g') AS r
+        |  FROM c1),
+        |c3 AS (SELECT doc_id, url, host,
+        |    regexp_replace(regexp_replace(r, '^([^?]*)&', '\1?'), '[?&]$', '') AS r
+        |  FROM c2)
+        |SELECT doc_id, url, host || regexp_replace(r, '/$', '') AS url_canon
+        |FROM c3 ORDER BY doc_id""".stripMargin,
     "q_sample_split" ->
       """WITH h AS (SELECT doc_id,
         |    ((doc_id % 2147483647) * 2654435761) % 2147483647 AS y

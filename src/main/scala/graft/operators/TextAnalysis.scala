@@ -146,6 +146,34 @@ object TextAnalysis {
   def fingerprint(textCol: Column): Column =
     md5(regexp_replace(lower(trim(textCol)), "\\s+", " "))
 
+  /** URL canonicalization — the key-normalization step URL-level dedup
+    * needs before grouping (the same page crawled twice rarely has a
+    * byte-identical URL). A regexp chain any engine reproduces (no URL
+    * parser dependency):
+    *
+    *   1. scheme + host lowercased; explicit default ports stripped;
+    *   2. fragment removed;
+    *   3. tracking parameters (utm_*, fbclid) removed, the leading `?`
+    *      repaired when the first parameter was dropped, dangling
+    *      trailing separators trimmed;
+    *   4. trailing path slash removed.
+    *
+    * Path case is PRESERVED (paths are case-sensitive per RFC 3986; only
+    * scheme and host are case-insensitive).
+    */
+  def canonicalizeUrl(u: Column): Column = {
+    // (?i: ) on the scheme only — schemes arrive in any case ("HTTPS://")
+    // and both Java regex and RE2 accept the inline-group form.
+    val prefix = regexp_extract(u, "^((?i:https?)://[^/?#]+)", 1)
+    val rest = regexp_extract(u, "^(?i:https?)://[^/?#]+(.*)$", 1)
+    val host = regexp_replace(lower(prefix), ":(80|443)$", "")
+    val noFrag = regexp_replace(rest, "#.*$", "")
+    val noTrack = regexp_replace(noFrag, "[?&](utm_[a-z]+|fbclid)=[^&#]*", "")
+    val fixedQ = regexp_replace(noTrack, "^([^?]*)&", "$1?")
+    val noDangle = regexp_replace(fixedQ, "[?&]$", "")
+    concat(host, regexp_replace(noDangle, "/$", ""))
+  }
+
   /** Polynomial rolling hash over words (base 1000003, mod 2^31-1) — an
     * order-sensitive fingerprint, cheap to maintain incrementally. The
     * modulus keeps acc*base < 2^52, so the multiply never overflows a long

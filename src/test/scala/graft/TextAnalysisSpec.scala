@@ -97,4 +97,27 @@ class TextAnalysisSpec extends SparkSpec {
     val strides = buckets.sliding(2).map(p => (p(1) - p(0) + 100) % 100).toSet
     assert(strides.size > 1, s"bucket stride is constant: $strides")
   }
+
+  test("url canonicalization truth table") {
+    import spark.implicits._
+    val cases = Seq(
+      // host case + default port + first-position tracking param + fragment
+      ("HTTPS://Example.COM:443/Data/x?utm_source=a&page=2#top",
+        "https://example.com/Data/x?page=2"),
+      // mid-position tracking param survives its neighbors
+      ("http://h.com/p?page=1&utm_campaign=c&ref=ok",
+        "http://h.com/p?page=1&ref=ok"),
+      // only tracking params -> query gone entirely
+      ("http://h.com/p?fbclid=z", "http://h.com/p"),
+      // trailing slash; path case preserved
+      ("https://A.com/Path/", "https://a.com/Path"),
+      // non-default port kept
+      ("http://h.com:8080/x", "http://h.com:8080/x"),
+      // nothing to do
+      ("https://h.com/a?b=1", "https://h.com/a?b=1"))
+    val out = cases.map(_._1).toDF("u")
+      .select(TextAnalysis.canonicalizeUrl(col("u")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(out === cases.map(_._2))
+  }
 }
