@@ -951,6 +951,21 @@ object SparkEntry {
         "doc_id", trainPct = 80, validPct = 10)
       .orderBy(col("doc_id"))
 
+  /** Sequence packing under the gate: the corpus token stream cut into
+    * 512-token training chunks within each train/valid/test shard —
+    * integer-exact concat-and-chunk (see [[operators.SequencePacking]]);
+    * the oracle replays the split hash, the per-shard running total, and
+    * the chunk-overlap arithmetic.
+    */
+  private def packSequences(s: SparkSession, d: String): DataFrame = {
+    val docs = TextAnalysis.withSplit(
+      t(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast(LongType).as("n_toks_doc")),
+      "doc_id")
+    SequencePacking.pack(docs, "split", "doc_id", "n_toks_doc", capacity = 512)
+      .orderBy(col("split"), col("chunk_id"), col("doc_id"))
+  }
+
   /** The full corpus-production flow under one gate: curate ->
     * deterministic split -> MATERIALIZE split-partitioned shards ->
     * read the shards back -> per-split document/token totals. The
@@ -1293,6 +1308,7 @@ object SparkEntry {
     "q_text_scrub" -> (textScrub _),
     "q_url_canon" -> (urlCanon _),
     "q_sample_split" -> (sampleSplit _),
+    "q_pack_sequences" -> (packSequences _),
     "q_curate_docs" -> (curateDocs _),
     "q_corpus_shards" -> (corpusShards _),
     "q_multimodal_bytes" -> (multimodalBytes _),
@@ -2146,6 +2162,28 @@ object SparkEntry {
         |       WHEN split_bucket < 90 THEN 'valid'
         |       ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+    "q_pack_sequences" ->
+      """WITH h AS (SELECT doc_id,
+        |    ((doc_id % 2147483647) * 2654435761) % 2147483647 AS y
+        |  FROM documents),
+        |sp AS (SELECT doc_id,
+        |    CASE WHEN (y * y) % 2147483647 % 100 < 80 THEN 'train'
+        |         WHEN (y * y) % 2147483647 % 100 < 90 THEN 'valid'
+        |         ELSE 'test' END AS split
+        |  FROM h),
+        |toks AS (SELECT d.doc_id, sp.split,
+        |    len(list_filter(string_split_regex(trim(d.text), '\s+'), x -> len(x) > 0)) AS n
+        |  FROM documents d JOIN sp ON sp.doc_id = d.doc_id),
+        |cum AS (SELECT doc_id, split, n,
+        |    CAST(sum(n) OVER (PARTITION BY split ORDER BY doc_id) AS BIGINT) AS e
+        |  FROM toks WHERE n > 0),
+        |seg AS (SELECT doc_id, split, e - n AS s, e FROM cum),
+        |bins AS (SELECT doc_id, split, s, e,
+        |    unnest(range(s // 512, (e - 1) // 512 + 1)) AS chunk_id FROM seg)
+        |SELECT split, chunk_id, doc_id,
+        |  greatest(s, chunk_id * 512) - chunk_id * 512 AS off_in_chunk,
+        |  least(e, (chunk_id + 1) * 512) - greatest(s, chunk_id * 512) AS n_toks
+        |FROM bins ORDER BY split, chunk_id, doc_id""".stripMargin,
     "q_curate_docs" ->
       s"""WITH $curateOracleCtes
          |SELECT doc_id, fingerprint, lang_pred, quality_score, ws_tokens, bpeish_tokens

@@ -1,0 +1,47 @@
+package graft
+
+import graft.operators.SequencePacking
+import org.apache.spark.sql.functions._
+
+/** Concat-and-chunk invariants: every chunk except a shard's last holds
+  * exactly `capacity` tokens, documents span chunk boundaries with
+  * correct offsets, per-document totals are conserved, shards pack
+  * independently.
+  */
+class SequencePackingSpec extends SparkSpec {
+
+  test("fills to capacity, spans boundaries, conserves per-doc tokens") {
+    import spark.implicits._
+    val docs = Seq(("a", 1L, 100L), ("a", 2L, 500L), ("a", 3L, 30L))
+      .toDF("shard", "id", "toks")
+    val out = SequencePacking.pack(docs, "shard", "id", "toks", capacity = 256)
+      .orderBy("chunk_id", "id").collect()
+    // stream: doc1 [0,100) doc2 [100,600) doc3 [600,630)
+    assert(out.map(r => (r.getAs[Long]("chunk_id"), r.getAs[Long]("id"),
+      r.getAs[Long]("off_in_chunk"), r.getAs[Long]("n_toks"))).toSeq === Seq(
+      (0L, 1L, 0L, 100L), (0L, 2L, 100L, 156L),
+      (1L, 2L, 0L, 256L),
+      (2L, 2L, 0L, 88L), (2L, 3L, 88L, 30L)))
+    // every chunk but the last is exactly full
+    val perChunk = out.groupBy(_.getAs[Long]("chunk_id")).view
+      .mapValues(_.map(_.getAs[Long]("n_toks")).sum).toMap
+    assert(perChunk === Map(0L -> 256L, 1L -> 256L, 2L -> 118L))
+    // per-document conservation
+    val perDoc = out.groupBy(_.getAs[Long]("id")).view
+      .mapValues(_.map(_.getAs[Long]("n_toks")).sum).toMap
+    assert(perDoc === Map(1L -> 100L, 2L -> 500L, 3L -> 30L))
+  }
+
+  test("shards pack independently; zero-token docs dropped") {
+    import spark.implicits._
+    val docs = Seq(("x", 1L, 10L), ("x", 2L, 0L), ("y", 1L, 10L))
+      .toDF("shard", "id", "toks")
+    val out = SequencePacking.pack(docs, "shard", "id", "toks", capacity = 8)
+      .orderBy("shard", "chunk_id", "id").collect()
+    // both shards restart at chunk 0; the zero-token doc vanishes
+    assert(out.map(r => (r.getAs[String]("shard"), r.getAs[Long]("chunk_id"),
+      r.getAs[Long]("id"), r.getAs[Long]("n_toks"))).toSeq === Seq(
+      ("x", 0L, 1L, 8L), ("x", 1L, 1L, 2L),
+      ("y", 0L, 1L, 8L), ("y", 1L, 1L, 2L)))
+  }
+}
