@@ -22,7 +22,12 @@ object Bench {
   /** Queries whose cost is dominated by fixture setup + multi-batch write
     * orchestration on rows of data, not by the analytic plan.
     */
-  private val fixtureQueries = Set("q_ingest_e2e", "q_jdbc_roundtrip")
+  /** q_bucketed_join is here because its cost IS the one-time bucketed
+    * table writes (the pay-the-shuffle-once-at-write design); the join it
+    * measures is zero-exchange by construction.
+    */
+  private val fixtureQueries =
+    Set("q_ingest_e2e", "q_jdbc_roundtrip", "q_bucketed_join")
 
   private def force(df: DataFrame): Unit = {
     val cols = df.columns.map(col).toSeq

@@ -151,7 +151,15 @@ object Dedup {
       textCol: String,
       idCol: String,
       minJaccard: Double = 0.8): DataFrame = {
-    val words = docs.select(col(idCol).as("_id"),
+    // Only docs referenced by a candidate pair matter: the semi-join
+    // prunes the (id, word) count shuffle from the whole corpus to the
+    // candidate neighborhood — at full-corpus scale the candidate set is
+    // tiny relative to N, so this is the difference between verifying in
+    // O(candidate docs) and re-shuffling every document's words.
+    val ids = cands.select(col("id_a").as("_cid"))
+      .union(cands.select(col("id_b").as("_cid"))).distinct()
+    val needed = docs.join(ids, col(idCol) === col("_cid"), "left_semi")
+    val words = needed.select(col(idCol).as("_id"),
       explode(wordArr(col(textCol))).as("_w"))
     val cnt = words.groupBy("_id", "_w").agg(count(lit(1)).as("_c"))
     val tot = cnt.groupBy("_id").agg(sum(col("_c")).as("_n"))
