@@ -75,12 +75,18 @@ object Bench {
           errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName)
       }
     }
+    // Seconds are rounded to milliseconds: with 70+ queries the one JSON
+    // line must stay short enough that the driver's bounded tail capture
+    // keeps the whole line (r4 lost the headline metric/value fields to
+    // 9-decimal floats), and sub-ms digits are pure box noise anyway.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def timesJson(m: Map[String, Double]): String =
-      m.map { case (k, v) => s"${jsonStr(k)}:$v" }.mkString("{", ",", "}")
+      m.map { case (k, v) => s"${jsonStr(k)}:${fmt(v)}" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }
       .mkString("{", ",", "}")
     val total = analytic.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${timesJson(analytic)},"fixtures":${timesJson(fixtures)},"errors":$errJson,"n_errors":${errors.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${timesJson(analytic)},"fixtures":${timesJson(fixtures)},"errors":$errJson,"n_errors":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
     // A throwing query must fail the bench visibly, not pass silently.
     if (errors.nonEmpty) sys.exit(1)

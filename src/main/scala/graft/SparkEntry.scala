@@ -746,13 +746,10 @@ object SparkEntry {
 
   private def dedupSimhashFull(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
-    // Materialize the banded candidates once: the verify stage references
-    // the candidate set three ways (pair list + both id sides of the
-    // semi-join), and without the checkpoint each reference re-runs the
-    // whole banding self-join.
-    Dedup.simHashNearDup(docs, "text", "doc_id", maxHamming = 6, pieces = 8)
-      .coalesce(1).write.mode("overwrite").parquet(s"$simhashFullDir/cands.parquet")
-    val cands = s.read.parquet(s"$simhashFullDir/cands.parquet")
+    // exactBagJaccard materializes the candidate pair list internally, so
+    // the banding self-join runs exactly once even though the verify
+    // stage references the pair set three ways.
+    val cands = Dedup.simHashNearDup(docs, "text", "doc_id", maxHamming = 6, pieces = 8)
     Dedup.exactBagJaccard(cands, docs, "text", "doc_id", minJaccard = 0.8)
       .coalesce(1).write.mode("overwrite").parquet(s"$simhashFullDir/pairs.parquet")
     s.read.parquet(s"$simhashFullDir/pairs.parquet").orderBy(col("id_a"), col("id_b"))

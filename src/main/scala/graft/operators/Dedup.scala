@@ -151,19 +151,26 @@ object Dedup {
       textCol: String,
       idCol: String,
       minJaccard: Double = 0.8): DataFrame = {
+    // The pair list is read three times below (both sides of the doc
+    // prune plus the verify join), and candidate generation is usually an
+    // expensive self-join whose pruned branches differ per consumer — so
+    // exchange reuse cannot deduplicate them and each reference would
+    // re-run the whole upstream plan. The pairs are tiny relative to the
+    // corpus by construction (that is the point of LSH), so materialize
+    // them once up front.
+    val pairs = cands.select("id_a", "id_b").localCheckpoint()
     // Only docs referenced by a candidate pair matter: the semi-join
     // prunes the (id, word) count shuffle from the whole corpus to the
     // candidate neighborhood — at full-corpus scale the candidate set is
     // tiny relative to N, so this is the difference between verifying in
     // O(candidate docs) and re-shuffling every document's words.
-    val ids = cands.select(col("id_a").as("_cid"))
-      .union(cands.select(col("id_b").as("_cid"))).distinct()
+    val ids = pairs.select(explode(array(col("id_a"), col("id_b"))).as("_cid"))
+      .distinct()
     val needed = docs.join(ids, col(idCol) === col("_cid"), "left_semi")
     val words = needed.select(col(idCol).as("_id"),
       explode(wordArr(col(textCol))).as("_w"))
     val cnt = words.groupBy("_id", "_w").agg(count(lit(1)).as("_c"))
     val tot = cnt.groupBy("_id").agg(sum(col("_c")).as("_n"))
-    val pairs = cands.select("id_a", "id_b")
     val inter = pairs
       .join(cnt.select(col("_id").as("id_a"), col("_w"), col("_c").as("_ca")), "id_a")
       .join(cnt.select(col("_id").as("id_b"), col("_w"), col("_c").as("_cb")),
@@ -332,12 +339,23 @@ object Dedup {
       maxHamming: Int = 3,
       pieces: Int = 4): DataFrame = {
     val sigs = simHash(docs, textCol, idCol)
-    simHashCandidates(sigs, maxHamming, pieces)
-      .join(sigs.select(col("id").as("id_a"), col("simhash").as("sh_a")), "id_a")
-      .join(sigs.select(col("id").as("id_b"), col("simhash").as("sh_b")), "id_b")
-      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
-      .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+    // The Hamming test rides INSIDE the bucket equi-join as a residual
+    // predicate (the fingerprint is banded alongside the key — 8 more
+    // bytes per banded row), so bucket collisions that miss the radius
+    // die as a codegen xor+bit_count instead of surviving into the
+    // distinct: on clustered corpora the collision set can be orders of
+    // magnitude larger than the true pair set (measured 1.34M collisions
+    // vs 15.6k true pairs on the 5k-doc test corpus), and shuffling it
+    // into a distinct was the dominant cost of the whole operator. This
+    // also kills the two signature re-joins the post-filter needed.
+    val banded = bandedSignatures(sigs, maxHamming, pieces)
+    banded.as("x").join(banded.as("y"),
+        col("x.combo") === col("y.combo") && col("x.bkey") === col("y.bkey") &&
+          col("x.id") < col("y.id") &&
+          expr("bit_count(x.simhash ^ y.simhash)") <= maxHamming)
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
+      .distinct()
   }
 
   /** The candidate stage of [[simHashNearDup]], exposed so its selectivity
@@ -364,6 +382,19 @@ object Dedup {
     * per piece) is now impossible to reach with a >= 8-bit combined key.
     */
   def simHashCandidates(sigs: DataFrame, maxHamming: Int, pieces: Int): DataFrame = {
+    val banded = bandedSignatures(sigs, maxHamming, pieces)
+    banded.as("x").join(banded.as("y"),
+        col("x.combo") === col("y.combo") && col("x.bkey") === col("y.bkey") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+  }
+
+  /** One banded row per (doc, chunk subset): (id, simhash, combo, bkey).
+    * The fingerprint rides along so consumers can evaluate the Hamming
+    * test inside the bucket join without re-joining signatures.
+    */
+  private def bandedSignatures(sigs: DataFrame, maxHamming: Int, pieces: Int): DataFrame = {
     require(64 % pieces == 0, "pieces must divide 64")
     require(maxHamming < pieces,
       s"pigeonhole completeness requires maxHamming < pieces (got $maxHamming >= $pieces)")
@@ -380,13 +411,9 @@ object Dedup {
         .reduce(_.bitwiseOR(_))
       struct(lit(ci).as("combo"), key.as("bkey"))
     }
-    val banded = sigs.select(col("id"), explode(array(keyed: _*)).as("ck"))
-      .select(col("id"), col("ck.combo").as("combo"), col("ck.bkey").as("bkey"))
-    banded.as("x").join(banded.as("y"),
-        col("x.combo") === col("y.combo") && col("x.bkey") === col("y.bkey") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .distinct()
+    sigs.select(col("id"), col("simhash"), explode(array(keyed: _*)).as("ck"))
+      .select(col("id"), col("simhash"),
+        col("ck.combo").as("combo"), col("ck.bkey").as("bkey"))
   }
 
   /** Embedding near-duplicate pairs: cosine >= threshold, candidates from
