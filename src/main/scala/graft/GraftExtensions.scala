@@ -61,5 +61,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, "graft_minhash(hash, k) takes 2 arguments")
         MinHashSig(args(0), args(1))
       }))
+    // Catalyst's own runtime-filter pair, exposed for explicit use: build a
+    // Bloom bitmap over dim keys in a scalar subquery, probe fact rows at
+    // scan speed. Keys hash with xxhash64(seed 42) on both sides.
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(args.length == 3,
+          "graft_bloom_agg(key, expectedItems, numBits) takes 3 arguments")
+        // SQL integer literals arrive as INT; the aggregate wants BIGINT.
+        def asLong(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            e, org.apache.spark.sql.types.LongType)
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(args(0))),
+          asLong(args(1)), asLong(args(2)))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(args.length == 2, "graft_might_contain(bloom, key) takes 2 arguments")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          args(0),
+          new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(args(1))))
+      }))
   }
 }

@@ -122,6 +122,21 @@ object SparkEntry {
     updated.select(col("key"), col("title"), col("active")).orderBy(col("key"))
   }
 
+  /** Bloom-prefiltered semi-join — results must be IDENTICAL to the plain
+    * semi-join (the oracle is the plain EXISTS), so the gate proves the
+    * sketch is pure acceleration, never semantics. See
+    * [[operators.BloomJoin]] for the 100 TB rationale (drop non-matching
+    * fact rows at scan speed, before the shuffle).
+    */
+  private def bloomSemi(s: SparkSession, d: String): DataFrame =
+    BloomJoin.bloomSemiJoin(
+      t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity"),
+      t(s, d, "part").filter(col("p_partkey") % 97 === 0),
+      factKey = "l_partkey", dimKey = "p_partkey",
+      expectedItems = 1L << 16)
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
   private def joinFk(s: SparkSession, d: String): DataFrame =
     t(s, d, "customer")
       .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
@@ -1251,6 +1266,7 @@ object SparkEntry {
     "q_paginate_default" -> (paginateDefault _),
     "q_anti_join" -> (antiJoin _),
     "q_semi_join" -> (semiJoin _),
+    "q_bloom_semi" -> (bloomSemi _),
     "q_merge_upsert" -> (mergeUpsert _),
     "q_skew_salted_join" -> (skewSaltedJoin _),
     "q_full_update_deactivate" -> (fullUpdateDeactivate _),
@@ -1562,6 +1578,11 @@ object SparkEntry {
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+    "q_bloom_semi" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem
+        |WHERE EXISTS (SELECT 1 FROM part
+        |              WHERE p_partkey = l_partkey AND p_partkey % 97 = 0)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_merge_upsert" ->
       """WITH target AS (
         |  SELECT p_partkey AS key, p_name AS title, p_retailprice AS price FROM part),

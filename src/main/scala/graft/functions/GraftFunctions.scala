@@ -51,4 +51,30 @@ object GraftFunctions {
       MinHashSig(B.expression(hash),
         org.apache.spark.sql.catalyst.expressions.Literal(k))
         .toAggregateExpression())
+
+  /** Bloom-filter build aggregate over a key column: the fixed-size
+    * bitmap (binary) of Spark's own runtime-filter sketch
+    * (`org.apache.spark.util.sketch.BloomFilter`, built by Catalyst's
+    * `BloomFilterAggregate` — map-side combinable, per-task bitmaps merge
+    * with OR). Keys are hashed with xxhash64 (seed 42); probe with
+    * [[graftMightContain]], which hashes identically.
+    */
+  def graftBloomAgg(key: Column, expectedItems: Long, numBits: Long): Column =
+    B.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(B.expression(key))),
+        org.apache.spark.sql.catalyst.expressions.Literal(expectedItems),
+        org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+        .toAggregateExpression())
+
+  /** Membership probe against a [[graftBloomAgg]] bitmap. The bitmap must
+    * be foldable (a literal) or a scalar subquery — Catalyst
+    * constant-folds the deserialization once and codegens the per-row
+    * probe. No false negatives; ~fpp false positives.
+    */
+  def graftMightContain(bloom: Column, key: Column): Column =
+    B.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        B.expression(bloom),
+        new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(B.expression(key)))))
 }
