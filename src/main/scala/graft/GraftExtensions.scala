@@ -61,6 +61,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, "graft_minhash(hash, k) takes 2 arguments")
         MinHashSig(args(0), args(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_heavyhitters"),
+      new ExpressionInfo(classOf[graft.functions.HeavyHitters].getName,
+        "graft_heavyhitters"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(args.length == 2, "graft_heavyhitters(item, k) takes 2 arguments")
+        graft.functions.HeavyHitters(args(0), args(1))
+      }))
     // Catalyst's own runtime-filter pair, exposed for explicit use: build a
     // Bloom bitmap over dim keys in a scalar subquery, probe fact rows at
     // scan speed. Keys hash with xxhash64(seed 42) on both sides.

@@ -298,6 +298,29 @@ object SparkEntry {
     s.read.parquet(s"$approxDistinctDir/result.parquet").orderBy(col("l_returnflag"))
   }
 
+  /** Heavy hitters over document words — the bounded-state answer to
+    * "top terms over 100 TB": a Misra–Gries summary (k counters per task,
+    * merged associatively, shuffle carries k rows per task) instead of a
+    * full GROUP BY over every distinct token. Dump-and-envelope oracle:
+    * each emitted row carries its own deterministic error certificate
+    * (`spilled` = exact total decremented weight), and DuckDB re-emits a
+    * dumped row only when est <= exact <= est + spilled, then appends any
+    * word whose exact count beats `spilled` but is missing from the dump
+    * — so an unsound estimate OR a missed guaranteed-heavy item both turn
+    * the row set red.
+    */
+  private lazy val heavyDir = s"$artifactRoot/heavyhitters"
+
+  private def heavyHittersQ(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "documents")
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .agg(graft.functions.GraftFunctions.graftHeavyHitters(col("w"), 32).as("hh"))
+      .select(col("hh.spilled").as("spilled"), explode(col("hh.items")).as("it"))
+      .select(col("it.item").as("item"), col("it.est").as("est"), col("spilled"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$heavyDir/result.parquet")
+    s.read.parquet(s"$heavyDir/result.parquet").orderBy(col("item"))
+  }
+
   private def groupAgg(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem")
       .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -1279,6 +1302,7 @@ object SparkEntry {
     "q_percentile_disc" -> (percentileDisc _),
     "q_stats_moments" -> (statsMoments _),
     "q_approx_distinct" -> (approxDistinct _),
+    "q_heavy_hitters" -> (heavyHittersQ _),
     "q_transform_text" -> (transformText _),
     "q_transform_decimal" -> (transformDecimal _),
     "q_transform_integer" -> (transformInteger _),
@@ -1700,6 +1724,22 @@ object SparkEntry {
          |WHERE abs(e.approx_parts - ex.exact_parts) <= 0.06 * ex.exact_parts
          |  AND e.n_rows = ex.n
          |ORDER BY e.l_returnflag""".stripMargin,
+    "q_heavy_hitters" ->
+      s"""WITH dump AS (SELECT * FROM read_parquet('$heavyDir/result.parquet/*.parquet')),
+         |words AS (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+         |          FROM documents),
+         |exact AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM words GROUP BY w),
+         |ok AS (SELECT d.item, d.est, d.spilled
+         |       FROM dump d JOIN exact e ON e.w = d.item
+         |       WHERE d.est <= e.cnt AND e.cnt <= d.est + d.spilled),
+         |missing AS (SELECT e.w AS item, CAST(-1 AS BIGINT) AS est,
+         |                   CAST(-1 AS BIGINT) AS spilled
+         |            FROM exact e
+         |            WHERE e.cnt > (SELECT max(spilled) FROM dump)
+         |              AND e.w NOT IN (SELECT item FROM dump))
+         |SELECT item, est, spilled FROM ok
+         |UNION ALL SELECT item, est, spilled FROM missing
+         |ORDER BY item""".stripMargin,
     "q_group_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -52,6 +52,17 @@ object GraftFunctions {
         org.apache.spark.sql.catalyst.expressions.Literal(k))
         .toAggregateExpression())
 
+  /** Misra–Gries heavy-hitter summary aggregate: at most k counters plus
+    * the exact total decremented weight (`spilled`), so every item whose
+    * true count exceeds `spilled` is guaranteed present and estimates
+    * satisfy est <= true <= est + spilled.
+    */
+  def graftHeavyHitters(item: Column, k: Int): Column =
+    B.column(
+      HeavyHitters(B.expression(item),
+        org.apache.spark.sql.catalyst.expressions.Literal(k))
+        .toAggregateExpression())
+
   /** Bloom-filter build aggregate over a key column: the fixed-size
     * bitmap (binary) of Spark's own runtime-filter sketch
     * (`org.apache.spark.util.sketch.BloomFilter`, built by Catalyst's
