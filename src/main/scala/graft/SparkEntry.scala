@@ -1208,6 +1208,21 @@ object SparkEntry {
         col("meta.height").as("height"), col("n_bytes"), col("payload_md5"))
       .orderBy(col("media_id"))
 
+  /** Byte-level PNG header round-trip: payloads are synthesized with a
+    * genuine PNG signature + IHDR (dims as big-endian 32-bit), and the
+    * query parses the dims back OUT of the bytes. The oracle recomputes
+    * both the expected header hex and the dims from doc_id arithmetic, so
+    * a wrong byte layout on either the synthesis or the parse side goes
+    * red. See [[operators.Multimodal.pngHeader]].
+    */
+  private def mediaDims(s: SparkSession, d: String): DataFrame =
+    Multimodal.pngMedia(t(s, d, "documents"))
+      .select(col("media_id"),
+        Multimodal.pngWidth(col("payload")).as("parsed_w"),
+        Multimodal.pngHeight(col("payload")).as("parsed_h"),
+        upper(hex(substring(col("payload"), 1, 24))).as("header_hex"))
+      .orderBy(col("media_id"))
+
   private def multimodalResize(s: SparkSession, d: String): DataFrame =
     Multimodal.resizeMeta(Multimodal.fromDocuments(t(s, d, "documents")), maxSide = 256)
       .select(col("media_id"), col("meta.width").as("width"),
@@ -1357,6 +1372,7 @@ object SparkEntry {
     "q_frame_sample" -> (frameSample _),
     "q_audio_chunks" -> (audioChunks _),
     "q_multimodal_resize" -> (multimodalResize _),
+    "q_media_dims" -> (mediaDims _),
     "q_orc_roundtrip" -> (orcRoundtrip _),
     "q_bucketed_join" -> (bucketedJoinAgg _),
     "q_ingest_e2e" -> (ingestE2e _),
@@ -2279,6 +2295,14 @@ object SparkEntry {
         |  CAST(round(((doc_id % 48) * 16 + 16) *
         |    least(1.0, 256.0 / greatest((doc_id % 64) * 16 + 16, (doc_id % 48) * 16 + 16))) AS INTEGER) AS resized_h
         |FROM documents ORDER BY media_id""".stripMargin,
+    "q_media_dims" ->
+      """SELECT doc_id AS media_id,
+        |  CAST((doc_id % 64) * 16 + 16 AS INTEGER) AS parsed_w,
+        |  CAST((doc_id % 48) * 16 + 16 AS INTEGER) AS parsed_h,
+        |  '89504E470D0A1A0A' || '0000000D' || '49484452' ||
+        |    lpad(upper(to_hex((doc_id % 64) * 16 + 16)), 8, '0') ||
+        |    lpad(upper(to_hex((doc_id % 48) * 16 + 16)), 8, '0') AS header_hex
+        |FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id""".stripMargin,
     "q_frame_sample" ->
       """SELECT media_id, frame_ts_ms FROM (
         |  SELECT doc_id AS media_id,

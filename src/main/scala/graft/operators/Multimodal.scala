@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -88,6 +88,54 @@ object Multimodal {
       i += 1
     }
     acc.map(v => math.round(v * 1000.0) / 1000.0)
+  }
+
+  // ---- PNG container header synthesis / parsing (byte-level, no codec) --
+
+  /** A valid PNG file prefix — 8-byte signature, IHDR chunk length (13),
+    * "IHDR", then width and height as big-endian 32-bit ints, then
+    * bit-depth 8 / truecolor / default flags. Built with pure
+    * expressions: int -> hex -> zero-pad -> unhex gives exact big-endian
+    * bytes, so the synthesis is codegen'd and engine-reproducible.
+    *
+    * This is the REAL container-parsing boundary of an image pipeline:
+    * dimensions, signatures, and chunk layout live in the header and are
+    * readable at scan speed without any codec — only pixel DECODE (see
+    * [[extractFeatures]]) needs native libraries.
+    */
+  def pngHeader(width: Column, height: Column): Column =
+    unhex(concat(
+      lit("89504E470D0A1A0A"), // PNG signature
+      lit("0000000D"),         // IHDR length = 13
+      lit("49484452"),         // "IHDR"
+      lpad(hex(width.cast(IntegerType)), 8, "0"),
+      lpad(hex(height.cast(IntegerType)), 8, "0"),
+      lit("0802000000")))      // bit depth 8, truecolor, std flags
+
+  /** Signature check on raw payload bytes. */
+  def isPng(payload: Column): Column =
+    hex(substring(payload, 1, 8)) === "89504E470D0A1A0A"
+
+  /** Width/height parsed straight out of IHDR bytes (big-endian 32-bit
+    * at offsets 16 and 20): binary slice -> hex -> base-16 conv. No UDF,
+    * no decode — a scan-speed projection.
+    */
+  def pngWidth(payload: Column): Column =
+    conv(hex(substring(payload, 17, 4)), 16, 10).cast(IntegerType)
+
+  def pngHeight(payload: Column): Column =
+    conv(hex(substring(payload, 21, 4)), 16, 10).cast(IntegerType)
+
+  /** Image-kind media rows whose payloads carry a genuine PNG header
+    * (synthesized from the metadata dims) followed by the content bytes —
+    * so header parsing is testable end-to-end on the harness testdata.
+    */
+  def pngMedia(docs: DataFrame): DataFrame = {
+    val w = (pmod(col("doc_id"), lit(64)) * 16 + 16).cast(IntegerType)
+    val h = (pmod(col("doc_id"), lit(48)) * 16 + 16).cast(IntegerType)
+    docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      .select(col("doc_id").as("media_id"),
+        concat(pngHeader(w, h), encode(col("text"), "UTF-8")).as("payload"))
   }
 
   /** Metadata-level "resize": recompute target dims preserving aspect

@@ -73,4 +73,38 @@ class MultimodalSpec extends SparkSpec {
     assert(chunks.last.getAs[Long]("end_ms") === dur,
       "final chunk clipped to the duration")
   }
+
+  test("PNG header golden bytes: 1x1 header matches the spec byte-for-byte") {
+    import spark.implicits._
+    // Hand-computed from the PNG spec: signature, IHDR length 13, "IHDR",
+    // width=1, height=1 big-endian, depth 8 / truecolor / default flags.
+    val golden = "89504E470D0A1A0A" + "0000000D" + "49484452" +
+      "00000001" + "00000001" + "0802000000"
+    val got = Seq(1).toDF("x")
+      .select(hex(Multimodal.pngHeader(lit(1), lit(1))).as("h"))
+      .head().getString(0)
+    assert(got === golden)
+  }
+
+  test("PNG dims survive the byte round-trip for non-trivial sizes") {
+    import spark.implicits._
+    val df = Seq((640, 480), (1, 1), (65535, 3), (1920, 1080)).toDF("w", "h")
+      .select(col("w"), col("h"),
+        Multimodal.pngHeader(col("w"), col("h")).as("p"))
+    val rows = df.select(
+        Multimodal.isPng(col("p")).as("ok"),
+        Multimodal.pngWidth(col("p")).as("pw"),
+        Multimodal.pngHeight(col("p")).as("ph"),
+        col("w"), col("h"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("ok"))
+      assert(r.getAs[Int]("pw") === r.getAs[Int]("w"))
+      assert(r.getAs[Int]("ph") === r.getAs[Int]("h"))
+    }
+    // and a non-PNG payload is rejected by the signature check
+    val notPng = Seq("hello").toDF("t")
+      .select(Multimodal.isPng(encode(col("t"), "UTF-8"))).head().getBoolean(0)
+    assert(!notPng)
+  }
 }
