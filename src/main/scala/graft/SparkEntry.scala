@@ -927,6 +927,12 @@ object SparkEntry {
       .select(col("doc_id"), col("digit_ratio"), col("quality_score"))
       .orderBy(col("doc_id"))
 
+  private def textRepetition(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.repetitionSignals(t(s, d, "documents"), "text", "doc_id")
+      .select(col("_id").as("doc_id"), col("total_bigrams"),
+        col("dup_bigram_ratio"), col("top_bigram_share"))
+      .orderBy(col("doc_id"))
+
   private def textLangid(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents").select(col("doc_id"), col("lang"),
         TextAnalysis.langId(col("text")).as("lang_pred"))
@@ -1359,6 +1365,7 @@ object SparkEntry {
     "q_embed_neardup" -> (embedNearDup _),
     "q_text_stats" -> (textStats _),
     "q_text_quality" -> (textQuality _),
+    "q_text_repetition" -> (textRepetition _),
     "q_token_count" -> (tokenCount _),
     "q_text_langid" -> (textLangid _),
     "q_text_fingerprint" -> (textFingerprint _),
@@ -2186,6 +2193,22 @@ object SparkEntry {
          |                 w -> len(w) > 0)) AS DOUBLE), 1.0) > 0.01 THEN 1.0 ELSE 0.0 END)
          |  AS DOUBLE), 2) AS quality_score
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+        |           FROM documents),
+        |g AS (SELECT doc_id,
+        |        unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS gram
+        |      FROM w),
+        |c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram),
+        |p AS (SELECT doc_id AS p_id, max(c) AS maxc, CAST(sum(c) AS BIGINT) AS sumc,
+        |             count(*) AS nd
+        |      FROM c GROUP BY doc_id)
+        |SELECT w.doc_id,
+        |  CAST(greatest(len(ws) - 1, 0) AS BIGINT) AS total_bigrams,
+        |  round(coalesce((sumc - nd) * 1.0 / sumc, 0.0), 4) AS dup_bigram_ratio,
+        |  round(coalesce(maxc * 1.0 / sumc, 0.0), 4) AS top_bigram_share
+        |FROM w LEFT JOIN p ON p.p_id = w.doc_id
+        |ORDER BY doc_id""".stripMargin,
     "q_token_count" ->
       """SELECT doc_id,
         |  len(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) AS ws_tokens,

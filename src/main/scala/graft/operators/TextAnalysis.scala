@@ -92,6 +92,44 @@ object TextAnalysis {
       .withColumn("quality_score", score)
   }
 
+  /** Gopher/C4-style repetition signals per document: the fraction of
+    * word-bigram occurrences that are repeats of an earlier bigram
+    * (`dup_bigram_ratio`) and the share held by the single most frequent
+    * bigram (`top_bigram_share`) — the standard screens for boilerplate
+    * and degenerate "same phrase over and over" documents.
+    *
+    * Shape: bigrams come from `slice` + `arrays_zip` + `explode` (all
+    * codegen'd array ops — no interpreted lambda per element), then ONE
+    * aggregation keyed by the high-cardinality (doc, bigram) pair and a
+    * per-doc rollup. Cost scales with token count, not documents², and
+    * the shuffle key never skews worse than the hottest single phrase in
+    * one document.
+    */
+  def repetitionSignals(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val ws = split(lower(trim(col(textCol))), "\\s+")
+    val base = docs
+      .select(col(idCol).as("_id"), ws.as("_ws"))
+      .withColumn("_total", greatest(size(col("_ws")) - 1, lit(0)).cast("long"))
+    val grams = base.filter(col("_total") > 0)
+      .withColumn("_l", slice(col("_ws"), lit(1), size(col("_ws")) - 1))
+      .withColumn("_r", slice(col("_ws"), lit(2), size(col("_ws")) - 1))
+      .select(col("_id"), explode(arrays_zip(col("_l"), col("_r"))).as("_z"))
+      .select(col("_id"), concat(col("_z._l"), lit(" "), col("_z._r")).as("_g"))
+    val counts = grams.groupBy(col("_id"), col("_g")).agg(count(lit(1)).as("_c"))
+    val per = counts.groupBy(col("_id")).agg(
+      max(col("_c")).as("_maxc"),
+      sum(col("_c")).as("_sumc"),
+      count(lit(1)).as("_nd"))
+    base.join(per, Seq("_id"), "left")
+      .select(
+        col("_id"),
+        col("_total").as("total_bigrams"),
+        round(coalesce((col("_sumc") - col("_nd")).cast("double") / col("_sumc"),
+          lit(0.0)), 4).as("dup_bigram_ratio"),
+        round(coalesce(col("_maxc").cast("double") / col("_sumc"),
+          lit(0.0)), 4).as("top_bigram_share"))
+  }
+
   /** PII scrubbing for training-data curation: redact emails, URLs, and
     * phone-like number runs with typed placeholder tokens. A chain of
     * regexp_replace expressions — scan-speed, no shuffle, and the regexes

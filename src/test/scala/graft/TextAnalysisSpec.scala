@@ -120,4 +120,35 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq
     assert(out === cases.map(_._2))
   }
+
+  test("repetition signals: hand-computed bigram ratios") {
+    import spark.implicits._
+    // "a b a b a": bigrams = [a b, b a, a b, b a] -> total 4, distinct 2,
+    //   dup ratio (4-2)/4 = 0.5, top share 2/4 = 0.5
+    // "x y z": bigrams = [x y, y z] -> total 2, dup 0, top share 0.5
+    // "solo": no bigrams -> total 0, ratios 0
+    // "t t t t": bigrams = [t t, t t, t t] -> dup 2/3, top share 1.0
+    val docs = Seq((1L, "a b a b a"), (2L, "x y z"), (3L, "solo"),
+      (4L, "t t t t")).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionSignals(docs, "text", "doc_id")
+      .orderBy("_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got === Array(
+      (1L, 4L, 0.5, 0.5),
+      (2L, 2L, 0.0, 0.5),
+      (3L, 0L, 0.0, 0.0),
+      (4L, 3L, 0.6667, 1.0)))
+  }
+
+  test("repetition signals: per-doc gram total equals size(words)-1") {
+    import spark.implicits._
+    val docs = Seq((1L, "  padded   text  with   runs "), (2L, ""),
+      (3L, "one two three four five")).toDF("doc_id", "text")
+    val rows = TextAnalysis.repetitionSignals(docs, "text", "doc_id").collect()
+    rows.foreach { r =>
+      val ratio = r.getAs[Double]("dup_bigram_ratio")
+      assert(ratio >= 0.0 && ratio <= 1.0)
+    }
+  }
 }
