@@ -933,6 +933,33 @@ object SparkEntry {
         col("dup_bigram_ratio"), col("top_bigram_share"))
       .orderBy(col("doc_id"))
 
+  /** Deterministic stratified downsample: 10% of English docs, 50% of
+    * everything else — the corpus rebalance move, RNG-free so the oracle
+    * replays the identical hash arithmetic. See
+    * [[operators.TextAnalysis.stratifiedSample]].
+    */
+  private def sampleStratified(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.stratifiedSample(t(s, d, "documents"), col("doc_id"),
+        when(col("lang") === "en", lit(10)).otherwise(lit(50)))
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  /** Small-file compaction capstone: write the table as 64 deliberately
+    * tiny files, compact-and-cluster them by doc_id, and return the
+    * read-back rows — the oracle checks ROW-LEVEL equality with the
+    * source table, proving the rewrite lost and duplicated nothing. File
+    * count and range-disjointness are asserted in CompactionSpec.
+    */
+  private lazy val compactDir = s"$artifactRoot/compact"
+
+  private def compactQ(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+      .repartition(64).write.mode("overwrite").parquet(s"$compactDir/small")
+    val (_, back) = Compaction.compactSorted(s, s"$compactDir/small",
+      s"$compactDir/big", targetBytes = 4L << 20, sortCols = Seq("doc_id"))
+    back.orderBy(col("doc_id"))
+  }
+
   private def textLangid(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents").select(col("doc_id"), col("lang"),
         TextAnalysis.langId(col("text")).as("lang_pred"))
@@ -1366,6 +1393,8 @@ object SparkEntry {
     "q_text_stats" -> (textStats _),
     "q_text_quality" -> (textQuality _),
     "q_text_repetition" -> (textRepetition _),
+    "q_sample_stratified" -> (sampleStratified _),
+    "q_compact" -> (compactQ _),
     "q_token_count" -> (tokenCount _),
     "q_text_langid" -> (textLangid _),
     "q_text_fingerprint" -> (textFingerprint _),
@@ -2264,6 +2293,16 @@ object SparkEntry {
         |       WHEN split_bucket < 90 THEN 'valid'
         |       ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+    "q_sample_stratified" ->
+      """WITH h AS (SELECT doc_id, lang,
+        |    ((doc_id % 2147483647) * 2654435761) % 2147483647 AS y
+        |  FROM documents),
+        |b AS (SELECT doc_id, lang, (y * y) % 2147483647 % 100 AS bkt FROM h)
+        |SELECT doc_id, lang FROM b
+        |WHERE bkt < CASE WHEN lang = 'en' THEN 10 ELSE 50 END
+        |ORDER BY doc_id""".stripMargin,
+    "q_compact" ->
+      """SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id""",
     "q_pack_sequences" ->
       """WITH h AS (SELECT doc_id,
         |    ((doc_id % 2147483647) * 2654435761) % 2147483647 AS y

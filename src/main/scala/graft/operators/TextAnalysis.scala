@@ -165,6 +165,17 @@ object TextAnalysis {
     pmod(pmod(y * y, p), lit(100L))
   }
 
+  /** Deterministic per-stratum downsampling: keep a row iff its
+    * [[splitBucket]] hash lands under the stratum's percentage rate.
+    * This is the curation rebalance move (e.g. keep 10% of the dominant
+    * language, 50% of everything else) done WITHOUT RNG: the same row
+    * set survives on every run, every engine, and every repartitioning —
+    * which is what makes sampled corpora diffable and the sample
+    * auditable. A scan-speed filter; no shuffle, no state.
+    */
+  def stratifiedSample(df: DataFrame, idCol: Column, ratePct: Column): DataFrame =
+    df.filter(splitBucket(idCol) < ratePct)
+
   def withSplit(df: DataFrame, idCol: String,
       trainPct: Int = 80, validPct: Int = 10): DataFrame = {
     require(trainPct + validPct < 100, "train + valid must leave room for test")
