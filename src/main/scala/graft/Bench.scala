@@ -24,10 +24,12 @@ object Bench {
     */
   /** q_bucketed_join is here because its cost IS the one-time bucketed
     * table writes (the pay-the-shuffle-once-at-write design); the join it
-    * measures is zero-exchange by construction.
+    * measures is zero-exchange by construction. q_compact likewise: its
+    * cost is the deliberate 64-tiny-file fixture write plus the rewrite
+    * it exists to exercise — file orchestration, not an analytic plan.
     */
   private val fixtureQueries =
-    Set("q_ingest_e2e", "q_jdbc_roundtrip", "q_bucketed_join")
+    Set("q_ingest_e2e", "q_jdbc_roundtrip", "q_bucketed_join", "q_compact")
 
   private def force(df: DataFrame): Unit = {
     val cols = df.columns.map(col).toSeq

@@ -191,6 +191,31 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("heavy-hitters sketch composes with streaming aggregation") {
+    // graft_heavyhitters inside a streaming global aggregate: with k
+    // larger than the distinct item count the Misra-Gries summary is
+    // EXACT (spilled = 0), so stream and batch must agree bit-for-bit —
+    // which pins the sketch's serialize/merge path through streaming
+    // state, not just the batch map-side combine.
+    import graft.functions.GraftFunctions.graftHeavyHitters
+    val dir = realEventsDir
+    def hhPlan(df: org.apache.spark.sql.DataFrame) = df
+      .agg(graftHeavyHitters(col("event_type"), 64).as("hh"))
+      .select(col("hh.spilled").as("spilled"), explode(col("hh.items")).as("it"))
+      .select(col("spilled"), col("it.item").as("item"), col("it.est").as("est"))
+    val q = EventStreams.runToMemory(
+      hhPlan(spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir)),
+      "hh_stream")
+    q.awaitTermination(120000)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val streamed = key(spark.table("hh_stream"))
+    val batch = key(hhPlan(spark.read.parquet(dir)))
+    assert(streamed.nonEmpty)
+    assert(streamed.forall(_._1 == 0L), "k > distinct items must be exact")
+    assert(streamed === batch)
+  }
+
   test("foreachBatch ingest bridge delivers batches") {
     val dir = tmpDir("stream2")
     events.write.mode("overwrite").parquet(dir)
