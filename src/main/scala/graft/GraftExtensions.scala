@@ -19,6 +19,9 @@ import graft.functions.{DotProduct, MinHashSig, SimHashAgg, TopKRows, WordSetCou
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Whole-operator extension: plans graft.plans.AsOfJoinNode into its
+    // native sorted-merge SparkPlan (see plans/AsOfJoinNative.scala).
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

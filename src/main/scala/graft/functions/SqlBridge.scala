@@ -17,4 +17,16 @@ object GraftSqlBridge {
 
   /** Unwrap a Column to its Catalyst expression (classic mode). */
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Wrap a raw logical plan as a DataFrame (classic mode) — needed by
+    * libraries that ship custom logical operators.
+    */
+  def dataFrame(
+      spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The analyzed plan behind a DataFrame. */
+  def analyzed(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
 }

@@ -64,4 +64,55 @@ object AsOfJoin {
     }
     unpacked.filter(col("_side") === 1).drop("_ats", "_side", "_aval")
   }
+
+  /** The same join as [[asOf]], executed by the NATIVE operator
+    * ([[graft.plans.AsOfJoinNode]] / [[graft.plans.AsOfJoinExec]],
+    * planned via the injected strategy — the session must be built
+    * `.withExtensions(new GraftExtensions)`). One sorted-merge pass per
+    * co-partition with a single buffered right row — no union
+    * materialization and no window frame machinery.
+    *
+    * The right side is re-aliased internally, so self-joins (left and
+    * right derived from the same scan) are safe. Keys should be
+    * non-null: like the window formulation (whose `partitionBy` groups
+    * nulls together), a null key matches a null-keyed right row rather
+    * than following SQL's null-never-equal join rule.
+    */
+  def asOfNative(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTsCol: String,
+      rightTsCol: String,
+      valueCols: Seq[String],
+      prefix: String = "asof_"): DataFrame = {
+    require(keys.nonEmpty, "as-of join requires at least one key column")
+    require(valueCols.nonEmpty, "as-of join requires value columns to carry")
+    import org.apache.spark.sql.{GraftSqlBridge => B}
+    // Fresh aliases give the right side new exprIds, so left/right built
+    // from the same source never collide in the analyzer.
+    val rCols = (keys :+ rightTsCol) ++ valueCols
+    val rAliased = right.select(rCols.map(c => col(c).as(s"_r_$c")): _*)
+    val lPlan = B.analyzed(left)
+    val rPlan = B.analyzed(rAliased)
+    def attrOf(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        name: String) =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"column $name not found"))
+    val node = graft.plans.AsOfJoinNode(
+      lPlan, rPlan,
+      keys.map(attrOf(lPlan, _)),
+      keys.map(k => attrOf(rPlan, s"_r_$k")),
+      attrOf(lPlan, leftTsCol),
+      attrOf(rPlan, s"_r_$rightTsCol"),
+      valueCols.map(c => attrOf(rPlan, s"_r_$c")),
+      outputPrefix = prefix)
+    // The node names value outputs prefix + "_r_" + col (after the
+    // internal aliasing); rename to match [[asOf]]'s prefix + col
+    // contract.
+    val df = B.dataFrame(left.sparkSession, node)
+    valueCols.foldLeft(df) { (d, c) =>
+      d.withColumnRenamed(prefix + "_r_" + c, prefix + c)
+    }
+  }
 }

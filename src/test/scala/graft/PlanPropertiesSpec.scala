@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Machine-checked plan properties for the headline queries — the scale
+  * claims in SCALE.md as assertions, not prose: filters reach the scan,
+  * dimension joins broadcast, top-k compiles to TakeOrderedAndProject
+  * (never a full sort), and the Bloom probe sits in the plan as a
+  * scan-side filter. These run against the sf0.001 testdata so the plan
+  * shapes (not timings) are what is pinned.
+  */
+class PlanPropertiesSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("tenant filter is pushed into the parquet scan") {
+    val plan = planOf("q_filter_tenant")
+    assert(plan.contains("PushedFilters: ["), s"no pushdown section:\n$plan")
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*(GreaterThan|EqualTo|IsNotNull)[^\\]]*\\].*"),
+      s"tenant predicate did not reach the scan:\n$plan")
+  }
+
+  test("dimension joins broadcast (no shuffle of the fact side)") {
+    val plan = planOf("q_join_fk")
+    assert(plan.contains("BroadcastHashJoin"), s"dims not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected shuffle join:\n$plan")
+  }
+
+  test("ranked pagination compiles to TakeOrderedAndProject, not a full sort") {
+    val plan = planOf("q_rank_paginate")
+    assert(plan.contains("TakeOrderedAndProject"), s"full sort instead of top-k:\n$plan")
+  }
+
+  test("brute-force ANN top-k avoids a global sort") {
+    val plan = planOf("q_embed_topk")
+    assert(plan.contains("TakeOrderedAndProject"), s"ANN baseline does a full sort:\n$plan")
+  }
+
+  test("bloom semi-join carries the might_contain probe as a filter") {
+    val plan = planOf("q_bloom_semi")
+    assert(plan.contains("might_contain"), s"bloom probe missing from plan:\n$plan")
+    // the exact semi-join still guards semantics after the prefilter
+    assert(plan.contains("LeftSemi"), s"exact semi-join missing:\n$plan")
+  }
+
+  test("projection pruning: token counting reads only the needed columns") {
+    val df = SparkEntry.queries("q_token_count")(spark, sf)
+    val scans = df.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    val docScan = scans.find(_.contains("documents")).getOrElse(fail("no documents scan"))
+    assert(docScan.contains("doc_id") && docScan.contains("text"))
+    assert(!docScan.matches("(?s).*ReadSchema:[^\\n]*embedding.*"),
+      "scan reads columns the query never uses")
+    assert(!docScan.matches("(?s).*ReadSchema:[^\\n]*lang.*"),
+      "scan reads columns the query never uses")
+  }
+
+  test("point lookup prunes to a single-key pushed filter") {
+    val plan = planOf("q_point_lookup")
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*EqualTo[^\\]]*\\].*"),
+      s"point predicate not pushed:\n$plan")
+  }
+
+  test("whole-stage codegen covers the text-stats hot path") {
+    val df: DataFrame = SparkEntry.queries("q_text_stats")(spark, sf)
+    // AQE finalizes (and prints codegen stars for) the plan only after
+    // execution, so run the query before inspecting it.
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), s"no WholeStageCodegen spans:\n$plan")
+  }
+}
