@@ -3,8 +3,8 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
-  Attribute, AttributeReference, Expression, GenericInternalRow, JoinedRow,
-  RowOrdering, SortOrder, UnsafeProjection}
+  Attribute, AttributeReference, AttributeSet, Expression, GenericInternalRow,
+  JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
@@ -46,6 +46,10 @@ case class AsOfJoinNode(
   require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty)
 
   override def output: Seq[Attribute] = left.output ++ valueOutput
+
+  // valueOutput is minted by this node, not drawn from a child —
+  // CheckAnalysis otherwise reports it "missing from input".
+  override def producedAttributes: AttributeSet = AttributeSet(valueOutput)
 
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
