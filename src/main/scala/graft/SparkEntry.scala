@@ -668,6 +668,26 @@ object SparkEntry {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** The same AS-OF join executed by the NATIVE whole-operator path
+    * ([[graft.plans.AsOfJoinNode]] planned through the injected
+    * strategy): one sorted-merge pass per co-partition instead of the
+    * union + carry-forward window. Shares `q_asof_join`'s oracle — both
+    * formulations must agree with DuckDB's ASOF JOIN exactly.
+    */
+  private def asofJoinNative(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(struct(col("event_id"), col("value"))).as("m"))
+      .select(col("user_id"), col("ts"),
+        col("m.event_id").as("purchase_id"), col("m.value").as("purchase_value"))
+    AsOfJoin.asOfNative(clicks, purchases, Seq("user_id"), "ts", "ts",
+        Seq("purchase_id", "purchase_value"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   // ---------------------------------------------------------------- dedup / text
 
   private def dedupExact(s: SparkSession, d: String): DataFrame =
@@ -1377,6 +1397,7 @@ object SparkEntry {
     "q_events_funnel" -> (eventsFunnel _),
     "q_events_props" -> (eventsProps _),
     "q_asof_join" -> (asofJoin _),
+    "q_asof_join_native" -> (asofJoinNative _),
     "q_range_join" -> (rangeJoin _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_jaccard" -> (dedupJaccard _),
@@ -1451,6 +1472,25 @@ object SparkEntry {
        |  FROM b WHERE $hit)
        |SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
   }
+
+  /** DuckDB ASOF JOIN oracle shared by `q_asof_join` (window
+    * formulation) and `q_asof_join_native` (whole-operator path) —
+    * the two engines' formulations and DuckDB must all agree.
+    */
+  private def asofOracleSql: String =
+    """WITH clicks AS (
+      |  SELECT user_id, event_id, make_timestamp(epoch_us(ts)) AS ts, value
+      |  FROM events WHERE event_type = 'click'),
+      |p AS (
+      |  SELECT user_id, make_timestamp(epoch_us(ts)) AS ts,
+      |    max(event_id) AS purchase_id,
+      |    arg_max(value, event_id) AS purchase_value
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+      |SELECT c.user_id, c.event_id, c.ts, c.value,
+      |  p.purchase_id AS asof_purchase_id,
+      |  p.purchase_value AS asof_purchase_value
+      |FROM clicks c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+      |ORDER BY c.user_id, c.event_id""".stripMargin
 
   /** The gaps-and-islands sessionization as DuckDB CTEs, shared by the
     * q_events_session oracle and the q_range_join oracle (which joins
@@ -1975,20 +2015,10 @@ object SparkEntry {
          |  ON p.user_id = s.user_id
          | AND p.ts BETWEEN s.session_start AND s.session_end
          |ORDER BY p.event_id""".stripMargin,
-    "q_asof_join" ->
-      """WITH clicks AS (
-        |  SELECT user_id, event_id, make_timestamp(epoch_us(ts)) AS ts, value
-        |  FROM events WHERE event_type = 'click'),
-        |p AS (
-        |  SELECT user_id, make_timestamp(epoch_us(ts)) AS ts,
-        |    max(event_id) AS purchase_id,
-        |    arg_max(value, event_id) AS purchase_value
-        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
-        |SELECT c.user_id, c.event_id, c.ts, c.value,
-        |  p.purchase_id AS asof_purchase_id,
-        |  p.purchase_value AS asof_purchase_value
-        |FROM clicks c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
-        |ORDER BY c.user_id, c.event_id""".stripMargin,
+    "q_asof_join" -> asofOracleSql,
+    // The native operator must agree with the window formulation AND the
+    // DuckDB ASOF JOIN — same oracle, bit for bit.
+    "q_asof_join_native" -> asofOracleSql,
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies, text
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
