@@ -90,6 +90,12 @@ object Bench {
     val total = analytic.values.sum
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${timesJson(analytic)},"fixtures":${timesJson(fixtures)},"errors":$errJson,"n_errors":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
+    // The full line above has grown past the driver's bounded tail
+    // capture (r5 recorded parsed:null — the line's HEAD, with
+    // metric/value, fell outside the window). A second, short summary
+    // line printed last is always complete inside any tail window, so
+    // the headline total survives even when the per-query map doesn't.
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${analytic.size},"fixtures_total":${fmt(fixtures.values.sum)},"n_fixtures":${fixtures.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
     // A throwing query must fail the bench visibly, not pass silently.
     if (errors.nonEmpty) sys.exit(1)
   }

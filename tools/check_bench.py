@@ -27,17 +27,39 @@ def main():
     if len(sys.argv) < 2:
         print(__doc__)
         return 2
-    def load(path):
-        # Accept either the raw Bench JSON line or the driver's BENCH_rN.json
-        # wrapper, whose "tail" field embeds that line in captured stdout.
-        d = json.load(open(path))
-        if "queries" not in d and "tail" in d:
-            for line in d["tail"].splitlines():
-                i = line.find('{"metric"')
-                if i >= 0:
-                    return json.loads(line[i:])
+    def from_lines(text, path):
+        # Bench prints the full per-query line and then a short summary
+        # line; a truncated capture may hold only one of them (or a
+        # headless fragment). Prefer the line that still has the
+        # per-query map, else the summary.
+        best = None
+        for line in text.splitlines():
+            i = line.find('{"metric"')
+            if i < 0:
+                continue
+            try:
+                d = json.loads(line[i:])
+            except ValueError:
+                continue
+            if "queries" in d:
+                return d
+            best = d
+        if best is None:
             raise ValueError(f"no bench JSON line found in {path}")
-        return d
+        return best
+
+    def load(path):
+        # Accept the raw Bench stdout (1-2 JSON lines), a single
+        # extracted JSON object, or the driver's BENCH_rN.json wrapper
+        # whose "tail" field embeds the lines in captured stdout.
+        text = open(path).read()
+        try:
+            d = json.loads(text)
+            if "queries" not in d and "tail" in d:
+                return from_lines(d["tail"], path)
+            return d
+        except ValueError:
+            return from_lines(text, path)
 
     cur = load(sys.argv[1])
     prev = load(sys.argv[2]) if len(sys.argv) > 2 else None
@@ -48,10 +70,12 @@ def main():
         failures.append(f"{len(errs)} queries errored: {sorted(errs)}")
 
     queries = cur.get("queries") or {}
-    total = sum(queries.values())
+    # A summary-only capture has no per-query map but does carry the total.
+    total = sum(queries.values()) if queries else float(cur.get("value", 0.0))
+    nq = len(queries) if queries else cur.get("n_queries", 0)
     ratio = total / ANCHOR_TOTAL_SEC
     status = "OK" if ratio <= TOTAL_BOUND else "FAIL"
-    print(f"total: {total:.2f}s over {len(queries)} queries = "
+    print(f"total: {total:.2f}s over {nq} queries = "
           f"{ratio:.2f}x of {ANCHOR_TOTAL_SEC}s anchor "
           f"(bound {TOTAL_BOUND}x) {status}")
     if ratio > TOTAL_BOUND:
