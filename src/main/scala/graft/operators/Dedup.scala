@@ -324,13 +324,106 @@ object Dedup {
       .groupBy("id")
       .agg(graft.functions.GraftFunctions.graftSimHash(col("h")).as("simhash"))
 
+  /** Collapse documents to distinct word MULTISETS: one group row per
+    * canonical bag (`_canon` = space-joined sorted words), with the
+    * sorted member id list and the min-id representative. SimHash and
+    * every bag-based metric (bag Jaccard included) are functions of the
+    * multiset alone, so members of a group are fully interchangeable —
+    * signature computation, banding, candidate joins, and exact
+    * verification all run per GROUP and expand back to ids at the end.
+    *
+    * This is the scale move for duplicated corpora: a web crawl with
+    * mean duplication factor k pays the pairing machinery on N/k rows,
+    * and the quadratic intra-bucket collision blowup among identical
+    * fingerprints (the dominant cost measured on the 10x-duplicated
+    * test corpus) disappears entirely — identical bags never meet in a
+    * candidate join at all. Bagless documents (no words) carry no
+    * signature, matching [[simHash]]'s explode semantics, so they are
+    * dropped here.
+    */
+  def bagGroups(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    // The shuffle key is the 16-byte md5 of the canonical bag, not the
+    // bag itself — document text never shuffles here, only (hash, id).
+    // The result is materialized once (localCheckpoint): it is read by
+    // the signature join, the pair expansion, and the intra-group
+    // emitter, and it is small by construction — (hash, ids, rep)
+    // without any text.
+    docs.select(col(idCol).as("id"),
+        concat_ws(" ", array_sort(wordArr(col(textCol)))).as("_canon"))
+      .filter(length(col("_canon")) > 0)
+      .select(col("id"), md5(col("_canon")).as("_bag"))
+      .groupBy(col("_bag"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"), min(col("id")).as("rep"))
+      .localCheckpoint()
+
+  /** SimHash candidate pairs BETWEEN distinct bag groups: (rep_a, rep_b,
+    * hamming) for group pairs within the Hamming radius, from the
+    * pigeonhole banding join over one signature per group. The Hamming
+    * test rides INSIDE the bucket equi-join as a residual predicate, so
+    * bucket collisions that miss the radius die as a codegen
+    * xor+bit_count instead of surviving into the distinct.
+    */
+  def simHashGroupPairs(
+      docs: DataFrame,
+      groups: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxHamming: Int,
+      pieces: Int): DataFrame = {
+    // One signature per GROUP: semi-join the corpus down to the
+    // representatives first, so the word-explode aggregate runs on
+    // distinct content only (the representative's bag IS the group's
+    // bag — any member would give the identical fingerprint).
+    val repDocs = docs.join(groups.select(col("rep").as(idCol)), Seq(idCol), "left_semi")
+    val sigs = simHash(repDocs, textCol, idCol)
+    val banded = bandedSignatures(sigs, maxHamming, pieces)
+    banded.as("x").join(banded.as("y"),
+        col("x.combo") === col("y.combo") && col("x.bkey") === col("y.bkey") &&
+          col("x.id") < col("y.id") &&
+          expr("bit_count(x.simhash ^ y.simhash)") <= maxHamming)
+      .select(col("x.id").as("rep_a"), col("y.id").as("rep_b"),
+        expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
+      .distinct()
+  }
+
+  /** All within-group (id_a < id_b) pairs — identical bags, so Hamming 0
+    * and bag Jaccard exactly 1 by construction, no verification needed.
+    * Group id lists are sorted, so the inner filter preserves ordering.
+    */
+  def intraGroupPairs(groups: DataFrame): DataFrame =
+    groups.filter(size(col("ids")) > 1)
+      .select(col("ids"), explode(col("ids")).as("id_a"))
+      .select(col("id_a"),
+        explode(filter(col("ids"), i => i > col("id_a"))).as("id_b"))
+
+  /** Expand group-level pair rows (rep_a, rep_b, extra...) to id-level
+    * (id_a, id_b, extra...) via the groups' member lists. Groups are
+    * disjoint, so expansion never duplicates a pair; least/greatest
+    * restores id ordering (members of different groups interleave).
+    */
+  def expandGroupPairs(gpairs: DataFrame, groups: DataFrame): DataFrame = {
+    val extra = gpairs.columns.filterNot(Set("rep_a", "rep_b")).toSeq
+    gpairs
+      .join(groups.select(col("rep").as("rep_a"), col("ids").as("_ids_a")), "rep_a")
+      .join(groups.select(col("rep").as("rep_b"), col("ids").as("_ids_b")), "rep_b")
+      .withColumn("_ia", explode(col("_ids_a")))
+      .withColumn("_ib", explode(col("_ids_b")))
+      .select(least(col("_ia"), col("_ib")).as("id_a") +:
+        greatest(col("_ia"), col("_ib")).as("id_b") +:
+        extra.map(col): _*)
+  }
+
   /** SimHash near-dup pairs with Hamming distance <= maxHamming, using the
     * pigeonhole band trick: split 64 bits into `pieces` chunks; any pair
     * within distance maxHamming (< pieces — enforced) shares at least one
     * exact chunk, so candidates come from an equi-join on
     * (chunk_idx, chunk_value) and the candidate set is COMPLETE for the
-    * distance bound. The candidate distinct runs on bare (id_a, id_b);
-    * fingerprints re-join afterwards.
+    * distance bound.
+    *
+    * Runs on [[bagGroups]]: identical word bags collapse to one
+    * signature before banding (their pairs are emitted directly at
+    * Hamming 0), and only distinct-bag group pairs go through the
+    * candidate join — see bagGroups for why this is the scale shape.
     */
   def simHashNearDup(
       docs: DataFrame,
@@ -338,24 +431,10 @@ object Dedup {
       idCol: String,
       maxHamming: Int = 3,
       pieces: Int = 4): DataFrame = {
-    val sigs = simHash(docs, textCol, idCol)
-    // The Hamming test rides INSIDE the bucket equi-join as a residual
-    // predicate (the fingerprint is banded alongside the key — 8 more
-    // bytes per banded row), so bucket collisions that miss the radius
-    // die as a codegen xor+bit_count instead of surviving into the
-    // distinct: on clustered corpora the collision set can be orders of
-    // magnitude larger than the true pair set (measured 1.34M collisions
-    // vs 15.6k true pairs on the 5k-doc test corpus), and shuffling it
-    // into a distinct was the dominant cost of the whole operator. This
-    // also kills the two signature re-joins the post-filter needed.
-    val banded = bandedSignatures(sigs, maxHamming, pieces)
-    banded.as("x").join(banded.as("y"),
-        col("x.combo") === col("y.combo") && col("x.bkey") === col("y.bkey") &&
-          col("x.id") < col("y.id") &&
-          expr("bit_count(x.simhash ^ y.simhash)") <= maxHamming)
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
-      .distinct()
+    val groups = bagGroups(docs, textCol, idCol)
+    val gpairs = simHashGroupPairs(docs, groups, textCol, idCol, maxHamming, pieces)
+    expandGroupPairs(gpairs, groups)
+      .unionByName(intraGroupPairs(groups).withColumn("hamming", lit(0)))
   }
 
   /** The candidate stage of [[simHashNearDup]], exposed so its selectivity
