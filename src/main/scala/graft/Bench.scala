@@ -47,7 +47,11 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpusRaw = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = try cpusRaw.trim.toInt catch {
+      case _: NumberFormatException =>
+        sys.error(s"SPARK_GRAFT_CPUS must be an integer, got '$cpusRaw'")
+    }
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master(s"local[$cpus]")
       .withExtensions(new GraftExtensions)
@@ -83,19 +87,32 @@ object Bench {
     // 9-decimal floats), and sub-ms digits are pure box noise anyway.
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // Per-query entries print in ASCENDING time order: the driver keeps
+    // only a bounded TAIL of stdout, so when the line outgrows the
+    // window it loses its head — ascending order puts the expensive
+    // queries (the ones worth auditing) in the surviving suffix.
     def timesJson(m: Map[String, Double]): String =
-      m.map { case (k, v) => s"${jsonStr(k)}:${fmt(v)}" }.mkString("{", ",", "}")
+      m.toSeq.sortBy(_._2)
+        .map { case (k, v) => s"${jsonStr(k)}:${fmt(v)}" }
+        .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }
       .mkString("{", ",", "}")
     val total = analytic.values.sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${timesJson(analytic)},"fixtures":${timesJson(fixtures)},"errors":$errJson,"n_errors":${errors.size},"sf":"$sfDir"}""")
+    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${timesJson(analytic)},"fixtures":${timesJson(fixtures)},"errors":$errJson,"n_errors":${errors.size},"sf":"$sfDir"}"""
+    println(fullLine)
+    // The full line has grown past the driver's bounded tail capture
+    // (every round records parsed:null — the line's HEAD, with
+    // metric/value, falls outside the window). Persist it whole to a
+    // file so the complete per-query map survives any tail bound.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Path.of("bench_full.json"), fullLine + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
-    // The full line above has grown past the driver's bounded tail
-    // capture (r5 recorded parsed:null — the line's HEAD, with
-    // metric/value, fell outside the window). A second, short summary
-    // line printed last is always complete inside any tail window, so
-    // the headline total survives even when the per-query map doesn't.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${analytic.size},"fixtures_total":${fmt(fixtures.values.sum)},"n_fixtures":${fixtures.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
+    // A second, short summary line printed last is always complete
+    // inside any tail window, so the headline total survives even when
+    // the per-query map doesn't. Its metric name differs from the full
+    // line's so no consumer can mistake one shape for the other.
+    println(s"""{"metric":"total_summary","value":${fmt(total)},"unit":"sec","n_queries":${analytic.size},"fixtures_total":${fmt(fixtures.values.sum)},"n_fixtures":${fixtures.size},"n_errors":${errors.size},"full":"bench_full.json","sf":"$sfDir"}""")
     // A throwing query must fail the bench visibly, not pass silently.
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -11,7 +11,11 @@ import org.apache.spark.sql.functions._
 object Prof {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val cpusRaw = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val cpus = try cpusRaw.trim.toInt catch {
+      case _: NumberFormatException =>
+        sys.error(s"SPARK_GRAFT_CPUS must be an integer, got '$cpusRaw'")
+    }
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)

@@ -342,8 +342,13 @@ object Dedup {
     * dropped here.
     */
   def bagGroups(docs: DataFrame, textCol: String, idCol: String): DataFrame =
-    // The shuffle key is the 16-byte md5 of the canonical bag, not the
-    // bag itself — document text never shuffles here, only (hash, id).
+    // The shuffle key is the 32-byte sha2-256 of the canonical bag, not
+    // the bag itself — document text never shuffles here, only
+    // (hash, id). sha2 rather than md5: the group key MERGES documents,
+    // so a collision silently fuses two distinct documents into one
+    // dedup group; on adversarial web corpora md5 collisions are
+    // constructible, sha2-256 is collision-resistant at the same
+    // shuffle-width rationale.
     // The result is materialized once (localCheckpoint): it is read by
     // the signature join, the pair expansion, and the intra-group
     // emitter, and it is small by construction — (hash, ids, rep)
@@ -351,7 +356,7 @@ object Dedup {
     docs.select(col(idCol).as("id"),
         concat_ws(" ", array_sort(wordArr(col(textCol)))).as("_canon"))
       .filter(length(col("_canon")) > 0)
-      .select(col("id"), md5(col("_canon")).as("_bag"))
+      .select(col("id"), sha2(col("_canon"), 256).as("_bag"))
       .groupBy(col("_bag"))
       .agg(sort_array(collect_list(col("id"))).as("ids"), min(col("id")).as("rep"))
       .localCheckpoint()
