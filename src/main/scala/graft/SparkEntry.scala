@@ -1384,6 +1384,88 @@ object SparkEntry {
 
   // ----------------------------------------------------------------
 
+  // ------------------------------------------------------------ round 7
+
+  /** Near-dup CLUSTERS, not just pairs: MinHash-LSH candidates, exact
+    * shingle-Jaccard verification (same stages as [[dedupMinhash]], whose
+    * complete oracle pins the pair set), then connected components so the
+    * transitive closure of near-duplicates becomes (doc, component,
+    * cluster_size) rows a curation pass can delete by. The oracle is
+    * COMPLETE and independent of Spark's candidates: DuckDB recomputes
+    * ALL >= 0.8 Jaccard pairs on the slice and closes them with a
+    * recursive CTE.
+    */
+  private def dedupCluster(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").filter(col("doc_id") < 300)
+    val cands = Dedup.minHashLsh(docs, "text", "doc_id",
+      numHashes = 64, bands = 32, threshold = 0.35)
+    val pairs = Dedup.exactShingleJaccard(cands, docs, "text", "doc_id",
+      n = 3, minJaccard = 0.8)
+    Dedup.clusterMembers(pairs)
+      .select(col("id").as("doc_id"), col("component"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Benchmark decontamination: training docs (98% of the corpus) that
+    * share any 3-shingle with the held-out benchmark slice (doc_id % 50
+    * == 0), with shared-shingle and benchmark-doc counts. The benchmark
+    * side broadcasts — the corpus never shuffles.
+    */
+  private def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    Dedup.contaminationReport(
+        train = docs.filter(col("doc_id") % 50 =!= 0),
+        benchmark = docs.filter(col("doc_id") % 50 === 0),
+        "text", "doc_id", n = 3)
+      .orderBy(col("doc_id"))
+  }
+
+  /** SCD2 history from the orders change log: per-customer versioned
+    * validity intervals (valid_from/valid_to/is_current) — one window
+    * shuffle on the entity key, see [[operators.Scd]].
+    */
+  private def scd2History(s: SparkSession, d: String): DataFrame =
+    Scd.scd2(
+        t(s, d, "orders").filter(col("o_custkey") < 100)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+            col("o_totalprice")),
+        keyCol = "o_custkey", tsCol = "o_orderdate", tiebreakCol = "o_orderkey")
+      .select(col("o_custkey"), col("version").cast(LongType).as("version"),
+        col("valid_from"), col("valid_to"), col("is_current"),
+        col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("version"))
+
+  /** TF-IDF top-3 terms per document (smoothed idf, 4-decimal rounding
+    * for engine-reproducible ranking) — see [[operators.TermIndex]].
+    */
+  private def tfidfTop(s: SparkSession, d: String): DataFrame =
+    TermIndex.tfidfTopTerms(
+        t(s, d, "documents").filter(col("doc_id") < 200), "text", "doc_id", k = 3)
+      .select(col("id").as("doc_id"), col("word"), col("tfidf"),
+        col("term_rank").cast(LongType).as("term_rank"))
+      .orderBy(col("doc_id"), col("term_rank"))
+
+  /** Inverted index over a df band (100..160): df-filter BEFORE posting
+    * lists materialize — see [[operators.TermIndex.invertedIndex]].
+    */
+  private def indexPostings(s: SparkSession, d: String): DataFrame =
+    TermIndex.invertedIndex(
+        t(s, d, "documents").filter(col("doc_id") < 200), "text", "doc_id",
+        minDf = 100, maxDf = 160)
+      .orderBy(col("word"))
+
+  /** Domain-mixture cap: no language may exceed 20% of the corpus; the
+    * per-domain keep rate is DERIVED from corpus counts (all-integer
+    * arithmetic), then applied as the deterministic splitBucket filter —
+    * see [[operators.TextAnalysis.capDomains]].
+    */
+  private def mixDomains(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.capDomains(
+        t(s, d, "documents").select(col("doc_id"), col("lang")),
+        "lang", "doc_id", capPct = 20)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_filter_tenant" -> (filterTenant _),
     "q_search_ilike_or" -> (searchIlikeOr _),
@@ -1441,6 +1523,12 @@ object SparkEntry {
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_dedup_simhash_full" -> (dedupSimhashFull _),
     "q_dedup_incremental" -> (dedupIncremental _),
+    "q_dedup_cluster" -> (dedupCluster _),
+    "q_decontaminate" -> (decontaminate _),
+    "q_scd2" -> (scd2History _),
+    "q_tfidf" -> (tfidfTop _),
+    "q_inverted_index" -> (indexPostings _),
+    "q_mix_domains" -> (mixDomains _),
     "q_embed_topk" -> (embedTopk _),
     "q_ann_batch" -> (annBatch _),
     "q_embed_ann_lsh" -> (embedAnnLsh _),
@@ -2128,6 +2216,100 @@ object SparkEntry {
         |LEFT JOIN exact x ON x.doc_id = i.doc_id
         |LEFT JOIN near n ON n.doc_id = i.doc_id
         |ORDER BY i.doc_id""".stripMargin,
+    // COMPLETE clustering oracle: all >= 0.8 Jaccard pairs on the slice
+    // recomputed from scratch, then closed with a recursive CTE — min
+    // reachable id is the component (edges are symmetric, every node
+    // seeds its own id, so min over reachable labels = min of component).
+    "q_dedup_cluster" ->
+      """WITH RECURSIVE
+        |docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+        |words AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM docs),
+        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+        |       FROM words, UNNEST(range(1, len(ws) - 1)) AS t(i)
+        |       WHERE len(ws) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b FROM inter
+        |          JOIN sizes sa ON sa.doc_id = id_a
+        |          JOIN sizes sb ON sb.doc_id = id_b
+        |          WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.8),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT a AS id FROM edges),
+        |walk(id, comp) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.id),
+        |lab AS (SELECT id, min(comp) AS component FROM walk GROUP BY id),
+        |sz AS (SELECT component, count(*) AS cluster_size FROM lab GROUP BY component)
+        |SELECT lab.id AS doc_id, lab.component, sz.cluster_size
+        |FROM lab JOIN sz USING (component)
+        |ORDER BY doc_id""".stripMargin,
+    "q_decontaminate" ->
+      """WITH words AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |               FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+        |       FROM words, UNNEST(range(1, len(ws) - 1)) AS t(i)
+        |       WHERE len(ws) >= 3)
+        |SELECT t.doc_id,
+        |  count(DISTINCT t.shingle) AS n_shared_shingles,
+        |  count(DISTINCT b.doc_id) AS n_benchmark_docs
+        |FROM sh t JOIN sh b ON b.shingle = t.shingle
+        |WHERE t.doc_id % 50 <> 0 AND b.doc_id % 50 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_scd2" ->
+      """SELECT o_custkey,
+        |  row_number() OVER w AS version,
+        |  o_orderdate AS valid_from,
+        |  lead(o_orderdate) OVER w AS valid_to,
+        |  (lead(o_orderdate) OVER w IS NULL) AS is_current,
+        |  o_totalprice
+        |FROM orders WHERE o_custkey < 100
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, version""".stripMargin,
+    "q_tfidf" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        |n AS (SELECT count(*) AS n_docs FROM docs),
+        |w AS (SELECT doc_id,
+        |        unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |                           x -> len(x) > 0)) AS word
+        |      FROM docs),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
+        |df AS (SELECT word, count(DISTINCT doc_id) AS df FROM w GROUP BY 1),
+        |scored AS (SELECT tf.doc_id, tf.word,
+        |    round(tf.tf * ln(CAST(n.n_docs + 1 AS DOUBLE) / (df.df + 1)), 4) AS tfidf
+        |  FROM tf JOIN df USING (word), n),
+        |ranked AS (SELECT doc_id, word, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS term_rank
+        |  FROM scored)
+        |SELECT doc_id, word, tfidf, term_rank FROM ranked
+        |WHERE term_rank <= 3 ORDER BY doc_id, term_rank""".stripMargin,
+    "q_inverted_index" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        |occ AS (SELECT doc_id,
+        |        unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |                           x -> len(x) > 0)) AS word
+        |      FROM docs),
+        |w AS (SELECT DISTINCT doc_id, word FROM occ)
+        |SELECT word, count(DISTINCT doc_id) AS df,
+        |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+        |FROM w GROUP BY word
+        |HAVING count(DISTINCT doc_id) BETWEEN 100 AND 160
+        |ORDER BY word""".stripMargin,
+    "q_mix_domains" ->
+      """WITH counts AS (SELECT lang, count(*) AS n_dom FROM documents GROUP BY lang),
+        |tot AS (SELECT count(*) AS n_total FROM documents),
+        |rates AS (SELECT lang,
+        |    least(100, ((n_total * 20) // 100) * 100 // n_dom) AS rate
+        |  FROM counts, tot),
+        |h AS (SELECT doc_id, lang,
+        |    ((doc_id % 2147483647) * 2654435761) % 2147483647 AS y
+        |  FROM documents),
+        |b AS (SELECT doc_id, lang, (y * y) % 2147483647 % 100 AS bkt FROM h)
+        |SELECT b.doc_id, b.lang FROM b JOIN rates r ON r.lang = b.lang
+        |WHERE b.bkt < r.rate ORDER BY b.doc_id""".stripMargin,
     "q_dedup_lsh_full" ->
       s"""WITH pairs AS (SELECT * FROM read_parquet('$lshFullDir/pairs.parquet/*.parquet')),
          |ids AS (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs),

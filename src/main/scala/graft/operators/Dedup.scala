@@ -520,4 +520,101 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"), col("cosine"))
   }
+
+  /** Connected components over a near-dup pair graph: every node gets the
+    * MINIMUM id reachable from it, so a "cluster" is the transitive
+    * closure of pairwise near-duplicates and the component id doubles as
+    * the canonical keep-id. This is the step that turns PAIRS (what LSH
+    * emits) into GROUPS (what a curation pipeline actually deletes by):
+    * near-duplicate similarity is not transitive, so without the closure
+    * a chain A~B~C either keeps a duplicate or double-deletes, and a
+    * pair-at-a-time "keep the smaller id" rule is order-dependent.
+    *
+    * Algorithm: iterative min-label propagation — labels start as own
+    * ids, each round every node takes the min of its label and its
+    * neighbors' labels (one equi-join + one min aggregate per round),
+    * until a fixpoint. Rounds needed = graph diameter, and near-dup
+    * graphs are dense little cliques-with-bridges (diameter a small
+    * constant), so 3-4 rounds close real corpora; `maxIters` bounds the
+    * pathological chain. Per round the shuffle carries (id, candidate
+    * label) longs only — never text, never signatures. The convergence
+    * probe is a LIMIT-1 existence check, not a collect. localCheckpoint
+    * truncates the per-round lineage so the plan does not grow
+    * exponentially across iterations (the standard Spark iterative-graph
+    * hygiene; GraphX/GraphFrames do the same internally).
+    *
+    * Input: (id_a, id_b) pair rows (extra columns ignored).
+    * Output: (id, component) for every id that appears in a pair.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").cast("long").as("a"), col("id_b").cast("long").as("b"))
+      .union(pairs.select(col("id_b").cast("long").as("a"),
+        col("id_a").cast("long").as("b")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint()
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIters) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("id", "b"), "b")
+        .select(col("a").as("id"), col("component"))
+      val next = labels.unionByName(viaNeighbor)
+        .groupBy(col("id")).agg(min(col("component")).as("component"))
+        .localCheckpoint()
+      converged = next
+        .join(labels.withColumnRenamed("component", "_old"), "id")
+        .filter(col("component") =!= col("_old"))
+        .limit(1).isEmpty
+      labels = next
+      it += 1
+    }
+    labels
+  }
+
+  /** Cluster rows (id, component, cluster_size) from a pair graph —
+    * [[connectedComponents]] plus the per-component size, the shape a
+    * curation pass consumes directly (keep id == component, drop the
+    * rest; size is the audit column).
+    */
+  def clusterMembers(pairs: DataFrame): DataFrame = {
+    val labels = connectedComponents(pairs)
+    val sizes = labels.groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "component")
+      .select(col("id"), col("component"), col("cluster_size"))
+  }
+
+  /** Benchmark decontamination report: for every training document that
+    * shares at least one word n-gram with a held-out evaluation set,
+    * the number of distinct shared shingles and of distinct benchmark
+    * documents hit. Flagged documents are what a training pipeline drops
+    * before the corpus ships — n-gram overlap against the eval set is
+    * the standard test-set-contamination guard.
+    *
+    * Scale shape: the benchmark side is SMALL by construction (eval sets
+    * are thousands of documents against a 100 TB corpus), so its
+    * distinct (shingle, id) set is broadcast and the training corpus
+    * never shuffles — contamination detection runs at scan speed over
+    * the training side, aggregating only the hits. The shingle
+    * computation per row is the codegen'd [[graft.functions.WordShingles]]
+    * expression.
+    */
+  def contaminationReport(
+      train: DataFrame,
+      benchmark: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3): DataFrame = {
+    val trainSh = shingles(train, textCol, idCol, n)
+    val benchSh = shingles(benchmark, textCol, idCol, n)
+      .withColumnRenamed("id", "bench_id")
+    trainSh.join(broadcast(benchSh), "shingle")
+      .groupBy(col("id").as("doc_id"))
+      .agg(countDistinct(col("shingle")).as("n_shared_shingles"),
+        countDistinct(col("bench_id")).as("n_benchmark_docs"))
+  }
 }

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Term-level corpus structures: TF-IDF scoring and an inverted index.
+  * Both follow the canonical two-aggregate shape — explode words once,
+  * aggregate per (doc, term) and per term, equi-join on the term — so
+  * every shuffle is keyed on the high-cardinality term column and the
+  * plans scale with corpus size, never with vocabulary held in one place.
+  */
+object TermIndex {
+
+  private def words(textCol: Column): Column =
+    filter(split(trim(lower(textCol)), "\\s+"), w => length(w) > 0)
+
+  /** (id, word) occurrence rows — one per word INSTANCE (duplicates kept;
+    * term frequency needs the multiset, unlike the shingle set ops).
+    */
+  private def occurrences(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+      explode(words(col(textCol))).as("word"))
+
+  /** Top-k terms per document by TF-IDF.
+    *
+    * tf = in-document occurrence count; idf = ln((N+1)/(df+1)) with N =
+    * total documents (the +1 smoothing keeps corpus-universal terms
+    * finite); score = tf * idf rounded to 4 decimals so the ranking is
+    * engine-reproducible (ties then break on the word). Output:
+    * (id, word, tfidf, term_rank) with term_rank in 1..k.
+    *
+    * Plan: one explode scan feeds BOTH aggregates (per-(doc,word) tf and
+    * per-word df — Spark computes them as two shuffles over the same
+    * child), df re-joins tf on the term key, and the top-k is a
+    * row_number window partitioned by document. The df side is
+    * vocabulary-sized — orders of magnitude smaller than the occurrence
+    * stream — and the join is an equi-join on the term, so nothing in the
+    * plan ever holds the vocabulary in a single partition. N arrives via
+    * a 1-row cross join (broadcast by construction).
+    */
+  def tfidfTopTerms(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 3): DataFrame = {
+    val occ = occurrences(docs, textCol, idCol)
+    val tf = occ.groupBy(col("id"), col("word")).agg(count(lit(1)).as("tf"))
+    val df = occ.groupBy(col("word")).agg(countDistinct(col("id")).as("df"))
+    val n = docs.agg(count(lit(1)).as("_n"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("tfidf").desc, col("word"))
+    tf.join(df, "word")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log((col("_n") + 1).cast("double") /
+          (col("df") + 1).cast("double")), 4))
+      .withColumn("term_rank", row_number().over(w))
+      .filter(col("term_rank") <= k)
+      .select(col("id"), col("word"), col("tfidf"), col("term_rank"))
+  }
+
+  /** Inverted index restricted to a document-frequency band: for each
+    * term with minDf <= df <= maxDf, its df and the posting list of
+    * document ids (sorted, comma-joined — a string so the artifact is
+    * engine- and layout-portable).
+    *
+    * Two-pass on purpose: df is computed FIRST and the band filter
+    * applied BEFORE any posting list materializes, so a stop word with
+    * df = half the corpus never builds its (huge) posting list at all —
+    * the same guard as [[Dedup.jaccardPairs]]'s stop-shingle cap. The
+    * band join is a semi-join on the term; at web scale the surviving
+    * term set is small enough to broadcast.
+    */
+  def invertedIndex(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      minDf: Int,
+      maxDf: Int): DataFrame = {
+    val docWords = occurrences(docs, textCol, idCol)
+      .select(col("id"), col("word")).distinct()
+    val banded = docWords.groupBy(col("word"))
+      .agg(countDistinct(col("id")).as("df"))
+      .filter(col("df") >= minDf && col("df") <= maxDf)
+    docWords.join(broadcast(banded), "word")
+      .groupBy(col("word"), col("df"))
+      .agg(concat_ws(",",
+        transform(sort_array(collect_list(col("id"))),
+          i => i.cast("string"))).as("postings"))
+      .select(col("word"), col("df"), col("postings"))
+  }
+}

@@ -176,6 +176,43 @@ object TextAnalysis {
   def stratifiedSample(df: DataFrame, idCol: Column, ratePct: Column): DataFrame =
     df.filter(splitBucket(idCol) < ratePct)
 
+  /** Domain-mixture cap: deterministically downsample any domain
+    * (source, language, ...) holding more than `capPct` percent of the
+    * corpus down to that cap, leaving smaller domains untouched — the
+    * data-dependent cousin of [[stratifiedSample]] (there the caller
+    * fixes each stratum's rate; here the rate is DERIVED from the
+    * corpus's own counts, which is what "no domain may dominate the
+    * training mix" actually requires).
+    *
+    * Two-pass shape: one aggregate computes per-domain counts and the
+    * total (grouping-free total via a window-less cross join of a 1-row
+    * agg), integer arithmetic turns them into a per-domain keep
+    * percentage — ratePct = min(100, floor(capCount * 100 / n_domain))
+    * with capCount = floor(total * capPct / 100) — and the second pass
+    * filters on [[splitBucket]] < ratePct. The rate table is
+    * domain-cardinality sized (tiny), so it broadcasts; the corpus
+    * itself is touched by two scans and zero wide shuffles. All-integer
+    * arithmetic end to end: the kept row set is bit-reproducible on any
+    * engine, any partitioning, any run.
+    */
+  def capDomains(df: DataFrame, domainCol: String, idCol: String,
+      capPct: Int): DataFrame = {
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("_n_dom"))
+    val total = df.agg(count(lit(1)).as("_n_total"))
+    // Integer floor division via (a - a mod b) / b: counts are
+    // non-negative, so this is exactly SQL's `div` (Column has no div
+    // method), and it stays in long arithmetic — no double rounding.
+    def idiv(a: Column, b: Column): Column = ((a - pmod(a, b)) / b).cast("long")
+    val rates = counts.crossJoin(total)
+      .withColumn("_cap", idiv(col("_n_total") * capPct.toLong, lit(100L)))
+      .withColumn("_rate_pct",
+        least(lit(100L), idiv(col("_cap") * 100L, col("_n_dom"))))
+      .select(col(domainCol), col("_rate_pct"))
+    df.join(broadcast(rates), domainCol)
+      .filter(splitBucket(col(idCol)) < col("_rate_pct"))
+      .drop("_rate_pct")
+  }
+
   def withSplit(df: DataFrame, idCol: String,
       trainPct: Int = 80, validPct: Int = 10): DataFrame = {
     require(trainPct + validPct < 100, "train + valid must leave room for test")

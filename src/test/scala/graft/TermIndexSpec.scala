@@ -1,0 +1,72 @@
+package graft
+
+import graft.operators.{TermIndex, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** TF-IDF ranking, inverted-index df banding, domain-mixture capping. */
+class TermIndexSpec extends SparkSpec {
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "apple apple apple banana common"),
+      (2L, "banana banana cherry common"),
+      (3L, "cherry apple common common")
+    ).toDF("doc_id", "text")
+  }
+
+  test("tfidf: repeated rare term outranks the corpus-wide term") {
+    val top = TermIndex.tfidfTopTerms(docs, "text", "doc_id", k = 2)
+      .filter(col("id") === 1L).orderBy(col("term_rank")).collect()
+    // 'apple' tf=3 df=2, 'banana' tf=1 df=2, 'common' tf=1 df=3 (idf=0).
+    assert(top(0).getAs[String]("word") === "apple")
+    assert(top(0).getAs[Int]("term_rank") === 1)
+    // idf of a term present in every doc is ln(4/4) = 0 -> score 0.
+    val all = TermIndex.tfidfTopTerms(docs, "text", "doc_id", k = 5).collect()
+    assert(all.filter(_.getAs[String]("word") == "common")
+      .forall(_.getAs[Double]("tfidf") == 0.0))
+  }
+
+  test("tfidf tie on score breaks alphabetically on the word") {
+    val top = TermIndex.tfidfTopTerms(docs, "text", "doc_id", k = 3)
+      .filter(col("id") === 3L).orderBy(col("term_rank")).collect()
+    // doc 3: apple tf=1 df=2, cherry tf=1 df=2 — equal scores.
+    assert(top.map(_.getAs[String]("word")).take(2).toSeq ===
+      Seq("apple", "cherry"))
+  }
+
+  test("inverted index: df band filters terms, postings sorted") {
+    val idx = TermIndex.invertedIndex(docs, "text", "doc_id",
+        minDf = 2, maxDf = 2).collect()
+      .map(r => r.getAs[String]("word") ->
+        (r.getAs[Long]("df"), r.getAs[String]("postings"))).toMap
+    assert(idx === Map(
+      "apple" -> ((2L, "1,3")),
+      "banana" -> ((2L, "1,2")),
+      "cherry" -> ((2L, "2,3"))))
+    // df=3 ('common') is above the band: no posting list built.
+    assert(!idx.contains("common"))
+  }
+
+  test("capDomains: dominant domain capped, small domains untouched") {
+    import spark.implicits._
+    // 80 rows of 'big', 10 of 'small' -> total 90, cap 50% = 45 rows:
+    // big's rate = floor(45*100/80) = 56%, small's = 100%.
+    val df = ((0L until 80L).map(i => (i, "big")) ++
+      (100L until 110L).map(i => (i, "small"))).toDF("id", "dom")
+    val kept = TextAnalysis.capDomains(df, "dom", "id", capPct = 50)
+    val byDom = kept.groupBy("dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byDom("small") === 10L)
+    // Deterministic hash keep under rate 56: recompute expected count.
+    val expectedBig = (0L until 80L).count { i =>
+      val p = (1L << 31) - 1
+      val y = ((i % p) * 2654435761L) % p
+      (y * y) % p % 100 < 56
+    }
+    assert(byDom("big") === expectedBig.toLong)
+    // Stable under repartitioning.
+    assert(TextAnalysis.capDomains(df.repartition(7), "dom", "id", 50)
+      .count() === kept.count())
+  }
+}
