@@ -43,6 +43,20 @@ object GraftFunctions {
   def graftSimHash(hash: Column): Column =
     B.column(SimHashAgg(B.expression(hash)).toAggregateExpression())
 
+  /** Per-document bigram stats struct (total, distinct, max count) in
+    * one codegen'd pass — see [[BigramStats]].
+    */
+  def graftBigramStats(text: Column): Column =
+    B.column(BigramStats(B.expression(text)))
+
+  /** Packed multi-block banding keys of a SimHash fingerprint — one
+    * array<long>, (comboId << 48) | chunk bits. See [[SimHashBandKeys]].
+    */
+  def graftSimHashBands(simhash: Column, pieces: Int, maxHamming: Int): Column =
+    B.column(SimHashBandKeys(B.expression(simhash),
+      org.apache.spark.sql.catalyst.expressions.Literal(pieces),
+      org.apache.spark.sql.catalyst.expressions.Literal(maxHamming)))
+
   /** MinHash signature aggregate over per-row shingle hashes: a k-long
     * array of elementwise minima of k affine permutations of the hash.
     */

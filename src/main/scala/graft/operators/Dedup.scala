@@ -383,8 +383,7 @@ object Dedup {
     val sigs = simHash(repDocs, textCol, idCol)
     val banded = bandedSignatures(sigs, maxHamming, pieces)
     banded.as("x").join(banded.as("y"),
-        col("x.combo") === col("y.combo") && col("x.bkey") === col("y.bkey") &&
-          col("x.id") < col("y.id") &&
+        col("x.ck") === col("y.ck") && col("x.id") < col("y.id") &&
           expr("bit_count(x.simhash ^ y.simhash)") <= maxHamming)
       .select(col("x.id").as("rep_a"), col("y.id").as("rep_b"),
         expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
@@ -468,37 +467,25 @@ object Dedup {
   def simHashCandidates(sigs: DataFrame, maxHamming: Int, pieces: Int): DataFrame = {
     val banded = bandedSignatures(sigs, maxHamming, pieces)
     banded.as("x").join(banded.as("y"),
-        col("x.combo") === col("y.combo") && col("x.bkey") === col("y.bkey") &&
-          col("x.id") < col("y.id"))
+        col("x.ck") === col("y.ck") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
   }
 
-  /** One banded row per (doc, chunk subset): (id, simhash, combo, bkey).
-    * The fingerprint rides along so consumers can evaluate the Hamming
-    * test inside the bucket join without re-joining signatures.
+  /** One banded row per (doc, chunk subset): (id, simhash, ck) with ck
+    * the packed (comboId << 48) | chunk-bits key — the whole key set per
+    * fingerprint comes from one native
+    * [[graft.functions.SimHashBandKeys]] call (the per-combo shift/OR
+    * expression chains this replaces dominated the stage in Janino
+    * compile time: C(pieces, shared) wide expressions on both sides of
+    * the self-join). The fingerprint rides along so consumers can
+    * evaluate the Hamming test inside the bucket join without re-joining
+    * signatures.
     */
-  private def bandedSignatures(sigs: DataFrame, maxHamming: Int, pieces: Int): DataFrame = {
-    require(64 % pieces == 0, "pieces must divide 64")
-    require(maxHamming < pieces,
-      s"pigeonhole completeness requires maxHamming < pieces (got $maxHamming >= $pieces)")
-    val width = 64 / pieces
-    val shared = pieces - maxHamming
-    val combos = (0 until pieces).combinations(shared).map(_.toSeq).toSeq
-    require(combos.size <= 256,
-      s"C($pieces, $shared) = ${combos.size} banding subsets — too much row replication")
-    val mask = (1L << width) - 1
-    def chunk(p: Int) = shiftright(col("simhash"), p * width).bitwiseAND(lit(mask))
-    val keyed = combos.zipWithIndex.map { case (c, ci) =>
-      val key = c.zipWithIndex
-        .map { case (p, i) => shiftleft(chunk(p), i * width) }
-        .reduce(_.bitwiseOR(_))
-      struct(lit(ci).as("combo"), key.as("bkey"))
-    }
-    sigs.select(col("id"), col("simhash"), explode(array(keyed: _*)).as("ck"))
-      .select(col("id"), col("simhash"),
-        col("ck.combo").as("combo"), col("ck.bkey").as("bkey"))
-  }
+  private def bandedSignatures(sigs: DataFrame, maxHamming: Int, pieces: Int): DataFrame =
+    sigs.select(col("id"), col("simhash"),
+      explode(graft.functions.GraftFunctions.graftSimHashBands(
+        col("simhash"), pieces, maxHamming)).as("ck"))
 
   /** Embedding near-duplicate pairs: cosine >= threshold, candidates from
     * sign-LSH buckets (see [[Similarity.hyperplaneBucket]]) instead of a
@@ -559,17 +546,24 @@ object Dedup {
     var it = 0
     var converged = false
     while (!converged && it < maxIters) {
+      // One aggregate produces BOTH the new label and the previous one
+      // (each id has exactly one labels row, tagged _self=true, so
+      // max(component WHERE _self) is the old label): the convergence
+      // probe then reads the checkpointed result instead of re-joining
+      // next against labels — one shuffle per round, not two.
       val viaNeighbor = edges
         .join(labels.withColumnRenamed("id", "b"), "b")
-        .select(col("a").as("id"), col("component"))
-      val next = labels.unionByName(viaNeighbor)
-        .groupBy(col("id")).agg(min(col("component")).as("component"))
+        .select(col("a").as("id"), col("component"),
+          lit(false).as("_self"))
+      val next = labels.withColumn("_self", lit(true))
+        .unionByName(viaNeighbor)
+        .groupBy(col("id"))
+        .agg(min(col("component")).as("component"),
+          max(when(col("_self"), col("component"))).as("_old"))
         .localCheckpoint()
-      converged = next
-        .join(labels.withColumnRenamed("component", "_old"), "id")
-        .filter(col("component") =!= col("_old"))
+      converged = next.filter(col("component") =!= col("_old"))
         .limit(1).isEmpty
-      labels = next
+      labels = next.select(col("id"), col("component"))
       it += 1
     }
     labels

@@ -98,37 +98,29 @@ object TextAnalysis {
     * bigram (`top_bigram_share`) — the standard screens for boilerplate
     * and degenerate "same phrase over and over" documents.
     *
-    * Shape: bigrams come from `slice` + `arrays_zip` + `explode` (all
-    * codegen'd array ops — no interpreted lambda per element), then ONE
-    * aggregation keyed by the high-cardinality (doc, bigram) pair and a
-    * per-doc rollup. Cost scales with token count, not documents², and
-    * the shuffle key never skews worse than the hottest single phrase in
-    * one document.
+    * Shape: repetition is a function of ONE document, so the whole
+    * computation is a single native per-row pass
+    * ([[graft.functions.BigramStats]] — a hash map bounded by the
+    * document's own length) inside whole-stage codegen: zero shuffles,
+    * zero joins, scan speed at any corpus size. The earlier relational
+    * form (slice + arrays_zip + explode + two aggregations + join back)
+    * shuffled every (doc, bigram) pair across the cluster to count
+    * repeats that never leave their document.
     */
-  def repetitionSignals(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val ws = split(lower(trim(col(textCol))), "\\s+")
-    val base = docs
-      .select(col(idCol).as("_id"), ws.as("_ws"))
-      .withColumn("_total", greatest(size(col("_ws")) - 1, lit(0)).cast("long"))
-    val grams = base.filter(col("_total") > 0)
-      .withColumn("_l", slice(col("_ws"), lit(1), size(col("_ws")) - 1))
-      .withColumn("_r", slice(col("_ws"), lit(2), size(col("_ws")) - 1))
-      .select(col("_id"), explode(arrays_zip(col("_l"), col("_r"))).as("_z"))
-      .select(col("_id"), concat(col("_z._l"), lit(" "), col("_z._r")).as("_g"))
-    val counts = grams.groupBy(col("_id"), col("_g")).agg(count(lit(1)).as("_c"))
-    val per = counts.groupBy(col("_id")).agg(
-      max(col("_c")).as("_maxc"),
-      sum(col("_c")).as("_sumc"),
-      count(lit(1)).as("_nd"))
-    base.join(per, Seq("_id"), "left")
+  def repetitionSignals(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("_id"),
+        graft.functions.GraftFunctions.graftBigramStats(col(textCol)).as("_s"))
       .select(
         col("_id"),
-        col("_total").as("total_bigrams"),
-        round(coalesce((col("_sumc") - col("_nd")).cast("double") / col("_sumc"),
-          lit(0.0)), 4).as("dup_bigram_ratio"),
-        round(coalesce(col("_maxc").cast("double") / col("_sumc"),
-          lit(0.0)), 4).as("top_bigram_share"))
-  }
+        col("_s.total_bigrams").as("total_bigrams"),
+        round(when(col("_s.total_bigrams") > 0,
+            (col("_s.total_bigrams") - col("_s.distinct_bigrams")).cast("double") /
+              col("_s.total_bigrams"))
+          .otherwise(lit(0.0)), 4).as("dup_bigram_ratio"),
+        round(when(col("_s.total_bigrams") > 0,
+            col("_s.max_count").cast("double") / col("_s.total_bigrams"))
+          .otherwise(lit(0.0)), 4).as("top_bigram_share"))
 
   /** PII scrubbing for training-data curation: redact emails, URLs, and
     * phone-like number runs with typed placeholder tokens. A chain of

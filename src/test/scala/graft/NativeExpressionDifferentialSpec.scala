@@ -225,6 +225,73 @@ class NativeExpressionDifferentialSpec extends SparkSpec {
     assert(math.abs(short.getDouble(0) - short.getDouble(1)) < 1e-12)
   }
 
+  test("graft_simhash_bands == per-combo shift/OR struct composition") {
+    import spark.implicits._
+    val sigs = (1 to 200).map(_ => rnd.nextLong())
+    val df = spark.createDataset(sigs).toDF("simhash").repartition(7)
+    for ((pieces, maxH) <- Seq((8, 6), (4, 3), (8, 2))) {
+      val width = 64 / pieces
+      val shared = pieces - maxH
+      val mask = (1L << width) - 1
+      val combos = (0 until pieces).combinations(shared).map(_.toSeq).toSeq
+      def chunk(p: Int) =
+        shiftright(col("simhash"), p * width).bitwiseAND(lit(mask))
+      val keyed = combos.zipWithIndex.map { case (c, ci) =>
+        c.zipWithIndex
+          .map { case (p, i) => shiftleft(chunk(p), i * width) }
+          .reduce(_.bitwiseOR(_))
+          .bitwiseOR(lit(ci.toLong << 48))
+      }
+      val out = df.select(col("simhash"),
+          graft.functions.GraftFunctions
+            .graftSimHashBands(col("simhash"), pieces, maxH).as("native"),
+          array(keyed: _*).as("reference"))
+        .collect()
+      out.foreach { r =>
+        assert(r.getSeq[Long](1) === r.getSeq[Long](2),
+          s"pieces=$pieces maxH=$maxH simhash=${r.getLong(0)}")
+      }
+    }
+  }
+
+  test("graft_bigram_stats == explode/groupBy composition on messy text") {
+    import spark.implicits._
+    val vocab = Seq("a", "b", "ab", "The", "THE", "x\ty", "", " ", "\t",
+      "word", "word.", "9", "ümlaut")
+    val texts = (1 to 300).map { i =>
+      (i.toLong, (0 until rnd.nextInt(30))
+        .map(_ => vocab(rnd.nextInt(vocab.length)))
+        .mkString(if (i % 3 == 0) "  " else " ") +
+        (if (i % 5 == 0) "\t" else ""))
+    }
+    val df = spark.createDataset(texts).toDF("id", "text").repartition(5)
+    // Reference: the original relational formulation.
+    val ws = split(lower(trim(col("text"))), "\\s+")
+    val base = df.select(col("id"), ws.as("_ws"))
+      .withColumn("_total", greatest(size(col("_ws")) - 1, lit(0)).cast("long"))
+    val grams = base.filter(col("_total") > 0)
+      .withColumn("_l", slice(col("_ws"), lit(1), size(col("_ws")) - 1))
+      .withColumn("_r", slice(col("_ws"), lit(2), size(col("_ws")) - 1))
+      .select(col("id"), explode(arrays_zip(col("_l"), col("_r"))).as("_z"))
+      .select(col("id"), concat(col("_z._l"), lit(" "), col("_z._r")).as("_g"))
+    val per = grams.groupBy(col("id"), col("_g")).agg(count(lit(1)).as("_c"))
+      .groupBy(col("id")).agg(max(col("_c")).as("maxc"),
+        sum(col("_c")).as("sumc"), count(lit(1)).as("nd"))
+    val ref = base.join(per, Seq("id"), "left")
+      .select(col("id"), col("_total"),
+        coalesce(col("nd"), lit(0L)).as("nd"),
+        coalesce(col("maxc"), lit(0L)).as("maxc"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val native = df.select(col("id"),
+        graft.functions.GraftFunctions.graftBigramStats(col("text")).as("s"))
+      .select(col("id"), col("s.total_bigrams"), col("s.distinct_bigrams"),
+        col("s.max_count"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(native === ref)
+  }
+
   test("graft_dot null-element and null-array semantics") {
     import spark.implicits._
     val df = Seq(
