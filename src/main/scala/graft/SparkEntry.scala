@@ -1466,6 +1466,39 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
 
+  /** One-scan multi-column data profile (row/null/distinct counts,
+    * min/max) — see [[operators.Profiling]].
+    */
+  private def profileTable(s: SparkSession, d: String): DataFrame =
+    Profiling.profile(t(s, d, "orders"),
+        Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"))
+      .orderBy(col("col_name"))
+
+  /** Equi-width histogram with data-dependent bounds over a continuous
+    * column — see [[operators.Histogram]].
+    */
+  private def histogramQ(s: SparkSession, d: String): DataFrame =
+    Histogram.equiWidth(t(s, d, "lineitem"), "l_extendedprice", buckets = 12)
+      .orderBy(col("bucket_id"))
+
+  /** RANGE-frame rolling aggregate: per-customer 30-day rolling revenue.
+    * The frame is VALUE-based (all orders within 30 days, however many),
+    * not row-count based — same-day orders are peers and always
+    * aggregate together, so the result is deterministic under any row
+    * order. Sum runs in DECIMAL and casts to double once (the engine's
+    * standard exact-sum discipline).
+    */
+  private def windowRangeRolling(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders").filter(col("o_custkey") < 50)
+      .withColumn("days",
+        datediff(col("o_orderdate"), lit("1992-01-01").cast("date")).cast(LongType))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("days"))
+      .rangeBetween(-30, 0)
+    o.select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        sum(dec(col("o_totalprice"))).over(w).cast(DoubleType).as("rolling_30d"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_filter_tenant" -> (filterTenant _),
     "q_search_ilike_or" -> (searchIlikeOr _),
@@ -1529,6 +1562,9 @@ object SparkEntry {
     "q_tfidf" -> (tfidfTop _),
     "q_inverted_index" -> (indexPostings _),
     "q_mix_domains" -> (mixDomains _),
+    "q_profile" -> (profileTable _),
+    "q_histogram" -> (histogramQ _),
+    "q_window_range" -> (windowRangeRolling _),
     "q_embed_topk" -> (embedTopk _),
     "q_ann_batch" -> (annBatch _),
     "q_embed_ann_lsh" -> (embedAnnLsh _),
@@ -2310,6 +2346,57 @@ object SparkEntry {
         |b AS (SELECT doc_id, lang, (y * y) % 2147483647 % 100 AS bkt FROM h)
         |SELECT b.doc_id, b.lang FROM b JOIN rates r ON r.lang = b.lang
         |WHERE b.bkt < r.rate ORDER BY b.doc_id""".stripMargin,
+    "q_profile" ->
+      """WITH p AS (
+        |  SELECT 'o_custkey' AS col_name, count(*) AS n_rows,
+        |    count(CASE WHEN o_custkey IS NULL THEN 1 END) AS n_nulls,
+        |    count(DISTINCT o_custkey) AS n_distinct,
+        |    CAST(min(o_custkey) AS VARCHAR) AS min_val,
+        |    CAST(max(o_custkey) AS VARCHAR) AS max_val
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', count(*),
+        |    count(CASE WHEN o_orderstatus IS NULL THEN 1 END),
+        |    count(DISTINCT o_orderstatus),
+        |    CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_totalprice', count(*),
+        |    count(CASE WHEN o_totalprice IS NULL THEN 1 END),
+        |    count(DISTINCT o_totalprice),
+        |    CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderdate', count(*),
+        |    count(CASE WHEN o_orderdate IS NULL THEN 1 END),
+        |    count(DISTINCT o_orderdate),
+        |    CAST(min(o_orderdate) AS VARCHAR), CAST(max(o_orderdate) AS VARCHAR)
+        |  FROM orders)
+        |SELECT col_name, n_rows, n_nulls, n_distinct, min_val, max_val
+        |FROM p ORDER BY col_name""".stripMargin,
+    "q_histogram" ->
+      """WITH b AS (SELECT CAST(min(l_extendedprice) AS DOUBLE) AS lo,
+        |                  CAST(max(l_extendedprice) AS DOUBLE) AS hi
+        |           FROM lineitem),
+        |assigned AS (SELECT
+        |    CASE WHEN hi - lo = 0 THEN 0
+        |         ELSE least(11, CAST(floor((CAST(l_extendedprice AS DOUBLE) - lo) * 12 / (hi - lo)) AS BIGINT))
+        |    END AS bucket_id, lo, hi
+        |  FROM lineitem, b)
+        |SELECT bucket_id,
+        |  lo + bucket_id * (hi - lo) / 12 AS bucket_lo,
+        |  lo + (bucket_id + 1) * (hi - lo) / 12 AS bucket_hi,
+        |  count(*) AS n
+        |FROM assigned GROUP BY bucket_id, lo, hi
+        |ORDER BY bucket_id""".stripMargin,
+    "q_window_range" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY date_diff('day', DATE '1992-01-01', o_orderdate)
+        |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_30d
+        |FROM orders WHERE o_custkey < 50
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_dedup_lsh_full" ->
       s"""WITH pairs AS (SELECT * FROM read_parquet('$lshFullDir/pairs.parquet/*.parquet')),
          |ids AS (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs),

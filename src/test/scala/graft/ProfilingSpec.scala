@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.{Histogram, Profiling}
+import org.apache.spark.sql.functions._
+
+/** One-scan profiling and equi-width histogram semantics. */
+class ProfilingSpec extends SparkSpec {
+
+  private def df = {
+    import spark.implicits._
+    Seq(
+      (1L, Some("x"), 10.0),
+      (2L, None, 20.0),
+      (3L, Some("y"), 20.0),
+      (4L, Some("x"), 40.0)
+    ).toDF("id", "tag", "v")
+  }
+
+  test("profile: per-column rows/nulls/distinct/min/max in one pass") {
+    val p = Profiling.profile(df, Seq("id", "tag", "v")).collect()
+      .map(r => r.getAs[String]("col_name") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("n_nulls"),
+          r.getAs[Long]("n_distinct"), r.getAs[String]("min_val"),
+          r.getAs[String]("max_val")))).toMap
+    assert(p("id") === ((4L, 0L, 4L, "1", "4")))
+    assert(p("tag") === ((4L, 1L, 2L, "x", "y")))
+    assert(p("v") === ((4L, 0L, 3L, "10.0", "40.0")))
+  }
+
+  test("profile runs as ONE aggregate job (single scan), not per-column") {
+    val plan = Profiling.profile(df, Seq("id", "tag", "v"))
+      .queryExecution.optimizedPlan
+    val scans = plan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }
+    assert(scans.size === 1, s"expected one scan, got:\n$plan")
+  }
+
+  test("histogram: equi-width buckets, top value closed into last bucket") {
+    val h = Histogram.equiWidth(df, "v", buckets = 3).collect()
+      .map(r => r.getAs[Long]("bucket_id") ->
+        ((r.getAs[Double]("bucket_lo"), r.getAs[Double]("bucket_hi"),
+          r.getAs[Long]("n")))).toMap
+    // lo=10, hi=40, width=10: 10.0->b0, 20.0 x2 ->b1, 40.0 -> b2 (closed top)
+    assert(h(0L) === ((10.0, 20.0, 1L)))
+    assert(h(1L) === ((20.0, 30.0, 2L)))
+    assert(h(2L) === ((30.0, 40.0, 1L)))
+  }
+
+  test("histogram: constant column collapses to one bucket, no div-by-zero") {
+    import spark.implicits._
+    val c = Seq(5.0, 5.0, 5.0).toDF("v")
+    val h = Histogram.equiWidth(c, "v", buckets = 4).collect()
+    assert(h.length === 1)
+    assert(h.head.getAs[Long]("bucket_id") === 0L)
+    assert(h.head.getAs[Long]("n") === 3L)
+  }
+}
