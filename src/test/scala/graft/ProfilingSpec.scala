@@ -27,14 +27,23 @@ class ProfilingSpec extends SparkSpec {
     assert(p("v") === ((4L, 0L, 3L, "10.0", "40.0")))
   }
 
-  test("profile runs as ONE aggregate job (single scan), not per-column") {
-    val plan = Profiling.profile(df, Seq("id", "tag", "v"))
-      .queryExecution.optimizedPlan
-    val scans = plan.collect {
-      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
-      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
-    }
-    assert(scans.size === 1, s"expected one scan, got:\n$plan")
+  test("profile scan count: 2 for exact distinct, 1 for approx") {
+    def scans(exact: Boolean) = Profiling
+      .profile(df, Seq("id", "tag", "v"), exactDistinct = exact)
+      .queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+      }
+    assert(scans(exact = true).size === 2)
+    assert(scans(exact = false).size === 1)
+  }
+
+  test("approx mode returns exact counts on tiny-cardinality columns") {
+    val p = Profiling.profile(df, Seq("id", "tag"), exactDistinct = false)
+      .collect().map(r => r.getAs[String]("col_name") ->
+        r.getAs[Long]("n_distinct")).toMap
+    // HLL++ is exact at these cardinalities (dense register regime).
+    assert(p === Map("id" -> 4L, "tag" -> 2L))
   }
 
   test("histogram: equi-width buckets, top value closed into last bucket") {
