@@ -783,7 +783,11 @@ object SparkEntry {
     */
   private def dedupSimhash(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents").filter(col("doc_id") < 300)
-    val cands = Dedup.simHashNearDup(docs, "text", "doc_id",
+    // Direct per-document banding: on a 300-doc slice the bag-grouping
+    // machinery's two extra materialization jobs cost more than the
+    // within-group collisions it avoids. The grouped shape is exercised
+    // where it pays — the full-corpus q_dedup_simhash_full.
+    val cands = Dedup.simHashNearDupDirect(docs, "text", "doc_id",
       maxHamming = 6, pieces = 8)
     Dedup.exactBagJaccard(cands, docs, "text", "doc_id", minJaccard = 0.8)
       .orderBy(col("id_a"), col("id_b"))

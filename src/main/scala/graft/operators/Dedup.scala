@@ -441,6 +441,30 @@ object Dedup {
       .unionByName(intraGroupPairs(groups).withColumn("hamming", lit(0)))
   }
 
+  /** SimHash near-dup candidates computed directly per document — no bag
+    * grouping. Same banding construction and Hamming residual as
+    * [[simHashNearDup]], two fewer materialization jobs: the right shape
+    * when the corpus slice is small or deduplication factor is low
+    * (identical documents then just meet as Hamming-0 candidates). On a
+    * heavily duplicated corpus prefer [[simHashNearDup]]: there the
+    * within-group collisions this path pays for disappear into
+    * [[bagGroups]].
+    */
+  def simHashNearDupDirect(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxHamming: Int,
+      pieces: Int): DataFrame = {
+    val banded = bandedSignatures(simHash(docs, textCol, idCol), maxHamming, pieces)
+    banded.as("x").join(banded.as("y"),
+        col("x.ck") === col("y.ck") && col("x.id") < col("y.id") &&
+          expr("bit_count(x.simhash ^ y.simhash)") <= maxHamming)
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
+      .distinct()
+  }
+
   /** The candidate stage of [[simHashNearDup]], exposed so its selectivity
     * is testable: distinct (id_a, id_b) pairs that could be within
     * `maxHamming` of each other, generated by multi-block banding.

@@ -118,6 +118,24 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("simhash direct path emits the same pair set as the grouped path") {
+    import spark.implicits._
+    val corpus = (1L to 40L).map(i =>
+      (i, s"unique$i totally distinct words$i content$i row$i")) ++ Seq(
+      (100L, "shared cluster sentence about spark shuffle partitioning at scale"),
+      (101L, "about spark shuffle partitioning at scale shared cluster sentence"),
+      (102L, "shared cluster sentence about spark shuffle partitioning at scale"),
+      (103L, "spark shuffle partitioning shared cluster sentence at scale about"))
+    val df = corpus.toDF("doc_id", "text")
+    def pairsOf(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Int]("hamming"))).toSet
+    val grouped = pairsOf(Dedup.simHashNearDup(df, "text", "doc_id", 6, 8))
+    val direct = pairsOf(Dedup.simHashNearDupDirect(df, "text", "doc_id", 6, 8))
+    assert(direct === grouped)
+    assert(direct.exists { case (a, b, h) => a == 100L && b == 102L && h == 0 })
+  }
+
   test("simhash combination banding is complete for the Hamming radius") {
     import spark.implicits._
     // Exhaustive check on synthetic fingerprints: plant pairs at every
