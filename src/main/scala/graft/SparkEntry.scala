@@ -1503,6 +1503,26 @@ object SparkEntry {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** Metadata-FILTERED similarity search — the vector-database query
+    * shape (`WHERE label IN (...) ORDER BY cosine LIMIT k`): the
+    * predicate applies BEFORE scoring, so selective filters prune the
+    * scan (parquet row groups skip on the pushed filter) and the scorer
+    * touches only qualifying vectors — filter-then-search, never
+    * search-then-filter (which under-fills k when the filter is
+    * selective, and scores rows it will throw away). PlanPropertiesSpec
+    * asserts the label predicate reaches the scan as a pushed filter.
+    */
+  private def embedFiltered(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(Similarity.toDouble(col("embedding")))
+      .head().getSeq[Double](0)
+    Similarity.bruteForceTopK(
+        emb.filter(col("label").isin(3, 7) && col("vec_id") =!= 0),
+        "embedding", "vec_id", qv, k = 10, roundTo = 4)
+      .orderBy(col("cosine").desc, col("vec_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_filter_tenant" -> (filterTenant _),
     "q_search_ilike_or" -> (searchIlikeOr _),
@@ -1569,6 +1589,7 @@ object SparkEntry {
     "q_profile" -> (profileTable _),
     "q_histogram" -> (histogramQ _),
     "q_window_range" -> (windowRangeRolling _),
+    "q_embed_filtered" -> (embedFiltered _),
     "q_embed_topk" -> (embedTopk _),
     "q_ann_batch" -> (annBatch _),
     "q_embed_ann_lsh" -> (embedAnnLsh _),
@@ -2515,6 +2536,15 @@ object SparkEntry {
          |       WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
          |       ELSE 'en' END AS lang_pred
          |FROM sc ORDER BY doc_id""".stripMargin,
+    "q_embed_filtered" ->
+      """WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT vec_id,
+        |    round(list_dot_product(CAST(embedding AS DOUBLE[]), (SELECT CAST(e AS DOUBLE[]) FROM q)) /
+        |      (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+        |       sqrt((SELECT list_dot_product(CAST(e AS DOUBLE[]), CAST(e AS DOUBLE[])) FROM q))), 4) AS cosine
+        |  FROM embeddings WHERE label IN (3, 7) AND vec_id <> 0)
+        |SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
     "q_embed_topk" ->
       """WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
         |scored AS (

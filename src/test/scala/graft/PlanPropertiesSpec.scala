@@ -42,6 +42,14 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"ANN baseline does a full sort:\n$plan")
   }
 
+  test("filtered vector search pushes the metadata predicate to the scan") {
+    val plan = planOf("q_embed_filtered")
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*In\\(label[^\\]]*\\].*"),
+      s"label IN (...) did not reach the parquet scan:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"filtered search does a full sort:\n$plan")
+  }
+
   test("bloom semi-join carries the might_contain probe as a filter") {
     val plan = planOf("q_bloom_semi")
     assert(plan.contains("might_contain"), s"bloom probe missing from plan:\n$plan")
