@@ -43,6 +43,19 @@ object GraftFunctions {
   def graftSimHash(hash: Column): Column =
     B.column(SimHashAgg(B.expression(hash)).toAggregateExpression())
 
+  /** Banded LSH bucket keys of a MinHash signature, packed
+    * (band << 48) | bucket — see [[MinHashBandKeys]].
+    */
+  def graftMinHashBands(sig: Column, bands: Int): Column =
+    B.column(MinHashBandKeys(B.expression(sig),
+      org.apache.spark.sql.catalyst.expressions.Literal(bands)))
+
+  /** Equal-position count of two long signatures (MinHash estimator
+    * numerator) — see [[SignatureOverlap]].
+    */
+  def graftSigOverlap(a: Column, b: Column): Column =
+    B.column(SignatureOverlap(B.expression(a), B.expression(b)))
+
   /** Per-document bigram stats struct (total, distinct, max count) in
     * one codegen'd pass — see [[BigramStats]].
     */

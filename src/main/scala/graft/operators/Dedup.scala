@@ -219,22 +219,22 @@ object Dedup {
       threshold: Double = 0.7,
       shingleN: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    val r = numHashes / bands
     val sigs = minHashSignatures(docs, textCol, idCol, numHashes, shingleN)
+    // Native packed band keys ((band << 48) | bucket): one static call
+    // per signature instead of bands interpreted hash(slice(...))
+    // lambdas, and the candidate join keys on a single long column.
     val banded = sigs.select(col("id"),
-      posexplode(expr(
-        s"transform(sequence(0, ${bands - 1}), b -> hash(slice(signature, b * $r + 1, $r)))"))
-        .as(Seq("band", "bucket")))
+      explode(graft.functions.GraftFunctions.graftMinHashBands(
+        col("signature"), bands)).as("bk"))
     val cand = banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-          col("x.id") < col("y.id"))
+        col("x.bk") === col("y.bk") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
     cand
       .join(sigs.select(col("id").as("id_a"), col("signature").as("sig_a")), "id_a")
       .join(sigs.select(col("id").as("id_b"), col("signature").as("sig_b")), "id_b")
       .withColumn("est_jaccard",
-        expr("aggregate(zip_with(sig_a, sig_b, (p, q) -> if(p = q, 1, 0)), 0, (acc, v) -> acc + v)")
+        graft.functions.GraftFunctions.graftSigOverlap(col("sig_a"), col("sig_b"))
           .cast("double") / numHashes)
       .filter(col("est_jaccard") >= threshold)
       .select("id_a", "id_b", "est_jaccard")
@@ -266,7 +266,6 @@ object Dedup {
       shingleN: Int = 3,
       minJaccard: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    val r = numHashes / bands
     val fp = (t: Column) => md5(regexp_replace(lower(trim(t)), "\\s+", " "))
 
     val exactM = incoming
@@ -276,21 +275,19 @@ object Dedup {
 
     def bandedOf(sigs: DataFrame): DataFrame =
       sigs.select(col("id"),
-        posexplode(expr(
-          s"transform(sequence(0, ${bands - 1}), b -> hash(slice(signature, b * $r + 1, $r)))"))
-          .as(Seq("band", "bucket")))
+        explode(graft.functions.GraftFunctions.graftMinHashBands(
+          col("signature"), bands)).as("bk"))
     val sigsEx = minHashSignatures(existing, textCol, idCol, numHashes, shingleN)
     val sigsInc = minHashSignatures(incoming, textCol, idCol, numHashes, shingleN)
     val cand = bandedOf(sigsInc).as("x")
-      .join(bandedOf(sigsEx).as("y"),
-        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
+      .join(bandedOf(sigsEx).as("y"), col("x.bk") === col("y.bk"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
     val est = cand
       .join(sigsInc.select(col("id").as("id_a"), col("signature").as("sig_a")), "id_a")
       .join(sigsEx.select(col("id").as("id_b"), col("signature").as("sig_b")), "id_b")
       .withColumn("_est",
-        expr("aggregate(zip_with(sig_a, sig_b, (p, q) -> if(p = q, 1, 0)), 0, (acc, v) -> acc + v)")
+        graft.functions.GraftFunctions.graftSigOverlap(col("sig_a"), col("sig_b"))
           .cast("double") / numHashes)
       .filter(col("_est") >= estThreshold)
       .select("id_a", "id_b")

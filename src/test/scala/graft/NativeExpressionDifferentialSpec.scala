@@ -292,6 +292,41 @@ class NativeExpressionDifferentialSpec extends SparkSpec {
     assert(native === ref)
   }
 
+  test("graft_minhash_bands / graft_sig_overlap invariants on random signatures") {
+    import spark.implicits._
+    val sigs = (1 to 150).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextLong())))
+    val df = spark.createDataset(sigs).toDF("id", "sig").repartition(6)
+    // Band keys: 32 per signature, band id in the high bits, equal
+    // slices -> equal keys, differing slices -> (whp) different keys.
+    val keys = df.select(col("id"),
+        graft.functions.GraftFunctions.graftMinHashBands(col("sig"), 32).as("ks"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getSeq[Long](1)).toMap
+    assert(keys.values.forall(_.length == 32))
+    assert(keys.values.forall(ks =>
+      ks.zipWithIndex.forall { case (k, b) => (k >>> 48) == b.toLong }))
+    // Same signature -> same keys (determinism across rows/partitions).
+    val dup = spark.createDataset(Seq((1L, sigs.head._2), (2L, sigs.head._2)))
+      .toDF("id", "sig")
+      .select(graft.functions.GraftFunctions.graftMinHashBands(col("sig"), 32).as("ks"))
+      .collect().map(_.getSeq[Long](0))
+    assert(dup(0) === dup(1))
+    // Overlap == the HOF formulation it replaces.
+    val pairs = df.as("a").join(df.as("b"), col("a.id") < col("b.id"))
+      .limit(200)
+      .select(
+        graft.functions.GraftFunctions
+          .graftSigOverlap(col("a.sig"), col("b.sig")).as("native"),
+        expr("aggregate(zip_with(a.sig, b.sig, (p, q) -> if(p = q, 1, 0)), 0, (acc, v) -> acc + v)")
+          .as("reference"))
+      .collect()
+    pairs.foreach(r => assert(r.getInt(0) === r.getInt(1)))
+    // Identical signatures overlap fully.
+    val self = df.select(graft.functions.GraftFunctions
+      .graftSigOverlap(col("sig"), col("sig")).as("o")).collect()
+    assert(self.forall(_.getInt(0) == 64))
+  }
+
   test("graft_dot null-element and null-array semantics") {
     import spark.implicits._
     val df = Seq(
