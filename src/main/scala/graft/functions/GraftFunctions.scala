@@ -43,6 +43,15 @@ object GraftFunctions {
   def graftSimHash(hash: Column): Column =
     B.column(SimHashAgg(B.expression(hash)).toAggregateExpression())
 
+  /** All hash tables' sign-LSH buckets of an embedding in one native
+    * call — see [[LshBuckets]].
+    */
+  def graftLshBuckets(vec: Column, planes: Int, tables: Int, dim: Int): Column = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    B.column(LshBuckets(B.expression(vec),
+      Literal(planes), Literal(tables), Literal(dim)))
+  }
+
   /** Banded LSH bucket keys of a MinHash signature, packed
     * (band << 48) | bucket — see [[MinHashBandKeys]].
     */

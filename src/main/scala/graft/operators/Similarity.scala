@@ -70,23 +70,21 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplanes (seed fixed) — public
-    * sign-random-projection construction.
+    * sign-random-projection construction. Generation lives in
+    * [[graft.functions.LshBucketUtil]] so the native bucket expression
+    * and this operator layer can never drift.
     */
-  private[graft] def hyperplanes(planes: Int, dim: Int = 64): Array[Array[Double]] = {
-    val rnd = new scala.util.Random(7)
-    Array.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
-  }
+  private[graft] def hyperplanes(planes: Int, dim: Int = 64): Array[Array[Double]] =
+    graft.functions.LshBucketUtil.hyperplanes(planes, dim)
 
-  /** Bucket id = sign bits of the vector against `planes` hyperplanes.
-    * Scale-invariant (sign of v·h), so it works on raw or unit vectors.
+  /** Bucket id = sign bits of the vector against `planes` hyperplanes
+    * (scale-invariant, so raw or unit vectors alike) — one native
+    * [[graft.functions.LshBuckets]] call instead of `planes` literal-
+    * plane dot-product sign tests whose generated code dominated compile
+    * time.
     */
   def hyperplaneBucket(vec: Column, planes: Int, dim: Int = 64): Column =
-    bucketFor(vec, hyperplanes(planes, dim))
-
-  private def bucketFor(vec: Column, hp: Array[Array[Double]]): Column =
-    hp.indices.map { i =>
-      when(graftDot(vec, lit(hp(i))) >= 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
+    element_at(graft.functions.GraftFunctions.graftLshBuckets(vec, planes, 1, dim), 1)
 
   private def scalarBucket(v: Seq[Double], hp: Array[Array[Double]]): Long =
     hp.indices.map { i =>
@@ -130,15 +128,19 @@ object Similarity {
     val hps = tableHyperplanes(planes, tables, dim)
     val qNorm = math.sqrt(queryVec.map(x => x * x).sum)
     val v = col(vecCol)
-    // Bucket straight from the raw vector (sign is scale-invariant); the
-    // exact cosine only runs on rows surviving some table's bucket filter.
-    val tableHit: Seq[Column] = hps.toSeq.map { hp =>
-      val qBucket = scalarBucket(queryVec, hp)
-      val probes = qBucket +: hp.indices.map(i => qBucket ^ (1L << i))
-      bucketFor(v, hp).isin(probes: _*)
+    // All table buckets from ONE native call per row (sign is
+    // scale-invariant, so the raw vector is fine); "bucket matches the
+    // query's or differs by one bit" is a bit_count test per table over
+    // the materialized bucket array. The exact cosine only runs on rows
+    // surviving some table's probe.
+    val qBuckets = hps.map(hp => scalarBucket(queryVec, hp))
+    val bks = graft.functions.GraftFunctions.graftLshBuckets(v, planes, tables, dim)
+    val tableHit: Seq[Column] = hps.indices.map { t =>
+      bit_count(element_at(col("_bks"), t + 1).bitwiseXOR(lit(qBuckets(t)))) <= 1
     }
     val cos = graftDot(v, lit(queryVec.toArray)) / (sqrt(graftNorm2(v)) * lit(qNorm))
     embeddings
+      .withColumn("_bks", bks)
       .filter(tableHit.reduce(_ || _))
       .withColumn("cosine", if (roundTo >= 0) round(cos, roundTo) else cos)
       .select(col(idCol), col("cosine"))
