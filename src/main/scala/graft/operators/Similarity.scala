@@ -77,14 +77,25 @@ object Similarity {
   private[graft] def hyperplanes(planes: Int, dim: Int = 64): Array[Array[Double]] =
     graft.functions.LshBucketUtil.hyperplanes(planes, dim)
 
-  /** Bucket id = sign bits of the vector against `planes` hyperplanes
-    * (scale-invariant, so raw or unit vectors alike) — one native
-    * [[graft.functions.LshBuckets]] call instead of `planes` literal-
-    * plane dot-product sign tests whose generated code dominated compile
-    * time.
+  /** Bucket id = sign bits of the vector against `planes` hyperplanes.
+    * Scale-invariant (sign of v·h), so it works on raw or unit vectors.
+    *
+    * Formulation note (A/B measured): this single-table bucket is used
+    * as a JOIN KEY, where the inlined literal-plane sign tests stay
+    * primitive long arithmetic inside codegen and win ~2.5x over the
+    * native array-returning call (join keys are evaluated repeatedly —
+    * partitioning hash, sort, compare — and each native evaluation
+    * allocates its result array). The native [[graft.functions.LshBuckets]]
+    * call wins in the opposite regime — the multi-table PROBE FILTER in
+    * [[lshTopK]], where planes x tables literal planes are a codegen
+    * compile bomb and the bucket array is computed once per row.
     */
-  def hyperplaneBucket(vec: Column, planes: Int, dim: Int = 64): Column =
-    element_at(graft.functions.GraftFunctions.graftLshBuckets(vec, planes, 1, dim), 1)
+  def hyperplaneBucket(vec: Column, planes: Int, dim: Int = 64): Column = {
+    val hp = hyperplanes(planes, dim)
+    hp.indices.map { i =>
+      when(graftDot(vec, lit(hp(i))) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+  }
 
   private def scalarBucket(v: Seq[Double], hp: Array[Array[Double]]): Long =
     hp.indices.map { i =>
