@@ -56,6 +56,14 @@ object Bench {
       .master(s"local[$cpus]")
       .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
+      // TypedImperativeAggregate states here are small fixed-size buffers
+      // (int[64] SimHash, long[k] MinHash, bounded top-k heaps), so let
+      // ObjectHashAggregate keep thousands of groups in memory per task
+      // instead of falling back to sort-based aggregation at the default
+      // 128 keys — the fallback re-sorts the whole exploded input
+      // (measured ~20% on the signature aggregates). The default guards
+      // multi-MB collect_list states, which no plan here builds.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
