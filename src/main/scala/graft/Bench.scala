@@ -64,6 +64,10 @@ object Bench {
       // (measured ~20% on the signature aggregates). The default guards
       // multi-MB collect_list states, which no plan here builds.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
+      // Shuffle/spill scratch on tmpfs — the sandbox's /tmp is on a
+      // throttled shared disk whose stall windows dominate measured
+      // times (see Scratch).
+      .config("spark.local.dir", Scratch.localDir("bench-local"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -12,6 +12,7 @@ object Explain {
       .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.local.dir", Scratch.localDir("scratch-local"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val names =

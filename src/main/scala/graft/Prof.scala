@@ -21,6 +21,7 @@ object Prof {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         sys.env.getOrElse("SPARK_GRAFT_OBJ_FALLBACK", "4096"))
+      .config("spark.local.dir", Scratch.localDir("prof-local"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -10,6 +10,7 @@ object ProfProfile {
     val spark = SparkSession.builder().master("local[32]")
       .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.local.dir", Scratch.localDir("scratch-local"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")

@@ -15,6 +15,7 @@ object ProfSim {
       .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.local.dir", Scratch.localDir("scratch-local"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     def time(name: String)(f: => Any): Unit = {

@@ -261,7 +261,7 @@ object SparkEntry {
     */
   private lazy val artifactRoot: String =
     sys.env.getOrElse("SPARK_GRAFT_ARTIFACT_DIR",
-      s"${System.getProperty("java.io.tmpdir")}/graft-artifacts-${ProcessHandle.current().pid()}")
+      Scratch.localDir("artifacts"))
 
   private lazy val approxPctDir = s"$artifactRoot/approxpct"
 
