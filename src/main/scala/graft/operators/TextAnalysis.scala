@@ -261,4 +261,39 @@ object TextAnalysis {
     aggregate(words(lower(textCol)), lit(0L),
       (acc, w) => pmod(acc * lit(1000003L) + pmod(xxhash64(w), lit((1L << 31) - 1)),
         lit((1L << 31) - 1)))
+
+  /** Sliding-window chunking for training-context prep: each document's
+    * word sequence becomes chunks of `chunkSize` tokens whose starts
+    * advance by `chunkSize - overlap` (the standard overlap-window
+    * construction for long-document LLM training/retrieval corpora; the
+    * tail chunk keeps whatever remains). Entirely per-row — the
+    * sequence/posexplode/slice pipeline is scan-speed generate work
+    * with NO shuffle, so at 100 TB chunking is free relative to the
+    * read, and chunk rows inherit the input's partitioning.
+    *
+    * Output: (idCol, chunk_id, n_chunk_tokens, chunk_text), chunk_id
+    * 0-based in document order.
+    */
+  def chunkWords(docs: DataFrame, textCol: String, idCol: String,
+      chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize, got chunkSize=$chunkSize overlap=$overlap")
+    val stride = chunkSize - overlap
+    val ws = words(col(textCol))
+    docs
+      .withColumn("_ws", ws)
+      // starts: 0, stride, 2*stride, ... <= n-1 (one chunk even for a
+      // single-token doc; empty docs produce start 0 with an empty slice
+      // and are dropped by the n_chunk_tokens > 0 filter below)
+      .select(col(idCol), col("_ws"),
+        posexplode(sequence(lit(0),
+          greatest(size(col("_ws")) - 1, lit(0)), lit(stride)))
+          .as(Seq("chunk_id", "_start")))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        slice(col("_ws"), col("_start") + 1, lit(chunkSize)).as("_chunk"))
+      .where(size(col("_chunk")) > 0)
+      .select(col(idCol), col("chunk_id"),
+        size(col("_chunk")).cast("long").as("n_chunk_tokens"),
+        concat_ws(" ", col("_chunk")).as("chunk_text"))
+  }
 }

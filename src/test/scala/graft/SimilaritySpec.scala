@@ -61,4 +61,32 @@ class SimilaritySpec extends SparkSpec {
     assert((exact & approx).size >= 8,
       s"recall@10 too low on sf0.1: ${(exact & approx).size}/10")
   }
+
+  test("int8 codes: integer-valued, clamped, max-magnitude maps to ±127") {
+    import spark.implicits._
+    val df = Seq((1L, Array(0.5f, -1.0f, 0.25f)), (2L, Array(0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val rows = Similarity.withInt8Codes(df, "embedding")
+      .orderBy("vec_id").collect()
+    val codes = rows(0).getSeq[Float](rows(0).fieldIndex("_q"))
+    assert(codes === Seq(64.0f, -127.0f, 32.0f)) // 0.5/ (1/127) = 63.5 -> 64
+    assert(codes.forall(c => c == math.rint(c) && math.abs(c) <= 127))
+    // zero vector: scale floor keeps codes finite (all zero)
+    assert(rows(1).getSeq[Float](rows(1).fieldIndex("_q")).forall(_ == 0.0f))
+  }
+
+  test("int8 quantized top-k recalls the exact top-k on real embeddings") {
+    val full = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val qv = full.filter("vec_id = 0")
+      .select(Similarity.toDouble(org.apache.spark.sql.functions.col("embedding")))
+      .head().getSeq[Double](0)
+    val exact = Similarity.bruteForceTopK(full, "embedding", "vec_id", qv, k = 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val quant = Similarity.int8TopK(full, "embedding", "vec_id", qv, k = 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    // int8 quantization error is ~0.4% of full scale per component;
+    // orderings at the top of the list survive it.
+    assert((exact & quant).size >= 8,
+      s"quantized recall@10 too low: ${(exact & quant).size}/10")
+  }
 }

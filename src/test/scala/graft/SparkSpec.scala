@@ -10,6 +10,9 @@ object TestSpark {
     .appName("graft-test")
     .withExtensions(new GraftExtensions)
     .config("spark.sql.shuffle.partitions", "4")
+    // Shuffle scratch on tmpfs — /tmp sits on the throttled sandbox
+    // disk (see graft.Scratch).
+    .config("spark.local.dir", Scratch.localDir("test-local"))
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .getOrCreate()

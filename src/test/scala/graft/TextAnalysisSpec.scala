@@ -151,4 +151,38 @@ class TextAnalysisSpec extends SparkSpec {
       assert(ratio >= 0.0 && ratio <= 1.0)
     }
   }
+
+  test("chunkWords: stride, overlap content, and tail chunk") {
+    import spark.implicits._
+    // 7 tokens, chunkSize 3, overlap 1 -> stride 2 -> starts 0,2,4,6
+    val docs = Seq((1L, "a b c d e f g")).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkWords(docs, "text", "doc_id", 3, 1)
+      .orderBy("chunk_id").collect()
+      .map(r => (r.getAs[Long]("chunk_id"), r.getAs[Long]("n_chunk_tokens"),
+        r.getAs[String]("chunk_text")))
+    assert(got.toSeq === Seq(
+      (0L, 3L, "a b c"), (1L, 3L, "c d e"), (2L, 3L, "e f g"),
+      (3L, 1L, "g"))) // tail keeps the remainder
+  }
+
+  test("chunkWords: single-token and empty docs") {
+    import spark.implicits._
+    val docs = Seq((1L, "only"), (2L, "   "), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.chunkWords(docs, "text", "doc_id", 5, 2).collect()
+    assert(got.length === 1) // empty/whitespace docs emit no chunks
+    assert(got.head.getAs[String]("chunk_text") === "only")
+    assert(got.head.getAs[Long]("chunk_id") === 0L)
+  }
+
+  test("chunkWords: zero overlap partitions tokens exactly") {
+    import spark.implicits._
+    val docs = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunkWords(docs, "text", "doc_id", 4, 0)
+      .orderBy("chunk_id").collect()
+    val rebuilt = chunks.map(_.getAs[String]("chunk_text")).mkString(" ")
+    assert(rebuilt === (1 to 10).map(i => s"t$i").mkString(" "))
+    assert(chunks.map(_.getAs[Long]("n_chunk_tokens")).toSeq === Seq(4L, 4L, 2L))
+  }
 }
