@@ -647,6 +647,29 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  /** Click attribution under the gate — every click matched to the same
+    * user's views in the preceding 6 hours. The batch shape is
+    * [[operators.RangeJoin.intervalJoin]]'s bucket expansion (shuffle-
+    * partitionable backfill); the incremental twin is the watermarked
+    * stream-stream join [[streaming.EventStreams.attributionJoin]],
+    * differentially tested against this result in EventStreamsSpec.
+    */
+  private def clickAttribution(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("view_ts"),
+        (col("ts") + expr("interval 6 hours")).as("_vend"))
+    RangeJoin.intervalJoin(clicks, views, Seq("user_id"),
+        "click_ts", "view_ts", "_vend", bucketWidthSec = 21600L)
+      .select(col("click_id"), col("view_id"), col("user_id"),
+        col("click_ts"), col("view_ts"))
+      .orderBy(col("click_id"), col("view_id"))
+  }
+
   /** AS-OF join under the gate: for every click, the user's most recent
     * purchase at-or-before that click. The right side is deduplicated to
     * one row per (user, ts) with a deterministic max-event pick, so the
@@ -1616,6 +1639,7 @@ object SparkEntry {
     "q_asof_join" -> (asofJoin _),
     "q_asof_join_native" -> (asofJoinNative _),
     "q_range_join" -> (rangeJoin _),
+    "q_click_attribution" -> (clickAttribution _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_jaccard" -> (dedupJaccard _),
     "q_dedup_minhash" -> (dedupMinhash _),
@@ -2250,6 +2274,17 @@ object SparkEntry {
     // The native operator must agree with the window formulation AND the
     // DuckDB ASOF JOIN — same oracle, bit for bit.
     "q_asof_join_native" -> asofOracleSql,
+    "q_click_attribution" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id,
+        |        make_timestamp(epoch_us(ts)) AS click_ts
+        |      FROM events WHERE event_type = 'click'),
+        |v AS (SELECT event_id AS view_id, user_id,
+        |        make_timestamp(epoch_us(ts)) AS view_ts
+        |      FROM events WHERE event_type = 'view')
+        |SELECT click_id, view_id, c.user_id, click_ts, view_ts
+        |FROM c JOIN v ON c.user_id = v.user_id
+        |  AND click_ts >= view_ts AND click_ts <= view_ts + INTERVAL 6 HOUR
+        |ORDER BY click_id, view_id""".stripMargin,
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies, text
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,

@@ -97,6 +97,41 @@ object EventStreams {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Stream-stream interval join (click attribution): every click joins
+    * the same user's views from the preceding `within` interval — the
+    * canonical watermarked two-stream join from the Structured
+    * Streaming guide. On streaming inputs both sides carry watermarks
+    * and the time-range condition is what BOUNDS the join state: a
+    * buffered view can only match clicks until watermark passes
+    * `view_ts + within`, then its state is evicted — without the range
+    * condition, stream-stream join state grows forever.
+    *
+    * Works identically on batch inputs (the watermark is a no-op
+    * there), which is what the differential spec exercises; the GATED
+    * batch query (q_click_attribution) instead goes through
+    * [[graft.operators.RangeJoin.intervalJoin]]'s bucket expansion —
+    * the shuffle-partitionable shape for a 100 TB backfill, while this
+    * join is the incremental path.
+    */
+  def attributionJoin(
+      clicks: DataFrame,
+      views: DataFrame,
+      within: String = "6 hours",
+      watermark: String = "1 hour"): DataFrame = {
+    val c0 = clicks.select(col("event_id").as("click_id"),
+      col("user_id").as("_cuid"), col("ts").as("click_ts"))
+    val v0 = views.select(col("event_id").as("view_id"),
+      col("user_id").as("_vuid"), col("ts").as("view_ts"))
+    val c = if (c0.isStreaming) c0.withWatermark("click_ts", watermark) else c0
+    val v = if (v0.isStreaming) v0.withWatermark("view_ts", watermark) else v0
+    c.join(v,
+        col("_cuid") === col("_vuid") &&
+          col("click_ts") >= col("view_ts") &&
+          col("click_ts") <= col("view_ts") + expr(s"interval $within"))
+      .select(col("click_id"), col("view_id"), col("_cuid").as("user_id"),
+        col("click_ts"), col("view_ts"))
+  }
+
   /** Custom streaming state via `flatMapGroupsWithState`: cumulative
     * per-user event count and value total, updated per micro-batch and
     * carried in the state store. This is the escape hatch for stateful

@@ -228,4 +228,32 @@ class EventStreamsSpec extends SparkSpec {
     q.awaitTermination(60000)
     assert(seen.get() === 4)
   }
+
+  test("stream-vs-batch differential: watermarked stream-stream join == batch join") {
+    // The watermarked two-stream interval join must emit exactly the
+    // pairs the batch join produces on the real events table. The
+    // watermark spans the corpus so nothing is evicted early; the range
+    // condition alone decides matches — parity is exact.
+    val dir = realEventsDir
+    def side(df: org.apache.spark.sql.DataFrame, kind: String) =
+      df.filter(col("event_type") === kind)
+    val stream = EventStreams.fromDirectory(spark, dir)
+    val joined = EventStreams.attributionJoin(
+      side(stream, "click"), side(stream, "view"),
+      within = "6 hours", watermark = "3650 days")
+    assert(joined.isStreaming)
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("attr_diff")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("click_id", "view_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val streamed = key(spark.table("attr_diff"))
+    val batchEv = spark.read.parquet(dir)
+    val batch = key(EventStreams.attributionJoin(
+      side(batchEv, "click"), side(batchEv, "view"), within = "6 hours"))
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
 }
