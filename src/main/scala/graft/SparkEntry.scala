@@ -670,6 +670,44 @@ object SparkEntry {
       .orderBy(col("click_id"), col("view_id"))
   }
 
+  /** Scalable global row numbering under the gate (see
+    * [[operators.GlobalIndex]] — split-points + offsets, never a
+    * single-reducer global sort). The oracle IS the single-reducer
+    * formulation, which DuckDB can afford at sf0.01.
+    */
+  private def globalIndexQ(s: SparkSession, d: String): DataFrame =
+    operators.GlobalIndex.withGlobalIndex(
+        t(s, d, "orders").select("o_orderkey", "o_custkey"),
+        Seq("o_orderkey"), buckets = 32)
+      .select(col("o_orderkey"), col("o_custkey"), col("global_idx"))
+      .orderBy(col("o_orderkey"))
+
+  /** Schema-evolution read: two corpus generations written with
+    * different schemas (v2 added a column) read back as ONE table via
+    * parquet mergeSchema — the long-lived-corpus reality where shards
+    * written last year lack this year's columns. Footer-only schema
+    * merge, no data rewrite; the aggregate proves old-shard rows
+    * surface with NULLs in the new column and new-shard rows keep
+    * their values.
+    */
+  private lazy val schemaEvoDir = s"$artifactRoot/schemaevo"
+
+  private def schemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val p = t(s, d, "part")
+    p.filter(col("p_partkey") % 2 === 0)
+      .select(col("p_partkey"), col("p_name"))
+      .write.mode("overwrite").parquet(s"$schemaEvoDir/v=1")
+    p.filter(col("p_partkey") % 2 === 1)
+      .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+      .write.mode("overwrite").parquet(s"$schemaEvoDir/v=2")
+    s.read.option("mergeSchema", "true").parquet(schemaEvoDir)
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("p_retailprice")).as("n_price_present"),
+        round(coalesce(sum(col("p_retailprice")), lit(0.0)), 2).as("sum_price"))
+      .orderBy(col("v"))
+  }
+
   /** AS-OF join under the gate: for every click, the user's most recent
     * purchase at-or-before that click. The right side is deduplicated to
     * one row per (user, ts) with a deterministic max-event pick, so the
@@ -1640,6 +1678,8 @@ object SparkEntry {
     "q_asof_join_native" -> (asofJoinNative _),
     "q_range_join" -> (rangeJoin _),
     "q_click_attribution" -> (clickAttribution _),
+    "q_global_index" -> (globalIndexQ _),
+    "q_schema_evolution" -> (schemaEvolution _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_jaccard" -> (dedupJaccard _),
     "q_dedup_minhash" -> (dedupMinhash _),
@@ -2274,6 +2314,21 @@ object SparkEntry {
     // The native operator must agree with the window formulation AND the
     // DuckDB ASOF JOIN — same oracle, bit for bit.
     "q_asof_join_native" -> asofOracleSql,
+    "q_global_index" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(row_number() OVER (ORDER BY o_orderkey) - 1 AS BIGINT) AS global_idx
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_schema_evolution" ->
+      """WITH merged AS (
+        |  SELECT 1 AS v, p_partkey, CAST(NULL AS DOUBLE) AS p_retailprice
+        |  FROM part WHERE p_partkey % 2 = 0
+        |  UNION ALL
+        |  SELECT 2 AS v, p_partkey, p_retailprice
+        |  FROM part WHERE p_partkey % 2 = 1)
+        |SELECT v, count(*) AS n_rows,
+        |  count(p_retailprice) AS n_price_present,
+        |  round(coalesce(sum(p_retailprice), 0.0), 2) AS sum_price
+        |FROM merged GROUP BY v ORDER BY v""".stripMargin,
     "q_click_attribution" ->
       """WITH c AS (SELECT event_id AS click_id, user_id,
         |        make_timestamp(epoch_us(ts)) AS click_ts

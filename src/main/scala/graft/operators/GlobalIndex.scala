@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Stable global row numbering — the operator behind "give every corpus
+  * row a contiguous id" (shard manifests, sample bookkeeping, sequence
+  * ids for packed training chunks).
+  *
+  * `row_number() OVER (ORDER BY ...)` is the single-reducer antipattern:
+  * one task sorts the entire table. The scalable shape is the classic
+  * split-points + offset construction:
+  *
+  *  1. cut the leading order column into `buckets` value ranges from
+  *     one approxQuantile pass (driver holds `buckets-1` doubles —
+  *     bounded, same legitimacy class as IVF's centroid sample),
+  *  2. bucket every row by VALUE against those split points (scan-speed
+  *     codegen CASE chain — placement-independent, so the result is
+  *     deterministic under any partitioning),
+  *  3. rank rows within their bucket (ONE wide shuffle, each task sorts
+  *     one value range),
+  *  4. bucket row counts -> cumulative offsets (tiny map-side-combinable
+  *     aggregate, `buckets` longs on the driver),
+  *  5. global index = bucket offset + local rank - 1.
+  *
+  * Split-point skew only affects load balance, never the result: the
+  * index is a pure function of the order-key total order. The order
+  * keys must be unique for determinism (ties would leave row_number
+  * free to pick an order); the leading column must be numeric (it
+  * feeds approxQuantile).
+  */
+object GlobalIndex {
+
+  def withGlobalIndex(
+      df: DataFrame,
+      orderCols: Seq[String],
+      indexCol: String = "global_idx",
+      buckets: Int = 64): DataFrame = {
+    require(orderCols.nonEmpty, "global index needs order columns")
+    require(buckets > 0, "buckets must be positive")
+    val cols: Seq[Column] = orderCols.map(col)
+    val key = orderCols.head
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val splits =
+      if (probs.isEmpty) Array.empty[Double] // buckets=1: single range
+      else df.stat.approxQuantile(key, probs, 0.001).distinct.sorted
+    // bucket = number of split points <= key: a sum of codegen'd
+    // comparisons, no join, no lookup table.
+    val bucketExpr =
+      if (splits.isEmpty) lit(0)
+      else splits.map(s => when(col(key).cast("double") >= lit(s), 1)
+        .otherwise(0)).reduce(_ + _)
+    val bucketed = df.withColumn("_b", bucketExpr)
+    // Offsets come from the PRE-window plan: a light aggregate pass so
+    // collecting them never executes the wide ranking shuffle twice.
+    val counts = bucketed.groupBy(col("_b")).agg(count(lit(1)).as("_n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.scanLeft(0L) { case (acc, (_, n)) => acc + n }
+    val offsetOf = counts.map(_._1).zip(offsets).toMap
+    val offsetExpr = offsetOf.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
+      case (acc, (b, off)) => when(col("_b") === b, off).otherwise(acc)
+    }
+    bucketed
+      .withColumn("_lrank",
+        row_number().over(Window.partitionBy(col("_b")).orderBy(cols: _*)))
+      .withColumn(indexCol, (offsetExpr + col("_lrank") - 1L).cast("long"))
+      .drop("_b", "_lrank")
+  }
+}
