@@ -670,6 +670,23 @@ object SparkEntry {
       .orderBy(col("click_id"), col("view_id"))
   }
 
+  /** Hybrid retrieval under the gate: RRF-fuse a lexical term-overlap
+    * ranking over `documents` with a cosine ranking over `embeddings`
+    * (vec_id doubles as the doc id in the synthetic corpus). See
+    * [[operators.HybridSearch]].
+    */
+  private def hybridSearchQ(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(Similarity.toDouble(col("embedding")))
+      .head().getSeq[Double](0)
+    operators.HybridSearch.rrfSearch(
+      t(s, d, "documents"), "text", "doc_id",
+      emb, "embedding", "vec_id",
+      queryTerms = Seq("spark", "join", "window", "vector"),
+      queryVec = qv)
+  }
+
   /** Scalable global row numbering under the gate (see
     * [[operators.GlobalIndex]] — split-points + offsets, never a
     * single-reducer global sort). The oracle IS the single-reducer
@@ -1680,6 +1697,7 @@ object SparkEntry {
     "q_click_attribution" -> (clickAttribution _),
     "q_global_index" -> (globalIndexQ _),
     "q_schema_evolution" -> (schemaEvolution _),
+    "q_hybrid_search" -> (hybridSearchQ _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_jaccard" -> (dedupJaccard _),
     "q_dedup_minhash" -> (dedupMinhash _),
@@ -2314,6 +2332,36 @@ object SparkEntry {
     // The native operator must agree with the window formulation AND the
     // DuckDB ASOF JOIN — same oracle, bit for bit.
     "q_asof_join_native" -> asofOracleSql,
+    "q_hybrid_search" ->
+      """WITH tw AS (SELECT doc_id,
+        |        len(list_intersect(
+        |          list_distinct(list_filter(
+        |            string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0)),
+        |          ['spark', 'join', 'window', 'vector'])) AS t_score
+        |      FROM documents),
+        |tc0 AS (SELECT doc_id, t_score FROM tw WHERE t_score > 0
+        |        ORDER BY t_score DESC, doc_id LIMIT 50),
+        |tc AS (SELECT doc_id,
+        |        CAST(row_number() OVER (ORDER BY t_score DESC, doc_id) AS BIGINT) AS t_rank
+        |      FROM tc0),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+        |scored AS (SELECT vec_id,
+        |        round(list_dot_product(CAST(embedding AS DOUBLE[]), (SELECT qe FROM q)) /
+        |          (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+        |           (SELECT sqrt(list_dot_product(qe, qe)) FROM q)), 4) AS cosine
+        |      FROM embeddings),
+        |vc0 AS (SELECT vec_id, cosine FROM scored
+        |        ORDER BY cosine DESC, vec_id LIMIT 50),
+        |vc AS (SELECT vec_id AS doc_id,
+        |        CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS BIGINT) AS v_rank
+        |      FROM vc0),
+        |f AS (SELECT coalesce(tc.doc_id, vc.doc_id) AS doc_id,
+        |        coalesce(t_rank, 0) AS t_rank, coalesce(v_rank, 0) AS v_rank
+        |      FROM tc FULL JOIN vc ON tc.doc_id = vc.doc_id)
+        |SELECT doc_id, t_rank, v_rank,
+        |  round((CASE WHEN t_rank > 0 THEN 1.0 / (60 + t_rank) ELSE 0.0 END) +
+        |        (CASE WHEN v_rank > 0 THEN 1.0 / (60 + v_rank) ELSE 0.0 END), 6) AS rrf_score
+        |FROM f ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin,
     "q_global_index" ->
       """SELECT o_orderkey, o_custkey,
         |  CAST(row_number() OVER (ORDER BY o_orderkey) - 1 AS BIGINT) AS global_idx
