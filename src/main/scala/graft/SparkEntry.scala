@@ -670,6 +670,26 @@ object SparkEntry {
       .orderBy(col("click_id"), col("view_id"))
   }
 
+  /** Corpus snapshot diff under the gate (see [[operators.SnapshotDiff]]).
+    * Snapshot B is derived deterministically from the documents table:
+    * every 17th doc removed, every 10th edited, every 13th re-added
+    * under a new id — so the oracle can rebuild the identical snapshot
+    * pair and the diff is fully checkable.
+    */
+  private def corpusDiff(s: SparkSession, d: String): DataFrame = {
+    val base = t(s, d, "documents")
+    val edited = base.filter(col("doc_id") % 17 =!= 3)
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === 0, concat(col("text"), lit(" v2 edit")))
+          .otherwise(col("text")).as("text"))
+    val added = base.filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        concat(lit("new doc "), col("text")).as("text"))
+    operators.SnapshotDiff.delta(base, edited.unionByName(added),
+        "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
   /** Hybrid retrieval under the gate: RRF-fuse a lexical term-overlap
     * ranking over `documents` with a cosine ranking over `embeddings`
     * (vec_id doubles as the doc id in the synthetic corpus). See
@@ -1698,6 +1718,7 @@ object SparkEntry {
     "q_global_index" -> (globalIndexQ _),
     "q_schema_evolution" -> (schemaEvolution _),
     "q_hybrid_search" -> (hybridSearchQ _),
+    "q_corpus_diff" -> (corpusDiff _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_jaccard" -> (dedupJaccard _),
     "q_dedup_minhash" -> (dedupMinhash _),
@@ -2332,6 +2353,28 @@ object SparkEntry {
     // The native operator must agree with the window formulation AND the
     // DuckDB ASOF JOIN — same oracle, bit for bit.
     "q_asof_join_native" -> asofOracleSql,
+    "q_corpus_diff" ->
+      """WITH a AS (SELECT doc_id,
+        |        md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_a
+        |      FROM documents),
+        |ed AS (SELECT doc_id,
+        |        CASE WHEN doc_id % 10 = 0 THEN text || ' v2 edit' ELSE text END AS text
+        |      FROM documents WHERE doc_id % 17 <> 3),
+        |ad AS (SELECT doc_id + 100000 AS doc_id, 'new doc ' || text AS text
+        |      FROM documents WHERE doc_id % 13 = 0),
+        |b AS (SELECT doc_id,
+        |        md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_b
+        |      FROM (SELECT * FROM ed UNION ALL SELECT * FROM ad)),
+        |j AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, fp_a, fp_b
+        |      FROM a FULL JOIN b ON a.doc_id = b.doc_id)
+        |SELECT doc_id,
+        |  CASE WHEN fp_a IS NULL THEN 'added'
+        |       WHEN fp_b IS NULL THEN 'removed'
+        |       WHEN fp_a <> fp_b THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM j
+        |WHERE fp_a IS NULL OR fp_b IS NULL OR fp_a <> fp_b
+        |ORDER BY doc_id""".stripMargin,
     "q_hybrid_search" ->
       """WITH tw AS (SELECT doc_id,
         |        len(list_intersect(
