@@ -22,6 +22,10 @@ object Prof {
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         sys.env.getOrElse("SPARK_GRAFT_OBJ_FALLBACK", "4096"))
       .config("spark.local.dir", Scratch.localDir("prof-local"))
+      // A/B hook: AQE partition coalescing to the advisory target size
+      // instead of keeping input parallelism (see Bench for rationale).
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
