@@ -670,6 +670,20 @@ object SparkEntry {
       .orderBy(col("click_id"), col("view_id"))
   }
 
+  /** Token-budget curation under the gate (see
+    * [[operators.BudgetSample]]): highest-quality documents first until
+    * the whitespace-token budget is filled. The oracle IS the
+    * single-reducer running-total formulation the operator avoids.
+    */
+  private def tokenBudgetQ(s: SparkSession, d: String): DataFrame = {
+    val docs = TextAnalysis.withQuality(t(s, d, "documents"), "text")
+      .select(col("doc_id"), col("n_words").as("ws_tokens"),
+        col("quality_score"))
+    operators.BudgetSample.fillTokenBudget(docs, "ws_tokens",
+        "quality_score", "doc_id", budget = 20000L)
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus snapshot diff under the gate (see [[operators.SnapshotDiff]]).
     * Snapshot B is derived deterministically from the documents table:
     * every 17th doc removed, every 10th edited, every 13th re-added
@@ -1719,6 +1733,7 @@ object SparkEntry {
     "q_schema_evolution" -> (schemaEvolution _),
     "q_hybrid_search" -> (hybridSearchQ _),
     "q_corpus_diff" -> (corpusDiff _),
+    "q_token_budget" -> (tokenBudgetQ _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_jaccard" -> (dedupJaccard _),
     "q_dedup_minhash" -> (dedupMinhash _),
@@ -2353,6 +2368,25 @@ object SparkEntry {
     // The native operator must agree with the window formulation AND the
     // DuckDB ASOF JOIN — same oracle, bit for bit.
     "q_asof_join_native" -> asofOracleSql,
+    "q_token_budget" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    len(list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0)) AS ws_tokens,
+         |    round(CAST(
+         |      0.4 * (CASE WHEN length(text) BETWEEN 20 AND 100000 THEN 1.0 ELSE 0.0 END)
+         |    + 0.3 * (CASE WHEN CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+         |                 / greatest(CAST(length(text) AS DOUBLE), 1.0) < 0.2 THEN 1.0 ELSE 0.0 END)
+         |    + 0.3 * (CASE WHEN CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |                   w -> len(w) > 0 AND w IN ($stopSql))) AS DOUBLE)
+         |                 / greatest(CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |                   w -> len(w) > 0)) AS DOUBLE), 1.0) > 0.01 THEN 1.0 ELSE 0.0 END)
+         |    AS DOUBLE), 2) AS quality_score
+         |  FROM documents),
+         |o AS (SELECT doc_id, ws_tokens, quality_score,
+         |    sum(ws_tokens) OVER (ORDER BY quality_score DESC, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM d)
+         |SELECT doc_id, CAST(ws_tokens AS BIGINT) AS ws_tokens, quality_score
+         |FROM o WHERE cum <= 20000 ORDER BY doc_id""".stripMargin,
     "q_corpus_diff" ->
       """WITH a AS (SELECT doc_id,
         |        md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_a
