@@ -82,4 +82,41 @@ class PlanPropertiesSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("*("), s"no WholeStageCodegen spans:\n$plan")
   }
+
+  test("overlap chunking is pure per-row generate — zero exchanges") {
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val df = graft.operators.TextAnalysis.chunkWords(
+      spark.read.parquet(s"$sf/documents.parquet"), "text", "doc_id", 50, 10)
+    val exchanges = df.queryExecution.executedPlan.collect {
+      case e: Exchange => e
+    }
+    assert(exchanges.isEmpty,
+      s"chunking shuffles:\n${df.queryExecution.executedPlan}")
+  }
+
+  test("snapshot diff moves hashes through ONE join, never document text") {
+    val a = spark.read.parquet(s"$sf/documents.parquet")
+    val df = graft.operators.SnapshotDiff.diff(a, a, "doc_id", "text")
+    val plan = df.queryExecution.optimizedPlan
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.size === 1, s"expected one join:\n$plan")
+    // no join input carries the raw text column — only id + fingerprint
+    joins.head.children.foreach { side =>
+      assert(!side.output.exists(_.name == "text"),
+        s"document text crosses the join:\n$plan")
+    }
+  }
+
+  test("expectations row-level suite is one aggregate over one scan") {
+    import graft.operators.Expectations._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val df = graft.operators.Expectations.validate(docs, Seq(
+      RowCountAtLeast(1), Complete("text"), InRange("n_chars", 1, 100000)))
+    val aggs = df.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    assert(aggs.size === 1, s"expected one aggregate:\n${df.queryExecution.optimizedPlan}")
+  }
 }
