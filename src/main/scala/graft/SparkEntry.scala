@@ -670,6 +670,17 @@ object SparkEntry {
       .orderBy(col("click_id"), col("view_id"))
   }
 
+  /** Directed shingle containment under the gate (see
+    * [[operators.Dedup.containmentPairs]]) — the quote/near-superset
+    * detector, demonstrated complete on a bounded slice like
+    * [[dedupJaccard]].
+    */
+  private def dedupContainment(s: SparkSession, d: String): DataFrame =
+    Dedup.containmentPairs(
+        t(s, d, "documents").filter(col("doc_id") < 500),
+        "text", "doc_id", n = 3, minContainment = 0.5, maxDf = 1000)
+      .orderBy(col("contained_id"), col("container_id"))
+
   /** Token-budget curation under the gate (see
     * [[operators.BudgetSample]]): highest-quality documents first until
     * the whitespace-token budget is filled. The oracle IS the
@@ -1734,6 +1745,7 @@ object SparkEntry {
     "q_hybrid_search" -> (hybridSearchQ _),
     "q_corpus_diff" -> (corpusDiff _),
     "q_token_budget" -> (tokenBudgetQ _),
+    "q_dedup_containment" -> (dedupContainment _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_jaccard" -> (dedupJaccard _),
     "q_dedup_minhash" -> (dedupMinhash _),
@@ -2368,6 +2380,32 @@ object SparkEntry {
     // The native operator must agree with the window formulation AND the
     // DuckDB ASOF JOIN — same oracle, bit for bit.
     "q_asof_join_native" -> asofOracleSql,
+    "q_dedup_containment" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+        |words AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM docs),
+        |sh0 AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+        |       FROM words, UNNEST(range(1, len(ws) - 1)) AS t(i)
+        |       WHERE len(ws) >= 3),
+        |rare AS (SELECT shingle FROM (SELECT shingle, count(*) AS df FROM sh0 GROUP BY 1)
+        |         WHERE df <= 1000),
+        |sh AS (SELECT sh0.* FROM sh0 JOIN rare USING (shingle)),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |base AS (SELECT id_a, id_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b
+        |         FROM inter
+        |         JOIN sizes sa ON sa.doc_id = id_a
+        |         JOIN sizes sb ON sb.doc_id = id_b),
+        |directed AS (
+        |  SELECT id_a AS contained_id, id_b AS container_id,
+        |         round(CAST(n_inter AS DOUBLE) / n_a, 4) AS containment FROM base
+        |  UNION ALL
+        |  SELECT id_b AS contained_id, id_a AS container_id,
+        |         round(CAST(n_inter AS DOUBLE) / n_b, 4) AS containment FROM base)
+        |SELECT contained_id, container_id, containment
+        |FROM directed WHERE containment >= 0.5
+        |ORDER BY contained_id, container_id""".stripMargin,
     "q_token_budget" ->
       s"""WITH d AS (SELECT doc_id,
          |    len(list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0)) AS ws_tokens,

@@ -86,7 +86,25 @@ object Dedup {
       idCol: String,
       n: Int = 3,
       minJaccard: Double = 0.8,
-      maxDf: Int = 1000): DataFrame = {
+      maxDf: Int = 1000): DataFrame =
+    shingleIntersections(docs, textCol, idCol, n, maxDf)
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+
+  /** Shared candidate base for the exact pairwise set metrics:
+    * (id_a, id_b, n_inter, n_a, n_b) per pair with id_a < id_b, from the
+    * stop-shingle-capped equi-join — see [[jaccardPairs]] for the maxDf
+    * rationale. Pairs with an empty intersection never appear (they
+    * cannot clear any overlap threshold).
+    */
+  private def shingleIntersections(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int,
+      maxDf: Int): DataFrame = {
     val all = shingles(docs, textCol, idCol, n)
     val rare = all.groupBy(col("shingle"))
       .agg(count(lit(1)).as("_df"))
@@ -101,10 +119,39 @@ object Dedup {
     inter
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
-      .withColumn("jaccard",
-        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
-      .filter(col("jaccard") >= minJaccard)
-      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Directed shingle-set containment |A∩B| / |A| >= threshold — the
+    * quote/near-superset detector Jaccard structurally misses: a short
+    * document fully embedded in a long one has containment 1.0 but
+    * Jaccard ~ |A|/|B|, far below any dedup threshold. Each undirected
+    * candidate pair emits up to two directed rows
+    * (contained_id, container_id, containment).
+    *
+    * Candidate generation is the same capped shingle equi-join as
+    * [[jaccardPairs]] — complete for pairs sharing at least one
+    * sub-maxDf shingle, which any pair at a meaningful containment does.
+    * (The asymmetric-MinHash sketch route exists for corpus-scale
+    * containment at lower cost per candidate, but the equi-join shape
+    * already shuffle-partitions on the shingle key at any scale.)
+    */
+  def containmentPairs(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      minContainment: Double = 0.9,
+      maxDf: Int = 1000): DataFrame = {
+    val base = shingleIntersections(docs, textCol, idCol, n, maxDf)
+    val ab = base.select(col("id_a").as("contained_id"),
+      col("id_b").as("container_id"),
+      (col("n_inter").cast("double") / col("n_a")).as("containment"))
+    val ba = base.select(col("id_b").as("contained_id"),
+      col("id_a").as("container_id"),
+      (col("n_inter").cast("double") / col("n_b")).as("containment"))
+    ab.unionByName(ba)
+      .withColumn("containment", round(col("containment"), 4))
+      .filter(col("containment") >= minContainment)
   }
 
   /** Exact shingle-set Jaccard for an already-small candidate pair set

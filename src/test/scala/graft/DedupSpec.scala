@@ -43,6 +43,26 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("containment: an embedded quote scores 1.0 where Jaccard misses it") {
+    import spark.implicits._
+    val quote = "alpha beta gamma delta epsilon zeta"
+    val longDoc = s"intro words here $quote plus a very long tail of unrelated " +
+      "filler content stretching the container document onward and onward " +
+      "with many extra shingles diluting the union"
+    val df = Seq((1L, quote), (2L, longDoc), (3L, "completely different text entirely"))
+      .toDF("doc_id", "text")
+    // Jaccard at any dedup threshold misses the pair...
+    val j = Dedup.jaccardPairs(df, "text", "doc_id", n = 3, minJaccard = 0.5)
+      .collect()
+    assert(j.isEmpty)
+    // ...directed containment nails it, in the contained->container direction
+    val c = Dedup.containmentPairs(df, "text", "doc_id", n = 3,
+        minContainment = 0.9)
+      .collect().map(r => (r.getAs[Long]("contained_id"),
+        r.getAs[Long]("container_id"), r.getAs[Double]("containment")))
+    assert(c.toSeq === Seq((1L, 2L, 1.0)))
+  }
+
   test("jaccard maxDf cap bounds stop-shingle candidate blowup") {
     import spark.implicits._
     // 40 documents that all share one stop-shingle ("common stop shingle")
