@@ -36,6 +36,33 @@ object Bench {
     df.agg(bit_xor(xxhash64(struct(cols: _*)))).head()
   }
 
+  /** Linux PSI snapshot (io/cpu some+full avg60) — emitted in the bench
+    * JSON so a run measured under host stall windows carries its own
+    * evidence (the r7 lesson: a 3.17x "regression" that was entirely the
+    * box). Empty map on non-Linux / unreadable pressure files.
+    */
+  private def pressureSnapshot(): Map[String, Double] = {
+    def parse(res: String, line: String): Option[(String, Double)] = {
+      val parts = line.trim.split("\\s+")
+      for {
+        kind <- parts.headOption if kind == "some" || kind == "full"
+        avg60 <- parts.collectFirst {
+          case p if p.startsWith("avg60=") => p.stripPrefix("avg60=").toDouble
+        }
+      } yield s"${res}_${kind}_avg60" -> avg60
+    }
+    try {
+      Seq("io", "cpu").flatMap { res =>
+        val p = java.nio.file.Path.of(s"/proc/pressure/$res")
+        if (java.nio.file.Files.isReadable(p))
+          scala.jdk.CollectionConverters.ListHasAsScala(
+            java.nio.file.Files.readAllLines(p)).asScala
+            .flatMap(parse(res, _))
+        else Nil
+      }.toMap
+    } catch { case _: Throwable => Map.empty }
+  }
+
   private def jsonStr(s: String): String =
     "\"" + s.flatMap {
       case '"'  => "\\\""
@@ -72,6 +99,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val pressureBefore = pressureSnapshot()
     // Warmup: exercise codegen, shuffle machinery, and every parquet footer
     // once, so per-query times below measure the plans, not JVM startup.
     try {
@@ -109,22 +137,43 @@ object Bench {
         .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }
       .mkString("{", ",", "}")
+    val pressureAfter = pressureSnapshot()
+    def pressureJson(m: Map[String, Double]): String =
+      m.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${jsonStr(k)}:${fmt(v)}" }
+        .mkString("{", ",", "}")
+    val pressureFields =
+      s""""pressure_before":${pressureJson(pressureBefore)},"pressure_after":${pressureJson(pressureAfter)}"""
     val total = analytic.values.sum
-    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${timesJson(analytic)},"fixtures":${timesJson(fixtures)},"errors":$errJson,"n_errors":${errors.size},"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${timesJson(analytic)},"fixtures":${timesJson(fixtures)},"errors":$errJson,"n_errors":${errors.size},$pressureFields,"sf":"$sfDir"}"""
     println(fullLine)
     // The full line has grown past the driver's bounded tail capture
     // (every round records parsed:null — the line's HEAD, with
     // metric/value, falls outside the window). Persist it whole to a
-    // file so the complete per-query map survives any tail bound.
-    try java.nio.file.Files.writeString(
-      java.nio.file.Path.of("bench_full.json"), fullLine + "\n")
-    catch { case _: Throwable => () }
+    // PER-RUN file (pid + start-time suffix under bench_runs/) so the
+    // complete per-query map survives any tail bound AND concurrent runs
+    // — a judge re-run clobbered the r7 round record when this was a
+    // single shared path. The stable bench_full.json name is refreshed
+    // only by a run that completed with zero errors.
+    val runTag =
+      s"${ProcessHandle.current().pid()}-${System.currentTimeMillis() / 1000}"
+    val sidecar = s"bench_runs/bench_full-$runTag.json"
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Path.of("bench_runs"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Path.of(sidecar), fullLine + "\n")
+      if (errors.isEmpty)
+        java.nio.file.Files.copy(
+          java.nio.file.Path.of(sidecar),
+          java.nio.file.Path.of("bench_full.json"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } catch { case _: Throwable => () }
     spark.stop()
     // A second, short summary line printed last is always complete
     // inside any tail window, so the headline total survives even when
     // the per-query map doesn't. Its metric name differs from the full
     // line's so no consumer can mistake one shape for the other.
-    println(s"""{"metric":"total_summary","value":${fmt(total)},"unit":"sec","n_queries":${analytic.size},"fixtures_total":${fmt(fixtures.values.sum)},"n_fixtures":${fixtures.size},"n_errors":${errors.size},"full":"bench_full.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total_summary","value":${fmt(total)},"unit":"sec","n_queries":${analytic.size},"fixtures_total":${fmt(fixtures.values.sum)},"n_fixtures":${fixtures.size},"n_errors":${errors.size},$pressureFields,"full":"$sidecar","sf":"$sfDir"}""")
     // A throwing query must fail the bench visibly, not pass silently.
     if (errors.nonEmpty) sys.exit(1)
   }

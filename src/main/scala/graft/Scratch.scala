@@ -1,5 +1,6 @@
 package graft
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
 
 /** Scratch-space selection for the single-node harness mains.
   *
@@ -13,6 +14,11 @@ import java.nio.file.{Files, Paths}
   * library itself (GraftEngine) does NOT set `spark.local.dir` — that
   * is a deployment decision; only the harness mains (Bench / Verify /
   * Prof) opt in.
+  *
+  * Every dir handed out is deleted by a JVM shutdown hook: tmpfs is
+  * RAM, and Spark only removes its own `spark-<uuid>` subdirs — the
+  * artifact parquet a run dumps for its oracle would otherwise
+  * accumulate in memory across runs until reboot.
   */
 object Scratch {
   /** Fastest writable scratch base: tmpfs when present, else the JVM
@@ -24,9 +30,32 @@ object Scratch {
     else System.getProperty("java.io.tmpdir")
   }
 
+  private val issued = scala.collection.mutable.Set.empty[String]
+
+  private lazy val hookInstalled: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      issued.synchronized(issued.toList).foreach { d =>
+        try deleteRecursively(Paths.get(d)) catch { case _: Throwable => () }
+      }
+    }, "graft-scratch-cleanup"))
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => try Files.deleteIfExists(f) catch { case _: Throwable => () })
+      finally s.close()
+    }
+
   /** Per-process-unique scratch dir (pid suffix, same isolation story as
-    * SparkEntry.artifactRoot): concurrent runs never share shuffle dirs.
+    * SparkEntry.artifactRoot): concurrent runs never share shuffle dirs,
+    * and this process deletes its own dirs on exit.
     */
-  def localDir(tag: String): String =
-    s"$base/graft-$tag-${ProcessHandle.current().pid()}"
+  def localDir(tag: String): String = {
+    hookInstalled
+    val d = s"$base/graft-$tag-${ProcessHandle.current().pid()}"
+    issued.synchronized(issued += d)
+    d
+  }
 }

@@ -44,30 +44,41 @@ object BudgetSample {
     val buckets = docs.groupBy(col(priorityCol))
       .agg(sum(col(tokenCol)).as("_t"))
       .collect()
-      .map(r => (r.getDouble(0), r.getLong(1)))
+      .map { r =>
+        // A null or NaN priority has no place in a total priority
+        // order: null would NPE the getDouble read and NaN breaks both
+        // the sortBy ordering and any boundary comparison — selection
+        // would silently return the wrong corpus. Reject loudly.
+        require(!r.isNullAt(0),
+          s"null $priorityCol: priorities must be non-null for budget fill")
+        val p = r.getDouble(0)
+        require(!p.isNaN,
+          s"NaN $priorityCol: priorities must be orderable for budget fill")
+        (p, r.getLong(1))
+      }
       .sortBy(-_._1)
     var acc = 0L
-    var boundary = Double.NaN
+    var boundary = Option.empty[Double]
     var remaining = budget
     val it = buckets.iterator
-    var done = false
-    while (it.hasNext && !done) {
+    while (it.hasNext && boundary.isEmpty) {
       val (p, t) = it.next()
       if (acc + t <= budget) acc += t
-      else { boundary = p; remaining = budget - acc; done = true }
+      else { boundary = Some(p); remaining = budget - acc }
     }
-    if (boundary.isNaN) {
-      // every bucket fits: the whole corpus is within budget
-      docs
-    } else {
-      val full = docs.filter(col(priorityCol) > boundary)
-      val partial = docs.filter(col(priorityCol) === boundary)
-        .withColumn("_cum", sum(col(tokenCol))
-          .over(Window.orderBy(col(idCol))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .filter(col("_cum") <= remaining)
-        .drop("_cum")
-      full.unionByName(partial)
+    boundary match {
+      case None =>
+        // every bucket fits: the whole corpus is within budget
+        docs
+      case Some(b) =>
+        val full = docs.filter(col(priorityCol) > b)
+        val partial = docs.filter(col(priorityCol) === b)
+          .withColumn("_cum", sum(col(tokenCol))
+            .over(Window.orderBy(col(idCol))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .filter(col("_cum") <= remaining)
+          .drop("_cum")
+        full.unionByName(partial)
     }
   }
 }

@@ -121,20 +121,23 @@ object Expectations {
 
   /** Evaluates every check in one aggregation job and returns one row
     * per check: (constraint_name, col_name, metric, passed), ordered by
-    * constraint name. Metrics are rounded to 6 digits so the verdict
-    * row is reproducible across engines (every metric here is a ratio
-    * of exact integers — the division itself is already deterministic
-    * IEEE; the rounding just pins the printed value).
+    * constraint name. The REPORTED metric is rounded to 6 digits so the
+    * verdict row is reproducible across engines (every metric here is a
+    * ratio of exact integers — the division itself is already
+    * deterministic IEEE; the rounding just pins the printed value), but
+    * the pass/fail VERDICT is computed on the unrounded aggregate in the
+    * same single pass: a minRatio=1.0 constraint must not falsely pass
+    * when 1 bad row in 10M rounds 0.9999999 up to 1.0 — at snapshot-
+    * blessing scale that rounding silently admits bad rows.
     */
   def validate(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "no checks declared")
-    val metrics = checks.zipWithIndex.map { case (c, i) =>
-      round(c.metric, 6).as(s"_m$i")
+    val metrics = checks.zipWithIndex.flatMap { case (c, i) =>
+      Seq(round(c.metric, 6).as(s"_m$i"), c.passed(c.metric).as(s"_p$i"))
     }
     val one = df.agg(metrics.head, metrics.tail: _*)
     val stacked = checks.zipWithIndex.flatMap { case (c, i) =>
-      Seq(lit(c.name), lit(c.colName), col(s"_m$i"),
-        c.passed(col(s"_m$i")))
+      Seq(lit(c.name), lit(c.colName), col(s"_m$i"), col(s"_p$i"))
     }
     one.select(stack(
         (lit(checks.size) +: stacked): _*)

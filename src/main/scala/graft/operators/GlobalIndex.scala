@@ -21,14 +21,19 @@ import org.apache.spark.sql.functions._
   *  3. rank rows within their bucket (ONE wide shuffle, each task sorts
   *     one value range),
   *  4. bucket row counts -> cumulative offsets (tiny map-side-combinable
-  *     aggregate, `buckets` longs on the driver),
+  *     aggregate — `buckets` rows — prefix-summed by a window over just
+  *     those rows and BROADCAST back, so the offsets ride the same job
+  *     as the ranking instead of a separate driver collect),
   *  5. global index = bucket offset + local rank - 1.
   *
   * Split-point skew only affects load balance, never the result: the
   * index is a pure function of the order-key total order. The order
   * keys must be unique for determinism (ties would leave row_number
   * free to pick an order); the leading column must be numeric (it
-  * feeds approxQuantile).
+  * feeds approxQuantile) — enforced with a require, because a silently
+  * null-casting key would send every row to bucket 0 and degrade to
+  * exactly the single-reducer global window this operator exists to
+  * avoid.
   */
 object GlobalIndex {
 
@@ -39,8 +44,14 @@ object GlobalIndex {
       buckets: Int = 64): DataFrame = {
     require(orderCols.nonEmpty, "global index needs order columns")
     require(buckets > 0, "buckets must be positive")
-    val cols: Seq[Column] = orderCols.map(col)
     val key = orderCols.head
+    require(df.schema(key).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"global index leading order column '$key' must be numeric " +
+        s"(got ${df.schema(key).dataType.simpleString}): a non-numeric key " +
+        "would cast to null, collapse every row into bucket 0 and degrade " +
+        "to the single-reducer global window — convert timestamps/strings " +
+        "to a numeric sort key explicitly")
+    val cols: Seq[Column] = orderCols.map(col)
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
     val splits =
       if (probs.isEmpty) Array.empty[Double] // buckets=1: single range
@@ -52,19 +63,21 @@ object GlobalIndex {
       else splits.map(s => when(col(key).cast("double") >= lit(s), 1)
         .otherwise(0)).reduce(_ + _)
     val bucketed = df.withColumn("_b", bucketExpr)
-    // Offsets come from the PRE-window plan: a light aggregate pass so
-    // collecting them never executes the wide ranking shuffle twice.
-    val counts = bucketed.groupBy(col("_b")).agg(count(lit(1)).as("_n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val offsets = counts.scanLeft(0L) { case (acc, (_, n)) => acc + n }
-    val offsetOf = counts.map(_._1).zip(offsets).toMap
-    val offsetExpr = offsetOf.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
-      case (acc, (b, off)) => when(col("_b") === b, off).otherwise(acc)
-    }
+    // Offsets: per-bucket counts prefix-summed best-bucket-first. The
+    // single-partition window is over `buckets` ROWS (the aggregated
+    // counts), not the data — same bounded-work class as the previous
+    // driver collect, but it broadcasts back into the SAME job as the
+    // ranking shuffle instead of forcing a separate action.
+    val offsets = bucketed.groupBy(col("_b")).agg(count(lit(1)).as("_bn"))
+      .withColumn("_off",
+        coalesce(sum(col("_bn")).over(Window.orderBy(col("_b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_b"), col("_off"))
     bucketed
+      .join(broadcast(offsets), Seq("_b"))
       .withColumn("_lrank",
         row_number().over(Window.partitionBy(col("_b")).orderBy(cols: _*)))
-      .withColumn(indexCol, (offsetExpr + col("_lrank") - 1L).cast("long"))
-      .drop("_b", "_lrank")
+      .withColumn(indexCol, (col("_off") + col("_lrank") - 1L).cast("long"))
+      .drop("_b", "_lrank", "_off")
   }
 }

@@ -2,7 +2,12 @@
 """Bench regression gate — encodes BASELINE.md's acceptance bound so a
 slow round fails loudly instead of relying on manual table reads.
 
-  check_bench.py <bench.json> [prev_bench.json]
+  check_bench.py [--strict] <bench.json> [prev_bench.json]
+
+Either positional may be the driver's BENCH_rN.json wrapper, raw Bench
+stdout, or a bench_full.json sidecar (the full per-query line Bench
+writes beside its run) — pass the sidecar explicitly for a side whose
+wrapper lost its per-query map.
 
 Gates (nonzero exit on breach):
   1. zero per-query errors in the run;
@@ -12,7 +17,14 @@ Gates (nonzero exit on breach):
      time (hard fail); >1.3x is printed as a warning only — BASELINE.md
      documents ~8% box variance, and sub-1.3x single-query deltas are
      noise at sf0.1.
-New queries (absent from prev) are listed, never failed.
+New queries (absent from prev) are listed, never failed — but a NEW
+query costing > 1 s at sf0.1 is flagged (SCALE.md suite-budget rule:
+prefer cheap gated queries; an expensive one must earn its seconds).
+Degraded captures (per-query map unrecoverable on either side) print a
+loud warning; with --strict they fail the gate instead.
+Bench-environment telemetry (pressure_* fields, when present) is
+echoed, and a stall window (io full avg60 > 5%) is warned about —
+a breach measured under stall is the host, not the engine.
 """
 import json
 import sys
@@ -21,10 +33,14 @@ ANCHOR_TOTAL_SEC = 32.67  # BENCH_r01.json total, see BASELINE.md
 TOTAL_BOUND = 2.0
 PER_QUERY_BOUND = 2.0
 PER_QUERY_WARN = 1.3
+NEW_QUERY_BUDGET_SEC = 1.0  # SCALE.md: new gated queries should be cheap
+PRESSURE_STALL_PCT = 5.0    # io full avg60 above this => tainted run
 
 
 def main():
-    if len(sys.argv) < 2:
+    argv = [a for a in sys.argv[1:] if a != "--strict"]
+    strict = "--strict" in sys.argv[1:]
+    if not argv:
         print(__doc__)
         return 2
     def from_lines(text, path):
@@ -63,24 +79,31 @@ def main():
         except ValueError:
             d = from_lines(text, path)
         if "queries" not in d:
-            full = os.path.join(os.path.dirname(os.path.abspath(path)),
-                                "bench_full.json")
-            if os.path.exists(full):
+            # The summary line names its own sidecar ("full"); fall back
+            # to a bench_full.json beside the wrapper file.
+            cands = []
+            if d.get("full"):
+                cands.append(d["full"])
+            cands.append(os.path.join(
+                os.path.dirname(os.path.abspath(path)), "bench_full.json"))
+            for full in cands:
+                if not os.path.exists(full):
+                    continue
                 try:
                     fd = json.loads(open(full).read())
-                    # Only trust the sidecar if it matches this run's
-                    # summary (same sf and total within rounding).
-                    if (fd.get("sf") == d.get("sf")
-                            and abs(float(fd.get("value", -1))
-                                    - float(d.get("value", -2))) < 0.01):
-                        print(f"note: per-query map recovered from {full}")
-                        return fd
                 except (ValueError, OSError):
-                    pass
+                    continue
+                # Only trust the sidecar if it matches this run's
+                # summary (same sf and total within rounding).
+                if (fd.get("sf") == d.get("sf")
+                        and abs(float(fd.get("value", -1))
+                                - float(d.get("value", -2))) < 0.01):
+                    print(f"note: per-query map recovered from {full}")
+                    return fd
         return d
 
-    cur = load(sys.argv[1])
-    prev = load(sys.argv[2]) if len(sys.argv) > 2 else None
+    cur = load(argv[0])
+    prev = load(argv[1]) if len(argv) > 1 else None
     failures = []
 
     errs = cur.get("errors") or {}
@@ -92,7 +115,26 @@ def main():
         # only the summary line would sail through gate 1.
         failures.append(f"n_errors={cur['n_errors']} (names not captured)")
     if "queries" not in cur:
-        print("degraded: summary-only capture, per-query 2x gate skipped")
+        msg = ("DEGRADED: current capture is summary-only (per-query map "
+               "unrecoverable) — per-query 2x gate SKIPPED. Pass the run's "
+               "bench_full.json sidecar to restore it.")
+        print(msg)
+        if strict:
+            failures.append("strict: current per-query map unrecoverable")
+
+    # Bench-environment telemetry (round 8+): a stalled host taints the
+    # measurement — say so next to the number it taints.
+    for k in ("pressure_before", "pressure_after"):
+        p = cur.get(k)
+        if p:
+            print(f"{k}: {json.dumps(p, sort_keys=True)}")
+    pa = cur.get("pressure_after") or {}
+    pb = cur.get("pressure_before") or {}
+    stall = max(float(pb.get("io_full_avg60", 0.0)),
+                float(pa.get("io_full_avg60", 0.0)))
+    if stall > PRESSURE_STALL_PCT:
+        print(f"warn: io full avg60 reached {stall}% (> {PRESSURE_STALL_PCT}%)"
+              " — host stall windows taint this run; re-measure idle")
 
     queries = cur.get("queries") or {}
     # A summary-only capture has no per-query map but does carry the total.
@@ -108,9 +150,24 @@ def main():
 
     if prev is not None:
         pq = prev.get("queries") or {}
+        if not pq:
+            # r7 lesson: BENCH_r06's truncated tail lost its per-query
+            # map and the 2x regression gate silently skipped (every
+            # query "new"). Never silent again.
+            msg = ("DEGRADED: previous capture has no per-query map — "
+                   "regression gate is comparing against NOTHING. Pass the "
+                   "previous round's bench_full.json sidecar instead.")
+            print(msg)
+            if strict:
+                failures.append("strict: previous per-query map unrecoverable")
         new = sorted(set(queries) - set(pq))
         if new:
             print(f"new queries (no prior time): {', '.join(new)}")
+            pricey = [n for n in new if queries[n] > NEW_QUERY_BUDGET_SEC]
+            for n in pricey:
+                print(f"warn: NEW query {n} costs {queries[n]:.2f}s "
+                      f"(> {NEW_QUERY_BUDGET_SEC:.1f}s first-round budget) — "
+                      "justify or shrink its gated slice")
         for name in sorted(set(queries) & set(pq)):
             if pq[name] <= 0:
                 continue
