@@ -15,10 +15,15 @@ import java.util.Comparator
   * is a deployment decision; only the harness mains (Bench / Verify /
   * Prof) opt in.
   *
-  * Every dir handed out is deleted by a JVM shutdown hook: tmpfs is
-  * RAM, and Spark only removes its own `spark-<uuid>` subdirs — the
-  * artifact parquet a run dumps for its oracle would otherwise
-  * accumulate in memory across runs until reboot.
+  * Cleanup discipline (tmpfs is RAM; Spark only removes its own
+  * `spark-<uuid>` subdirs): [[localDir]] dirs (shuffle/spill) are
+  * deleted by a JVM shutdown hook — nothing reads them after the
+  * process. [[persistentDir]] dirs (oracle artifacts) MUST survive
+  * their producing JVM — the driver runs Verify to completion and only
+  * then reads the dumped parquet from DuckDB — so they are instead
+  * reaped on the NEXT harness startup: any `graft-*-<pid>` dir whose
+  * pid is no longer alive is stale by construction (pid-unique names)
+  * and gets deleted before the new run allocates.
   */
 object Scratch {
   /** Fastest writable scratch base: tmpfs when present, else the JVM
@@ -48,14 +53,46 @@ object Scratch {
       finally s.close()
     }
 
+  /** Delete graft-* dirs left by DEAD processes (the pid suffix names
+    * the owner). Safe with concurrent runs: a live pid is never
+    * touched; per-file failures are swallowed (another reaper may be
+    * racing on the same stale dir).
+    */
+  private lazy val staleReaped: Unit = {
+    val baseDir = Paths.get(base)
+    val pat = java.util.regex.Pattern.compile("graft-.*-(\\d+)")
+    try {
+      val s = Files.list(baseDir)
+      try s.forEach { p =>
+        val m = pat.matcher(p.getFileName.toString)
+        if (m.matches()) {
+          val alive = try ProcessHandle.of(m.group(1).toLong)
+            .map[Boolean](_.isAlive).orElse(false)
+          catch { case _: Throwable => true } // unparseable: leave it
+          if (!alive) try deleteRecursively(p) catch { case _: Throwable => () }
+        }
+      } finally s.close()
+    } catch { case _: Throwable => () }
+  }
+
   /** Per-process-unique scratch dir (pid suffix, same isolation story as
     * SparkEntry.artifactRoot): concurrent runs never share shuffle dirs,
     * and this process deletes its own dirs on exit.
     */
   def localDir(tag: String): String = {
+    staleReaped
     hookInstalled
     val d = s"$base/graft-$tag-${ProcessHandle.current().pid()}"
     issued.synchronized(issued += d)
     d
+  }
+
+  /** Per-process-unique dir that OUTLIVES this JVM (oracle artifacts the
+    * driver's DuckDB pass reads after Verify exits). Reaped as stale by
+    * the next harness process once this pid dies.
+    */
+  def persistentDir(tag: String): String = {
+    staleReaped
+    s"$base/graft-$tag-${ProcessHandle.current().pid()}"
   }
 }

@@ -271,7 +271,7 @@ object SparkEntry {
     */
   private lazy val artifactRoot: String =
     sys.env.getOrElse("SPARK_GRAFT_ARTIFACT_DIR",
-      Scratch.localDir("artifacts"))
+      Scratch.persistentDir("artifacts"))
 
   private lazy val approxPctDir = s"$artifactRoot/approxpct"
 
@@ -905,7 +905,10 @@ object SparkEntry {
     * shape, not whole-corpus re-dedup, is the 100 TB production path.
     */
   private def dedupIncremental(s: SparkSession, d: String): DataFrame = {
-    val docs = t(s, d, "documents")
+    // Half-corpus slice: the batch-vs-standing-corpus shape (the thing
+    // this query gates) is identical at any corpus size; the full-corpus
+    // LSH machinery is billed once, in q_dedup_lsh_full.
+    val docs = t(s, d, "documents").filter(col("doc_id") < 3000)
     Dedup.incrementalStatus(
         existing = docs.filter(col("doc_id") % 5 =!= 0),
         incoming = docs.filter(col("doc_id") % 5 === 0),
@@ -1205,6 +1208,46 @@ object SparkEntry {
     CuratePipeline.curate(t(s, d, "documents"), "text", "doc_id",
         minQuality = 0.7, keepLang = "en")
       .orderBy(col("doc_id"))
+
+  /** Near-dup-cluster curation under the gate: LSH candidates -> exact
+    * shingle-Jaccard verify -> connected components -> drop every
+    * non-canonical cluster member -> standard curation stages. Same
+    * 300-doc slice and COMPLETE recursive-CTE oracle as q_dedup_cluster
+    * (the oracle recomputes the full pair graph, the transitive closure,
+    * and every curation stage) — this is the production shape: corpora
+    * ship deduplicated by cluster, not by pair.
+    */
+  private def curateNeardup(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").filter(col("doc_id") < 300)
+    val cands = Dedup.minHashLsh(docs, "text", "doc_id",
+      numHashes = 64, bands = 32, threshold = 0.35)
+    val pairs = Dedup.exactShingleJaccard(cands, docs, "text", "doc_id",
+      n = 3, minJaccard = 0.8)
+    CuratePipeline.curateNearDup(docs, Dedup.clusterMembers(pairs))
+      .orderBy(col("doc_id"))
+  }
+
+  /** SemDedup-style embedding-cluster dedup under the gate (see
+    * [[operators.Dedup.semanticNearDup]]): k-means cells as the coarse
+    * cluster, within-cell cosine pairs above threshold. The trained
+    * centroids are dumped so the oracle recomputes cell assignment and
+    * every unit-vector cosine exactly (same dump-and-recompute pattern
+    * as q_embed_ivf).
+    */
+  private lazy val semanticDir = s"$artifactRoot/semantic"
+
+  private def dedupSemantic(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, d, "embeddings")
+    val cs = IvfIndex.trainCentroids(emb, "embedding", "vec_id",
+      nlist = 8, iters = 5)
+    cs.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$semanticDir/centroids.parquet")
+    Dedup.semanticNearDup(emb, "embedding", "vec_id", cs, threshold = 0.3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
 
   /** PII scrubbing: the corpus carries no PII, so the query INJECTS
     * deterministic synthetic PII (email, phone, URL derived from doc_id)
@@ -1809,6 +1852,8 @@ object SparkEntry {
     "q_sample_split" -> (sampleSplit _),
     "q_pack_sequences" -> (packSequences _),
     "q_curate_docs" -> (curateDocs _),
+    "q_curate_neardup" -> (curateNeardup _),
+    "q_dedup_semantic" -> (dedupSemantic _),
     "q_corpus_shards" -> (corpusShards _),
     "q_multimodal_bytes" -> (multimodalBytes _),
     "q_frame_sample" -> (frameSample _),
@@ -1899,15 +1944,46 @@ object SparkEntry {
       |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
       |  FROM sess GROUP BY user_id, session_seq)""".stripMargin
 
+  /** The complete near-dup cluster computation as DuckDB CTEs: the full
+    * shingle-Jaccard >= 0.8 pair graph over `pred`-sliced documents and
+    * its transitive closure via a recursive walk — `lab` holds
+    * (id, component) with component = min reachable id, the exact
+    * semantics of [[operators.Dedup.connectedComponents]]. Shared by the
+    * q_dedup_cluster and q_curate_neardup oracles; must follow a
+    * `WITH RECURSIVE` keyword at the call site.
+    */
+  private def clusterOracleCtes(pred: String): String =
+    s"""docs AS (SELECT doc_id, text FROM documents WHERE $pred),
+       |words AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM docs),
+       |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+       |       FROM words, UNNEST(range(1, len(ws) - 1)) AS t(i)
+       |       WHERE len(ws) >= 3),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+       |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |pairs AS (SELECT id_a, id_b FROM inter
+       |          JOIN sizes sa ON sa.doc_id = id_a
+       |          JOIN sizes sb ON sb.doc_id = id_b
+       |          WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.8),
+       |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+       |          UNION ALL SELECT id_b, id_a FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS id FROM edges),
+       |walk(id, comp) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.id),
+       |lab AS (SELECT id, min(comp) AS component FROM walk GROUP BY id)""".stripMargin
+
   /** The curation pipeline as DuckDB CTEs (mirrors CuratePipeline.curate
     * stage by stage), shared by the q_curate_docs oracle and the
     * q_corpus_shards oracle (which composes it with the split
     * arithmetic). `q` holds the curated rows BEFORE the quality cut.
     */
-  private def curateOracleCtes: String =
+  private def curateOracleCtes(from: String = "documents"): String =
     s"""base AS (SELECT doc_id, text,
        |        md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
-       |      FROM documents),
+       |      FROM $from),
        |dedup AS (SELECT * FROM base
        |      QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1),
        |feats AS (SELECT doc_id, fingerprint, text,
@@ -2575,7 +2651,7 @@ object SparkEntry {
     "q_dedup_incremental" ->
       """WITH docs AS (SELECT doc_id, text,
         |        md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
-        |      FROM documents),
+        |      FROM documents WHERE doc_id < 3000),
         |inc AS (SELECT * FROM docs WHERE doc_id % 5 = 0),
         |ex AS (SELECT * FROM docs WHERE doc_id % 5 <> 0),
         |exact AS (SELECT i.doc_id, min(e.doc_id) AS m
@@ -2608,32 +2684,12 @@ object SparkEntry {
     // reachable id is the component (edges are symmetric, every node
     // seeds its own id, so min over reachable labels = min of component).
     "q_dedup_cluster" ->
-      """WITH RECURSIVE
-        |docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
-        |words AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM docs),
-        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
-        |       FROM words, UNNEST(range(1, len(ws) - 1)) AS t(i)
-        |       WHERE len(ws) >= 3),
-        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |          GROUP BY 1, 2),
-        |pairs AS (SELECT id_a, id_b FROM inter
-        |          JOIN sizes sa ON sa.doc_id = id_a
-        |          JOIN sizes sb ON sb.doc_id = id_b
-        |          WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.8),
-        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
-        |          UNION ALL SELECT id_b, id_a FROM pairs),
-        |nodes AS (SELECT DISTINCT a AS id FROM edges),
-        |walk(id, comp) AS (
-        |  SELECT id, id FROM nodes
-        |  UNION
-        |  SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.id),
-        |lab AS (SELECT id, min(comp) AS component FROM walk GROUP BY id),
-        |sz AS (SELECT component, count(*) AS cluster_size FROM lab GROUP BY component)
-        |SELECT lab.id AS doc_id, lab.component, sz.cluster_size
-        |FROM lab JOIN sz USING (component)
-        |ORDER BY doc_id""".stripMargin,
+      s"""WITH RECURSIVE
+         |${clusterOracleCtes("doc_id < 300")},
+         |sz AS (SELECT component, count(*) AS cluster_size FROM lab GROUP BY component)
+         |SELECT lab.id AS doc_id, lab.component, sz.cluster_size
+         |FROM lab JOIN sz USING (component)
+         |ORDER BY doc_id""".stripMargin,
     "q_decontaminate" ->
       """WITH words AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
         |               FROM documents),
@@ -3073,11 +3129,36 @@ object SparkEntry {
         |  least(e, (chunk_id + 1) * 512) - greatest(s, chunk_id * 512) AS n_toks
         |FROM bins ORDER BY split, chunk_id, doc_id""".stripMargin,
     "q_curate_docs" ->
-      s"""WITH $curateOracleCtes
+      s"""WITH ${curateOracleCtes()}
          |SELECT doc_id, fingerprint, lang_pred, quality_score, ws_tokens, bpeish_tokens
          |FROM q WHERE quality_score >= 0.7 ORDER BY doc_id""".stripMargin,
+    "q_curate_neardup" ->
+      s"""WITH RECURSIVE
+         |${clusterOracleCtes("doc_id < 300")},
+         |kept AS (SELECT d.doc_id, d.text FROM docs d
+         |         WHERE d.doc_id NOT IN (SELECT id FROM lab WHERE id <> component)),
+         |${curateOracleCtes("kept")}
+         |SELECT doc_id, fingerprint, lang_pred, quality_score, ws_tokens, bpeish_tokens
+         |FROM q WHERE quality_score >= 0.7 ORDER BY doc_id""".stripMargin,
+    "q_dedup_semantic" ->
+      s"""WITH cents AS (SELECT cell, CAST(centroid AS DOUBLE[]) AS c
+         |      FROM read_parquet('$semanticDir/centroids.parquet/*.parquet')),
+         |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |u AS (SELECT vec_id, e,
+         |        list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS unit
+         |      FROM emb),
+         |assign AS (SELECT vec_id, unit,
+         |      (SELECT cell FROM cents
+         |       ORDER BY 2 * list_dot_product(cents.c, u.e) - list_dot_product(cents.c, cents.c) DESC, cell
+         |       LIMIT 1) AS cell
+         |      FROM u)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cell,
+         |       round(list_dot_product(a.unit, b.unit), 4) AS cosine
+         |FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |WHERE round(list_dot_product(a.unit, b.unit), 4) >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin,
     "q_corpus_shards" ->
-      s"""WITH $curateOracleCtes,
+      s"""WITH ${curateOracleCtes()},
          |cur AS (SELECT doc_id, ws_tokens, bpeish_tokens FROM q WHERE quality_score >= 0.7),
          |h AS (SELECT *, ((doc_id % 2147483647) * 2654435761) % 2147483647 AS y FROM cur),
          |sp AS (SELECT *, (y * y) % 2147483647 % 100 AS b FROM h)

@@ -70,6 +70,36 @@ object CuratePipeline {
       .repartition(col("split"))
       .write.mode("overwrite").partitionBy("split").parquet(outDir)
 
+  /** Curation with NEAR-duplicate cluster removal in front: drop every
+    * non-canonical member of an LSH-verified near-dup cluster (keep only
+    * rows where id == component), then run the standard [[curate]]
+    * stages. This is the shape production corpora actually ship with —
+    * exact-fingerprint dedup inside [[curate]] only removes byte-level
+    * duplicates, while a crawl's bulk duplication is near-dup (template
+    * edits, boilerplate variants); the cluster pass deletes by the
+    * TRANSITIVE closure (see [[Dedup.connectedComponents]]) so a chain
+    * A~B~C keeps exactly its canonical representative.
+    *
+    * `clusters` is [[Dedup.clusterMembers]] output (id, component, ...).
+    * Scale: the cluster relation is pair-derived — orders of magnitude
+    * smaller than the corpus — so the anti-join broadcasts (or hash-
+    * shuffles on the id key at worst); corpus text never shuffles here,
+    * and the exact-fingerprint window inside [[curate]] still catches
+    * byte-dups the candidate generation missed.
+    */
+  def curateNearDup(
+      docs: DataFrame,
+      clusters: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      minQuality: Double = 0.7,
+      keepLang: String = "en"): DataFrame =
+    docs.join(
+        clusters.filter(col("id") =!= col("component"))
+          .select(col("id").as(idCol)),
+        Seq(idCol), "left_anti")
+      .transform(curate(_, textCol, idCol, minQuality, keepLang))
+
   def curate(
       docs: DataFrame,
       textCol: String = "text",

@@ -679,4 +679,43 @@ object Dedup {
       .agg(countDistinct(col("shingle")).as("n_shared_shingles"),
         countDistinct(col("bench_id")).as("n_benchmark_docs"))
   }
+
+  /** SemDedup-style embedding-cluster dedup (the public construction
+    * from Abbas et al. 2023, "SemDedup: Data-efficient learning at
+    * web-scale through semantic deduplication"): cluster the corpus with
+    * a coarse k-means quantizer, then drop near-identical pairs WITHIN a
+    * cluster by cosine threshold. Complements [[embeddingNearDup]]'s
+    * sign-LSH buckets with data-adaptive cells — on clustered corpora
+    * the cells track the actual modes, so the within-cell candidate sets
+    * are smaller for the same recall.
+    *
+    * Scale shape: cell assignment is one scan (centroids are broadcast
+    * literals inside a codegen'd argmax — see [[IvfIndex.cellId]]); the
+    * pair join is a cell-local equi-join, never all-pairs; the shuffle
+    * key is the cell id, so each reducer scores one cell. Emitted rows
+    * are (id_a, id_b, cell, cosine >= threshold) — the drop decision
+    * (keep the min id per component) is [[clusterMembers]] downstream.
+    *
+    * Cosines are computed on unit vectors and ROUNDED before the
+    * threshold so the pair set is engine-reproducible (same rationale as
+    * [[graft.operators.Similarity.bruteForceTopK]]).
+    */
+  def semanticNearDup(
+      embeddings: DataFrame,
+      vecCol: String,
+      idCol: String,
+      centroids: Array[Array[Double]],
+      threshold: Double,
+      roundTo: Int = 4): DataFrame = {
+    val unit = Similarity.withUnitVector(embeddings, vecCol).select(
+      col(idCol).as("id"), col("_unit"),
+      IvfIndex.cellId(Similarity.toDouble(col(vecCol)), centroids).as("cell"))
+    unit.as("x").join(unit.as("y"),
+        col("x.cell") === col("y.cell") && col("x.id") < col("y.id"))
+      .withColumn("cosine",
+        round(Similarity.dot(col("x._unit"), col("y._unit")), roundTo))
+      .filter(col("cosine") >= threshold)
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.cell").as("cell"), col("cosine"))
+  }
 }

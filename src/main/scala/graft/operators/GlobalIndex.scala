@@ -56,12 +56,16 @@ object GlobalIndex {
     val splits =
       if (probs.isEmpty) Array.empty[Double] // buckets=1: single range
       else df.stat.approxQuantile(key, probs, 0.001).distinct.sorted
-    // bucket = number of split points <= key: a sum of codegen'd
-    // comparisons, no join, no lookup table.
+    // bucket = number of split points <= key, as size(filter(splits)):
+    // one array literal + a 3-node lambda, not a `buckets`-term when
+    // chain. The when-chain version codegen'd a comparison cascade
+    // whose COMPILATION dominated single-shot runs (~3s planning at
+    // buckets=32, measured — the tree appears twice, once under the
+    // broadcast offsets branch); the HOF evaluates the same comparisons
+    // from a constant array at a fixed expression size.
     val bucketExpr =
       if (splits.isEmpty) lit(0)
-      else splits.map(s => when(col(key).cast("double") >= lit(s), 1)
-        .otherwise(0)).reduce(_ + _)
+      else size(filter(lit(splits), s => col(key).cast("double") >= s))
     val bucketed = df.withColumn("_b", bucketExpr)
     // Offsets: per-bucket counts prefix-summed best-bucket-first. The
     // single-partition window is over `buckets` ROWS (the aggregated

@@ -29,6 +29,27 @@ class CuratePipelineSpec extends SparkSpec {
     assert(out(1L).getAs[String]("fingerprint").length === 32)
   }
 
+  test("near-dup cluster curation keeps only canonical members") {
+    import spark.implicits._
+    // doc 2 is a NEAR dup of doc 1 (extra tail) — different fingerprint,
+    // so plain curate would keep both; the cluster pass must drop it as
+    // a non-canonical member (component 1 != id 2).
+    val docs = Seq(
+      (1L, goodEn),
+      (2L, goodEn + " with a few extra tail words appended"),
+      (5L, "the cat sat on the mat and it was warm there for a while today")
+    ).toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L, 2L), (2L, 1L, 2L))
+      .toDF("id", "component", "cluster_size")
+    val out = CuratePipeline.curateNearDup(docs, clusters)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(out === Set(1L, 5L))
+    val plain = CuratePipeline.curate(docs)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(plain === Set(1L, 2L, 5L),
+      "sanity: fingerprint dedup alone would have kept the near-dup")
+  }
+
   test("materialize writes split-partitioned shards that prune on read") {
     import org.apache.spark.sql.functions._
     val out = tmpDir("corpus")

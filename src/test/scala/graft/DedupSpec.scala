@@ -215,6 +215,26 @@ class DedupSpec extends SparkSpec {
       "nothing to match against -> everything unique")
   }
 
+  test("semantic near-dup: within-cell cosine pairs only") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.1f, 0.0f, 0.0f)),  // cell 0, cosine ~0.995 to 1
+      (3L, Array(-1.0f, 0.05f, 0.0f, 0.0f)), // cell 1 — never meets 1/2
+      (4L, Array(0.0f, 0.0f, 1.0f, 0.0f))    // cell 2, alone
+    ).toDF("vec_id", "embedding")
+    val cents = Array(
+      Array(1.0, 0.0, 0.0, 0.0),
+      Array(-1.0, 0.0, 0.0, 0.0),
+      Array(0.0, 0.0, 1.0, 0.0))
+    val out = Dedup.semanticNearDup(vecs, "embedding", "vec_id", cents,
+      threshold = 0.9).collect()
+    assert(out.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet ===
+      Set((1L, 2L)), "only the within-cell high-cosine pair survives")
+    assert(out.head.getAs[Int]("cell") === 0)
+    assert(out.head.getAs[Double]("cosine") >= 0.99)
+  }
+
   test("embedding near-dup via LSH buckets") {
     import spark.implicits._
     val vecs = Seq(
