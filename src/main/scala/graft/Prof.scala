@@ -26,6 +26,11 @@ object Prof {
       // instead of keeping input parallelism (see Bench for rationale).
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
         sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "true"))
+      // A/B hook: AQE on/off — at sf0.1 every shuffle's stage
+      // materialization is pure latency; at 100 TB AQE is load-bearing
+      // (skew splits, runtime coalesce), so production keeps it on.
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

