@@ -707,6 +707,36 @@ object SparkEntry {
         "text", "doc_id", n = 3, minContainment = 0.5, maxDf = 1000)
       .orderBy(col("contained_id"), col("container_id"))
 
+  /** Directed containment over the FULL corpus via the LSH candidate
+    * base — the scale twin of [[dedupContainment]], mirroring exactly
+    * how q_dedup_lsh_full scales q_dedup_jaccard: banded MinHash
+    * candidates, then [[operators.Dedup.containmentForPairs]] verifies
+    * only the emitted pairs (O(pairs), never all-pairs). Same oracle
+    * technique as lsh_full: dump the pairs, recompute the exact directed
+    * containment in DuckDB for only those pairs, emit a row when the
+    * recomputed metric clears the threshold AND equals the stored value.
+    * Recall envelope (documented, not hidden): MinHash banding surfaces
+    * high-JACCARD candidates, so a short quote inside a much longer
+    * container (high containment, low Jaccard) needs the complete-slice
+    * q_dedup_containment or the exact-duplicate-collapsed
+    * [[operators.Dedup.containmentPairsDistinct]] library path — the
+    * production split is LSH for near-dup mass, chunked/passage LSH for
+    * quote mining.
+    */
+  private lazy val containFullDir = s"$artifactRoot/containfull"
+
+  private def dedupContainmentFull(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val cands = Dedup.minHashLsh(docs, "text", "doc_id",
+      numHashes = 64, bands = 32, threshold = 0.35)
+    Dedup.containmentForPairs(cands, docs, "text", "doc_id",
+        n = 3, minContainment = 0.5)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$containFullDir/pairs.parquet")
+    s.read.parquet(s"$containFullDir/pairs.parquet")
+      .orderBy(col("contained_id"), col("container_id"))
+  }
+
   /** Token-budget curation under the gate (see
     * [[operators.BudgetSample]]): highest-quality documents first until
     * the whitespace-token budget is filled. The oracle IS the
@@ -1833,6 +1863,7 @@ object SparkEntry {
     "q_corpus_diff" -> (corpusDiff _),
     "q_token_budget" -> (tokenBudgetQ _),
     "q_dedup_containment" -> (dedupContainment _),
+    "q_dedup_containment_full" -> (dedupContainmentFull _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_jaccard" -> (dedupJaccard _),
     "q_dedup_minhash" -> (dedupMinhash _),
@@ -2528,6 +2559,34 @@ object SparkEntry {
         |SELECT contained_id, container_id, containment
         |FROM directed WHERE containment >= 0.5
         |ORDER BY contained_id, container_id""".stripMargin,
+    // Verify-only oracle for the full-corpus twin (same technique as
+    // q_dedup_lsh_full): recompute the exact directed containment in
+    // DuckDB for ONLY the dumped pairs — O(pairs), no all-pairs cost —
+    // and emit a row only when the recomputed metric clears the
+    // threshold AND equals the stored value bit-for-bit.
+    "q_dedup_containment_full" ->
+      s"""WITH pairs AS (SELECT * FROM read_parquet('$containFullDir/pairs.parquet/*.parquet')),
+         |ids AS (SELECT contained_id AS id FROM pairs UNION SELECT container_id FROM pairs),
+         |docs AS (SELECT doc_id, text FROM documents WHERE doc_id IN (SELECT id FROM ids)),
+         |words AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM docs),
+         |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+         |       FROM words, UNNEST(range(1, len(ws) - 1)) AS t(i)
+         |       WHERE len(ws) >= 3),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |inter AS (SELECT p.contained_id, p.container_id, count(*) AS n_inter
+         |          FROM (SELECT DISTINCT contained_id, container_id FROM pairs) p
+         |          JOIN sh a ON a.doc_id = p.contained_id
+         |          JOIN sh b ON b.doc_id = p.container_id AND b.shingle = a.shingle
+         |          GROUP BY 1, 2),
+         |checked AS (SELECT p.contained_id, p.container_id, p.containment,
+         |          round(CAST(i.n_inter AS DOUBLE) / sa.n_sh, 4) AS recomputed
+         |          FROM pairs p
+         |          JOIN inter i ON i.contained_id = p.contained_id
+         |                      AND i.container_id = p.container_id
+         |          JOIN sizes sa ON sa.doc_id = p.contained_id)
+         |SELECT contained_id, container_id, containment FROM checked
+         |WHERE recomputed >= 0.5 AND recomputed = containment
+         |ORDER BY contained_id, container_id""".stripMargin,
     "q_token_budget" ->
       s"""WITH d AS (SELECT doc_id,
          |    len(list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0)) AS ws_tokens,

@@ -154,6 +154,80 @@ object Dedup {
       .filter(col("containment") >= minContainment)
   }
 
+  /** Groups of documents with the IDENTICAL normalized word sequence
+    * (whitespace-collapsed exact duplicates): (hash, ids, rep) with
+    * rep = min id. The sequence — not the sorted bag of [[bagGroups]] —
+    * is the right collapse key for shingle-based operators: identical
+    * sequences have identical shingle sets, so replacing members with
+    * one representative changes nothing downstream, while reordered
+    * words (same bag, different shingles) correctly stay distinct.
+    * Same shuffle shape as [[bagGroups]]: only (sha2-256, id) moves.
+    */
+  def contentGroups(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+        concat_ws(" ", wordArr(col(textCol))).as("_canon"))
+      .filter(length(col("_canon")) > 0)
+      .select(col("id"), sha2(col("_canon"), 256).as("_seq"))
+      .groupBy(col("_seq"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"), min(col("id")).as("rep"))
+      .localCheckpoint()
+
+  /** Directed containment among the DISTINCT contents of a corpus — the
+    * full-corpus scale path for [[containmentPairs]]. Exact-duplicate
+    * groups ([[contentGroups]]) collapse to one representative each
+    * (the same dedupe-before-pairing lever as the full-corpus SimHash
+    * path), then the capped rare-shingle equi-join runs over distinct
+    * content only — an exact transformation, since identical normalized
+    * sequences have identical shingle sets. On a crawl with mean
+    * duplication factor k that is a k^2 reduction of the dominant join,
+    * and the equi-join still shuffle-partitions on the shingle key at
+    * any corpus size.
+    */
+  def containmentPairsDistinct(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      minContainment: Double = 0.9,
+      maxDf: Int = 1000): DataFrame = {
+    val reps = docs.join(
+      contentGroups(docs, textCol, idCol).select(col("rep").as(idCol)),
+      Seq(idCol), "left_semi")
+    containmentPairs(reps, textCol, idCol, n, minContainment, maxDf)
+  }
+
+  /** Directed containment for an already-small candidate pair set —
+    * the verification stage after LSH candidate generation, same shape
+    * as [[exactShingleJaccard]]: join each pair's distinct-shingle
+    * arrays back and emit both directions where |A∩B|/|A| clears the
+    * threshold. Cost is O(candidate pairs), never all-pairs.
+    */
+  def containmentForPairs(
+      cands: DataFrame,
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      minContainment: Double = 0.9): DataFrame = {
+    val sets = docs.select(col(idCol).as("_id"),
+      shingleArr(col(textCol), n).as("_sh"))
+    val base = cands.select("id_a", "id_b")
+      .join(sets.select(col("_id").as("id_a"), col("_sh").as("_sh_a")), "id_a")
+      .join(sets.select(col("_id").as("id_b"), col("_sh").as("_sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("_sh_a"), col("_sh_b"))).as("_ni"),
+        size(col("_sh_a")).as("_na"), size(col("_sh_b")).as("_nb"))
+    val ab = base.select(col("id_a").as("contained_id"),
+      col("id_b").as("container_id"),
+      (col("_ni").cast("double") / col("_na")).as("containment"))
+    val ba = base.select(col("id_b").as("contained_id"),
+      col("id_a").as("container_id"),
+      (col("_ni").cast("double") / col("_nb")).as("containment"))
+    ab.unionByName(ba)
+      .withColumn("containment", round(col("containment"), 4))
+      .filter(col("containment") >= minContainment)
+  }
+
   /** Exact shingle-set Jaccard for an already-small candidate pair set
     * (id_a, id_b): join the texts back and verify with array expressions.
     * This is the verification stage after LSH candidate generation —

@@ -63,6 +63,47 @@ class DedupSpec extends SparkSpec {
     assert(c.toSeq === Seq((1L, 2L, 1.0)))
   }
 
+  test("containment distinct-content path: identical bags collapse to the rep") {
+    import spark.implicits._
+    val quote = "alpha beta gamma delta epsilon zeta"
+    val longDoc = s"intro words here $quote plus a very long tail of unrelated " +
+      "filler content stretching the container document onward and onward"
+    // 5 and 6 are whitespace-variant exact duplicates of doc 1: one rep
+    // (id 1) pairs; the duplicates never enter the shingle equi-join.
+    // Doc 7 reorders the same words (same bag, different shingles) and
+    // must stay distinct — it shares no 3-gram with the quote.
+    val df = Seq((1L, quote), (2L, longDoc),
+        (5L, "alpha  beta gamma   delta epsilon zeta"),
+        (6L, " alpha beta gamma delta epsilon zeta "),
+        (7L, "zeta epsilon delta gamma beta alpha"))
+      .toDF("doc_id", "text")
+    val c = Dedup.containmentPairsDistinct(df, "text", "doc_id", n = 3,
+        minContainment = 0.9)
+      .collect().map(r => (r.getAs[Long]("contained_id"),
+        r.getAs[Long]("container_id"), r.getAs[Double]("containment")))
+    assert(c.toSeq === Seq((1L, 2L, 1.0)),
+      "only the bag representative pairs; reordered duplicates are collapsed")
+  }
+
+  test("containmentForPairs verifies only the candidate pairs, both directions") {
+    import spark.implicits._
+    val quote = "alpha beta gamma delta epsilon zeta"
+    val longDoc = s"intro words here $quote plus a very long tail of unrelated " +
+      "filler content stretching the container document onward and onward"
+    val docs = Seq((1L, quote), (2L, longDoc),
+        (3L, "completely different text entirely here"))
+      .toDF("doc_id", "text")
+    // candidate list includes a non-pair (1,3): verify must reject it
+    val cands = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.containmentForPairs(cands, docs, "text", "doc_id",
+        n = 3, minContainment = 0.5)
+      .collect().map(r => (r.getAs[Long]("contained_id"),
+        r.getAs[Long]("container_id"), r.getAs[Double]("containment")))
+    assert(out.toSeq.sorted === Seq((1L, 2L, 1.0)),
+      "quote contained in container at 1.0; reverse direction and the " +
+        "unrelated candidate are filtered")
+  }
+
   test("jaccard maxDf cap bounds stop-shingle candidate blowup") {
     import spark.implicits._
     // 40 documents that all share one stop-shingle ("common stop shingle")
