@@ -954,6 +954,30 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Incremental dedup against a PERSISTED standing index — the 100 TB
+    * production shape [[dedupIncremental]] only simulates: corpus
+    * fingerprints + MinHash signatures are built ONCE
+    * ([[operators.Dedup.dedupIndex]]), written as a parquet table, and
+    * each batch classifies against the stored index without recomputing
+    * anything on the standing side (corpus text is read only to verify
+    * the final candidate pairs). Same slice and the SAME complete
+    * oracle as q_dedup_incremental — the index must be semantically
+    * invisible, and the gate proves it.
+    */
+  private lazy val dedupIndexDir = s"$artifactRoot/dedupindex"
+
+  private def dedupIndexIncr(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").filter(col("doc_id") < 1500)
+    val existing = docs.filter(col("doc_id") % 5 =!= 0)
+    val incoming = docs.filter(col("doc_id") % 5 === 0)
+    Dedup.dedupIndex(existing, "text", "doc_id")
+      .write.mode("overwrite").parquet(s"$dedupIndexDir/index.parquet")
+    Dedup.incrementalStatusWithIndex(
+        s.read.parquet(s"$dedupIndexDir/index.parquet"),
+        existing, incoming, "text", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
   /** SimHash banding generates candidates — COMPLETE for Hamming <= 6 by
     * multi-block pigeonhole (8 pieces of 8 bits: a pair within Hamming 6
     * agrees exactly on >= 2 chunks, and the candidate join enumerates all
@@ -1871,6 +1895,7 @@ object SparkEntry {
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_dedup_simhash_full" -> (dedupSimhashFull _),
     "q_dedup_incremental" -> (dedupIncremental _),
+    "q_dedup_index_incr" -> (dedupIndexIncr _),
     "q_dedup_cluster" -> (dedupCluster _),
     "q_decontaminate" -> (decontaminate _),
     "q_scd2" -> (scd2History _),
@@ -1972,6 +1997,45 @@ object SparkEntry {
       |  p.purchase_value AS asof_purchase_value
       |FROM clicks c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
       |ORDER BY c.user_id, c.event_id""".stripMargin
+
+  /** Complete incremental-dedup oracle shared by q_dedup_incremental
+    * and q_dedup_index_incr (the standing index is an implementation
+    * detail — classification semantics are identical, so the same full
+    * recomputation gates both): exact via the fingerprint join, near
+    * via ALL inc x ex shingle-set Jaccards restricted to cross-corpus
+    * pairs; status precedence and min-match-id mirrored.
+    */
+  private def incrementalOracleSql: String =
+    """WITH docs AS (SELECT doc_id, text,
+      |        md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      |      FROM documents WHERE doc_id < 1500),
+      |inc AS (SELECT * FROM docs WHERE doc_id % 5 = 0),
+      |ex AS (SELECT * FROM docs WHERE doc_id % 5 <> 0),
+      |exact AS (SELECT i.doc_id, min(e.doc_id) AS m
+      |          FROM inc i JOIN ex e ON e.fp = i.fp GROUP BY 1),
+      |words AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM docs),
+      |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+      |       FROM words, UNNEST(range(1, len(ws) - 1)) AS t(i)
+      |       WHERE len(ws) >= 3),
+      |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      |          FROM sh a JOIN sh b ON a.shingle = b.shingle
+      |          WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+      |          GROUP BY 1, 2),
+      |near AS (SELECT id_a AS doc_id, min(id_b) AS m
+      |         FROM inter
+      |         JOIN sizes sa ON sa.doc_id = id_a
+      |         JOIN sizes sb ON sb.doc_id = id_b
+      |         WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
+      |         GROUP BY 1)
+      |SELECT i.doc_id,
+      |  CASE WHEN x.m IS NOT NULL THEN 'exact'
+      |       WHEN n.m IS NOT NULL THEN 'near' ELSE 'unique' END AS status,
+      |  coalesce(x.m, n.m) AS match_id
+      |FROM inc i
+      |LEFT JOIN exact x ON x.doc_id = i.doc_id
+      |LEFT JOIN near n ON n.doc_id = i.doc_id
+      |ORDER BY i.doc_id""".stripMargin
 
   /** The gaps-and-islands sessionization as DuckDB CTEs, shared by the
     * q_events_session oracle and the q_range_join oracle (which joins
@@ -2726,37 +2790,11 @@ object SparkEntry {
     // inc x ex shingle-set Jaccards (shingle equi-join — the same
     // technique as the q_dedup_minhash complete oracle, restricted to
     // cross-corpus pairs). Status precedence and min-match-id mirrored.
-    "q_dedup_incremental" ->
-      """WITH docs AS (SELECT doc_id, text,
-        |        md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
-        |      FROM documents WHERE doc_id < 1500),
-        |inc AS (SELECT * FROM docs WHERE doc_id % 5 = 0),
-        |ex AS (SELECT * FROM docs WHERE doc_id % 5 <> 0),
-        |exact AS (SELECT i.doc_id, min(e.doc_id) AS m
-        |          FROM inc i JOIN ex e ON e.fp = i.fp GROUP BY 1),
-        |words AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM docs),
-        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
-        |       FROM words, UNNEST(range(1, len(ws) - 1)) AS t(i)
-        |       WHERE len(ws) >= 3),
-        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-        |          FROM sh a JOIN sh b ON a.shingle = b.shingle
-        |          WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
-        |          GROUP BY 1, 2),
-        |near AS (SELECT id_a AS doc_id, min(id_b) AS m
-        |         FROM inter
-        |         JOIN sizes sa ON sa.doc_id = id_a
-        |         JOIN sizes sb ON sb.doc_id = id_b
-        |         WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
-        |         GROUP BY 1)
-        |SELECT i.doc_id,
-        |  CASE WHEN x.m IS NOT NULL THEN 'exact'
-        |       WHEN n.m IS NOT NULL THEN 'near' ELSE 'unique' END AS status,
-        |  coalesce(x.m, n.m) AS match_id
-        |FROM inc i
-        |LEFT JOIN exact x ON x.doc_id = i.doc_id
-        |LEFT JOIN near n ON n.doc_id = i.doc_id
-        |ORDER BY i.doc_id""".stripMargin,
+    // SHARED with q_dedup_index_incr: the standing index is an
+    // implementation detail — classification semantics are identical,
+    // so the same complete recomputation gates both paths.
+    "q_dedup_incremental" -> incrementalOracleSql,
+    "q_dedup_index_incr" -> incrementalOracleSql,
     // COMPLETE clustering oracle: all >= 0.8 Jaccard pairs on the slice
     // recomputed from scratch, then closed with a recursive CTE — min
     // reachable id is the component (edges are symmetric, every node

@@ -376,6 +376,33 @@ object Dedup {
     * Bucket joins only (band/bucket, fingerprint) — the all-pairs
     * inc × ex product never materializes.
     */
+  /** Canonical content fingerprint: md5 of the lowercased,
+    * whitespace-collapsed text — the exact-duplicate key every dedup
+    * surface here shares (CuratePipeline, SnapshotDiff, the oracles).
+    */
+  def contentFingerprint(t: Column): Column =
+    md5(regexp_replace(lower(trim(t)), "\\s+", " "))
+
+  /** Standing dedup-index rows for a corpus: (id, fp, signature) — the
+    * content fingerprint and the MinHash signature, the two things
+    * incremental classification needs from the standing side. The
+    * production shape at 100 TB: this table is computed ONCE per corpus
+    * snapshot and persisted; per-batch dedup then reads kilobyte index
+    * rows, never corpus text (text is joined only to verify the final
+    * candidate pairs). Rebuilding signatures per batch — what
+    * [[incrementalStatus]] does when handed raw text — re-pays the
+    * whole-corpus shingle explode on every batch.
+    */
+  def dedupIndex(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int = 64,
+      shingleN: Int = 3): DataFrame =
+    minHashSignatures(docs, textCol, idCol, numHashes, shingleN)
+      .join(docs.select(col(idCol).as("id"),
+        contentFingerprint(col(textCol)).as("fp")), "id")
+
   def incrementalStatus(
       existing: DataFrame,
       incoming: DataFrame,
@@ -385,20 +412,40 @@ object Dedup {
       bands: Int = 32,
       estThreshold: Double = 0.35,
       shingleN: Int = 3,
+      minJaccard: Double = 0.8): DataFrame =
+    incrementalStatusWithIndex(
+      dedupIndex(existing, textCol, idCol, numHashes, shingleN),
+      existing, incoming, textCol, idCol,
+      numHashes, bands, estThreshold, shingleN, minJaccard)
+
+  /** [[incrementalStatus]] against a PRE-BUILT standing index
+    * ([[dedupIndex]] rows) plus the corpus text store (read only to
+    * verify candidate pairs). Identical classification semantics; the
+    * standing side's fingerprints and signatures are never recomputed.
+    */
+  def incrementalStatusWithIndex(
+      index: DataFrame,
+      corpus: DataFrame,
+      incoming: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int = 64,
+      bands: Int = 32,
+      estThreshold: Double = 0.35,
+      shingleN: Int = 3,
       minJaccard: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    val fp = (t: Column) => md5(regexp_replace(lower(trim(t)), "\\s+", " "))
 
     val exactM = incoming
-      .select(col(idCol), fp(col(textCol)).as("_fp"))
-      .join(existing.select(col(idCol).as("_ex_id"), fp(col(textCol)).as("_fp")), "_fp")
+      .select(col(idCol), contentFingerprint(col(textCol)).as("_fp"))
+      .join(index.select(col("id").as("_ex_id"), col("fp").as("_fp")), "_fp")
       .groupBy(col(idCol)).agg(min(col("_ex_id")).as("_exact_m"))
 
     def bandedOf(sigs: DataFrame): DataFrame =
       sigs.select(col("id"),
         explode(graft.functions.GraftFunctions.graftMinHashBands(
           col("signature"), bands)).as("bk"))
-    val sigsEx = minHashSignatures(existing, textCol, idCol, numHashes, shingleN)
+    val sigsEx = index.select(col("id"), col("signature"))
     val sigsInc = minHashSignatures(incoming, textCol, idCol, numHashes, shingleN)
     val cand = bandedOf(sigsInc).as("x")
       .join(bandedOf(sigsEx).as("y"), col("x.bk") === col("y.bk"))
@@ -412,7 +459,7 @@ object Dedup {
           .cast("double") / numHashes)
       .filter(col("_est") >= estThreshold)
       .select("id_a", "id_b")
-    val union = existing.select(col(idCol), col(textCol))
+    val union = corpus.select(col(idCol), col(textCol))
       .unionByName(incoming.select(col(idCol), col(textCol)))
     val nearM = exactShingleJaccard(est, union, textCol, idCol, shingleN, minJaccard)
       .groupBy(col("id_a").as(idCol)).agg(min(col("id_b")).as("_near_m"))

@@ -246,6 +246,33 @@ class DedupSpec extends SparkSpec {
     assert(out(2).isNullAt(out(2).fieldIndex("match_id")))
   }
 
+  test("incremental status against a persisted index matches the direct path") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    val existing = Seq(
+      (10L, base), (11L, base),
+      (20L, base + " extra trailing words here"),
+      (30L, "совершенно другой текст " * 20)
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (100L, base),
+      (101L, base + " extra trailing words here plus one"),
+      (102L, "unrelated content entirely different words " * 10)
+    ).toDF("doc_id", "text")
+    val direct = Dedup.incrementalStatus(existing, incoming, "text", "doc_id")
+      .orderBy("doc_id").collect().toSeq
+    // round-trip the index through parquet: the persisted form must be
+    // semantically invisible
+    val dir = java.nio.file.Files.createTempDirectory("dedupindex").toString
+    Dedup.dedupIndex(existing, "text", "doc_id")
+      .write.mode("overwrite").parquet(s"$dir/index.parquet")
+    val viaIndex = Dedup.incrementalStatusWithIndex(
+        spark.read.parquet(s"$dir/index.parquet"), existing, incoming,
+        "text", "doc_id")
+      .orderBy("doc_id").collect().toSeq
+    assert(viaIndex === direct)
+  }
+
   test("incremental status: empty incoming and empty existing are safe") {
     import spark.implicits._
     val docs = Seq((1L, "some words here")).toDF("doc_id", "text")
