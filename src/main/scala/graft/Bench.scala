@@ -146,20 +146,32 @@ object Bench {
         }
       })
     var jobs = Map.empty[String, Int]
-    SparkEntry.queries.foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val j0 = jobCounter.get()
-      try {
-        force(fn(spark, sfDir))
-        val sec = (System.nanoTime() - t0) / 1e9
-        if (fixtureQueries(name)) fixtures += name -> sec
-        else analytic += name -> sec
-        jobs += name -> (jobCounter.get() - j0)
-      } catch {
-        case e: Throwable =>
-          errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName)
+    // Two timed passes, min per query — graft.Prof's min-of-N
+    // philosophy applied to the recorded suite. Single-shot sub-second
+    // queries at sf0.1 showed one-off 2-3x spikes from host scheduling
+    // (a DIFFERENT random query each run), which serially tripped the
+    // per-query regression gate; the min of two consecutive runs is the
+    // engine's cost, the max is the host's. Job counts come from the
+    // first pass (identical plans both passes).
+    for (pass <- 1 to 2)
+      SparkEntry.queries.foreach { case (name, fn) =>
+        if (!errors.contains(name)) {
+          val t0 = System.nanoTime()
+          val j0 = jobCounter.get()
+          try {
+            force(fn(spark, sfDir))
+            val sec = (System.nanoTime() - t0) / 1e9
+            if (fixtureQueries(name))
+              fixtures += name -> math.min(fixtures.getOrElse(name, Double.MaxValue), sec)
+            else
+              analytic += name -> math.min(analytic.getOrElse(name, Double.MaxValue), sec)
+            if (pass == 1) jobs += name -> (jobCounter.get() - j0)
+          } catch {
+            case e: Throwable =>
+              errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName)
+          }
+        }
       }
-    }
     // Seconds are rounded to milliseconds: with 70+ queries the one JSON
     // line must stay short enough that the driver's bounded tail capture
     // keeps the whole line (r4 lost the headline metric/value fields to

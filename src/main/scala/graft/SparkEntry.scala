@@ -737,6 +737,31 @@ object SparkEntry {
       .orderBy(col("contained_id"), col("container_id"))
   }
 
+  /** Quote mining: chunk-level LSH candidates
+    * ([[operators.Dedup.chunkLshCandidates]]) + directed containment
+    * verify — the low-Jaccard passage path that closes the recall
+    * envelope [[dedupContainmentFull]] documents: whole-document banding
+    * misses a short quote inside a long container (document Jaccard
+    * ~|quote|/|container|), but the quote's word windows near-match the
+    * container's windows, so chunk banding surfaces the pair and the
+    * whole-document directed containment confirms it. Verify-only dump
+    * oracle, same technique as lsh_full/containment_full; DedupSpec pins
+    * the chunk-vs-whole-document recall difference constructively.
+    */
+  private lazy val quoteDir = s"$artifactRoot/quotes"
+
+  private def quoteMining(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").filter(col("doc_id") < 1000)
+    val cands = Dedup.chunkLshCandidates(docs, "text", "doc_id",
+      chunkWords = 32, stride = 16, numHashes = 32, bands = 16)
+    Dedup.containmentForPairs(cands, docs, "text", "doc_id",
+        n = 3, minContainment = 0.5)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$quoteDir/pairs.parquet")
+    s.read.parquet(s"$quoteDir/pairs.parquet")
+      .orderBy(col("contained_id"), col("container_id"))
+  }
+
   /** Token-budget curation under the gate (see
     * [[operators.BudgetSample]]): highest-quality documents first until
     * the whitespace-token budget is filled. The oracle IS the
@@ -1888,6 +1913,7 @@ object SparkEntry {
     "q_token_budget" -> (tokenBudgetQ _),
     "q_dedup_containment" -> (dedupContainment _),
     "q_dedup_containment_full" -> (dedupContainmentFull _),
+    "q_quote_mining" -> (quoteMining _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_jaccard" -> (dedupJaccard _),
     "q_dedup_minhash" -> (dedupMinhash _),
@@ -1997,6 +2023,35 @@ object SparkEntry {
       |  p.purchase_value AS asof_purchase_value
       |FROM clicks c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
       |ORDER BY c.user_id, c.event_id""".stripMargin
+
+  /** Verify-only directed-containment oracle over a dumped pair table
+    * (shared by q_dedup_containment_full and q_quote_mining): recompute
+    * the exact containment for only the emitted pairs and keep a row
+    * only when it clears the threshold AND equals the stored value.
+    */
+  private def containmentVerifyOracle(dir: String): String =
+    s"""WITH pairs AS (SELECT * FROM read_parquet('$dir/pairs.parquet/*.parquet')),
+       |ids AS (SELECT contained_id AS id FROM pairs UNION SELECT container_id FROM pairs),
+       |docs AS (SELECT doc_id, text FROM documents WHERE doc_id IN (SELECT id FROM ids)),
+       |words AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM docs),
+       |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+       |       FROM words, UNNEST(range(1, len(ws) - 1)) AS t(i)
+       |       WHERE len(ws) >= 3),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (SELECT p.contained_id, p.container_id, count(*) AS n_inter
+       |          FROM (SELECT DISTINCT contained_id, container_id FROM pairs) p
+       |          JOIN sh a ON a.doc_id = p.contained_id
+       |          JOIN sh b ON b.doc_id = p.container_id AND b.shingle = a.shingle
+       |          GROUP BY 1, 2),
+       |checked AS (SELECT p.contained_id, p.container_id, p.containment,
+       |          round(CAST(i.n_inter AS DOUBLE) / sa.n_sh, 4) AS recomputed
+       |          FROM pairs p
+       |          JOIN inter i ON i.contained_id = p.contained_id
+       |                      AND i.container_id = p.container_id
+       |          JOIN sizes sa ON sa.doc_id = p.contained_id)
+       |SELECT contained_id, container_id, containment FROM checked
+       |WHERE recomputed >= 0.5 AND recomputed = containment
+       |ORDER BY contained_id, container_id""".stripMargin
 
   /** Complete incremental-dedup oracle shared by q_dedup_incremental
     * and q_dedup_index_incr (the standing index is an implementation
@@ -2623,34 +2678,13 @@ object SparkEntry {
         |SELECT contained_id, container_id, containment
         |FROM directed WHERE containment >= 0.5
         |ORDER BY contained_id, container_id""".stripMargin,
-    // Verify-only oracle for the full-corpus twin (same technique as
-    // q_dedup_lsh_full): recompute the exact directed containment in
-    // DuckDB for ONLY the dumped pairs — O(pairs), no all-pairs cost —
-    // and emit a row only when the recomputed metric clears the
-    // threshold AND equals the stored value bit-for-bit.
-    "q_dedup_containment_full" ->
-      s"""WITH pairs AS (SELECT * FROM read_parquet('$containFullDir/pairs.parquet/*.parquet')),
-         |ids AS (SELECT contained_id AS id FROM pairs UNION SELECT container_id FROM pairs),
-         |docs AS (SELECT doc_id, text FROM documents WHERE doc_id IN (SELECT id FROM ids)),
-         |words AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM docs),
-         |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
-         |       FROM words, UNNEST(range(1, len(ws) - 1)) AS t(i)
-         |       WHERE len(ws) >= 3),
-         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-         |inter AS (SELECT p.contained_id, p.container_id, count(*) AS n_inter
-         |          FROM (SELECT DISTINCT contained_id, container_id FROM pairs) p
-         |          JOIN sh a ON a.doc_id = p.contained_id
-         |          JOIN sh b ON b.doc_id = p.container_id AND b.shingle = a.shingle
-         |          GROUP BY 1, 2),
-         |checked AS (SELECT p.contained_id, p.container_id, p.containment,
-         |          round(CAST(i.n_inter AS DOUBLE) / sa.n_sh, 4) AS recomputed
-         |          FROM pairs p
-         |          JOIN inter i ON i.contained_id = p.contained_id
-         |                      AND i.container_id = p.container_id
-         |          JOIN sizes sa ON sa.doc_id = p.contained_id)
-         |SELECT contained_id, container_id, containment FROM checked
-         |WHERE recomputed >= 0.5 AND recomputed = containment
-         |ORDER BY contained_id, container_id""".stripMargin,
+    // Verify-only oracles (same technique as q_dedup_lsh_full):
+    // recompute the exact directed containment in DuckDB for ONLY the
+    // dumped pairs — O(pairs), no all-pairs cost — and emit a row only
+    // when the recomputed metric clears the threshold AND equals the
+    // stored value bit-for-bit.
+    "q_dedup_containment_full" -> containmentVerifyOracle(containFullDir),
+    "q_quote_mining" -> containmentVerifyOracle(quoteDir),
     "q_token_budget" ->
       s"""WITH d AS (SELECT doc_id,
          |    len(list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0)) AS ws_tokens,

@@ -196,6 +196,58 @@ object Dedup {
     containmentPairs(reps, textCol, idCol, n, minContainment, maxDf)
   }
 
+  /** Quote-mining candidate pairs via CHUNK-level LSH — the low-Jaccard
+    * containment path that whole-document banding structurally misses: a
+    * 30-word quote inside a 300-word container has document Jaccard
+    * ~0.1, far under any banding threshold, but SOME container chunk
+    * near-matches SOME quote chunk, so banding the fixed-width word
+    * windows (stride < width, so a verbatim passage always shares a
+    * mostly-overlapping window with its source) surfaces the (doc, doc)
+    * pair. Emits distinct cross-document (id_a, id_b) — verification
+    * (e.g. [[containmentForPairs]]) is the caller's next stage.
+    *
+    * Scale shape: chunks multiply rows by words/stride (a constant), the
+    * signature aggregate is the same bounded-state [[minHashSignatures]]
+    * shape keyed by (id, offset), and the candidate join is a band-bucket
+    * equi-join carrying only ids — never all-pairs, at any corpus size.
+    */
+  def chunkLshCandidates(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      chunkWords: Int = 32,
+      stride: Int = 16,
+      numHashes: Int = 32,
+      bands: Int = 16,
+      shingleN: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    require(stride > 0 && stride <= chunkWords, "stride must be in [1, chunkWords]")
+    val chunks = docs
+      .select(col(idCol).as("id"), wordArr(col(textCol)).as("_ws"))
+      .filter(size(col("_ws")) > 0)
+      .select(col("id"),
+        explode(sequence(lit(0), greatest(size(col("_ws")) - 1, lit(0)),
+          lit(stride))).as("_off"),
+        col("_ws"))
+      .select(col("id"), col("_off"),
+        concat_ws(" ", slice(col("_ws"), col("_off") + 1, lit(chunkWords))).as("_chunk"))
+    val sigs = chunks
+      .select(col("id"), col("_off"),
+        explode(graft.functions.GraftFunctions.graftShingles(
+          col("_chunk"), shingleN)).as("shingle"))
+      .filter(length(col("shingle")) > 0)
+      .withColumn("h", pmod(xxhash64(col("shingle")), lit(MinHash.MersennePrime)))
+      .groupBy("id", "_off")
+      .agg(graftMinHash(col("h"), numHashes).as("signature"))
+    val banded = sigs.select(col("id"),
+      explode(graft.functions.GraftFunctions.graftMinHashBands(
+        col("signature"), bands)).as("bk"))
+    banded.as("x").join(banded.as("y"),
+        col("x.bk") === col("y.bk") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+  }
+
   /** Directed containment for an already-small candidate pair set —
     * the verification stage after LSH candidate generation, same shape
     * as [[exactShingleJaccard]]: join each pair's distinct-shingle

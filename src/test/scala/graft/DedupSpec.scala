@@ -85,6 +85,32 @@ class DedupSpec extends SparkSpec {
       "only the bag representative pairs; reordered duplicates are collapsed")
   }
 
+  test("chunk-LSH finds the low-Jaccard quote that whole-document LSH misses") {
+    import spark.implicits._
+    // 36-word quote verbatim inside a ~220-word container: document
+    // Jaccard ~ 36/220 << any banding threshold.
+    val quote = (1 to 36).map(i => s"quotetoken$i").mkString(" ")
+    val filler = (1 to 180).map(i => s"fillerword$i").mkString(" ")
+    val container = s"$filler $quote"
+    val docs = Seq((1L, quote), (2L, container),
+        (3L, (1 to 50).map(i => s"othertext$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    // whole-document banding at the near-dup threshold: pair absent
+    val whole = Dedup.minHashLsh(docs, "text", "doc_id",
+        numHashes = 64, bands = 32, threshold = 0.35)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!whole.contains((1L, 2L)),
+      "document-level LSH must miss the low-Jaccard containment pair")
+    // chunk-level banding surfaces it; directed containment confirms 1.0
+    val cands = Dedup.chunkLshCandidates(docs, "text", "doc_id",
+      chunkWords = 32, stride = 16, numHashes = 32, bands = 16)
+    val verified = Dedup.containmentForPairs(cands, docs, "text", "doc_id",
+        n = 3, minContainment = 0.9)
+      .collect().map(r => (r.getAs[Long]("contained_id"),
+        r.getAs[Long]("container_id"), r.getAs[Double]("containment")))
+    assert(verified.toSeq === Seq((1L, 2L, 1.0)))
+  }
+
   test("containmentForPairs verifies only the candidate pairs, both directions") {
     import spark.implicits._
     val quote = "alpha beta gamma delta epsilon zeta"
