@@ -64,6 +64,32 @@ object SparkEntry {
     t(s, d, "part").filter(col("p_partkey") === 42)
       .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
 
+  /** The reference's auth-layer filters (web/api/auth.py:39-42,
+    * web/dependencies.py:26-29) as pure predicates over a users
+    * projection derived from `customer` — see [[operators.UserAuth]].
+    * Four probes, two of which MUST return nothing (an inactive user's
+    * valid token / email), so the `active` conjunct is gated, not just
+    * the key equality. Tokens are md5("tok"+custkey) in both engines —
+    * no fixture dump needed.
+    */
+  private def filterActiveUser(s: SparkSession, d: String): DataFrame = {
+    val users = UserAuth.usersFrom(t(s, d, "customer"))
+    // custkey 7: active (7%5!=0), has token (7%3!=0); custkey 10:
+    // INACTIVE (10%5==0) but has a token (10%3!=0); custkey 2: active,
+    // email login; custkey 15: INACTIVE (15%5==0), email login.
+    def tok(k: Int) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"tok$k".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val probes = Seq(
+      ("session_ok", UserAuth.bySessionToken(users, tok(7))),
+      ("session_inactive", UserAuth.bySessionToken(users, tok(10))),
+      ("login_ok", UserAuth.byEmail(users, "  user2@example.com  ")),
+      ("login_inactive", UserAuth.byEmail(users, "user15@example.com")))
+    probes.map { case (tag, df) =>
+      df.select(lit(tag).as("lookup"), col("user_id"), col("email"),
+        col("full_name"), col("active"))
+    }.reduce(_.unionAll(_)).orderBy(col("lookup"), col("user_id"))
+  }
+
   // ---------------------------------------------------------------- §2.7
 
   private def rankPaginate(s: SparkSession, d: String): DataFrame = {
@@ -1266,6 +1292,57 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
 
+  /** Line-level boilerplate removal under the gate
+    * ([[operators.TextAnalysis.removeBoilerplateLines]]): deterministic
+    * multi-line documents are synthesized from doc_id in BOTH engines —
+    * a nav line on every doc (df = corpus), a copyright / newsletter
+    * footer on 2/3 and 1/3 of docs (df far above threshold), and a
+    * "footer variant k" line keyed doc_id % 7 (df ~ corpus/7, BELOW the
+    * threshold at sf0.01) — so the output proves high-df lines vanish
+    * while sub-threshold and unique lines survive in order.
+    */
+  private def boilerplateQ(s: SparkSession, d: String): DataFrame = {
+    val multi = t(s, d, "documents").select(col("doc_id"),
+      concat(lit("nav home about contact login\n"), col("text"), lit("\n"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          lit("subscribe to our newsletter"))
+          .otherwise(lit("copyright example corp")),
+        lit("\nref footer variant "),
+        pmod(col("doc_id"), lit(7)).cast(StringType)).as("text"))
+    TextAnalysis.removeBoilerplateLines(multi, "text", "doc_id",
+        minDocFreq = 100L)
+      .orderBy(col("doc_id"))
+  }
+
+  /** HTML-to-text extraction under the gate
+    * ([[operators.TextAnalysis.htmlToText]]): each document is wrapped
+    * in a deterministic HTML shell — title, style block, script block
+    * containing entity-looking text (must vanish wholesale, not decode),
+    * a comment, and entity-bearing tail copy — in both engines; the
+    * extraction must strip structure, decode entities once, and keep
+    * word boundaries where tags met text.
+    */
+  private def htmlExtract(s: SparkSession, d: String): DataFrame = {
+    val html = concat(
+      lit("<html><head><title>Doc "), col("doc_id"),
+      lit("</title><style>p { color: red; }</style></head><body><h1>Title &amp; "),
+      col("doc_id"), lit("</h1><p>"), col("text"),
+      lit("</p><script>var x = 1; if (x &lt; 2) { x = 2; }</script>" +
+        "<!-- crawler comment --><p>tail &quot;quoted&#39;s&quot;&nbsp;" +
+        "fish &amp;amp; chips</p></body></html>"))
+    t(s, d, "documents")
+      .select(col("doc_id"), TextAnalysis.htmlToText(html).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus vocabulary coverage ([[operators.TermIndex.vocabCoverage]]):
+    * the Zipf head — top tokens by occurrence with cumulative share of
+    * the token stream.
+    */
+  private def vocabCoverageQ(s: SparkSession, d: String): DataFrame =
+    TermIndex.vocabCoverage(t(s, d, "documents"), "text", "doc_id", k = 40)
+      .orderBy(col("token_rank"))
+
   /** Small-file compaction capstone: write the table as 64 deliberately
     * tiny files, compact-and-cluster them by doc_id, and return the
     * read-back rows — the oracle checks ROW-LEVEL equality with the
@@ -1859,6 +1936,7 @@ object SparkEntry {
     "q_filter_tenant" -> (filterTenant _),
     "q_search_ilike_or" -> (searchIlikeOr _),
     "q_point_lookup" -> (pointLookup _),
+    "q_filter_active_user" -> (filterActiveUser _),
     "q_rank_paginate" -> (rankPaginate _),
     "q_paginate_default" -> (paginateDefault _),
     "q_anti_join" -> (antiJoin _),
@@ -1950,6 +2028,9 @@ object SparkEntry {
     "q_text_fingerprint" -> (textFingerprint _),
     "q_text_scrub" -> (textScrub _),
     "q_url_canon" -> (urlCanon _),
+    "q_boilerplate" -> (boilerplateQ _),
+    "q_html_extract" -> (htmlExtract _),
+    "q_vocab_coverage" -> (vocabCoverageQ _),
     "q_sample_split" -> (sampleSplit _),
     "q_pack_sequences" -> (packSequences _),
     "q_curate_docs" -> (curateDocs _),
@@ -2307,6 +2388,30 @@ object SparkEntry {
         |ORDER BY p_partkey""".stripMargin,
     "q_point_lookup" ->
       "SELECT p_partkey, p_name, p_retailprice FROM part WHERE p_partkey = 42",
+    // Auth-layer filters over the derived users projection: the two
+    // *_inactive probes exercise valid credentials on inactive rows and
+    // MUST contribute zero rows — a union that still hash-matches proves
+    // the `active` conjunct is live, not decorative.
+    "q_filter_active_user" ->
+      """WITH users AS (SELECT CAST(c_custkey AS BIGINT) AS user_id,
+        |    'user' || c_custkey || '@example.com' AS email,
+        |    c_name AS full_name,
+        |    c_custkey % 5 <> 0 AS active,
+        |    CASE WHEN c_custkey % 3 <> 0 THEN md5('tok' || c_custkey) END AS session_token
+        |  FROM customer)
+        |SELECT * FROM (
+        |  SELECT 'session_ok' AS lookup, user_id, email, full_name, active
+        |    FROM users WHERE session_token = md5('tok7') AND active
+        |  UNION ALL
+        |  SELECT 'session_inactive', user_id, email, full_name, active
+        |    FROM users WHERE session_token = md5('tok10') AND active
+        |  UNION ALL
+        |  SELECT 'login_ok', user_id, email, full_name, active
+        |    FROM users WHERE email = trim('  user2@example.com  ') AND active
+        |  UNION ALL
+        |  SELECT 'login_inactive', user_id, email, full_name, active
+        |    FROM users WHERE email = 'user15@example.com' AND active)
+        |ORDER BY lookup, user_id""".stripMargin,
     "q_rank_paginate" ->
       """SELECT p_partkey, p_name,
         |  CASE WHEN lower(p_name) = lower('small widget') THEN 0 ELSE 1 END AS rank_exact,
@@ -3236,6 +3341,67 @@ object SparkEntry {
         |  FROM c2)
         |SELECT doc_id, url, host || regexp_replace(r, '/$', '') AS url_canon
         |FROM c3 ORDER BY doc_id""".stripMargin,
+    // Line-df boilerplate removal: the same multi-line synthesis, the
+    // same >= 100-distinct-doc threshold, reassembly ordered by the
+    // original line position.
+    "q_boilerplate" ->
+      """WITH multi AS (SELECT doc_id,
+        |    'nav home about contact login' || chr(10) || text || chr(10) ||
+        |    CASE WHEN doc_id % 3 = 0 THEN 'subscribe to our newsletter'
+        |         ELSE 'copyright example corp' END ||
+        |    chr(10) || 'ref footer variant ' || CAST(doc_id % 7 AS VARCHAR) AS d
+        |  FROM documents),
+        |ls AS (SELECT doc_id, string_split(d, chr(10)) AS arr FROM multi),
+        |lines AS (SELECT doc_id, i AS pos, trim(arr[i]) AS line
+        |  FROM ls, UNNEST(range(1, len(arr) + 1)) AS t(i)
+        |  WHERE length(trim(arr[i])) > 0),
+        |boiler AS (SELECT line FROM lines GROUP BY line
+        |  HAVING count(DISTINCT doc_id) >= 100),
+        |kept AS (SELECT l.doc_id, l.pos, l.line FROM lines l
+        |  ANTI JOIN boiler b ON l.line = b.line)
+        |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // HTML extraction: identical regexp chain (RE2 and Java regex agree
+    // on these patterns), entities decoded once with &amp; last.
+    "q_html_extract" ->
+      """WITH h AS (SELECT doc_id,
+        |    '<html><head><title>Doc ' || doc_id ||
+        |    '</title><style>p { color: red; }</style></head><body><h1>Title &amp; ' ||
+        |    doc_id || '</h1><p>' || text ||
+        |    '</p><script>var x = 1; if (x &lt; 2) { x = 2; }</script>' ||
+        |    '<!-- crawler comment --><p>tail &quot;quoted&#39;s&quot;&nbsp;' ||
+        |    'fish &amp;amp; chips</p></body></html>' AS html
+        |  FROM documents),
+        |s1 AS (SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(html,
+        |      '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+        |      '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+        |      '(?s)<!--.*?-->', ' ', 'g') AS x
+        |  FROM h),
+        |s2 AS (SELECT doc_id, regexp_replace(x, '<[^>]+>', ' ', 'g') AS x FROM s1),
+        |s3 AS (SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(x,
+        |      '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+        |      '&#39;', CHR(39), 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g') AS x
+        |  FROM s2)
+        |SELECT doc_id, trim(regexp_replace(x, '\s+', ' ', 'g')) AS clean_text
+        |FROM s3 ORDER BY doc_id""".stripMargin,
+    // Zipf head with cumulative coverage; ties break on the token so
+    // both engines rank identically.
+    "q_vocab_coverage" ->
+      """WITH occ AS (SELECT unnest(list_filter(
+        |    string_split_regex(trim(lower(text)), '\s+'), w -> len(w) > 0)) AS word
+        |  FROM documents),
+        |counts AS (SELECT word, count(*) AS n_occ FROM occ GROUP BY word),
+        |total AS (SELECT count(*) AS t FROM occ),
+        |top AS (SELECT word, n_occ FROM counts ORDER BY n_occ DESC, word LIMIT 40)
+        |SELECT word, n_occ,
+        |  row_number() OVER (ORDER BY n_occ DESC, word) AS token_rank,
+        |  round(CAST(sum(n_occ) OVER (ORDER BY n_occ DESC, word
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / t, 6)
+        |    AS cum_share
+        |FROM top, total ORDER BY token_rank""".stripMargin,
     "q_sample_split" ->
       """WITH h AS (SELECT doc_id,
         |    ((doc_id % 2147483647) * 2654435761) % 2147483647 AS y

@@ -60,6 +60,38 @@ object TermIndex {
       .select(col("id"), col("word"), col("tfidf"), col("term_rank"))
   }
 
+  /** Vocabulary coverage curve — the Zipf head of the corpus: the top-k
+    * tokens by occurrence count with rank and the CUMULATIVE share of
+    * all token occurrences they cover (the "how big must the vocabulary
+    * be to cover 95% of the stream" question tokenizer training asks).
+    * Ties break on the token so the ranking is engine-reproducible.
+    *
+    * Plan: one explode scan, one token-keyed aggregate (map-side
+    * partial combine does the heavy lifting — a Zipfian stream collapses
+    * hard inside each task), then a distributed top-k
+    * (TakeOrderedAndProject, never a full sort), and only THEN a
+    * single-partition running-sum window — over exactly k rows, not the
+    * vocabulary. The total arrives via a 1-row broadcast cross join.
+    */
+  def vocabCoverage(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 50): DataFrame = {
+    val occ = occurrences(docs, textCol, idCol)
+    val counts = occ.groupBy(col("word")).agg(count(lit(1)).as("n_occ"))
+    val total = occ.agg(count(lit(1)).as("_total"))
+    val top = counts.orderBy(col("n_occ").desc, col("word")).limit(k)
+    val w = Window.orderBy(col("n_occ").desc, col("word"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top.crossJoin(broadcast(total))
+      .withColumn("token_rank", row_number().over(
+        Window.orderBy(col("n_occ").desc, col("word"))))
+      .withColumn("cum_share",
+        round(sum(col("n_occ")).over(w).cast("double") / col("_total"), 6))
+      .select(col("word"), col("n_occ"), col("token_rank"), col("cum_share"))
+  }
+
   /** Inverted index restricted to a document-frequency band: for each
     * term with minDf <= df <= maxDf, its df and the posting list of
     * document ids (sorted, comma-joined — a string so the artifact is

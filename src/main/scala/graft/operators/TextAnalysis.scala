@@ -216,6 +216,70 @@ object TextAnalysis {
           .otherwise("test"))
   }
 
+  /** CCNet-style line-level boilerplate removal: a line that appears in
+    * at least `minDocFreq` DISTINCT documents is boilerplate (nav bars,
+    * copyright footers, cookie banners — the lines a crawler sees on
+    * every page of a site) and is deleted from every document; unique
+    * body lines survive in their original order. Empty lines are
+    * dropped. Returns (idCol, clean_text).
+    *
+    * Scale shape: the line document-frequency aggregate is ONE shuffle
+    * with map-side partial aggregation (repeated boilerplate lines
+    * collapse inside each task before the exchange), and the surviving
+    * boilerplate set is SMALL BY CONSTRUCTION — at most
+    * total_lines / minDocFreq distinct values — so the anti-join that
+    * strips it broadcasts: the corpus-sized line table never shuffles
+    * for the join. Reassembly groups by document id with an
+    * array_sort(collect_list(struct(pos, line))) so line order is
+    * restored regardless of partitioning. Two shuffles total at any
+    * corpus size, both keyed, neither all-pairs.
+    */
+  def removeBoilerplateLines(docs: DataFrame, textCol: String, idCol: String,
+      minDocFreq: Long): DataFrame = {
+    require(minDocFreq > 1, "minDocFreq must be > 1 (1 would delete every line)")
+    val lines = docs
+      .select(col(idCol).as("_id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("_pos", "_raw")))
+      .select(col("_id"), col("_pos"), trim(col("_raw")).as("_line"))
+      .filter(length(col("_line")) > 0)
+    val boiler = lines
+      .groupBy(col("_line"))
+      .agg(countDistinct(col("_id")).as("_df"))
+      .filter(col("_df") >= minDocFreq)
+      .select(col("_line"))
+    lines
+      .join(broadcast(boiler), Seq("_line"), "left_anti")
+      .groupBy(col("_id"))
+      .agg(concat_ws("\n",
+        transform(array_sort(collect_list(struct(col("_pos"), col("_line")))),
+          x => x.getField("_line"))).as("clean_text"))
+      .withColumnRenamed("_id", idCol)
+  }
+
+  /** HTML-to-text extraction — the first stage of any web-crawl
+    * training pipeline: script/style/comment blocks deleted wholesale,
+    * remaining tags replaced by spaces (so `a</p><p>b` keeps its word
+    * boundary), the five core character entities decoded, whitespace
+    * collapsed. A pure regexp_replace chain: scan-speed, no shuffle,
+    * and every pattern is plain POSIX-ish syntax with non-greedy
+    * quantifiers that Java regex and RE2 interpret identically.
+    *
+    * `&amp;` is decoded LAST so a literal `&amp;lt;` in the source
+    * becomes `&lt;` (one decode, not a double-decode into `<`) — the
+    * standard single-pass entity-decode ordering.
+    */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?s)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+      "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (ent, ch)) => regexp_replace(c, ent, ch) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Content-defined document fingerprint: md5 of the
     * whitespace-normalized, lowercased text. Identical up to formatting
     * => identical fingerprint; groupBy(fingerprint) is the scalable

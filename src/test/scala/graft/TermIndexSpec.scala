@@ -69,4 +69,21 @@ class TermIndexSpec extends SparkSpec {
     assert(TextAnalysis.capDomains(df.repartition(7), "dom", "id", 50)
       .count() === kept.count())
   }
+
+  test("vocabCoverage: Zipf head ranks by count then token, shares accumulate") {
+    import spark.implicits._
+    // counts: aa=4, bb=2, cc=2, dd=1  (bb/cc tie -> alphabetical)
+    val docs = Seq(
+      (1L, "aa aa bb cc"),
+      (2L, "aa bb cc aa dd")).toDF("id", "text")
+    val got = TermIndex.vocabCoverage(docs, "text", "id", k = 3)
+      .orderBy("token_rank").collect()
+      .map(r => (r.getAs[String]("word"), r.getAs[Long]("n_occ"),
+        r.getAs[Int]("token_rank"), r.getAs[Double]("cum_share")))
+    assert(got.toSeq === Seq(
+      ("aa", 4L, 1, 4.0 / 9),
+      ("bb", 2L, 2, 6.0 / 9),
+      ("cc", 2L, 3, 8.0 / 9)).map(t =>
+        (t._1, t._2, t._3, math.rint(t._4 * 1e6) / 1e6)))
+  }
 }

@@ -185,4 +185,49 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rebuilt === (1 to 10).map(i => s"t$i").mkString(" "))
     assert(chunks.map(_.getAs[Long]("n_chunk_tokens")).toSeq === Seq(4L, 4L, 2L))
   }
+
+  test("removeBoilerplateLines: high-df lines vanish, body order survives") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "nav bar\nalpha one\nbeta two\ncopyright corp"),
+      (2L, "nav bar\ngamma three\ncopyright corp"),
+      (3L, "nav bar\ndelta four\n  \nepsilon five\ncopyright corp"),
+      (4L, "nav bar\nzeta six")).toDF("doc_id", "text")
+    val got = TextAnalysis.removeBoilerplateLines(docs, "text", "doc_id", 3L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("clean_text")))
+    // nav (df 4) and copyright (df 3) cross the threshold; empty lines
+    // drop; everything else keeps its original relative order.
+    assert(got.toSeq === Seq(
+      (1L, "alpha one\nbeta two"),
+      (2L, "gamma three"),
+      (3L, "delta four\nepsilon five"),
+      (4L, "zeta six")))
+  }
+
+  test("removeBoilerplateLines: df counts distinct docs, not occurrences") {
+    import spark.implicits._
+    // "echo" repeats 3x inside ONE doc: occurrence count 3 but df 1 —
+    // must survive a minDocFreq=3 threshold.
+    val docs = Seq(
+      (1L, "echo\necho\necho\nunique a"),
+      (2L, "unique b")).toDF("doc_id", "text")
+    val got = TextAnalysis.removeBoilerplateLines(docs, "text", "doc_id", 3L)
+      .orderBy("doc_id").collect().map(_.getAs[String]("clean_text"))
+    assert(got.toSeq === Seq("echo\necho\necho\nunique a", "unique b"))
+  }
+
+  test("htmlToText: structure stripped, entities decoded once, boundaries kept") {
+    import spark.implicits._
+    val html = "<html><head><style>p{x}</style></head><body>" +
+      "<p>a</p><p>b</p><script>if (x &lt; 2) alert('hi')</script>" +
+      "<!-- note --><div>fish &amp;amp; chips &#39;n&#39; &quot;peas&quot;</div>" +
+      "</body></html>"
+    val got = Seq(html).toDF("h")
+      .select(TextAnalysis.htmlToText(col("h")).as("t")).head().getString(0)
+    // a/b keep their word boundary; script (with its entity-looking
+    // body) and the comment vanish wholesale; &amp;amp; decodes ONCE to
+    // &amp; — never double-decodes to a bare &.
+    assert(got === "a b fish &amp; chips 'n' \"peas\"")
+  }
 }
