@@ -1343,6 +1343,43 @@ object SparkEntry {
     TermIndex.vocabCoverage(t(s, d, "documents"), "text", "doc_id", k = 40)
       .orderBy(col("token_rank"))
 
+  /** Unigram-LM quality scoring ([[operators.TermIndex.unigramLogProbScore]]):
+    * every document scored by average negative log-likelihood under a
+    * corpus-trained top-2048 unigram model — the CCNet-style perplexity
+    * filter signal, self-trained so no external LM is needed.
+    */
+  private def unigramLm(s: SparkSession, d: String): DataFrame =
+    TermIndex.unigramLogProbScore(t(s, d, "documents"), "text", "doc_id",
+        vocabSize = 2048)
+      .orderBy(col("doc_id"))
+
+  /** URL-level dedup ([[operators.Dedup.keepBestPerKey]]): deterministic
+    * dirty URLs are synthesized with doc_id%97 page collisions across
+    * four style variants (tracking params, :443 port, trailing slash,
+    * host case) in BOTH engines; canonicalization must collapse the
+    * styles and the window must keep exactly the longest capture
+    * (ties: lowest doc_id) per canonical URL.
+    */
+  private def dedupUrl(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val page = pmod(id, lit(97))
+    val dirty = when(pmod(id, lit(4)) === 0,
+        concat(lit("HTTPS://Example.COM:443/page/"), page,
+          lit("?utm_source=crawl#frag")))
+      .when(pmod(id, lit(4)) === 1,
+        concat(lit("https://example.com/page/"), page, lit("/")))
+      .when(pmod(id, lit(4)) === 2,
+        concat(lit("https://example.com:443/page/"), page,
+          lit("?fbclid=x"), id))
+      .otherwise(concat(lit("https://Example.com/page/"), page))
+    val docs = t(s, d, "documents").select(col("doc_id"), col("n_chars"),
+      TextAnalysis.canonicalizeUrl(dirty).as("url_canon"))
+    Dedup.keepBestPerKey(docs, col("url_canon"),
+        Seq(col("n_chars").desc, col("doc_id")))
+      .select(col("url_canon"), col("doc_id"), col("n_chars"))
+      .orderBy(col("url_canon"))
+  }
+
   /** Small-file compaction capstone: write the table as 64 deliberately
     * tiny files, compact-and-cluster them by doc_id, and return the
     * read-back rows — the oracle checks ROW-LEVEL equality with the
@@ -2031,6 +2068,8 @@ object SparkEntry {
     "q_boilerplate" -> (boilerplateQ _),
     "q_html_extract" -> (htmlExtract _),
     "q_vocab_coverage" -> (vocabCoverageQ _),
+    "q_unigram_lm" -> (unigramLm _),
+    "q_dedup_url" -> (dedupUrl _),
     "q_sample_split" -> (sampleSplit _),
     "q_pack_sequences" -> (packSequences _),
     "q_curate_docs" -> (curateDocs _),
@@ -3402,6 +3441,57 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / t, 6)
         |    AS cum_share
         |FROM top, total ORDER BY token_rank""".stripMargin,
+    // Unigram LM: same top-2048 vocabulary (ties on the token), same
+    // unsmoothed MLE probabilities, OOV pooled into the leftover mass
+    // with a one-count floor; natural log in both engines.
+    "q_unigram_lm" ->
+      """WITH occ AS (SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(trim(lower(text)), '\s+'), w -> len(w) > 0)) AS word
+        |  FROM documents),
+        |counts AS (SELECT word, count(*) AS n FROM occ GROUP BY word),
+        |vocab AS (SELECT word, n FROM counts ORDER BY n DESC, word LIMIT 2048),
+        |tot AS (SELECT count(*) AS t FROM occ),
+        |oov AS (SELECT t, greatest(t - (SELECT CAST(sum(n) AS BIGINT) FROM vocab),
+        |    1) AS oov_mass FROM tot),
+        |scored AS (SELECT o.doc_id,
+        |    coalesce(ln(CAST(v.n AS DOUBLE) / x.t),
+        |             ln(CAST(x.oov_mass AS DOUBLE) / x.t)) AS lp
+        |  FROM occ o LEFT JOIN vocab v USING (word) CROSS JOIN oov x)
+        |SELECT doc_id, count(*) AS n_tokens, round(-avg(lp), 6) AS avg_nll
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // URL dedup: same dirty synthesis and canonical chain as
+    // q_url_canon (page collisions via doc_id%97), then the
+    // row_number-per-key argmax with the same total ordering.
+    "q_dedup_url" ->
+      """WITH dirty AS (SELECT doc_id, n_chars,
+        |    CASE WHEN doc_id % 4 = 0 THEN 'HTTPS://Example.COM:443/page/'
+        |           || (doc_id % 97) || '?utm_source=crawl#frag'
+        |         WHEN doc_id % 4 = 1 THEN 'https://example.com/page/'
+        |           || (doc_id % 97) || '/'
+        |         WHEN doc_id % 4 = 2 THEN 'https://example.com:443/page/'
+        |           || (doc_id % 97) || '?fbclid=x' || doc_id
+        |         ELSE 'https://Example.com/page/' || (doc_id % 97)
+        |    END AS url
+        |  FROM documents),
+        |c1 AS (SELECT doc_id, n_chars,
+        |    regexp_replace(lower(regexp_extract(url, '^((?i:https?)://[^/?#]+)', 1)),
+        |      ':(80|443)$', '') AS host,
+        |    regexp_extract(url, '^(?i:https?)://[^/?#]+(.*)$', 1) AS rest
+        |  FROM dirty),
+        |c2 AS (SELECT doc_id, n_chars, host,
+        |    regexp_replace(regexp_replace(rest, '#.*$', ''),
+        |      '[?&](utm_[a-z]+|fbclid)=[^&#]*', '', 'g') AS r
+        |  FROM c1),
+        |c3 AS (SELECT doc_id, n_chars, host,
+        |    regexp_replace(regexp_replace(r, '^([^?]*)&', '\1?'), '[?&]$', '') AS r
+        |  FROM c2),
+        |canon AS (SELECT doc_id, n_chars,
+        |    host || regexp_replace(r, '/$', '') AS url_canon FROM c3)
+        |SELECT url_canon, doc_id, n_chars FROM (
+        |  SELECT url_canon, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY url_canon
+        |      ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM canon) WHERE rk = 1 ORDER BY url_canon""".stripMargin,
     "q_sample_split" ->
       """WITH h AS (SELECT doc_id,
         |    ((doc_id % 2147483647) * 2654435761) % 2147483647 AS y

@@ -891,4 +891,29 @@ object Dedup {
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         col("x.cell").as("cell"), col("cosine"))
   }
+
+  /** Key-level dedup — keep the single best row per key under an
+    * explicit ordering (CommonCrawl-style URL dedup: many snapshots of
+    * the same canonical URL, keep the longest/freshest capture before
+    * any content-level dedup runs). `ordering` decides the winner
+    * (first column most significant); callers MUST make it total —
+    * include a unique tiebreaker column or winners are
+    * partition-order-dependent.
+    *
+    * Plan: one hash-partition window keyed on `key` — the group size is
+    * the per-key duplication factor (bounded: snapshots of one URL),
+    * never corpus-scale, and there is no global sort. This is the
+    * row_number-over-key idiom, the cheapest "argmax per group" Spark
+    * has: one shuffle, map-side nothing to combine, state = one row.
+    */
+  def keepBestPerKey(
+      df: DataFrame,
+      key: Column,
+      ordering: Seq[Column]): DataFrame = {
+    require(ordering.nonEmpty, "ordering must name at least one column")
+    val w = Window.partitionBy(key).orderBy(ordering: _*)
+    df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .drop("_rk")
+  }
 }

@@ -92,6 +92,56 @@ object TermIndex {
       .select(col("word"), col("n_occ"), col("token_rank"), col("cum_share"))
   }
 
+  /** Unigram language-model quality scoring — the CCNet-style filter
+    * signal: train a unigram LM on the corpus itself (top-`vocabSize`
+    * tokens by occurrence count, ties on the token; everything else
+    * pools into one OOV bucket whose mass is the leftover count), then
+    * score every document by its average negative log-likelihood under
+    * that model. Natural-sounding text full of common tokens scores
+    * low; gibberish, boilerplate codes, and rare-token soup score high
+    * — sort descending and the junk floats to the top, which is exactly
+    * how perplexity filtering curates a crawl.
+    *
+    * Probabilities are unsmoothed corpus MLE (p = n/T, OOV = mass/T
+    * with a floor of one count so the expression is total) — every
+    * token's probability is positive by construction since the model is
+    * trained on the very stream it scores.
+    *
+    * Plan: one explode scan; one word-keyed count aggregate (map-side
+    * combine collapses the Zipf head in-task); the vocabulary is
+    * top-V by construction — BOUNDED, so it broadcasts and the
+    * corpus-sized occurrence stream is scored with a broadcast
+    * left-join + coalesce, never shuffled on the word; the final
+    * per-document average shuffles once on the document id. Totals and
+    * OOV mass arrive via a 1-row broadcast cross join.
+    */
+  def unigramLogProbScore(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      vocabSize: Int = 4096): DataFrame = {
+    val occ = occurrences(docs, textCol, idCol)
+    val counts = occ.groupBy(col("word")).agg(count(lit(1)).as("_n"))
+    val vocab = counts.orderBy(col("_n").desc, col("word")).limit(vocabSize)
+    val totals = occ.agg(count(lit(1)).as("_t"))
+      .crossJoin(broadcast(vocab.agg(sum(col("_n")).as("_inv"))))
+      .select(col("_t"),
+        greatest(col("_t") - coalesce(col("_inv"), lit(0L)), lit(1L))
+          .as("_oov_mass"))
+    occ
+      .join(broadcast(vocab), Seq("word"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("id"),
+        coalesce(
+          log(col("_n").cast("double") / col("_t").cast("double")),
+          log(col("_oov_mass").cast("double") / col("_t").cast("double")))
+          .as("_lp"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(-avg(col("_lp")), 6).as("avg_nll"))
+      .withColumnRenamed("id", idCol)
+  }
+
   /** Inverted index restricted to a document-frequency band: for each
     * term with minDf <= df <= maxDf, its df and the posting list of
     * document ids (sorted, comma-joined — a string so the artifact is

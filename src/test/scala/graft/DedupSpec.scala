@@ -341,4 +341,29 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     assert(pairs === Set((1L, 2L)))
   }
+
+  test("keepBestPerKey: argmax per key under the given total ordering") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      ("u1", 10L, 100L), // u1: longest wins
+      ("u1", 11L, 300L),
+      ("u1", 12L, 300L), // tie on length -> lowest id wins
+      ("u2", 20L, 50L)   // singleton key passes through
+    ).toDF("url", "id", "len")
+    val got = Dedup.keepBestPerKey(df, col("url"),
+        Seq(col("len").desc, col("id")))
+      .orderBy("url").collect()
+      .map(r => (r.getAs[String]("url"), r.getAs[Long]("id")))
+    assert(got.toSeq === Seq(("u1", 11L), ("u2", 20L)))
+    // Repartition-stable: the ordering is total, so winners don't
+    // depend on physical layout.
+    val re = Dedup.keepBestPerKey(df.repartition(5), col("url"),
+        Seq(col("len").desc, col("id")))
+      .orderBy("url").collect().map(_.getAs[Long]("id"))
+    assert(re.toSeq === Seq(11L, 20L))
+    intercept[IllegalArgumentException] {
+      Dedup.keepBestPerKey(df, col("url"), Seq.empty)
+    }
+  }
 }

@@ -86,4 +86,28 @@ class TermIndexSpec extends SparkSpec {
       ("cc", 2L, 3, 8.0 / 9)).map(t =>
         (t._1, t._2, t._3, math.rint(t._4 * 1e6) / 1e6)))
   }
+
+  test("unigramLogProbScore: MLE probabilities, OOV pools leftover mass") {
+    import spark.implicits._
+    // tokens: a=5, b=3, c=1 -> T=9; vocab(top-2) = {a, b}; oov mass = 1.
+    val docs = Seq(
+      (1L, "a a b"),
+      (2L, "a c"),
+      (3L, "b b a a")).toDF("doc_id", "text")
+    val got = TermIndex.unigramLogProbScore(docs, "text", "doc_id",
+        vocabSize = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Double]("avg_nll")))
+    def nll(ps: Double*): Double =
+      math.rint(-ps.map(math.log).sum / ps.size * 1e6) / 1e6
+    val (pa, pb, poov) = (5.0 / 9, 3.0 / 9, 1.0 / 9)
+    assert(got.toSeq === Seq(
+      (1L, 3L, nll(pa, pa, pb)),
+      (2L, 2L, nll(pa, poov)), // 'c' is out of vocabulary
+      (3L, 4L, nll(pb, pb, pa, pa))))
+    // The rare-token doc scores strictly worse (higher NLL) than the
+    // common-token doc — the filter signal the operator exists for.
+    assert(got(1)._3 > got(2)._3)
+  }
 }

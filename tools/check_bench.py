@@ -11,10 +11,15 @@ wrapper lost its per-query map.
 
 Gates (nonzero exit on breach):
   1. zero per-query errors in the run;
-  2. analytic total (the "queries" map; "fixtures" reported separately)
-     within 2x of the 32.67 s round-1 anchor (BASELINE.md contract);
+  2. headline analytic total (the "queries" map; "extended" — round-8
+     variant/probe gates — and "fixtures" are timed and reported
+     separately) within 2x of the 32.67 s round-1 anchor (BASELINE.md
+     contract; the anchor is a data-scale analytic suite, which is what
+     the headline map holds);
   3. with a previous round's file: no single query above 2x its previous
-     time (hard fail); >1.3x is printed as a warning only — BASELINE.md
+     time (hard fail) — compared across the UNION of the headline and
+     extended maps, so moving a query to "extended" can never hide a
+     regression; >1.3x is printed as a warning only — BASELINE.md
      documents ~8% box variance, and sub-1.3x single-query deltas are
      noise at sf0.1.
 New queries (absent from prev) are listed, never failed — but a NEW
@@ -137,6 +142,7 @@ def main():
               " — host stall windows taint this run; re-measure idle")
 
     queries = cur.get("queries") or {}
+    extended = cur.get("extended") or {}
     # A summary-only capture has no per-query map but does carry the total.
     total = sum(queries.values()) if queries else float(cur.get("value", 0.0))
     nq = len(queries) if queries else cur.get("n_queries", 0)
@@ -145,11 +151,22 @@ def main():
     print(f"total: {total:.2f}s over {nq} queries = "
           f"{ratio:.2f}x of {ANCHOR_TOTAL_SEC}s anchor "
           f"(bound {TOTAL_BOUND}x) {status}")
+    if extended or "extended_total" in cur:
+        ext_total = (sum(extended.values()) if extended
+                     else float(cur.get("extended_total", 0.0)))
+        n_ext = len(extended) if extended else cur.get("n_extended", 0)
+        print(f"extended (variant/probe gates, timed but outside the "
+              f"headline): {ext_total:.2f}s over {n_ext} queries")
     if ratio > TOTAL_BOUND:
         failures.append(f"total {total:.2f}s breaches {TOTAL_BOUND}x anchor")
 
+    # Per-query comparisons run over headline + extended together: a
+    # query moved between maps keeps its regression history.
+    all_cur = dict(queries)
+    all_cur.update(extended)
     if prev is not None:
-        pq = prev.get("queries") or {}
+        pq = dict(prev.get("queries") or {})
+        pq.update(prev.get("extended") or {})
         if not pq:
             # r7 lesson: BENCH_r06's truncated tail lost its per-query
             # map and the 2x regression gate silently skipped (every
@@ -160,24 +177,24 @@ def main():
             print(msg)
             if strict:
                 failures.append("strict: previous per-query map unrecoverable")
-        new = sorted(set(queries) - set(pq))
+        new = sorted(set(all_cur) - set(pq))
         if new:
             print(f"new queries (no prior time): {', '.join(new)}")
-            pricey = [n for n in new if queries[n] > NEW_QUERY_BUDGET_SEC]
+            pricey = [n for n in new if all_cur[n] > NEW_QUERY_BUDGET_SEC]
             for n in pricey:
-                print(f"warn: NEW query {n} costs {queries[n]:.2f}s "
+                print(f"warn: NEW query {n} costs {all_cur[n]:.2f}s "
                       f"(> {NEW_QUERY_BUDGET_SEC:.1f}s first-round budget) — "
                       "justify or shrink its gated slice")
-        for name in sorted(set(queries) & set(pq)):
+        for name in sorted(set(all_cur) & set(pq)):
             if pq[name] <= 0:
                 continue
-            r = queries[name] / pq[name]
+            r = all_cur[name] / pq[name]
             if r > PER_QUERY_BOUND:
                 failures.append(
-                    f"{name}: {queries[name]:.2f}s = {r:.2f}x of previous "
+                    f"{name}: {all_cur[name]:.2f}s = {r:.2f}x of previous "
                     f"{pq[name]:.2f}s (bound {PER_QUERY_BOUND}x)")
             elif r > PER_QUERY_WARN:
-                print(f"warn: {name} {pq[name]:.2f}s -> {queries[name]:.2f}s "
+                print(f"warn: {name} {pq[name]:.2f}s -> {all_cur[name]:.2f}s "
                       f"({r:.2f}x)")
 
     if failures:
