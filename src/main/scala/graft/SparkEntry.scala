@@ -1498,6 +1498,36 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Temperature-based domain resampling
+    * ([[operators.TextAnalysis.temperatureResample]]): tau=0.5 mixture
+    * over the real `source` column with a 60%-of-corpus budget — the
+    * integer keep-rates derive from the corpus's own counts, the row
+    * filter is the RNG-free hash every sampler here uses.
+    */
+  private def temperatureSample(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.temperatureResample(
+        t(s, d, "documents").select(col("doc_id"), col("source")),
+        "source", "doc_id", tau = 0.5, budgetPct = 60)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+
+  /** Paragraph-level exact dedup under the gate
+    * ([[operators.TextAnalysis.dedupParagraphs]]): deterministic
+    * three-paragraph documents — a heavily shared intro (doc_id%41),
+    * the document body (itself exact-duplicated across some docs), a
+    * unique tail — synthesized identically in both engines; the first
+    * occurrence of every paragraph survives, later copies vanish,
+    * order is restored per document.
+    */
+  private def paraDedup(s: SparkSession, d: String): DataFrame = {
+    val multi = t(s, d, "documents").select(col("doc_id"),
+      concat(lit("shared intro "), pmod(col("doc_id"), lit(41)),
+        lit("\n\n"), col("text"),
+        lit("\n\nunique tail "), col("doc_id")).as("text"))
+    TextAnalysis.dedupParagraphs(multi, "text", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic train/valid/test split — multiplicative-hash bucket,
     * pure arithmetic (engine-reproducible, repartition-stable), the
     * standard shuffle-free way to split a 100 TB corpus.
@@ -2070,6 +2100,8 @@ object SparkEntry {
     "q_vocab_coverage" -> (vocabCoverageQ _),
     "q_unigram_lm" -> (unigramLm _),
     "q_dedup_url" -> (dedupUrl _),
+    "q_temperature_sample" -> (temperatureSample _),
+    "q_para_dedup" -> (paraDedup _),
     "q_sample_split" -> (sampleSplit _),
     "q_pack_sequences" -> (packSequences _),
     "q_curate_docs" -> (curateDocs _),
@@ -3492,6 +3524,42 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY url_canon
         |      ORDER BY n_chars DESC, doc_id) AS rk
         |  FROM canon) WHERE rk = 1 ORDER BY url_canon""".stripMargin,
+    // Temperature resampling: same tau=0.5 / 60%-budget arithmetic on
+    // the tiny domain table (floored to integer percent — the only
+    // doubles live there), same splitBucket hash per row.
+    "q_temperature_sample" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        |t AS (SELECT count(*) AS nt FROM documents),
+        |w AS (SELECT source, n, pow(CAST(n AS DOUBLE) / nt, 0.5) AS wt FROM c, t),
+        |s AS (SELECT sum(wt) AS wsum FROM w),
+        |r AS (SELECT source,
+        |    least(CAST(100 AS BIGINT), CAST(floor(
+        |      100.0 * ((nt * 60) // 100) * (wt / wsum) / n) AS BIGINT)) AS rate_pct
+        |  FROM w, s, t),
+        |h AS (SELECT doc_id, source,
+        |    ((doc_id % 2147483647) * 2654435761) % 2147483647 AS y
+        |  FROM documents)
+        |SELECT h.doc_id, h.source FROM h JOIN r USING (source)
+        |WHERE (h.y * h.y) % 2147483647 % 100 < r.rate_pct
+        |ORDER BY h.doc_id""".stripMargin,
+    // Paragraph dedup: same synthesis, md5-keyed first-occurrence
+    // window with the same (doc_id, pos) total order, order-restoring
+    // reassembly.
+    "q_para_dedup" ->
+      """WITH multi AS (SELECT doc_id,
+        |    'shared intro ' || (doc_id % 41) || chr(10) || chr(10) || text ||
+        |    chr(10) || chr(10) || 'unique tail ' || doc_id AS d
+        |  FROM documents),
+        |ls AS (SELECT doc_id, string_split(d, chr(10) || chr(10)) AS arr FROM multi),
+        |paras AS (SELECT doc_id, i AS pos, trim(arr[i]) AS para
+        |  FROM ls, UNNEST(range(1, len(arr) + 1)) AS t(i)
+        |  WHERE length(trim(arr[i])) > 0),
+        |firsts AS (SELECT doc_id, pos, para,
+        |    row_number() OVER (PARTITION BY md5(para)
+        |      ORDER BY doc_id, pos) AS rk
+        |  FROM paras)
+        |SELECT doc_id, string_agg(para, chr(10) || chr(10) ORDER BY pos) AS clean_text
+        |FROM firsts WHERE rk = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_sample_split" ->
       """WITH h AS (SELECT doc_id,
         |    ((doc_id % 2147483647) * 2654435761) % 2147483647 AS y

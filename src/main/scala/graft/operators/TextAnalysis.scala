@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data curation: language ID,
@@ -205,6 +206,50 @@ object TextAnalysis {
       .drop("_rate_pct")
   }
 
+  /** Temperature-based domain resampling — the multilingual-LM mixture
+    * move (sample domain d with probability proportional to p_d^tau,
+    * tau < 1 upweights the tail): given a row budget of `budgetPct`
+    * percent of the corpus, each domain's keep-rate is
+    * floor(100 * B * q_d / N_d) percent (capped at 100) with
+    * q_d = p_d^tau / sum(p^tau), realized per row by the same
+    * RNG-free [[splitBucket]] hash as every sampler here — the kept
+    * set is run- and partition-independent.
+    *
+    * tau = 1 is proportional sampling (every domain keeps ~budgetPct),
+    * tau -> 0 pushes toward uniform-over-domains; dominant domains can
+    * rate-cap at 100 so the realized total may undershoot the budget —
+    * that is the standard behavior (probability mass the head cannot
+    * absorb is not silently re-spread; callers iterate on tau).
+    *
+    * Shape: identical to [[capDomains]] — one tiny domain-count
+    * aggregate, the pow/normalize arithmetic on the domain-cardinality
+    * rate table (floored to integer percent so the only doubles live
+    * in the tiny table, never in the row-level compare), a broadcast
+    * join back, a scan-speed hash filter. Two scans, zero wide
+    * shuffles at any corpus size.
+    */
+  def temperatureResample(df: DataFrame, domainCol: String, idCol: String,
+      tau: Double, budgetPct: Int): DataFrame = {
+    require(tau > 0 && tau <= 1, "tau must be in (0, 1]")
+    require(budgetPct > 0 && budgetPct <= 100, "budgetPct must be in [1, 100]")
+    def idiv(a: Column, b: Column): Column = ((a - pmod(a, b)) / b).cast("long")
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("_n_dom"))
+    val total = df.agg(count(lit(1)).as("_n_total"))
+    val weighted = counts.crossJoin(broadcast(total))
+      .withColumn("_w",
+        pow(col("_n_dom").cast("double") / col("_n_total"), tau))
+    val wsum = weighted.agg(sum(col("_w")).as("_wsum"))
+    val rates = weighted.crossJoin(broadcast(wsum))
+      .withColumn("_budget", idiv(col("_n_total") * budgetPct.toLong, lit(100L)))
+      .withColumn("_rate_pct",
+        least(lit(100L), floor(lit(100.0) * col("_budget") *
+          (col("_w") / col("_wsum")) / col("_n_dom")).cast("long")))
+      .select(col(domainCol), col("_rate_pct"))
+    df.join(broadcast(rates), domainCol)
+      .filter(splitBucket(col(idCol)) < col("_rate_pct"))
+      .drop("_rate_pct")
+  }
+
   def withSplit(df: DataFrame, idCol: String,
       trainPct: Int = 80, validPct: Int = 10): DataFrame = {
     require(trainPct + validPct < 100, "train + valid must leave room for test")
@@ -253,6 +298,41 @@ object TextAnalysis {
       .agg(concat_ws("\n",
         transform(array_sort(collect_list(struct(col("_pos"), col("_line")))),
           x => x.getField("_line"))).as("clean_text"))
+      .withColumnRenamed("_id", idCol)
+  }
+
+  /** Paragraph-level exact dedup — the C4/MassiveText stage between
+    * URL dedup and document dedup: a paragraph appearing verbatim in
+    * many documents survives only at its FIRST occurrence (lowest
+    * (document id, position)); every later copy is deleted, and
+    * documents reassemble from their surviving paragraphs in original
+    * order. A document whose every paragraph was seen earlier
+    * disappears entirely — by construction it contains nothing the
+    * corpus doesn't already have.
+    *
+    * Scale shape: paragraphs key on md5(text) so the wide operations
+    * move 32-byte digests, not paragraph bodies; first-occurrence is
+    * one row_number window hash-partitioned on the digest (group size
+    * = per-paragraph duplication factor, never corpus-scale); and
+    * reassembly is the same order-restoring
+    * array_sort(collect_list(struct(pos, para))) aggregate as
+    * [[removeBoilerplateLines]]. Two keyed shuffles total.
+    */
+  def dedupParagraphs(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val paras = docs
+      .select(col(idCol).as("_id"),
+        posexplode(split(col(textCol), "\n\n")).as(Seq("_pos", "_raw")))
+      .select(col("_id"), col("_pos"), trim(col("_raw")).as("_para"))
+      .filter(length(col("_para")) > 0)
+    val w = Window.partitionBy(md5(col("_para")))
+      .orderBy(col("_id"), col("_pos"))
+    paras
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .groupBy(col("_id"))
+      .agg(concat_ws("\n\n",
+        transform(array_sort(collect_list(struct(col("_pos"), col("_para")))),
+          x => x.getField("_para"))).as("clean_text"))
       .withColumnRenamed("_id", idCol)
   }
 

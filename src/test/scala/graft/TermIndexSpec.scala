@@ -70,6 +70,44 @@ class TermIndexSpec extends SparkSpec {
       .count() === kept.count())
   }
 
+  test("temperatureResample: tau<1 upweights the tail domain") {
+    import spark.implicits._
+    // 90 'big' + 10 'small', tau=0.5, budget 50% (= 50 rows).
+    // p = (.9, .1); sqrt = (.948..., .316...); q = (.75, .25);
+    // rates: big floor(100*50*.75/90) = 41%, small floor(100*50*.25/10)
+    // = 100% (capped) — the tail keeps EVERYTHING, the head is cut,
+    // which is the whole point of temperature sampling.
+    val df = ((0L until 90L).map(i => (i, "big")) ++
+      (100L until 110L).map(i => (i, "small"))).toDF("id", "dom")
+    val kept = TextAnalysis.temperatureResample(df, "dom", "id",
+      tau = 0.5, budgetPct = 50)
+    val byDom = kept.groupBy("dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byDom("small") === 10L)
+    val expectedBig = (0L until 90L).count { i =>
+      val p = (1L << 31) - 1
+      val y = ((i % p) * 2654435761L) % p
+      (y * y) % p % 100 < 41
+    }
+    assert(byDom("big") === expectedBig.toLong)
+    // tau=1 is proportional: rate = floor(100*50*p_d/N_d) = 50% for
+    // EVERY domain — the tail loses its upweighting.
+    val prop = TextAnalysis.temperatureResample(df, "dom", "id",
+      tau = 1.0, budgetPct = 50)
+      .groupBy("dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def hashKept(ids: Seq[Long], rate: Long): Long = ids.count { i =>
+      val p = (1L << 31) - 1
+      val y = ((i % p) * 2654435761L) % p
+      (y * y) % p % 100 < rate
+    }.toLong
+    assert(prop("big") === hashKept(0L until 90L, 50))
+    assert(prop("small") === hashKept(100L until 110L, 50))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.temperatureResample(df, "dom", "id", 0.0, 50)
+    }
+  }
+
   test("vocabCoverage: Zipf head ranks by count then token, shares accumulate") {
     import spark.implicits._
     // counts: aa=4, bb=2, cc=2, dd=1  (bb/cc tie -> alphabetical)

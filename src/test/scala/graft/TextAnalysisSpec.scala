@@ -230,4 +230,31 @@ class TextAnalysisSpec extends SparkSpec {
     // &amp; — never double-decodes to a bare &.
     assert(got === "a b fish &amp; chips 'n' \"peas\"")
   }
+
+  test("dedupParagraphs: first occurrence survives, later copies vanish") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "shared para\n\nbody one"),
+      (2L, "shared para\n\nbody two\n\nshared para"), // dup twice over
+      (3L, "shared para")                             // nothing unique
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.dedupParagraphs(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("clean_text")))
+    // doc 1 keeps its copy (lowest (id, pos)); doc 2 loses BOTH copies
+    // (positions 0 and 2) but keeps its unique body in order; doc 3
+    // had nothing the corpus didn't already have — it disappears.
+    assert(got.toSeq === Seq(
+      (1L, "shared para\n\nbody one"),
+      (2L, "body two")))
+  }
+
+  test("dedupParagraphs: within-doc order restored across partitions") {
+    import spark.implicits._
+    val docs = Seq((1L, (0 until 8).map(i => s"para $i").mkString("\n\n")))
+      .toDF("doc_id", "text").repartition(5)
+    val got = TextAnalysis.dedupParagraphs(docs, "text", "doc_id")
+      .head().getAs[String]("clean_text")
+    assert(got === (0 until 8).map(i => s"para $i").mkString("\n\n"))
+  }
 }
