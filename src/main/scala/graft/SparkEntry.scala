@@ -1441,6 +1441,32 @@ object SparkEntry {
     */
   private lazy val semanticDir = s"$artifactRoot/semantic"
 
+  private lazy val outlierDir = s"$artifactRoot/outlier"
+
+  /** Embedding outlier scoring
+    * ([[operators.Similarity.centroidOutlierScores]]): k-means centroids
+    * train deterministically, BOTH raw and unit copies are dumped, and
+    * the oracle re-assigns + re-scores every vector from those dumped
+    * constants — the 32 most-outlying rows must match bit-for-bit.
+    */
+  private def embedOutlier(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, d, "embeddings")
+    val cs = IvfIndex.trainCentroids(emb, "embedding", "vec_id",
+      nlist = 8, iters = 3)
+    val cus = cs.map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      c.map(_ / n)
+    }
+    cs.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq, cus(i).toSeq) }
+      .toDF("cell", "centroid", "unit_centroid")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$outlierDir/centroids.parquet")
+    Similarity.centroidOutlierScores(emb, "embedding", "vec_id",
+        cs, cus, k = 32)
+      .orderBy(col("outlier_rank"))
+  }
+
   private def dedupSemantic(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val emb = t(s, d, "embeddings")
@@ -2107,6 +2133,7 @@ object SparkEntry {
     "q_curate_docs" -> (curateDocs _),
     "q_curate_neardup" -> (curateNeardup _),
     "q_dedup_semantic" -> (dedupSemantic _),
+    "q_embed_outlier" -> (embedOutlier _),
     "q_corpus_shards" -> (corpusShards _),
     "q_multimodal_bytes" -> (multimodalBytes _),
     "q_frame_sample" -> (frameSample _),
@@ -3614,6 +3641,29 @@ object SparkEntry {
          |${curateOracleCtes("kept")}
          |SELECT doc_id, fingerprint, lang_pred, quality_score, ws_tokens, bpeish_tokens
          |FROM q WHERE quality_score >= 0.7 ORDER BY doc_id""".stripMargin,
+    // Outlier scoring: re-assign and re-score from the DUMPED raw+unit
+    // centroids (bit-identical constants on both sides), same rounded
+    // cosine, same (cos, id) tiebreak, same k.
+    "q_embed_outlier" ->
+      s"""WITH cents AS (SELECT cell, CAST(centroid AS DOUBLE[]) AS c,
+         |        CAST(unit_centroid AS DOUBLE[]) AS cu
+         |      FROM read_parquet('$outlierDir/centroids.parquet/*.parquet')),
+         |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |u AS (SELECT vec_id, e,
+         |        list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS unit
+         |      FROM emb),
+         |assign AS (SELECT vec_id, unit,
+         |      (SELECT cell FROM cents
+         |       ORDER BY 2 * list_dot_product(cents.c, u.e) - list_dot_product(cents.c, cents.c) DESC, cell
+         |       LIMIT 1) AS cell
+         |      FROM u),
+         |scored AS (SELECT a.vec_id, a.cell,
+         |        round(list_dot_product(a.unit, ct.cu), 4) AS centroid_cos
+         |      FROM assign a JOIN cents ct ON ct.cell = a.cell),
+         |topk AS (SELECT * FROM scored ORDER BY centroid_cos, vec_id LIMIT 32)
+         |SELECT vec_id, cell, centroid_cos,
+         |  row_number() OVER (ORDER BY centroid_cos, vec_id) AS outlier_rank
+         |FROM topk ORDER BY outlier_rank""".stripMargin,
     "q_dedup_semantic" ->
       s"""WITH cents AS (SELECT cell, CAST(centroid AS DOUBLE[]) AS c
          |      FROM read_parquet('$semanticDir/centroids.parquet/*.parquet')),

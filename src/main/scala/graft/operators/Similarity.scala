@@ -222,4 +222,50 @@ object Similarity {
       threshold: Double,
       planes: Int = 8): DataFrame =
     Dedup.embeddingNearDup(embeddings, vecCol, idCol, threshold, planes)
+
+  /** Centroid-distance outlier scoring — the embedding-space data-pruning
+    * signal (the SemDedup/SSL-prototypes family): assign every vector to
+    * its nearest trained centroid (same squared-Euclidean argmin as the
+    * IVF index), score it by cosine to that centroid's unit vector, and
+    * return the k MOST OUTLYING rows (lowest cosine — far from every
+    * mode of the corpus: mislabeled junk, off-distribution content, or
+    * the long tail worth manual review).
+    *
+    * The cosine is rounded BEFORE ranking ([[bruteForceTopK]]'s
+    * reproducibility contract) and ties break on the id, so the k-row
+    * result is engine-exact. `unitCentroids` must be the normalized
+    * copies of `centroids` (callers persist both so an external checker
+    * scores with bit-identical constants).
+    *
+    * Plan shape: centroids are LITERALS (driver-broadcast by
+    * construction, nlist-bounded), so assignment + scoring is one
+    * scan-speed projection; the top-k is sort+limit =
+    * TakeOrderedAndProject (per-partition heaps, driver merge of
+    * k-row spills — never a global sort); the rank window runs over
+    * exactly k collected rows.
+    */
+  def centroidOutlierScores(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      centroids: Array[Array[Double]],
+      unitCentroids: Array[Array[Double]],
+      k: Int,
+      roundTo: Int = 4): DataFrame = {
+    require(centroids.nonEmpty && centroids.length == unitCentroids.length,
+      "centroids and unitCentroids must be parallel, non-empty arrays")
+    val unit = withUnitVector(df, vecCol)
+    val cosines = unitCentroids.map(cu =>
+      round(dot(col("_unit"), lit(cu)), roundTo))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("centroid_cos"), col(idCol))
+    unit
+      .withColumn("cell", IvfIndex.cellId(toDouble(col(vecCol)), centroids))
+      .withColumn("centroid_cos",
+        element_at(array(cosines.toIndexedSeq: _*), col("cell") + 1))
+      .select(col(idCol), col("cell"), col("centroid_cos"))
+      .orderBy(col("centroid_cos"), col(idCol))
+      .limit(k)
+      .withColumn("outlier_rank", row_number().over(w))
+  }
 }

@@ -89,4 +89,31 @@ class SimilaritySpec extends SparkSpec {
     assert((exact & quant).size >= 8,
       s"quantized recall@10 too low: ${(exact & quant).size}/10")
   }
+
+  test("centroidOutlierScores: off-mode vector ranks first, scores exact") {
+    import spark.implicits._
+    // Two tight modes on axes 0 and 1, one vector pointing at neither.
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.98f, 0.02f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (4L, Array(0.0f, 0.97f, 0.03f, 0.0f)),
+      (5L, Array(0.5f, 0.5f, 0.7f, 0.0f)) // far from both centroids
+    ).toDF("vec_id", "embedding")
+    val cs = Array(Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 1.0, 0.0, 0.0))
+    val got = Similarity.centroidOutlierScores(vecs, "embedding", "vec_id",
+        cs, cs, k = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"),
+        r.getAs[Double]("centroid_cos"), r.getAs[Int]("outlier_rank")))
+    assert(got.map(_._1).head === 5L, "the off-mode vector is rank 1")
+    assert(got.map(_._4).toSeq === Seq(1, 2, 3))
+    // Exact score: cos(v5, c0) with v5 assigned to cell 0 (0.5 dot on
+    // both raw centroids — argmax ties break to the LOWEST cell).
+    val v5 = Array(0.5, 0.5, 0.7, 0.0)
+    val n5 = math.sqrt(v5.map(x => x * x).sum)
+    val expected = math.rint(v5(0) / n5 * 1e4) / 1e4
+    assert(got.head._2 === 0)
+    assert(got.head._3 === expected)
+  }
 }
