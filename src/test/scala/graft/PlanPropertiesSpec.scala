@@ -119,4 +119,36 @@ class PlanPropertiesSpec extends SparkSpec {
     }
     assert(aggs.size === 1, s"expected one aggregate:\n${df.queryExecution.optimizedPlan}")
   }
+
+  test("unigram LM scores the corpus stream with broadcast joins only") {
+    val plan = planOf("q_unigram_lm")
+    // The bounded vocabulary and 1-row totals broadcast; the
+    // corpus-sized occurrence stream must never shuffle on the word.
+    assert(plan.contains("BroadcastHashJoin"), s"vocab not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"occurrence stream shuffled for a join:\n$plan")
+  }
+
+  test("temperature resampling joins the corpus against a broadcast rate table") {
+    val plan = planOf("q_temperature_sample")
+    assert(plan.contains("BroadcastHashJoin"), s"rates not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus shuffled for rates:\n$plan")
+  }
+
+  test("boilerplate strip is a broadcast anti-join, corpus lines never shuffle") {
+    val plan = planOf("q_boilerplate")
+    assert(plan.matches("(?s).*BroadcastHashJoin[^\\n]*LeftAnti.*"),
+      s"boilerplate set not a broadcast anti-join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"line table shuffled for the strip:\n$plan")
+  }
+
+  test("URL dedup windows on the canonical key, no join anywhere") {
+    val df = SparkEntry.queries("q_dedup_url")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("row_number()"), s"argmax window missing:\n$plan")
+    assert(plan.matches("(?s).*hashpartitioning\\(url_canon.*"),
+      s"window not keyed on the canonical URL:\n$plan")
+    assert(!plan.contains("Join"), s"unexpected join:\n$plan")
+  }
 }
