@@ -1554,6 +1554,21 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Distribution drift ([[operators.Profiling.distributionDrift]]):
+    * PSI per n_chars bucket between the even- and odd-doc_id halves of
+    * the corpus — two deterministic "snapshots" with the same
+    * generating process, so the per-bucket terms are small but nonzero
+    * and fully checkable.
+    */
+  private def driftPsi(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    Profiling.distributionDrift(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+        "n_chars", bucketWidth = 200L)
+      .orderBy(col("bucket"))
+  }
+
   /** Deterministic train/valid/test split — multiplicative-hash bucket,
     * pure arithmetic (engine-reproducible, repartition-stable), the
     * standard shuffle-free way to split a 100 TB corpus.
@@ -2128,6 +2143,7 @@ object SparkEntry {
     "q_dedup_url" -> (dedupUrl _),
     "q_temperature_sample" -> (temperatureSample _),
     "q_para_dedup" -> (paraDedup _),
+    "q_drift_psi" -> (driftPsi _),
     "q_sample_split" -> (sampleSplit _),
     "q_pack_sequences" -> (packSequences _),
     "q_curate_docs" -> (curateDocs _),
@@ -3551,6 +3567,25 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY url_canon
         |      ORDER BY n_chars DESC, doc_id) AS rk
         |  FROM canon) WHERE rk = 1 ORDER BY url_canon""".stripMargin,
+    // PSI drift: same fixed-width integer bucketing, same epsilon
+    // clamp, same per-bucket (p-q)ln(p/q) terms.
+    "q_drift_psi" ->
+      """WITH b AS (SELECT n_chars // 200 AS bucket, count(*) AS n_base
+        |  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+        |c AS (SELECT n_chars // 200 AS bucket, count(*) AS n_cur
+        |  FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+        |t AS (SELECT
+        |    (SELECT count(*) FROM documents WHERE doc_id % 2 = 0) AS tb,
+        |    (SELECT count(*) FROM documents WHERE doc_id % 2 = 1) AS tc),
+        |j AS (SELECT coalesce(b.bucket, c.bucket) AS bucket,
+        |    coalesce(n_base, 0) AS n_base, coalesce(n_cur, 0) AS n_cur
+        |  FROM b FULL JOIN c ON b.bucket = c.bucket)
+        |SELECT bucket, n_base, n_cur,
+        |  round((greatest(CAST(n_base AS DOUBLE) / tb, 1e-6)
+        |       - greatest(CAST(n_cur AS DOUBLE) / tc, 1e-6)) *
+        |    ln(greatest(CAST(n_base AS DOUBLE) / tb, 1e-6)
+        |     / greatest(CAST(n_cur AS DOUBLE) / tc, 1e-6)), 6) AS psi_term
+        |FROM j, t ORDER BY bucket""".stripMargin,
     // Temperature resampling: same tau=0.5 / 60%-budget arithmetic on
     // the tiny domain table (floored to integer percent — the only
     // doubles live there), same splitBucket hash per row.

@@ -61,4 +61,51 @@ object Profiling {
     }
     one.select(explode(array(rows: _*)).as("_p")).select(col("_p.*"))
   }
+
+  /** Population-stability drift between two snapshots of the same
+    * table — the monitoring counterpart of [[SnapshotDiff]] (which
+    * answers "which rows changed"; this answers "did the DISTRIBUTION
+    * move", the signal that a crawler config change or upstream schema
+    * slip silently shifted the corpus). `valueCol` is bucketed at
+    * fixed `bucketWidth` (integer floor-div — engine-exact, no
+    * quantile estimation), each side's bucket shares are compared, and
+    * every bucket reports its PSI contribution
+    * (p - q) * ln(p / q) with both shares clamped at `epsilon` so
+    * one-sided buckets stay finite (the standard PSI treatment). Sum
+    * the column for the headline index: < 0.1 stable, > 0.25 drifted
+    * by the usual credit-scoring convention.
+    *
+    * Scale shape: one keyed aggregate per snapshot (map-side combine;
+    * bucket domain = value range / width, bounded), a full-outer
+    * equi-join of two bucket-cardinality tables, 1-row totals arrive
+    * by broadcast cross join. Neither corpus is ever joined or
+    * shuffled row-wise.
+    */
+  def distributionDrift(
+      base: DataFrame,
+      current: DataFrame,
+      valueCol: String,
+      bucketWidth: Long,
+      epsilon: Double = 1e-6,
+      roundTo: Int = 6): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def buckets(df: DataFrame, n: String): DataFrame = {
+      val v = col(valueCol).cast("long")
+      val b = ((v - pmod(v, lit(bucketWidth))) / bucketWidth).cast("long")
+      df.select(b.as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as(n))
+    }
+    val b = buckets(base, "n_base")
+    val c = buckets(current, "n_cur")
+    val totals = base.agg(count(lit(1)).as("_tb"))
+      .crossJoin(current.agg(count(lit(1)).as("_tc")))
+    val eps = lit(epsilon)
+    val p = greatest(col("n_base").cast("double") / col("_tb"), eps)
+    val q = greatest(col("n_cur").cast("double") / col("_tc"), eps)
+    b.join(c, Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("n_base", "n_cur"))
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"), col("n_base"), col("n_cur"),
+        round((p - q) * log(p / q), roundTo).as("psi_term"))
+  }
 }

@@ -65,4 +65,25 @@ class ProfilingSpec extends SparkSpec {
     assert(h.head.getAs[Long]("bucket_id") === 0L)
     assert(h.head.getAs[Long]("n") === 3L)
   }
+
+  test("distributionDrift: hand-computed PSI terms, one-sided bucket clamps") {
+    import spark.implicits._
+    // base: bucket0 x3, bucket1 x1; current: bucket0 x2, bucket2 x2.
+    val base = Seq(5L, 8L, 9L, 15L).toDF("v")
+    val cur = Seq(3L, 7L, 25L, 27L).toDF("v")
+    val got = Profiling.distributionDrift(base, cur, "v", bucketWidth = 10L)
+      .orderBy("bucket").collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("n_base"),
+        r.getAs[Long]("n_cur"), r.getAs[Double]("psi_term")))
+    def term(p: Double, q: Double): Double = {
+      val (pp, qq) = (math.max(p, 1e-6), math.max(q, 1e-6))
+      math.rint((pp - qq) * math.log(pp / qq) * 1e6) / 1e6
+    }
+    assert(got.toSeq === Seq(
+      (0L, 3L, 2L, term(0.75, 0.5)),
+      (1L, 1L, 0L, term(0.25, 0.0)), // current side missing -> epsilon
+      (2L, 0L, 2L, term(0.0, 0.5)))) // base side missing -> epsilon
+    // PSI is symmetric-positive: every term is >= 0 by construction.
+    assert(got.forall(_._4 >= 0.0))
+  }
 }
