@@ -1554,6 +1554,17 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-group z-score normalization ([[operators.StatMoments.zscore]]):
+    * document length normalized within each source stratum, from the
+    * same exact-decimal power sums as q_stats_moments.
+    */
+  private def zscoreNorm(s: SparkSession, d: String): DataFrame =
+    StatMoments.zscore(
+        t(s, d, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+        "source", "n_chars")
+      .select(col("doc_id"), col("source"), col("n_chars"), col("zscore"))
+      .orderBy(col("doc_id"))
+
   /** Distribution drift ([[operators.Profiling.distributionDrift]]):
     * PSI per n_chars bucket between the even- and odd-doc_id halves of
     * the corpus — two deterministic "snapshots" with the same
@@ -2144,6 +2155,7 @@ object SparkEntry {
     "q_temperature_sample" -> (temperatureSample _),
     "q_para_dedup" -> (paraDedup _),
     "q_drift_psi" -> (driftPsi _),
+    "q_zscore_norm" -> (zscoreNorm _),
     "q_sample_split" -> (sampleSplit _),
     "q_pack_sequences" -> (packSequences _),
     "q_curate_docs" -> (curateDocs _),
@@ -3567,6 +3579,24 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY url_canon
         |      ORDER BY n_chars DESC, doc_id) AS rk
         |  FROM canon) WHERE rk = 1 ORDER BY url_canon""".stripMargin,
+    // Z-score: same exact-decimal power sums, same double formula
+    // operation-for-operation, same n<2 / zero-variance guard.
+    "q_zscore_norm" ->
+      """WITH sums AS (SELECT source, count(*) AS n_rows,
+        |        sum(CAST(n_chars AS DECIMAL(18,2))) AS sx,
+        |        sum(CAST(n_chars AS DECIMAL(18,2)) * CAST(n_chars AS DECIMAL(18,2))) AS sxx
+        |      FROM documents GROUP BY source),
+        |st AS (SELECT source,
+        |        CAST(sx AS DOUBLE) / CAST(n_rows AS DOUBLE) AS m,
+        |        sqrt((CAST(n_rows AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |             / (CAST(n_rows AS DOUBLE) * (CAST(n_rows AS DOUBLE) - 1.0))) AS sd
+        |      FROM sums)
+        |SELECT doc_id, d.source, n_chars,
+        |  CASE WHEN sd > 0 THEN round((CAST(n_chars AS DOUBLE) - m) / sd, 6)
+        |       ELSE 0.0 END AS zscore
+        |FROM documents d JOIN st ON st.source = d.source
+        |ORDER BY doc_id""".stripMargin,
     // PSI drift: same fixed-width integer bucketing, same epsilon
     // clamp, same per-bucket (p-q)ln(p/q) terms.
     "q_drift_psi" ->

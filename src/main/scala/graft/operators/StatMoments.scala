@@ -68,4 +68,45 @@ object StatMoments {
       slope.as("regr_slope"),
       (sy / n - slope * (sx / n)).as("regr_intercept")): _*)
   }
+
+  /** Per-group z-score normalization — the feature-scaling pass an ML
+    * pipeline runs before training on heterogeneous strata (normalize
+    * document length within each source, value within each event type,
+    * ...). Group mean and sample stddev come from the same exact
+    * decimal power sums as [[moments]] (order-insensitive => any engine
+    * reproduces the doubles bit-for-bit), then the scores are rounded.
+    * A group too small or too uniform for a stddev (n < 2 or zero
+    * variance) scores 0.0 — documented, not NaN.
+    *
+    * Plan: one map-side-combinable aggregate produces the
+    * group-cardinality stats table, which joins back BROADCAST — the
+    * corpus is scanned twice and shuffled never.
+    */
+  def zscore(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      roundTo: Int = 6): DataFrame = {
+    val xd = col(valueCol).cast(D)
+    val stats = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("_n"),
+      sum(xd).as("_sx"), sum(xd * xd).as("_sxx"))
+    val n = col("_n").cast(DoubleType)
+    val sx = col("_sx").cast(DoubleType)
+    val sxx = col("_sxx").cast(DoubleType)
+    val cxx = n * sxx - sx * sx
+    // The n >= 2 guard keeps ANSI arithmetic from evaluating the
+    // divide-by-zero branch for singleton groups.
+    val enriched = stats.select(col(groupCol),
+      (sx / n).as("_mean"),
+      when(col("_n") >= 2, sqrt(cxx / (n * (n - lit(1.0)))))
+        .otherwise(lit(0.0)).as("_sd"))
+    df.join(broadcast(enriched), groupCol)
+      .withColumn("zscore",
+        when(col("_sd") > 0,
+          round((col(valueCol).cast(DoubleType) - col("_mean")) / col("_sd"),
+            roundTo))
+          .otherwise(lit(0.0)))
+      .drop("_mean", "_sd")
+  }
 }

@@ -57,4 +57,25 @@ class StatMomentsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("regr_intercept") - 2.0) < 1e-9)
     assert(r.getAs[Long]("n_rows") === 50L)
   }
+
+  test("zscore: hand-computed per group, degenerate groups score 0.0") {
+    import spark.implicits._
+    // group a: values 10, 20, 30 -> mean 20, sample sd 10.
+    // group b: singleton (n < 2); group c: constant (zero variance).
+    val df = Seq(
+      ("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 30L),
+      ("b", 4L, 7L),
+      ("c", 5L, 9L), ("c", 6L, 9L)
+    ).toDF("g", "id", "v")
+    val got = StatMoments.zscore(df, "g", "v")
+      .orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Double]("zscore")))
+    assert(got.toSeq === Seq(
+      (1L, -1.0), (2L, 0.0), (3L, 1.0),
+      (4L, 0.0), (5L, 0.0), (6L, 0.0)))
+    // Partition-order stable: exact decimal sums, not streaming moments.
+    val re = StatMoments.zscore(df.repartition(4), "g", "v")
+      .orderBy("id").collect().map(_.getAs[Double]("zscore"))
+    assert(re.toSeq === got.map(_._2).toSeq)
+  }
 }
