@@ -80,7 +80,8 @@ object Bench {
     "q_transform_boolean", "q_filter_active_user", "q_html_extract",
     "q_boilerplate", "q_text_scrub", "q_url_canon", "q_merge_upsert",
     "q_full_update_deactivate", "q_ingest_stats", "q_json_scan",
-    "q_schema_evolution", "q_orc_roundtrip", "q_dedup_url", "q_para_dedup")
+    "q_schema_evolution", "q_orc_roundtrip", "q_dedup_url", "q_para_dedup",
+    "q_domain_authority")
 
   private def force(df: DataFrame): Unit = {
     val cols = df.columns.map(col).toSeq

@@ -1554,6 +1554,24 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Domain authority ([[operators.LinkGraph.pageRank]]): 10 fixed
+    * PageRank iterations over a deterministic 97-host link graph
+    * (every host links to (3h+1)%97 and (7h+2)%97 — outdegree 2
+    * everywhere, 3h+1 is a bijection mod 97 so no node is sink-only
+    * and no mass leaks). The oracle unrolls the same 10 iterations
+    * with operation-for-operation identical IEEE arithmetic.
+    */
+  private def domainAuthority(s: SparkSession, d: String): DataFrame = {
+    val hosts = t(s, d, "documents")
+      .select(pmod(col("doc_id"), lit(97)).as("src")).distinct()
+    val edges = hosts
+      .select(col("src"), pmod(col("src") * 3 + 1, lit(97)).as("dst"))
+      .unionAll(hosts
+        .select(col("src"), pmod(col("src") * 7 + 2, lit(97)).as("dst")))
+    LinkGraph.pageRank(edges, "src", "dst", iters = 10)
+      .orderBy(col("node"))
+  }
+
   /** Per-group z-score normalization ([[operators.StatMoments.zscore]]):
     * document length normalized within each source stratum, from the
     * same exact-decimal power sums as q_stats_moments.
@@ -2156,6 +2174,7 @@ object SparkEntry {
     "q_para_dedup" -> (paraDedup _),
     "q_drift_psi" -> (driftPsi _),
     "q_zscore_norm" -> (zscoreNorm _),
+    "q_domain_authority" -> (domainAuthority _),
     "q_sample_split" -> (sampleSplit _),
     "q_pack_sequences" -> (packSequences _),
     "q_curate_docs" -> (curateDocs _),
@@ -2210,6 +2229,36 @@ object SparkEntry {
        |      (sqrt(list_dot_product(e, e)) * (SELECT sqrt(list_dot_product(e, e)) FROM q)), 4) AS cosine
        |  FROM b WHERE $hit)
        |SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+  }
+
+  /** Oracle for q_domain_authority: the 10 PageRank iterations UNROLLED
+    * as chained CTEs (standard SQL forbids aggregation in a recursive
+    * term), every constant written with the same IEEE double operations
+    * the Spark plan performs — (1.0-0.85)/n as a subtraction THEN a
+    * division, 0.85 cast to double before the multiply — so fixed-
+    * iteration ranks agree to the rounding digit.
+    */
+  private def pageRankOracleSql: String = {
+    val iters = 10
+    val base =
+      """WITH hosts AS (SELECT DISTINCT doc_id % 97 AS src FROM documents),
+        |edges AS (SELECT src, (src * 3 + 1) % 97 AS dst FROM hosts
+        |          UNION ALL SELECT src, (src * 7 + 2) % 97 FROM hosts),
+        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |outdeg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg
+        |           FROM edges GROUP BY src),
+        |p0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank
+        |       FROM nodes)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""p$i AS (SELECT e.dst AS node,
+         |  (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+         |    + CAST(0.85 AS DOUBLE) * sum(p.rank / o.deg) AS rank
+         |  FROM edges e JOIN p${i - 1} p ON p.node = e.src
+         |  JOIN outdeg o ON o.src = e.src GROUP BY e.dst)""".stripMargin
+    }
+    (Seq(base) ++ steps).mkString(",\n") +
+      s"\nSELECT node, round(rank, 6) AS rank FROM p$iters ORDER BY node"
   }
 
   /** DuckDB ASOF JOIN oracle shared by `q_asof_join` (window
@@ -3579,6 +3628,7 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY url_canon
         |      ORDER BY n_chars DESC, doc_id) AS rk
         |  FROM canon) WHERE rk = 1 ORDER BY url_canon""".stripMargin,
+    "q_domain_authority" -> pageRankOracleSql,
     // Z-score: same exact-decimal power sums, same double formula
     // operation-for-operation, same n<2 / zero-variance guard.
     "q_zscore_norm" ->

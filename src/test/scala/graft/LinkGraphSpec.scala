@@ -1,0 +1,41 @@
+package graft
+
+import graft.operators.LinkGraph
+import org.apache.spark.sql.functions.col
+
+/** PageRank fixed points and orderings on hand-analyzable graphs. */
+class LinkGraphSpec extends SparkSpec {
+
+  test("ring graph is a fixed point: every rank stays exactly 1/N") {
+    import spark.implicits._
+    val ring = (0L until 5L).map(i => (i, (i + 1) % 5)).toDF("src", "dst")
+    val pr = LinkGraph.pageRank(ring, "src", "dst", iters = 7)
+      .orderBy("node").collect().map(_.getAs[Double]("rank"))
+    assert(pr.toSeq === Seq.fill(5)(0.2))
+  }
+
+  test("hub collecting all links outranks the leaves; mass is conserved") {
+    import spark.implicits._
+    // 0 <-> each of 1..4: node 0 has inlinks from everyone.
+    val edges = ((1L to 4L).map(i => (i, 0L)) ++ (1L to 4L).map(i => (0L, i)))
+      .toDF("src", "dst")
+    val pr = LinkGraph.pageRank(edges, "src", "dst", iters = 12)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Double]("rank")).toMap
+    assert((1L to 4L).forall(i => pr(0L) > pr(i)), s"hub not top: $pr")
+    // outdegree >= 1 everywhere -> the ranks form a distribution.
+    assert(math.abs(pr.values.sum - 1.0) < 1e-4, s"mass leaked: ${pr.values.sum}")
+    // symmetric leaves tie exactly
+    assert((2L to 4L).forall(i => pr(i) == pr(1L)))
+  }
+
+  test("parameter validation") {
+    import spark.implicits._
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      LinkGraph.pageRank(e, "src", "dst", iters = 0)
+    }
+    intercept[IllegalArgumentException] {
+      LinkGraph.pageRank(e, "src", "dst", damping = 1.0)
+    }
+  }
+}
