@@ -1554,6 +1554,34 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  private lazy val hllShardsDir = s"$artifactRoot/hllshards"
+
+  /** Cross-shard distinct counting via mergeable DataSketches HLL
+    * sketches — THE 100 TB distinct-count pattern: each shard (here
+    * l_returnflag) reduces to a kilobyte `hll_sketch_agg` state, shard
+    * sketches merge with `hll_union_agg` into a corpus-wide estimate,
+    * and no row is ever re-shuffled to count the union. Estimates are
+    * deterministic (bucket-max updates are order-insensitive), so the
+    * dumped values are stable; the oracle emits each one only when it
+    * lands within 3x the lgK=12 relative standard error (1.04/sqrt(2^12)
+    * ~ 1.6%) of the exact count — the [[approxDistinct]] envelope
+    * technique applied to sketch ALGEBRA, not just one sketch.
+    */
+  private def distinctShards(s: SparkSession, d: String): DataFrame = {
+    val shards = t(s, d, "lineitem")
+      .groupBy(col("l_returnflag").cast(StringType).as("scope"))
+      .agg(expr("hll_sketch_agg(l_orderkey, 12)").as("sk"))
+    val per = shards.select(col("scope"),
+      expr("hll_sketch_estimate(sk)").as("estimate"))
+    val all = shards.agg(expr("hll_union_agg(sk, true)").as("sk"))
+      .select(lit("ALL").as("scope"),
+        expr("hll_sketch_estimate(sk)").as("estimate"))
+    per.unionAll(all)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$hllShardsDir/result.parquet")
+    s.read.parquet(s"$hllShardsDir/result.parquet").orderBy(col("scope"))
+  }
+
   /** Domain authority ([[operators.LinkGraph.pageRank]]): 10 fixed
     * PageRank iterations over a deterministic 97-host link graph
     * (every host links to (3h+1)%97 and (7h+2)%97 — outdegree 2
@@ -2175,6 +2203,7 @@ object SparkEntry {
     "q_drift_psi" -> (driftPsi _),
     "q_zscore_norm" -> (zscoreNorm _),
     "q_domain_authority" -> (domainAuthority _),
+    "q_distinct_shards" -> (distinctShards _),
     "q_sample_split" -> (sampleSplit _),
     "q_pack_sequences" -> (packSequences _),
     "q_curate_docs" -> (curateDocs _),
@@ -3629,6 +3658,22 @@ object SparkEntry {
         |      ORDER BY n_chars DESC, doc_id) AS rk
         |  FROM canon) WHERE rk = 1 ORDER BY url_canon""".stripMargin,
     "q_domain_authority" -> pageRankOracleSql,
+    // Sketch-union distinct counts: DuckDB recomputes the EXACT distinct
+    // count per scope and emits a dumped estimate only when it lands
+    // inside 3x the lgK=12 relative standard error (~5%). An estimate
+    // outside the envelope drops the row -> row-count mismatch -> red.
+    "q_distinct_shards" ->
+      s"""WITH dumped AS (SELECT * FROM
+         |    read_parquet('$hllShardsDir/result.parquet/*.parquet')),
+         |exact AS (SELECT CAST(l_returnflag AS VARCHAR) AS scope,
+         |        count(DISTINCT l_orderkey) AS n
+         |      FROM lineitem GROUP BY 1
+         |      UNION ALL
+         |      SELECT 'ALL', count(DISTINCT l_orderkey) FROM lineitem)
+         |SELECT d.scope, d.estimate
+         |FROM dumped d JOIN exact e ON e.scope = d.scope
+         |WHERE abs(CAST(d.estimate AS DOUBLE) - n) <= 0.05 * n
+         |ORDER BY d.scope""".stripMargin,
     // Z-score: same exact-decimal power sums, same double formula
     // operation-for-operation, same n<2 / zero-variance guard.
     "q_zscore_norm" ->
