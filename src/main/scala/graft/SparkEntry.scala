@@ -1611,6 +1611,18 @@ object SparkEntry {
       .select(col("doc_id"), col("source"), col("n_chars"), col("zscore"))
       .orderBy(col("doc_id"))
 
+  /** Length-weighted importance sampling
+    * ([[operators.TextAnalysis.weightedSample]]): keep probability
+    * proportional to n_chars with a 200-row expected budget — all-long
+    * arithmetic, bit-reproducible in any engine.
+    */
+  private def weightedSampleQ(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.weightedSample(
+        t(s, d, "documents").select(col("doc_id"), col("n_chars")),
+        col("doc_id"), col("n_chars"), budgetRows = 200L)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
   /** Distribution drift ([[operators.Profiling.distributionDrift]]):
     * PSI per n_chars bucket between the even- and odd-doc_id halves of
     * the corpus — two deterministic "snapshots" with the same
@@ -2204,6 +2216,7 @@ object SparkEntry {
     "q_zscore_norm" -> (zscoreNorm _),
     "q_domain_authority" -> (domainAuthority _),
     "q_distinct_shards" -> (distinctShards _),
+    "q_weighted_sample" -> (weightedSampleQ _),
     "q_sample_split" -> (sampleSplit _),
     "q_pack_sequences" -> (packSequences _),
     "q_curate_docs" -> (curateDocs _),
@@ -3691,6 +3704,16 @@ object SparkEntry {
         |  CASE WHEN sd > 0 THEN round((CAST(n_chars AS DOUBLE) - m) / sd, 6)
         |       ELSE 0.0 END AS zscore
         |FROM documents d JOIN st ON st.source = d.source
+        |ORDER BY doc_id""".stripMargin,
+    // Weighted sampling: same all-long keep test, same 100k-granularity
+    // hash — h * sum(w) < B * w * 100000.
+    "q_weighted_sample" ->
+      """WITH t AS (SELECT sum(n_chars) AS wt FROM documents),
+        |h AS (SELECT doc_id, n_chars,
+        |    ((doc_id % 2147483647) * 2654435761) % 2147483647 AS y
+        |  FROM documents)
+        |SELECT doc_id, n_chars FROM h, t
+        |WHERE ((y * y) % 2147483647 % 100000) * wt < 200 * n_chars * 100000
         |ORDER BY doc_id""".stripMargin,
     // PSI drift: same fixed-width integer bucketing, same epsilon
     // clamp, same per-bucket (p-q)ln(p/q) terms.

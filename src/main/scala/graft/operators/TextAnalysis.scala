@@ -206,6 +206,39 @@ object TextAnalysis {
       .drop("_rate_pct")
   }
 
+  /** Weight-proportional Bernoulli sampling — importance sampling for
+    * curation (keep a document with probability proportional to its
+    * quality score, token count, or authority weight, targeting an
+    * expected budget of `budgetRows` rows) with NO floating point
+    * anywhere: the keep test is
+    *
+    *   hash100k(id) * sum(w) < budgetRows * w_i * 100000
+    *
+    * — pure long arithmetic, so the kept set is bit-reproducible on any
+    * engine, partitioning, or run (the same property every sampler here
+    * has). Rows whose scaled weight exceeds the budget share cap at
+    * p = 1 automatically (the right side then exceeds every possible
+    * left side). The expected sample size is budgetRows minus whatever
+    * mass the capped head cannot absorb — same convention as
+    * [[temperatureResample]].
+    *
+    * Weights must be non-negative integers (token counts, char counts,
+    * scaled scores); sum(w) rides a 1-row broadcast cross join, so the
+    * corpus is touched by one scan and a scan-speed filter.
+    */
+  def weightedSample(df: DataFrame, idCol: Column, weightCol: Column,
+      budgetRows: Long): DataFrame = {
+    require(budgetRows > 0, "budgetRows must be positive")
+    val p = lit((1L << 31) - 1)
+    val y = pmod(pmod(idCol.cast("long"), p) * lit(2654435761L), p)
+    val h = pmod(pmod(y * y, p), lit(100000L))
+    val total = df.agg(sum(weightCol.cast("long")).as("_w_total"))
+    df.crossJoin(broadcast(total))
+      .filter(h * col("_w_total") <
+        lit(budgetRows) * weightCol.cast("long") * lit(100000L))
+      .drop("_w_total")
+  }
+
   /** Temperature-based domain resampling — the multilingual-LM mixture
     * move (sample domain d with probability proportional to p_d^tau,
     * tau < 1 upweights the tail): given a row budget of `budgetPct`

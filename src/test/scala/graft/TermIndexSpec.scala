@@ -108,6 +108,32 @@ class TermIndexSpec extends SparkSpec {
     }
   }
 
+  test("weightedSample: zero weight never kept, capped weight always kept") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 100 rows of weight 10, one of weight 0, one massive (cap -> p=1).
+    val df = ((0L until 100L).map(i => (i, 10L)) ++
+      Seq((200L, 0L), (201L, 1000000L))).toDF("id", "w")
+    val kept = TextAnalysis.weightedSample(df, col("id"), col("w"),
+        budgetRows = 20L)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(!kept.contains(200L), "zero-weight row sampled")
+    assert(kept.contains(201L), "capped row must always be kept")
+    // Exact expected set: h(id) * sumW < B * w * 1e5, all longs.
+    val sumW = 100L * 10L + 1000000L
+    val expected = (0L until 100L).filter { i =>
+      val p = (1L << 31) - 1
+      val y = ((i % p) * 2654435761L) % p
+      (y * y) % p % 100000L * sumW < 20L * 10L * 100000L
+    }.toSet + 201L
+    assert(kept === expected)
+    // Partitioning-stable (pure arithmetic, no RNG).
+    val re = TextAnalysis.weightedSample(df.repartition(7), col("id"),
+        col("w"), budgetRows = 20L)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(re === kept)
+  }
+
   test("vocabCoverage: Zipf head ranks by count then token, shares accumulate") {
     import spark.implicits._
     // counts: aa=4, bb=2, cc=2, dd=1  (bb/cc tie -> alphabetical)
