@@ -46,15 +46,24 @@ object LinkGraph {
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
     for (i <- 1 to iters) {
-      ranks = e
+      val contribs = e
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .join(outdeg, "src")
         .select(col("dst"),
           (col("rank") / col("deg").cast("double")).as("_c"))
         .groupBy(col("dst"))
         .agg(sum(col("_c")).as("_s"))
-        .select(col("dst").as("node"),
-          (lit((1.0 - damping) / n) + lit(damping) * col("_s")).as("rank"))
+        .withColumnRenamed("dst", "node")
+      // Left-join against the FULL node set: a node with outlinks but
+      // no inlinks receives no contribution, yet must keep its
+      // (1-d)/N floor and keep CONTRIBUTING — dropping it (the naive
+      // groupBy(dst) result) silently deletes its outbound mass from
+      // every later iteration.
+      ranks = nodes
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * coalesce(col("_s"), lit(0.0))).as("rank"))
       if (i % 3 == 0) ranks = ranks.localCheckpoint()
     }
     ranks.select(col("node"), round(col("rank"), roundTo).as("rank"))

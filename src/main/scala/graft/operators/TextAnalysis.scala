@@ -233,9 +233,14 @@ object TextAnalysis {
     val y = pmod(pmod(idCol.cast("long"), p) * lit(2654435761L), p)
     val h = pmod(pmod(y * y, p), lit(100000L))
     val total = df.agg(sum(weightCol.cast("long")).as("_w_total"))
+    // Guard rails in the same inequality family: a negative-weight row
+    // is never kept (its right side is negative), and a corpus whose
+    // total weight is non-positive (empty, all-zero, or net-negative —
+    // the inequality would flip meaninglessly) samples nothing.
     df.crossJoin(broadcast(total))
-      .filter(h * col("_w_total") <
-        lit(budgetRows) * weightCol.cast("long") * lit(100000L))
+      .filter(col("_w_total") > 0 &&
+        h * col("_w_total") <
+          lit(budgetRows) * weightCol.cast("long") * lit(100000L))
       .drop("_w_total")
   }
 

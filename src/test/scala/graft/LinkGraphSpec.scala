@@ -28,6 +28,22 @@ class LinkGraphSpec extends SparkSpec {
     assert((2L to 4L).forall(i => pr(i) == pr(1L)))
   }
 
+  test("source-only node keeps its floor rank and keeps contributing") {
+    import spark.implicits._
+    // 1 <-> 2 plus a source-only node 3 -> 1 (no inlinks to 3).
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+    val pr = LinkGraph.pageRank(edges, "src", "dst", iters = 8)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Double]("rank")).toMap
+    // Node 3 must survive every iteration at the (1-d)/N floor...
+    assert(pr.contains(3L), s"source-only node dropped: $pr")
+    assert(pr(3L) === math.rint((1.0 - 0.85) / 3.0 * 1e6) / 1e6)
+    // ...and the ranks must remain a full distribution: if node 3 (or
+    // its outbound contribution) were dropped after iteration 1, mass
+    // would leak and the sum would land visibly below 1.
+    assert(math.abs(pr.values.sum - 1.0) < 1e-3,
+      s"source-only mass leaked: ${pr.values.sum}")
+  }
+
   test("parameter validation") {
     import spark.implicits._
     val e = Seq((1L, 2L)).toDF("src", "dst")
