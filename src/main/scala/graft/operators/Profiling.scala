@@ -97,8 +97,11 @@ object Profiling {
     }
     val b = buckets(base, "n_base")
     val c = buckets(current, "n_cur")
-    val totals = base.agg(count(lit(1)).as("_tb"))
-      .crossJoin(current.agg(count(lit(1)).as("_tc")))
+    // Every row lands in some bucket, so each snapshot's total is the
+    // sum of its bucket counts — derived from the bounded aggregates,
+    // not two more corpus scans.
+    val totals = b.agg(sum(col("n_base")).as("_tb"))
+      .crossJoin(c.agg(sum(col("n_cur")).as("_tc")))
     val eps = lit(epsilon)
     val p = greatest(col("n_base").cast("double") / col("_tb"), eps)
     val q = greatest(col("n_cur").cast("double") / col("_tc"), eps)

@@ -80,7 +80,9 @@ object TermIndex {
       k: Int = 50): DataFrame = {
     val occ = occurrences(docs, textCol, idCol)
     val counts = occ.groupBy(col("word")).agg(count(lit(1)).as("n_occ"))
-    val total = occ.agg(count(lit(1)).as("_total"))
+    // The stream total is the sum of the per-word counts — derived from
+    // the vocabulary-sized aggregate, NOT a second corpus explode.
+    val total = counts.agg(sum(col("n_occ")).as("_total"))
     val top = counts.orderBy(col("n_occ").desc, col("word")).limit(k)
     val w = Window.orderBy(col("n_occ").desc, col("word"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -123,7 +125,10 @@ object TermIndex {
     val occ = occurrences(docs, textCol, idCol)
     val counts = occ.groupBy(col("word")).agg(count(lit(1)).as("_n"))
     val vocab = counts.orderBy(col("_n").desc, col("word")).limit(vocabSize)
-    val totals = occ.agg(count(lit(1)).as("_t"))
+    // The stream total is the sum of the per-word counts — derived from
+    // the vocabulary-sized aggregate instead of a second corpus explode,
+    // so training the model costs ONE corpus scan, scoring the other.
+    val totals = counts.agg(sum(col("_n")).as("_t"))
       .crossJoin(broadcast(vocab.agg(sum(col("_n")).as("_inv"))))
       .select(col("_t"),
         greatest(col("_t") - coalesce(col("_inv"), lit(0L)), lit(1L))

@@ -191,7 +191,9 @@ object TextAnalysis {
   def capDomains(df: DataFrame, domainCol: String, idCol: String,
       capPct: Int): DataFrame = {
     val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("_n_dom"))
-    val total = df.agg(count(lit(1)).as("_n_total"))
+    // Total = sum of the domain counts — derived from the tiny
+    // aggregate, not a second corpus scan.
+    val total = counts.agg(sum(col("_n_dom")).as("_n_total"))
     // Integer floor division via (a - a mod b) / b: counts are
     // non-negative, so this is exactly SQL's `div` (Column has no div
     // method), and it stays in long arithmetic — no double rounding.
@@ -272,7 +274,8 @@ object TextAnalysis {
     require(budgetPct > 0 && budgetPct <= 100, "budgetPct must be in [1, 100]")
     def idiv(a: Column, b: Column): Column = ((a - pmod(a, b)) / b).cast("long")
     val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("_n_dom"))
-    val total = df.agg(count(lit(1)).as("_n_total"))
+    // Total = sum of the domain counts, not a second corpus scan.
+    val total = counts.agg(sum(col("_n_dom")).as("_n_total"))
     val weighted = counts.crossJoin(broadcast(total))
       .withColumn("_w",
         pow(col("_n_dom").cast("double") / col("_n_total"), tau))
