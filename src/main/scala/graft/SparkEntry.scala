@@ -748,11 +748,37 @@ object SparkEntry {
     * [[operators.Dedup.containmentPairsDistinct]] library path — the
     * production split is LSH for near-dup mass, chunked/passage LSH for
     * quote mining.
+    *
+    * Planted sentinel (round-9 ADVICE fix): a dump-and-verify oracle is
+    * vacuously green on an EMPTY dump (it only re-checks emitted pairs),
+    * so a regression that silently kills candidate generation would
+    * never turn the gate red. Both this query and [[quoteMining]]
+    * therefore union two synthetic docs (negative doc_ids, impossible in
+    * the real corpus) whose containment is 1.0 by construction, and
+    * their oracles assert the planted pair UNCONDITIONALLY — if the
+    * candidate path stops surfacing it, Spark's dump lacks a row the
+    * oracle requires and the hash gate fails.
     */
   private lazy val containFullDir = s"$artifactRoot/containfull"
 
+  /** 10 words fully contained in 13 (containment 8/8 = 1.0; Jaccard
+    * 8/11 = 0.727, comfortably over the 0.35 banding threshold).
+    * Reverse direction 8/11 = 0.7273 also clears minContainment 0.5,
+    * so BOTH planted rows are asserted by the oracle.
+    */
+  private val plantedContained =
+    "zebra quartz falcon meadow copper lantern orchid thicket harbor velvet"
+  private val plantedContainer = plantedContained + " marble sundial prism"
+
+  private def plantDocs(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    docs.select(col("doc_id"), col("text")).unionByName(
+      Seq((-2L, plantedContained), (-1L, plantedContainer))
+        .toDF("doc_id", "text"))
+  }
+
   private def dedupContainmentFull(s: SparkSession, d: String): DataFrame = {
-    val docs = t(s, d, "documents")
+    val docs = plantDocs(s, t(s, d, "documents"))
     val cands = Dedup.minHashLsh(docs, "text", "doc_id",
       numHashes = 64, bands = 32, threshold = 0.35)
     Dedup.containmentForPairs(cands, docs, "text", "doc_id",
@@ -776,8 +802,27 @@ object SparkEntry {
     */
   private lazy val quoteDir = s"$artifactRoot/quotes"
 
+  /** Planted quote sentinel (see [[dedupContainmentFull]]'s scaladoc):
+    * a 32-word passage embedded VERBATIM at word offset 16 of a 64-word
+    * container — stride-aligned, so one container chunk is identical to
+    * the quote doc's only chunk and the band collision is structural,
+    * not probabilistic. Whole-doc containment quote→container is 30/30
+    * = 1.0; the reverse is 30/62 = 0.4839 < 0.5, so exactly one planted
+    * row (-2, -1, 1.0) is asserted.
+    */
+  private val plantedQuote: String =
+    (1 to 32).map(i => f"plantquote$i%02d").mkString(" ")
+  private val plantedQuoteContainer: String =
+    ((1 to 16).map(i => f"fillhead$i%02d") ++
+      (1 to 32).map(i => f"plantquote$i%02d") ++
+      (1 to 16).map(i => f"filltail$i%02d")).mkString(" ")
+
   private def quoteMining(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val docs = t(s, d, "documents").filter(col("doc_id") < 1000)
+      .select(col("doc_id"), col("text")).unionByName(
+        Seq((-2L, plantedQuote), (-1L, plantedQuoteContainer))
+          .toDF("doc_id", "text"))
     val cands = Dedup.chunkLshCandidates(docs, "text", "doc_id",
       chunkWords = 32, stride = 16, numHashes = 32, bands = 16)
     Dedup.containmentForPairs(cands, docs, "text", "doc_id",
@@ -1299,16 +1344,22 @@ object SparkEntry {
     * footer on 2/3 and 1/3 of docs (df far above threshold), and a
     * "footer variant k" line keyed doc_id % 7 (df ~ corpus/7, BELOW the
     * threshold at sf0.01) — so the output proves high-df lines vanish
-    * while sub-threshold and unique lines survive in order.
+    * while sub-threshold and unique lines survive in order. Docs with
+    * doc_id % 250 == 0 get ONLY the two high-df lines (no body): they
+    * must come back as empty clean_text, not vanish — the id-preserving
+    * contract of removeBoilerplateLines, gated.
     */
   private def boilerplateQ(s: SparkSession, d: String): DataFrame = {
     val multi = t(s, d, "documents").select(col("doc_id"),
-      concat(lit("nav home about contact login\n"), col("text"), lit("\n"),
-        when(pmod(col("doc_id"), lit(3)) === 0,
-          lit("subscribe to our newsletter"))
-          .otherwise(lit("copyright example corp")),
-        lit("\nref footer variant "),
-        pmod(col("doc_id"), lit(7)).cast(StringType)).as("text"))
+      when(pmod(col("doc_id"), lit(250)) === 0,
+        lit("nav home about contact login\ncopyright example corp"))
+      .otherwise(
+        concat(lit("nav home about contact login\n"), col("text"), lit("\n"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            lit("subscribe to our newsletter"))
+            .otherwise(lit("copyright example corp")),
+          lit("\nref footer variant "),
+          pmod(col("doc_id"), lit(7)).cast(StringType))).as("text"))
     TextAnalysis.removeBoilerplateLines(multi, "text", "doc_id",
         minDocFreq = 100L)
       .orderBy(col("doc_id"))
@@ -2326,9 +2377,18 @@ object SparkEntry {
     * (shared by q_dedup_containment_full and q_quote_mining): recompute
     * the exact containment for only the emitted pairs and keep a row
     * only when it clears the threshold AND equals the stored value.
+    *
+    * `plantedRows` (round-9 ADVICE fix) are asserted UNCONDITIONALLY —
+    * the planted sentinel docs (negative ids, synthesized in the query,
+    * see [[dedupContainmentFull]]) must appear in the dump with exactly
+    * the constructed containment, so an empty or silently-broken
+    * candidate path turns this gate red instead of passing vacuously.
+    * Negative ids are excluded from the recompute (their text is not in
+    * the parquet corpus; their containment is pinned by construction).
     */
-  private def containmentVerifyOracle(dir: String): String =
-    s"""WITH pairs AS (SELECT * FROM read_parquet('$dir/pairs.parquet/*.parquet')),
+  private def containmentVerifyOracle(dir: String, plantedRows: String): String =
+    s"""WITH all_pairs AS (SELECT * FROM read_parquet('$dir/pairs.parquet/*.parquet')),
+       |pairs AS (SELECT * FROM all_pairs WHERE contained_id >= 0 AND container_id >= 0),
        |ids AS (SELECT contained_id AS id FROM pairs UNION SELECT container_id FROM pairs),
        |docs AS (SELECT doc_id, text FROM documents WHERE doc_id IN (SELECT id FROM ids)),
        |words AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM docs),
@@ -2349,6 +2409,8 @@ object SparkEntry {
        |          JOIN sizes sa ON sa.doc_id = p.contained_id)
        |SELECT contained_id, container_id, containment FROM checked
        |WHERE recomputed >= 0.5 AND recomputed = containment
+       |UNION ALL
+       |$plantedRows
        |ORDER BY contained_id, container_id""".stripMargin
 
   /** Complete incremental-dedup oracle shared by q_dedup_incremental
@@ -3005,8 +3067,14 @@ object SparkEntry {
     // dumped pairs — O(pairs), no all-pairs cost — and emit a row only
     // when the recomputed metric clears the threshold AND equals the
     // stored value bit-for-bit.
-    "q_dedup_containment_full" -> containmentVerifyOracle(containFullDir),
-    "q_quote_mining" -> containmentVerifyOracle(quoteDir),
+    "q_dedup_containment_full" -> containmentVerifyOracle(containFullDir,
+      """SELECT CAST(-2 AS BIGINT) AS contained_id,
+        |  CAST(-1 AS BIGINT) AS container_id, 1.0 AS containment
+        |UNION ALL
+        |SELECT CAST(-1 AS BIGINT), CAST(-2 AS BIGINT), 0.7273""".stripMargin),
+    "q_quote_mining" -> containmentVerifyOracle(quoteDir,
+      """SELECT CAST(-2 AS BIGINT) AS contained_id,
+        |  CAST(-1 AS BIGINT) AS container_id, 1.0 AS containment""".stripMargin),
     "q_token_budget" ->
       s"""WITH d AS (SELECT doc_id,
          |    len(list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0)) AS ws_tokens,
@@ -3560,13 +3628,18 @@ object SparkEntry {
         |FROM c3 ORDER BY doc_id""".stripMargin,
     // Line-df boilerplate removal: the same multi-line synthesis, the
     // same >= 100-distinct-doc threshold, reassembly ordered by the
-    // original line position.
+    // original line position. The final LEFT JOIN back to the full id
+    // set mirrors the operator's id-preserving contract: all-boilerplate
+    // docs (doc_id % 250 == 0 in the synthesis) emit empty clean_text.
     "q_boilerplate" ->
       """WITH multi AS (SELECT doc_id,
-        |    'nav home about contact login' || chr(10) || text || chr(10) ||
-        |    CASE WHEN doc_id % 3 = 0 THEN 'subscribe to our newsletter'
-        |         ELSE 'copyright example corp' END ||
-        |    chr(10) || 'ref footer variant ' || CAST(doc_id % 7 AS VARCHAR) AS d
+        |    CASE WHEN doc_id % 250 = 0
+        |      THEN 'nav home about contact login' || chr(10) || 'copyright example corp'
+        |      ELSE 'nav home about contact login' || chr(10) || text || chr(10) ||
+        |        CASE WHEN doc_id % 3 = 0 THEN 'subscribe to our newsletter'
+        |             ELSE 'copyright example corp' END ||
+        |        chr(10) || 'ref footer variant ' || CAST(doc_id % 7 AS VARCHAR)
+        |    END AS d
         |  FROM documents),
         |ls AS (SELECT doc_id, string_split(d, chr(10)) AS arr FROM multi),
         |lines AS (SELECT doc_id, i AS pos, trim(arr[i]) AS line
@@ -3575,9 +3648,12 @@ object SparkEntry {
         |boiler AS (SELECT line FROM lines GROUP BY line
         |  HAVING count(DISTINCT doc_id) >= 100),
         |kept AS (SELECT l.doc_id, l.pos, l.line FROM lines l
-        |  ANTI JOIN boiler b ON l.line = b.line)
-        |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text
-        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |  ANTI JOIN boiler b ON l.line = b.line),
+        |asm AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT m.doc_id, coalesce(a.clean_text, '') AS clean_text
+        |FROM multi m LEFT JOIN asm a ON a.doc_id = m.doc_id
+        |ORDER BY m.doc_id""".stripMargin,
     // HTML extraction: identical regexp chain (RE2 and Java regex agree
     // on these patterns), entities decoded once with &amp; last.
     "q_html_extract" ->
@@ -3736,15 +3812,18 @@ object SparkEntry {
         |FROM j, t ORDER BY bucket""".stripMargin,
     // Temperature resampling: same tau=0.5 / 60%-budget arithmetic on
     // the tiny domain table (floored to integer percent — the only
-    // doubles live there), same splitBucket hash per row.
+    // doubles live there), same splitBucket hash per row. The rate is
+    // floor(round(x, 9)) in BOTH engines so a 1-ULP pow/summation
+    // difference at an integer boundary cannot flip a domain's rate
+    // (see TextAnalysis.temperatureResample).
     "q_temperature_sample" ->
       """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
         |t AS (SELECT count(*) AS nt FROM documents),
         |w AS (SELECT source, n, pow(CAST(n AS DOUBLE) / nt, 0.5) AS wt FROM c, t),
         |s AS (SELECT sum(wt) AS wsum FROM w),
         |r AS (SELECT source,
-        |    least(CAST(100 AS BIGINT), CAST(floor(
-        |      100.0 * ((nt * 60) // 100) * (wt / wsum) / n) AS BIGINT)) AS rate_pct
+        |    least(CAST(100 AS BIGINT), CAST(floor(round(
+        |      100.0 * ((nt * 60) // 100) * (wt / wsum) / n, 9)) AS BIGINT)) AS rate_pct
         |  FROM w, s, t),
         |h AS (SELECT doc_id, source,
         |    ((doc_id % 2147483647) * 2654435761) % 2147483647 AS y

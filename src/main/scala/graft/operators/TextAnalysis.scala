@@ -216,10 +216,10 @@ object TextAnalysis {
     *
     *   hash100k(id) * sum(w) < budgetRows * w_i * 100000
     *
-    * — pure long arithmetic, so the kept set is bit-reproducible on any
-    * engine, partitioning, or run (the same property every sampler here
-    * has). Rows whose scaled weight exceeds the budget share cap at
-    * p = 1 automatically (the right side then exceeds every possible
+    * — exact integer arithmetic, so the kept set is bit-reproducible on
+    * any engine, partitioning, or run (the same property every sampler
+    * here has). Rows whose scaled weight exceeds the budget share cap
+    * at p = 1 automatically (the right side then exceeds every possible
     * left side). The expected sample size is budgetRows minus whatever
     * mass the capped head cannot absorb — same convention as
     * [[temperatureResample]].
@@ -227,6 +227,16 @@ object TextAnalysis {
     * Weights must be non-negative integers (token counts, char counts,
     * scaled scores); sum(w) rides a 1-row broadcast cross join, so the
     * corpus is touched by one scan and a scan-speed filter.
+    *
+    * Overflow (round-9 ADVICE fix): at claimed corpus scale sum(w) can
+    * exceed Long.Max / 100000 (token-count weights over 100 TB reach
+    * ~1e14), so the keep test is evaluated in decimal(38,0) with the
+    * cap branch split out: keep iff B*w >= sum(w) (rate >= 1 — always
+    * kept, since h < 100000) OR h*sum(w) < least(B*w, sum(w))*100000.
+    * The least() bounds every product below 10^24 << 10^38, so the
+    * arithmetic is exact (no wrap, no ANSI overflow) for any long
+    * inputs, and the predicate is equivalent to the documented
+    * inequality for all non-negative weights.
     */
   def weightedSample(df: DataFrame, idCol: Column, weightCol: Column,
       budgetRows: Long): DataFrame = {
@@ -236,13 +246,21 @@ object TextAnalysis {
     val h = pmod(pmod(y * y, p), lit(100000L))
     val total = df.agg(sum(weightCol.cast("long")).as("_w_total"))
     // Guard rails in the same inequality family: a negative-weight row
-    // is never kept (its right side is negative), and a corpus whose
-    // total weight is non-positive (empty, all-zero, or net-negative —
-    // the inequality would flip meaninglessly) samples nothing.
+    // is never kept (b*w below is negative, so neither disjunct holds),
+    // and a corpus whose total weight is non-positive (empty, all-zero,
+    // or net-negative — the inequality would flip meaninglessly)
+    // samples nothing.
+    val dec = "decimal(38,0)"
+    val wTot = col("_w_total").cast(dec)
+    // budgetRows and w are both longs, so bw <= (2^63)^2 < 10^38: exact.
+    val bw = lit(budgetRows).cast(dec) * weightCol.cast("long").cast(dec)
+    // Only consulted when bw < wTot <= Long.Max, so bwClamped*100000 and
+    // h*wTot both stay below 10^24: exact.
+    val bwClamped = least(bw, wTot)
     df.crossJoin(broadcast(total))
       .filter(col("_w_total") > 0 &&
-        h * col("_w_total") <
-          lit(budgetRows) * weightCol.cast("long") * lit(100000L))
+        (bw >= wTot ||
+          h.cast(dec) * wTot < bwClamped * lit(100000L).cast(dec)))
       .drop("_w_total")
   }
 
@@ -267,6 +285,18 @@ object TextAnalysis {
     * in the tiny table, never in the row-level compare), a broadcast
     * join back, a scan-speed hash filter. Two scans, zero wide
     * shuffles at any corpus size.
+    *
+    * Cross-engine determinism at the floor (round-9 ADVICE fix): the
+    * rate derives from doubles (pow, a summed _wsum), and a 1-ULP
+    * difference between engines — Math.pow vs another libm, or a
+    * different summation order — exactly at an integer boundary would
+    * flip a whole domain's keep-rate by 1. The rate is therefore
+    * computed as floor(round(x, 9)): rounding to 9 decimals collapses
+    * ULP-scale noise (~1e-13 relative) to the same value in both
+    * engines, while exactly-integer rates (the dense, natural floor
+    * targets when counts divide evenly) stay exact instead of being
+    * epsilon-shifted down. Any replica of this arithmetic must apply
+    * the same round-before-floor.
     */
   def temperatureResample(df: DataFrame, domainCol: String, idCol: String,
       tau: Double, budgetPct: Int): DataFrame = {
@@ -283,8 +313,8 @@ object TextAnalysis {
     val rates = weighted.crossJoin(broadcast(wsum))
       .withColumn("_budget", idiv(col("_n_total") * budgetPct.toLong, lit(100L)))
       .withColumn("_rate_pct",
-        least(lit(100L), floor(lit(100.0) * col("_budget") *
-          (col("_w") / col("_wsum")) / col("_n_dom")).cast("long")))
+        least(lit(100L), floor(round(lit(100.0) * col("_budget") *
+          (col("_w") / col("_wsum")) / col("_n_dom"), 9)).cast("long")))
       .select(col(domainCol), col("_rate_pct"))
     df.join(broadcast(rates), domainCol)
       .filter(splitBucket(col(idCol)) < col("_rate_pct"))
@@ -307,7 +337,12 @@ object TextAnalysis {
     * copyright footers, cookie banners — the lines a crawler sees on
     * every page of a site) and is deleted from every document; unique
     * body lines survive in their original order. Empty lines are
-    * dropped. Returns (idCol, clean_text).
+    * dropped. Returns (idCol, clean_text) with EXACTLY the input's id
+    * set: a document whose every line was boilerplate or empty comes
+    * back with an empty clean_text rather than vanishing (round-9
+    * ADVICE fix — downstream stages join on id and must not silently
+    * lose rows; callers that want such husks gone filter
+    * length(clean_text) > 0 explicitly).
     *
     * Scale shape: the line document-frequency aggregate is ONE shuffle
     * with map-side partial aggregation (repeated boilerplate lines
@@ -317,8 +352,11 @@ object TextAnalysis {
     * strips it broadcasts: the corpus-sized line table never shuffles
     * for the join. Reassembly groups by document id with an
     * array_sort(collect_list(struct(pos, line))) so line order is
-    * restored regardless of partitioning. Two shuffles total at any
-    * corpus size, both keyed, neither all-pairs.
+    * restored regardless of partitioning; the id-preserving left join
+    * back to the input moves only (id) on the probe side and the
+    * already-shuffled assembled rows on the build side. Two keyed
+    * shuffles plus one id-keyed join at any corpus size, none
+    * all-pairs.
     */
   def removeBoilerplateLines(docs: DataFrame, textCol: String, idCol: String,
       minDocFreq: Long): DataFrame = {
@@ -333,13 +371,16 @@ object TextAnalysis {
       .agg(countDistinct(col("_id")).as("_df"))
       .filter(col("_df") >= minDocFreq)
       .select(col("_line"))
-    lines
+    val assembled = lines
       .join(broadcast(boiler), Seq("_line"), "left_anti")
       .groupBy(col("_id"))
       .agg(concat_ws("\n",
         transform(array_sort(collect_list(struct(col("_pos"), col("_line")))),
           x => x.getField("_line"))).as("clean_text"))
-      .withColumnRenamed("_id", idCol)
+    docs.select(col(idCol).as("_id"))
+      .join(assembled, Seq("_id"), "left")
+      .select(col("_id").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
   /** Paragraph-level exact dedup — the C4/MassiveText stage between

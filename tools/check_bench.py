@@ -16,6 +16,16 @@ Gates (nonzero exit on breach):
      separately) within 2x of the 32.67 s round-1 anchor (BASELINE.md
      contract; the anchor is a data-scale analytic suite, which is what
      the headline map holds);
+  2b. ALL-analytic total (headline + extended together — the full
+     pre-split scope) within 2x of the round-8 re-recorded anchor
+     (66.15 s, warm-billed, the methodology the current numbers use).
+     Round-9 response to the r8 ADVICE apples-to-apples item: gate 2's
+     r1 anchor billed codegen compile for a 37-query suite, so its 2x
+     headroom and the current warm-billed headline are not measured
+     alike; this gate re-anchors on a number recorded under the SAME
+     methodology and over the SAME (full) query population, so moving
+     queries between maps can never relax the binding total. Both
+     anchors and both bounds are in BASELINE.md.
   3. with a previous round's file: no single query above 2x its previous
      time (hard fail) — compared across the UNION of the headline and
      extended maps, so moving a query to "extended" can never hide a
@@ -36,6 +46,14 @@ import sys
 
 ANCHOR_TOTAL_SEC = 32.67  # BENCH_r01.json total, see BASELINE.md
 TOTAL_BOUND = 2.0
+# Re-recorded anchor (round 9, per r8 ADVICE): the round-8 driver run's
+# ALL-analytic total (headline 49.358 s + extended 16.788 s over 120
+# queries, warm-billed, local[32], idle PSI — BENCH_r08.json). Gate 2b
+# compares the same population measured the same way, so the 2x bound
+# keeps its original "whole analytic suite" meaning under the
+# headline/extended split.
+ANCHOR_ALL_WARM_SEC = 66.15
+ALL_BOUND = 2.0
 PER_QUERY_BOUND = 2.0
 PER_QUERY_WARN = 1.3
 NEW_QUERY_BUDGET_SEC = 1.0  # SCALE.md: new gated queries should be cheap
@@ -151,6 +169,8 @@ def main():
     print(f"total: {total:.2f}s over {nq} queries = "
           f"{ratio:.2f}x of {ANCHOR_TOTAL_SEC}s anchor "
           f"(bound {TOTAL_BOUND}x) {status}")
+    ext_total = 0.0
+    n_ext = 0
     if extended or "extended_total" in cur:
         ext_total = (sum(extended.values()) if extended
                      else float(cur.get("extended_total", 0.0)))
@@ -159,6 +179,19 @@ def main():
               f"headline): {ext_total:.2f}s over {n_ext} queries")
     if ratio > TOTAL_BOUND:
         failures.append(f"total {total:.2f}s breaches {TOTAL_BOUND}x anchor")
+    # Gate 2b: the full analytic population (headline + extended) against
+    # the warm-billed r8 anchor — same methodology, same scope, so the
+    # headline/extended split can never relax the binding total.
+    all_total = total + ext_total
+    all_ratio = all_total / ANCHOR_ALL_WARM_SEC
+    all_status = "OK" if all_ratio <= ALL_BOUND else "FAIL"
+    print(f"all-analytic: {all_total:.2f}s over {nq + n_ext} queries = "
+          f"{all_ratio:.2f}x of {ANCHOR_ALL_WARM_SEC}s warm-billed r8 anchor "
+          f"(bound {ALL_BOUND}x) {all_status}")
+    if all_ratio > ALL_BOUND:
+        failures.append(
+            f"all-analytic {all_total:.2f}s breaches {ALL_BOUND}x of the "
+            f"warm-billed anchor {ANCHOR_ALL_WARM_SEC}s")
 
     # Per-query comparisons run over headline + extended together: a
     # query moved between maps keeps its regression history.
