@@ -160,6 +160,17 @@ object Bench {
       // advisory size dominates anyway so the flag is a no-op there.
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
         sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "false"))
+      // The Janino class cache holds 100 generated-source entries by
+      // default; this suite's 120+ queries produce several codegen
+      // fragments EACH, so the warmup pass's compiled classes are all
+      // evicted before the timed pass replays them — every pass then
+      // re-bills compiler latency the warmup exists to absorb (measured:
+      // q_group_agg 4.35 s in-suite vs 1.1 s warm floor in a 3-query
+      // Prof run, same plan). A static conf, so it must be set before
+      // the first session; entries are compiled classes (kilobytes), so
+      // 10k entries is megabytes — negligible against the 128 GiB heap.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "10000"))
       // Shuffle/spill scratch on tmpfs — the sandbox's /tmp is on a
       // throttled shared disk whose stall windows dominate measured
       // times (see Scratch).

@@ -78,6 +78,10 @@ object GraftEngine {
       .master(master)
       .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
+      // Workload mixes of 100+ distinct plans overflow the 100-entry
+      // Janino class cache and re-bill codegen compile on every replay
+      // (static conf; entries are kilobyte-scale compiled classes).
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
 }

@@ -21,6 +21,10 @@ object Prof {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         sys.env.getOrElse("SPARK_GRAFT_OBJ_FALLBACK", "4096"))
+      // Match Bench: the Janino class cache default (100) thrashes on
+      // multi-query profiling sessions — static conf.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "10000"))
       .config("spark.local.dir", Scratch.localDir("prof-local"))
       // A/B hook: AQE partition coalescing to the advisory target size
       // instead of keeping input parallelism (see Bench for rationale).

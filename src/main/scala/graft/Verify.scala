@@ -20,6 +20,9 @@ object Verify {
       // (measured ~20% on the signature aggregates). The default guards
       // multi-MB collect_list states, which no plan here builds.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
+      // 120+ queries x several codegen fragments each overflow the
+      // 100-entry Janino class cache (see Bench) — static conf.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       // Shuffle/spill scratch on tmpfs — the sandbox's /tmp is on a
       // throttled shared disk whose stall windows dominate measured
       // times (see Scratch).
