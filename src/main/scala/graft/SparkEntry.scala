@@ -2086,6 +2086,56 @@ object SparkEntry {
         col("term_rank").cast(LongType).as("term_rank"))
       .orderBy(col("doc_id"), col("term_rank"))
 
+  /** BM25 top-20 for a fixed 3-term query ([[operators.TermIndex.bm25TopK]]
+    * — k1=1.2, b=0.75, the Lucene defaults). Float parity follows the
+    * file-header rule: each per-(doc,term) contribution is rounded to 9
+    * decimals and summed as DECIMAL (order-insensitive), then the total
+    * is rounded to 4 — the ranking and stored score reproduce on any
+    * engine or partitioning.
+    */
+  private def bm25Q(s: SparkSession, d: String): DataFrame =
+    TermIndex.bm25TopK(t(s, d, "documents"), "text", "doc_id",
+        queryTerms = Seq("spark", "merge", "window"), k = 20)
+      .select(col("doc_id"), col("score"),
+        col("rank").cast(LongType).as("rank"))
+      .orderBy(col("rank"))
+
+  /** One BPE merge iteration's argmax table over the corpus
+    * ([[operators.TermIndex.bpePairCounts]]): top-30 adjacent character
+    * pairs weighted by word frequency. Pure integer counts — exact on
+    * any engine.
+    */
+  private def bpeMerges(s: SparkSession, d: String): DataFrame =
+    TermIndex.bpePairCounts(t(s, d, "documents"), "text", "doc_id",
+        topN = 30)
+      .select(col("left"), col("right"), col("pair_count"),
+        col("rank").cast(LongType).as("rank"))
+      .orderBy(col("rank"))
+
+  /** Domain-blocklist URL filter
+    * ([[operators.TextAnalysis.filterBlockedDomains]]): hosts are
+    * synthesized from doc_id (mod 5) so the slice exercises exact match,
+    * subdomain match, a label-boundary NON-match (`ads.tracker.com` must
+    * not match blocklist entry `acker.com`), and hostless rows (kept).
+    * The oracle mirrors the SEMANTICS with an independent LIKE-suffix
+    * implementation, not the suffix-explode plan — a stronger check than
+    * re-running the same algorithm.
+    */
+  private def urlBlocklist(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val id = col("doc_id")
+    val url = when(id % 5 === 0, concat(lit("https://ads.tracker.com/x"), id))
+      .when(id % 5 === 1, concat(lit("http://sub.ads.tracker.com/y"), id))
+      .when(id % 5 === 2, concat(lit("https://cdn.example.com/z"), id))
+      .when(id % 5 === 3, concat(lit("https://example.org/p"), id))
+      .otherwise(concat(lit("http://spam.net/q"), id))
+    val pages = t(s, d, "documents").select(col("doc_id"), url.as("url"))
+    val blocklist = Seq("tracker.com", "spam.net", "acker.com",
+      "unused.example").toDF("domain")
+    TextAnalysis.filterBlockedDomains(pages, col("url"), blocklist)
+      .orderBy(col("doc_id"))
+  }
+
   /** Inverted index over a df band (100..160): df-filter BEFORE posting
     * lists materialize — see [[operators.TermIndex.invertedIndex]].
     */
@@ -2232,6 +2282,9 @@ object SparkEntry {
     "q_decontaminate" -> (decontaminate _),
     "q_scd2" -> (scd2History _),
     "q_tfidf" -> (tfidfTop _),
+    "q_bm25" -> (bm25Q _),
+    "q_bpe_merges" -> (bpeMerges _),
+    "q_url_blocklist" -> (urlBlocklist _),
     "q_inverted_index" -> (indexPostings _),
     "q_mix_domains" -> (mixDomains _),
     "q_profile" -> (profileTable _),
@@ -3252,6 +3305,80 @@ object SparkEntry {
         |FROM orders WHERE o_custkey < 100
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, version""".stripMargin,
+    // BM25: identical arithmetic shape (idf * tf * (k1+1) / length-norm,
+    // per-term contribution round(…, 9) summed as DECIMAL per the
+    // float-parity header rule, total rounded to 4), Lucene-default
+    // k1=1.2 b=0.75, rank ties on doc_id.
+    "q_bm25" ->
+      """WITH base AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |                x -> len(x) > 0) AS ws FROM documents),
+        |docs AS (SELECT doc_id, len(ws) AS dl,
+        |    list_filter(ws, w -> w IN ('spark', 'merge', 'window')) AS hits
+        |  FROM base),
+        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM docs),
+        |tf AS (SELECT doc_id, dl, unnest(hits) AS word FROM docs),
+        |tfc AS (SELECT doc_id, dl, word, count(*) AS tf FROM tf GROUP BY 1, 2, 3),
+        |dfc AS (SELECT word, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+        |contrib AS (SELECT doc_id,
+        |    CAST(round(
+        |      ln(1.0 + (s.n_docs - dfc.df + 0.5) / (dfc.df + 0.5)) *
+        |        tfc.tf * 2.2 /
+        |        (tfc.tf + 1.2 * (1.0 - 0.75 + 0.75 * tfc.dl / s.avgdl)),
+        |      9) AS DECIMAL(28, 9)) AS c
+        |  FROM tfc JOIN dfc USING (word), stats s),
+        |scored AS (SELECT doc_id,
+        |    round(CAST(sum(c) AS DOUBLE), 4) AS score
+        |  FROM contrib GROUP BY doc_id),
+        |ranked AS (SELECT doc_id, score,
+        |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        |  FROM scored)
+        |SELECT doc_id, score, rank FROM ranked
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    // BPE merge statistics: vocabulary-collapse first, then character
+    // pairs weighted by word frequency — pure integer counts, ties on
+    // (left, right). DuckDB's range(1, n) is exclusive like Spark's
+    // sequence(1, n-1) is inclusive: both yield positions 1..len-1.
+    "q_bpe_merges" ->
+      """WITH occ AS (SELECT unnest(list_filter(
+        |      string_split_regex(trim(lower(text)), '\s+'),
+        |      x -> len(x) > 0)) AS word FROM documents),
+        |vocab AS (SELECT word, count(*) AS freq FROM occ GROUP BY 1),
+        |pairs AS (SELECT substring(word, CAST(i AS INT), 1) AS lft,
+        |    substring(word, CAST(i AS INT) + 1, 1) AS rgt, freq
+        |  FROM vocab, unnest(range(1, len(word))) AS t(i)
+        |  WHERE len(word) >= 2),
+        |counted AS (SELECT lft, rgt, sum(freq) AS pair_count
+        |  FROM pairs GROUP BY 1, 2),
+        |ranked AS (SELECT lft AS "left", rgt AS "right", pair_count,
+        |    row_number() OVER (ORDER BY pair_count DESC, lft, rgt) AS rank
+        |  FROM counted)
+        |SELECT "left", "right", CAST(pair_count AS BIGINT) AS pair_count,
+        |  rank FROM ranked
+        |WHERE rank <= 30 ORDER BY rank""".stripMargin,
+    // Domain blocklist: INDEPENDENT implementation of the same
+    // semantics — host extracted with the same regex, but the suffix
+    // rule expressed as equality-or-dot-suffix LIKE instead of the
+    // suffix-explode equi-join, so a bug in either path turns the gate
+    // red instead of reproducing on both sides.
+    "q_url_blocklist" ->
+      """WITH pages AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN 'https://ads.tracker.com/x' || doc_id
+        |         WHEN doc_id % 5 = 1 THEN 'http://sub.ads.tracker.com/y' || doc_id
+        |         WHEN doc_id % 5 = 2 THEN 'https://cdn.example.com/z' || doc_id
+        |         WHEN doc_id % 5 = 3 THEN 'https://example.org/p' || doc_id
+        |         ELSE 'http://spam.net/q' || doc_id END AS url
+        |  FROM documents),
+        |hosts AS (SELECT doc_id, url,
+        |    rtrim(lower(regexp_extract(url, '^(?i)https?://([^/:?#]+)', 1)), '.')
+        |      AS host FROM pages),
+        |blocked AS (SELECT * FROM (VALUES ('tracker.com'), ('spam.net'),
+        |    ('acker.com'), ('unused.example')) AS b(domain))
+        |SELECT doc_id, url FROM hosts h
+        |WHERE len(host) = 0 OR NOT EXISTS (
+        |  SELECT 1 FROM blocked b
+        |  WHERE h.host = b.domain OR h.host LIKE '%.' || b.domain)
+        |ORDER BY doc_id""".stripMargin,
     "q_tfidf" ->
       """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
         |n AS (SELECT count(*) AS n_docs FROM docs),

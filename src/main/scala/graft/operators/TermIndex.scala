@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Term-level corpus structures: TF-IDF scoring and an inverted index.
   * Both follow the canonical two-aggregate shape — explode words once,
@@ -145,6 +146,126 @@ object TermIndex {
       .agg(count(lit(1)).as("n_tokens"),
         round(-avg(col("_lp")), 6).as("avg_nll"))
       .withColumnRenamed("id", idCol)
+  }
+
+  /** BM25 top-k retrieval for a fixed query-term set — the standard
+    * lexical ranking function (Robertson/Sparck Jones; the scorer behind
+    * Lucene/Elasticsearch defaults and the lexical leg most RAG stacks
+    * pair with dense retrieval; the reference's ILIKE-OR search at
+    * rnjane/client_data_ingester app/models/product.rb is the boolean
+    * ancestor of this ranked form):
+    *
+    *   score(d, q) = sum over t in q of
+    *     idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+    *   idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5))
+    *
+    * with dl = document token count, avgdl = corpus mean. Scores are
+    * rounded to 4 decimals (the [[tfidfTopTerms]] convention) so the
+    * ranking and the stored value are engine-reproducible; ties break
+    * on the document id.
+    *
+    * Plan shape for 100 TB: the query-term filter lands INSIDE the
+    * per-row word array (`filter(words, isin(q))`) — only matching
+    * occurrences are ever exploded, so the corpus-sized explode of the
+    * tf/idf textbook shape never happens; dl is a per-row `size()`
+    * projection on the same scan (no second pass). Per-term df and N /
+    * avgdl are |q|-sized and 1-row aggregates that broadcast back, the
+    * per-doc score is ONE keyed shuffle (docs matching >= 1 term), and
+    * the top-k is TakeOrderedAndProject — the global sort never
+    * materializes. row_number runs AFTER the limit, over k rows.
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      queryTerms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      k: Int = 10): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
+    val terms = queryTerms.map(_.toLowerCase)
+    val ws = words(col(textCol))
+    val base = docs.select(col(idCol).as("id"),
+      size(ws).as("_dl"),
+      filter(ws, w => w.isInCollection(terms)).as("_hits"))
+    val stats = base.agg(count(lit(1)).as("_n_docs"),
+      avg(col("_dl")).as("_avgdl"))
+    val tf = base.select(col("id"), col("_dl"), explode(col("_hits")).as("word"))
+      .groupBy(col("id"), col("_dl"), col("word"))
+      .agg(count(lit(1)).as("_tf"))
+    // df derives from the tf AGGREGATE (one row per (doc, term) already)
+    // instead of a third corpus scan — stats + tf are the only two
+    // passes over the data, the textbook minimum without caching.
+    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("_df"))
+    val idf = log(lit(1.0) +
+      (col("_n_docs") - col("_df") + lit(0.5)) / (col("_df") + lit(0.5)))
+    val norm = col("_tf") + lit(k1) *
+      (lit(1.0) - lit(b) + lit(b) * col("_dl") / col("_avgdl"))
+    val ranked = tf
+      .join(broadcast(df), "word")
+      .crossJoin(broadcast(stats))
+      // Per-term contribution rounded to 9 decimals then summed as
+      // DECIMAL — the repo's float-parity rule: the sum is exact and
+      // order-insensitive, so the score reproduces under any engine,
+      // partitioning, or merge order; the 4-decimal final round is the
+      // ranking precision.
+      .select(col("id"),
+        round(idf * col("_tf") * lit(k1 + 1.0) / norm, 9)
+          .cast(DecimalType(28, 9)).as("_s"))
+      .groupBy(col("id"))
+      .agg(round(sum(col("_s")).cast(DoubleType), 4).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+    ranked
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("id"))))
+      .withColumnRenamed("id", idCol)
+  }
+
+  /** Byte-pair-encoding merge statistics — the inner loop of tokenizer
+    * training (Sennrich et al. 2016; the GPT-2/SentencePiece BPE family):
+    * count every ADJACENT symbol pair across the corpus (here: character
+    * bigrams inside words, each word weighted by its corpus frequency)
+    * and surface the top merge candidates. One call = one BPE iteration's
+    * argmax table; a trainer loops this against an evolving symbol
+    * vocabulary.
+    *
+    * Output: (left, right, pair_count, rank) for the top-n pairs,
+    * pair_count = total adjacent occurrences corpus-wide, ties broken on
+    * (left, right).
+    *
+    * Plan shape for 100 TB: the corpus-sized occurrence stream collapses
+    * to the VOCABULARY first (one word-keyed count aggregate with
+    * map-side combine — the same Zipf collapse [[vocabCoverage]] rides),
+    * and all character-level work happens on vocabulary rows: the pair
+    * explode is |vocab| x word_length, orders of magnitude below corpus
+    * scale. One more pair-keyed aggregate sums freq-weighted counts, the
+    * top-n is TakeOrderedAndProject, row_number after the limit.
+    */
+  def bpePairCounts(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      topN: Int = 20): DataFrame = {
+    val vocab = occurrences(docs, textCol, idCol)
+      .groupBy(col("word")).agg(count(lit(1)).as("_freq"))
+    val pairs = vocab
+      .filter(length(col("word")) >= 2)
+      .select(col("_freq"), explode(transform(
+        sequence(lit(1), length(col("word")) - 1),
+        i => struct(
+          col("word").substr(i, lit(1)).as("left"),
+          col("word").substr(i + 1, lit(1)).as("right"))))
+        .as("_p"))
+      .select(col("_p.left").as("left"), col("_p.right").as("right"),
+        col("_freq"))
+    val ranked = pairs
+      .groupBy(col("left"), col("right"))
+      .agg(sum(col("_freq")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("left"), col("right"))
+      .limit(topN)
+    ranked.withColumn("rank", row_number().over(
+      Window.orderBy(col("pair_count").desc, col("left"), col("right"))))
   }
 
   /** Inverted index restricted to a document-frequency band: for each

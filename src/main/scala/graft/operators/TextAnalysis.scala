@@ -478,6 +478,45 @@ object TextAnalysis {
     concat(host, regexp_replace(noDangle, "/$", ""))
   }
 
+  /** Domain-blocklist filter with subdomain semantics — the crawl-
+    * curation stage that drops every URL whose host IS a blocked
+    * registered domain or lives UNDER one (`ads.tracker.com` matches a
+    * `tracker.com` entry), the match rule of Public Suffix List
+    * tooling and of every adblock/spam-domain feed.
+    *
+    * The suffix match is re-expressed as an EQUI-join so it scales: each
+    * host explodes into its dot-suffix chain (`a.b.c.com` -> `a.b.c.com`,
+    * `b.c.com`, `c.com`, `com` — bounded by label depth, ~4-6 rows per
+    * URL, generated per-row with no shuffle), and blocked doc ids are
+    * `suffixes JOIN blocklist ON domain` + distinct. A LIKE-'%'-suffix
+    * join would be a non-equi nested loop — unusable at corpus scale; a
+    * broadcast IN-list dies at real blocklist sizes (millions of
+    * entries). Here both the suffix join and the final left_anti are
+    * keyed shuffles (the blocklist side broadcasts when small enough —
+    * Spark's planner picks that automatically under AQE).
+    *
+    * Rows whose urlCol parses to no host (null/relative) are KEPT — a
+    * blocklist can only speak about hosts it can see.
+    */
+  def filterBlockedDomains(df: DataFrame, urlCol: Column,
+      blocklist: DataFrame, domainCol: String = "domain"): DataFrame = {
+    val host = regexp_replace(
+      lower(regexp_extract(urlCol, "^(?i:https?)://([^/:?#]+)", 1)),
+      "\\.$", "")
+    val withHost = df.withColumn("_host", host)
+    val suffixes = withHost
+      .filter(length(col("_host")) > 0)
+      .select(col("_host")).distinct() // hosts << rows on any real crawl
+      .select(col("_host"), explode(transform(
+        sequence(lit(1), size(split(col("_host"), "\\."))),
+        i => array_join(slice(split(col("_host"), "\\."), i,
+          size(split(col("_host"), "\\."))), "."))).as("_suffix"))
+    val blockedHosts = suffixes
+      .join(blocklist.select(lower(col(domainCol)).as("_suffix")), "_suffix")
+      .select(col("_host")).distinct()
+    withHost.join(blockedHosts, Seq("_host"), "left_anti").drop("_host")
+  }
+
   /** Polynomial rolling hash over words (base 1000003, mod 2^31-1) — an
     * order-sensitive fingerprint, cheap to maintain incrementally. The
     * modulus keeps acc*base < 2^52, so the multiply never overflows a long

@@ -174,4 +174,62 @@ class TermIndexSpec extends SparkSpec {
     // common-token doc — the filter signal the operator exists for.
     assert(got(1)._3 > got(2)._3)
   }
+
+  test("bm25: tf saturation, idf down-weighting, rank after top-k") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "apple apple apple apple noise noise noise noise"),
+      (2L, "apple banana noise noise noise noise noise noise"),
+      (3L, "banana noise noise noise noise noise noise noise"),
+      (4L, "noise noise noise noise noise noise noise noise")
+    ).toDF("doc_id", "text")
+    val got = TermIndex.bm25TopK(corpus, "text", "doc_id",
+        queryTerms = Seq("apple", "banana"), k = 3)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"),
+        r.getAs[Int]("rank")))
+    // Hand-computed: N=4, dl=8=avgdl for every doc, so the length norm
+    // is 1 and score(t) = idf * tf * 2.2 / (tf + 1.2).
+    // df=2 for both terms: idf = ln(1 + (4 - 2 + 0.5)/(2 + 0.5)) = ln 2.
+    def s(idf: Double, tf: Long): BigDecimal =
+      BigDecimal(math.rint(idf * tf * 2.2 / (tf + 1.2) * 1e9) / 1e9)
+    def total(parts: BigDecimal*): Double =
+      (parts.sum * 10000).setScale(0, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble / 10000
+    val iA = math.log(2.0); val iB = math.log(2.0)
+    assert(got.map(_._1).toSeq === Seq(2L, 1L, 3L))
+    assert(got.map(_._3).toSeq === Seq(1, 2, 3))
+    assert(got(0)._2 === total(s(iA, 1), s(iB, 1))) // both terms
+    assert(got(1)._2 === total(s(iA, 4)))           // saturated tf=4
+    // tf saturation: 4 occurrences score well under 4x one occurrence.
+    assert(got(1)._2 < 4 * total(s(iA, 1)))
+  }
+
+  test("bm25: longer documents are length-penalized at equal tf") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "apple pad"),
+      (2L, "apple pad pad pad pad pad pad pad pad pad pad pad")
+    ).toDF("doc_id", "text")
+    val got = TermIndex.bm25TopK(corpus, "text", "doc_id",
+        queryTerms = Seq("apple"), k = 2).orderBy(col("rank")).collect()
+    assert(got.map(_.getAs[Long]("doc_id")).toSeq === Seq(1L, 2L))
+    assert(got(0).getAs[Double]("score") > got(1).getAs[Double]("score"))
+  }
+
+  test("bpe pair counts: frequency-weighted adjacent pairs, exact") {
+    import spark.implicits._
+    // 'abab' x3 (pairs ab,ba,ab per occurrence), 'ab' x2, 'x' x1
+    // (length-1: contributes no pair).
+    val corpus = Seq(
+      (1L, "abab ab x"),
+      (2L, "abab ab"),
+      (3L, "abab")).toDF("doc_id", "text")
+    val got = TermIndex.bpePairCounts(corpus, "text", "doc_id", topN = 5)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right"),
+        r.getAs[Long]("pair_count"), r.getAs[Int]("rank")))
+    // ab: 2 per 'abab' x3 + 1 per 'ab' x2 = 8; ba: 1 per 'abab' x3 = 3.
+    assert(got.toSeq === Seq(("a", "b", 8L, 1), ("b", "a", 3L, 2)))
+  }
 }

@@ -257,4 +257,34 @@ class TextAnalysisSpec extends SparkSpec {
       .head().getAs[String]("clean_text")
     assert(got === (0 until 8).map(i => s"para $i").mkString("\n\n"))
   }
+
+  test("removeBoilerplateLines: all-boilerplate doc survives as empty text") {
+    import spark.implicits._
+    val docs = ((1 to 30).map(i => (i.toLong, s"shared footer\nbody $i")) :+
+      (99L, "shared footer")).toDF("doc_id", "text")
+    val got = TextAnalysis.removeBoilerplateLines(docs, "text", "doc_id",
+        minDocFreq = 10).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("clean_text"))
+      .toMap
+    assert(got.size === 31) // id set preserved exactly
+    assert(got(99L) === "") // not dropped, not null
+    assert(got(7L) === "body 7")
+  }
+
+  test("filterBlockedDomains: exact, subdomain, label-boundary, hostless") {
+    import spark.implicits._
+    val pages = Seq(
+      (1L, "https://ads.tracker.com/a"),   // subdomain of blocked
+      (2L, "http://tracker.com/b"),        // exact blocked
+      (3L, "https://cdn.example.com/c"),   // clean
+      (4L, "https://nottracker.com/d"),    // label boundary: NOT blocked
+      (5L, "not a url at all"),            // hostless: kept
+      (6L, "HTTPS://SUB.SPAM.NET:443/e"),  // case + port + depth-2
+      (7L, "https://spam.net.evil.org/f")  // blocked string mid-host: kept
+    ).toDF("doc_id", "url")
+    val blocklist = Seq("tracker.com", "spam.net").toDF("domain")
+    val kept = TextAnalysis.filterBlockedDomains(pages, col("url"), blocklist)
+      .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(kept === Seq(3L, 4L, 5L, 7L))
+  }
 }
