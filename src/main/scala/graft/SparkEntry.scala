@@ -1550,6 +1550,51 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Absolute per-domain cap ([[operators.TextAnalysis.capDocsPerGroup]]):
+    * at most 15 docs per source, selected by the deterministic
+    * (priorityHash, id) order through the bounded top-k AGGREGATE (map-
+    * side combined heaps — not a corpus-wide window; see the operator
+    * scaladoc). The oracle replays the selection with a row_number
+    * window over the replicated hash — an independent expression of the
+    * same selection rule.
+    */
+  private def capPerDomain(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.capDocsPerGroup(
+        t(s, d, "documents").select(col("doc_id"), col("source")),
+        col("source"), col("doc_id"), maxDocs = 15)
+      .orderBy(col("doc_id"))
+
+  /** Unicode text normalization under the gate
+    * ([[functions.NormalizeText]], one codegen'd pass): deterministic
+    * accent/case/whitespace dirt is injected from doc_id — composed
+    * accents, a DECOMPOSED combining acute (must NFC-fold to the same
+    * byte sequence), mixed case, tabs/newlines/double spaces — and the
+    * oracle replays the identical stage order with DuckDB's own
+    * utf8proc primitives (nfc_normalize -> strip_accents -> lower ->
+    * whitespace collapse), a genuinely independent implementation of
+    * the same Unicode algorithms.
+    */
+  private def textNormalize(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    // Unicode escapes, not literal glyphs, so the composed/decomposed
+    // intent is pinned in the source bytes: branches 0/1 arrive
+    // COMPOSED (\u00e9 etc.), branch 2 arrives DECOMPOSED
+    // ('e' + \u0301 combining acute) and must NFC-fold to the same
+    // output bytes as a composed input would.
+    val dirty = when(id % 3 === 0,
+        concat(lit("Caf\u00e9  R\u00c9SUM\u00c9\t"), col("text")))
+      .when(id % 3 === 1,
+        concat(lit("na\u00efve Z\u00dcRICH\n"), col("text"),
+          lit(" se\u00f1or")))
+      .otherwise(
+        concat(lit("cafe\u0301 decomposed "), col("text"), lit("  ")))
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.graftNormalizeText(dirty)
+          .as("norm_text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** URL canonicalization under the gate: deterministic messy URLs
     * (mixed-case hosts, default ports, tracking params in every
     * position, fragments, trailing slashes) are synthesized from doc_id
@@ -1995,6 +2040,33 @@ object SparkEntry {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** JSONL (newline-delimited JSON) sink + source roundtrip — the
+    * interchange format LLM corpus tooling actually speaks (HF
+    * datasets, WebDataset manifests, eval harnesses). Spark's json
+    * writer emits one object per line = JSONL by construction; the read
+    * back supplies an EXPLICIT schema — at 100 TB, schema inference is
+    * a full extra pass over the data before the first real job, so
+    * production readers must pin the schema (and get codegen'd parsing
+    * of exactly the projected fields).
+    */
+  private lazy val jsonlDir = s"$artifactRoot/jsonl"
+
+  private def jsonlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "documents").filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .write.mode("overwrite").json(s"$jsonlDir/documents")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("source", StringType), StructField("n_chars", LongType)))
+    s.read.schema(schema).json(s"$jsonlDir/documents")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+      .orderBy(col("lang"))
+  }
+
   /** Bucketed co-located join under the gate: both sides written
     * bucketed+sorted by the join key (external tables under the run's
     * artifact dir), then joined WITHOUT any exchange — the pay-the-
@@ -2308,6 +2380,8 @@ object SparkEntry {
     "q_text_langid" -> (textLangid _),
     "q_text_fingerprint" -> (textFingerprint _),
     "q_text_scrub" -> (textScrub _),
+    "q_text_normalize" -> (textNormalize _),
+    "q_cap_per_domain" -> (capPerDomain _),
     "q_url_canon" -> (urlCanon _),
     "q_boilerplate" -> (boilerplateQ _),
     "q_html_extract" -> (htmlExtract _),
@@ -2335,6 +2409,7 @@ object SparkEntry {
     "q_media_dims" -> (mediaDims _),
     "q_png_decode" -> (pngDecode _),
     "q_orc_roundtrip" -> (orcRoundtrip _),
+    "q_jsonl_roundtrip" -> (jsonlRoundtrip _),
     "q_bucketed_join" -> (bucketedJoinAgg _),
     "q_ingest_e2e" -> (ingestE2e _),
     "q_jdbc_roundtrip" -> (jdbcRoundtrip _)
@@ -3716,6 +3791,42 @@ object SparkEntry {
     "q_text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Per-domain absolute cap: same (priorityHash, id) selection rule,
+    // expressed as a row_number window (independent of the Spark side's
+    // bounded top-k aggregate).
+    "q_cap_per_domain" ->
+      """WITH h AS (SELECT doc_id, source,
+        |    ((doc_id % 2147483647) * 2654435761) % 2147483647 AS y
+        |  FROM documents),
+        |p AS (SELECT doc_id, source, (y * y) % 2147483647 AS pri FROM h),
+        |r AS (SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY pri, doc_id) AS rn
+        |  FROM p)
+        |SELECT doc_id, source FROM r WHERE rn <= 15
+        |ORDER BY doc_id""".stripMargin,
+    // Unicode normalization: the SAME stage order (NFC -> accent strip
+    // -> lower -> whitespace collapse) through DuckDB's own utf8proc
+    // primitives — an independent implementation of the same Unicode
+    // algorithms, so a bug in either side's tables or stage order turns
+    // the gate red. Literals are built with chr() so composed (233=
+    // U+00E9) vs decomposed (769=U+0301 combining acute) intent is
+    // pinned byte-exactly, mirroring the Spark side's escapes.
+    "q_text_normalize" ->
+      """WITH dirty AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN 'Caf' || chr(233) || '  R' || chr(201) || 'SUM' ||
+        |           chr(201) || chr(9) || text
+        |    WHEN doc_id % 3 = 1
+        |      THEN 'na' || chr(239) || 've Z' || chr(220) || 'RICH' ||
+        |           chr(10) || text || ' se' || chr(241) || 'or'
+        |    ELSE 'cafe' || chr(769) || ' decomposed ' || text || '  '
+        |    END AS d
+        |  FROM documents)
+        |SELECT doc_id,
+        |  trim(regexp_replace(
+        |    lower(strip_accents(nfc_normalize(d))), '\s+', ' ', 'g'))
+        |    AS norm_text
+        |FROM dirty ORDER BY doc_id""".stripMargin,
     "q_text_scrub" ->
       """WITH dirty AS (SELECT doc_id,
         |    text || ' contact user' || doc_id || '@example.com or +1 (555) 010-'
@@ -4142,6 +4253,15 @@ object SparkEntry {
         |FROM st ORDER BY media_id, start_ms""".stripMargin,
     // Oracle computes straight from the parquet table — the ORC write +
     // read-back on the Spark side must be value-lossless to match.
+    // JSONL roundtrip: the aggregate over the slice that was written
+    // out and read back must equal the same aggregate straight off the
+    // parquet source.
+    "q_jsonl_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents WHERE doc_id % 3 = 0
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_orc_roundtrip" ->
       """SELECT o_orderstatus,
         |  count(*) AS n_orders,

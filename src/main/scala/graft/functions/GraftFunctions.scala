@@ -39,6 +39,13 @@ object GraftFunctions {
     B.column(WordSetCount(B.expression(text),
       B.expression(org.apache.spark.sql.functions.typedLit(words))))
 
+  /** Unicode canonicalization for curation: NFC, accent strip
+    * (utf8proc STRIPMARK rule), ROOT-locale lowercase, whitespace
+    * collapse — one codegen'd pass. See [[NormalizeText]].
+    */
+  def graftNormalizeText(text: Column): Column =
+    B.column(NormalizeText(B.expression(text)))
+
   /** 64-bit SimHash fingerprint aggregate over per-row word hashes. */
   def graftSimHash(hash: Column): Column =
     B.column(SimHashAgg(B.expression(hash)).toAggregateExpression())

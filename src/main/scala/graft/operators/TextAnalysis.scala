@@ -158,6 +158,45 @@ object TextAnalysis {
     pmod(pmod(y * y, p), lit(100L))
   }
 
+  /** The full-range (0..2^31-2) variant of [[splitBucket]]'s hash — the
+    * same squared-multiplicative map WITHOUT the final %100, used where
+    * a deterministic total priority order over ids is needed (ties at
+    * 100 buckets would make a per-group cap depend on id order).
+    */
+  def priorityHash(idCol: Column): Column = {
+    val p = lit((1L << 31) - 1)
+    val y = pmod(pmod(idCol.cast("long"), p) * lit(2654435761L), p)
+    pmod(y * y, p)
+  }
+
+  /** Absolute per-group document cap: keep AT MOST `maxDocs` rows per
+    * group, chosen deterministically as the smallest
+    * ([[priorityHash]](id), id) — i.e. a uniform-without-RNG sample of
+    * fixed size per group, the "max N pages per domain" rule crawl
+    * curation applies beside the rate-based [[capDomains]] (rates
+    * shrink a dominant domain proportionally; this clamps every domain
+    * to the same ceiling regardless of size).
+    *
+    * Plan shape for 100 TB: NOT a row_number window (a window shuffles
+    * the ENTIRE corpus to the reducer owning its group, then sorts it —
+    * the classic skew bomb when one domain is 10% of the crawl).
+    * Instead the bounded [[graft.functions.TopKRows]] aggregate keeps k
+    * (hash, id) pairs per group WITH map-side partial aggregation, so
+    * the shuffle carries at most k ids per (group, map task) — heaps,
+    * not rows; a giant domain costs the same as a small one. The kept-id
+    * set then semi-joins back (broadcast when the cap budget is small,
+    * keyed join otherwise — AQE decides).
+    */
+  def capDocsPerGroup(df: DataFrame, groupCol: Column, idCol: Column,
+      maxDocs: Int): DataFrame = {
+    val kept = df
+      .groupBy(groupCol.as("_g"))
+      .agg(graft.functions.GraftFunctions.graftTopK(
+        struct(priorityHash(idCol), idCol), idCol, maxDocs).as("_ids"))
+      .select(explode(col("_ids")).as("_keep_id"))
+    df.join(kept, idCol === col("_keep_id"), "left_semi")
+  }
+
   /** Deterministic per-stratum downsampling: keep a row iff its
     * [[splitBucket]] hash lands under the stratum's percentage rate.
     * This is the curation rebalance move (e.g. keep 10% of the dominant

@@ -337,4 +337,29 @@ class NativeExpressionDifferentialSpec extends SparkSpec {
     assert(out(0).getDouble(0) === 14.0) // null element contributes 0
     assert(out(1).isNullAt(0))           // null array -> null
   }
+
+  test("graft_normalize_text: composed == decomposed, case/ws folded") {
+    import spark.implicits._
+    val composed = "Caf\u00e9  R\u00c9SUM\u00c9"
+    val decomposed = "Cafe\u0301  R\u00c9SUME\u0301"
+    val df = Seq(
+      (1L, composed + "\t x"),
+      (2L, decomposed + "\n x"),
+      (3L, "  plain   ascii  "),
+      (4L, "ZÜrich señor naïve"),
+      (5L, "한국어 Ж")  // Hangul + Cyrillic pass-through
+    ).toDF("id", "t")
+    val got = df.select(col("id"),
+        graft.functions.GraftFunctions.graftNormalizeText(col("t")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "cafe resume x")
+    assert(got(2L) === got(1L)) // NFC folds the decomposed spelling
+    assert(got(3L) === "plain ascii")
+    assert(got(4L) === "zurich senor naive")
+    assert(got(5L) === "한국어 ж") // marks kept, case folded
+    // null propagates, and the SQL registration path works too
+    val viaSql = spark.sql(
+      "SELECT graft_normalize_text('À  b') AS n").head().getString(0)
+    assert(viaSql === "a b")
+  }
 }

@@ -271,6 +271,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(7L) === "body 7")
   }
 
+  test("capDocsPerGroup: clamps big groups, leaves small ones whole") {
+    import spark.implicits._
+    val docs = ((1 to 40).map(i => (i.toLong, "big")) ++
+      (101 to 103).map(i => (i.toLong, "small")))
+      .toDF("doc_id", "source").repartition(7)
+    val got = TextAnalysis.capDocsPerGroup(docs, col("source"),
+        col("doc_id"), maxDocs = 5)
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("doc_id"))
+    assert(got.count(_._1 == "big") === 5)
+    assert(got.filter(_._1 == "small").map(_._2).sorted.toSeq ===
+      Seq(101L, 102L, 103L)) // under the cap: untouched
+    // deterministic: same selection on every run / partitioning
+    val again = TextAnalysis.capDocsPerGroup(docs.repartition(3),
+        col("source"), col("doc_id"), maxDocs = 5)
+      .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(again === got.map(_._2).sorted.toSeq)
+    // and it matches the window formulation of the same rule
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+      .orderBy(TextAnalysis.priorityHash(col("doc_id")), col("doc_id"))
+    val viaWindow = docs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5).collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(again === viaWindow)
+  }
+
   test("filterBlockedDomains: exact, subdomain, label-boundary, hostless") {
     import spark.implicits._
     val pages = Seq(
