@@ -27,14 +27,25 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table is TIMESTAMP(NANOS) parquet, which Spark's reader
-    * rejects by default; read nanos as long and floor-convert to the
-    * engine's microsecond timestamps (DuckDB does the same ns->us floor).
+  /** The events table's `ts` has shipped in two parquet layouts across
+    * testdata drops: TIMESTAMP(NANOS) (which Spark's reader rejects by
+    * default — read nanos as long, floor to micros exactly as DuckDB
+    * does) and TIMESTAMP_NTZ(MICROS). Accept both and normalize to the
+    * engine's session-TZ microsecond timestamps; the session runs UTC,
+    * so the NTZ cast is value-preserving and both layouts agree with
+    * DuckDB's `epoch_us(ts)` on the same file.
     */
-  private def events(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => raw
+      case other => sys.error(s"unexpected events.ts type: $other")
+    }
   }
 
   private val dec = (c: Column) => c.cast(DecimalType(18, 2))

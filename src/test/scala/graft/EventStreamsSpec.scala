@@ -108,15 +108,14 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  /** The real events table (sf0.001), nanos floored to the engine's
-    * microsecond timestamps and rewritten as standard-timestamp parquet so
+  /** The real events table (sf0.001), normalized to the engine's
+    * microsecond timestamps (via the same layout-adaptive loader the
+    * gated queries use) and rewritten as standard-timestamp parquet so
     * the streaming reader's schema applies.
     */
   private def realEventsDir: String = {
     val dir = tmpDir("real_events")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    SparkEntry.events(spark, "/root/testdata/sf0.001")
       .write.mode("overwrite").parquet(dir)
     dir
   }
