@@ -36,15 +36,30 @@ object SparkEntry {
     * DuckDB's `epoch_us(ts)` on the same file.
     */
   private[graft] def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The legacy conf must be TRUE while the reader resolves the schema;
+    // for the nanos layout it must also stay true through execution
+    // (per-file footer conversion at task time re-consults it), so it is
+    // only restored when the file turns out NOT to need it — the session
+    // leak is scoped to exactly the sessions where the conf is required
+    // for the plan to run at all.
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
+    val restore = () => prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
     raw.schema("ts").dataType match {
       case LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType =>
-        raw.withColumn("ts", col("ts").cast(TimestampType))
-      case TimestampType => raw
-      case other => sys.error(s"unexpected events.ts type: $other")
+        // True FLOOR to micros (ts - pmod is exactly divisible, so the
+        // integer div is exact even for pre-epoch nanos), matching
+        // DuckDB's epoch_us on the same values.
+        raw.withColumn("ts",
+          timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
+      case TimestampNTZType => restore(); raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => restore(); raw
+      case other => restore(); sys.error(s"unexpected events.ts type: $other")
     }
   }
 

@@ -152,8 +152,8 @@ object TermIndex {
     * lexical ranking function (Robertson/Sparck Jones; the scorer behind
     * Lucene/Elasticsearch defaults and the lexical leg most RAG stacks
     * pair with dense retrieval; the reference's ILIKE-OR search at
-    * rnjane/client_data_ingester app/models/product.rb is the boolean
-    * ancestor of this ranked form):
+    * mply_ingester/backend/mply_ingester/web/api/products.py:49-54 is
+    * the boolean ancestor of this ranked form):
     *
     *   score(d, q) = sum over t in q of
     *     idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
