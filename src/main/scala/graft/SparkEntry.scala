@@ -2210,6 +2210,45 @@ object SparkEntry {
         col("rank").cast(LongType).as("rank"))
       .orderBy(col("rank"))
 
+  /** Merge budget for the trained-BPE gates: enough iterations that
+    * merged symbols themselves merge again (multi-character tokens
+    * emerge), small enough that the DuckDB replay oracle — one
+    * pair-count + argmax + replace CTE trio per iteration, generated by
+    * [[bpeReplayCtes]] — stays readable.
+    */
+  private val bpeMergeBudget = 12
+
+  /** Full BPE TRAINER under the gate ([[operators.TermIndex.trainBpe]]):
+    * the learned merge table after `bpeMergeBudget` iterations. The
+    * oracle REPLAYS training independently in DuckDB: symbol sequences
+    * travel as `[sym][sym]` bracket strings (symbols are ^[a-z0-9]+$ by
+    * the trainer's word filter, so brackets never collide), merge
+    * application is a plain left-to-right `replace` — exactly the greedy
+    * non-overlapping rule of the Spark-side fold.
+    */
+  private def bpeTrain(s: SparkSession, d: String): DataFrame = {
+    val merges = TermIndex.trainBpe(t(s, d, "documents"), "text", "doc_id",
+      numMerges = bpeMergeBudget)
+    s.createDataFrame(merges)
+      .select(col("rank"), col("left"), col("right"), col("pair_count"))
+      .orderBy(col("rank"))
+  }
+
+  /** Tokenize WITH the trained merges
+    * ([[operators.TermIndex.bpeTokenCounts]]): train the
+    * `bpeMergeBudget`-merge table, then encode every document against
+    * it — per-doc trainable-word and BPE-token counts. The oracle
+    * replays training to the same merge table and reads each word's
+    * token width off the final replayed vocabulary.
+    */
+  private def tokenizeBpe(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val merges = TermIndex.trainBpe(docs, "text", "doc_id",
+      numMerges = bpeMergeBudget)
+    TermIndex.bpeTokenCounts(docs, "text", "doc_id", merges)
+      .orderBy(col("doc_id"))
+  }
+
   /** Domain-blocklist URL filter
     * ([[operators.TextAnalysis.filterBlockedDomains]]): hosts are
     * synthesized from doc_id (mod 5) so the slice exercises exact match,
@@ -2382,6 +2421,8 @@ object SparkEntry {
     "q_tfidf" -> (tfidfTop _),
     "q_bm25" -> (bm25Q _),
     "q_bpe_merges" -> (bpeMerges _),
+    "q_bpe_train" -> (bpeTrain _),
+    "q_tokenize_bpe" -> (tokenizeBpe _),
     "q_url_blocklist" -> (urlBlocklist _),
     "q_inverted_index" -> (indexPostings _),
     "q_mix_domains" -> (mixDomains _),
@@ -2444,6 +2485,72 @@ object SparkEntry {
   private val stopSql = stopList.map(w => s"'$w'").mkString(", ")
 
   private def inList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
+
+  /** DuckDB REPLAY of [[operators.TermIndex.trainBpe]] — the shared CTE
+    * chain for the trained-BPE oracles: `v0` is the character-bracketed
+    * vocabulary (each word's symbols as `[s][y][m]`, legal because the
+    * trainer's word filter keeps brackets out of the alphabet), then per
+    * iteration k: `p{k}` counts adjacent symbol pairs freq-weighted,
+    * `m{k}` takes the (count DESC, left, right) argmax, and `v{k}`
+    * applies the merge with a plain left-to-right `replace` — the same
+    * greedy non-overlapping rule as the Spark-side fold, because
+    * non-overlapping string replace on the bracket encoding IS that
+    * rule.
+    *
+    * Every vocabulary/merge CTE is `AS MATERIALIZED`: each `v{k}` is
+    * referenced twice (pair counts AND the next vocabulary), so plain
+    * inlining would re-evaluate the whole chain 2^n times — the hint
+    * keeps the replay linear in the merge budget.
+    */
+  private def bpeReplayCtes(n: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH occ AS (SELECT unnest(list_filter(
+        |      string_split_regex(trim(lower(text)), '\s+'),
+        |      x -> len(x) > 0)) AS word FROM documents),
+        |filt AS (SELECT word FROM occ
+        |  WHERE regexp_matches(word, '^[a-z0-9]+$')),
+        |v0 AS MATERIALIZED (SELECT word,
+        |    regexp_replace(word, '(.)', '[\1]', 'g') AS seq,
+        |    count(*) AS freq FROM filt GROUP BY 1, 2)""".stripMargin)
+    for (k <- 1 to n) {
+      sb.append(s""",
+        |p$k AS MATERIALIZED (SELECT s.syms[t.i] AS l, s.syms[t.i + 1] AS r,
+        |    sum(s.freq) AS cnt
+        |  FROM (SELECT string_split(trim(seq, '[]'), '][') AS syms, freq
+        |        FROM v${k - 1}) s, unnest(range(1, len(s.syms))) AS t(i)
+        |  GROUP BY 1, 2),
+        |m$k AS MATERIALIZED (SELECT l, r, cnt FROM p$k
+        |  ORDER BY cnt DESC, l, r LIMIT 1),
+        |v$k AS MATERIALIZED (SELECT v.word, replace(v.seq,
+        |    '[' || m.l || '][' || m.r || ']',
+        |    '[' || m.l || m.r || ']') AS seq, v.freq
+        |  FROM v${k - 1} v, m$k m)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  private def bpeTrainOracle: String =
+    bpeReplayCtes(bpeMergeBudget) + "\n" +
+      (1 to bpeMergeBudget).map(k =>
+        s"""SELECT CAST($k AS BIGINT) AS rank, l AS "left", r AS "right",
+           |  CAST(cnt AS BIGINT) AS pair_count FROM m$k""".stripMargin)
+        .mkString("\nUNION ALL\n") +
+      "\nORDER BY rank"
+
+  private def tokenizeBpeOracle: String =
+    bpeReplayCtes(bpeMergeBudget) + s""",
+      |docw AS (SELECT doc_id, unnest(list_filter(
+      |    string_split_regex(trim(lower(text)), '\\s+'),
+      |    x -> len(x) > 0)) AS word FROM documents),
+      |dfilt AS (SELECT doc_id, word FROM docw
+      |  WHERE regexp_matches(word, '^[a-z0-9]+${"$"}')),
+      |tok AS (SELECT word, len(string_split(trim(seq, '[]'), '][')) AS n_tok
+      |  FROM v$bpeMergeBudget)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+      |  CAST(sum(n_tok) AS BIGINT) AS n_tokens
+      |FROM dfilt JOIN tok USING (word)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Oracle for q_embed_ann_lsh: the sign-random-projection hyperplanes
     * are deterministic constants, so they are INLINED into the SQL — DuckDB
@@ -3457,6 +3564,10 @@ object SparkEntry {
         |SELECT "left", "right", CAST(pair_count AS BIGINT) AS pair_count,
         |  rank FROM ranked
         |WHERE rank <= 30 ORDER BY rank""".stripMargin,
+    // Trained BPE: full independent training replay (bracket-string
+    // symbol sequences, replace-based merges) — see bpeReplayCtes.
+    "q_bpe_train" -> bpeTrainOracle,
+    "q_tokenize_bpe" -> tokenizeBpeOracle,
     // Domain blocklist: INDEPENDENT implementation of the same
     // semantics — host extracted with the same regex, but the suffix
     // rule expressed as equality-or-dot-suffix LIKE instead of the

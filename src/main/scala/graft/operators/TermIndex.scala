@@ -268,6 +268,127 @@ object TermIndex {
       Window.orderBy(col("pair_count").desc, col("left"), col("right"))))
   }
 
+  /** One learned merge: `rank` is the training iteration (1-based),
+    * `pair_count` the corpus-wide adjacent-occurrence count that made
+    * (left, right) the argmax at that iteration.
+    */
+  case class BpeMerge(rank: Long, left: String, right: String, pair_count: Long)
+
+  /** Word characters as a symbol array (split("") can emit empties on
+    * some inputs — filtered defensively).
+    */
+  private def charSyms(word: Column): Column =
+    filter(split(word, ""), s => length(s) > 0)
+
+  /** Apply ONE merge to a symbol array: greedy left-to-right fold — the
+    * exact replacement rule of Sennrich et al.'s learn_bpe (non-
+    * overlapping, a just-merged token never re-merges in the same pass
+    * because its symbol string differs from `l`). Pure higher-order
+    * expression, no UDF.
+    */
+  private def applyMerge(syms: Column, l: Column, r: Column, m: Column): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, s) => when(size(acc) > 0 && element_at(acc, -1) === l && s === r,
+          concat(slice(acc, lit(1), size(acc) - 1), array(m)))
+        .otherwise(concat(acc, array(s))))
+
+  /** BPE TRAINER (Sennrich et al. 2016): iterate [[bpePairCounts]]'s
+    * argmax — count adjacent symbol pairs weighted by word frequency,
+    * merge the winner everywhere, repeat — for `numMerges` iterations,
+    * returning the learned merge table in training order. Ties break on
+    * (left, right) so the trained tokenizer is engine-reproducible.
+    *
+    * Training is restricted to words matching `wordPattern` (default
+    * lowercase alphanumerics) — the usual pre-tokenizer hygiene, and it
+    * keeps the symbol alphabet free of the bracket characters an
+    * external replay oracle uses as symbol separators.
+    *
+    * Plan shape for 100 TB: the corpus collapses to the VOCABULARY
+    * (word, freq) in one scan — every later iteration works at
+    * vocabulary scale: a pair explode + aggregate, a 1-row argmax
+    * collect (bounded driver state, the IVF-centroid precedent), and a
+    * fold-per-word merge application. `localCheckpoint` after each
+    * merge truncates the iterative lineage exactly as the
+    * connected-components loop in [[Dedup]] does.
+    */
+  def trainBpe(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      numMerges: Int,
+      wordPattern: String = "^[a-z0-9]+$"): Seq[BpeMerge] = {
+    require(numMerges >= 1, "trainBpe needs at least one merge")
+    var vocab = occurrences(docs, textCol, idCol)
+      .filter(col("word").rlike(wordPattern))
+      .groupBy(col("word")).agg(count(lit(1)).as("_freq"))
+      .select(charSyms(col("word")).as("syms"), col("_freq"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
+    var i = 1
+    var exhausted = false
+    while (i <= numMerges && !exhausted) {
+      val top = vocab.filter(size(col("syms")) >= 2)
+        .select(col("_freq"), explode(transform(
+          sequence(lit(1), size(col("syms")) - 1),
+          j => struct(element_at(col("syms"), j).as("l"),
+            element_at(col("syms"), j + 1).as("r")))).as("_p"))
+        .groupBy(col("_p.l").as("l"), col("_p.r").as("r"))
+        .agg(sum(col("_freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += BpeMerge(i.toLong, l, r, cnt)
+        vocab = vocab
+          .select(applyMerge(col("syms"), lit(l), lit(r), lit(l + r)).as("syms"),
+            col("_freq"))
+          .localCheckpoint()
+        i += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** ENCODE with a trained merge table: re-derive per-document token
+    * counts by applying the merges (in rank order, greedy per merge —
+    * the standard BPE encode) to every distinct word, then joining the
+    * per-word token width back to the document word stream. Output:
+    * (id, n_words, n_tokens) over the words matching `wordPattern`.
+    *
+    * Plan shape for 100 TB: the merge table is a BROADCAST LITERAL
+    * (bounded by the merge budget); the nested fold — outer over the
+    * merge array, inner over the word's symbols — runs once per
+    * DISTINCT word (vocabulary scale, never corpus scale); the corpus
+    * stream reduces to (doc, word, count) before the vocabulary join,
+    * and the final per-doc aggregate is one keyed shuffle.
+    */
+  def bpeTokenCounts(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      merges: Seq[BpeMerge],
+      wordPattern: String = "^[a-z0-9]+$"): DataFrame = {
+    require(merges.nonEmpty, "bpeTokenCounts needs a trained merge table")
+    val mergeArr = array(merges.map(m =>
+      struct(lit(m.left).as("l"), lit(m.right).as("r"),
+        lit(m.left + m.right).as("m"))): _*)
+    val docWords = occurrences(docs, textCol, idCol)
+      .filter(col("word").rlike(wordPattern))
+    val tfd = docWords.groupBy(col("id"), col("word"))
+      .agg(count(lit(1)).as("_c"))
+    val vocab = docWords.select(col("word")).distinct()
+      .select(col("word"), size(aggregate(mergeArr, charSyms(col("word")),
+        (syms, mg) => applyMerge(syms, mg("l"), mg("r"), mg("m"))))
+        .as("_n_tok"))
+    tfd.join(vocab, "word")
+      .groupBy(col("id"))
+      .agg(sum(col("_c")).as("n_words"),
+        sum(col("_c") * col("_n_tok")).as("n_tokens"))
+      .withColumnRenamed("id", idCol)
+  }
+
   /** Inverted index restricted to a document-frequency band: for each
     * term with minDf <= df <= maxDf, its df and the posting list of
     * document ids (sorted, comma-joined — a string so the artifact is

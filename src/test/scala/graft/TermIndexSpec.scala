@@ -232,4 +232,70 @@ class TermIndexSpec extends SparkSpec {
     // ab: 2 per 'abab' x3 + 1 per 'ab' x2 = 8; ba: 1 per 'abab' x3 = 3.
     assert(got.toSeq === Seq(("a", "b", 8L, 1), ("b", "a", 3L, 2)))
   }
+  test("bpe trainer: Sennrich worked example — first three merges") {
+    import spark.implicits._
+    // The learn-BPE worked example (Sennrich et al. 2016, without the
+    // end-of-word marker): vocab low:5 lower:2 newest:6 widest:3.
+    // Pair counts round 1: (e,s)=9 (newest+widest) ties (s,t)=9 —
+    // tie breaks on left asc, so (e,s) merges first; round 2 (es,t)=9;
+    // round 3 (l,o)=7 ties (o,w)=7 -> (l,o).
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val corpus = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val merges = TermIndex.trainBpe(corpus, "text", "doc_id", numMerges = 3)
+    assert(merges.map(m => (m.rank, m.left, m.right, m.pair_count)) ===
+      Seq((1L, "e", "s", 9L), (2L, "es", "t", 9L), (3L, "l", "o", 7L)))
+  }
+
+  test("bpe trainer: greedy merge application is non-overlapping") {
+    import spark.implicits._
+    // 'aaaa' x2: round 1 pair (a,a) count = 3 adjacencies x 2 = 6.
+    // Greedy application turns aaaa into (aa)(aa) — NOT aa,a,a — so
+    // round 2's argmax is (aa,aa) with count 1x2=2.
+    val corpus = Seq((1L, "aaaa"), (2L, "aaaa")).toDF("doc_id", "text")
+    val merges = TermIndex.trainBpe(corpus, "text", "doc_id", numMerges = 2)
+    assert(merges.map(m => (m.left, m.right, m.pair_count)) ===
+      Seq(("a", "a", 6L), ("aa", "aa", 2L)))
+  }
+
+  test("bpe trainer: stops early when no pairs remain") {
+    import spark.implicits._
+    val corpus = Seq((1L, "ab ab"), (2L, "c")).toDF("doc_id", "text")
+    // merge 1: (a,b)=2; then every word is a single symbol — trained
+    // table has 1 entry even though 5 were requested.
+    val merges = TermIndex.trainBpe(corpus, "text", "doc_id", numMerges = 5)
+    assert(merges.map(m => (m.left, m.right, m.pair_count)) ===
+      Seq(("a", "b", 2L)))
+  }
+
+  test("bpe encode: token counts follow the trained merges") {
+    import spark.implicits._
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val corpus = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val merges = TermIndex.trainBpe(corpus, "text", "doc_id", numMerges = 3)
+    // After (e,s), (es,t), (l,o): low -> [lo, w] = 2 tokens;
+    // lower -> [lo, w, e, r] = 4; newest -> [n, e, w, est] = 4;
+    // widest -> [w, i, d, est] = 4.
+    val probe = Seq((100L, "low lower newest widest low"))
+      .toDF("doc_id", "text")
+    val got = TermIndex.bpeTokenCounts(probe, "text", "doc_id", merges)
+      .collect()
+    assert(got.length === 1)
+    assert(got(0).getAs[Long]("n_words") === 5L)
+    assert(got(0).getAs[Long]("n_tokens") === (2 + 4 + 4 + 4 + 2).toLong)
+  }
+
+  test("bpe encode: word filter keeps non-alphanumeric words out") {
+    import spark.implicits._
+    val corpus = Seq((1L, "abc abc a-b c!d abc")).toDF("doc_id", "text")
+    val merges = TermIndex.trainBpe(corpus, "text", "doc_id", numMerges = 1)
+    assert(merges.head.left === "a" || merges.head.left === "b")
+    val got = TermIndex.bpeTokenCounts(corpus, "text", "doc_id", merges)
+      .collect()
+    // only the three 'abc' instances are trainable words.
+    assert(got(0).getAs[Long]("n_words") === 3L)
+  }
 }
