@@ -44,4 +44,41 @@ class SequencePackingSpec extends SparkSpec {
       ("x", 0L, 1L, 8L), ("x", 1L, 1L, 2L),
       ("y", 0L, 1L, 8L), ("y", 1L, 1L, 2L)))
   }
+  test("packs on TRAINED-BPE token counts, finer than whitespace counts") {
+    import spark.implicits._
+    import graft.operators.{TermIndex, TextAnalysis}
+    // End-to-end wiring: train merges -> real per-doc token counts ->
+    // pack on those counts. BPE counts sit strictly between the
+    // whitespace word count (every word >= 1 token) and the character
+    // count (merges only ever shrink the symbol sequence).
+    val docs = Seq(
+      (1L, "low low lower"),
+      (2L, "newest widest newest"),
+      (3L, "low newest")).toDF("doc_id", "text")
+    val merges = TermIndex.trainBpe(docs, "text", "doc_id", numMerges = 3)
+    val counted = TermIndex.bpeTokenCounts(docs, "text", "doc_id", merges)
+      .withColumn("shard", lit("s0"))
+    val ws = docs.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_ws"))
+    val joined = counted.join(ws, "doc_id").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (nTok, nWords, nWs) = (r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_words"), r.getAs[Int]("n_ws").toLong)
+      assert(nWords === nWs) // same word splitter feeds both counters
+      assert(nTok >= nWs)    // every word is at least one token
+    }
+    // the DIFFERENTIAL: trained counts are finer than the heuristic —
+    // 'lower' after (e,s),(es,t),(l,o) is [lo,w,e,r] = 4 tokens, not 1.
+    assert(joined.map(_.getAs[Long]("n_tokens")).sum >
+      joined.map(_.getAs[Int]("n_ws").toLong).sum)
+    val packed = SequencePacking.pack(counted, "shard", "doc_id",
+      "n_tokens", capacity = 8).collect()
+    // conservation: packed spans sum to the BPE counts per doc
+    val perDoc = packed.groupBy(_.getAs[Long]("doc_id")).view
+      .mapValues(_.map(_.getAs[Long]("n_toks")).sum).toMap
+    val expect = joined.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
+    assert(perDoc === expect)
+  }
 }
