@@ -2,6 +2,7 @@ package graft
 
 import graft.functions.Transformers
 import graft.operators._
+import graft.sources.AvroIO
 import graft.streaming.EventStreams
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -2093,6 +2094,34 @@ object SparkEntry {
       .orderBy(col("lang"))
   }
 
+  /** Avro source/sink roundtrip under the gate — the remaining common
+    * interchange format (Kafka estates, schema registries, classic
+    * Hadoop pipelines), twin of [[jsonlRoundtrip]] on a different
+    * deterministic slice. Written and read through
+    * [[sources.AvroIO]]'s Hadoop Avro container path with an explicit
+    * schema on both sides; the oracle recomputes straight from the
+    * parquet source, so the container write + read-back must be
+    * value-lossless.
+    */
+  private lazy val avroDir = s"$artifactRoot/avro"
+
+  private def avroRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("source", StringType), StructField("n_chars", LongType)))
+    AvroIO.write(
+      t(s, d, "documents").filter(col("doc_id") % 4 === 1)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars")),
+      s"$avroDir/documents")
+    AvroIO.read(s, s"$avroDir/documents", schema)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+      .orderBy(col("source"))
+  }
+
   /** Bucketed co-located join under the gate: both sides written
     * bucketed+sorted by the join key (external tables under the run's
     * artifact dir), then joined WITHOUT any exchange — the pay-the-
@@ -2477,6 +2506,7 @@ object SparkEntry {
     "q_png_decode" -> (pngDecode _),
     "q_orc_roundtrip" -> (orcRoundtrip _),
     "q_jsonl_roundtrip" -> (jsonlRoundtrip _),
+    "q_avro_roundtrip" -> (avroRoundtrip _),
     "q_bucketed_join" -> (bucketedJoinAgg _),
     "q_ingest_e2e" -> (ingestE2e _),
     "q_jdbc_roundtrip" -> (jdbcRoundtrip _)
@@ -4399,6 +4429,14 @@ object SparkEntry {
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM documents WHERE doc_id % 3 = 0
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    // Avro roundtrip: same oracle discipline — straight off parquet,
+    // the Avro container write + read-back must be lossless to match.
+    "q_avro_roundtrip" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents WHERE doc_id % 4 = 1
+        |GROUP BY source ORDER BY source""".stripMargin,
     "q_orc_roundtrip" ->
       """SELECT o_orderstatus,
         |  count(*) AS n_orders,
