@@ -2035,6 +2035,25 @@ object SparkEntry {
     Multimodal.pngRoundtrip(s, dims).toDF().orderBy(col("media_id"))
   }
 
+  /** JPEG — the dominant crawl image format — under the pixel gate:
+    * every row is encoded to REAL JPEG bytes (SOI-asserted) and decoded
+    * back through the same `mapPartitions` codec seam as
+    * [[pngDecode]]. Constant-gray planes at quality 1.0 make the lossy
+    * codec bit-exact (DC-only DCT; see
+    * [[operators.Multimodal.encodeJpeg]]) so the oracle recomputes the
+    * pixel sum ANALYTICALLY: sum = w*h*gray — a wrong quant table,
+    * subsampling step, or dimension on either codec side goes red.
+    */
+  private def jpegDecode(s: SparkSession, d: String): DataFrame = {
+    val dims = t(s, d, "documents")
+      .filter(pmod(col("doc_id"), lit(3)) === 1 && col("doc_id") < 1500)
+      .select(col("doc_id").as("media_id"),
+        (pmod(col("doc_id"), lit(21)) + 5).cast(IntegerType).as("width"),
+        (pmod(col("doc_id"), lit(17)) + 5).cast(IntegerType).as("height"),
+        pmod(col("doc_id") * 37 + 11, lit(256)).cast(IntegerType).as("gray"))
+    Multimodal.jpegRoundtrip(s, dims).toDF().orderBy(col("media_id"))
+  }
+
   /** Audio segmentation plan: fixed windows with a hop over the metadata
     * duration (the ASR front-end shape) — explode of a generated
     * sequence, sample counts by integer arithmetic, decode deferred.
@@ -2504,6 +2523,7 @@ object SparkEntry {
     "q_multimodal_resize" -> (multimodalResize _),
     "q_media_dims" -> (mediaDims _),
     "q_png_decode" -> (pngDecode _),
+    "q_jpeg_decode" -> (jpegDecode _),
     "q_orc_roundtrip" -> (orcRoundtrip _),
     "q_jsonl_roundtrip" -> (jsonlRoundtrip _),
     "q_avro_roundtrip" -> (avroRoundtrip _),
@@ -4403,6 +4423,17 @@ object SparkEntry {
         |  CAST(sum((3*media_id + 5*x + 11*y) % 256) AS BIGINT) AS sum_g,
         |  CAST(sum((5*media_id + 3*x + 17*y) % 256) AS BIGINT) AS sum_b
         |FROM px GROUP BY 1, 2, 3 ORDER BY media_id""".stripMargin,
+    // JPEG pixel gate: constant-gray planes at quality 1.0 are
+    // bit-exact through the lossy codec (DC-only DCT), so the decoded
+    // sum is pure arithmetic — w * h * gray.
+    "q_jpeg_decode" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(doc_id % 21 + 5 AS INTEGER) AS width,
+        |  CAST(doc_id % 17 + 5 AS INTEGER) AS height,
+        |  CAST((doc_id % 21 + 5) * (doc_id % 17 + 5) *
+        |    ((doc_id * 37 + 11) % 256) AS BIGINT) AS sum_gray
+        |FROM documents WHERE doc_id % 3 = 1 AND doc_id < 1500
+        |ORDER BY media_id""".stripMargin,
     "q_frame_sample" ->
       """SELECT media_id, frame_ts_ms FROM (
         |  SELECT doc_id AS media_id,

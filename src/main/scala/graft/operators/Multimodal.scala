@@ -258,4 +258,87 @@ object Multimodal {
         rows.map { case (id, w, h) => decodePng(id, encodePng(id, w, h)) }
       }
   }
+
+  // ---- JPEG through the same seam ---------------------------------------
+
+  /** Encode a CONSTANT-gray `w`x`h` image as a real JPEG at explicit
+    * compression quality 1.0 (all-ones quantization tables). A constant
+    * image is the one signal class where lossy JPEG is bit-exact: every
+    * 8x8 block's DCT is DC-only (AC exactly zero, and edge blocks pad by
+    * replication so they stay constant), the DC coefficient 8*(v-128) is
+    * exactly representable, and the unit quant table preserves it — so
+    * the decoded plane equals the input plane and an external oracle can
+    * recompute any pixel aggregate ANALYTICALLY (sum = w*h*gray). That
+    * is what makes a lossy-codec roundtrip oracle-checkable at all; the
+    * codec path being exercised (ImageIO JPEG writer/reader, the same
+    * `mapPartitions` seam as [[pngRoundtrip]]) is the one a real corpus
+    * decode would use.
+    */
+  def encodeJpeg(w: Int, h: Int, gray: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, gray); x += 1 }
+      y += 1
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(1.0f)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
+  case class DecodedJpeg(media_id: Long, width: Int, height: Int,
+      sum_gray: Long)
+
+  /** Decode JPEG bytes and reduce to the exact gray-plane pixel sum. */
+  def decodeJpeg(id: Long, bytes: Array[Byte]): DecodedJpeg = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, s"media $id: payload is not a decodable image")
+    val raster = img.getRaster
+    val (w, h) = (img.getWidth, img.getHeight)
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+      y += 1
+    }
+    DecodedJpeg(id, w, h, sum)
+  }
+
+  /** JPEG encode→decode roundtrip at the decode boundary — the JPEG twin
+    * of [[pngRoundtrip]]: for every (id, w, h, gray) row, write a real
+    * JPEG and decode it back, emitting parsed dims + the exact pixel
+    * sum. SOI magic is asserted per row so a silent fallback to another
+    * writer format cannot pass the gate.
+    */
+  def jpegRoundtrip(spark: SparkSession, dims: DataFrame): Dataset[DecodedJpeg] = {
+    import spark.implicits._
+    dims.select(col("media_id").cast(LongType),
+        col("width").cast(IntegerType), col("height").cast(IntegerType),
+        col("gray").cast(IntegerType))
+      .as[(Long, Int, Int, Int)]
+      .mapPartitions { rows =>
+        rows.map { case (id, w, h, g) =>
+          val bytes = encodeJpeg(w, h, g)
+          require(bytes.length >= 2 &&
+            (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8,
+            s"media $id: writer did not produce JPEG (no SOI marker)")
+          decodeJpeg(id, bytes)
+        }
+      }
+  }
 }

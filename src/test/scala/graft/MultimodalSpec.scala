@@ -107,4 +107,26 @@ class MultimodalSpec extends SparkSpec {
       .select(Multimodal.isPng(encode(col("t"), "UTF-8"))).head().getBoolean(0)
     assert(!notPng)
   }
+  test("JPEG constant-gray roundtrip is bit-exact for EVERY gray value") {
+    // Executor-free check of the exactness claim the q_jpeg_decode
+    // oracle relies on: all 256 gray levels, dims crossing 8x8 block
+    // boundaries (including non-multiples with edge-replicated pad).
+    for (g <- 0 to 255) {
+      val (w, h) = (8 + (g % 13), 5 + (g % 11))
+      val dec = Multimodal.decodeJpeg(g.toLong, Multimodal.encodeJpeg(w, h, g))
+      assert(dec.width === w && dec.height === h)
+      assert(dec.sum_gray === w.toLong * h * g,
+        s"gray=$g dims=${w}x$h: got ${dec.sum_gray}, want ${w.toLong * h * g}")
+    }
+  }
+
+  test("JPEG roundtrip dataset: SOI-gated encode, analytic sums") {
+    import spark.implicits._
+    val dims = Seq((1L, 16, 16, 0), (2L, 9, 7, 255), (3L, 24, 8, 128))
+      .toDF("media_id", "width", "height", "gray")
+    val got = Multimodal.jpegRoundtrip(spark, dims).collect()
+      .sortBy(_.media_id)
+    assert(got.map(d => (d.media_id, d.width, d.height, d.sum_gray)).toSeq ===
+      Seq((1L, 16, 16, 0L), (2L, 9, 7, 63L * 255), (3L, 24, 8, 192L * 128)))
+  }
 }
