@@ -1,0 +1,111 @@
+package graft
+
+import graft.operators.{IngestionReport, IngestionService, ParserConfig, ProductStore}
+import graft.streaming.IngestStream
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+import scala.collection.mutable
+
+/** Stream==batch differential for the drop-directory ingest endpoint:
+  * the same fixture sequence through [[IngestStream]] and through
+  * direct sequential [[IngestionService.ingest]] calls must produce an
+  * identical product table and identical report sequence — including a
+  * failing batch that writes nothing but does not stop the stream, and
+  * the `*.full.*` full-update naming convention.
+  */
+class IngestStreamSpec extends SparkSpec {
+
+  private val cfg = ParserConfig("csv", Seq(
+    "sku" -> ("sku", "text"),
+    "title" -> ("title", "text"),
+    "active" -> ("active", "boolean")))
+
+  private def ts(i: Int) = Timestamp.valueOf(f"2024-$i%02d-01 00:00:00")
+
+  // (file name, content, batch stamp index): create → mixed upsert /
+  // fresh insert / empty-sku insert → bad boolean (MUST abort, write
+  // nothing) → full-update (deactivates the absent b9).
+  private val fixtures = Seq(
+    ("b1.csv", "sku,title,active\na1,Widget,1\nb9,Gadget,1", 1),
+    ("b2.csv", "sku,title,active\na1,Widget v2,0\nc3,Fresh,1\n,Anon,1", 2),
+    ("b3.csv", "sku,title,active\na1,Poison,notabool", 3),
+    ("b4.full.csv", "sku,title,active\na1,Widget v3,1\nc3,Fresh,1", 4))
+
+  private def tsFor(path: String): Timestamp = {
+    val name = path.substring(path.lastIndexOf('/') + 1)
+    ts(fixtures.indexWhere(_._1 == name) + 1)
+  }
+
+  test("drop-directory stream replays the batch ingest sequence exactly") {
+    // --- batch twin: direct sequential service calls ------------------
+    val batchStore = new ProductStore(spark, tmpDir("store-batch"))
+    val batchSvc = new IngestionService(spark, batchStore, clientId = 1)
+    val batchReports = fixtures.map { case (name, content, i) =>
+      val p = writeText(tmpDir("seq"), name, content)
+      batchSvc.ingest(cfg, p, fullUpdate = name.contains(".full."),
+        batchTs = ts(i))
+    }
+    assert(batchReports.map(_.success) === Seq(true, true, false, true))
+
+    // --- streaming twin: files land one at a time ---------------------
+    val streamStore = new ProductStore(spark, tmpDir("store-stream"))
+    val streamSvc = new IngestionService(spark, streamStore, clientId = 1)
+    val dropDir = tmpDir("drop")
+    val reports = mutable.ArrayBuffer.empty[(String, IngestionReport)]
+    val q = IngestStream.start(spark, streamSvc, cfg, dropDir,
+      checkpointDir = tmpDir("ckpt"), batchTsFor = tsFor,
+      onReport = (p, r) => reports.synchronized { reports += ((p, r)) })
+    try {
+      fixtures.foreach { case (name, content, _) =>
+        writeText(dropDir, name, content)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    // report sequences match, in arrival order
+    assert(reports.map(_._1.split('/').last).toSeq === fixtures.map(_._1))
+    assert(reports.map(_._2.success).toSeq === Seq(true, true, false, true))
+    assert(reports.map(_._2.processedCount).toSeq ===
+      batchReports.map(_.processedCount))
+    assert(reports.map(_._2.stats).toSeq === batchReports.map(_.stats))
+
+    // the failed batch reported details and wrote nothing (a1 is not
+    // 'Poison' in either store)
+    assert(reports(2)._2.report.nonEmpty)
+
+    // final tables identical
+    val cols = Seq("sku", "title", "active", "client_id")
+    val got = streamStore.read().select(cols.map(col): _*)
+      .orderBy("sku", "title").collect().toSeq
+    val want = batchStore.read().select(cols.map(col): _*)
+      .orderBy("sku", "title").collect().toSeq
+    assert(got === want)
+    // full-update semantics arrived through the naming convention:
+    // b9 (absent from b4.full.csv) is deactivated, a1 re-active
+    val bySku = streamStore.read().collect()
+      .groupBy(r => Option(r.getAs[String]("sku")).getOrElse(""))
+    assert(bySku("b9").head.getAs[Boolean]("active") === false)
+    assert(bySku("a1").head.getAs[String]("title") === "Widget v3")
+    assert(bySku("a1").head.getAs[Boolean]("active") === true)
+    assert(bySku("a1").head.getAs[Timestamp]("last_changed_on") === ts(4))
+  }
+
+  test("same-trigger arrivals process in lexicographic path order") {
+    val store = new ProductStore(spark, tmpDir("store-multi"))
+    val svc = new IngestionService(spark, store, clientId = 1)
+    val dropDir = tmpDir("drop-multi")
+    // both files land BEFORE the stream starts: one trigger set, the
+    // path sort makes z overwrite a deterministically
+    writeText(dropDir, "a_first.csv", "sku,title,active\nk1,First,1")
+    writeText(dropDir, "z_last.csv", "sku,title,active\nk1,Last,1")
+    val order = mutable.ArrayBuffer.empty[String]
+    val q = IngestStream.start(spark, svc, cfg, dropDir,
+      checkpointDir = tmpDir("ckpt-multi"), batchTsFor = _ => ts(1),
+      onReport = (p, _) => order.synchronized { order += p })
+    try q.processAllAvailable() finally q.stop()
+    assert(order.map(_.split('/').last).toSeq ===
+      Seq("a_first.csv", "z_last.csv"))
+    assert(store.read().head().getAs[String]("title") === "Last")
+  }
+}
