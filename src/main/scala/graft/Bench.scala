@@ -46,8 +46,12 @@ object Bench {
     *    (pair-level gates of their *_full corpus siblings),
     *    q_dedup_jaccard (exact verify path, slice-gated by design —
     *    LSH is the scale path), q_dedup_incremental (subsumed by the
-    *    persisted-index q_dedup_index_incr), q_asof_join (composed twin
-    *    of the native-plan q_asof_join_native), q_group_percentile /
+    *    persisted-index q_dedup_index_incr), q_bpe_train (the trainer
+    *    is re-run INSIDE the headline q_tokenize_bpe, which bills the
+    *    full train+encode pipeline), q_jpeg_decode (same codec seam
+    *    and slice shape as the billed q_png_decode), q_asof_join
+    *    (composed twin of the native-plan q_asof_join_native),
+    *    q_group_percentile /
     *    q_percentile_disc (exact bounded-domain twins of the GK-sketch
     *    approx path), q_rollup / q_grouping_sets (the same Expand-based
     *    physical plan as q_cube), q_window_firstlast / lag / ntile /
@@ -66,12 +70,13 @@ object Bench {
     *    q_dedup_url (synthesized colliding URLs over the corpus; its
     *    window-argmax plan shape is billed by the headline window
     *    family), and the IO/metadata roundtrip probes
-    *    q_schema_evolution / q_orc_roundtrip.
+    *    q_schema_evolution / q_orc_roundtrip / q_avro_roundtrip.
     */
   private val extendedQueries = Set(
     // variant gates
     "q_dedup_minhash", "q_dedup_simhash", "q_dedup_containment",
     "q_dedup_jaccard", "q_dedup_incremental", "q_asof_join",
+    "q_bpe_train", "q_jpeg_decode",
     "q_group_percentile", "q_percentile_disc", "q_rollup",
     "q_grouping_sets", "q_window_firstlast", "q_window_lag",
     "q_window_ntile", "q_window_range", "q_events_tumbling",
@@ -80,8 +85,8 @@ object Bench {
     "q_transform_boolean", "q_filter_active_user", "q_html_extract",
     "q_boilerplate", "q_text_scrub", "q_url_canon", "q_merge_upsert",
     "q_full_update_deactivate", "q_ingest_stats", "q_json_scan",
-    "q_schema_evolution", "q_orc_roundtrip", "q_dedup_url", "q_para_dedup",
-    "q_domain_authority")
+    "q_schema_evolution", "q_orc_roundtrip", "q_avro_roundtrip",
+    "q_dedup_url", "q_para_dedup", "q_domain_authority")
 
   private def force(df: DataFrame): Unit = {
     val cols = df.columns.map(col).toSeq

@@ -2321,6 +2321,28 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Span-level exact substring duplication
+    * ([[operators.Dedup.duplicatedSpans]], the Lee et al. 2022
+    * primitive): every 8-word window occurring more than once
+    * corpus-wide, merged into maximal per-document spans. Two sentinel
+    * documents sharing a 9-word run are planted so the gate can never
+    * pass vacuously on a duplication-free corpus (the
+    * q_dedup_containment precedent); the oracle replays the same
+    * windows, duplicate filter, and interval merge from first
+    * principles.
+    */
+  private def dedupSubstring(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val planted = Seq(
+      (900001L, "alpha beta gamma delta epsilon zeta eta theta iota unique1 tail1"),
+      (900002L, "prefix2 alpha beta gamma delta epsilon zeta eta theta iota unique2"))
+      .toDF("doc_id", "text")
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      .unionAll(planted)
+    Dedup.duplicatedSpans(docs, "text", "doc_id", k = 8)
+      .orderBy(col("doc_id"))
+  }
+
   /** Inverted index over a df band (100..160): df-filter BEFORE posting
     * lists materialize — see [[operators.TermIndex.invertedIndex]].
     */
@@ -2464,6 +2486,7 @@ object SparkEntry {
     "q_dedup_incremental" -> (dedupIncremental _),
     "q_dedup_index_incr" -> (dedupIndexIncr _),
     "q_dedup_cluster" -> (dedupCluster _),
+    "q_dedup_substring" -> (dedupSubstring _),
     "q_decontaminate" -> (decontaminate _),
     "q_scd2" -> (scd2History _),
     "q_tfidf" -> (tfidfTop _),
@@ -3618,6 +3641,41 @@ object SparkEntry {
     // symbol sequences, replace-based merges) — see bpeReplayCtes.
     "q_bpe_train" -> bpeTrainOracle,
     "q_tokenize_bpe" -> tokenizeBpeOracle,
+    // Span-level exact substring duplication: the oracle rebuilds the
+    // 8-word windows, the corpus-wide duplicate filter, and the
+    // interval merge (adjacent/overlapping spans coalesce) from first
+    // principles, including the two planted sentinel documents.
+    "q_dedup_substring" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT * FROM (VALUES
+        |    (CAST(900001 AS BIGINT),
+        |     'alpha beta gamma delta epsilon zeta eta theta iota unique1 tail1'),
+        |    (CAST(900002 AS BIGINT),
+        |     'prefix2 alpha beta gamma delta epsilon zeta eta theta iota unique2'))
+        |    AS p(doc_id, text)),
+        |w AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> len(x) > 0) AS ws FROM base),
+        |pos AS (SELECT doc_id, t.i AS pos,
+        |    array_to_string(list_slice(ws, t.i, t.i + 7), ' ') AS sh
+        |  FROM w, unnest(range(1, len(ws) - 6)) AS t(i)
+        |  WHERE len(ws) >= 8),
+        |dup AS (SELECT sh FROM pos GROUP BY sh HAVING count(*) > 1),
+        |hits AS (SELECT doc_id, pos FROM pos JOIN dup USING (sh)),
+        |m AS (SELECT doc_id, pos, max(pos + 8) OVER (PARTITION BY doc_id
+        |    ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    AS prev_end FROM hits),
+        |sf AS (SELECT doc_id, pos, CASE WHEN prev_end IS NULL
+        |    OR pos > prev_end THEN 1 ELSE 0 END AS nw FROM m),
+        |g AS (SELECT doc_id, pos, sum(nw) OVER (PARTITION BY doc_id
+        |    ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS span_id FROM sf),
+        |spans AS (SELECT doc_id, span_id, min(pos) AS s, max(pos) + 8 AS e
+        |  FROM g GROUP BY 1, 2)
+        |SELECT doc_id, count(*) AS n_dup_spans,
+        |  CAST(sum(e - s) AS BIGINT) AS dup_words
+        |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Domain blocklist: INDEPENDENT implementation of the same
     // semantics — host extracted with the same regex, but the suffix
     // rule expressed as equality-or-dot-suffix LIKE instead of the

@@ -916,4 +916,66 @@ object Dedup {
       .filter(col("_rk") === 1)
       .drop("_rk")
   }
+
+  /** SPAN-LEVEL exact substring duplication (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better"
+    * primitive, shingle-formulated): every k-word window that occurs
+    * MORE THAN ONCE corpus-wide marks its positions as duplicated, and
+    * per document the overlapping marked windows merge into maximal
+    * spans — the regions a span-level deduplicator would cut. Output:
+    * one row per document that contains at least one duplicated span,
+    * (id, n_dup_spans, dup_words), where dup_words counts words covered
+    * by the merged spans. Exact and case-sensitive by design (this is
+    * the EXACT-substring counterpart of the Jaccard/LSH near-dup
+    * family).
+    *
+    * Plan shape for 100 TB: positions explode once (corpus token
+    * scale, the same cost class as every occurrence explode in
+    * [[graft.operators.TermIndex]]); the duplicate filter is a
+    * map-side-combinable count aggregate keyed on the shingle, applied
+    * BEFORE the join back, so only duplicated windows — a small
+    * fraction of a deduplicated crawl — re-join positions. Interval
+    * merging is two windows partitioned BY DOCUMENT (bounded by
+    * document length, never corpus-global). A production variant at
+    * extreme scale would key the count on a 64-bit shingle hash
+    * (collision odds 2^-64 merely over-mark a span); the string key is
+    * kept here so an external engine can replay the plan exactly.
+    */
+  def duplicatedSpans(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, "duplicatedSpans needs k >= 2")
+    val toks = docs
+      .select(col(idCol).as("id"), wordArr(col(textCol)).as("_w"))
+      .filter(size(col("_w")) >= k)
+    // 1-based window start positions, shingle = the k words joined on a
+    // single space (whitespace runs inside the text collapse, so the
+    // join is injective on the word sequence).
+    val sh = toks.select(col("id"), explode(transform(
+        sequence(lit(1), size(col("_w")) - (k - 1)),
+        i => struct(i.as("pos"),
+          concat_ws(" ", slice(col("_w"), i, lit(k))).as("sh")))).as("_p"))
+      .select(col("id"), col("_p.pos").as("pos"), col("_p.sh").as("sh"))
+    val dup = sh.groupBy(col("sh")).agg(count(lit(1)).as("_c"))
+      .filter(col("_c") > 1)
+    val hits = sh.join(dup, "sh").select(col("id"), col("pos"))
+    val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val prevEnd = max(col("pos") + lit(k)).over(
+      byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    hits
+      .withColumn("_new",
+        // strict >: a window starting exactly where the previous span
+        // ends extends one contiguous duplicated region — merge it.
+        when(prevEnd.isNull || col("pos") > prevEnd, 1).otherwise(0))
+      .withColumn("_span", sum(col("_new")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("id"), col("_span"))
+      .agg(min(col("pos")).as("_s"), (max(col("pos")) + lit(k)).as("_e"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("_e") - col("_s")).as("dup_words"))
+      .withColumnRenamed("id", idCol)
+  }
 }

@@ -366,4 +366,36 @@ class DedupSpec extends SparkSpec {
       Dedup.keepBestPerKey(df, col("url"), Seq.empty)
     }
   }
+  test("duplicatedSpans: corpus-wide windows, interval merge, self-repeat") {
+    import spark.implicits._
+    // k=3. d1/d2 share the 5-word run 'a b c d e' (3 dup windows each,
+    // merging to one 5-word span); d3 repeats its own 4-word phrase
+    // (dup windows at 1,2 and 5,6 — the pos-5 window starts exactly
+    // where span [1,5) ends, so the whole doc merges to ONE span);
+    // d4 has no duplicated window at all and must be absent.
+    val docs = Seq(
+      (1L, "a b c d e x y z"),
+      (2L, "q q q a b c d e"),
+      (3L, "m n o p m n o p"),
+      (4L, "u v w only once here")).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(docs, "text", "doc_id", k = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_dup_spans"),
+        r.getAs[Long]("dup_words")))
+    assert(got.toSeq === Seq((1L, 1L, 5L), (2L, 1L, 5L), (3L, 1L, 8L)))
+  }
+
+  test("duplicatedSpans: disjoint duplicated regions stay separate spans") {
+    import spark.implicits._
+    // the shared trigrams 'p1 p2 p3' and 's1 s2 s3' sit at both ends of
+    // d1 with a unique middle — two spans of 3 words each.
+    val docs = Seq(
+      (1L, "p1 p2 p3 mid1 mid2 mid3 mid4 s1 s2 s3"),
+      (2L, "p1 p2 p3 other words s1 s2 s3")).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(docs, "text", "doc_id", k = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_dup_spans"),
+        r.getAs[Long]("dup_words")))
+    assert(got.toSeq === Seq((1L, 2L, 6L), (2L, 2L, 6L)))
+  }
 }

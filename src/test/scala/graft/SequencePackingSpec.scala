@@ -80,5 +80,18 @@ class SequencePackingSpec extends SparkSpec {
     val expect = joined.map(r =>
       r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
     assert(perDoc === expect)
+    // and the same counts drive token-budget curation: budget of the
+    // two smallest docs' tokens keeps exactly those two (priority =
+    // fewest tokens first to make the expectation order-free).
+    import graft.operators.BudgetSample
+    val sizes = joined.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens"))
+      .sortBy(_._2)
+    val budget = sizes.take(2).map(_._2).sum
+    val prioritized = counted.withColumn("prio",
+      -col("n_tokens").cast("double"))
+    val kept = BudgetSample.fillTokenBudget(prioritized, "n_tokens",
+      "prio", "doc_id", budget).collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept === sizes.take(2).map(_._1).toSet)
   }
 }
