@@ -307,9 +307,12 @@ object TermIndex {
     * (word, freq) in one scan — every later iteration works at
     * vocabulary scale: a pair explode + aggregate, a 1-row argmax
     * collect (bounded driver state, the IVF-centroid precedent), and a
-    * fold-per-word merge application. `localCheckpoint` after each
+    * fold-per-word merge application. `localCheckpoint` every third
     * merge truncates the iterative lineage exactly as the
-    * connected-components loop in [[Dedup]] does.
+    * connected-components loop in [[Dedup]] does — every iteration
+    * would double the job count for no benefit, since recomputing at
+    * most two pending vocabulary-scale folds is cheaper than the
+    * per-job scheduling floor the extra materializations pay.
     */
   def trainBpe(
       docs: DataFrame,
@@ -344,7 +347,7 @@ object TermIndex {
         vocab = vocab
           .select(applyMerge(col("syms"), lit(l), lit(r), lit(l + r)).as("syms"),
             col("_freq"))
-          .localCheckpoint()
+        if (i % 3 == 0) vocab = vocab.localCheckpoint()
         i += 1
       }
     }

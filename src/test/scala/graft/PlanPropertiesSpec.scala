@@ -151,4 +151,29 @@ class PlanPropertiesSpec extends SparkSpec {
       s"window not keyed on the canonical URL:\n$plan")
     assert(!plan.contains("Join"), s"unexpected join:\n$plan")
   }
+  test("substring-span dedup: no cartesian, shingle-keyed equi-join only") {
+    val plan = planOf("q_dedup_substring")
+    assert(!plan.contains("CartesianProduct"),
+      s"all-pairs product in substring dedup:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join in substring dedup:\n$plan")
+    // the duplicate filter (count > 1) must sit on the aggregate BEFORE
+    // positions rejoin — visible as a HashAggregate-fed join, never a
+    // join of two raw exploded streams.
+    assert(plan.contains("HashAggregate"),
+      s"no pre-join duplicate aggregate:\n$plan")
+  }
+
+  test("trained-BPE tokenize: merge table folds as literals, no cartesian") {
+    val plan = planOf("q_tokenize_bpe")
+    assert(!plan.contains("CartesianProduct"),
+      s"all-pairs product in tokenize:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join in tokenize:\n$plan")
+    // the folded vocabulary (distinct words + token widths) BROADCASTS
+    // back to the (doc, word, count) stream — the corpus side never
+    // shuffles for the join
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocab join did not broadcast:\n$plan")
+  }
 }
