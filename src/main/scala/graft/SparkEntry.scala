@@ -2297,6 +2297,23 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Token-ID encoding ([[operators.TermIndex.bpeEncodeIds]]): the
+    * shipped-tokenizer artifact — vocabulary ids (sorted base alphabet,
+    * then merged tokens in rank order) and per-document id sequences,
+    * byte-for-byte. Merges train on the FULL corpus; the encode gate
+    * runs on the doc_id<100 slice (id-mapping correctness is
+    * size-independent, and the oracle re-derives the slice's alphabet,
+    * the merge-token ids, and every sequence from its own replay).
+    */
+  private def bpeEncode(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val merges = TermIndex.trainBpe(docs, "text", "doc_id",
+      numMerges = bpeMergeBudget)
+    TermIndex.bpeEncodeIds(docs.filter(col("doc_id") < 100),
+        "text", "doc_id", merges)
+      .orderBy(col("doc_id"))
+  }
+
   /** Domain-blocklist URL filter
     * ([[operators.TextAnalysis.filterBlockedDomains]]): hosts are
     * synthesized from doc_id (mod 5) so the slice exercises exact match,
@@ -2494,6 +2511,7 @@ object SparkEntry {
     "q_bpe_merges" -> (bpeMerges _),
     "q_bpe_train" -> (bpeTrain _),
     "q_tokenize_bpe" -> (tokenizeBpe _),
+    "q_bpe_encode" -> (bpeEncode _),
     "q_url_blocklist" -> (urlBlocklist _),
     "q_inverted_index" -> (indexPostings _),
     "q_mix_domains" -> (mixDomains _),
@@ -2610,6 +2628,53 @@ object SparkEntry {
            |  CAST(cnt AS BIGINT) AS pair_count FROM m$k""".stripMargin)
         .mkString("\nUNION ALL\n") +
       "\nORDER BY rank"
+
+  /** Replay oracle for q_bpe_encode: base alphabet from the encode
+    * slice's own words (row_number over the sorted distinct chars),
+    * merged-token ids B + rank - 1 with min() resolving string
+    * collisions exactly as the engine's first-rank-wins rule, word
+    * symbol sequences off the replayed v{n} vocabulary, per-word and
+    * per-doc assembly via ORDER BY'd string_agg.
+    */
+  private def bpeEncodeOracle: String = {
+    val n = bpeMergeBudget
+    val mergeRows = (1 to n)
+      .map(k => s"SELECT l, r, $k AS k FROM m$k")
+      .mkString("\n    UNION ALL ")
+    bpeReplayCtes(n) + s""",
+      |docw AS (SELECT doc_id, t.i AS pos, ws[t.i] AS word FROM
+      |    (SELECT doc_id, list_filter(
+      |       string_split_regex(trim(lower(text)), '\\s+'),
+      |       x -> len(x) > 0) AS ws
+      |     FROM documents WHERE doc_id < 100) d,
+      |    unnest(range(1, len(ws) + 1)) AS t(i)),
+      |dfilt AS (SELECT doc_id, pos, word FROM docw
+      |  WHERE regexp_matches(word, '^[a-z0-9]+${"$"}')),
+      |chars AS (SELECT DISTINCT unnest(string_split(
+      |    trim(regexp_replace(word, '(.)', '[\\1]', 'g'), '[]'), '][')) AS ch
+      |  FROM (SELECT DISTINCT word FROM dfilt)),
+      |basemap AS (SELECT ch AS tok,
+      |    row_number() OVER (ORDER BY ch) - 1 AS tid FROM chars),
+      |nb AS (SELECT count(*) AS b FROM basemap),
+      |mergetoks AS (SELECT l || r AS tok, (SELECT b FROM nb) + k - 1 AS tid
+      |  FROM ($mergeRows)),
+      |tokmap AS (SELECT tok, min(tid) AS tid FROM
+      |  (SELECT * FROM basemap UNION ALL SELECT * FROM mergetoks)
+      |  GROUP BY tok),
+      |wsyms AS (SELECT word, t.i AS spos, syms[t.i] AS sym FROM
+      |    (SELECT word, string_split(trim(seq, '[]'), '][') AS syms
+      |     FROM v$n WHERE word IN (SELECT word FROM dfilt)) v,
+      |    unnest(range(1, len(syms) + 1)) AS t(i)),
+      |wtok AS (SELECT word,
+      |    string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY spos) AS ids_str,
+      |    count(*) AS n_tok
+      |  FROM wsyms JOIN tokmap ON sym = tok GROUP BY word)
+      |SELECT doc_id,
+      |  string_agg(ids_str, ' ' ORDER BY pos) AS token_ids,
+      |  CAST(sum(n_tok) AS BIGINT) AS n_tokens
+      |FROM dfilt JOIN wtok USING (word)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
 
   private def tokenizeBpeOracle: String =
     bpeReplayCtes(bpeMergeBudget) + s""",
@@ -3641,6 +3706,7 @@ object SparkEntry {
     // symbol sequences, replace-based merges) — see bpeReplayCtes.
     "q_bpe_train" -> bpeTrainOracle,
     "q_tokenize_bpe" -> tokenizeBpeOracle,
+    "q_bpe_encode" -> bpeEncodeOracle,
     // Span-level exact substring duplication: the oracle rebuilds the
     // 8-word windows, the corpus-wide duplicate filter, and the
     // interval merge (adjacent/overlapping spans coalesce) from first

@@ -392,6 +392,73 @@ object TermIndex {
       .withColumnRenamed("id", idCol)
   }
 
+  /** ENCODE TO TOKEN IDS — the artifact a trained tokenizer actually
+    * ships: a vocabulary (base alphabet first, sorted, ids 0..B-1; then
+    * one merged token per merge in rank order, ids B..B+n-1, first rank
+    * winning if two merges produce the same string) and, per document,
+    * the token-id sequence of its trainable words in order. Output:
+    * (id, token_ids, n_tokens) with `token_ids` the space-joined id
+    * string — engine-portable, so an external replay can match it
+    * byte-for-byte.
+    *
+    * Plan shape for 100 TB: the alphabet collect is BOUNDED by the word
+    * pattern (≤36 symbols for the default [a-z0-9]); the vocabulary map
+    * (alphabet + merges) is a literal; encoding runs once per DISTINCT
+    * word; the per-document assembly shuffles (doc, word-position, ids)
+    * rows once and sorts only within each document's collected list —
+    * bounded by document length, the same bound every per-doc window in
+    * the engine rides.
+    */
+  def bpeEncodeIds(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      merges: Seq[BpeMerge],
+      wordPattern: String = "^[a-z0-9]+$"): DataFrame = {
+    require(merges.nonEmpty, "bpeEncodeIds needs a trained merge table")
+    val docWords = occurrences(docs, textCol, idCol)
+      .filter(col("word").rlike(wordPattern))
+    val alphabet = docWords
+      .select(explode(charSyms(col("word"))).as("ch")).distinct()
+      .orderBy(col("ch")).collect().map(_.getString(0))
+    val base = alphabet.zipWithIndex.map { case (c, i) => c -> i }
+    val mergedIds = merges.map(m => (m.left + m.right) ->
+      (alphabet.length + m.rank.toInt - 1))
+    // first occurrence wins on a string collision (two merge paths can
+    // produce the same symbol string; it is ONE symbol)
+    val tokenIds = (base ++ mergedIds).foldLeft(Map.empty[String, Int]) {
+      case (acc, (tok, tid)) => if (acc.contains(tok)) acc else acc + (tok -> tid)
+    }
+    val idMap = map(tokenIds.toSeq.sortBy(_._2).flatMap {
+      case (tok, tid) => Seq(lit(tok), lit(tid))
+    }: _*)
+    val mergeArr = array(merges.map(m =>
+      struct(lit(m.left).as("l"), lit(m.right).as("r"),
+        lit(m.left + m.right).as("m"))): _*)
+    val vocab = docWords.select(col("word")).distinct()
+      .select(col("word"), transform(
+        aggregate(mergeArr, charSyms(col("word")),
+          (syms, mg) => applyMerge(syms, mg("l"), mg("r"), mg("m"))),
+        s => element_at(idMap, s)).as("_ids"))
+      .select(col("word"),
+        concat_ws(" ", transform(col("_ids"), i => i.cast("string")))
+          .as("_ids_str"),
+        size(col("_ids")).as("_n_tok"))
+    val positioned = docs
+      .select(col(idCol).as("id"), posexplode(words(col(textCol))))
+      .withColumnRenamed("pos", "_pos")
+      .withColumnRenamed("col", "word")
+      .filter(col("word").rlike(wordPattern))
+    positioned.join(vocab, "word")
+      .groupBy(col("id"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("_pos"), col("_ids_str")))),
+          x => x("_ids_str"))).as("token_ids"),
+        sum(col("_n_tok")).as("n_tokens"))
+      .withColumnRenamed("id", idCol)
+  }
+
   /** Inverted index restricted to a document-frequency band: for each
     * term with minDf <= df <= maxDf, its df and the posting list of
     * document ids (sorted, comma-joined — a string so the artifact is

@@ -298,4 +298,17 @@ class TermIndexSpec extends SparkSpec {
     // only the three 'abc' instances are trainable words.
     assert(got(0).getAs[Long]("n_words") === 3L)
   }
+  test("bpe encode ids: alphabet-first vocab, rank-ordered merge ids") {
+    import spark.implicits._
+    // words: ab x3, b, a -> merge 1 is (a,b). Alphabet sorted: a=0,
+    // b=1; merged token 'ab' gets id 2. 'ab ab b a' encodes 2 2 1 0.
+    val corpus = Seq((1L, "ab ab b a"), (2L, "ab")).toDF("doc_id", "text")
+    val merges = TermIndex.trainBpe(corpus, "text", "doc_id", numMerges = 1)
+    assert(merges.map(m => (m.left, m.right)) === Seq(("a", "b")))
+    val got = TermIndex.bpeEncodeIds(corpus, "text", "doc_id", merges)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("token_ids"),
+        r.getAs[Long]("n_tokens")))
+    assert(got.toSeq === Seq((1L, "2 2 1 0", 4L), (2L, "2", 1L)))
+  }
 }
