@@ -2360,6 +2360,18 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Model-based quality filter ([[operators.QualityClassifier]]): a
+    * multinomial Naive Bayes classifier trained on a weak label (the
+    * curated source set src0..src4) scores every document by token
+    * log-likelihood ratio. Closed-form MLE over integer count
+    * aggregates — the oracle retrains the identical model and must
+    * reproduce every score to 4 decimals.
+    */
+  private def qualityClassifierQ(s: SparkSession, d: String): DataFrame =
+    QualityClassifier.nbScore(t(s, d, "documents"), "text", "doc_id",
+        col("source").isin("src0", "src1", "src2", "src3", "src4"))
+      .orderBy(col("doc_id"))
+
   /** Inverted index over a df band (100..160): df-filter BEFORE posting
     * lists materialize — see [[operators.TermIndex.invertedIndex]].
     */
@@ -2512,6 +2524,7 @@ object SparkEntry {
     "q_bpe_train" -> (bpeTrain _),
     "q_tokenize_bpe" -> (tokenizeBpe _),
     "q_bpe_encode" -> (bpeEncode _),
+    "q_quality_classifier" -> (qualityClassifierQ _),
     "q_url_blocklist" -> (urlBlocklist _),
     "q_inverted_index" -> (indexPostings _),
     "q_mix_domains" -> (mixDomains _),
@@ -3707,6 +3720,38 @@ object SparkEntry {
     "q_bpe_train" -> bpeTrainOracle,
     "q_tokenize_bpe" -> tokenizeBpeOracle,
     "q_bpe_encode" -> bpeEncodeOracle,
+    // Naive Bayes quality classifier: the oracle RETRAINS the model —
+    // same add-one smoothing, same 9-decimal LLR rounding, DECIMAL
+    // sum, 4-decimal score; pred derives from the rounded score.
+    "q_quality_classifier" ->
+      """WITH base AS (SELECT doc_id,
+        |    source IN ('src0','src1','src2','src3','src4') AS pos,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      x -> len(x) > 0) AS ws
+        |  FROM documents),
+        |tfc AS (SELECT doc_id, pos, word, count(*) AS c FROM
+        |    (SELECT doc_id, pos, unnest(ws) AS word FROM base)
+        |  GROUP BY 1, 2, 3),
+        |wc AS (SELECT word,
+        |    coalesce(sum(CASE WHEN pos THEN c END), 0) AS n_pos,
+        |    coalesce(sum(CASE WHEN NOT pos THEN c END), 0) AS n_neg
+        |  FROM tfc GROUP BY 1),
+        |tot AS (SELECT sum(n_pos) AS t_pos, sum(n_neg) AS t_neg,
+        |    count(*) AS v FROM wc),
+        |pri AS (SELECT sum(CASE WHEN pos THEN 1 ELSE 0 END) AS d_pos,
+        |    sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS d_neg FROM base),
+        |llr AS (SELECT word, CAST(round(
+        |      ln((n_pos + 1.0) / (t_pos + v)) -
+        |      ln((n_neg + 1.0) / (t_neg + v)), 9) AS DECIMAL(28,9)) AS w_llr
+        |  FROM wc, tot),
+        |plr AS (SELECT CAST(round(ln(d_pos * 1.0) - ln(d_neg * 1.0), 9)
+        |    AS DECIMAL(28,9)) AS pl FROM pri),
+        |scored AS (SELECT doc_id,
+        |    CAST(round(s + pl, 4) AS DOUBLE) AS score FROM
+        |    (SELECT doc_id, sum(CAST(c AS DECIMAL(9,0)) * w_llr) AS s
+        |     FROM tfc JOIN llr USING (word) GROUP BY 1), plr)
+        |SELECT doc_id, score, score > 0 AS pred
+        |FROM scored ORDER BY doc_id""".stripMargin,
     // Span-level exact substring duplication: the oracle rebuilds the
     // 8-word windows, the corpus-wide duplicate filter, and the
     // interval merge (adjacent/overlapping spans coalesce) from first
