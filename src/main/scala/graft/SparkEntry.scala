@@ -2372,6 +2372,17 @@ object SparkEntry {
         col("source").isin("src0", "src1", "src2", "src3", "src4"))
       .orderBy(col("doc_id"))
 
+  /** Content-defined chunking
+    * ([[operators.TextAnalysis.chunkContentDefined]]): rolling-hash
+    * boundaries at word granularity, integer-exact fingerprints — the
+    * oracle replays values, boundary mix, chunk assignment, and
+    * fingerprints from first principles.
+    */
+  private def chunkCdc(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.chunkContentDefined(t(s, d, "documents"), "text", "doc_id",
+        divisor = 16)
+      .orderBy(col("doc_id"), col("chunk_id"))
+
   /** Inverted index over a df band (100..160): df-filter BEFORE posting
     * lists materialize — see [[operators.TermIndex.invertedIndex]].
     */
@@ -2535,6 +2546,7 @@ object SparkEntry {
     "q_embed_quantized" -> (embedQuantized _),
     "q_expectations" -> (expectationsQ _),
     "q_chunk_overlap" -> (chunkOverlap _),
+    "q_chunk_cdc" -> (chunkCdc _),
     "q_embed_topk" -> (embedTopk _),
     "q_ann_batch" -> (annBatch _),
     "q_embed_ann_lsh" -> (embedAnnLsh _),
@@ -4144,6 +4156,36 @@ object SparkEntry {
         |  len(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) AS ws_tokens,
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpeish_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Content-defined chunking: full first-principles replay — word
+    // values, the (7,11,13,17) boundary mix, prefix-count chunk ids,
+    // local-position fingerprints.
+    "q_chunk_cdc" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      x -> len(x) > 0) AS ws FROM documents),
+        |v AS (SELECT doc_id, t.i AS pos,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(ws[t.i], ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (a, b) -> (a * 131 + b) % 1000003) AS v
+        |  FROM w, unnest(range(1, len(ws) + 1)) AS t(i)),
+        |r AS (SELECT doc_id, pos, v,
+        |    CASE WHEN pos >= 4 AND
+        |      (7 * lag(v, 3) OVER dw + 11 * lag(v, 2) OVER dw +
+        |       13 * lag(v, 1) OVER dw + 17 * v) % 16 = 0
+        |    THEN 1 ELSE 0 END AS bnd
+        |  FROM v WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)),
+        |c AS (SELECT doc_id, pos, v, coalesce(sum(bnd) OVER
+        |    (PARTITION BY doc_id ORDER BY pos
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS chunk_id FROM r),
+        |l AS (SELECT doc_id, chunk_id, pos, v,
+        |    pos - min(pos) OVER (PARTITION BY doc_id, chunk_id) + 1 AS lpos
+        |  FROM c)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(min(pos) AS BIGINT) AS start_pos, count(*) AS n_words,
+        |  CAST(sum(lpos * v) % 1000003 AS BIGINT) AS fingerprint
+        |FROM l GROUP BY 1, 2 ORDER BY doc_id, chunk_id""".stripMargin,
     "q_text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -566,6 +566,67 @@ object TextAnalysis {
       (acc, w) => pmod(acc * lit(1000003L) + pmod(xxhash64(w), lit((1L << 31) - 1)),
         lit((1L << 31) - 1)))
 
+  /** CONTENT-DEFINED chunking (the rolling-hash boundary rule behind
+    * rsync/LBFS/restic-style dedup, applied at word granularity): a
+    * chunk boundary falls after word i whenever a mix of the last four
+    * word hashes is 0 mod `divisor` — so boundaries are decided by
+    * CONTENT, not offsets, and inserting a prefix re-synchronizes after
+    * the first boundary instead of shifting every chunk the way fixed
+    * windows ([[chunkWords]]) do. That re-sync is what makes chunk
+    * fingerprints joinable across near-identical documents — the
+    * chunk-level dedup primitive.
+    *
+    * Every number is integer arithmetic an external engine reproduces
+    * exactly: word value = the base-131 polynomial over the word's
+    * character codes mod 1000003 (a Karp-Rabin hash as a higher-order
+    * fold; acc < 2^20 so acc*131+code never overflows), boundary mix =
+    * (7,11,13,17)-dot of the last four values, chunk fingerprint =
+    * sum(local_pos * value) mod 1000003 over the chunk (LOCAL
+    * positions, so equal chunks fingerprint equally wherever they sit
+    * in the document).
+    *
+    * Output: (idCol, chunk_id, start_pos, n_words, fingerprint).
+    *
+    * Scale: the per-word projection is scan-speed; boundary flags and
+    * chunk ids are windows partitioned BY DOCUMENT (bounded by doc
+    * length); the final aggregate is one keyed shuffle. Expected chunk
+    * length = `divisor` words.
+    */
+  def chunkContentDefined(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      divisor: Int = 16): DataFrame = {
+    require(divisor >= 2, "divisor must be >= 2")
+    val M = 1000003L
+    val pos = docs
+      .select(col(idCol).as("id"),
+        posexplode(words(lower(col(textCol)))).as(Seq("_p0", "_w")))
+      .select(col("id"), (col("_p0") + 1).cast("long").as("pos"),
+        aggregate(
+          filter(split(col("_w"), ""), s => length(s) > 0),
+          lit(0L),
+          (acc, ch) => pmod(acc * 131L + ascii(ch), lit(M))).as("v"))
+    val dw = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val mix = pmod(
+      lag(col("v"), 3).over(dw) * 7L + lag(col("v"), 2).over(dw) * 11L +
+        lag(col("v"), 1).over(dw) * 13L + col("v") * 17L,
+      lit(divisor.toLong))
+    val flagged = pos.withColumn("_bnd",
+      when(col("pos") >= 4 && mix === 0L, 1L).otherwise(0L))
+    val assigned = flagged.withColumn("chunk_id",
+      coalesce(sum(col("_bnd")).over(
+        dw.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val cw = Window.partitionBy(col("id"), col("chunk_id"))
+    assigned
+      .withColumn("_lpos", col("pos") - min(col("pos")).over(cw) + 1)
+      .groupBy(col("id"), col("chunk_id"))
+      .agg(min(col("pos")).as("start_pos"),
+        count(lit(1)).as("n_words"),
+        pmod(sum(col("_lpos") * col("v")), lit(M)).as("fingerprint"))
+      .withColumnRenamed("id", idCol)
+  }
+
   /** Sliding-window chunking for training-context prep: each document's
     * word sequence becomes chunks of `chunkSize` tokens whose starts
     * advance by `chunkSize - overlap` (the standard overlap-window

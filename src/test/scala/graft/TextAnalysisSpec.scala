@@ -311,4 +311,49 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
     assert(kept === Seq(3L, 4L, 5L, 7L))
   }
+  test("CDC chunking: boundaries re-synchronize after a prefix insertion") {
+    import spark.implicits._
+    // 400-word deterministic text; doc 2 = the same text with 3 words
+    // inserted at the head. Fixed-size chunking would shift EVERY chunk;
+    // content-defined boundaries re-sync after the first boundary, so
+    // the two docs must share most chunk fingerprints.
+    val tail = (0 until 400).map(i => s"w${(i * 37 + 11) % 97}x${i % 13}")
+      .mkString(" ")
+    val docs = Seq((1L, tail), (2L, "ins1 ins2 ins3 " + tail))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.chunkContentDefined(docs, "text", "doc_id",
+      divisor = 16).collect()
+    val f1 = out.filter(_.getAs[Long]("doc_id") == 1L)
+      .map(r => (r.getAs[Long]("n_words"), r.getAs[Long]("fingerprint")))
+    val f2 = out.filter(_.getAs[Long]("doc_id") == 2L)
+      .map(r => (r.getAs[Long]("n_words"), r.getAs[Long]("fingerprint")))
+    assert(f1.length > 5, s"expected many chunks, got ${f1.length}")
+    val shared = f1.toSet.intersect(f2.toSet)
+    // everything after the first re-sync boundary is identical: only
+    // the head chunk(s) may differ
+    assert(shared.size >= f1.length - 2,
+      s"CDC failed to re-sync: ${shared.size} of ${f1.length} chunks shared")
+    // and chunks tile the documents exactly
+    assert(f1.map(_._1).sum === 400L)
+    assert(f2.map(_._1).sum === 403L)
+  }
+
+  test("CDC chunking: chunk ids are dense and starts are cumulative") {
+    import spark.implicits._
+    val docs = Seq((7L, (0 until 100).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.chunkContentDefined(docs, "text", "doc_id",
+      divisor = 8)
+    val rows = out.collect().sortBy(_.getAs[Long]("chunk_id"))
+    assert(rows.map(_.getAs[Long]("chunk_id")).toSeq ===
+      rows.indices.map(_.toLong))
+    // start of chunk k = 1 + total words of chunks before it
+    val starts = rows.map(_.getAs[Long]("start_pos"))
+    val sizes = rows.map(_.getAs[Long]("n_words"))
+    assert(starts.head === 1L)
+    rows.indices.drop(1).foreach { k =>
+      assert(starts(k) === starts(k - 1) + sizes(k - 1))
+    }
+    assert(sizes.sum === 100L)
+  }
 }
