@@ -2383,6 +2383,30 @@ object SparkEntry {
         divisor = 16)
       .orderBy(col("doc_id"), col("chunk_id"))
 
+  /** Cross-document CHUNK dedup — the purpose of content-defined
+    * chunking: chunks sharing (fingerprint, n_words) across the corpus
+    * are storage/training duplicates a curation pass can collapse to
+    * one copy. Two planted 200-word twins with different prefixes
+    * guarantee re-synchronized shared chunks, so the gate can never
+    * pass vacuously; the keep rule is min (doc, chunk).
+    */
+  private def dedupChunks(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val shared = (1 to 200).map("s" + _).mkString(" ")
+    val planted = Seq((900001L, "pfxa " + shared),
+      (900002L, "pfxb pfxc " + shared)).toDF("doc_id", "text")
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      .unionAll(planted)
+    TextAnalysis.chunkContentDefined(docs, "text", "doc_id", divisor = 16)
+      .groupBy(col("fingerprint"), col("n_words"))
+      .agg(count(lit(1)).as("n_copies"),
+        min(struct(col("doc_id"), col("chunk_id"))).as("_k"))
+      .filter(col("n_copies") > 1)
+      .select(col("fingerprint"), col("n_words"), col("n_copies"),
+        col("_k.doc_id").as("keep_doc"), col("_k.chunk_id").as("keep_chunk"))
+      .orderBy(col("fingerprint"), col("n_words"))
+  }
+
   /** Inverted index over a df band (100..160): df-filter BEFORE posting
     * lists materialize — see [[operators.TermIndex.invertedIndex]].
     */
@@ -2547,6 +2571,7 @@ object SparkEntry {
     "q_expectations" -> (expectationsQ _),
     "q_chunk_overlap" -> (chunkOverlap _),
     "q_chunk_cdc" -> (chunkCdc _),
+    "q_dedup_chunks" -> (dedupChunks _),
     "q_embed_topk" -> (embedTopk _),
     "q_ann_batch" -> (annBatch _),
     "q_embed_ann_lsh" -> (embedAnnLsh _),
@@ -4186,6 +4211,52 @@ object SparkEntry {
         |  CAST(min(pos) AS BIGINT) AS start_pos, count(*) AS n_words,
         |  CAST(sum(lpos * v) % 1000003 AS BIGINT) AS fingerprint
         |FROM l GROUP BY 1, 2 ORDER BY doc_id, chunk_id""".stripMargin,
+    // Cross-document chunk dedup: the q_chunk_cdc replay over the
+    // corpus + two planted 200-word twins, aggregated by
+    // (fingerprint, n_words); keep rule = min (doc, chunk).
+    "q_dedup_chunks" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT CAST(900001 AS BIGINT), 'pfxa ' ||
+        |    (SELECT string_agg('s' || i, ' ' ORDER BY i)
+        |     FROM range(1, 201) t(i))
+        |  UNION ALL SELECT CAST(900002 AS BIGINT), 'pfxb pfxc ' ||
+        |    (SELECT string_agg('s' || i, ' ' ORDER BY i)
+        |     FROM range(1, 201) t(i))),
+        |w AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      x -> len(x) > 0) AS ws FROM base),
+        |v AS (SELECT doc_id, t.i AS pos,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(ws[t.i], ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (a, b) -> (a * 131 + b) % 1000003) AS v
+        |  FROM w, unnest(range(1, len(ws) + 1)) AS t(i)),
+        |r AS (SELECT doc_id, pos, v,
+        |    CASE WHEN pos >= 4 AND
+        |      (7 * lag(v, 3) OVER dw + 11 * lag(v, 2) OVER dw +
+        |       13 * lag(v, 1) OVER dw + 17 * v) % 16 = 0
+        |    THEN 1 ELSE 0 END AS bnd
+        |  FROM v WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)),
+        |c AS (SELECT doc_id, pos, v, coalesce(sum(bnd) OVER
+        |    (PARTITION BY doc_id ORDER BY pos
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS chunk_id FROM r),
+        |l AS (SELECT doc_id, chunk_id, pos, v,
+        |    pos - min(pos) OVER (PARTITION BY doc_id, chunk_id) + 1 AS lpos
+        |  FROM c),
+        |ch AS (SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |    count(*) AS n_words,
+        |    CAST(sum(lpos * v) % 1000003 AS BIGINT) AS fingerprint
+        |  FROM l GROUP BY 1, 2)
+        |SELECT fingerprint, n_words, count(*) AS n_copies,
+        |  CAST(min(doc_id * 100000 + chunk_id) // 100000 AS BIGINT)
+        |    AS keep_doc,
+        |  CAST(min(doc_id * 100000 + chunk_id) % 100000 AS BIGINT)
+        |    AS keep_chunk
+        |FROM ch GROUP BY fingerprint, n_words
+        |HAVING count(*) > 1
+        |ORDER BY fingerprint, n_words""".stripMargin,
     "q_text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
