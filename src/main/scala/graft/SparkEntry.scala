@@ -2372,6 +2372,17 @@ object SparkEntry {
         col("source").isin("src0", "src1", "src2", "src3", "src4"))
       .orderBy(col("doc_id"))
 
+  /** Interpolated bigram-LM scoring
+    * ([[operators.TermIndex.bigramLmScore]]): per-doc total negative
+    * log-likelihood under the corpus-trained mixture model; the oracle
+    * retrains the identical counts and reproduces every 4-decimal
+    * total.
+    */
+  private def bigramLm(s: SparkSession, d: String): DataFrame =
+    TermIndex.bigramLmScore(t(s, d, "documents"), "text", "doc_id",
+        lambda = 0.7)
+      .orderBy(col("doc_id"))
+
   /** Content-defined chunking
     * ([[operators.TextAnalysis.chunkContentDefined]]): rolling-hash
     * boundaries at word granularity, integer-exact fingerprints — the
@@ -2593,6 +2604,7 @@ object SparkEntry {
     "q_html_extract" -> (htmlExtract _),
     "q_vocab_coverage" -> (vocabCoverageQ _),
     "q_unigram_lm" -> (unigramLm _),
+    "q_bigram_lm" -> (bigramLm _),
     "q_dedup_url" -> (dedupUrl _),
     "q_temperature_sample" -> (temperatureSample _),
     "q_para_dedup" -> (paraDedup _),
@@ -4420,6 +4432,34 @@ object SparkEntry {
         |  FROM occ o LEFT JOIN vocab v USING (word) CROSS JOIN oov x)
         |SELECT doc_id, count(*) AS n_tokens, round(-avg(lp), 6) AS avg_nll
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Interpolated bigram LM: the oracle retrains identical bigram /
+    // unigram / continuation counts; per-bigram term rounds to 9
+    // decimals, sums as DECIMAL weighted by DECIMAL(9,0) counts, and
+    // the total rounds on the decimal before the double cast.
+    "q_bigram_lm" ->
+      """WITH w AS (SELECT doc_id, list_filter(
+        |    string_split_regex(trim(lower(text)), '\s+'),
+        |    x -> len(x) > 0) AS ws FROM documents),
+        |pairs AS (SELECT doc_id, ws[t.i - 1] AS prev, ws[t.i] AS cur
+        |  FROM w, unnest(range(2, len(ws) + 1)) AS t(i)
+        |  WHERE len(ws) >= 2),
+        |occ AS (SELECT doc_id, unnest(ws) AS word FROM w),
+        |tf AS (SELECT doc_id, prev, cur, count(*) AS c
+        |  FROM pairs GROUP BY 1, 2, 3),
+        |cb AS (SELECT prev, cur, count(*) AS cb FROM pairs GROUP BY 1, 2),
+        |cp AS (SELECT prev, sum(cb) AS cp FROM cb GROUP BY 1),
+        |cu AS (SELECT word, count(*) AS cu FROM occ GROUP BY 1),
+        |tot AS (SELECT count(*) AS t FROM occ),
+        |model AS (SELECT b.prev, b.cur, CAST(round(-ln(
+        |      0.7 * (b.cb * 1.0) / p.cp +
+        |      (1.0 - 0.7) * (u.cu * 1.0) / x.t), 9) AS DECIMAL(28,9)) AS nll
+        |  FROM cb b JOIN cp p USING (prev)
+        |  JOIN cu u ON u.word = b.cur CROSS JOIN tot x)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |  CAST(round(sum(CAST(c AS DECIMAL(9,0)) * nll), 4) AS DOUBLE)
+        |    AS total_nll
+        |FROM tf JOIN model USING (prev, cur)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // URL dedup: same dirty synthesis and canonical chain as
     // q_url_canon (page collisions via doc_id%97), then the
     // row_number-per-key argmax with the same total ordering.

@@ -459,6 +459,72 @@ object TermIndex {
       .withColumnRenamed("id", idCol)
   }
 
+  /** Interpolated BIGRAM language-model scoring — the step up from
+    * [[unigramLogProbScore]] toward the KenLM-style filters CCNet-class
+    * pipelines actually run: train bigram + unigram MLE counts on the
+    * corpus itself, score every adjacent word pair by
+    *
+    *   -ln( lambda * c(prev,w)/c(prev,·) + (1-lambda) * c(w)/T )
+    *
+    * and report the per-document total. Trained on the very stream it
+    * scores, every bigram has count >= 1, so the mixture is positive
+    * and the expression total. Repetitive/templated text scores LOW
+    * total surprise per bigram; incoherent word soup scores high.
+    *
+    * Output: (id, n_bigrams, total_nll) — the SUM, not the average:
+    * dividing would force a double division before rounding, exactly
+    * the boundary-disagreement trap [[QualityClassifier]] documents;
+    * consumers divide the two exact columns themselves.
+    *
+    * Float parity: each distinct bigram's term rounds to 9 decimals and
+    * enters a DECIMAL sum weighted by the occurrence count (narrowed to
+    * DECIMAL(9,0) — see QualityClassifier on Spark's silent scale
+    * shrink); the final total rounds to 4 ON THE DECIMAL, then casts.
+    *
+    * Plan shape for 100 TB: one positions explode; bigram occurrences
+    * aggregate to (doc, prev, cur, cnt) with map-side combine; the
+    * model tables are distinct-bigram- and vocabulary-sized aggregates
+    * of the same stream; scoring is one equi-join on the bigram key
+    * plus one doc-keyed sum. No iteration, no driver state.
+    */
+  def bigramLmScore(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      lambda: Double = 0.7): DataFrame = {
+    require(lambda > 0 && lambda < 1, "lambda must be in (0,1)")
+    val ws = words(col(textCol))
+    val pairs = docs.select(col(idCol).as("id"), ws.as("_ws"))
+      .filter(size(col("_ws")) >= 2)
+      .select(col("id"), explode(transform(
+        sequence(lit(2), size(col("_ws"))),
+        i => struct(element_at(col("_ws"), i - 1).as("prev"),
+          element_at(col("_ws"), i).as("cur")))).as("_p"))
+      .select(col("id"), col("_p.prev").as("prev"), col("_p.cur").as("cur"))
+    val occ = occurrences(docs, textCol, idCol)
+    val tf = pairs.groupBy(col("id"), col("prev"), col("cur"))
+      .agg(count(lit(1)).as("_c"))
+    val cb = pairs.groupBy(col("prev"), col("cur"))
+      .agg(count(lit(1)).as("_cb"))
+    val cp = cb.groupBy(col("prev")).agg(sum(col("_cb")).as("_cp"))
+    val cu = occ.groupBy(col("word")).agg(count(lit(1)).as("_cu"))
+    val total = cu.agg(sum(col("_cu")).as("_t"))
+    val model = cb.join(cp, "prev")
+      .join(cu.withColumnRenamed("word", "cur"), "cur")
+      .crossJoin(broadcast(total))
+      .select(col("prev"), col("cur"),
+        round(-log(
+          lit(lambda) * col("_cb").cast(DoubleType) / col("_cp").cast(DoubleType) +
+          lit(1.0 - lambda) * col("_cu").cast(DoubleType) / col("_t").cast(DoubleType)), 9)
+          .cast(DecimalType(28, 9)).as("_nll"))
+    tf.join(model, Seq("prev", "cur"))
+      .groupBy(col("id"))
+      .agg(sum(col("_c")).as("n_bigrams"),
+        round(sum(col("_c").cast(DecimalType(9, 0)) * col("_nll")), 4)
+          .cast(DoubleType).as("total_nll"))
+      .withColumnRenamed("id", idCol)
+  }
+
   /** Inverted index restricted to a document-frequency band: for each
     * term with minDf <= df <= maxDf, its df and the posting list of
     * document ids (sorted, comma-joined — a string so the artifact is

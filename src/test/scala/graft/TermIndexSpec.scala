@@ -311,4 +311,38 @@ class TermIndexSpec extends SparkSpec {
         r.getAs[Long]("n_tokens")))
     assert(got.toSeq === Seq((1L, "2 2 1 0", 4L), (2L, "2", 1L)))
   }
+  test("bigram LM: interpolated mixture matches a scalar replay") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"))
+      .toDF("doc_id", "text")
+    val got = TermIndex.bigramLmScore(corpus, "text", "doc_id", lambda = 0.7)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bigrams"),
+        r.getAs[Double]("total_nll")))
+    // scalar replay: cb(a,b)=2 cb(a,c)=1 cp(a)=3; cu a=3 b=2 c=1 T=6
+    def nll(cb: Long, cp: Long, cu: Long, t: Long): BigDecimal =
+      BigDecimal(-math.log(0.7 * cb.toDouble / cp +
+        (1.0 - 0.7) * cu.toDouble / t))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val ab = nll(2, 3, 2, 6)
+    val ac = nll(1, 3, 1, 6)
+    def tot(x: BigDecimal) =
+      x.setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.toSeq === Seq((1L, 1L, tot(ab)), (2L, 1L, tot(ab)),
+      (3L, 1L, tot(ac))))
+    // the frequent bigram is less surprising than the rare one
+    assert(ab < ac)
+  }
+
+  test("bigram LM: repetition scores lower total surprise per bigram") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "x y x y x y x y x y"),
+      (2L, "p q r s t u v w k m")).toDF("doc_id", "text")
+    val got = TermIndex.bigramLmScore(corpus, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("total_nll"))).toMap
+    assert(got(1L)._1 === 9L && got(2L)._1 === 9L)
+    assert(got(1L)._2 / 9 < got(2L)._2 / 9)
+  }
 }
