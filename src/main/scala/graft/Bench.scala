@@ -77,6 +77,7 @@ object Bench {
     "q_dedup_minhash", "q_dedup_simhash", "q_dedup_containment",
     "q_dedup_jaccard", "q_dedup_incremental", "q_asof_join",
     "q_bpe_train", "q_bpe_encode", "q_jpeg_decode", "q_dedup_chunks",
+    "q_contamination_audit",
     "q_group_percentile", "q_percentile_disc", "q_rollup",
     "q_grouping_sets", "q_window_firstlast", "q_window_lag",
     "q_window_ntile", "q_window_range", "q_events_tumbling",

@@ -2207,6 +2207,21 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Eval-side contamination audit
+    * ([[operators.Dedup.evalContaminationReport]]): per benchmark doc,
+    * its total shingles, how many appear in training, and how many
+    * training docs share one — integer-exact, same train/bench split
+    * as [[decontaminate]].
+    */
+  private def contaminationAudit(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    Dedup.evalContaminationReport(
+        train = docs.filter(col("doc_id") % 50 =!= 0),
+        benchmark = docs.filter(col("doc_id") % 50 === 0),
+        "text", "doc_id", n = 3)
+      .orderBy(col("doc_id"))
+  }
+
   /** SCD2 history from the orders change log: per-customer versioned
     * validity intervals (valid_from/valid_to/is_current) — one window
     * shuffle on the entity key, see [[operators.Scd]].
@@ -2563,6 +2578,7 @@ object SparkEntry {
     "q_dedup_cluster" -> (dedupCluster _),
     "q_dedup_substring" -> (dedupSubstring _),
     "q_decontaminate" -> (decontaminate _),
+    "q_contamination_audit" -> (contaminationAudit _),
     "q_scd2" -> (scd2History _),
     "q_tfidf" -> (tfidfTop _),
     "q_bm25" -> (bm25Q _),
@@ -3703,6 +3719,26 @@ object SparkEntry {
         |FROM sh t JOIN sh b ON b.shingle = t.shingle
         |WHERE t.doc_id % 50 <> 0 AND b.doc_id % 50 = 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Eval-side contamination audit: per benchmark doc, exact integer
+    // shingle totals/hits/witnesses — zero-hit docs kept via left join.
+    "q_contamination_audit" ->
+      """WITH words AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |               FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+        |       FROM words, UNNEST(range(1, len(ws) - 1)) AS t(i)
+        |       WHERE len(ws) >= 3),
+        |bsh AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 50 = 0),
+        |tsh AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 <> 0),
+        |per AS (SELECT bench_id, count(*) AS n_shingles FROM bsh GROUP BY 1),
+        |hits AS (SELECT b.bench_id,
+        |    count(DISTINCT t.shingle) AS n_hit,
+        |    count(DISTINCT t.doc_id) AS n_train_docs
+        |  FROM bsh b JOIN tsh t USING (shingle) GROUP BY 1)
+        |SELECT p.bench_id AS doc_id, p.n_shingles,
+        |  coalesce(h.n_hit, 0) AS n_hit,
+        |  coalesce(h.n_train_docs, 0) AS n_train_docs
+        |FROM per p LEFT JOIN hits h USING (bench_id)
+        |ORDER BY doc_id""".stripMargin,
     "q_scd2" ->
       """SELECT o_custkey,
         |  row_number() OVER w AS version,

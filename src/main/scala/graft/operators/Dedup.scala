@@ -853,6 +853,45 @@ object Dedup {
         countDistinct(col("bench_id")).as("n_benchmark_docs"))
   }
 
+  /** The EVAL-SIDE contamination audit — the inverse direction of
+    * [[contaminationReport]] and the number eval-integrity writeups
+    * actually publish: for every benchmark document, how many of ITS
+    * n-gram shingles appear anywhere in the training corpus, and how
+    * many training documents share at least one. All-integer output
+    * (n_shingles, n_hit, n_train_docs) — consumers derive the
+    * contamination ratio from the two exact counts, so no float ever
+    * crosses an engine boundary.
+    *
+    * Scale shape: the benchmark shingle set is SMALL (eval sets are
+    * thousands of docs) and broadcasts; the training corpus streams
+    * through one broadcast inner join — no corpus-wide distinct, no
+    * shuffle of training shingles; duplicate hits collapse in the
+    * bench-keyed (small) aggregate. Zero-hit benchmark docs survive via
+    * the final left join of two bench-sized aggregates.
+    */
+  def evalContaminationReport(
+      train: DataFrame,
+      benchmark: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3): DataFrame = {
+    val benchSh = shingles(benchmark, textCol, idCol, n)
+      .withColumnRenamed("id", "bench_id")
+    val perDoc = benchSh.groupBy(col("bench_id"))
+      .agg(count(lit(1)).as("n_shingles"))
+    val hits = shingles(train, textCol, idCol, n)
+      .join(broadcast(benchSh.select(col("bench_id"), col("shingle"))),
+        "shingle")
+      .groupBy(col("bench_id"))
+      .agg(countDistinct(col("shingle")).as("n_hit"),
+        countDistinct(col("id")).as("n_train_docs"))
+    perDoc.join(hits, Seq("bench_id"), "left")
+      .select(col("bench_id").as(idCol),
+        col("n_shingles"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"))
+  }
+
   /** SemDedup-style embedding-cluster dedup (the public construction
     * from Abbas et al. 2023, "SemDedup: Data-efficient learning at
     * web-scale through semantic deduplication"): cluster the corpus with

@@ -398,4 +398,24 @@ class DedupSpec extends SparkSpec {
         r.getAs[Long]("dup_words")))
     assert(got.toSeq === Seq((1L, 2L, 6L), (2L, 2L, 6L)))
   }
+  test("evalContaminationReport: hits, witnesses, zero-hit eval docs kept") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "the quick brown cat sleeps")).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "the quick brown fox"),   // shingles: 2; both in training
+      (101L, "entirely novel eval text here"), // 3 shingles, 0 hits
+      (102L, "quick brown cat")).toDF("doc_id", "text") // 1 shingle, 1 hit
+    val got = Dedup.evalContaminationReport(train, bench, "text", "doc_id",
+        n = 3).orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_shingles"),
+        r.getAs[Long]("n_hit"), r.getAs[Long]("n_train_docs")))
+    // doc100: 'the quick brown' (train docs 1+2), 'quick brown fox'
+    // (train doc 1) -> 2 hits, 2 witnesses.
+    assert(got.toSeq === Seq(
+      (100L, 2L, 2L, 2L),
+      (101L, 3L, 0L, 0L),
+      (102L, 1L, 1L, 1L)))
+  }
 }
