@@ -504,8 +504,12 @@ object TermIndex {
     val occ = occurrences(docs, textCol, idCol)
     val tf = pairs.groupBy(col("id"), col("prev"), col("cur"))
       .agg(count(lit(1)).as("_c"))
-    val cb = pairs.groupBy(col("prev"), col("cur"))
-      .agg(count(lit(1)).as("_cb"))
+    // cb/cp derive from the tf AGGREGATE (one row per (doc, bigram)
+    // already) instead of a second pairs explode — the bm25 discipline:
+    // two corpus scans total (pairs + unigram occurrences), the
+    // textbook minimum without caching.
+    val cb = tf.groupBy(col("prev"), col("cur"))
+      .agg(sum(col("_c")).as("_cb"))
     val cp = cb.groupBy(col("prev")).agg(sum(col("_cb")).as("_cp"))
     val cu = occ.groupBy(col("word")).agg(count(lit(1)).as("_cu"))
     val total = cu.agg(sum(col("_cu")).as("_t"))
