@@ -176,4 +176,21 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"vocab join did not broadcast:\n$plan")
   }
+  test("NB classifier / bigram LM / contamination audit: no cartesian anywhere") {
+    // BroadcastNestedLoopJoin is PERMITTED here: the 1-row broadcast
+    // totals/priors cross joins compile to it by design (the engine's
+    // standard broadcast-literal pattern); only a true CartesianProduct
+    // — a shuffled all-pairs product — would mark an all-pairs plan.
+    Seq("q_quality_classifier", "q_bigram_lm", "q_contamination_audit")
+      .foreach { q =>
+        val plan = planOf(q)
+        assert(!plan.contains("CartesianProduct"), s"$q all-pairs:\n$plan")
+      }
+  }
+
+  test("contamination audit broadcasts the benchmark side") {
+    val plan = planOf("q_contamination_audit")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark shingles did not broadcast:\n$plan")
+  }
 }
