@@ -2398,6 +2398,25 @@ object SparkEntry {
         lambda = 0.7)
       .orderBy(col("doc_id"))
 
+  /** Sentence segmentation ([[operators.TextAnalysis.splitSentences]]):
+    * per-sentence word counts + md5 fingerprints; the split pattern is
+    * the Java/RE2 common subset so the oracle reproduces every row. The
+    * synthetic corpus is one sentence per document, so two
+    * multi-sentence sentinels are planted — the split path itself can
+    * never pass vacuously.
+    */
+  private def sentencesQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val planted = Seq(
+      (900001L, "First planted. Second one!? Third has  no terminator"),
+      (900002L, "Solo ends clean! ")).toDF("doc_id", "text")
+    TextAnalysis.splitSentences(
+        t(s, d, "documents").select(col("doc_id"), col("text"))
+          .unionAll(planted),
+        "text", "doc_id")
+      .orderBy(col("doc_id"), col("sent_id"))
+  }
+
   /** Content-defined chunking
     * ([[operators.TextAnalysis.chunkContentDefined]]): rolling-hash
     * boundaries at word granularity, integer-exact fingerprints — the
@@ -2599,6 +2618,7 @@ object SparkEntry {
     "q_chunk_overlap" -> (chunkOverlap _),
     "q_chunk_cdc" -> (chunkCdc _),
     "q_dedup_chunks" -> (dedupChunks _),
+    "q_sentences" -> (sentencesQ _),
     "q_embed_topk" -> (embedTopk _),
     "q_ann_batch" -> (annBatch _),
     "q_embed_ann_lsh" -> (embedAnnLsh _),
@@ -4229,6 +4249,22 @@ object SparkEntry {
         |  len(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) AS ws_tokens,
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpeish_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Sentence segmentation: identical split pattern (Java/RE2 common
+    // subset), trim, empty-drop, 1-based ids, md5 fingerprints.
+    "q_sentences" ->
+      """WITH base AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT CAST(900001 AS BIGINT),
+        |    'First planted. Second one!? Third has  no terminator'
+        |  UNION ALL SELECT CAST(900002 AS BIGINT), 'Solo ends clean! '),
+        |s AS (SELECT doc_id, list_filter(
+        |    list_transform(string_split_regex(text, '[.!?]+\s+'),
+        |      x -> trim(x)), x -> len(x) > 0) AS sents FROM base)
+        |SELECT doc_id, t.i AS sent_id,
+        |  CAST(len(list_filter(string_split_regex(trim(sents[t.i]), '\s+'),
+        |    x -> len(x) > 0)) AS BIGINT) AS n_words,
+        |  md5(sents[t.i]) AS fingerprint
+        |FROM s, unnest(range(1, len(sents) + 1)) AS t(i)
+        |ORDER BY doc_id, sent_id""".stripMargin,
     // Content-defined chunking: full first-principles replay — word
     // values, the (7,11,13,17) boundary mix, prefix-count chunk ids,
     // local-position fingerprints.

@@ -566,6 +566,38 @@ object TextAnalysis {
       (acc, w) => pmod(acc * lit(1000003L) + pmod(xxhash64(w), lit((1L << 31) - 1)),
         lit((1L << 31) - 1)))
 
+  /** Rule-based SENTENCE segmentation — the unit every sentence-level
+    * pipeline op (sentence dedup, citation alignment, per-sentence
+    * quality) builds on: split on terminal-punctuation runs followed by
+    * whitespace (`[.!?]+\s+`), trim, drop empties. The pattern is the
+    * regex COMMON SUBSET both Java regex and RE2 execute identically —
+    * no lookbehind, so an external engine replays the segmentation
+    * byte-for-byte (terminal punctuation is consumed by the split; the
+    * stats below don't need it).
+    *
+    * Output: (idCol, sent_id, n_words, fingerprint) — 1-based sentence
+    * index in document order, whitespace word count, md5 of the exact
+    * sentence text (the join key for sentence-level dedup).
+    *
+    * Scale: pure per-row generate work — split + trim + filter +
+    * posexplode, scan-speed, zero shuffles; rows inherit the input
+    * partitioning.
+    */
+  def splitSentences(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String): DataFrame = {
+    val sents = filter(
+      transform(split(col(textCol), "[.!?]+\\s+"), s => trim(s)),
+      s => length(s) > 0)
+    docs
+      .select(col(idCol), posexplode(sents).as(Seq("_p0", "sentence")))
+      .select(col(idCol),
+        (col("_p0") + 1).cast("long").as("sent_id"),
+        size(words(col("sentence"))).cast("long").as("n_words"),
+        md5(col("sentence")).as("fingerprint"))
+  }
+
   /** CONTENT-DEFINED chunking (the rolling-hash boundary rule behind
     * rsync/LBFS/restic-style dedup, applied at word granularity): a
     * chunk boundary falls after word i whenever a mix of the last four

@@ -356,4 +356,22 @@ class TextAnalysisSpec extends SparkSpec {
     }
     assert(sizes.sum === 100L)
   }
+  test("sentence segmentation: punctuation runs, trailing text, 1-based ids") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "First one. Second!? Third has  no terminator"),
+      (2L, "Only sentence."),
+      (3L, "Ends clean! ")).toDF("doc_id", "text")
+    val got = TextAnalysis.splitSentences(docs, "text", "doc_id")
+      .orderBy("doc_id", "sent_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("sent_id"),
+        r.getAs[Long]("n_words")))
+    // doc1: 'First one' / 'Second' / 'Third has  no terminator' (4 words)
+    // doc2: trailing '.' stays attached (no following whitespace split)
+    // doc3: trailing separator produces no empty sentence
+    assert(got.toSeq === Seq(
+      (1L, 1L, 2L), (1L, 2L, 1L), (1L, 3L, 4L),
+      (2L, 1L, 2L),
+      (3L, 1L, 2L)))
+  }
 }
