@@ -659,6 +659,24 @@ object SparkEntry {
       .orderBy(col("user_id"), col("session_seq"))
   }
 
+  /** Time-series gap fill ([[operators.TimeSeries.resampleFill]]): per
+    * user, 6-hour bucket sums of `value` densified onto the user's own
+    * [min,max] bucket range with last-observation-carried-forward. The
+    * bucket index is `unix_timestamp div 21600` — exact floor for the
+    * post-epoch testdata, matching DuckDB's `epoch_us // 21600000000`
+    * operation-for-operation; sums stay DECIMAL(18,2)-exact until the
+    * final double cast. Scale notes on the operator's scaladoc.
+    */
+  private def gapFill(s: SparkSession, d: String): DataFrame = {
+    val obs = events(s, d).select(col("user_id"),
+      expr("unix_timestamp(ts) div 21600").as("bucket"),
+      dec(col("value")).as("v"))
+    TimeSeries.resampleFill(obs, "user_id", "bucket", "v")
+      .select(col("user_id"), col("bucket"),
+        col("v_fill").cast(DoubleType).as("v_fill"), col("was_gap"))
+      .orderBy(col("user_id"), col("bucket"))
+  }
+
   /** Funnel analysis — the ordered-conversion query every product
     * pipeline runs: first view, first click strictly after it, first
     * purchase strictly after that, per user. Three conditional min
@@ -2571,6 +2589,7 @@ object SparkEntry {
     "q_json_scan" -> (jsonScan _),
     "q_events_tumbling" -> (eventsTumbling _),
     "q_events_sliding" -> (eventsSliding _),
+    "q_gap_fill" -> (gapFill _),
     "q_events_session" -> (eventsSession _),
     "q_events_funnel" -> (eventsFunnel _),
     "q_events_props" -> (eventsProps _),
@@ -3516,6 +3535,28 @@ object SparkEntry {
         |  FROM events, UNNEST([0, 1, 2, 3]) AS t(k))
         |SELECT window_start, event_type, count(*) AS n_events
         |FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    // Gap fill: same 6-hour integer bucketing (epoch_us // 21.6e9 ==
+    // unix_timestamp div 21600 for post-epoch data), same per-key
+    // generate_series spine, same IGNORE NULLS running carry.
+    "q_gap_fill" ->
+      """WITH b AS (SELECT user_id,
+        |    epoch_us(ts) // 21600000000 AS bucket,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS v_sum
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+        |  FROM b GROUP BY 1),
+        |spine AS (SELECT user_id, unnest(generate_series(b0, b1)) AS bucket
+        |  FROM r),
+        |j AS (SELECT s.user_id, s.bucket, b.v_sum
+        |  FROM spine s LEFT JOIN b ON b.user_id = s.user_id
+        |    AND b.bucket = s.bucket)
+        |SELECT user_id, bucket,
+        |  CAST(last_value(v_sum IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS v_fill,
+        |  v_sum IS NULL AS was_gap
+        |FROM j ORDER BY user_id, bucket""".stripMargin,
     "q_events_session" ->
       s"""WITH $sessionOracleCtes
          |SELECT user_id, session_seq, session_start, session_end,

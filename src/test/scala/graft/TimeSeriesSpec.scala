@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.TimeSeries
+import org.apache.spark.sql.functions._
+
+/** Gap fill / interpolation: hand-checked densification, carry-forward
+  * and linear-blend values, spine bounds, and the no-cartesian plan
+  * property.
+  */
+class TimeSeriesSpec extends SparkSpec {
+
+  // key a: observations at buckets 10 (v=1), 13 (v=4) — gaps 11, 12.
+  // key b: single observation at bucket 5 — no gaps, span of one.
+  private def obs = {
+    import spark.implicits._
+    Seq(("a", 10L, 1.0), ("a", 13L, 4.0), ("a", 10L, 2.0), ("b", 5L, 7.0))
+      .toDF("k", "bucket", "v")
+  }
+
+  test("resampleFill densifies each key's own range and carries forward") {
+    val r = TimeSeries.resampleFill(obs, "k", "bucket", "v")
+      .orderBy("k", "bucket").collect()
+    assert(r.map(x => (x.getString(0), x.getLong(1))).toSeq ===
+      Seq(("a", 10L), ("a", 11L), ("a", 12L), ("a", 13L), ("b", 5L)))
+    // bucket 10 sums the two observations; 11/12 carry it forward
+    assert(r.map(_.getAs[Double]("v_fill")).toSeq ===
+      Seq(3.0, 3.0, 3.0, 4.0, 7.0))
+    assert(r.map(_.getAs[Boolean]("was_gap")).toSeq ===
+      Seq(false, true, true, false, false))
+  }
+
+  test("resampleFill never yields null fills (ranges start observed)") {
+    val ev = SparkEntry.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), expr("unix_timestamp(ts) div 21600").as("bucket"),
+        col("value").cast("decimal(18,2)").as("v"))
+    val r = TimeSeries.resampleFill(ev, "user_id", "bucket", "v")
+    assert(r.filter(col("v_fill").isNull).count() === 0)
+    // spine is per-key bounded: total rows == sum over keys of span
+    val spans = ev.groupBy("user_id")
+      .agg((max("bucket") - min("bucket") + 1).as("span"))
+      .agg(sum("span")).head().getLong(0)
+    assert(r.count() === spans)
+  }
+
+  test("resampleInterpolate blends linearly and never extrapolates") {
+    val r = TimeSeries.resampleInterpolate(obs, "k", "bucket", "v")
+      .orderBy("k", "bucket").collect()
+    // a: 3.0 at 10, 4.0 at 13 -> 11 = 3 + 1/3, 12 = 3 + 2/3
+    val vals = r.map(_.getAs[Double]("v_interp")).toSeq
+    assert(math.abs(vals(1) - (3.0 + 1.0 / 3.0)) < 1e-12)
+    assert(math.abs(vals(2) - (3.0 + 2.0 / 3.0)) < 1e-12)
+    assert(vals(0) === 3.0 && vals(3) === 4.0 && vals(4) === 7.0)
+  }
+
+  test("plan has no cartesian product and no broadcast nested loop") {
+    val plan = TimeSeries.resampleFill(obs, "k", "bucket", "v")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+}
