@@ -677,6 +677,32 @@ object SparkEntry {
       .orderBy(col("user_id"), col("bucket"))
   }
 
+  /** Fuzzy entity matching ([[operators.FuzzyMatch.matchPairs]]):
+    * SymSpell delete-1 blocking + exact levenshtein verify over the
+    * union dictionary of distinct customer names (naturally rich in
+    * one-digit-substitution neighbors), distinct part names, and
+    * deterministic planted deletions of the longer part names (the
+    * dictionary-correction case: char at 1-based position len/2+1
+    * removed). The oracle brute-forces the same dictionary with
+    * DuckDB's levenshtein — legal as an oracle precisely because the
+    * delete-1 blocking is provably lossless at distance 1 (see the
+    * operator scaladoc; FuzzyMatchSpec checks the property against
+    * brute force on random strings too).
+    */
+  private def fuzzyMatch(s: SparkSession, d: String): DataFrame = {
+    val pn = t(s, d, "part").select(col("p_name").as("name")).distinct()
+    val typos = pn.filter(length(col("name")) >= 8)
+      .select(expr("""concat(substr(name, 1, length(name) div 2),
+                     |  substr(name, length(name) div 2 + 2,
+                     |         length(name)))""".stripMargin).as("name"))
+    val cn = t(s, d, "customer").select(col("c_name").as("name")).distinct()
+    FuzzyMatch.matchPairs(pn.unionAll(typos).unionAll(cn), "name")
+      // DuckDB's levenshtein is BIGINT; match it for the type-strict gate
+      .select(col("name_a"), col("name_b"),
+        col("dist").cast(LongType).as("dist"))
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
   /** Funnel analysis — the ordered-conversion query every product
     * pipeline runs: first view, first click strictly after it, first
     * purchase strictly after that, per user. Three conditional min
@@ -2590,6 +2616,7 @@ object SparkEntry {
     "q_events_tumbling" -> (eventsTumbling _),
     "q_events_sliding" -> (eventsSliding _),
     "q_gap_fill" -> (gapFill _),
+    "q_fuzzy_match" -> (fuzzyMatch _),
     "q_events_session" -> (eventsSession _),
     "q_events_funnel" -> (eventsFunnel _),
     "q_events_props" -> (eventsProps _),
@@ -3535,6 +3562,24 @@ object SparkEntry {
         |  FROM events, UNNEST([0, 1, 2, 3]) AS t(k))
         |SELECT window_start, event_type, count(*) AS n_events
         |FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    // Fuzzy match: brute-force levenshtein over the same dictionary —
+    // a valid oracle because delete-1 blocking is lossless at dist 1.
+    // The len-diff pre-filter is implied by dist<=1, kept for speed.
+    "q_fuzzy_match" ->
+      """WITH pn AS (SELECT DISTINCT p_name AS name FROM part),
+        |typos AS (SELECT substr(name, 1, len(name) // 2)
+        |    || substr(name, len(name) // 2 + 2) AS name
+        |  FROM pn WHERE len(name) >= 8),
+        |cn AS (SELECT DISTINCT c_name AS name FROM customer),
+        |ents AS (SELECT DISTINCT name FROM (
+        |  SELECT name FROM pn UNION ALL SELECT name FROM typos
+        |  UNION ALL SELECT name FROM cn)),
+        |pairs AS (SELECT a.name AS name_a, b.name AS name_b,
+        |    levenshtein(a.name, b.name) AS dist
+        |  FROM ents a JOIN ents b ON a.name < b.name
+        |    AND abs(len(a.name) - len(b.name)) <= 1)
+        |SELECT name_a, name_b, dist FROM pairs WHERE dist <= 1
+        |ORDER BY name_a, name_b""".stripMargin,
     // Gap fill: same 6-hour integer bucketing (epoch_us // 21.6e9 ==
     // unix_timestamp div 21600 for post-epoch data), same per-key
     // generate_series spine, same IGNORE NULLS running carry.

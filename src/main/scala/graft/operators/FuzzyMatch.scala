@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fuzzy entity matching by SymSpell-style deletion-neighborhood
+  * blocking (Garbe's symmetric-delete algorithm, public domain): two
+  * strings within Levenshtein distance 1 MUST share a member of each
+  * other's delete-1 neighborhood `D(x) = {x} ∪ {x minus one char}` —
+  * substitution at i: delete i from both; insert/delete: delete the
+  * extra char from the longer string; equality: x itself. The converse
+  * does not hold ("ab"/"ba" share "b" at distance 2), so shared-variant
+  * pairs are CANDIDATES verified with an exact `levenshtein` — blocking
+  * is lossless (full recall), verification restores precision.
+  *
+  * The reference (rnjane/client_data_ingester) matches products only by
+  * exact `(sku, client_id)` (ingestion/service.py:92-94) and ILIKE
+  * substring search (web/api/products.py:49-54); fuzzy linkage of noisy
+  * names is the engine-provided extension of that surface.
+  *
+  * Scale shape (the 100 TB argument): variants are O(len) per distinct
+  * name, generated with `transform(sequence(...))` — no UDF, stays in
+  * codegen; candidates come from an equi-join on the variant string, so
+  * the cost is Σ bucket², bounded by the near-duplicate degree of the
+  * dictionary, never all-pairs; the exact verify runs on candidates
+  * only, O(pairs). A pathological hot variant (millions of names one
+  * delete apart) is a data property, cappable with the same df-cap
+  * technique the LSH dedup path uses (Dedup.scala stop-shingles);
+  * dictionaries at crawl scale stay far below it.
+  */
+object FuzzyMatch {
+
+  /** `name` plus every delete-one-character variant, deduplicated
+    * (doubled letters collapse), as an array column — pure higher-order
+    * expression, codegen-friendly.
+    */
+  private val delete1 =
+    expr("""array_distinct(concat(array(name),
+           |  transform(sequence(1, length(name)),
+           |    i -> concat(substr(name, 1, i - 1),
+           |                substr(name, i + 1, length(name))))))""".stripMargin)
+
+  /** All unordered pairs of distinct `nameCol` values within Levenshtein
+    * distance 1. Output: name_a < name_b, dist ∈ {0 impossible, 1}.
+    */
+  def matchPairs(entities: DataFrame, nameCol: String): DataFrame = {
+    val v = entities.select(col(nameCol).as("name")).distinct()
+      .select(col("name"), explode(delete1).as("variant"))
+    val candidates = v.as("a")
+      .join(v.as("b"),
+        col("a.variant") === col("b.variant") &&
+          col("a.name") < col("b.name"))
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+      .distinct()
+    candidates
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 1)
+  }
+}
