@@ -703,6 +703,27 @@ object SparkEntry {
       .orderBy(col("name_a"), col("name_b"))
   }
 
+  /** Z-order layout evidence ([[operators.ZOrder]]): Morton-interleave
+    * (l_partkey, l_suppkey) at 16 bits per dim and emit each 65536-wide
+    * curve segment's row count and two-dimensional bounding box — the
+    * file-skipping stats a Z-ordered table would expose to min/max
+    * pruning. Pure integer shift/and arithmetic, exact on both engines;
+    * the oracle replays the identical formula via [[operators.ZOrder
+    * .zkeySql]]. ZOrderSpec covers the layout itself (range exchange +
+    * in-partition sort) and quantifies the pruning win vs a single-dim
+    * sort.
+    */
+  private def zorderQ(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"))
+      .withColumn("zkey",
+        ZOrder.zkey(col("l_partkey"), col("l_suppkey"), 16))
+      .groupBy(expr("zkey div 65536").as("zbucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_partkey")).as("min_pk"), max(col("l_partkey")).as("max_pk"),
+        min(col("l_suppkey")).as("min_sk"), max(col("l_suppkey")).as("max_sk"))
+      .orderBy(col("zbucket"))
+
   /** Funnel analysis — the ordered-conversion query every product
     * pipeline runs: first view, first click strictly after it, first
     * purchase strictly after that, per user. Three conditional min
@@ -2617,6 +2638,7 @@ object SparkEntry {
     "q_events_sliding" -> (eventsSliding _),
     "q_gap_fill" -> (gapFill _),
     "q_fuzzy_match" -> (fuzzyMatch _),
+    "q_zorder" -> (zorderQ _),
     "q_events_session" -> (eventsSession _),
     "q_events_funnel" -> (eventsFunnel _),
     "q_events_props" -> (eventsProps _),
@@ -3562,6 +3584,16 @@ object SparkEntry {
         |  FROM events, UNNEST([0, 1, 2, 3]) AS t(k))
         |SELECT window_start, event_type, count(*) AS n_events
         |FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    // Z-order: the oracle replays the identical 16-bit interleave via
+    // the shared portable formula text — exact integer arithmetic.
+    "q_zorder" ->
+      s"""WITH z AS (SELECT l_partkey, l_suppkey,
+         |    ${ZOrder.zkeySql("l_partkey", "l_suppkey", 16)} AS zkey
+         |  FROM lineitem)
+         |SELECT zkey // 65536 AS zbucket, count(*) AS n_rows,
+         |  min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
+         |  min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
     // Fuzzy match: brute-force levenshtein over the same dictionary —
     // a valid oracle because delete-1 blocking is lossless at dist 1.
     // The len-diff pre-filter is implied by dist<=1, kept for speed.
