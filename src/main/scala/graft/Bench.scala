@@ -70,7 +70,8 @@ object Bench {
     *    q_dedup_url (synthesized colliding URLs over the corpus; its
     *    window-argmax plan shape is billed by the headline window
     *    family), and the IO/metadata roundtrip probes
-    *    q_schema_evolution / q_orc_roundtrip / q_avro_roundtrip.
+    *    q_schema_evolution / q_orc_roundtrip / q_avro_roundtrip /
+    *    q_xml_roundtrip.
     */
   private val extendedQueries = Set(
     // variant gates
@@ -87,6 +88,7 @@ object Bench {
     "q_boilerplate", "q_text_scrub", "q_url_canon", "q_merge_upsert",
     "q_full_update_deactivate", "q_ingest_stats", "q_json_scan",
     "q_schema_evolution", "q_orc_roundtrip", "q_avro_roundtrip",
+    "q_xml_roundtrip",
     "q_dedup_url", "q_para_dedup", "q_domain_authority")
 
   private def force(df: DataFrame): Unit = {

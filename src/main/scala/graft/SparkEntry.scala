@@ -2178,6 +2178,37 @@ object SparkEntry {
       .orderBy(col("lang"))
   }
 
+  /** XML source/sink roundtrip under the gate — Spark 4's built-in XML
+    * datasource (the spark-xml lineage merged into core, SPARK-44265),
+    * twin of [[jsonlRoundtrip]]/[[avroRoundtrip]] on a third
+    * deterministic slice. Feed/catalog-style XML is the interchange
+    * format left after JSONL/Avro/ORC/CSV; explicit schema on the read
+    * side for the same no-inference-pass-at-100TB reason, and the
+    * oracle recomputes from the parquet source so element encode/parse
+    * must be value-lossless (including `&`/`<` escaping, exercised in
+    * SourcesSpec with hostile strings).
+    */
+  private lazy val xmlDir = s"$artifactRoot/xml"
+
+  private def xmlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "documents").filter(col("doc_id") % 5 === 2)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .write.mode("overwrite").format("xml")
+      .option("rowTag", "doc").option("rootTag", "docs")
+      .save(s"$xmlDir/documents")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("source", StringType), StructField("n_chars", LongType)))
+    s.read.format("xml").option("rowTag", "doc").schema(schema)
+      .load(s"$xmlDir/documents")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+      .orderBy(col("lang"))
+  }
+
   /** Avro source/sink roundtrip under the gate — the remaining common
     * interchange format (Kafka estates, schema registries, classic
     * Hadoop pipelines), twin of [[jsonlRoundtrip]] on a different
@@ -2734,6 +2765,7 @@ object SparkEntry {
     "q_orc_roundtrip" -> (orcRoundtrip _),
     "q_jsonl_roundtrip" -> (jsonlRoundtrip _),
     "q_avro_roundtrip" -> (avroRoundtrip _),
+    "q_xml_roundtrip" -> (xmlRoundtrip _),
     "q_bucketed_join" -> (bucketedJoinAgg _),
     "q_ingest_e2e" -> (ingestE2e _),
     "q_jdbc_roundtrip" -> (jdbcRoundtrip _)
@@ -4980,6 +5012,12 @@ object SparkEntry {
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM documents WHERE doc_id % 4 = 1
         |GROUP BY source ORDER BY source""".stripMargin,
+    "q_xml_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents WHERE doc_id % 5 = 2
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_orc_roundtrip" ->
       """SELECT o_orderstatus,
         |  count(*) AS n_orders,

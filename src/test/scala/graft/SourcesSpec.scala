@@ -60,4 +60,21 @@ class SourcesSpec extends SparkSpec {
   test("unknown parser id rejected") {
     intercept[IllegalArgumentException] { IngestSource("xml") }
   }
+
+  test("native XML datasource roundtrips hostile strings losslessly") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = tmpDir("xmlrt")
+    val rows = Seq(
+      (1L, "a < b & c > d"), (2L, "\"quoted\" & 'apos'"),
+      (3L, "tags <doc></doc> inside"), (4L, "plain"))
+    rows.toDF("id", "txt").write.mode("overwrite").format("xml")
+      .option("rowTag", "doc").option("rootTag", "docs").save(s"$dir/out")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("txt", StringType)))
+    val back = spark.read.format("xml").option("rowTag", "doc")
+      .schema(schema).load(s"$dir/out")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(back.toSeq === rows)
+  }
 }
