@@ -51,6 +51,8 @@ object Bench {
     *    full train+encode pipeline), q_jpeg_decode (same codec seam
     *    and slice shape as the billed q_png_decode), q_asof_join
     *    (composed twin of the native-plan q_asof_join_native),
+    *    q_group_split (group-keyed projection variant of the billed
+    *    q_sample_split hash-split family),
     *    q_group_percentile /
     *    q_percentile_disc (exact bounded-domain twins of the GK-sketch
     *    approx path), q_rollup / q_grouping_sets (the same Expand-based
@@ -79,6 +81,7 @@ object Bench {
     "q_dedup_jaccard", "q_dedup_incremental", "q_asof_join",
     "q_bpe_train", "q_bpe_encode", "q_jpeg_decode", "q_dedup_chunks",
     "q_contamination_audit",
+    "q_group_split",
     "q_group_percentile", "q_percentile_disc", "q_rollup",
     "q_grouping_sets", "q_window_firstlast", "q_window_lag",
     "q_window_ntile", "q_window_range", "q_events_tumbling",

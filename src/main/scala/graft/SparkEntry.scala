@@ -1835,6 +1835,18 @@ object SparkEntry {
         "doc_id", trainPct = 80, validPct = 10)
       .orderBy(col("doc_id"))
 
+  /** Leakage-safe group split ([[operators.TextAnalysis.groupSplit]]):
+    * whole sources assigned to train/valid/test by hashing the SOURCE
+    * key (md5 24-bit bucket), so no domain straddles shards — the
+    * correct split when near-dups cluster within domains. 60/20/20
+    * keeps every shard non-empty over the testdata's 20 sources.
+    */
+  private def groupSplitQ(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.groupSplit(
+        t(s, d, "documents").select(col("doc_id"), col("source")),
+        "source", trainPct = 60, validPct = 20)
+      .orderBy(col("doc_id"))
+
   /** Sequence packing under the gate: the corpus token stream cut into
     * 512-token training chunks within each train/valid/test shard —
     * integer-exact concat-and-chunk (see [[operators.SequencePacking]]);
@@ -2749,6 +2761,7 @@ object SparkEntry {
     "q_distinct_shards" -> (distinctShards _),
     "q_weighted_sample" -> (weightedSampleQ _),
     "q_sample_split" -> (sampleSplit _),
+    "q_group_split" -> (groupSplitQ _),
     "q_pack_sequences" -> (packSequences _),
     "q_curate_docs" -> (curateDocs _),
     "q_curate_neardup" -> (curateNeardup _),
@@ -4826,6 +4839,18 @@ object SparkEntry {
         |SELECT doc_id, split_bucket,
         |  CASE WHEN split_bucket < 80 THEN 'train'
         |       WHEN split_bucket < 90 THEN 'valid'
+        |       ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
+    // Group split: same md5-prefix bucket on the GROUP key replayed in
+    // DuckDB's own md5 — group purity is structural (hash of source).
+    "q_group_split" ->
+      """WITH b AS (SELECT doc_id, source,
+        |    CAST(concat('0x', substr(md5(source), 1, 6)) AS BIGINT) % 100
+        |      AS split_bucket
+        |  FROM documents)
+        |SELECT doc_id, source, split_bucket,
+        |  CASE WHEN split_bucket < 60 THEN 'train'
+        |       WHEN split_bucket < 80 THEN 'valid'
         |       ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
     "q_sample_stratified" ->

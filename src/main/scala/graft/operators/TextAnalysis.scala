@@ -360,6 +360,32 @@ object TextAnalysis {
       .drop("_rate_pct")
   }
 
+  /** Leakage-safe GROUP-aware split: every row of a group (domain,
+    * source, author — whatever `groupCol` keys) lands in the same
+    * train/valid/test shard, because the bucket hashes the group key
+    * alone. This is the split you must use when near-duplicate or
+    * stylistically-linked rows cluster within groups — a row-level
+    * split ([[withSplit]]) leaks group signal from train into test and
+    * inflates eval scores.
+    *
+    * The bucket is the first 24 bits of md5(group) mod 100 — md5 so an
+    * independent engine can replay the assignment exactly (DuckDB:
+    * `('0x' || substr(md5(g),1,6))::BIGINT % 100`). Scale shape: pure
+    * projection, zero shuffle, zero driver state; group cardinality
+    * never materializes anywhere.
+    */
+  def groupSplit(df: DataFrame, groupCol: String,
+      trainPct: Int = 60, validPct: Int = 20): DataFrame = {
+    require(trainPct + validPct < 100, "train + valid must leave room for test")
+    val b = conv(substring(md5(col(groupCol)), 1, 6), 16, 10)
+      .cast("long") % 100
+    df.withColumn("split_bucket", b)
+      .withColumn("split",
+        when(b < trainPct, "train")
+          .when(b < trainPct + validPct, "valid")
+          .otherwise("test"))
+  }
+
   def withSplit(df: DataFrame, idCol: String,
       trainPct: Int = 80, validPct: Int = 10): DataFrame = {
     require(trainPct + validPct < 100, "train + valid must leave room for test")

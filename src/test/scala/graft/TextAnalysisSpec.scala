@@ -374,4 +374,28 @@ class TextAnalysisSpec extends SparkSpec {
       (2L, 1L, 2L),
       (3L, 1L, 2L)))
   }
+
+  test("groupSplit: every group lands in exactly one split (no leakage)") {
+    import spark.implicits._
+    val df = (0 until 500).map(i => (i.toLong, s"dom${i % 37}"))
+      .toDF("id", "dom")
+    val r = TextAnalysis.groupSplit(df, "dom")
+    val leaky = r.groupBy("dom")
+      .agg(countDistinct("split").as("ns"))
+      .filter(col("ns") > 1).count()
+    assert(leaky === 0)
+    // all three shards populated over 37 groups, and row counts conserved
+    assert(r.select("split").distinct().count() === 3)
+    assert(r.count() === 500)
+  }
+
+  test("groupSplit is repartition-stable and row-order-independent") {
+    import spark.implicits._
+    val df = (0 until 200).map(i => (i.toLong, s"g${i % 23}")).toDF("id", "g")
+    val a = TextAnalysis.groupSplit(df.repartition(1), "g")
+      .select("id", "split").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val b = TextAnalysis.groupSplit(df.orderBy(col("id").desc).repartition(7), "g")
+      .select("id", "split").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a === b)
+  }
 }
