@@ -1770,6 +1770,25 @@ object SparkEntry {
     s.read.parquet(s"$hllShardsDir/result.parquet").orderBy(col("scope"))
   }
 
+  /** Count-Min frequency estimates ([[operators.CountMin]]): the
+    * 4x1024 sketch of l_partkey occurrences as a sparse cell table,
+    * probed for the 30 lowest part keys alongside their exact counts.
+    * Every step is deterministic long arithmetic, so the oracle replays
+    * the sketch itself — build, probe, min — not just an envelope; the
+    * never-undercount guarantee and shard-mergeability are pinned in
+    * CountMinSpec.
+    */
+  private def countMinQ(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+    val cms = CountMin.sketch(li.select(col("l_partkey")), "l_partkey")
+    val probes = li.filter(col("l_partkey") < 30).select(col("l_partkey"))
+    val exact = probes.groupBy(col("l_partkey").as("k"))
+      .agg(count(lit(1)).as("exact_n"))
+    CountMin.estimate(cms, probes, "l_partkey")
+      .join(exact, "k")
+      .orderBy(col("k"))
+  }
+
   /** Domain authority ([[operators.LinkGraph.pageRank]]): 10 fixed
     * PageRank iterations over a deterministic 97-host link graph
     * (every host links to (3h+1)%97 and (7h+2)%97 — outdegree 2
@@ -2759,6 +2778,7 @@ object SparkEntry {
     "q_zscore_norm" -> (zscoreNorm _),
     "q_domain_authority" -> (domainAuthority _),
     "q_distinct_shards" -> (distinctShards _),
+    "q_countmin" -> (countMinQ _),
     "q_weighted_sample" -> (weightedSampleQ _),
     "q_sample_split" -> (sampleSplit _),
     "q_group_split" -> (groupSplitQ _),
@@ -4745,6 +4765,26 @@ object SparkEntry {
          |FROM dumped d JOIN exact e ON e.scope = d.scope
          |WHERE abs(CAST(d.estimate AS DOUBLE) - n) <= 0.05 * n
          |ORDER BY d.scope""".stripMargin,
+    // Count-Min: full sketch replay — same fixed hash rows, same sparse
+    // cell aggregate, same min-over-depth with absent cells as 0.
+    "q_countmin" ->
+      """WITH ab(j, a, b) AS (VALUES (0, 1299709, 7), (1, 15485863, 101),
+        |    (2, 32452843, 1009), (3, 49979687, 10007)),
+        |cells AS (SELECT j,
+        |    ((a * l_partkey + b) % 2147483647) % 1024 AS c,
+        |    count(*) AS n
+        |  FROM lineitem CROSS JOIN ab GROUP BY 1, 2),
+        |probes AS (SELECT DISTINCT l_partkey AS k FROM lineitem
+        |  WHERE l_partkey < 30),
+        |est AS (SELECT k, min(coalesce(cells.n, 0)) AS est
+        |  FROM probes CROSS JOIN ab LEFT JOIN cells
+        |    ON cells.j = ab.j
+        |    AND cells.c = ((ab.a * k + ab.b) % 2147483647) % 1024
+        |  GROUP BY k),
+        |exact AS (SELECT l_partkey AS k, count(*) AS exact_n
+        |  FROM lineitem WHERE l_partkey < 30 GROUP BY 1)
+        |SELECT e.k, e.est, x.exact_n
+        |FROM est e JOIN exact x USING (k) ORDER BY k""".stripMargin,
     // Z-score: same exact-decimal power sums, same double formula
     // operation-for-operation, same n<2 / zero-variance guard.
     "q_zscore_norm" ->
