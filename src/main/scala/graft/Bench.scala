@@ -48,8 +48,9 @@ object Bench {
     *    LSH is the scale path), q_dedup_incremental (subsumed by the
     *    persisted-index q_dedup_index_incr), q_bpe_train (the trainer
     *    is re-run INSIDE the headline q_tokenize_bpe, which bills the
-    *    full train+encode pipeline), q_jpeg_decode (same codec seam
-    *    and slice shape as the billed q_png_decode), q_asof_join
+    *    full train+encode pipeline), q_jpeg_decode / q_image_phash
+    *    (same codec seam and slice shape as the billed q_png_decode),
+    *    q_asof_join
     *    (composed twin of the native-plan q_asof_join_native),
     *    q_group_split (group-keyed projection variant of the billed
     *    q_sample_split hash-split family),
@@ -79,7 +80,8 @@ object Bench {
     // variant gates
     "q_dedup_minhash", "q_dedup_simhash", "q_dedup_containment",
     "q_dedup_jaccard", "q_dedup_incremental", "q_asof_join",
-    "q_bpe_train", "q_bpe_encode", "q_jpeg_decode", "q_dedup_chunks",
+    "q_bpe_train", "q_bpe_encode", "q_jpeg_decode", "q_image_phash",
+    "q_dedup_chunks",
     "q_contamination_audit",
     "q_group_split",
     "q_group_percentile", "q_percentile_disc", "q_rollup",

