@@ -1807,6 +1807,29 @@ object SparkEntry {
       .orderBy(col("node"))
   }
 
+  /** Per-node triangle counts ([[operators.LinkGraph.triangleCounts]])
+    * over a deterministic 97-host graph (generators 3u+1, 7u+2, u²+1 —
+    * the [[domainAuthority]] graph plus a quadratic generator that
+    * closes 28 triangles). Triangle density measures community
+    * structure in a crawl's host graph — link-farm rings light up as
+    * dense triangle clusters. Degree-ordered wedge counting; the
+    * oracle counts the same triangles with the classic a<b<c 3-way
+    * join, a DIFFERENT algorithm, so the orientation logic is checked
+    * against an independent formulation, not replayed.
+    */
+  private def triangleCountQ(s: SparkSession, d: String): DataFrame = {
+    val hosts = t(s, d, "documents")
+      .select(pmod(col("doc_id"), lit(97)).as("u")).distinct()
+    val edges = hosts
+      .select(col("u").as("src"), pmod(col("u") * 3 + 1, lit(97)).as("dst"))
+      .unionAll(hosts
+        .select(col("u").as("src"), pmod(col("u") * 7 + 2, lit(97)).as("dst")))
+      .unionAll(hosts
+        .select(col("u").as("src"),
+          pmod(col("u") * col("u") + 1, lit(97)).as("dst")))
+    LinkGraph.triangleCounts(edges, "src", "dst").orderBy(col("node"))
+  }
+
   /** Per-group z-score normalization ([[operators.StatMoments.zscore]]):
     * document length normalized within each source stratum, from the
     * same exact-decimal power sums as q_stats_moments.
@@ -2800,6 +2823,7 @@ object SparkEntry {
     "q_drift_psi" -> (driftPsi _),
     "q_zscore_norm" -> (zscoreNorm _),
     "q_domain_authority" -> (domainAuthority _),
+    "q_triangle_count" -> (triangleCountQ _),
     "q_distinct_shards" -> (distinctShards _),
     "q_countmin" -> (countMinQ _),
     "q_weighted_sample" -> (weightedSampleQ _),
@@ -4773,6 +4797,21 @@ object SparkEntry {
         |      ORDER BY n_chars DESC, doc_id) AS rk
         |  FROM canon) WHERE rk = 1 ORDER BY url_canon""".stripMargin,
     "q_domain_authority" -> pageRankOracleSql,
+    // Triangles: independent a<b<c 3-way-join formulation (not the
+    // Spark side's degree-ordered wedge algorithm) — same set.
+    "q_triangle_count" ->
+      """WITH hosts AS (SELECT DISTINCT doc_id % 97 AS u FROM documents),
+        |raw AS (SELECT u AS src, (u * 3 + 1) % 97 AS dst FROM hosts
+        |  UNION ALL SELECT u, (u * 7 + 2) % 97 FROM hosts
+        |  UNION ALL SELECT u, (u * u + 1) % 97 FROM hosts),
+        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM raw WHERE src <> dst),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM und e1 JOIN und e2 ON e2.a = e1.b
+        |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |nodes AS (SELECT unnest([x, y, z]) AS node FROM tri)
+        |SELECT node, count(*) AS n_triangles FROM nodes
+        |GROUP BY node ORDER BY node""".stripMargin,
     // Sketch-union distinct counts: DuckDB recomputes the EXACT distinct
     // count per scope and emits a dumped estimate only when it lands
     // inside 3x the lgK=12 relative standard error (~5%). An estimate

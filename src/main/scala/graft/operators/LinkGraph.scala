@@ -68,4 +68,54 @@ object LinkGraph {
     }
     ranks.select(col("node"), round(col("rank"), roundTo).as("rank"))
   }
+
+  /** Per-node triangle counts by the degree-ordered wedge algorithm
+    * (Latapy's compact-forward, public literature): canonicalize to
+    * undirected distinct edges, orient every edge from its lower
+    * (degree, id) endpoint to the higher, build wedges only at each
+    * node's OUT-neighbors, and close them against the canonical edge
+    * set. Each triangle has exactly one apex whose two edges both point
+    * out (its minimum in the (degree, id) total order), so it is found
+    * exactly once, then credited to all three corners.
+    *
+    * Why not the naive 3-way self-join: its wedge stage is Σ deg² over
+    * RAW degrees — a celebrity node with 10M neighbors contributes
+    * 10^14 wedges. Degree-ordering bounds out-degree by O(√m), so the
+    * wedge join is Σ outdeg² = O(m^1.5) worst case and far less on
+    * power-law graphs — the difference between feasible and not at
+    * crawl scale. All joins are keyed equi-joins; no driver state.
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = und.select(col("a").as("n"))
+      .unionAll(und.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    // orient each edge from lower (deg, id) to higher (deg, id)
+    val withDeg = und
+      .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
+    val oriented = withDeg.select(
+      when(col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b")), col("a"))
+        .otherwise(col("b")).as("from"),
+      when(col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b")), col("b"))
+        .otherwise(col("a")).as("to"))
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.from") === col("e2.from") && col("e1.to") < col("e2.to"))
+      .select(col("e1.from").as("u"),
+        least(col("e1.to"), col("e2.to")).as("va"),
+        greatest(col("e1.to"), col("e2.to")).as("vb"))
+    val triangles = wedges
+      .join(und, col("va") === col("a") && col("vb") === col("b"))
+      .select(col("u"), col("va"), col("vb"))
+    triangles
+      .select(explode(array(col("u"), col("va"), col("vb"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+  }
 }

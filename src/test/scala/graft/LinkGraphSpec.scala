@@ -54,4 +54,48 @@ class LinkGraphSpec extends SparkSpec {
       LinkGraph.pageRank(e, "src", "dst", damping = 1.0)
     }
   }
+
+  test("triangles: K4 gives every node 3; C5 gives none") {
+    import spark.implicits._
+    val k4 = (for { a <- 0L to 3L; b <- 0L to 3L if a < b } yield (a, b))
+      .toDF("src", "dst")
+    val r = LinkGraph.triangleCounts(k4, "src", "dst")
+      .orderBy("node").collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(r.toSeq === Seq((0L, 3L), (1L, 3L), (2L, 3L), (3L, 3L)))
+    val c5 = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 0L))
+      .toDF("src", "dst")
+    assert(LinkGraph.triangleCounts(c5, "src", "dst").count() === 0)
+  }
+
+  test("triangles: direction/duplicate/self-loop insensitive, matches brute force") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val raw = (1 to 300).map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+    val e = raw.toDF("src", "dst")
+    // brute force on the canonical undirected simple graph
+    val und = raw.filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val adj = und.foldLeft(Map.empty[Long, Set[Long]]) { case (m, (a, b)) =>
+      m.updated(a, m.getOrElse(a, Set.empty) + b)
+        .updated(b, m.getOrElse(b, Set.empty) + a)
+    }
+    val expect = (for {
+      (a, b) <- und.toSeq
+      c <- (adj(a) intersect adj(b)) if c > b
+    } yield Seq(a, b, c)).flatten
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = LinkGraph.triangleCounts(e, "src", "dst")
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(got === expect)
+    assert(expect.nonEmpty, "fixture must contain triangles")
+  }
+
+  test("triangle plan: keyed equi-joins only, no cartesian") {
+    import spark.implicits._
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
+    val plan = LinkGraph.triangleCounts(e, "src", "dst")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
 }
