@@ -1830,6 +1830,18 @@ object SparkEntry {
     LinkGraph.triangleCounts(edges, "src", "dst").orderBy(col("node"))
   }
 
+  /** Co-purchase pair mining ([[operators.MarketBasket.pairCounts]]):
+    * part pairs co-occurring in an order with joint support >= 2, each
+    * with both items' individual supports — integer-exact A-priori L2
+    * over the order/part baskets (max basket 13 here; the 64 cap is
+    * declared semantics and part of the oracle).
+    */
+  private def copurchaseQ(s: SparkSession, d: String): DataFrame =
+    MarketBasket.pairCounts(
+        t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey", minSupport = 2L, maxBasket = 64)
+      .orderBy(col("item_a"), col("item_b"))
+
   /** Per-group z-score normalization ([[operators.StatMoments.zscore]]):
     * document length normalized within each source stratum, from the
     * same exact-decimal power sums as q_stats_moments.
@@ -2824,6 +2836,7 @@ object SparkEntry {
     "q_zscore_norm" -> (zscoreNorm _),
     "q_domain_authority" -> (domainAuthority _),
     "q_triangle_count" -> (triangleCountQ _),
+    "q_copurchase" -> (copurchaseQ _),
     "q_distinct_shards" -> (distinctShards _),
     "q_countmin" -> (countMinQ _),
     "q_weighted_sample" -> (weightedSampleQ _),
@@ -4797,6 +4810,21 @@ object SparkEntry {
         |      ORDER BY n_chars DESC, doc_id) AS rk
         |  FROM canon) WHERE rk = 1 ORDER BY url_canon""".stripMargin,
     "q_domain_authority" -> pageRankOracleSql,
+    // Co-purchase: same capped-basket population, same pair join, all
+    // integer counts.
+    "q_copurchase" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |kept AS (SELECT o, p FROM (SELECT o, p,
+        |    count(*) OVER (PARTITION BY o) AS n FROM items) WHERE n <= 64),
+        |support AS (SELECT p, count(*) AS n FROM kept GROUP BY p),
+        |pairs AS (SELECT a.p AS item_a, b.p AS item_b, count(*) AS n_ab
+        |  FROM kept a JOIN kept b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT item_a, item_b, n_ab, sa.n AS n_a, sb.n AS n_b
+        |FROM pairs JOIN support sa ON sa.p = item_a
+        |JOIN support sb ON sb.p = item_b
+        |ORDER BY item_a, item_b""".stripMargin,
     // Triangles: independent a<b<c 3-way-join formulation (not the
     // Spark side's degree-ordered wedge algorithm) — same set.
     "q_triangle_count" ->
