@@ -53,7 +53,10 @@ object Bench {
     *    q_asof_join
     *    (composed twin of the native-plan q_asof_join_native),
     *    q_group_split (group-keyed projection variant of the billed
-    *    q_sample_split hash-split family),
+    *    q_sample_split hash-split family), q_winsorize /
+    *    q_histogram_equidepth (exact-percentile / bounded-domain
+    *    variants of the billed percentile + histogram families),
+    *    q_event_transitions (lag-window variant of the window family),
     *    q_group_percentile /
     *    q_percentile_disc (exact bounded-domain twins of the GK-sketch
     *    approx path), q_rollup / q_grouping_sets (the same Expand-based
@@ -67,7 +70,8 @@ object Bench {
     *    a tiny handwritten batch, so its seconds are fixture
     *    construction + the per-job floor, not a data-scale plan:
     *    q_transform_text / decimal / integer / boolean,
-    *    q_filter_active_user, q_html_extract, q_boilerplate,
+    *    q_filter_active_user, q_html_extract, q_script_detect (planted
+    *    mixed-script suffixes), q_boilerplate,
     *    q_text_scrub, q_url_canon, q_merge_upsert,
     *    q_full_update_deactivate, q_ingest_stats, q_json_scan,
     *    q_dedup_url (synthesized colliding URLs over the corpus; its
@@ -83,13 +87,15 @@ object Bench {
     "q_bpe_train", "q_bpe_encode", "q_jpeg_decode", "q_image_phash",
     "q_dedup_chunks",
     "q_contamination_audit",
-    "q_group_split",
+    "q_group_split", "q_winsorize", "q_histogram_equidepth",
+    "q_event_transitions",
     "q_group_percentile", "q_percentile_disc", "q_rollup",
     "q_grouping_sets", "q_window_firstlast", "q_window_lag",
     "q_window_ntile", "q_window_range", "q_events_tumbling",
     // fixed-semantics probes
     "q_transform_text", "q_transform_decimal", "q_transform_integer",
     "q_transform_boolean", "q_filter_active_user", "q_html_extract",
+    "q_script_detect",
     "q_boilerplate", "q_text_scrub", "q_url_canon", "q_merge_upsert",
     "q_full_update_deactivate", "q_ingest_stats", "q_json_scan",
     "q_schema_evolution", "q_orc_roundtrip", "q_avro_roundtrip",

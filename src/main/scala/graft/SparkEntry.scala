@@ -286,6 +286,99 @@ object SparkEntry {
         count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag"))
 
+  /** Per-group winsorization: clamp n_chars into [p10, p90] of its own
+    * source — the robust-normalization step before length-sensitive
+    * quality scoring (one extreme boilerplate page should not drag a
+    * domain's stats). Exact percentile_disc per group (bounded by the
+    * n_chars value domain, the [[percentileDisc]] rule), bounds
+    * broadcast back — two scans, no global sort. Oracle derives the
+    * same disc percentiles from cume_dist.
+    */
+  private def winsorizeQ(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val bounds = docs.groupBy(col("source")).agg(
+      expr("percentile_disc(0.1) WITHIN GROUP (ORDER BY n_chars)")
+        .cast(LongType).as("lo"),
+      expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars)")
+        .cast(LongType).as("hi"))
+    docs.join(broadcast(bounds), "source")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        greatest(col("lo"), least(col("hi"), col("n_chars"))).as("n_chars_w"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Value-atomic equi-depth histogram of n_chars in 10 buckets: the
+    * corpus collapses to (value, count) first — state bounded by the
+    * VALUE DOMAIN, not row count — then exclusive cumulative counts
+    * assign each whole value-group to bucket `(cum * 10) div N`. Equal
+    * values never split across buckets (the deterministic, engine-
+    * portable reading of equi-depth; a row-level ntile would need a
+    * global row numbering AND an arbitrary tie order). The only window
+    * runs over the distinct-value table, which is domain-sized; at
+    * 100 TB the same shape holds for any bounded-domain column.
+    */
+  private def histogramEquidepth(s: SparkSession, d: String): DataFrame = {
+    val vals = t(s, d, "documents")
+      .groupBy(col("n_chars").as("v")).agg(count(lit(1)).as("c"))
+    val total = vals.agg(sum(col("c")).as("n"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    vals.crossJoin(broadcast(total))
+      .withColumn("cum", coalesce(sum(col("c")).over(w), lit(0L)))
+      .withColumn("bucket", expr("(cum * 10) div n"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("c")).as("n_rows"),
+        min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Event-type transition matrix (first-order Markov counts): per
+    * user, consecutive event pairs by (ts, event_id) order, counted.
+    * The lag window shares the user_id partitioning of the session
+    * family; counts are integers so the gate is exact.
+    */
+  private def eventTransitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
+  /** Unicode script detection over a mixed-script fixture: the corpus
+    * is ASCII-English, so rows plant deterministic Cyrillic / Han /
+    * Greek suffixes (the dirty-CTE pattern) and the detector counts
+    * code points per script class with `regexp_count` — Java
+    * `\p{IsScript}` on the engine side, RE2 `\p{Script}` in the
+    * oracle, two independent implementations of the same Unicode
+    * property. Scan-speed scalar work; the per-script counts feed the
+    * language-routing decision a multilingual pipeline makes before
+    * language-specific tokenization.
+    */
+  private def scriptDetect(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        concat(substring(col("text"), 1, 40),
+          when(pmod(col("doc_id"), lit(4)) === 1, lit(" привет мир добро"))
+            .when(pmod(col("doc_id"), lit(4)) === 2, lit(" 你好世界数据"))
+            .when(pmod(col("doc_id"), lit(4)) === 3, lit(" γεια σου κόσμε"))
+            .otherwise(lit(""))).as("txt"))
+      .select(col("doc_id"),
+        regexp_count(col("txt"), lit("\\p{IsLatin}")).cast(LongType).as("n_latin"),
+        regexp_count(col("txt"), lit("\\p{IsCyrillic}")).cast(LongType).as("n_cyrillic"),
+        regexp_count(col("txt"), lit("\\p{IsHan}")).cast(LongType).as("n_han"),
+        regexp_count(col("txt"), lit("\\p{IsGreek}")).cast(LongType).as("n_greek"))
+      .withColumn("script",
+        when(col("n_cyrillic") > 0, "cyrillic")
+          .when(col("n_han") > 0, "han")
+          .when(col("n_greek") > 0, "greek")
+          .otherwise("latin"))
+      .orderBy(col("doc_id"))
+
   /** Per-group moment statistics (variance, stddev, covariance,
     * correlation, regression line) via [[StatMoments]] — exact decimal
     * power sums, moments derived in one fixed double formula. See the
@@ -2837,6 +2930,10 @@ object SparkEntry {
     "q_domain_authority" -> (domainAuthority _),
     "q_triangle_count" -> (triangleCountQ _),
     "q_copurchase" -> (copurchaseQ _),
+    "q_winsorize" -> (winsorizeQ _),
+    "q_histogram_equidepth" -> (histogramEquidepth _),
+    "q_event_transitions" -> (eventTransitions _),
+    "q_script_detect" -> (scriptDetect _),
     "q_distinct_shards" -> (distinctShards _),
     "q_countmin" -> (countMinQ _),
     "q_weighted_sample" -> (weightedSampleQ _),
@@ -4810,6 +4907,65 @@ object SparkEntry {
         |      ORDER BY n_chars DESC, doc_id) AS rk
         |  FROM canon) WHERE rk = 1 ORDER BY url_canon""".stripMargin,
     "q_domain_authority" -> pageRankOracleSql,
+    // Winsorize: disc percentiles derived from cume_dist (the
+    // q_percentile_disc technique), same clamp arithmetic.
+    "q_winsorize" ->
+      """WITH cd AS (SELECT source, n_chars AS v,
+        |    cume_dist() OVER (PARTITION BY source ORDER BY n_chars) AS cd
+        |  FROM documents),
+        |b AS (SELECT source,
+        |    CAST(min(CASE WHEN cd >= 0.1 THEN v END) AS BIGINT) AS lo,
+        |    CAST(min(CASE WHEN cd >= 0.9 THEN v END) AS BIGINT) AS hi
+        |  FROM cd GROUP BY source)
+        |SELECT doc_id, d.source, n_chars,
+        |  greatest(b.lo, least(b.hi, n_chars)) AS n_chars_w
+        |FROM documents d JOIN b ON b.source = d.source
+        |ORDER BY doc_id""".stripMargin,
+    // Equi-depth: same (value, count) collapse, same exclusive
+    // cumulative bucket index (cum * 10) // N.
+    "q_histogram_equidepth" ->
+      """WITH vals AS (SELECT n_chars AS v, count(*) AS c
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT sum(c) AS n FROM vals),
+        |cum AS (SELECT v, c,
+        |    coalesce(sum(c) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM vals)
+        |SELECT CAST((cum * 10) // n AS BIGINT) AS bucket,
+        |  CAST(sum(c) AS BIGINT) AS n_rows,
+        |  min(v) AS lo, max(v) AS hi
+        |FROM cum, t GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Transitions: same (ts, event_id)-ordered lag per user.
+    "q_event_transitions" ->
+      """WITH lagged AS (SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type
+        |  FROM events)
+        |SELECT prev_type, event_type AS next_type,
+        |  count(*) AS n_transitions
+        |FROM lagged WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY prev_type, next_type""".stripMargin,
+    // Script detect: RE2 \p{Script} classes — an independent Unicode
+    // property implementation vs Java's \p{IsScript}.
+    "q_script_detect" ->
+      """WITH t AS (SELECT doc_id, substr(text, 1, 40) ||
+        |    CASE WHEN doc_id % 4 = 1 THEN ' привет мир добро'
+        |         WHEN doc_id % 4 = 2 THEN ' 你好世界数据'
+        |         WHEN doc_id % 4 = 3 THEN ' γεια σου κόσμε'
+        |         ELSE '' END AS txt
+        |  FROM documents WHERE doc_id < 200),
+        |c AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(txt, '\p{Latin}')) AS BIGINT) AS n_latin,
+        |    CAST(len(regexp_extract_all(txt, '\p{Cyrillic}')) AS BIGINT) AS n_cyrillic,
+        |    CAST(len(regexp_extract_all(txt, '\p{Han}')) AS BIGINT) AS n_han,
+        |    CAST(len(regexp_extract_all(txt, '\p{Greek}')) AS BIGINT) AS n_greek
+        |  FROM t)
+        |SELECT doc_id, n_latin, n_cyrillic, n_han, n_greek,
+        |  CASE WHEN n_cyrillic > 0 THEN 'cyrillic'
+        |       WHEN n_han > 0 THEN 'han'
+        |       WHEN n_greek > 0 THEN 'greek'
+        |       ELSE 'latin' END AS script
+        |FROM c ORDER BY doc_id""".stripMargin,
     // Co-purchase: same capped-basket population, same pair join, all
     // integer counts.
     "q_copurchase" ->

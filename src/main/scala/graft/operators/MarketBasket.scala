@@ -37,11 +37,12 @@ object MarketBasket {
       minSupport: Long = 2L, maxBasket: Int = 64): DataFrame = {
     val items = df.select(col(basketCol).as("o"), col(itemCol).as("p"))
       .distinct()
-    val kept = items
-      .withColumn("_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("o"))))
-      .filter(col("_n") <= maxBasket)
-      .select(col("o"), col("p"))
+    // basket sizes as a groupBy + o-keyed join (not a window): the join
+    // hashes on o exactly like the pair self-join below, so the
+    // exchange is shared, and the size table collapses map-side
+    val sizes = items.groupBy(col("o")).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") <= maxBasket).select(col("o"))
+    val kept = items.join(sizes, "o")
     val support = kept.groupBy(col("p")).agg(count(lit(1)).as("n"))
     val pairs = kept.as("a")
       .join(kept.as("b"),
@@ -49,9 +50,13 @@ object MarketBasket {
       .groupBy(col("a.p").as("item_a"), col("b.p").as("item_b"))
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minSupport)
+    // the item dimension is tiny next to the pair table — broadcast it
+    // so the two support lookups cost no exchange
     pairs
-      .join(support.select(col("p").as("item_a"), col("n").as("n_a")), "item_a")
-      .join(support.select(col("p").as("item_b"), col("n").as("n_b")), "item_b")
+      .join(broadcast(support.select(col("p").as("item_a"), col("n").as("n_a"))),
+        "item_a")
+      .join(broadcast(support.select(col("p").as("item_b"), col("n").as("n_b"))),
+        "item_b")
       .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"), col("n_b"))
   }
 }
