@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{DotProduct, MinHashSig, NormalizeText, SimHashAgg, TopKRows, WordSetCount, WordShingles}
+import graft.functions.{DotProduct, EditWithin1, MinHashSig, NormalizeText, SimHashAgg, TopKRows, WordSetCount, WordShingles}
 
 /** Registers the engine's native Catalyst expressions as SQL functions:
   *
@@ -49,6 +49,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(args.length == 2, "graft_wordset_count(text, words) takes 2 arguments")
         WordSetCount(args(0), args(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_edit_within1"),
+      new ExpressionInfo(classOf[EditWithin1].getName, "graft_edit_within1"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(args.length == 2, "graft_edit_within1(a, b) takes 2 arguments")
+        EditWithin1(args(0), args(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_normalize_text"),

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch stage-by-stage profile of the fuzzy-match plan (not part of
+  * the shipped surface; used to attribute bench seconds).
+  */
+object ProfFuzzy {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[4]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.local.dir", Scratch.localDir("proffuzzy"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time(name: String)(f: => Any): Unit = {
+      (1 to 2).foreach { i =>
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"PROF $name run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s -> $r")
+      }
+    }
+    val cn = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_name").as("name")).distinct()
+    val delete1Hashes =
+      expr("""array_distinct(transform(concat(array(name),
+             |  transform(sequence(1, length(name)),
+             |    i -> concat(substr(name, 1, i - 1),
+             |                substr(name, i + 1, length(name))))),
+             |  s -> xxhash64(s)))""".stripMargin)
+    val v = cn.select(col("name"), explode(delete1Hashes).as("vh"))
+    time("variants")(v.count())
+    val cand = v.as("a").join(v.as("b"),
+      col("a.vh") === col("b.vh") && col("a.name") < col("b.name"))
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+    time("cand_raw")(cand.count())
+    val dis = cand.distinct()
+    time("cand_distinct")(dis.count())
+    val fil = dis.withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 1)
+    time("verified")(fil.count())
+    time("ordered_forced") {
+      val df = fil.orderBy("name_a", "name_b")
+      df.agg(bit_xor(xxhash64(struct(df.columns.map(col): _*)))).head()
+    }
+    val fil2 = dis
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 1))
+      .filter(col("dist") >= 0)
+    time("verified_bounded")(fil2.count())
+    val fil3 = dis
+      .withColumn("dist", graft.functions.GraftFunctions
+        .graftEditWithin1(col("name_a"), col("name_b")))
+      .filter(col("dist") >= 0)
+    time("verified_native")(fil3.count())
+    time("ordered_forced_native") {
+      val df = fil3.orderBy("name_a", "name_b")
+      df.agg(bit_xor(xxhash64(struct(df.columns.map(col): _*)))).head()
+    }
+    spark.stop()
+  }
+}

@@ -39,6 +39,13 @@ object GraftFunctions {
     B.column(WordSetCount(B.expression(text),
       B.expression(org.apache.spark.sql.functions.typedLit(words))))
 
+  /** Bounded edit distance: 0 equal / 1 one edit / -1 further — the
+    * levenshtein(a, b, 1) contract via a two-pointer scan. See
+    * [[EditWithin1]].
+    */
+  def graftEditWithin1(a: Column, b: Column): Column =
+    B.column(EditWithin1(B.expression(a), B.expression(b)))
+
   /** Unicode canonicalization for curation: NFC, accent strip
     * (utf8proc STRIPMARK rule), ROOT-locale lowercase, whitespace
     * collapse — one codegen'd pass. See [[NormalizeText]].

@@ -57,7 +57,12 @@ object FuzzyMatch {
       .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
       .distinct()
     candidates
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-      .filter(col("dist") <= 1)
+      // graft_edit_within1 == levenshtein(a, b, 1): -1 past the bound,
+      // else the exact distance — one codegen'd two-pointer scan per
+      // pair instead of a DP table (this verify dominates the query)
+      .withColumn("dist",
+        graft.functions.GraftFunctions.graftEditWithin1(
+          col("name_a"), col("name_b")))
+      .filter(col("dist") >= 0)
   }
 }

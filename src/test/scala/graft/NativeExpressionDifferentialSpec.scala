@@ -362,4 +362,27 @@ class NativeExpressionDifferentialSpec extends SparkSpec {
       "SELECT graft_normalize_text('À  b') AS n").head().getString(0)
     assert(viaSql === "a b")
   }
+
+  test("graft_edit_within1 == levenshtein(a, b, 1) on randomized pairs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def word() =
+      (1 to (1 + rnd.nextInt(8))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    // random pairs over a 3-letter alphabet (collision-rich) plus
+    // directed hand cases for every branch
+    val pairs = (1 to 400).map(_ => (word(), word())) ++ Seq(
+      ("abc", "abc"), ("abc", "abd"), ("abc", "ab"), ("ab", "abc"),
+      ("abc", "bc"), ("abc", "acb"), ("", ""), ("", "a"), ("", "ab"),
+      ("aa", "a"), ("aba", "ab"), ("ab", "ba"))
+    val df = pairs.toDF("a", "b")
+    val diff = df.select(
+        graft.functions.GraftFunctions.graftEditWithin1(col("a"), col("b")).as("ours"),
+        levenshtein(col("a"), col("b"), 1).as("builtin"))
+      .filter(col("ours") =!= col("builtin")).count()
+    assert(diff === 0)
+    // SQL registration path
+    val viaSql2 = spark.sql(
+      "SELECT graft_edit_within1('kitten', 'sitten') AS d").head().getInt(0)
+    assert(viaSql2 === 1)
+  }
 }
