@@ -379,6 +379,39 @@ object SparkEntry {
           .otherwise("latin"))
       .orderBy(col("doc_id"))
 
+  /** Pareto skyline ([[operators.Skyline.skyline2d]]): parts no other
+    * part beats on (cheaper, larger) — the multi-criteria shortlist
+    * query. Sort-sweep over the price-domain group table; the oracle
+    * runs the textbook all-pairs NOT EXISTS dominance check, an
+    * independent formulation of the same semantics.
+    */
+  private def skylineQ(s: SparkSession, d: String): DataFrame =
+    Skyline.skyline2d(
+        t(s, d, "part").select(col("p_partkey"), col("p_name"),
+          col("p_retailprice"), col("p_size")),
+        "p_retailprice", "p_size")
+      .select(col("p_partkey"), col("p_name"),
+        col("p_retailprice"), col("p_size"))
+      .orderBy(col("p_partkey"))
+
+  /** Retention cohort matrix: customers grouped by first-order month,
+    * distinct actives per (cohort, months-since-cohort) — the classic
+    * product-analytics triangle, here over the orders table's
+    * multi-year span. Two keyed aggregates and one custkey join; the
+    * month index `year*12 + month` is integer arithmetic identical on
+    * both engines.
+    */
+  private def retentionCohorts(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders").select(col("o_custkey"),
+      (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .cast(LongType).as("m")) // DuckDB's year() is BIGINT
+    val first = o.groupBy(col("o_custkey")).agg(min(col("m")).as("cohort"))
+    o.join(first, "o_custkey")
+      .groupBy(col("cohort"), (col("m") - col("cohort")).as("age"))
+      .agg(countDistinct(col("o_custkey")).as("n_active"))
+      .orderBy(col("cohort"), col("age"))
+  }
+
   /** Per-group moment statistics (variance, stddev, covariance,
     * correlation, regression line) via [[StatMoments]] — exact decimal
     * power sums, moments derived in one fixed double formula. See the
@@ -2933,6 +2966,8 @@ object SparkEntry {
     "q_winsorize" -> (winsorizeQ _),
     "q_histogram_equidepth" -> (histogramEquidepth _),
     "q_event_transitions" -> (eventTransitions _),
+    "q_skyline" -> (skylineQ _),
+    "q_retention_cohorts" -> (retentionCohorts _),
     "q_script_detect" -> (scriptDetect _),
     "q_distinct_shards" -> (distinctShards _),
     "q_countmin" -> (countMinQ _),
@@ -4907,6 +4942,27 @@ object SparkEntry {
         |      ORDER BY n_chars DESC, doc_id) AS rk
         |  FROM canon) WHERE rk = 1 ORDER BY url_canon""".stripMargin,
     "q_domain_authority" -> pageRankOracleSql,
+    // Skyline: textbook all-pairs NOT EXISTS dominance — an
+    // independent formulation vs the Spark side's sort-sweep.
+    "q_skyline" ->
+      """SELECT p_partkey, p_name, p_retailprice, p_size
+        |FROM part a WHERE NOT EXISTS (
+        |  SELECT 1 FROM part b
+        |  WHERE b.p_retailprice <= a.p_retailprice
+        |    AND b.p_size >= a.p_size
+        |    AND (b.p_retailprice < a.p_retailprice
+        |         OR b.p_size > a.p_size))
+        |ORDER BY p_partkey""".stripMargin,
+    // Retention: same integer month index, same two aggregates.
+    "q_retention_cohorts" ->
+      """WITH o AS (SELECT o_custkey,
+        |    year(o_orderdate) * 12 + month(o_orderdate) AS m
+        |  FROM orders),
+        |f AS (SELECT o_custkey, min(m) AS cohort FROM o GROUP BY 1)
+        |SELECT cohort, m - cohort AS age,
+        |  count(DISTINCT o.o_custkey) AS n_active
+        |FROM o JOIN f USING (o_custkey)
+        |GROUP BY 1, 2 ORDER BY cohort, age""".stripMargin,
     // Winsorize: disc percentiles derived from cume_dist (the
     // q_percentile_disc technique), same clamp arithmetic.
     "q_winsorize" ->
