@@ -850,6 +850,66 @@ object SparkEntry {
         min(col("l_suppkey")).as("min_sk"), max(col("l_suppkey")).as("max_sk"))
       .orderBy(col("zbucket"))
 
+  /** Revenue star join — the TPC-H Q5 shape: the lineitem fact joined
+    * through orders and customer up the dimension chain to nation and
+    * region, revenue rolled up per (region, nation). Plan shape the
+    * gate pins via PlanPropertiesSpec: nation/region broadcast (tiny
+    * dims — no exchange), the fact->orders->customer joins shuffle on
+    * their keys with AQE free to pick sides, the rollup aggregates
+    * map-side. The exact-decimal sum casts to double only at the end.
+    */
+  private def starJoin(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .select(col("l_orderkey"), dec(col("l_extendedprice")).as("_p"))
+      .join(t(s, d, "orders").select(col("o_orderkey").as("l_orderkey"),
+        col("o_custkey")), "l_orderkey")
+      .join(t(s, d, "customer").select(col("c_custkey").as("o_custkey"),
+        col("c_nationkey")), "o_custkey")
+      .join(broadcast(t(s, d, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, d, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("_p")).cast(DoubleType).as("revenue"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  /** End-to-end entity resolution: the [[fuzzyMatch]] dictionary
+    * (part names + planted deletion typos + the first 300 customer
+    * names) resolved into entity CLUSTERS — SymSpell candidate pairs,
+    * exact within-1 verify, then connected components over the match
+    * graph ([[operators.Dedup.connectedComponents]]). Node ids are the
+    * first 60 bits of md5(name) so the independent oracle (brute-force
+    * pairs + recursive-CTE min-label walk, the q_dedup_cluster
+    * technique) can replay the labeling exactly; singletons keep their
+    * own id with cluster_size 1.
+    */
+  private def entityResolution(s: SparkSession, d: String): DataFrame = {
+    val pn = t(s, d, "part").select(col("p_name").as("name")).distinct()
+    val typos = pn.filter(length(col("name")) >= 8)
+      .select(expr("""concat(substr(name, 1, length(name) div 2),
+                     |  substr(name, length(name) div 2 + 2,
+                     |         length(name)))""".stripMargin).as("name"))
+    val cn = t(s, d, "customer").filter(col("c_custkey") < 300)
+      .select(col("c_name").as("name")).distinct()
+    val ents = pn.unionAll(typos).unionAll(cn).distinct()
+    def nameId(c: Column): Column =
+      conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+    val pairs = FuzzyMatch.matchPairs(ents, "name")
+      .select(nameId(col("name_a")).as("id_a"),
+        nameId(col("name_b")).as("id_b"))
+    val labels = Dedup.connectedComponents(pairs)
+    val sizes = labels.groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"))
+    ents.withColumn("id", nameId(col("name")))
+      .join(labels, Seq("id"), "left")
+      .withColumn("component", coalesce(col("component"), col("id")))
+      .join(sizes, Seq("component"), "left")
+      .select(col("name"), col("component"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
+      .orderBy(col("name"))
+  }
+
   /** Funnel analysis — the ordered-conversion query every product
     * pipeline runs: first view, first click strictly after it, first
     * purchase strictly after that, per user. Three conditional min
@@ -2968,6 +3028,8 @@ object SparkEntry {
     "q_event_transitions" -> (eventTransitions _),
     "q_skyline" -> (skylineQ _),
     "q_retention_cohorts" -> (retentionCohorts _),
+    "q_star_join" -> (starJoin _),
+    "q_entity_resolution" -> (entityResolution _),
     "q_script_detect" -> (scriptDetect _),
     "q_distinct_shards" -> (distinctShards _),
     "q_countmin" -> (countMinQ _),
@@ -4942,6 +5004,54 @@ object SparkEntry {
         |      ORDER BY n_chars DESC, doc_id) AS rk
         |  FROM canon) WHERE rk = 1 ORDER BY url_canon""".stripMargin,
     "q_domain_authority" -> pageRankOracleSql,
+    // Star join: the plain five-table SQL join, decimal-exact revenue.
+    "q_star_join" ->
+      """SELECT r_name, n_name, count(*) AS n_lines,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation ON n_nationkey = c_nationkey
+        |JOIN region ON r_regionkey = n_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    // Entity resolution: brute-force pairs (legal: delete-1 blocking is
+    // lossless at distance 1) + recursive-CTE min-label components.
+    "q_entity_resolution" ->
+      """WITH RECURSIVE pn AS (SELECT DISTINCT p_name AS name FROM part),
+        |typos AS (SELECT substr(name, 1, len(name) // 2)
+        |    || substr(name, len(name) // 2 + 2) AS name
+        |  FROM pn WHERE len(name) >= 8),
+        |cn AS (SELECT DISTINCT c_name AS name FROM customer
+        |  WHERE c_custkey < 300),
+        |ents AS (SELECT DISTINCT name FROM (
+        |  SELECT name FROM pn UNION ALL SELECT name FROM typos
+        |  UNION ALL SELECT name FROM cn)),
+        |ids AS (SELECT name,
+        |    CAST(concat('0x', substr(md5(name), 1, 15)) AS BIGINT) AS id
+        |  FROM ents),
+        |p2 AS (SELECT a.name AS na, b.name AS nb
+        |  FROM ents a JOIN ents b ON a.name < b.name
+        |    AND abs(len(a.name) - len(b.name)) <= 1
+        |  WHERE levenshtein(a.name, b.name) <= 1),
+        |edges AS (SELECT ia.id AS a, ib.id AS b FROM p2
+        |    JOIN ids ia ON ia.name = na JOIN ids ib ON ib.name = nb
+        |  UNION ALL
+        |  SELECT ib.id, ia.id FROM p2
+        |    JOIN ids ia ON ia.name = na JOIN ids ib ON ib.name = nb),
+        |nodes AS (SELECT DISTINCT a AS id FROM edges),
+        |walk(id, comp) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.id),
+        |lab AS (SELECT id, min(comp) AS component FROM walk GROUP BY id),
+        |sz AS (SELECT component, count(*) AS cluster_size
+        |  FROM lab GROUP BY 1)
+        |SELECT i.name, coalesce(lab.component, i.id) AS component,
+        |  coalesce(sz.cluster_size, 1) AS cluster_size
+        |FROM ids i LEFT JOIN lab ON lab.id = i.id
+        |LEFT JOIN sz ON sz.component = lab.component
+        |ORDER BY i.name""".stripMargin,
     // Skyline: textbook all-pairs NOT EXISTS dominance — an
     // independent formulation vs the Spark side's sort-sweep.
     "q_skyline" ->

@@ -32,6 +32,14 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"unexpected shuffle join:\n$plan")
   }
 
+  test("star join broadcasts the tiny dims and never goes nested-loop") {
+    val plan = planOf("q_star_join")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"nation/region not broadcast:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"degenerate join:\n$plan")
+  }
+
   test("ranked pagination compiles to TakeOrderedAndProject, not a full sort") {
     val plan = planOf("q_rank_paginate")
     assert(plan.contains("TakeOrderedAndProject"), s"full sort instead of top-k:\n$plan")
