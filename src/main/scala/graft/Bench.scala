@@ -57,6 +57,10 @@ object Bench {
     *    q_histogram_equidepth (exact-percentile / bounded-domain
     *    variants of the billed percentile + histogram families),
     *    q_event_transitions (lag-window variant of the window family),
+    *    q_entity_resolution (composition of the billed q_fuzzy_match
+    *    pair plan and the billed q_dedup_cluster components plan),
+    *    q_cdc_apply (latest-row-wins window variant over a synthesized
+    *    op log — the q_merge_upsert family's argmax shape),
     *    q_group_percentile /
     *    q_percentile_disc (exact bounded-domain twins of the GK-sketch
     *    approx path), q_rollup / q_grouping_sets (the same Expand-based
@@ -88,7 +92,7 @@ object Bench {
     "q_dedup_chunks",
     "q_contamination_audit",
     "q_group_split", "q_winsorize", "q_histogram_equidepth",
-    "q_event_transitions",
+    "q_event_transitions", "q_entity_resolution", "q_cdc_apply",
     "q_group_percentile", "q_percentile_disc", "q_rollup",
     "q_grouping_sets", "q_window_firstlast", "q_window_lag",
     "q_window_ntile", "q_window_range", "q_events_tumbling",

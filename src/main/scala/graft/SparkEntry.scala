@@ -850,6 +850,46 @@ object SparkEntry {
         min(col("l_suppkey")).as("min_sk"), max(col("l_suppkey")).as("max_sk"))
       .orderBy(col("zbucket"))
 
+  /** Sparse related-documents retrieval
+    * ([[operators.TermIndex.sparseKnn]]): top-5 cosine neighbors under
+    * decimal-exact TF-IDF weights for every doc_id % 100 == 0 query
+    * document, over the full corpus. The lexical twin of the dense ANN
+    * gates; the oracle replays weights, dots, norms and ranking in SQL.
+    */
+  private def sparseKnnQ(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    TermIndex.sparseKnn(docs, "text", "doc_id",
+        docs.filter(pmod(col("doc_id"), lit(100)) === 0)
+          .select(col("doc_id")), k = 5)
+      .orderBy(col("qid"), col("sim_rank"))
+  }
+
+  /** CDC apply — materialize a change log (insert/update/delete ops
+    * with sequence numbers) into current state: latest op per key wins,
+    * a terminal delete erases the key. The change log is synthesized
+    * deterministically from orders (keys collide mod 500 so every key
+    * carries a version chain). One per-key argmax window — the same
+    * latest-row-wins shape as [[MergeOps]]' within-batch dedup, lifted
+    * to the op-typed log a lakehouse CDC feed (Delta CDF, Debezium)
+    * delivers. At scale the window partitions by key; a log compaction
+    * would bucket by key and replay per bucket.
+    */
+  private def cdcApply(s: SparkSession, d: String): DataFrame = {
+    val log = t(s, d, "orders").select(
+      pmod(col("o_orderkey"), lit(500)).as("key"),
+      col("o_orderkey").as("seq"),
+      when(pmod(col("o_orderkey"), lit(11)) === 0, "D")
+        .when(pmod(col("o_orderkey"), lit(3)) === 0, "I")
+        .otherwise("U").as("op"),
+      dec(col("o_totalprice")).as("val"))
+    val w = Window.partitionBy(col("key")).orderBy(col("seq").desc)
+    log.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 && col("op") =!= "D")
+      .select(col("key"), col("seq").as("last_seq"), col("op").as("last_op"),
+        col("val").cast(DoubleType).as("val"))
+      .orderBy(col("key"))
+  }
+
   /** Revenue star join — the TPC-H Q5 shape: the lineitem fact joined
     * through orders and customer up the dimension chain to nation and
     * region, revenue rolled up per (region, nation). Plan shape the
@@ -3029,6 +3069,8 @@ object SparkEntry {
     "q_skyline" -> (skylineQ _),
     "q_retention_cohorts" -> (retentionCohorts _),
     "q_star_join" -> (starJoin _),
+    "q_cdc_apply" -> (cdcApply _),
+    "q_sparse_knn" -> (sparseKnnQ _),
     "q_entity_resolution" -> (entityResolution _),
     "q_script_detect" -> (scriptDetect _),
     "q_distinct_shards" -> (distinctShards _),
@@ -5004,6 +5046,54 @@ object SparkEntry {
         |      ORDER BY n_chars DESC, doc_id) AS rk
         |  FROM canon) WHERE rk = 1 ORDER BY url_canon""".stripMargin,
     "q_domain_authority" -> pageRankOracleSql,
+    // Sparse k-NN: same rounded DECIMAL(14,4) weights, exact-decimal
+    // dots and norms, one sqrt+division on identical doubles, same
+    // (rounded sim, id) ranking.
+    "q_sparse_knn" ->
+      """WITH n AS (SELECT count(*) AS n_docs FROM documents),
+        |w AS (SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |                       x -> len(x) > 0)) AS word
+        |  FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
+        |df AS (SELECT word, count(DISTINCT doc_id) AS df FROM w GROUP BY 1),
+        |wt AS (SELECT tf.doc_id, tf.word,
+        |    CAST(round(tf.tf * ln(CAST(n.n_docs + 1 AS DOUBLE) / (df.df + 1)), 4)
+        |      AS DECIMAL(14,4)) AS w
+        |  FROM tf JOIN df USING (word), n),
+        |norms AS (SELECT doc_id, sum(w * w) AS n2 FROM wt GROUP BY 1),
+        |q AS (SELECT doc_id FROM documents WHERE doc_id % 100 = 0),
+        |dots AS (SELECT a.doc_id AS qid, b.doc_id AS id,
+        |    sum(a.w * b.w) AS dot
+        |  FROM wt a JOIN q ON q.doc_id = a.doc_id
+        |  JOIN wt b ON b.word = a.word AND b.doc_id <> a.doc_id
+        |  GROUP BY 1, 2),
+        |sim AS (SELECT qid, id,
+        |    round(CAST(dot AS DOUBLE) /
+        |      sqrt(CAST(nq.n2 AS DOUBLE) * CAST(nc.n2 AS DOUBLE)), 6) AS sim
+        |  FROM dots JOIN norms nq ON nq.doc_id = qid
+        |  JOIN norms nc ON nc.doc_id = id),
+        |r AS (SELECT qid, id, sim,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id)
+        |      AS sim_rank
+        |  FROM sim)
+        |SELECT qid, id, sim, sim_rank FROM r WHERE sim_rank <= 5
+        |ORDER BY qid, sim_rank""".stripMargin,
+    // CDC apply: same synthesized op log, same latest-seq-wins window,
+    // same terminal-delete drop.
+    "q_cdc_apply" ->
+      """WITH log AS (SELECT o_orderkey % 500 AS key, o_orderkey AS seq,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN 'D'
+        |         WHEN o_orderkey % 3 = 0 THEN 'I' ELSE 'U' END AS op,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS val
+        |  FROM orders),
+        |r AS (SELECT key, seq, op, val,
+        |    row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+        |  FROM log)
+        |SELECT key, seq AS last_seq, op AS last_op,
+        |  CAST(val AS DOUBLE) AS val
+        |FROM r WHERE rn = 1 AND op <> 'D'
+        |ORDER BY key""".stripMargin,
     // Star join: the plain five-table SQL join, decimal-exact revenue.
     "q_star_join" ->
       """SELECT r_name, n_name, count(*) AS n_lines,

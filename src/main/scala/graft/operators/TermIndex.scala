@@ -61,6 +61,58 @@ object TermIndex {
       .select(col("id"), col("word"), col("tfidf"), col("term_rank"))
   }
 
+  /** Sparse k-NN: for each query document, the k most cosine-similar
+    * documents under TF-IDF weights — the classic sparse-retrieval
+    * "related documents" query, the lexical counterpart of the dense
+    * ANN family (Similarity.scala). Weights reuse [[tfidfTopTerms]]'s
+    * formula ROUNDED to 4 decimals and cast to DECIMAL(14,4), so dot
+    * products and norms accumulate in exact decimal arithmetic —
+    * order- and partitioning-independent, which is what lets an
+    * independent engine reproduce the ranking bit-for-bit (the only
+    * double ops left are one sqrt and one division on identical
+    * inputs). Ranking is by the ROUNDED similarity with doc-id
+    * tie-break.
+    *
+    * Scale shape: the posting join is keyed on the term; the query
+    * side is tiny (k-NN requests) and the corpus side streams — cost
+    * is Σ over query terms of df(term), the inverted-index retrieval
+    * bound, never corpus x corpus. Norms join keyed by doc id. A
+    * production variant drops ultra-common terms by df cap exactly
+    * like the LSH stop-shingle rule; the synthetic corpus's tiny
+    * vocabulary would go empty, so the gate declares no cap.
+    */
+  def sparseKnn(docs: DataFrame, textCol: String, idCol: String,
+      queries: DataFrame, k: Int = 5): DataFrame = {
+    val occ = occurrences(docs, textCol, idCol)
+    val tf = occ.groupBy(col("id"), col("word")).agg(count(lit(1)).as("tf"))
+    val dfreq = occ.groupBy(col("word")).agg(countDistinct(col("id")).as("df"))
+    val n = docs.agg(count(lit(1)).as("_n"))
+    val weights = tf.join(dfreq, "word").crossJoin(broadcast(n))
+      .withColumn("w",
+        round(col("tf") * log((col("_n") + 1).cast("double") /
+          (col("df") + 1).cast("double")), 4).cast(DecimalType(14, 4)))
+      .select(col("id"), col("word"), col("w"))
+    val norms = weights.groupBy(col("id"))
+      .agg(sum(col("w") * col("w")).as("n2"))
+    val qw = weights.join(
+      broadcast(queries.select(col(queries.columns.head).as("id"))), "id")
+    val dots = qw.select(col("id").as("qid"), col("word"), col("w").as("qw"))
+      .join(weights, "word")
+      .filter(col("id") =!= col("qid"))
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("qw") * col("w")).as("dot"))
+    val sim = dots
+      .join(norms.select(col("id").as("qid"), col("n2").as("qn2")), "qid")
+      .join(norms, "id")
+      .withColumn("sim", round(col("dot").cast("double") /
+        sqrt(col("qn2").cast("double") * col("n2").cast("double")), 6))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("id"))
+    sim.withColumn("sim_rank", row_number().over(w))
+      .filter(col("sim_rank") <= k)
+      .select(col("qid"), col("id"), col("sim"), col("sim_rank"))
+  }
+
   /** Vocabulary coverage curve — the Zipf head of the corpus: the top-k
     * tokens by occurrence count with rank and the CUMULATIVE share of
     * all token occurrences they cover (the "how big must the vocabulary

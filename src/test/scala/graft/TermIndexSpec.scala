@@ -345,4 +345,24 @@ class TermIndexSpec extends SparkSpec {
     assert(got(1L)._1 === 9L && got(2L)._1 === 9L)
     assert(got(1L)._2 / 9 < got(2L)._2 / 9)
   }
+
+  test("sparseKnn: twin ranks first with sim 1, disjoint docs never appear") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta gamma"),      // exact twin of 1
+      (3L, "alpha beta delta"),      // partial overlap
+      (4L, "xx yy zz")).toDF("doc_id", "text") // disjoint
+    val q = Seq(1L).toDF("doc_id")
+    val r = TermIndex.sparseKnn(docs, "text", "doc_id", q, k = 3)
+      .orderBy("sim_rank").collect()
+    assert(r.map(_.getAs[Long]("id")).toSeq === Seq(2L, 3L))
+    assert(math.abs(r.head.getAs[Double]("sim") - 1.0) < 1e-6)
+    assert(r(1).getAs[Double]("sim") < 1.0 && r(1).getAs[Double]("sim") > 0)
+    // cosine is symmetric: querying the twin mirrors the result
+    val r2 = TermIndex.sparseKnn(docs, "text", "doc_id",
+      Seq(2L).toDF("doc_id"), k = 1).head()
+    assert(r2.getAs[Long]("id") === 1L)
+    assert(math.abs(r2.getAs[Double]("sim") - 1.0) < 1e-6)
+  }
 }
