@@ -11,6 +11,14 @@ import org.apache.spark.sql.types._
   */
 case class UserRunningState(nEvents: Long, totalValue: Double)
 
+/** Last event seen per user, carried across micro-batches by
+  * [[EventStreams.transitionsStream]].
+  */
+case class TransitionState(lastTs: Long, lastId: Long, lastType: String)
+
+/** One observed consecutive-event transition for a user. */
+case class TransitionPair(user_id: Long, prev_type: String, next_type: String)
+
 /** One emitted row per user per micro-batch: the cumulative totals after
   * folding that batch's events into state.
   */
@@ -157,6 +165,42 @@ object EventStreams {
           rows.foreach { case (_, v) => n += 1; tot += v }
           state.update(UserRunningState(n, tot))
           Iterator(UserRunningUpdate(uid, n, tot))
+      }
+  }
+
+  /** Streaming twin of the batch event-transition matrix
+    * (SparkEntry.eventTransitions): per-user keyed state holds the last
+    * event, each micro-batch's rows are processed in (ts, event_id)
+    * order, and every consecutive pair — including the cross-batch pair
+    * against the carried state — is emitted. Counting the emissions
+    * downstream reproduces the batch lag-window counts exactly when
+    * batches arrive in event-time order per key (the differential's
+    * contract; a production feed out of event-time order buffers behind
+    * a watermark first, the [[dedupStream]] pattern).
+    *
+    * Scale shape: one fixed-size record per user in the state store,
+    * each batch shuffles only its own rows on user_id.
+    */
+  def transitionsStream(spark: SparkSession, events: DataFrame): Dataset[TransitionPair] = {
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"), unix_micros(col("ts")).as("tsu"),
+        col("event_id").cast("long"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[TransitionState, TransitionPair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[(Long, Long, Long, String)],
+         state: GroupState[TransitionState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+          var prev = state.getOption
+          val out = Seq.newBuilder[TransitionPair]
+          sorted.foreach { r =>
+            prev.foreach(p => out += TransitionPair(uid, p.lastType, r._4))
+            prev = Some(TransitionState(r._2, r._3, r._4))
+          }
+          prev.foreach(state.update)
+          out.result().iterator
       }
   }
 

@@ -145,6 +145,41 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("stream-vs-batch differential: transitionsStream == batch lag counts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ev = SparkEntry.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val rows = ev.collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+      .sortBy(r => (r._2.getTime, r._3)) // event-time order across batches
+    val input = MemoryStream[(Long, Timestamp, Long, String)]
+    val pairs = EventStreams.transitionsStream(spark,
+      input.toDF().toDF("user_id", "ts", "event_id", "event_type"))
+    val q = pairs.writeStream.outputMode("append")
+      .format("memory").queryName("trans_diff")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      rows.grouped((rows.length + 2) / 3)
+        .foreach { b => input.addData(b.toSeq: _*); q.processAllAvailable() }
+      val streamed = spark.table("trans_diff")
+        .groupBy("prev_type", "next_type").count()
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val batch = ev.withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .count()
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed.nonEmpty)
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("stream-vs-batch differential: dedupStream == batch distinct") {
     // Streaming watermarked dedup on user_id over the real events table
     // must emit exactly the batch-distinct user set: the watermark (far
