@@ -950,6 +950,23 @@ object SparkEntry {
       .orderBy(col("name"))
   }
 
+  /** Exact set-similarity self-join ([[operators.SetSimJoin]]): every
+    * document pair at 3-shingle-set Jaccard >= 0.5, found by prefix
+    * filtering instead of all-pairs comparison — the exact complement
+    * of the MinHash-LSH family (same question, zero recall loss, still
+    * sub-quadratic) with no stop-shingle df cap (unlike
+    * q_dedup_jaccard, whose cap changes the metric's universe). The
+    * oracle is the textbook shared-shingle join with NO prefix filter:
+    * any pair the filter wrongly dropped turns the gate red, so
+    * losslessness is verified on every run, not assumed. Jaccard is
+    * one integer-ratio double on both engines.
+    */
+  private def setSimJoinQ(s: SparkSession, d: String): DataFrame =
+    SetSimJoin.selfJoinJaccard(
+        t(s, d, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", n = 3, threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** Funnel analysis — the ordered-conversion query every product
     * pipeline runs: first view, first click strictly after it, first
     * purchase strictly after that, per user. Three conditional min
@@ -3072,6 +3089,7 @@ object SparkEntry {
     "q_cdc_apply" -> (cdcApply _),
     "q_sparse_knn" -> (sparseKnnQ _),
     "q_entity_resolution" -> (entityResolution _),
+    "q_setsim_join" -> (setSimJoinQ _),
     "q_script_detect" -> (scriptDetect _),
     "q_distinct_shards" -> (distinctShards _),
     "q_countmin" -> (countMinQ _),
@@ -5144,6 +5162,27 @@ object SparkEntry {
         |ORDER BY i.name""".stripMargin,
     // Skyline: textbook all-pairs NOT EXISTS dominance — an
     // independent formulation vs the Spark side's sort-sweep.
+    // Set-similarity join: the textbook shared-shingle formulation with
+    // NO prefix filter — an independent all-candidate derivation; the
+    // Jaccard double is the same integer ratio on both engines.
+    "q_setsim_join" ->
+      """WITH words AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS ws FROM documents),
+        |sh AS (SELECT DISTINCT doc_id AS id,
+        |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS w
+        |  FROM words, UNNEST(range(1, len(ws) - 1)) AS t(i)
+        |  WHERE len(ws) >= 3),
+        |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.w = b.w AND a.id < b.id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, n_inter,
+        |  CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.id = id_a
+        |JOIN sizes sb ON sb.id = id_b
+        |WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_skyline" ->
       """SELECT p_partkey, p_name, p_retailprice, p_size
         |FROM part a WHERE NOT EXISTS (

@@ -1,0 +1,91 @@
+package graft
+
+import graft.operators.SetSimJoin
+
+/** Prefix-filtered exact set-similarity join: brute-force differential
+  * (the losslessness proof), exact-twin and boundary semantics, the
+  * shingle wrapper, and the no-all-pairs plan shape.
+  */
+class SetSimJoinSpec extends SparkSpec {
+
+  private def brute(
+      docs: Seq[(Long, Set[String])],
+      t: Double): Set[(Long, Long, Long)] =
+    (for {
+      (ia, sa) <- docs
+      (ib, sb) <- docs if ia < ib
+      inter = (sa & sb).size
+      if inter.toDouble / (sa.size + sb.size - inter) >= t
+    } yield (ia, ib, inter.toLong)).toSet
+
+  private def tokensDf(docs: Seq[(Long, Set[String])]) = {
+    import spark.implicits._
+    docs.flatMap { case (id, s) => s.map(w => (id, w)) }.toDF("id", "w")
+  }
+
+  test("matches brute force on clustered near-threshold sets") {
+    val rnd = new scala.util.Random(11)
+    val vocab = (0 until 60).map(i => s"w$i")
+    // Clusters of mutated copies of a base set — most pairs land close
+    // to the 0.5 threshold, exercising both sides of the boundary.
+    val docs = (0 until 40).flatMap { c =>
+      val base = rnd.shuffle(vocab).take(8 + rnd.nextInt(8)).toSet
+      (0 until 3).map { v =>
+        val drop = base.take(rnd.nextInt(4))
+        val add = rnd.shuffle(vocab).take(rnd.nextInt(4)).toSet
+        ((c * 3 + v).toLong, base -- drop ++ add)
+      }
+    }
+    val got = SetSimJoin.selfJoinTokens(tokensDf(docs), 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val expect = brute(docs, 0.5)
+    assert(got === expect)
+    assert(expect.size > 20,
+      s"only ${expect.size} qualifying pairs - fixture too thin")
+  }
+
+  test("exact twins score 1.0; the >= boundary includes exact-threshold pairs") {
+    val docs = Seq(
+      1L -> Set("a", "b", "c", "d"),
+      2L -> Set("a", "b", "c", "d"), // twins
+      3L -> Set("a", "b", "c", "x", "y", "z"), // inter 3, union 7 vs doc 1
+      4L -> Set("a", "b", "e", "f")) // inter 2, union 6 vs doc 1 -> 1/3
+    val rows = SetSimJoin.selfJoinTokens(tokensDf(docs), 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3))
+      .toMap
+    assert(rows((1L, 2L)) === 1.0)
+    assert(!rows.contains((1L, 3L)) && !rows.contains((1L, 4L)))
+    // Exactly-at-threshold pair: {a,b,c,d} vs {a,b,e,f} at t = 1/3
+    val third = SetSimJoin.selfJoinTokens(tokensDf(docs), 1.0 / 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3))
+      .toMap
+    assert(third((1L, 4L)) === 1.0 / 3)
+  }
+
+  test("shingle wrapper: shifted twin qualifies, unrelated text does not") {
+    import spark.implicits._
+    val body = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val df = Seq(
+      (1L, body),
+      (2L, s"pre $body"), // one leading word: shingle sets nearly equal
+      (3L, (100 to 130).map(i => s"tok$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = SetSimJoin.selfJoinJaccard(df, "doc_id", "text", 3, 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(got === Set((1L, 2L)))
+  }
+
+  test("plan: prefix equi-join only - no cartesian, no nested-loop join") {
+    val docs = Seq(1L -> Set("a", "b"), 2L -> Set("b", "c"))
+    val plan = SetSimJoin.selfJoinTokens(tokensDf(docs), 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+}
