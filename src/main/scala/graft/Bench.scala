@@ -61,6 +61,9 @@ object Bench {
     *    pair plan and the billed q_dedup_cluster components plan),
     *    q_cdc_apply (latest-row-wins window variant over a synthesized
     *    op log — the q_merge_upsert family's argmax shape),
+    *    q_incr_agg (the billed q_group_agg's aggregate shape plus a
+    *    kilobyte state write + full-outer merge — the seconds are
+    *    dominated by the deliberate state-persist fixture),
     *    q_group_percentile /
     *    q_percentile_disc (exact bounded-domain twins of the GK-sketch
     *    approx path), q_rollup / q_grouping_sets (the same Expand-based
@@ -93,6 +96,7 @@ object Bench {
     "q_contamination_audit",
     "q_group_split", "q_winsorize", "q_histogram_equidepth",
     "q_event_transitions", "q_entity_resolution", "q_cdc_apply",
+    "q_incr_agg",
     "q_group_percentile", "q_percentile_disc", "q_rollup",
     "q_grouping_sets", "q_window_firstlast", "q_window_lag",
     "q_window_ntile", "q_window_range", "q_events_tumbling",

@@ -890,6 +890,36 @@ object SparkEntry {
       .orderBy(col("key"))
   }
 
+  private lazy val incrAggDir = s"$artifactRoot/incragg"
+
+  /** Delta-maintained aggregate ([[operators.IncrementalAgg]]): the
+    * per-customer (order count, revenue) state is seeded from the 90%
+    * "history" slice, persisted to parquet, then advanced by
+    * aggregating ONLY the 10% "arriving" slice and merging — the
+    * history is never rescanned (the merge reads the kilobyte parquet
+    * state, not the orders table). The oracle recomputes the aggregate
+    * from scratch over the whole table: COUNT/SUM distributivity says
+    * the two must match, and the DECIMAL sum state keeps the merge
+    * order-insensitive so they match bit-for-bit.
+    */
+  private def incrAgg(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders").select(col("o_custkey"),
+      col("o_orderkey"), dec(col("o_totalprice")).as("p"))
+    def state(df: DataFrame): DataFrame =
+      df.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("p")).as("rev"))
+    state(o.filter(pmod(col("o_orderkey"), lit(10)) =!= 0))
+      .write.mode("overwrite").parquet(s"$incrAggDir/state.parquet")
+    IncrementalAgg.merge(
+        s.read.parquet(s"$incrAggDir/state.parquet"),
+        state(o.filter(pmod(col("o_orderkey"), lit(10)) === 0)),
+        Seq("o_custkey"), Seq("n_orders", "rev"))
+      .select(col("o_custkey"),
+        col("n_orders").cast(LongType).as("n_orders"),
+        col("rev").cast(DoubleType).as("revenue"))
+      .orderBy(col("o_custkey"))
+  }
+
   /** Revenue star join — the TPC-H Q5 shape: the lineitem fact joined
     * through orders and customer up the dimension chain to nation and
     * region, revenue rolled up per (region, nation). Plan shape the
@@ -3087,6 +3117,7 @@ object SparkEntry {
     "q_retention_cohorts" -> (retentionCohorts _),
     "q_star_join" -> (starJoin _),
     "q_cdc_apply" -> (cdcApply _),
+    "q_incr_agg" -> (incrAgg _),
     "q_sparse_knn" -> (sparseKnnQ _),
     "q_entity_resolution" -> (entityResolution _),
     "q_setsim_join" -> (setSimJoinQ _),
@@ -5112,6 +5143,14 @@ object SparkEntry {
         |  CAST(val AS DOUBLE) AS val
         |FROM r WHERE rn = 1 AND op <> 'D'
         |ORDER BY key""".stripMargin,
+    // Incremental aggregate: the oracle recomputes the maintained state
+    // from scratch over the WHOLE table — distributivity is the claim
+    // under test, so the from-scratch aggregate is the right referee.
+    "q_incr_agg" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue
+        |FROM orders GROUP BY 1 ORDER BY o_custkey""".stripMargin,
     // Star join: the plain five-table SQL join, decimal-exact revenue.
     "q_star_join" ->
       """SELECT r_name, n_name, count(*) AS n_lines,
