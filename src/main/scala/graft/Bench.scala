@@ -59,6 +59,8 @@ object Bench {
     *    q_event_transitions (lag-window variant of the window family),
     *    q_entity_resolution (composition of the billed q_fuzzy_match
     *    pair plan and the billed q_dedup_cluster components plan),
+    *    q_anomaly_mad (two grouped percentile_disc passes — the billed
+    *    percentile family's plan with a planted-spike fixture),
     *    q_cdc_apply (latest-row-wins window variant over a synthesized
     *    op log — the q_merge_upsert family's argmax shape),
     *    q_incr_agg (the billed q_group_agg's aggregate shape plus a
@@ -95,6 +97,7 @@ object Bench {
     "q_dedup_chunks",
     "q_contamination_audit",
     "q_group_split", "q_winsorize", "q_histogram_equidepth",
+    "q_anomaly_mad",
     "q_event_transitions", "q_entity_resolution", "q_cdc_apply",
     "q_incr_agg",
     "q_group_percentile", "q_percentile_disc", "q_rollup",

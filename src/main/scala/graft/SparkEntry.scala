@@ -308,6 +308,27 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Robust MAD outlier flags ([[operators.Profiling.madOutliers]])
+    * over per-source document lengths. The corpus is planted with
+    * deterministic +5000-char anomalies (doc_id % 97 — the dirty-CTE
+    * pattern, applied in BOTH engines) so the gate is non-vacuous: the
+    * 50%-breakdown median/MAD must flag exactly the planted rows and
+    * nothing else, and the `dev > 5*mad` comparison is all-integer, so
+    * the match is exact. Oracle derives both percentiles via the
+    * cume_dist technique (the winsorize pairing with Spark's
+    * percentile_disc).
+    */
+  private def anomalyMad(s: SparkSession, d: String): DataFrame =
+    Profiling.madOutliers(
+        t(s, d, "documents").select(col("doc_id"), col("source"),
+          (col("n_chars") +
+            when(pmod(col("doc_id"), lit(97)) === 0, 5000)
+              .otherwise(0)).cast(LongType).as("v")),
+        "source", "v", k = 5)
+      .select(col("doc_id"), col("source"), col("v"), col("med"),
+        col("mad"), col("is_outlier"))
+      .orderBy(col("doc_id"))
+
   /** Value-atomic equi-depth histogram of n_chars in 10 buckets: the
     * corpus collapses to (value, count) first — state bounded by the
     * VALUE DOMAIN, not row count — then exclusive cumulative counts
@@ -3111,6 +3132,7 @@ object SparkEntry {
     "q_triangle_count" -> (triangleCountQ _),
     "q_copurchase" -> (copurchaseQ _),
     "q_winsorize" -> (winsorizeQ _),
+    "q_anomaly_mad" -> (anomalyMad _),
     "q_histogram_equidepth" -> (histogramEquidepth _),
     "q_event_transitions" -> (eventTransitions _),
     "q_skyline" -> (skylineQ _),
@@ -5255,6 +5277,29 @@ object SparkEntry {
         |  greatest(b.lo, least(b.hi, n_chars)) AS n_chars_w
         |FROM documents d JOIN b ON b.source = d.source
         |ORDER BY doc_id""".stripMargin,
+    // MAD outliers: both medians via the cume_dist technique; the flag
+    // is an all-integer comparison, so no float tolerance is needed.
+    "q_anomaly_mad" ->
+      """WITH v AS (SELECT doc_id, source,
+        |    CAST(n_chars + CASE WHEN doc_id % 97 = 0 THEN 5000 ELSE 0
+        |         END AS BIGINT) AS v
+        |  FROM documents),
+        |cd1 AS (SELECT *, cume_dist()
+        |    OVER (PARTITION BY source ORDER BY v) AS cd FROM v),
+        |med AS (SELECT source,
+        |    CAST(min(CASE WHEN cd >= 0.5 THEN v END) AS BIGINT) AS med
+        |  FROM cd1 GROUP BY source),
+        |dv AS (SELECT doc_id, v.source, v.v, med, abs(v.v - med) AS dev
+        |  FROM v JOIN med ON v.source = med.source),
+        |cd2 AS (SELECT *, cume_dist()
+        |    OVER (PARTITION BY source ORDER BY dev) AS cd FROM dv),
+        |mad AS (SELECT source,
+        |    CAST(min(CASE WHEN cd >= 0.5 THEN dev END) AS BIGINT) AS mad
+        |  FROM cd2 GROUP BY source)
+        |SELECT dv.doc_id, dv.source, dv.v, dv.med, mad.mad,
+        |  CAST(dv.dev > 5 * mad.mad AS INTEGER) AS is_outlier
+        |FROM dv JOIN mad ON dv.source = mad.source
+        |ORDER BY dv.doc_id""".stripMargin,
     // Equi-depth: same (value, count) collapse, same exclusive
     // cumulative bucket index (cum * 10) // N.
     "q_histogram_equidepth" ->

@@ -111,4 +111,38 @@ object Profiling {
       .select(col("bucket"), col("n_base"), col("n_cur"),
         round((p - q) * log(p / q), roundTo).as("psi_term"))
   }
+
+  /** Robust per-group outlier detection via the median absolute
+    * deviation (Hampel's robust scale): a row is anomalous when its
+    * absolute deviation from the group median exceeds k times the
+    * group's MAD. Unlike mean/stddev z-scores, both statistics have a
+    * 50% breakdown point — the outliers being hunted cannot drag the
+    * threshold toward themselves, which is why quality pipelines flag
+    * length/score anomalies this way.
+    *
+    * Shape: two grouped `percentile_disc` aggregates (state bounded by
+    * each group's VALUE DOMAIN, the winsorize/percentile family's scale
+    * argument) broadcast back onto the scan; the flag comparison
+    * `dev > k * mad` stays in integer arithmetic for integral inputs,
+    * so the gate is exact — no float compare anywhere.
+    *
+    * Output: every input row + (med, mad, is_outlier). `valueCol` must
+    * be integral (the exactness contract above).
+    */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 5): DataFrame = {
+    val v = df.withColumn("_v", col(valueCol).cast("long"))
+    val med = v.groupBy(col(groupCol)).agg(
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY _v)")
+        .cast("long").as("med"))
+    val dev = v.join(broadcast(med), groupCol)
+      .withColumn("_dev", abs(col("_v") - col("med")))
+    val mad = dev.groupBy(col(groupCol)).agg(
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY _dev)")
+        .cast("long").as("mad"))
+    dev.join(broadcast(mad), groupCol)
+      .withColumn("is_outlier",
+        (col("_dev") > col("mad") * k).cast("int"))
+      .drop("_v", "_dev")
+  }
 }

@@ -86,4 +86,39 @@ class ProfilingSpec extends SparkSpec {
     // PSI is symmetric-positive: every term is >= 0 by construction.
     assert(got.forall(_._4 >= 0.0))
   }
+
+  test("madOutliers: hand-computed median/MAD, planted spike flagged") {
+    import spark.implicits._
+    // Group g: values 10,12,14,16,18 -> med 14 (percentile_disc lower-
+    // biased: first value at cume_dist >= 0.5), devs 4,2,0,2,4 -> mad 2.
+    // 1000 deviates by 986 > 5*2 -> flagged; nothing else is.
+    val df = (Seq(10L, 12L, 14L, 16L, 18L, 1000L).map(("g", _)) ++
+      Seq(5L, 5L, 5L).map(("h", _))).toDF("grp", "v")
+    val got = Profiling.madOutliers(df, "grp", "v", k = 5)
+      .select("grp", "v", "med", "mad", "is_outlier")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getInt(4))).toSet
+    // With the spike included the 6-value median is still 14 (3rd of 6
+    // at cd 0.5) and mad is 2 (devs 0,2,2,4,4,986 -> 3rd at cd 0.5).
+    assert(got.contains(("g", 1000L, 14L, 2L, 1)))
+    assert(got.filter(_._1 == "g").count(_._5 == 1) === 1)
+    // Constant group: mad 0 -> only non-median values would flag; none exist.
+    assert(got.filter(_._1 == "h").forall(t => t._3 == 5L && t._4 == 0L && t._5 == 0))
+  }
+
+  test("madOutliers robustness: outliers cannot unflag themselves") {
+    import spark.implicits._
+    // Mean/stddev z-scores famously let a big-enough spike inflate the
+    // stddev until it unflags itself; median/MAD must not. 40 inliers
+    // around 100 + 8 huge spikes: all 8 flagged regardless of magnitude.
+    val rnd = new scala.util.Random(5)
+    val inliers = (1 to 40).map(_ => ("g", 95L + rnd.nextInt(11)))
+    val spikes = (1 to 8).map(i => ("g", 1000000L * i))
+    val df = (inliers ++ spikes).toDF("grp", "v")
+    val flagged = Profiling.madOutliers(df, "grp", "v", k = 5)
+      .filter($"is_outlier" === 1).select("v")
+      .collect().map(_.getLong(0)).toSet
+    assert(spikes.map(_._2).toSet.subsetOf(flagged))
+    assert(flagged.forall(_ >= 1000000L))
+  }
 }
