@@ -57,6 +57,8 @@ object Bench {
     *    q_histogram_equidepth (exact-percentile / bounded-domain
     *    variants of the billed percentile + histogram families),
     *    q_event_transitions (lag-window variant of the window family),
+    *    q_event_paths (the session construction billed by
+    *    q_events_session plus two lags — a lag-window variant),
     *    q_entity_resolution (composition of the billed q_fuzzy_match
     *    pair plan and the billed q_dedup_cluster components plan),
     *    q_anomaly_mad (two grouped percentile_disc passes — the billed
@@ -97,7 +99,7 @@ object Bench {
     "q_dedup_chunks",
     "q_contamination_audit",
     "q_group_split", "q_winsorize", "q_histogram_equidepth",
-    "q_anomaly_mad",
+    "q_anomaly_mad", "q_event_paths",
     "q_event_transitions", "q_entity_resolution", "q_cdc_apply",
     "q_incr_agg",
     "q_group_percentile", "q_percentile_disc", "q_rollup",

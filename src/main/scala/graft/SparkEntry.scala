@@ -806,6 +806,37 @@ object SparkEntry {
       .orderBy(col("user_id"), col("session_seq"))
   }
 
+  /** Session path mining: the top-paths analytics query — ordered
+    * event-type trigrams WITHIN a session (the [[eventsSession]] gap
+    * construction verbatim: 30-min inactivity splits, (ts, event_id)
+    * tiebreak), counted corpus-wide. Two lags share one
+    * (user, session) window partitioning, and the output is bounded by
+    * |event_type|^3, not by row count — path mining collapses a
+    * billion-event table into a palm-sized transition report. Distinct
+    * from [[eventTransitions]]: paths never cross a session boundary,
+    * so "returned next day and purchased" does not pollute the funnel
+    * signal.
+    */
+  private def eventPaths(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val bySess = Window.partitionBy(col("user_id"), col("session_seq"))
+      .orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .withColumn("_prev", lag(col("ts"), 1).over(byUser))
+      .withColumn("_new", when(col("_prev").isNull ||
+        unix_micros(col("ts")) - unix_micros(col("_prev")) > 1800000000L,
+        1).otherwise(0))
+      .withColumn("session_seq",
+        sum(col("_new")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("p1", lag(col("event_type"), 2).over(bySess))
+      .withColumn("p2", lag(col("event_type"), 1).over(bySess))
+      .filter(col("p1").isNotNull)
+      .groupBy(col("p1"), col("p2"), col("event_type").as("p3"))
+      .agg(count(lit(1)).as("n_paths"))
+      .orderBy(col("p1"), col("p2"), col("p3"))
+  }
+
   /** Time-series gap fill ([[operators.TimeSeries.resampleFill]]): per
     * user, 6-hour bucket sums of `value` densified onto the user's own
     * [min,max] bucket range with last-observation-carried-forward. The
@@ -3135,6 +3166,7 @@ object SparkEntry {
     "q_anomaly_mad" -> (anomalyMad _),
     "q_histogram_equidepth" -> (histogramEquidepth _),
     "q_event_transitions" -> (eventTransitions _),
+    "q_event_paths" -> (eventPaths _),
     "q_skyline" -> (skylineQ _),
     "q_retention_cohorts" -> (retentionCohorts _),
     "q_star_join" -> (starJoin _),
@@ -4072,6 +4104,28 @@ object SparkEntry {
          |SELECT user_id, session_seq, session_start, session_end,
          |  n_events, session_value
          |FROM sessions ORDER BY user_id, session_seq""".stripMargin,
+    // Session paths: same session construction, two lags inside the
+    // (user, session) partition, integer path counts.
+    "q_event_paths" ->
+      """WITH seq AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM seq),
+        |tri AS (
+        |  SELECT lag(event_type, 2) OVER w2 AS p1,
+        |    lag(event_type, 1) OVER w2 AS p2, event_type AS p3
+        |  FROM sess WINDOW w2 AS (PARTITION BY user_id, session_seq
+        |    ORDER BY ts, event_id))
+        |SELECT p1, p2, p3, count(*) AS n_paths
+        |FROM tri WHERE p1 IS NOT NULL
+        |GROUP BY 1, 2, 3 ORDER BY p1, p2, p3""".stripMargin,
     "q_range_join" ->
       s"""WITH $sessionOracleCtes,
          |pts AS (SELECT event_id, user_id, ts FROM events)
