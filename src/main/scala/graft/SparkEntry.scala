@@ -916,6 +916,17 @@ object SparkEntry {
       .orderBy(col("qid"), col("sim_rank"))
   }
 
+  /** PPMI word associations ([[operators.TermIndex.pmiCooccur]]):
+    * sliding-window (±2) co-occurrence counts with PMI scoring over
+    * the full corpus, support-cut at 5 observations. Integer counts
+    * carry the gate; the PMI double is one fixed formula rounded to 6
+    * decimals on both engines.
+    */
+  private def pmiCooccurQ(s: SparkSession, d: String): DataFrame =
+    TermIndex.pmiCooccur(t(s, d, "documents"), "text", "doc_id",
+        maxDist = 2, minPairCount = 5)
+      .orderBy(col("w1"), col("w2"))
+
   /** CDC apply — materialize a change log (insert/update/delete ops
     * with sequence numbers) into current state: latest op per key wins,
     * a terminal delete erases the key. The change log is synthesized
@@ -3173,6 +3184,7 @@ object SparkEntry {
     "q_cdc_apply" -> (cdcApply _),
     "q_incr_agg" -> (incrAgg _),
     "q_sparse_knn" -> (sparseKnnQ _),
+    "q_pmi_cooccur" -> (pmiCooccurQ _),
     "q_entity_resolution" -> (entityResolution _),
     "q_setsim_join" -> (setSimJoinQ _),
     "q_script_detect" -> (scriptDetect _),
@@ -5171,6 +5183,31 @@ object SparkEntry {
         |      ORDER BY n_chars DESC, doc_id) AS rk
         |  FROM canon) WHERE rk = 1 ORDER BY url_canon""".stripMargin,
     "q_domain_authority" -> pageRankOracleSql,
+    // PPMI: same lead-based pair stream, same one-expression double.
+    "q_pmi_cooccur" ->
+      """WITH ws AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS ws FROM documents),
+        |toks AS (SELECT doc_id, i AS pos, ws[i] AS w
+        |  FROM ws, UNNEST(range(1, len(ws) + 1)) AS t(i)
+        |  WHERE len(ws[i]) > 0),
+        |leads AS (SELECT doc_id, w AS w1,
+        |    lead(w, 1) OVER wd AS x1, lead(w, 2) OVER wd AS x2
+        |  FROM toks WINDOW wd AS (PARTITION BY doc_id ORDER BY pos)),
+        |pairs AS (SELECT w1, x1 AS w2 FROM leads WHERE x1 IS NOT NULL
+        |  UNION ALL SELECT w1, x2 FROM leads WHERE x2 IS NOT NULL),
+        |pc AS (SELECT w1, w2, count(*) AS n_pair FROM pairs GROUP BY 1, 2),
+        |uni AS (SELECT w, count(*) AS n_w FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_w) AS BIGINT) AS t_tokens FROM uni),
+        |tp AS (SELECT CAST(sum(n_pair) AS BIGINT) AS t_pairs FROM pc)
+        |SELECT pc.w1, pc.w2, pc.n_pair, u1.n_w AS n_w1, u2.n_w AS n_w2,
+        |  round(ln((CAST(pc.n_pair AS DOUBLE) * t_tokens * t_tokens) /
+        |           (CAST(t_pairs AS DOUBLE) * u1.n_w * u2.n_w)), 6) AS pmi
+        |FROM pc
+        |JOIN uni u1 ON u1.w = pc.w1
+        |JOIN uni u2 ON u2.w = pc.w2
+        |CROSS JOIN tot CROSS JOIN tp
+        |WHERE pc.n_pair >= 5
+        |ORDER BY pc.w1, pc.w2""".stripMargin,
     // Sparse k-NN: same rounded DECIMAL(14,4) weights, exact-decimal
     // dots and norms, one sqrt+division on identical doubles, same
     // (rounded sim, id) ranking.

@@ -611,4 +611,57 @@ object TermIndex {
           i => i.cast("string"))).as("postings"))
       .select(col("word"), col("df"), col("postings"))
   }
+
+  /** Pointwise mutual information over sliding-window word
+    * co-occurrence (Church & Hanks 1990) — the distributional word
+    * -association statistic feeding embedding-free similarity, collocation
+    * detection, and PPMI-SVD word vectors. A pair (w1, w2) is one
+    * co-occurrence whenever w2 follows w1 within `maxDist` positions;
+    * PMI = ln(p(w1,w2) / (p(w1) p(w2))) with pair probabilities over
+    * the emitted-pair total and unigram probabilities over the token
+    * total.
+    *
+    * Scale shape: the pair stream comes from `maxDist` LEAD columns
+    * over one per-document window (linear in corpus size — never the
+    * per-document position self-join, whose doc-sized cross products
+    * melt down on long documents). Counts collapse to vocabulary- and
+    * pair-vocabulary-scale aggregates; the two 1-row totals broadcast.
+    * The vocabulary join is left to the planner (broadcast when small,
+    * shuffle when genuinely large — a 10M-word vocab should not be
+    * forced driver-side).
+    *
+    * Float parity: all counts stay integer; PMI is ONE fixed double
+    * expression — ln((n_pair·T·T) / (Np·n1·n2)) evaluated
+    * left-to-right in double — rounded to 6 decimals on both engines.
+    */
+  def pmiCooccur(docs: DataFrame, textCol: String, idCol: String,
+      maxDist: Int = 2, minPairCount: Long = 5): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("id"),
+        posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "w")))
+      .filter(length(col("w")) > 0)
+    val wd = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val withLeads = toks.select(col("w").as("w1") +:
+      (1 to maxDist).map(k => lead(col("w"), k).over(wd).as(s"_n$k")): _*)
+    val pairs = (1 to maxDist).map(k =>
+        withLeads.filter(col(s"_n$k").isNotNull)
+          .select(col("w1"), col(s"_n$k").as("w2")))
+      .reduce(_ unionAll _)
+    val pairCounts = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_pair"))
+    val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+    val tTokens = uni.agg(sum(col("n_w")).as("t_tokens"))
+    val tPairs = pairCounts.agg(sum(col("n_pair")).as("t_pairs"))
+    pairCounts.filter(col("n_pair") >= minPairCount)
+      .join(uni.select(col("w").as("w1"), col("n_w").as("n_w1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("n_w").as("n_w2")), "w2")
+      .crossJoin(broadcast(tTokens))
+      .crossJoin(broadcast(tPairs))
+      .select(col("w1"), col("w2"), col("n_pair"), col("n_w1"),
+        col("n_w2"),
+        round(log(
+          (col("n_pair").cast(DoubleType) * col("t_tokens") * col("t_tokens")) /
+          (col("t_pairs").cast(DoubleType) * col("n_w1") * col("n_w2"))),
+          6).as("pmi"))
+  }
 }

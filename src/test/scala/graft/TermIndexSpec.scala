@@ -365,4 +365,34 @@ class TermIndexSpec extends SparkSpec {
     assert(r2.getAs[Long]("id") === 1L)
     assert(math.abs(r2.getAs[Double]("sim") - 1.0) < 1e-6)
   }
+
+  test("pmiCooccur: hand-computed PMI on an alternating doc") {
+    import spark.implicits._
+    // "a b a b a b": T=6 tokens, lead-1 pairs ab,ba,ab,ba,ab; lead-2
+    // pairs aa,bb,aa,bb -> Np=9. n(a,b)=3, n(a)=n(b)=3:
+    // pmi = ln(3*6*6 / (9*3*3)) = ln(4/3).
+    val df = Seq((1L, "a b a b a b")).toDF("doc_id", "text")
+    val got = TermIndex.pmiCooccur(df, "text", "doc_id",
+        maxDist = 2, minPairCount = 1)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(5)))
+      .toMap
+    assert(got(("a", "b"))._1 === 3L)
+    assert(got(("a", "b"))._2 ===
+      BigDecimal(math.log(4.0 / 3))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got(("a", "a"))._1 === 2L && got(("b", "b"))._1 === 2L)
+    assert(got(("b", "a"))._1 === 2L)
+  }
+
+  test("pmiCooccur: co-occurrence never reaches past maxDist") {
+    import spark.implicits._
+    val df = Seq((1L, "a x1 x2 x3 b")).toDF("doc_id", "text")
+    val pairs = TermIndex.pmiCooccur(df, "text", "doc_id",
+        maxDist = 2, minPairCount = 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(!pairs.contains(("a", "b")))
+    assert(pairs.contains(("a", "x2")) && !pairs.contains(("a", "x3")))
+  }
 }
