@@ -68,6 +68,8 @@ object Bench {
     *    q_incr_agg (the billed q_group_agg's aggregate shape plus a
     *    kilobyte state write + full-outer merge — the seconds are
     *    dominated by the deliberate state-persist fixture),
+    *    q_shard_manifest (write-shards-then-aggregate-the-read-back,
+    *    the layout shape billed by q_corpus_shards on a different key),
     *    q_group_percentile /
     *    q_percentile_disc (exact bounded-domain twins of the GK-sketch
     *    approx path), q_rollup / q_grouping_sets (the same Expand-based
@@ -101,7 +103,7 @@ object Bench {
     "q_group_split", "q_winsorize", "q_histogram_equidepth",
     "q_anomaly_mad", "q_event_paths",
     "q_event_transitions", "q_entity_resolution", "q_cdc_apply",
-    "q_incr_agg",
+    "q_incr_agg", "q_shard_manifest",
     "q_group_percentile", "q_percentile_disc", "q_rollup",
     "q_grouping_sets", "q_window_firstlast", "q_window_lag",
     "q_window_ntile", "q_window_range", "q_events_tumbling",

@@ -916,6 +916,29 @@ object SparkEntry {
       .orderBy(col("qid"), col("sim_rank"))
   }
 
+  private lazy val shardManifestDir = s"$artifactRoot/shardmanifest"
+
+  /** Data-skipping manifest ([[operators.ShardManifest]]): lineitem
+    * laid out in l_orderkey-ranged hive shards (div 4096), per-shard
+    * (rows, min/max key, min/max shipdate) stats computed from the
+    * READ-BACK of what was written — the Iceberg/Delta file-stats
+    * pattern that turns key-range queries into kilobyte manifest
+    * lookups. The oracle recomputes the same stats from the source
+    * table with the same `div` arithmetic: written-shard stats must
+    * equal source-derived stats or the layout lost rows. The pruning
+    * payoff (PartitionFilters, files actually skipped, differential vs
+    * the full scan) is pinned by ShardManifestSpec.
+    */
+  private def shardManifestQ(s: SparkSession, d: String): DataFrame = {
+    ShardManifest.writeSharded(
+      t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"),
+        col("l_shipdate"), col("l_quantity")),
+      s"$shardManifestDir/lineitem", "l_orderkey", width = 4096L)
+    ShardManifest.manifest(s, s"$shardManifestDir/lineitem",
+        Seq("l_orderkey", "l_shipdate"))
+      .orderBy(col("shard_id"))
+  }
+
   /** PPMI word associations ([[operators.TermIndex.pmiCooccur]]):
     * sliding-window (±2) co-occurrence counts with PMI scoring over
     * the full corpus, support-cut at 5 observations. Integer counts
@@ -3185,6 +3208,7 @@ object SparkEntry {
     "q_incr_agg" -> (incrAgg _),
     "q_sparse_knn" -> (sparseKnnQ _),
     "q_pmi_cooccur" -> (pmiCooccurQ _),
+    "q_shard_manifest" -> (shardManifestQ _),
     "q_entity_resolution" -> (entityResolution _),
     "q_setsim_join" -> (setSimJoinQ _),
     "q_script_detect" -> (scriptDetect _),
@@ -5183,6 +5207,16 @@ object SparkEntry {
         |      ORDER BY n_chars DESC, doc_id) AS rk
         |  FROM canon) WHERE rk = 1 ORDER BY url_canon""".stripMargin,
     "q_domain_authority" -> pageRankOracleSql,
+    // Shard manifest: written-shard stats must equal source-derived
+    // stats under the same div arithmetic.
+    "q_shard_manifest" ->
+      """SELECT CAST(l_orderkey AS BIGINT) // 4096 AS shard_id,
+        |  count(*) AS n_rows,
+        |  min(l_orderkey) AS min_l_orderkey,
+        |  max(l_orderkey) AS max_l_orderkey,
+        |  min(l_shipdate) AS min_l_shipdate,
+        |  max(l_shipdate) AS max_l_shipdate
+        |FROM lineitem GROUP BY 1 ORDER BY shard_id""".stripMargin,
     // PPMI: same lead-based pair stream, same one-expression double.
     "q_pmi_cooccur" ->
       """WITH ws AS (SELECT doc_id,

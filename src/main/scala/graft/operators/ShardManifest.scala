@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-level min/max statistics manifest — the data-skipping layer
+  * every table format at 100 TB lives on (Iceberg manifest files, Delta
+  * Lake's per-file stats, parquet row-group pruning writ large): lay
+  * the table out in key-ranged shards, record per-shard (rows, min,
+  * max) for the pruning columns, and answer key-range queries by
+  * consulting the KILOBYTE manifest before touching the petabyte data.
+  *
+  * The layout key is `keyCol div width` — deterministic value
+  * arithmetic, so shard membership is replayable by any engine (no
+  * dependence on task scheduling or file naming), and it doubles as a
+  * hive partition column so Spark's own partition pruning executes the
+  * skip once the manifest has translated a key predicate into a shard
+  * predicate.
+  *
+  * Scale shape: the manifest build is one map-side-combinable
+  * aggregate over a read-back of what was WRITTEN (stats must describe
+  * the files, not the dataframe that produced them — compactions and
+  * retries change files, not intent). [[prunedRead]] collects only the
+  * surviving shard ids — bounded by the shard count, thousands at
+  * 100 TB, never row-scale — and every non-matching shard's files are
+  * never opened (PartitionFilters, asserted in the spec).
+  */
+object ShardManifest {
+
+  /** Write `df` under `dir` hive-partitioned by `shard_id = keyCol div
+    * width`, one range shard per directory.
+    */
+  def writeSharded(df: DataFrame, dir: String, keyCol: String,
+      width: Long): Unit =
+    df.withColumn("shard_id", expr(s"CAST($keyCol AS BIGINT) div $width"))
+      .repartition(col("shard_id"))
+      .write.mode("overwrite").partitionBy("shard_id").parquet(dir)
+
+  /** Per-shard statistics of the written table: (shard_id, n_rows,
+    * min/max of every column in `statCols`).
+    */
+  def manifest(spark: SparkSession, dir: String,
+      statCols: Seq[String]): DataFrame =
+    spark.read.parquet(dir)
+      .groupBy(col("shard_id").cast("long").as("shard_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        statCols.flatMap(c => Seq(
+          min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))): _*)
+
+  /** Key-range read that opens only shards whose manifest interval
+    * overlaps [lo, hi]: the manifest row set collapses to a shard-id
+    * list (bounded by shard count), which becomes a partition predicate
+    * Spark prunes directories with. The key filter still applies inside
+    * surviving shards — the manifest is a superset filter, never a
+    * substitute for the predicate.
+    */
+  def prunedRead(spark: SparkSession, dir: String, mf: DataFrame,
+      keyCol: String, lo: Long, hi: Long): DataFrame = {
+    val shards = mf
+      .filter(col(s"max_$keyCol") >= lo && col(s"min_$keyCol") <= hi)
+      .select(col("shard_id")).collect().map(_.getLong(0))
+    spark.read.parquet(dir)
+      .filter(col("shard_id").isin(shards: _*))
+      .filter(col(keyCol) >= lo && col(keyCol) <= hi)
+  }
+}
