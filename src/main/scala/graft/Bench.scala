@@ -59,6 +59,8 @@ object Bench {
     *    q_event_transitions (lag-window variant of the window family),
     *    q_event_paths (the session construction billed by
     *    q_events_session plus two lags — a lag-window variant),
+    *    q_ab_test (per-user conditional-count collapse — the
+    *    q_events_funnel family's aggregate shape ending in one row),
     *    q_entity_resolution (composition of the billed q_fuzzy_match
     *    pair plan and the billed q_dedup_cluster components plan),
     *    q_anomaly_mad (two grouped percentile_disc passes — the billed
@@ -101,7 +103,7 @@ object Bench {
     "q_dedup_chunks",
     "q_contamination_audit",
     "q_group_split", "q_winsorize", "q_histogram_equidepth",
-    "q_anomaly_mad", "q_event_paths",
+    "q_anomaly_mad", "q_event_paths", "q_ab_test",
     "q_event_transitions", "q_entity_resolution", "q_cdc_apply",
     "q_incr_agg", "q_shard_manifest",
     "q_group_percentile", "q_percentile_disc", "q_rollup",

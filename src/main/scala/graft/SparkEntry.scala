@@ -806,6 +806,40 @@ object SparkEntry {
       .orderBy(col("user_id"), col("session_seq"))
   }
 
+  /** A/B experiment readout: user_id parity assigns the variant, a
+    * heavy-purchaser outcome (>= 14 purchase events — the corpus
+    * median splits there, so all four cells stay populated) is the
+    * conversion, and the 2x2 contingency rolls up to Pearson's
+    * chi-square — the go/no-go statistic every experimentation
+    * pipeline computes. The whole table collapses to one per-user flag
+    * then four integers; chi2 = N(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d))
+    * stays in exact BIGINT products (|ad-bc| <= N^2/4 — no overflow at
+    * any realistic user count) until one double division, rounded to 6
+    * on both engines.
+    */
+  private def abTest(s: SparkSession, d: String): DataFrame = {
+    val conv = events(s, d).groupBy(col("user_id"))
+      .agg((sum(when(col("event_type") === "purchase", 1).otherwise(0))
+        >= 14).cast(IntegerType).as("converted"))
+      .withColumn("variant", pmod(col("user_id"), lit(2)))
+    val c = conv.agg(
+      sum(when(col("variant") === 0 && col("converted") === 1, 1)
+        .otherwise(0)).cast(LongType).as("a"),
+      sum(when(col("variant") === 0 && col("converted") === 0, 1)
+        .otherwise(0)).cast(LongType).as("b"),
+      sum(when(col("variant") === 1 && col("converted") === 1, 1)
+        .otherwise(0)).cast(LongType).as("c"),
+      sum(when(col("variant") === 1 && col("converted") === 0, 1)
+        .otherwise(0)).cast(LongType).as("d"))
+    val diff = col("a") * col("d") - col("b") * col("c")
+    c.select(col("a").as("conv_a"), col("b").as("non_a"),
+      col("c").as("conv_b"), col("d").as("non_b"),
+      round(((col("a") + col("b") + col("c") + col("d")).cast(DoubleType) *
+          (diff * diff)) /
+        ((col("a") + col("b")).cast(DoubleType) * (col("c") + col("d")) *
+          (col("a") + col("c")) * (col("b") + col("d"))), 6).as("chi2"))
+  }
+
   /** Session path mining: the top-paths analytics query — ordered
     * event-type trigrams WITHIN a session (the [[eventsSession]] gap
     * construction verbatim: 30-min inactivity splits, (ts, event_id)
@@ -915,6 +949,14 @@ object SparkEntry {
           .select(col("doc_id")), k = 5)
       .orderBy(col("qid"), col("sim_rank"))
   }
+
+  /** Flesch readability ([[operators.TextAnalysis.readability]]) over
+    * the corpus: three regex counts and one fixed double formula per
+    * row, rounded to 4 on both engines.
+    */
+  private def readabilityQ(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.readability(t(s, d, "documents"), "text", "doc_id")
+      .orderBy(col("doc_id"))
 
   private lazy val shardManifestDir = s"$artifactRoot/shardmanifest"
 
@@ -3201,6 +3243,7 @@ object SparkEntry {
     "q_histogram_equidepth" -> (histogramEquidepth _),
     "q_event_transitions" -> (eventTransitions _),
     "q_event_paths" -> (eventPaths _),
+    "q_ab_test" -> (abTest _),
     "q_skyline" -> (skylineQ _),
     "q_retention_cohorts" -> (retentionCohorts _),
     "q_star_join" -> (starJoin _),
@@ -3209,6 +3252,7 @@ object SparkEntry {
     "q_sparse_knn" -> (sparseKnnQ _),
     "q_pmi_cooccur" -> (pmiCooccurQ _),
     "q_shard_manifest" -> (shardManifestQ _),
+    "q_readability" -> (readabilityQ _),
     "q_entity_resolution" -> (entityResolution _),
     "q_setsim_join" -> (setSimJoinQ _),
     "q_script_detect" -> (scriptDetect _),
@@ -4140,6 +4184,30 @@ object SparkEntry {
          |SELECT user_id, session_seq, session_start, session_end,
          |  n_events, session_value
          |FROM sessions ORDER BY user_id, session_seq""".stripMargin,
+    // A/B chi-square: exact BIGINT contingency products, one double
+    // division, same rounding.
+    "q_ab_test" ->
+      """WITH conv AS (SELECT user_id,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |             END) >= 14 AS INTEGER) AS converted
+        |  FROM events GROUP BY 1),
+        |v AS (SELECT user_id % 2 AS variant, converted FROM conv),
+        |ct AS (SELECT
+        |    CAST(sum(CASE WHEN variant = 0 AND converted = 1 THEN 1
+        |             ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN variant = 0 AND converted = 0 THEN 1
+        |             ELSE 0 END) AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN variant = 1 AND converted = 1 THEN 1
+        |             ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN variant = 1 AND converted = 0 THEN 1
+        |             ELSE 0 END) AS BIGINT) AS d
+        |  FROM v)
+        |SELECT a AS conv_a, b AS non_a, c AS conv_b, d AS non_b,
+        |  round((CAST(a + b + c + d AS DOUBLE) *
+        |         ((a * d - b * c) * (a * d - b * c))) /
+        |        (CAST(a + b AS DOUBLE) * (c + d) * (a + c) * (b + d)),
+        |        6) AS chi2
+        |FROM ct""".stripMargin,
     // Session paths: same session construction, two lags inside the
     // (user, session) partition, integer path counts.
     "q_event_paths" ->
@@ -5207,6 +5275,25 @@ object SparkEntry {
         |      ORDER BY n_chars DESC, doc_id) AS rk
         |  FROM canon) WHERE rk = 1 ORDER BY url_canon""".stripMargin,
     "q_domain_authority" -> pageRankOracleSql,
+    // Readability: same three regex counts (Java vs RE2 on character
+    // classes both engines read identically), same rounded formula.
+    "q_readability" ->
+      """SELECT doc_id,
+        |  greatest(1, len(string_split_regex(trim(text), '\s+')))
+        |    AS n_words,
+        |  greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+        |    AS n_sentences,
+        |  greatest(1, len(regexp_extract_all(lower(text), '[aeiouy]+')))
+        |    AS n_syllables,
+        |  round(206.835
+        |    - 1.015 * (CAST(greatest(1,
+        |        len(string_split_regex(trim(text), '\s+'))) AS DOUBLE)
+        |      / greatest(1, len(regexp_extract_all(text, '[.!?]+'))))
+        |    - 84.6 * (CAST(greatest(1,
+        |        len(regexp_extract_all(lower(text), '[aeiouy]+'))) AS DOUBLE)
+        |      / greatest(1, len(string_split_regex(trim(text), '\s+')))),
+        |    4) AS flesch
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // Shard manifest: written-shard stats must equal source-derived
     // stats under the same div arithmetic.
     "q_shard_manifest" ->

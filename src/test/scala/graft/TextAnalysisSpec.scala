@@ -398,4 +398,20 @@ class TextAnalysisSpec extends SparkSpec {
       .select("id", "split").collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(a === b)
   }
+
+  test("readability: hand-computed Flesch on known sentences") {
+    import spark.implicits._
+    // "The cat sat on the mat.": 6 words, 1 sentence, 6 vowel groups
+    // -> 206.835 - 1.015*6 - 84.6*1 = 116.145
+    val df = Seq(
+      (1L, "The cat sat on the mat."),
+      (2L, "no terminal punctuation here")).toDF("doc_id", "text")
+    val got = TextAnalysis.readability(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got(1L) === ((6L, 1L, 6L, 116.145)))
+    // fragment: sentence count floors at 1 instead of dividing by zero
+    val (w2, s2, _, f2) = got(2L)
+    assert(w2 === 4L && s2 === 1L && f2 < 116.145)
+  }
 }
