@@ -806,6 +806,49 @@ object SparkEntry {
       .orderBy(col("user_id"), col("session_seq"))
   }
 
+  /** Peak concurrent sessions per day — interval overlap counting by
+    * sweep-line, the capacity-planning query: how many sessions were
+    * simultaneously open at the worst moment of each day. Session
+    * intervals come from the [[eventsSession]] construction; each
+    * interval contributes a +1 at its start and a -1 AFTER its end
+    * (inclusive intervals: a session ending at instant t still counts
+    * at t), so concurrency(t) = running starts through t minus running
+    * ends before t — two running sums over the DISTINCT boundary
+    * -instant table. No pairwise overlap join ever runs (the naive
+    * interval-overlap self-join is quadratic in the busy hour); the
+    * only global window is domain-sized (distinct boundary instants,
+    * already collapsed by a keyed aggregate). At extreme scale that
+    * window range-partitions with per-split offsets — the
+    * [[operators.GlobalIndex]] split-points technique.
+    */
+  private def concurrencyPeak(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val sess = events(s, d)
+      .withColumn("_prev", lag(col("ts"), 1).over(byUser))
+      .withColumn("_new", when(col("_prev").isNull ||
+        unix_micros(col("ts")) - unix_micros(col("_prev")) > 1800000000L,
+        1).otherwise(0))
+      .withColumn("session_seq",
+        sum(col("_new")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
+    val bounds = sess.select(col("st").as("ts"), lit(1L).as("s"), lit(0L).as("e"))
+      .unionAll(sess.select(col("en").as("ts"), lit(0L).as("s"), lit(1L).as("e")))
+      .groupBy(col("ts"))
+      .agg(sum(col("s")).as("ns"), sum(col("e")).as("ne"))
+    val w = Window.orderBy(col("ts"))
+    bounds
+      .withColumn("rs",
+        sum(col("ns")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("re", coalesce(
+        sum(col("ne")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(max(col("rs") - col("re")).as("peak"))
+      .orderBy(col("day"))
+  }
+
   /** A/B experiment readout: user_id parity assigns the variant, a
     * heavy-purchaser outcome (>= 14 purchase events — the corpus
     * median splits there, so all four cells stay populated) is the
@@ -3244,6 +3287,7 @@ object SparkEntry {
     "q_event_transitions" -> (eventTransitions _),
     "q_event_paths" -> (eventPaths _),
     "q_ab_test" -> (abTest _),
+    "q_concurrency_peak" -> (concurrencyPeak _),
     "q_skyline" -> (skylineQ _),
     "q_retention_cohorts" -> (retentionCohorts _),
     "q_star_join" -> (starJoin _),
@@ -4184,6 +4228,22 @@ object SparkEntry {
          |SELECT user_id, session_seq, session_start, session_end,
          |  n_events, session_value
          |FROM sessions ORDER BY user_id, session_seq""".stripMargin,
+    // Concurrency peak: same session CTEs, same inclusive-interval
+    // sweep (running starts through t minus running ends before t).
+    "q_concurrency_peak" ->
+      s"""WITH $sessionOracleCtes,
+         |b AS (SELECT session_start AS ts, 1 AS s, 0 AS e FROM sessions
+         |  UNION ALL SELECT session_end, 0, 1 FROM sessions),
+         |g AS (SELECT ts, CAST(sum(s) AS BIGINT) AS ns,
+         |    CAST(sum(e) AS BIGINT) AS ne FROM b GROUP BY 1),
+         |r AS (SELECT ts,
+         |    sum(ns) OVER (ORDER BY ts ROWS UNBOUNDED PRECEDING) AS rs,
+         |    coalesce(sum(ne) OVER (ORDER BY ts
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS re
+         |  FROM g)
+         |SELECT date_trunc('day', ts) AS day,
+         |  CAST(max(rs - re) AS BIGINT) AS peak
+         |FROM r GROUP BY 1 ORDER BY day""".stripMargin,
     // A/B chi-square: exact BIGINT contingency products, one double
     // division, same rounding.
     "q_ab_test" ->
