@@ -806,6 +806,80 @@ object SparkEntry {
       .orderBy(col("user_id"), col("session_seq"))
   }
 
+  /** RFM customer segmentation — the classic lifecycle-marketing
+    * rollup: per customer, days since last order (anchored to the
+    * corpus' latest order so the query is reproducible), order count,
+    * and exact-decimal spend, each quintile-scored by
+    * `ceil(cume_dist * 5)` (value-atomic — tied customers always share
+    * a score, unlike ntile's arbitrary tie splits), then mapped to a
+    * named segment. The three ranking windows run over the
+    * CUSTOMER-level aggregate (one row per customer, never the orders
+    * table); at extreme customer counts each would range-partition via
+    * split points. The cume_dist double is the same k/n division on
+    * both engines, so even quintile boundaries land identically.
+    */
+  private def rfmSegments(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders").select(col("o_custkey"), col("o_orderdate"),
+      dec(col("o_totalprice")).as("p"))
+    val anchor = o.agg(max(col("o_orderdate")).as("_anchor"))
+    val cust = o.groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("_last"),
+        count(lit(1)).as("frequency"), sum(col("p")).as("_m"))
+      .crossJoin(broadcast(anchor))
+      .withColumn("recency_days",
+        datediff(to_date(col("_anchor")), to_date(col("_last")))
+          .cast(LongType))
+    cust
+      .withColumn("r_score", ceil(cume_dist()
+        .over(Window.orderBy(col("recency_days").desc)) * 5).cast(LongType))
+      .withColumn("f_score", ceil(cume_dist()
+        .over(Window.orderBy(col("frequency"))) * 5).cast(LongType))
+      .withColumn("m_score", ceil(cume_dist()
+        .over(Window.orderBy(col("_m"))) * 5).cast(LongType))
+      .withColumn("segment",
+        when(col("r_score") >= 4 && col("f_score") >= 4 &&
+          col("m_score") >= 4, "champion")
+        .when(col("r_score") <= 2 && col("f_score") >= 4, "at_risk")
+        .when(col("r_score") <= 2 && col("f_score") <= 2, "hibernating")
+        .otherwise("regular"))
+      .select(col("o_custkey"), col("recency_days"), col("frequency"),
+        col("_m").cast(DoubleType).as("monetary"), col("r_score"),
+        col("f_score"), col("m_score"), col("segment"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** Shipping-priority top-k — the TPC-H Q3 shape: orders placed
+    * before the cutoff whose lineitems ship after it (the "booked but
+    * unshipped" backlog), revenue-ranked top 10. Plan shape: both date
+    * filters push into the parquet scans BEFORE the joins (the
+    * selective-join discipline — at 100 TB the filter-first order is
+    * the difference between joining a month and joining the table),
+    * the BUILDING-segment customer key set broadcasts, and the final
+    * ranking is a TakeOrdered top-k over the aggregated backlog, never
+    * a full sort. Revenue stays an exact DECIMAL through the ORDER BY
+    * (double ties would make top-10 membership platform-dependent),
+    * cast to double only in the output projection.
+    */
+  private def topUnshipped(s: SparkSession, d: String): DataFrame = {
+    val cutoff = lit("1998-01-01 00:00:00").cast(TimestampType)
+    val cust = t(s, d, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val ord = t(s, d, "orders").filter(col("o_orderdate") < cutoff)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val li = t(s, d, "lineitem").filter(col("l_shipdate") > cutoff)
+      .select(col("l_orderkey"),
+        (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .as("_r"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(col("_r")).as("_rev"))
+      .orderBy(col("_rev").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+      .select(col("l_orderkey"), col("o_orderdate"),
+        col("_rev").cast(DoubleType).as("revenue"))
+  }
+
   /** Peak concurrent sessions per day — interval overlap counting by
     * sweep-line, the capacity-planning query: how many sessions were
     * simultaneously open at the worst moment of each day. Session
@@ -3288,6 +3362,8 @@ object SparkEntry {
     "q_event_paths" -> (eventPaths _),
     "q_ab_test" -> (abTest _),
     "q_concurrency_peak" -> (concurrencyPeak _),
+    "q_top_unshipped" -> (topUnshipped _),
+    "q_rfm_segments" -> (rfmSegments _),
     "q_skyline" -> (skylineQ _),
     "q_retention_cohorts" -> (retentionCohorts _),
     "q_star_join" -> (starJoin _),
@@ -4228,6 +4304,53 @@ object SparkEntry {
          |SELECT user_id, session_seq, session_start, session_end,
          |  n_events, session_value
          |FROM sessions ORDER BY user_id, session_seq""".stripMargin,
+    // RFM: same value-atomic ceil(cume_dist*5) quintiles, same anchor
+    // and date arithmetic, same segment CASE.
+    "q_rfm_segments" ->
+      """WITH o AS (SELECT o_custkey, o_orderdate,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+        |a AS (SELECT max(o_orderdate) AS anchor FROM o),
+        |c AS (SELECT o_custkey, max(o_orderdate) AS last_o,
+        |    count(*) AS frequency, sum(p) AS m FROM o GROUP BY 1),
+        |r AS (SELECT o_custkey,
+        |    CAST(date_diff('day', CAST(last_o AS DATE),
+        |      CAST(anchor AS DATE)) AS BIGINT) AS recency_days,
+        |    frequency, m FROM c CROSS JOIN a),
+        |sc AS (SELECT o_custkey, recency_days, frequency, m,
+        |    CAST(ceil(cume_dist() OVER (ORDER BY recency_days DESC) * 5)
+        |      AS BIGINT) AS r_score,
+        |    CAST(ceil(cume_dist() OVER (ORDER BY frequency) * 5)
+        |      AS BIGINT) AS f_score,
+        |    CAST(ceil(cume_dist() OVER (ORDER BY m) * 5)
+        |      AS BIGINT) AS m_score
+        |  FROM r)
+        |SELECT o_custkey, recency_days, frequency,
+        |  CAST(m AS DOUBLE) AS monetary, r_score, f_score, m_score,
+        |  CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+        |         THEN 'champion'
+        |       WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+        |       WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+        |       ELSE 'regular' END AS segment
+        |FROM sc ORDER BY o_custkey""".stripMargin,
+    // Q3 shape: same decimal revenue, same (rev DESC, date, key)
+    // ranking — the ORDER BY runs on the exact DECIMAL, so the top-10
+    // cut is deterministic on both engines.
+    "q_top_unshipped" ->
+      """SELECT l_orderkey, o_orderdate,
+        |  CAST(rev AS DOUBLE) AS revenue
+        |FROM (
+        |  SELECT l_orderkey, o_orderdate,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |        (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+        |  FROM lineitem
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  WHERE c_mktsegment = 'BUILDING'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |    AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |  GROUP BY l_orderkey, o_orderdate
+        |  ORDER BY rev DESC, o_orderdate, l_orderkey
+        |  LIMIT 10)""".stripMargin,
     // Concurrency peak: same session CTEs, same inclusive-interval
     // sweep (running starts through t minus running ends before t).
     "q_concurrency_peak" ->

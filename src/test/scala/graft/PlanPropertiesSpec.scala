@@ -32,6 +32,18 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"unexpected shuffle join:\n$plan")
   }
 
+  test("Q3 shape: date filters reach the scans, top-10 is TakeOrdered") {
+    val plan = planOf("q_top_unshipped")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"full sort instead of top-k:\n$plan")
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*(LessThan|GreaterThan)[^\\]]*\\].*"),
+      s"date predicates did not reach a scan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"segment customer set not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"degenerate join:\n$plan")
+  }
+
   test("star join broadcasts the tiny dims and never goes nested-loop") {
     val plan = planOf("q_star_join")
     assert(plan.contains("BroadcastHashJoin"),
