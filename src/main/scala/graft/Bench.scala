@@ -78,7 +78,22 @@ object Bench {
     *    physical plan as q_cube), q_window_firstlast / lag / ntile /
     *    range (frame variants of the window family whose running-total
     *    and top-k representatives stay billed), q_events_tumbling (the
-    *    degenerate slide==width case of q_events_sliding).
+    *    degenerate slide==width case of q_events_sliding),
+    *    q_bigram_lm (the billed q_unigram_lm's explode → vocabulary
+    *    -scale counts → broadcast-join scoring plan plus one lag —
+    *    the LM-scoring family's representative stays q_unigram_lm),
+    *    q_textrank (its one corpus-scale stage is exactly the billed
+    *    q_pmi_cooccur lead-window pair stream; the PageRank iterations
+    *    run at vocabulary scale — the q_domain_authority probe shape),
+    *    q_ks_test (bounded-value-domain CDF sweep — the drift family
+    *    whose binned representative q_drift_psi stays billed),
+    *    q_k_anonymity (one keyed count over the quasi-identifier
+    *    domain — the billed q_group_agg's aggregate shape),
+    *    q_acf (its corpus-scale stage is the daily keyed collapse the
+    *    billed window/tumbling family runs; the lag arithmetic lives
+    *    on the day-domain table), q_paginate_keyset (cursor-predicate
+    *    variant of the billed paginate/top-k family — the point IS
+    *    that it does strictly less work than the offset form).
     *
     * 2. FIXED-SEMANTICS PROBES — the query's input is a deterministic
     *    fixture synthesized inside the query (the dirty-CTE pattern) or
@@ -91,7 +106,10 @@ object Bench {
     *    q_full_update_deactivate, q_ingest_stats, q_json_scan,
     *    q_dedup_url (synthesized colliding URLs over the corpus; its
     *    window-argmax plan shape is billed by the headline window
-    *    family), and the IO/metadata roundtrip probes
+    *    family), q_khop (BFS over the same synthesized 97-host graph
+    *    as the q_domain_authority probe), q_benford (a 9-bucket digit
+    *    aggregate — one scan, fixed-size output), and the IO/metadata
+    *    roundtrip probes
     *    q_schema_evolution / q_orc_roundtrip / q_avro_roundtrip /
     *    q_xml_roundtrip.
     */
@@ -109,6 +127,8 @@ object Bench {
     "q_group_percentile", "q_percentile_disc", "q_rollup",
     "q_grouping_sets", "q_window_firstlast", "q_window_lag",
     "q_window_ntile", "q_window_range", "q_events_tumbling",
+    "q_bigram_lm", "q_textrank", "q_ks_test", "q_k_anonymity",
+    "q_acf", "q_paginate_keyset",
     // fixed-semantics probes
     "q_transform_text", "q_transform_decimal", "q_transform_integer",
     "q_transform_boolean", "q_filter_active_user", "q_html_extract",
@@ -117,7 +137,8 @@ object Bench {
     "q_full_update_deactivate", "q_ingest_stats", "q_json_scan",
     "q_schema_evolution", "q_orc_roundtrip", "q_avro_roundtrip",
     "q_xml_roundtrip",
-    "q_dedup_url", "q_para_dedup", "q_domain_authority")
+    "q_dedup_url", "q_para_dedup", "q_domain_authority",
+    "q_khop", "q_benford")
 
   private def force(df: DataFrame): Unit = {
     val cols = df.columns.map(col).toSeq

@@ -1109,6 +1109,91 @@ object SparkEntry {
         maxDist = 2, minPairCount = 5)
       .orderBy(col("w1"), col("w2"))
 
+  /** TextRank keywords ([[operators.TermIndex.textrankKeywords]]):
+    * PageRank over the symmetrized ±2-window co-occurrence graph
+    * (support >= 5, self-loops dropped), 5 IEEE-replayable iterations,
+    * top-20 by rounded rank. The oracle rebuilds the same graph and
+    * unrolls the same 5 iterations (the [[pageRankOracleSql]]
+    * technique on a corpus-derived graph).
+    */
+  private def textrankQ(s: SparkSession, d: String): DataFrame =
+    TermIndex.textrankKeywords(t(s, d, "documents"), "text", "doc_id",
+      maxDist = 2, minPairCount = 5, iters = 5, k = 20)
+
+  /** Two-sample KS drift ([[operators.Profiling.ksTest]]): largest CDF
+    * gap between English and non-English document lengths. The D
+    * argmax is decided entirely in integer arithmetic
+    * (max |cumA·nB − cumB·nA| over the length domain); only the final
+    * D division is a rounded double.
+    */
+  private def ksTestQ(s: SparkSession, d: String): DataFrame =
+    Profiling.ksTest(t(s, d, "documents"), "n_chars",
+      inA = col("lang") === "en", inB = col("lang") =!= "en")
+
+  /** Benford first-digit audit ([[operators.Profiling.benford]]) over
+    * order totals — 9 digit rows, observed vs the 6-decimal Benford
+    * constants, per-digit chi-square terms from exact integer counts.
+    */
+  private def benfordQ(s: SparkSession, d: String): DataFrame =
+    Profiling.benford(t(s, d, "orders"), "o_totalprice")
+
+  /** k-anonymity audit ([[operators.Profiling.kAnonymity]]) on the
+    * (nation, market segment) quasi-identifier pair at k=10 — every
+    * equivalence class with its size and at-risk flag.
+    */
+  private def kAnonymityQ(s: SparkSession, d: String): DataFrame =
+    Profiling.kAnonymity(t(s, d, "customer"),
+        Seq("c_nationkey", "c_mktsegment"), k = 10)
+      .orderBy(col("c_nationkey"), col("c_mktsegment"))
+
+  /** Bounded-hop BFS ([[operators.LinkGraph.shortestPaths]]) from host
+    * 0 over the [[domainAuthority]] 97-host graph: minimum hop counts
+    * within 4 hops. The oracle walks the same graph with a recursive
+    * CTE and takes min(dist) — an independent formulation of the same
+    * reachability.
+    */
+  private def khopQ(s: SparkSession, d: String): DataFrame = {
+    val hosts = t(s, d, "documents")
+      .select(pmod(col("doc_id"), lit(97)).as("src")).distinct()
+    val edges = hosts
+      .select(col("src"), pmod(col("src") * 3 + 1, lit(97)).as("dst"))
+      .unionAll(hosts
+        .select(col("src"), pmod(col("src") * 7 + 2, lit(97)).as("dst")))
+    LinkGraph.shortestPaths(edges, "src", "dst",
+        hosts.filter(col("src") === 0), "src", maxHops = 4)
+      .orderBy(col("node"))
+  }
+
+  /** Daily-volume autocorrelation ([[operators.TimeSeries.acf]]) at
+    * lags 1..7 — the weekly-seasonality readout over the event stream.
+    * Integral daily counts keep every sufficient statistic an exact
+    * DECIMAL(38,0); one rounded double division per lag.
+    */
+  private def acfQ(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    TimeSeries.acf(daily, "day", "n", maxLag = 7).orderBy(col("lag"))
+  }
+
+  /** Keyset pagination — the O(page) deep-pagination plan
+    * ([[operators.CatalogQueries.listKeyset]] semantics on the part
+    * catalog): the cursor predicate `(p_name, p_partkey) > (after)`
+    * pushes into the scan and the page is a TakeOrdered top-k, where
+    * [[paginateDefault]]'s offset variant must produce and discard
+    * every earlier row. Same page contract, O(depth) cheaper at scale.
+    */
+  private def paginateKeyset(s: SparkSession, d: String): DataFrame = {
+    // mid-corpus cursor ON a duplicated name, so the unique-key
+    // tiebreak arm of the predicate is exercised, not just name order
+    val (afterName, afterKey) = ("blue bolt", 1140L)
+    t(s, d, "part").select(col("p_partkey"), col("p_name"))
+      .filter(col("p_name") > afterName ||
+        (col("p_name") === afterName && col("p_partkey") > afterKey))
+      .orderBy(col("p_name"), col("p_partkey"))
+      .limit(5)
+  }
+
   /** CDC apply — materialize a change log (insert/update/delete ops
     * with sequence numbers) into current state: latest op per key wins,
     * a terminal delete erases the key. The change log is synthesized
@@ -3371,6 +3456,13 @@ object SparkEntry {
     "q_incr_agg" -> (incrAgg _),
     "q_sparse_knn" -> (sparseKnnQ _),
     "q_pmi_cooccur" -> (pmiCooccurQ _),
+    "q_textrank" -> (textrankQ _),
+    "q_ks_test" -> (ksTestQ _),
+    "q_benford" -> (benfordQ _),
+    "q_k_anonymity" -> (kAnonymityQ _),
+    "q_khop" -> (khopQ _),
+    "q_acf" -> (acfQ _),
+    "q_paginate_keyset" -> (paginateKeyset _),
     "q_shard_manifest" -> (shardManifestQ _),
     "q_readability" -> (readabilityQ _),
     "q_entity_resolution" -> (entityResolution _),
@@ -3582,6 +3674,90 @@ object SparkEntry {
     }
     (Seq(base) ++ steps).mkString(",\n") +
       s"\nSELECT node, round(rank, 6) AS rank FROM p$iters ORDER BY node"
+  }
+
+  /** Oracle for q_textrank: the [[pageRankOracleSql]] unrolled-iteration
+    * technique applied to the corpus-derived co-occurrence word graph —
+    * the q_pmi_cooccur pair CTEs (support >= 5, self-loops dropped,
+    * symmetrized + deduplicated), then 5 PageRank steps with the same
+    * IEEE constants, then the rounded-rank top-20. Every node of the
+    * symmetric graph has inbound edges, so the plain join-aggregate
+    * step needs no missing-node coalesce (the Spark side's left join
+    * receives a contribution for every node too).
+    */
+  private def textrankOracleSql: String = {
+    val iters = 5
+    val base =
+      """WITH ws AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS ws FROM documents),
+        |toks AS (SELECT doc_id, i AS pos, ws[i] AS w
+        |  FROM ws, UNNEST(range(1, len(ws) + 1)) AS t(i)
+        |  WHERE len(ws[i]) > 0),
+        |leads AS (SELECT doc_id, w AS w1,
+        |    lead(w, 1) OVER wd AS x1, lead(w, 2) OVER wd AS x2
+        |  FROM toks WINDOW wd AS (PARTITION BY doc_id ORDER BY pos)),
+        |pairs AS (SELECT w1, x1 AS w2 FROM leads WHERE x1 IS NOT NULL
+        |  UNION ALL SELECT w1, x2 FROM leads WHERE x2 IS NOT NULL),
+        |pc AS (SELECT w1, w2 FROM pairs GROUP BY w1, w2
+        |       HAVING count(*) >= 5 AND w1 <> w2),
+        |edges AS (SELECT DISTINCT src, dst FROM (
+        |  SELECT w1 AS src, w2 AS dst FROM pc
+        |  UNION ALL SELECT w2, w1 FROM pc)),
+        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |outdeg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg
+        |           FROM edges GROUP BY src),
+        |p0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank
+        |       FROM nodes)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""p$i AS (SELECT e.dst AS node,
+         |  (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+         |    + CAST(0.85 AS DOUBLE) * sum(p.rank / o.deg) AS rank
+         |  FROM edges e JOIN p${i - 1} p ON p.node = e.src
+         |  JOIN outdeg o ON o.src = e.src GROUP BY e.dst)""".stripMargin
+    }
+    (Seq(base) ++ steps).mkString(",\n") +
+      s"""|,
+          |ranked AS (SELECT node AS keyword, round(rank, 6) AS rank
+          |  FROM p$iters ORDER BY round(rank, 6) DESC, node LIMIT 20)
+          |SELECT keyword, rank,
+          |  row_number() OVER (ORDER BY rank DESC, keyword) AS kw_rank
+          |FROM ranked ORDER BY rank DESC, keyword""".stripMargin
+  }
+
+  /** Oracle for q_acf: the same n²-cleared rational-mean identity as
+    * [[operators.TimeSeries.acf]] — every sufficient statistic an
+    * exact HUGEINT (DuckDB's 128-bit integer, the twin of the Spark
+    * side's DECIMAL(38,0)), one double division per lag, same
+    * rounding. Lags are unrolled as SELECT arms over one lead-window
+    * CTE, exactly the columns the Spark plan carries.
+    */
+  private def acfOracleSql: String = {
+    val maxLag = 7
+    val leadCols = (1 to maxLag)
+      .map(j => s"lead(n, $j) OVER (ORDER BY day) AS l$j").mkString(",\n|    ")
+    val sumCols = (1 to maxLag).map(j =>
+      s"""CAST(sum(x * l$j) AS HUGEINT) AS s$j,
+         |    CAST(sum(CASE WHEN l$j IS NOT NULL THEN x END) AS HUGEINT) AS h$j,
+         |    CAST(sum(l$j) AS HUGEINT) AS t$j""".stripMargin).mkString(",\n|    ")
+    val arms = (1 to maxLag).map { j =>
+      s"""SELECT $j AS lag_k, CAST(n - $j AS BIGINT) AS n_terms,
+         |  round(CAST(n*n*s$j - n*sx*(h$j + t$j) + (n - $j)*sx*sx AS DOUBLE) /
+         |        CAST(n*n*sxx - n*sx*sx AS DOUBLE), 6) AS acf FROM s""".stripMargin
+    }.mkString("\n|UNION ALL\n|")
+    s"""WITH daily AS (SELECT date_trunc('day', ts) AS day,
+       |    CAST(count(*) AS HUGEINT) AS n FROM events GROUP BY 1),
+       |l AS (SELECT n AS x,
+       |    $leadCols
+       |  FROM daily),
+       |s AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+       |    CAST(sum(x) AS HUGEINT) AS sx,
+       |    CAST(sum(x * x) AS HUGEINT) AS sxx,
+       |    $sumCols
+       |  FROM l)
+       |SELECT CAST(lag_k AS INTEGER) AS lag, n_terms, acf FROM (
+       |$arms)
+       |ORDER BY lag""".stripMargin
   }
 
   /** DuckDB ASOF JOIN oracle shared by `q_asof_join` (window
@@ -5488,6 +5664,82 @@ object SparkEntry {
         |  max(l_shipdate) AS max_l_shipdate
         |FROM lineitem GROUP BY 1 ORDER BY shard_id""".stripMargin,
     // PPMI: same lead-based pair stream, same one-expression double.
+    // TextRank: q_pmi_cooccur's pair CTEs -> symmetrized graph -> the
+    // pageRankOracleSql unrolled-iteration technique -> rounded top-20.
+    "q_textrank" -> textrankOracleSql,
+    // KS: the D argmax decided in exact integer arithmetic over the
+    // value domain; one rounded double division at the end.
+    "q_ks_test" ->
+      """WITH pv AS (SELECT n_chars AS v,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |    CAST(sum(cb) AS BIGINT) AS nb FROM pv),
+        |c AS (SELECT v,
+        |    CAST(sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cuma,
+        |    CAST(sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumb
+        |  FROM pv)
+        |SELECT na AS n_a, nb AS n_b,
+        |  CAST(max(abs(cuma * nb - cumb * na)) AS BIGINT) AS d_num,
+        |  round(CAST(max(abs(cuma * nb - cumb * na)) AS DOUBLE) /
+        |        (CAST(na AS DOUBLE) * nb), 6) AS ks_d
+        |FROM c CROSS JOIN t GROUP BY na, nb""".stripMargin,
+    // Benford: first digit from the DECIMAL(18,2) string rendering
+    // (both engines print decimals identically), expected shares as
+    // 6-decimal literals, chi-square terms from exact counts.
+    "q_benford" ->
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+        |      AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        |  FROM orders WHERE o_totalprice >= 1),
+        |c AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY 1),
+        |tt AS (SELECT CAST(sum(n_obs) AS BIGINT) AS t FROM c),
+        |e AS (SELECT * FROM (VALUES
+        |  (1, CAST(0.301030 AS DOUBLE)), (2, CAST(0.176091 AS DOUBLE)),
+        |  (3, CAST(0.124939 AS DOUBLE)), (4, CAST(0.096910 AS DOUBLE)),
+        |  (5, CAST(0.079181 AS DOUBLE)), (6, CAST(0.066947 AS DOUBLE)),
+        |  (7, CAST(0.057992 AS DOUBLE)), (8, CAST(0.051153 AS DOUBLE)),
+        |  (9, CAST(0.045757 AS DOUBLE))) AS v(digit, exp_share))
+        |SELECT c.digit, c.n_obs,
+        |  round(CAST(c.n_obs AS DOUBLE) / t, 6) AS obs_share,
+        |  e.exp_share,
+        |  round((CAST(c.n_obs AS DOUBLE) - t * e.exp_share) *
+        |        (CAST(c.n_obs AS DOUBLE) - t * e.exp_share) /
+        |        (t * e.exp_share), 6) AS chi2_term
+        |FROM c JOIN e USING (digit) CROSS JOIN tt
+        |ORDER BY digit""".stripMargin,
+    // k-anonymity: one keyed count, integer flag.
+    "q_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |  count(*) AS class_size,
+        |  CAST(count(*) < 10 AS INTEGER) AS at_risk
+        |FROM customer GROUP BY 1, 2
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    // k-hop BFS: recursive path walk bounded at 4 hops, min(dist) per
+    // node — an independent formulation of the level-synchronous
+    // frontier expansion.
+    "q_khop" ->
+      """WITH RECURSIVE hosts AS (
+        |  SELECT DISTINCT doc_id % 97 AS src FROM documents),
+        |edges AS (SELECT src, (src * 3 + 1) % 97 AS dst FROM hosts
+        |          UNION ALL SELECT src, (src * 7 + 2) % 97 FROM hosts),
+        |walk(node, dist) AS (
+        |  SELECT CAST(0 AS BIGINT), 0
+        |  UNION ALL
+        |  SELECT e.dst, w.dist + 1
+        |  FROM walk w JOIN edges e ON e.src = w.node
+        |  WHERE w.dist < 4)
+        |SELECT node, CAST(min(dist) AS BIGINT) AS dist
+        |FROM walk GROUP BY 1 ORDER BY node""".stripMargin,
+    // ACF: unrolled lag arms over one lead-window CTE, HUGEINT-exact
+    // sufficient statistics, one rounded division per lag.
+    "q_acf" -> acfOracleSql,
+    // Keyset pagination: the cursor tuple predicate + top-5.
+    "q_paginate_keyset" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE p_name > 'blue bolt'
+        |   OR (p_name = 'blue bolt' AND p_partkey > 1140)
+        |ORDER BY p_name, p_partkey LIMIT 5""".stripMargin,
     "q_pmi_cooccur" ->
       """WITH ws AS (SELECT doc_id,
         |    string_split_regex(trim(text), '\s+') AS ws FROM documents),
@@ -5512,7 +5764,7 @@ object SparkEntry {
         |CROSS JOIN tot CROSS JOIN tp
         |WHERE pc.n_pair >= 5
         |ORDER BY pc.w1, pc.w2""".stripMargin,
-    // Sparse k-NN: same rounded DECIMAL(14,4) weights, exact-decimal
+    // Sparse k-NN: same 10^4-scaled BIGINT weights, exact integer
     // dots and norms, one sqrt+division on identical doubles, same
     // (rounded sim, id) ranking.
     "q_sparse_knn" ->
@@ -5524,8 +5776,8 @@ object SparkEntry {
         |tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
         |df AS (SELECT word, count(DISTINCT doc_id) AS df FROM w GROUP BY 1),
         |wt AS (SELECT tf.doc_id, tf.word,
-        |    CAST(round(tf.tf * ln(CAST(n.n_docs + 1 AS DOUBLE) / (df.df + 1)), 4)
-        |      AS DECIMAL(14,4)) AS w
+        |    CAST(round(tf.tf * ln(CAST(n.n_docs + 1 AS DOUBLE) / (df.df + 1))
+        |      * 10000) AS BIGINT) AS w
         |  FROM tf JOIN df USING (word), n),
         |norms AS (SELECT doc_id, sum(w * w) AS n2 FROM wt GROUP BY 1),
         |q AS (SELECT doc_id FROM documents WHERE doc_id % 100 = 0),

@@ -40,4 +40,35 @@ object CatalogQueries {
     }
     ordered.offset(offset).limit(limit)
   }
+
+  /** Keyset ("seek method") pagination — the scale-correct sibling of
+    * [[list]]'s offset/limit: instead of skipping `offset` rows (which
+    * a distributed engine must still produce and discard, so page N
+    * costs O(N·pageSize) and deep pages melt down), the client passes
+    * the last key it saw and the next page is `WHERE key > last ORDER
+    * BY key LIMIT n` — a predicate that pushes into the scan, so every
+    * page costs the same O(pageSize) regardless of depth. The cursor
+    * key must be a TOTAL order, or pages skip/repeat rows that tie on
+    *
+    * the sort key. Here the cursor is `sku` alone: (client_id, sku) is
+    * the reference table's uniqueness contract (the upsert key), so
+    * within a tenant `sku` IS a total order.
+    *
+    * Plan shape: the `sku > after` predicate lands in PushedFilters
+    * (min/max row-group pruning skips every chunk wholly before the
+    * cursor) and the sort+limit plans as TakeOrderedAndProject — a
+    * distributed top-k, never a global sort or an offset scan.
+    */
+  def listKeyset(
+      products: DataFrame,
+      clientId: Int,
+      afterSku: String,
+      limit: Int = DefaultLimit): DataFrame = {
+    require(limit >= 1 && limit <= MaxLimit, s"limit must be in [1,$MaxLimit]")
+    products
+      .filter(col("client_id") === clientId)
+      .filter(col("sku") > afterSku)
+      .orderBy(col("sku"))
+      .limit(limit)
+  }
 }

@@ -997,6 +997,9 @@ object Dedup {
         i => struct(i.as("pos"),
           concat_ws(" ", slice(col("_w"), i, lit(k))).as("sh")))).as("_p"))
       .select(col("id"), col("_p.pos").as("pos"), col("_p.sh").as("sh"))
+      // feeds the duplicate count AND the position join-back — the
+      // window explode is the corpus-scale cost and must run once
+      .localCheckpoint()
     val dup = sh.groupBy(col("sh")).agg(count(lit(1)).as("_c"))
       .filter(col("_c") > 1)
     val hits = sh.join(dup, "sh").select(col("id"), col("pos"))

@@ -69,6 +69,54 @@ object LinkGraph {
     ranks.select(col("node"), round(col("rank"), roundTo).as("rank"))
   }
 
+  /** Bounded-hop BFS shortest paths from a seed set — the
+    * crawl-frontier / domain-neighborhood query: which hosts are
+    * reachable from the trusted seeds within k hops, and at what
+    * minimum distance. Seed-anchored distance is the standard
+    * trust-propagation prior (the public TrustRank recipe seeds its
+    * PageRank the same way), and "within k hops of a known-good hub"
+    * is a common crawl-scope rule.
+    *
+    * Level-synchronous frontier expansion: iteration i joins ONLY the
+    * nodes first reached at distance i-1 (the frontier) against the
+    * edge list — never the whole visited set — then an anti-join drops
+    * already-visited nodes, so each edge is traversed at most once per
+    * endpoint discovery and total work is O(edges within the k-hop
+    * ball), the textbook distributed-BFS bound. Every join is a keyed
+    * equi-join on node ids (the big side is always the EDGE list);
+    * lineage is cut with localCheckpoint per level (the
+    * connected-components hygiene — iterative plans otherwise stack
+    * exponentially in Catalyst).
+    *
+    * Output: (node, dist) for every node reachable within `maxHops`,
+    * dist = exact minimum hop count (seeds at 0).
+    */
+  def shortestPaths(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 1, "maxHops must be >= 1")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint()
+    var visited = seeds.select(col(seedCol).as("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint()
+    var frontier = visited
+    for (i <- 1 to maxHops) {
+      val reached = frontier
+        .join(e, col("node") === col("src"))
+        .select(col("dst").as("node")).distinct()
+      frontier = reached
+        .join(visited.select(col("node")), Seq("node"), "left_anti")
+        .withColumn("dist", lit(i.toLong))
+        .localCheckpoint()
+      visited = visited.unionAll(frontier).localCheckpoint()
+    }
+    visited
+  }
+
   /** Per-node triangle counts by the degree-ordered wedge algorithm
     * (Latapy's compact-forward, public literature): canonicalize to
     * undirected distinct edges, orient every edge from its lower
@@ -91,6 +139,9 @@ object LinkGraph {
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
+      // read by the degree aggregate, the orientation join, and the
+      // wedge-closing join — canonicalize once
+      .localCheckpoint()
     val deg = und.select(col("a").as("n"))
       .unionAll(und.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))
@@ -105,6 +156,8 @@ object LinkGraph {
       when(col("da") < col("db") ||
         (col("da") === col("db") && col("a") < col("b")), col("b"))
         .otherwise(col("a")).as("to"))
+      // both wedge sides read the oriented edges — orient once
+      .localCheckpoint()
     val wedges = oriented.as("e1")
       .join(oriented.as("e2"),
         col("e1.from") === col("e2.from") && col("e1.to") < col("e2.to"))

@@ -25,7 +25,9 @@ import org.apache.spark.sql.functions._
   * here, and the cap is part of the declared semantics so the oracle
   * applies it too). The pair aggregate and both support aggregates are
   * plain hash aggregates with partial combine; nothing is ever
-  * collected to the driver.
+  * collected to the driver. (An array-collect formulation that
+  * generates pairs map-side was measured SLOWER here — the per-basket
+  * collect_set aggregate costs more than the self-join it saves.)
   */
 object MarketBasket {
 
@@ -35,14 +37,20 @@ object MarketBasket {
     */
   def pairCounts(df: DataFrame, basketCol: String, itemCol: String,
       minSupport: Long = 2L, maxBasket: Int = 64): DataFrame = {
+    // distinct is the expensive corpus shuffle; it feeds both the size
+    // aggregate and the kept join below — materialize it once
     val items = df.select(col(basketCol).as("o"), col(itemCol).as("p"))
       .distinct()
+      .localCheckpoint()
     // basket sizes as a groupBy + o-keyed join (not a window): the join
     // hashes on o exactly like the pair self-join below, so the
     // exchange is shared, and the size table collapses map-side
     val sizes = items.groupBy(col("o")).agg(count(lit(1)).as("_n"))
       .filter(col("_n") <= maxBasket).select(col("o"))
-    val kept = items.join(sizes, "o")
+    // capped baskets feed three consumers (support, both self-join
+    // sides); materialize once — the distinct and the size filter are
+    // the expensive corpus passes and must not replay per consumer
+    val kept = items.join(sizes, "o").localCheckpoint()
     val support = kept.groupBy(col("p")).agg(count(lit(1)).as("n"))
     val pairs = kept.as("a")
       .join(kept.as("b"),

@@ -112,6 +112,123 @@ object Profiling {
         round((p - q) * log(p / q), roundTo).as("psi_term"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic between the `valueCol`
+    * distributions of two row populations — the nonparametric,
+    * bin-free companion of [[distributionDrift]]: PSI answers "did the
+    * binned shares move", KS answers "what is the largest CDF gap
+    * anywhere", which catches shifts PSI's fixed buckets straddle.
+    * `valueCol` must be integral (document lengths, token counts,
+    * event counts — the quality-signal columns a curation pipeline
+    * monitors).
+    *
+    * Exactness: D = max_v |F_a(v) - F_b(v)| is computed as the integer
+    * maximum of |cumA·nB - cumB·nA| over the DISTINCT value domain —
+    * cumulative counts and sample sizes are exact longs, so the argmax
+    * is decided in integer arithmetic and only the final D = max/(nA·nB)
+    * is one rounded double division. No float comparison anywhere.
+    *
+    * Scale shape: one conditional-count aggregate collapses both
+    * populations to the distinct-value domain in a single scan
+    * (map-side combine); the running sums are ONE window over that
+    * domain-sized table (range-partitionable with per-split offsets at
+    * extreme domains — the [[GlobalIndex]] split-points technique);
+    * sample totals derive from the same bounded table, never a second
+    * corpus scan. Output is a single row.
+    */
+  def ksTest(df: DataFrame, valueCol: String,
+      inA: Column, inB: Column, roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perValue = df
+      .select(col(valueCol).cast("long").as("v"),
+        when(inA, 1L).otherwise(0L).as("_a"),
+        when(inB, 1L).otherwise(0L).as("_b"))
+      .filter(col("_a") + col("_b") > 0)
+      .groupBy(col("v"))
+      .agg(sum(col("_a")).as("ca"), sum(col("_b")).as("cb"))
+    val totals = perValue.agg(sum(col("ca")).as("_na"), sum(col("cb")).as("_nb"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perValue
+      .withColumn("_cuma", sum(col("ca")).over(w))
+      .withColumn("_cumb", sum(col("cb")).over(w))
+      .crossJoin(broadcast(totals))
+      .agg(max(col("_na")).as("n_a"), max(col("_nb")).as("n_b"),
+        max(abs(col("_cuma") * col("_nb") - col("_cumb") * col("_na")))
+          .as("d_num"))
+      .select(col("n_a"), col("n_b"), col("d_num"),
+        round(col("d_num").cast("double") /
+          (col("n_a").cast("double") * col("n_b")), roundTo).as("ks_d"))
+  }
+
+  /** Benford first-significant-digit audit — the forensic data-quality
+    * check for "organically grown" numeric columns (amounts, populations,
+    * file sizes): natural multiplicative processes put digit d first
+    * with probability log10(1 + 1/d), and fabricated or truncated data
+    * visibly deviates. Reports, per digit 1-9, the observed count and
+    * share against the Benford expectation plus the chi-square term —
+    * sum the column and compare against the 8-degree critical value.
+    *
+    * The first digit is taken from the DECIMAL(18,2) string rendering
+    * (both engines print decimals identically; no log10/pow float path,
+    * whose ULP behavior at exact powers of ten differs by platform),
+    * and rows below 1 are excluded (their leading digit is a zero).
+    * The expected shares are the nine Benford constants as 6-decimal
+    * literals — fixed numbers, not runtime logarithms — so every
+    * derived value is a deterministic function of exact integers.
+    *
+    * Scale shape: one scan, one 9-bucket aggregate with map-side
+    * combine; the total derives from the 9-row table. Output: 9 rows.
+    */
+  def benford(df: DataFrame, amountCol: String, roundTo: Int = 6): DataFrame = {
+    val expected = Map(
+      1 -> 0.301030, 2 -> 0.176091, 3 -> 0.124939, 4 -> 0.096910,
+      5 -> 0.079181, 6 -> 0.066947, 7 -> 0.057992, 8 -> 0.051153,
+      9 -> 0.045757)
+    val digit = substring(
+      col(amountCol).cast(org.apache.spark.sql.types.DecimalType(18, 2))
+        .cast("string"), 1, 1).cast("int")
+    // Rows below 1 are excluded BEFORE the digit cast — their rendering
+    // starts with '0' or '-', which ANSI integer casting must never see.
+    val counts = df.filter(col(amountCol) >= 1)
+      .select(digit.as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val total = counts.agg(sum(col("n_obs")).as("_t"))
+    val expCol = expected.foldLeft(lit(null).cast("double")) {
+      case (acc, (d, e)) => when(col("digit") === d, lit(e)).otherwise(acc)
+    }
+    counts.crossJoin(broadcast(total))
+      .withColumn("exp_share", expCol)
+      .select(col("digit"), col("n_obs"),
+        round(col("n_obs").cast("double") / col("_t"), roundTo)
+          .as("obs_share"),
+        col("exp_share"),
+        round(
+          (col("n_obs").cast("double") - col("_t") * col("exp_share")) *
+            (col("n_obs").cast("double") - col("_t") * col("exp_share")) /
+            (col("_t") * col("exp_share")), roundTo).as("chi2_term"))
+      .orderBy(col("digit"))
+  }
+
+  /** k-anonymity audit over a quasi-identifier combination — the
+    * privacy gate a training-data release runs before shipping: every
+    * equivalence class (distinct quasi-identifier tuple) smaller than
+    * `k` re-identifies its members and must be suppressed or
+    * generalized. Reports each class with its size and at-risk flag;
+    * the smallest class size across the output IS the dataset's
+    * k-anonymity.
+    *
+    * Scale shape: one keyed aggregate with map-side combine — output
+    * bounded by the quasi-identifier domain, not the row count. The
+    * flag is an integer comparison on an exact count.
+    */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymity needs at least one column")
+    require(k >= 2, "k below 2 makes every class anonymous")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+      .withColumn("at_risk", (col("class_size") < k).cast("int"))
+  }
+
   /** Robust per-group outlier detection via the median absolute
     * deviation (Hampel's robust scale): a row is anomalous when its
     * absolute deviation from the group median exceeds k times the

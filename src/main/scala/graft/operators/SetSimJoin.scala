@@ -52,7 +52,12 @@ object SetSimJoin {
   def selfJoinTokens(tokens: DataFrame, threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
-    val words = tokens.select(col("id"), col("w"))
+    // The token table feeds four consumers (df, sizes, the prefix
+    // build, and both verify sides); materialize it once instead of
+    // re-deriving the shingle explode per consumer — locally a
+    // checkpoint, at scale the persisted (id, token) table every
+    // set-similarity system builds first.
+    val words = tokens.select(col("id"), col("w")).localCheckpoint()
     val tokenDf = words.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val sizes = words.groupBy(col("id")).agg(count(lit(1)).as("n"))
     // Per-doc rank in the global (df asc, token) order. The window is
@@ -65,12 +70,33 @@ object SetSimJoin {
       .join(sizes, "id")
       .filter(col("pos") <=
         col("n") - ceil(col("n") * lit(threshold)).cast(LongType) + 1)
-      .select(col("id"), col("w"), col("n"))
+      .select(col("id"), col("w"), col("n"), col("pos"))
+      // both sides of the candidate self-join read this — one build
+      .localCheckpoint()
+    // PPJoin positional filter (Xiao et al. 2008): a qualifying pair
+    // needs overlap >= alpha = ceil(t/(1+t) * (|a|+|b|)), and a match
+    // on prefix positions (pa, pb) can grow to at most
+    // 1 + min(|a|-pa, |b|-pb) further overlap (both docs are ordered
+    // by the SAME global (df, token) order, so everything shared sits
+    // at or after the matched positions). Candidates failing the bound
+    // are provably below threshold — dropped BEFORE the distinct and
+    // the verify expansion ever see them. The bound kills exactly the
+    // candidate mass that hurts: matches on the COMMON tokens at the
+    // tail of long prefixes, where df (and thus pair fan-out) is
+    // largest. Losslessness: for a qualifying pair, its FIRST shared
+    // token in the global order has all shared tokens at or after its
+    // positions, so that candidate row's bound >= the true overlap
+    // >= alpha and the row survives. The 1e-9 slack makes the double
+    // rounding of t/(1+t) strictly conservative (can only keep more).
+    val alpha = ceil((col("a.n") + col("b.n")).cast(DoubleType) *
+      lit(threshold / (1.0 + threshold)) - lit(1e-9))
     val cands = prefix.as("a")
       .join(prefix.as("b"),
         col("a.w") === col("b.w") && col("a.id") < col("b.id"))
       .filter(least(col("a.n"), col("b.n")).cast(DoubleType) >=
         greatest(col("a.n"), col("b.n")) * lit(threshold))
+      .filter(lit(1) + least(col("a.n") - col("a.pos"),
+        col("b.n") - col("b.pos")) >= alpha)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.n").as("n_a"), col("b.n").as("n_b"))
       .distinct()

@@ -65,19 +65,28 @@ object TermIndex {
     * documents under TF-IDF weights — the classic sparse-retrieval
     * "related documents" query, the lexical counterpart of the dense
     * ANN family (Similarity.scala). Weights reuse [[tfidfTopTerms]]'s
-    * formula ROUNDED to 4 decimals and cast to DECIMAL(14,4), so dot
-    * products and norms accumulate in exact decimal arithmetic —
-    * order- and partitioning-independent, which is what lets an
+    * formula quantized to 4 decimals and carried as 10^4-scaled LONGS,
+    * so dot products and norms accumulate in exact integer arithmetic
+    * — order- and partitioning-independent, which is what lets an
     * independent engine reproduce the ranking bit-for-bit (the only
     * double ops left are one sqrt and one division on identical
-    * inputs). Ranking is by the ROUNDED similarity with doc-id
-    * tie-break.
+    * inputs; the 10^8 scale cancels inside the cosine ratio up to the
+    * one shared sqrt). Ranking is by the ROUNDED similarity with
+    * doc-id tie-break.
     *
     * Scale shape: the posting join is keyed on the term; the query
     * side is tiny (k-NN requests) and the corpus side streams — cost
     * is Σ over query terms of df(term), the inverted-index retrieval
-    * bound, never corpus x corpus. Norms join keyed by doc id. A
-    * production variant drops ultra-common terms by df cap exactly
+    * bound, never corpus x corpus. The corpus is scanned ONCE: df
+    * derives from the tf aggregate (one row per (doc, term) already —
+    * the [[bm25TopK]] trick), and the weighted posting table is
+    * materialized (`localCheckpoint` here; a persisted index table in
+    * production — this IS the index build an inverted-index store
+    * amortizes) so norms, query vectors, and the retrieval join all
+    * read the index instead of re-deriving it. Query postings
+    * broadcast into the retrieval join — the corpus side never
+    * shuffles for it. Norms join keyed by doc id. A production
+    * variant drops ultra-common terms by df cap exactly
     * like the LSH stop-shingle rule; the synthetic corpus's tiny
     * vocabulary would go empty, so the gate declares no cap.
     */
@@ -85,19 +94,31 @@ object TermIndex {
       queries: DataFrame, k: Int = 5): DataFrame = {
     val occ = occurrences(docs, textCol, idCol)
     val tf = occ.groupBy(col("id"), col("word")).agg(count(lit(1)).as("tf"))
-    val dfreq = occ.groupBy(col("word")).agg(countDistinct(col("id")).as("df"))
+      .localCheckpoint()
+    // df from the tf aggregate — tf is one row per (doc, term), so a
+    // term-keyed count IS the document frequency; no second corpus pass.
+    val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("_n"))
+    // Weights are 4-decimal TF-IDF values carried as SCALED LONGS
+    // (w * 10^4): long sums are exact and order-insensitive like the
+    // decimal they replace, but the hot (qid, doc) aggregate then runs
+    // on primitive longs instead of Decimal buffers — measurably
+    // faster on the pair-expansion stream, identical semantics. The
+    // 10^8 scale on dot and norms cancels in the cosine; the oracle
+    // replays the same scaled integers.
     val weights = tf.join(dfreq, "word").crossJoin(broadcast(n))
       .withColumn("w",
         round(col("tf") * log((col("_n") + 1).cast("double") /
-          (col("df") + 1).cast("double")), 4).cast(DecimalType(14, 4)))
+          (col("df") + 1).cast("double")) * 1e4, 0).cast("long"))
       .select(col("id"), col("word"), col("w"))
+      .localCheckpoint()
     val norms = weights.groupBy(col("id"))
       .agg(sum(col("w") * col("w")).as("n2"))
     val qw = weights.join(
       broadcast(queries.select(col(queries.columns.head).as("id"))), "id")
-    val dots = qw.select(col("id").as("qid"), col("word"), col("w").as("qw"))
-      .join(weights, "word")
+    val dots = weights
+      .join(broadcast(qw.select(col("id").as("qid"), col("word"),
+        col("w").as("qw"))), "word")
       .filter(col("id") =!= col("qid"))
       .groupBy(col("qid"), col("id"))
       .agg(sum(col("qw") * col("w")).as("dot"))
@@ -663,5 +684,58 @@ object TermIndex {
           (col("n_pair").cast(DoubleType) * col("t_tokens") * col("t_tokens")) /
           (col("t_pairs").cast(DoubleType) * col("n_w1") * col("n_w2"))),
           6).as("pmi"))
+  }
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): rank words by
+    * PageRank over the co-occurrence graph — a word is important when
+    * important words co-occur with it. The graph-centrality keyword
+    * signal is embedding-free and unsupervised, the standard corpus
+    * -level companion to TF-IDF's per-document term weights.
+    *
+    * Graph construction: the [[pmiCooccur]] sliding-window pair stream
+    * (`maxDist` LEAD columns over one per-doc window — linear, never
+    * the position self-join), collapsed to pair counts, thresholded at
+    * `minPairCount` (prunes the long tail BEFORE the graph
+    * materializes — the df-banding discipline), self-loops dropped,
+    * then symmetrized (TextRank's graph is undirected; each surviving
+    * pair contributes both directions) and deduplicated. PageRank runs
+    * [[LinkGraph.pageRank]]'s fixed `iters` with IEEE-replayable
+    * constants; top-`k` is a TakeOrdered over the vocabulary-sized rank
+    * table, row_number after the limit.
+    *
+    * Scale shape: corpus-sized work is exactly the one lead-window
+    * pass; everything after lives at (pair-)vocabulary scale, and each
+    * PageRank iteration is one keyed edge-join + aggregate
+    * ([[LinkGraph.pageRank]]'s argument). Ordering ties break on the
+    * word, and the ORDER BY runs on the ROUNDED rank, so top-k
+    * membership is engine-stable.
+    */
+  def textrankKeywords(docs: DataFrame, textCol: String, idCol: String,
+      maxDist: Int = 2, minPairCount: Long = 5, iters: Int = 5,
+      k: Int = 20): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("id"),
+        posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "w")))
+      .filter(length(col("w")) > 0)
+    val wd = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val withLeads = toks.select(col("w").as("w1") +:
+      (1 to maxDist).map(j => lead(col("w"), j).over(wd).as(s"_n$j")): _*)
+    val pairs = (1 to maxDist).map(j =>
+        withLeads.filter(col(s"_n$j").isNotNull)
+          .select(col("w1"), col(s"_n$j").as("w2")))
+      .reduce(_ unionAll _)
+    val frequent = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minPairCount && col("w1") =!= col("w2"))
+    val edges = frequent.select(col("w1").as("src"), col("w2").as("dst"))
+      .unionAll(frequent.select(col("w2").as("src"), col("w1").as("dst")))
+      .distinct()
+    LinkGraph.pageRank(edges, "src", "dst", iters = iters)
+      .orderBy(col("rank").desc, col("node"))
+      .limit(k)
+      .withColumn("kw_rank", row_number().over(
+        Window.orderBy(col("rank").desc, col("node"))))
+      .withColumnRenamed("node", "keyword")
+      .orderBy(col("kw_rank"))
   }
 }

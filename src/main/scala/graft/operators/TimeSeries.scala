@@ -56,6 +56,65 @@ object TimeSeries {
       col("v_sum").isNull.as("was_gap"))
   }
 
+  /** Sample autocorrelation function (ACF) of a regularly-bucketed
+    * series at lags 1..`maxLag` — the seasonality detector: a spike at
+    * lag 7 on a daily series is weekly periodicity, slow decay is
+    * trend. Uses the standard sample estimator (global mean, full-series
+    * variance in the denominator):
+    *
+    *   r_k = Σ_{t}(x_t − x̄)(x_{t+k} − x̄) / Σ_t(x_t − x̄)²
+    *
+    * Exactness: `valueCol` must be integral (counts — or pre-scaled
+    * cents). Expanding both sides by n² clears the rational mean, so
+    *
+    *   r_k = (n²·S_k − n·Sx·(H_k+T_k) + (n−k)·Sx²) / (n²·Sxx − n·Sx²)
+    *
+    * with S_k = Σ x_t·x_{t+k}, H_k/T_k the head/tail partial sums —
+    * every term an exact DECIMAL(38,0) integer, one double division
+    * per lag, rounded. Any engine reproduces the digits from the same
+    * rows regardless of partitioning or merge order (the
+    * [[StatMoments]] argument applied to lagged co-moments).
+    *
+    * Scale shape: the caller's series is already collapsed to the
+    * bucket domain (days/hours — bounded), so the single unpartitioned
+    * lead window is domain-sized, not corpus-sized; `maxLag` lead
+    * columns ride ONE window pass, and everything reduces in one
+    * aggregate. At extreme bucket domains the window range-partitions
+    * with split-point offsets ([[GlobalIndex]]).
+    */
+  def acf(series: DataFrame, bucketCol: String, valueCol: String,
+      maxLag: Int, roundTo: Int = 6): DataFrame = {
+    require(maxLag >= 1, "maxLag must be >= 1")
+    val D0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val w = Window.orderBy(col("_b"))
+    val withLeads = series
+      .select(col(bucketCol).as("_b"), col(valueCol).cast("long").as("_x"))
+      .select(col("_x").cast(D0).as("x") +:
+        (1 to maxLag).map(k =>
+          lead(col("_x"), k).over(w).cast(D0).as(s"_l$k")): _*)
+    val aggs =
+      Seq(count(lit(1)).cast(D0).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx")) ++
+      (1 to maxLag).flatMap { k =>
+        Seq(
+          sum(col("x") * col(s"_l$k")).as(s"s$k"),
+          sum(when(col(s"_l$k").isNotNull, col("x"))).as(s"h$k"),
+          sum(col(s"_l$k")).as(s"t$k"))
+      }
+    val sums = withLeads.agg(aggs.head, aggs.tail: _*)
+    val den = col("n") * col("n") * col("sxx") - col("n") * col("sx") * col("sx")
+    val rows = (1 to maxLag).map { k =>
+      val num = col("n") * col("n") * col(s"s$k") -
+        col("n") * col("sx") * (col(s"h$k") + col(s"t$k")) +
+        (col("n") - lit(k).cast(D0)) * col("sx") * col("sx")
+      struct(lit(k).as("lag"),
+        (col("n") - lit(k).cast(D0)).cast("long").as("n_terms"),
+        round(num.cast("double") / den.cast("double"), roundTo).as("acf"))
+    }
+    sums.select(explode(array(rows: _*)).as("_r")).select(col("_r.*"))
+  }
+
   /** Linear interpolation variant: instead of carrying the last value
     * forward, interpolate linearly between the previous and next
     * OBSERVED bucket values. Gaps after the last observation keep the

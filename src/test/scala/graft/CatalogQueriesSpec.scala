@@ -48,4 +48,31 @@ class CatalogQueriesSpec extends SparkSpec {
     intercept[IllegalArgumentException] { CatalogQueries.list(products, 1, limit = 51) }
     intercept[IllegalArgumentException] { CatalogQueries.list(products, 1, offset = -1) }
   }
+
+  test("keyset pagination: walking pages covers the list exactly once") {
+    // Page through tenant 1 with page size 2, feeding each page's last
+    // sku back as the next cursor; the concatenation must equal the
+    // full sku-ordered list with no skips and no repeats.
+    val full = CatalogQueries.list(products, 1, limit = 50)
+      .collect().map(_.getAs[String]("sku")).toSeq
+    var cursor = ""
+    var walked = Seq.empty[String]
+    var page = Seq("start")
+    while (page.nonEmpty) {
+      page = CatalogQueries.listKeyset(products, 1, cursor, limit = 2)
+        .collect().map(_.getAs[String]("sku")).toSeq
+      walked ++= page
+      if (page.nonEmpty) cursor = page.last
+    }
+    assert(walked === full)
+  }
+
+  test("keyset pagination: cursor excludes itself, tenant scoped") {
+    val page = CatalogQueries.listKeyset(products, 1, "apple-2", limit = 50)
+      .collect().map(_.getAs[String]("sku")).toSeq
+    assert(page === Seq("banana", "cherry"))
+    // tenant 2 sees only its own row regardless of cursor
+    assert(CatalogQueries.listKeyset(products, 2, "", limit = 50)
+      .collect().map(_.getAs[String]("sku")).toSeq === Seq("apple-1"))
+  }
 }

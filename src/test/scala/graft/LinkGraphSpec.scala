@@ -90,6 +90,40 @@ class LinkGraphSpec extends SparkSpec {
     assert(expect.nonEmpty, "fixture must contain triangles")
   }
 
+  test("shortestPaths: min hop distances, cycles and revisits ignored") {
+    import spark.implicits._
+    // 1->2->3->4->6, 1->5->4 (4 reachable at hop 2 via 5 AND hop 3 via
+    // 3 -> must record 2), back-edge 2->1 (must not re-add the seed),
+    // disconnected 7->8 (must not appear).
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 5L), (5L, 4L),
+      (4L, 6L), (2L, 1L), (7L, 8L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("n")
+    val got = LinkGraph.shortestPaths(e, "src", "dst", seeds, "n", maxHops = 3)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("dist")).toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L, 5L -> 1L, 3L -> 2L,
+      4L -> 2L, 6L -> 3L))
+  }
+
+  test("shortestPaths: maxHops bounds the frontier") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("n")
+    val got = LinkGraph.shortestPaths(e, "src", "dst", seeds, "n", maxHops = 1)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("dist")).toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L))
+  }
+
+  test("shortestPaths: multiple seeds take the nearest") {
+    import spark.implicits._
+    // 1->2->3 and 9->3: node 3 is 2 hops from seed 1 but 1 hop from
+    // seed 9 -> dist 1.
+    val e = Seq((1L, 2L), (2L, 3L), (9L, 3L)).toDF("src", "dst")
+    val seeds = Seq(1L, 9L).toDF("n")
+    val got = LinkGraph.shortestPaths(e, "src", "dst", seeds, "n", maxHops = 3)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("dist")).toMap
+    assert(got === Map(1L -> 0L, 9L -> 0L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("triangle plan: keyed equi-joins only, no cartesian") {
     import spark.implicits._
     val e = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst")

@@ -106,6 +106,59 @@ class ProfilingSpec extends SparkSpec {
     assert(got.filter(_._1 == "h").forall(t => t._3 == 5L && t._4 == 0L && t._5 == 0))
   }
 
+  test("ksTest: hand-computed integer D argmax and final division") {
+    import spark.implicits._
+    // A = {1,2,3}, B = {2,4}. Cumulative (ca,cb) over v: (1,0) (2,1)
+    // (3,1) (3,2); |cumA*nB - cumB*nA| = 2, 1, 3, 0 -> d_num 3,
+    // D = 3/(3*2) = 0.5.
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 2L), ("b", 4L))
+      .toDF("g", "v")
+    val r = Profiling.ksTest(df, "v", $"g" === "a", $"g" === "b").head()
+    assert((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+      r.getAs[Long]("d_num"), r.getAs[Double]("ks_d")) === ((3L, 2L, 3L, 0.5)))
+  }
+
+  test("ksTest: identical distributions give D = 0") {
+    import spark.implicits._
+    val df = Seq(("a", 5L), ("a", 9L), ("b", 5L), ("b", 9L)).toDF("g", "v")
+    val r = Profiling.ksTest(df, "v", $"g" === "a", $"g" === "b").head()
+    assert(r.getAs[Long]("d_num") === 0L)
+    assert(r.getAs[Double]("ks_d") === 0.0)
+  }
+
+  test("benford: digit from decimal rendering, sub-1 rows excluded") {
+    import spark.implicits._
+    // digits: 1.0 -> 1, 1.5 -> 1, 19.0 -> 1, 2.3 -> 2; 0.5 and -3.0
+    // are below 1 and must not reach the digit cast.
+    val df = Seq(1.0, 1.5, 19.0, 2.3, 0.5, -3.0).toDF("amt")
+    val rows = Profiling.benford(df, "amt").collect()
+      .map(r => r.getAs[Int]("digit") ->
+        ((r.getAs[Long]("n_obs"), r.getAs[Double]("obs_share"),
+          r.getAs[Double]("exp_share"), r.getAs[Double]("chi2_term"))))
+      .toMap
+    assert(rows.keySet === Set(1, 2))
+    def chi(n: Long, t: Long, e: Double): Double = {
+      val d = n.toDouble - t * e
+      math.rint(d * d / (t * e) * 1e6) / 1e6
+    }
+    assert(rows(1) === ((3L, 0.75, 0.301030, chi(3L, 4L, 0.301030))))
+    assert(rows(2) === ((1L, 0.25, 0.176091, chi(1L, 4L, 0.176091))))
+  }
+
+  test("kAnonymity: class sizes and at-risk flags") {
+    import spark.implicits._
+    val df = Seq(("US", "A"), ("US", "A"), ("US", "A"), ("US", "B"),
+      ("DE", "A")).toDF("nation", "seg")
+    val got = Profiling.kAnonymity(df, Seq("nation", "seg"), k = 2)
+      .collect().map(r => (r.getAs[String]("nation"), r.getAs[String]("seg"),
+        r.getAs[Long]("class_size"), r.getAs[Int]("at_risk"))).toSet
+    assert(got === Set(("US", "A", 3L, 0), ("US", "B", 1L, 1),
+      ("DE", "A", 1L, 1)))
+    intercept[IllegalArgumentException] {
+      Profiling.kAnonymity(df, Seq("nation"), k = 1)
+    }
+  }
+
   test("madOutliers robustness: outliers cannot unflag themselves") {
     import spark.implicits._
     // Mean/stddev z-scores famously let a big-enough spike inflate the

@@ -395,4 +395,42 @@ class TermIndexSpec extends SparkSpec {
     assert(!pairs.contains(("a", "b")))
     assert(pairs.contains(("a", "x2")) && !pairs.contains(("a", "x3")))
   }
+
+  test("textrank: path-graph ranks match a scalar PageRank replay") {
+    import spark.implicits._
+    // Docs build the path graph a—b—c (maxDist 1 keeps the pair stream
+    // clean). Replay 5 iterations in scalar doubles with the plan's
+    // exact arithmetic: r' = (1-0.85)/n + 0.85 * sum(in-rank/outdeg).
+    val df = Seq((1L, "a b a b"), (2L, "b c b c")).toDF("doc_id", "text")
+    val got = TermIndex.textrankKeywords(df, "text", "doc_id",
+        maxDist = 1, minPairCount = 1, iters = 5, k = 10)
+      .collect()
+      .map(r => (r.getAs[String]("keyword"), r.getAs[Double]("rank"),
+        r.getAs[Int]("kw_rank")))
+    var (ra, rb, rc) = (1.0 / 3, 1.0 / 3, 1.0 / 3)
+    for (_ <- 1 to 5) {
+      val base = (1.0 - 0.85) / 3
+      // outdeg: a=1 (->b), b=2 (->a,c), c=1 (->b)
+      val (na, nb, nc) =
+        (base + 0.85 * (rb / 2), base + 0.85 * (ra / 1 + rc / 1),
+          base + 0.85 * (rb / 2))
+      ra = na; rb = nb; rc = nc
+    }
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // b is the hub: highest rank, kw_rank 1; a and c tie and break
+    // alphabetically.
+    assert(got.toSeq === Seq(("b", r6(rb), 1), ("a", r6(ra), 2),
+      ("c", r6(rc), 3)))
+  }
+
+  test("textrank: self-loops and sub-support pairs never enter the graph") {
+    import spark.implicits._
+    // "a a a a" yields only (a,a) pairs -> empty graph; "x y" appears
+    // once, below minPairCount 2.
+    val df = Seq((1L, "a a a a"), (2L, "x y")).toDF("doc_id", "text")
+    val got = TermIndex.textrankKeywords(df, "text", "doc_id",
+      maxDist = 1, minPairCount = 2, iters = 3, k = 10)
+    assert(got.count() === 0L)
+  }
 }

@@ -52,6 +52,29 @@ class TimeSeriesSpec extends SparkSpec {
     assert(vals(0) === 3.0 && vals(3) === 4.0 && vals(4) === 7.0)
   }
 
+  test("acf: hand-computed alternating series, negative lag-1 / positive lag-2") {
+    import spark.implicits._
+    // x = [1,2,1,2,1,2]: n=6, Sx=9, Sxx=15; lag1: S=10, H=7, T=8 ->
+    // num = 36*10 - 54*15 + 5*81 = -45, den = 36*15 - 6*81 = 54 ->
+    // r1 = -45/54 = -0.833333; lag2: S=10, H=6, T=6 ->
+    // num = 360 - 648 + 4*81 = 36 -> r2 = 36/54 = 0.666667.
+    val s = Seq((1L, 1L), (2L, 2L), (3L, 1L), (4L, 2L), (5L, 1L), (6L, 2L))
+      .toDF("b", "x")
+    val got = TimeSeries.acf(s, "b", "x", maxLag = 2).orderBy("lag")
+      .collect().map(r => (r.getAs[Int]("lag"), r.getAs[Long]("n_terms"),
+        r.getAs[Double]("acf")))
+    assert(got.toSeq === Seq((1, 5L, -0.833333), (2, 4L, 0.666667)))
+  }
+
+  test("acf: input row order is irrelevant (bucket order governs)") {
+    import spark.implicits._
+    val shuffled = Seq((4L, 2L), (1L, 1L), (6L, 2L), (3L, 1L), (5L, 1L),
+      (2L, 2L)).toDF("b", "x")
+    val got = TimeSeries.acf(shuffled, "b", "x", maxLag = 1)
+      .collect().map(r => r.getAs[Double]("acf"))
+    assert(got.toSeq === Seq(-0.833333))
+  }
+
   test("plan has no cartesian product and no broadcast nested loop") {
     val plan = TimeSeries.resampleFill(obs, "k", "bucket", "v")
       .queryExecution.executedPlan.toString
