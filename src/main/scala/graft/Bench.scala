@@ -93,7 +93,13 @@ object Bench {
     *    billed window/tumbling family runs; the lag arithmetic lives
     *    on the day-domain table), q_paginate_keyset (cursor-predicate
     *    variant of the billed paginate/top-k family — the point IS
-    *    that it does strictly less work than the offset form).
+    *    that it does strictly less work than the offset form),
+    *    q_ewma / q_rolling_zscore (day-domain window arithmetic over
+    *    the same daily collapse the billed window family runs),
+    *    q_quantile_shards (the billed q_distinct_shards merge pattern
+    *    + the billed percentile family's read-off),
+    *    q_key_skew (keyed count + domain-sized rank window — the
+    *    billed group-agg family's shape ending in one report row).
     *
     * 2. FIXED-SEMANTICS PROBES — the query's input is a deterministic
     *    fixture synthesized inside the query (the dirty-CTE pattern) or
@@ -128,7 +134,8 @@ object Bench {
     "q_grouping_sets", "q_window_firstlast", "q_window_lag",
     "q_window_ntile", "q_window_range", "q_events_tumbling",
     "q_bigram_lm", "q_textrank", "q_ks_test", "q_k_anonymity",
-    "q_acf", "q_paginate_keyset",
+    "q_acf", "q_paginate_keyset", "q_ewma", "q_rolling_zscore",
+    "q_quantile_shards", "q_key_skew",
     // fixed-semantics probes
     "q_transform_text", "q_transform_decimal", "q_transform_integer",
     "q_transform_boolean", "q_filter_active_user", "q_html_extract",

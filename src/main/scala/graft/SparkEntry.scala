@@ -1176,6 +1176,105 @@ object SparkEntry {
     TimeSeries.acf(daily, "day", "n", maxLag = 7).orderBy(col("lag"))
   }
 
+  /** Windowed EWMA ([[operators.TimeSeries.ewma]]) of daily event
+    * volume, α=0.3 over an 8-bucket window — integer-literal weight
+    * dot products (no pow() float path), one rounded division per row.
+    */
+  private def ewmaQ(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("v"))
+    TimeSeries.ewma(daily, "day", "v", alphaNum = 3, alphaDen = 10,
+        window = 8)
+      .orderBy(col("day"))
+  }
+
+  /** Rolling z-score anomaly baseline: each day's event volume scored
+    * against the trailing 7-day window's mean/sample-stddev — the
+    * monitoring twin of the global [[operators.StatMoments.zscore]].
+    * Frame sums are exact longs; the score is one fixed IEEE formula
+    * on them, rounded; windows with n<2 or zero variance score 0.0.
+    */
+  private def rollingZscore(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("v"))
+    val f = Window.orderBy(col("day")).rowsBetween(-6, 0)
+    val n = count(lit(1)).over(f)
+    val sx = sum(col("v")).over(f)
+    val sxx = sum(col("v") * col("v")).over(f)
+    val cxx = (n * sxx - sx * sx).cast(DoubleType)
+    val mean = sx.cast(DoubleType) / n.cast(DoubleType)
+    val varS = cxx / (n.cast(DoubleType) * (n.cast(DoubleType) - lit(1.0)))
+    daily
+      .select(col("day"), col("v"),
+        when(n >= 2 && cxx > 0,
+          round((col("v").cast(DoubleType) - mean) / sqrt(varS), 6))
+          .otherwise(lit(0.0)).as("z"))
+      .orderBy(col("day"))
+  }
+
+  /** Mergeable exact quantiles — the [[distinctShards]] pattern for
+    * percentiles: each shard collapses to a (value, count) histogram
+    * (kilobytes of mergeable state, value-domain-bounded), shard
+    * histograms merge by re-summing, and exact p50/p90/p99 read off
+    * the merged cumulative counts with INTEGER comparisons
+    * (cum·den >= num·N — percentile_disc semantics, no float rank
+    * math). The oracle computes percentile_disc directly on the raw
+    * table: merged-then-read MUST equal computed-globally, which is
+    * the mergeability claim under gate.
+    */
+  private def quantileShards(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem").select(
+      pmod(col("l_orderkey"), lit(4)).as("shard"),
+      col("l_quantity").cast(LongType).as("v"))
+    val perShard = li.groupBy(col("shard"), col("v"))
+      .agg(count(lit(1)).as("c"))
+    val merged = perShard.groupBy(col("v")).agg(sum(col("c")).as("c"))
+    val totals = merged.agg(sum(col("c")).as("_n"))
+    val cum = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    merged
+      .withColumn("_cum", sum(col("c")).over(cum))
+      .crossJoin(broadcast(totals))
+      .agg(
+        min(when(col("_cum") * 2 >= col("_n"), col("v"))).as("p50"),
+        min(when(col("_cum") * 10 >= col("_n") * 9, col("v"))).as("p90"),
+        min(when(col("_cum") * 100 >= col("_n") * 99, col("v"))).as("p99"))
+  }
+
+  /** Key-skew report over the event stream's user key — the shuffle
+    * -skew triage every large join/aggregate needs: key count, total
+    * rows, the heaviest key's share, and the Gini coefficient of the
+    * per-key distribution (0 = uniform, →1 = one key owns the table).
+    * Gini comes from the sorted-rank identity
+    * (2·Σ i·cᵢ − (n+1)·Σcᵢ) / (n·Σcᵢ) — exact integers until one
+    * rounded division; tied counts contribute c·Σi regardless of
+    * their order, so the ranking tiebreak cannot change the value.
+    */
+  private def keySkew(s: SparkSession, d: String): DataFrame = {
+    val counts = events(s, d).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("c"))
+    val ranked = counts.withColumn("i",
+      row_number().over(Window.orderBy(col("c"), col("user_id"))))
+    // rank-weighted sum in DECIMAL(38,0): at extreme key counts the
+    // i*c products overflow BIGINT long before the value domain does
+    val D0 = DecimalType(38, 0)
+    ranked.agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("c")).as("total_rows"),
+        max(col("c")).as("_cmax"),
+        sum(col("i").cast(D0) * col("c").cast(D0)).as("_s1"))
+      .select(col("n_keys"), col("total_rows"),
+        round(col("_cmax").cast(DoubleType) / col("total_rows"), 6)
+          .as("max_key_share"),
+        round((lit(2).cast(D0) * col("_s1") -
+          (col("n_keys") + 1).cast(D0) * col("total_rows").cast(D0))
+          .cast(DoubleType) /
+          (col("n_keys").cast(D0) * col("total_rows").cast(D0))
+          .cast(DoubleType), 6).as("gini"))
+  }
+
   /** Keyset pagination — the O(page) deep-pagination plan
     * ([[operators.CatalogQueries.listKeyset]] semantics on the part
     * catalog): the cursor predicate `(p_name, p_partkey) > (after)`
@@ -3463,6 +3562,10 @@ object SparkEntry {
     "q_khop" -> (khopQ _),
     "q_acf" -> (acfQ _),
     "q_paginate_keyset" -> (paginateKeyset _),
+    "q_ewma" -> (ewmaQ _),
+    "q_rolling_zscore" -> (rollingZscore _),
+    "q_quantile_shards" -> (quantileShards _),
+    "q_key_skew" -> (keySkew _),
     "q_shard_manifest" -> (shardManifestQ _),
     "q_readability" -> (readabilityQ _),
     "q_entity_resolution" -> (entityResolution _),
@@ -3758,6 +3861,36 @@ object SparkEntry {
        |SELECT CAST(lag_k AS INTEGER) AS lag, n_terms, acf FROM (
        |$arms)
        |ORDER BY lag""".stripMargin
+  }
+
+  /** Oracle for q_ewma: the same cleared-denominator integer weights
+    * as [[operators.TimeSeries.ewma]] (w_k = 3·7^k·10^(7−k) for
+    * α=0.3, W=8), generated from the same formula, HUGEINT dot
+    * products, one rounded division per row.
+    */
+  private def ewmaOracleSql: String = {
+    val (p, q, win) = (3, 10, 8)
+    val coeffs = (0 until win).map { k =>
+      (BigInt(p) * BigInt(q - p).pow(k) * BigInt(q).pow(win - 1 - k)).toString
+    }
+    val lagCols = (1 until win)
+      .map(k => s"lag(v, $k) OVER (ORDER BY day) AS l$k").mkString(",\n|    ")
+    def arm(k: Int, expr: String) =
+      s"CASE WHEN l$k IS NOT NULL THEN $expr ELSE CAST(0 AS HUGEINT) END"
+    val num = (0 until win).map(k =>
+      arm(k, s"CAST(l$k AS HUGEINT) * ${coeffs(k)}")).mkString(" +\n|    ")
+    val den = (0 until win).map(k =>
+      arm(k, s"CAST(${coeffs(k)} AS HUGEINT)")).mkString(" +\n|    ")
+    s"""WITH daily AS (SELECT date_trunc('day', ts) AS day,
+       |    CAST(count(*) AS BIGINT) AS v FROM events GROUP BY 1),
+       |l AS (SELECT day, v AS l0,
+       |    $lagCols
+       |  FROM daily)
+       |SELECT day, l0 AS v,
+       |  round(CAST(($num) AS DOUBLE) /
+       |        CAST(($den) AS DOUBLE), 6) AS ewma
+       |FROM l
+       |ORDER BY day""".stripMargin
   }
 
   /** DuckDB ASOF JOIN oracle shared by `q_asof_join` (window
@@ -5734,6 +5867,56 @@ object SparkEntry {
     // ACF: unrolled lag arms over one lead-window CTE, HUGEINT-exact
     // sufficient statistics, one rounded division per lag.
     "q_acf" -> acfOracleSql,
+    // EWMA: same integer-literal weight dot products, generated from
+    // the same alpha/window formula.
+    "q_ewma" -> ewmaOracleSql,
+    // Rolling z-score: same 7-row frame sums, same fixed IEEE formula
+    // and guards.
+    "q_rolling_zscore" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS day,
+        |    CAST(count(*) AS BIGINT) AS v FROM events GROUP BY 1),
+        |f AS (SELECT day, v,
+        |    CAST(count(*) OVER w AS BIGINT) AS n,
+        |    CAST(sum(v) OVER w AS BIGINT) AS sx,
+        |    CAST(sum(v * v) OVER w AS BIGINT) AS sxx
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT day, v,
+        |  CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0
+        |    THEN round((CAST(v AS DOUBLE) -
+        |          CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) /
+        |         sqrt(CAST(n * sxx - sx * sx AS DOUBLE) /
+        |          (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))), 6)
+        |    ELSE 0.0 END AS z
+        |FROM f ORDER BY day""".stripMargin,
+    // Mergeable quantiles: the oracle computes percentile_disc on the
+    // RAW table — merged shard histograms must reproduce it exactly.
+    "q_quantile_shards" ->
+      """SELECT
+        |  CAST(percentile_disc(0.5) WITHIN GROUP
+        |    (ORDER BY CAST(l_quantity AS BIGINT)) AS BIGINT) AS p50,
+        |  CAST(percentile_disc(0.9) WITHIN GROUP
+        |    (ORDER BY CAST(l_quantity AS BIGINT)) AS BIGINT) AS p90,
+        |  CAST(percentile_disc(0.99) WITHIN GROUP
+        |    (ORDER BY CAST(l_quantity AS BIGINT)) AS BIGINT) AS p99
+        |FROM lineitem""".stripMargin,
+    // Key skew: same sorted-rank Gini identity, HUGEINT-exact until
+    // the two rounded divisions.
+    "q_key_skew" ->
+      """WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c, user_id) AS i FROM c),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |    CAST(sum(c) AS BIGINT) AS total_rows,
+        |    CAST(max(c) AS BIGINT) AS cmax,
+        |    sum(CAST(i AS HUGEINT) * c) AS s1 FROM r)
+        |SELECT n_keys, total_rows,
+        |  round(CAST(cmax AS DOUBLE) / total_rows, 6) AS max_key_share,
+        |  round(CAST(2 * s1 - CAST(n_keys + 1 AS HUGEINT) * total_rows
+        |          AS DOUBLE) /
+        |        CAST(CAST(n_keys AS HUGEINT) * total_rows AS DOUBLE), 6)
+        |    AS gini
+        |FROM a""".stripMargin,
     // Keyset pagination: the cursor tuple predicate + top-5.
     "q_paginate_keyset" ->
       """SELECT p_partkey, p_name FROM part

@@ -115,6 +115,57 @@ object TimeSeries {
     sums.select(explode(array(rows: _*)).as("_r")).select(col("_r.*"))
   }
 
+  /** Windowed exponentially-weighted moving average — the monitoring
+    * smoother (EWMA control charts, anomaly baselines): each bucket's
+    * smoothed value weights the trailing `window` observations by
+    * α(1−α)^k, α = `alphaNum`/`alphaDen`, normalized over the weights
+    * actually present (so the series start is well-defined without
+    * warm-up bias).
+    *
+    * Exactness: floating-point pow() is not portably reproducible, so
+    * the weights are cleared to a COMMON DENOMINATOR and carried as
+    * integer literals — w_k ∝ p(q−p)^k q^(W−1−k) with α = p/q — making
+    * numerator and denominator exact DECIMAL(38,0) dot products of lag
+    * columns with literal coefficients; the one double division per
+    * row is rounded. Any engine reproduces the digits (the
+    * [[acf]]/[[graft.operators.StatMoments]] argument).
+    *
+    * Scale shape: the caller's series is already collapsed to the
+    * bucket domain, so the single window pass is domain-sized; all W
+    * lag columns ride one frame.
+    */
+  def ewma(series: DataFrame, bucketCol: String, valueCol: String,
+      alphaNum: Int = 3, alphaDen: Int = 10, window: Int = 8,
+      roundTo: Int = 6): DataFrame = {
+    require(alphaNum > 0 && alphaNum < alphaDen, "need 0 < alpha < 1")
+    require(window >= 1 && window <= 32, "window must be in [1, 32]")
+    val D0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    // w_k = p * (q-p)^k * q^(W-1-k), k = 0 (current row) .. W-1
+    val coeffs: Seq[BigInt] = (0 until window).map { k =>
+      BigInt(alphaNum) * BigInt(alphaDen - alphaNum).pow(k) *
+        BigInt(alphaDen).pow(window - 1 - k)
+    }
+    val w = Window.orderBy(col("_b"))
+    val base = series
+      .select(col(bucketCol).as("_b"), col(valueCol).cast("long").as("_x"))
+    val lags = base.select(col("_b") +: col("_x").as("_l0") +:
+      (1 until window).map(k => lag(col("_x"), k).over(w).as(s"_l$k")): _*)
+    val zero = lit(BigDecimal(0)).cast(D0)
+    // absent lags contribute zero to BOTH dot products (adaptive
+    // normalization over the weights actually present)
+    val num = (0 until window).map { k =>
+      when(col(s"_l$k").isNotNull,
+        col(s"_l$k").cast(D0) * lit(BigDecimal(coeffs(k))).cast(D0))
+        .otherwise(zero)
+    }.reduce(_ + _)
+    val den = (0 until window).map { k =>
+      when(col(s"_l$k").isNotNull, lit(BigDecimal(coeffs(k))).cast(D0))
+        .otherwise(zero)
+    }.reduce(_ + _)
+    lags.select(col("_b").as(bucketCol), col("_l0").as(valueCol),
+      round(num.cast("double") / den.cast("double"), roundTo).as("ewma"))
+  }
+
   /** Linear interpolation variant: instead of carrying the last value
     * forward, interpolate linearly between the previous and next
     * OBSERVED bucket values. Gaps after the last observation keep the

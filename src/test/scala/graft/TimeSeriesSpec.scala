@@ -75,6 +75,35 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.toSeq === Seq(-0.833333))
   }
 
+  test("ewma: hand-computed adaptive normalization at the series start") {
+    import spark.implicits._
+    // alpha=0.3: first row has only itself -> ewma = value; second row
+    // weights (0.3, 0.21) normalized: (0.3*20 + 0.21*10)/0.51 =
+    // 8.1/0.51 = 15.882353.
+    val s = Seq((1L, 10L), (2L, 20L)).toDF("b", "x")
+    val got = TimeSeries.ewma(s, "b", "x").orderBy("b")
+      .collect().map(r => (r.getAs[Long]("b"), r.getAs[Double]("ewma")))
+    assert(got.toSeq === Seq((1L, 10.0), (2L, 15.882353)))
+  }
+
+  test("ewma: constant series is a fixed point; window truncates history") {
+    import spark.implicits._
+    val const = Seq((1L, 7L), (2L, 7L), (3L, 7L)).toDF("b", "x")
+    assert(TimeSeries.ewma(const, "b", "x").collect()
+      .forall(_.getAs[Double]("ewma") === 7.0))
+    // window=2: the third bucket must not see the first value. W=2
+    // clears alpha=0.3 to integer weights (30, 21): ewma(3) =
+    // (30*5 + 21*100)/51 = 2250/51 = 44.117647 regardless of bucket
+    // 1's value.
+    val a = Seq((1L, 100L), (2L, 100L), (3L, 5L)).toDF("b", "x")
+    val b = Seq((1L, 999L), (2L, 100L), (3L, 5L)).toDF("b", "x")
+    def third(df: org.apache.spark.sql.DataFrame) =
+      TimeSeries.ewma(df, "b", "x", window = 2).orderBy("b")
+        .collect().last.getAs[Double]("ewma")
+    assert(third(a) === third(b))
+    assert(third(a) === 44.117647)
+  }
+
   test("plan has no cartesian product and no broadcast nested loop") {
     val plan = TimeSeries.resampleFill(obs, "k", "bucket", "v")
       .queryExecution.executedPlan.toString
