@@ -99,7 +99,10 @@ object Bench {
     *    q_quantile_shards (the billed q_distinct_shards merge pattern
     *    + the billed percentile family's read-off),
     *    q_key_skew (keyed count + domain-sized rank window — the
-    *    billed group-agg family's shape ending in one report row).
+    *    billed group-agg family's shape ending in one report row),
+    *    q_ann_recall (evaluation composition of the billed
+    *    q_embed_ann_lsh and q_embed_topk — both sides' scans are
+    *    already billed; this gates their intersection).
     *
     * 2. FIXED-SEMANTICS PROBES — the query's input is a deterministic
     *    fixture synthesized inside the query (the dirty-CTE pattern) or
@@ -135,7 +138,7 @@ object Bench {
     "q_window_ntile", "q_window_range", "q_events_tumbling",
     "q_bigram_lm", "q_textrank", "q_ks_test", "q_k_anonymity",
     "q_acf", "q_paginate_keyset", "q_ewma", "q_rolling_zscore",
-    "q_quantile_shards", "q_key_skew",
+    "q_quantile_shards", "q_key_skew", "q_ann_recall",
     // fixed-semantics probes
     "q_transform_text", "q_transform_decimal", "q_transform_integer",
     "q_transform_boolean", "q_filter_active_user", "q_html_extract",

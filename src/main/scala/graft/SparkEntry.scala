@@ -2034,6 +2034,29 @@ object SparkEntry {
       .orderBy(col("cosine").desc, col("vec_id"))
   }
 
+  /** ANN recall@10 evaluation — the eval-harness query every ANN
+    * deployment runs before trusting an index: the LSH result set
+    * ([[embedAnnLsh]]'s exact configuration) scored against the exact
+    * brute-force top-10 ([[embedTopk]]'s formulation). Both sides are
+    * independently gated queries; this gate pins their INTERSECTION —
+    * an approximate index silently losing recall turns this row red
+    * even while the LSH query itself stays self-consistent. The
+    * oracle composes both sides' oracle SQL verbatim as nested CTEs.
+    */
+  private def annRecall(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(Similarity.toDouble(col("embedding"))).head().getSeq[Double](0)
+    val approx = Similarity.lshTopK(emb, "embedding", "vec_id", qv,
+      k = 10, planes = 8, tables = 4, roundTo = 4).select(col("vec_id"))
+    val exact = Similarity.bruteForceTopK(emb, "embedding", "vec_id", qv,
+      k = 10, roundTo = 4).select(col("vec_id"))
+    exact.join(approx, Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+      .select(lit(10).as("k"), col("n_hits"),
+        round(col("n_hits").cast(DoubleType) / lit(10.0), 6).as("recall"))
+  }
+
   /** IVF ANN under the oracle gate: centroid training is deterministic
     * (seed-free Lloyd's on an id-ordered sample), the query DUMPS the
     * trained centroids to parquet, and the oracle replays cell assignment
@@ -3512,6 +3535,7 @@ object SparkEntry {
     "q_embed_topk" -> (embedTopk _),
     "q_ann_batch" -> (annBatch _),
     "q_embed_ann_lsh" -> (embedAnnLsh _),
+    "q_ann_recall" -> (annRecall _),
     "q_embed_ivf" -> (embedIvf _),
     "q_embed_neardup" -> (embedNearDup _),
     "q_text_stats" -> (textStats _),
@@ -5271,6 +5295,23 @@ object SparkEntry {
          |WHERE recomputed >= 0.8 AND recomputed = bag_jaccard
          |ORDER BY id_a, id_b""".stripMargin,
     "q_embed_ann_lsh" -> annLshOracle,
+    // ANN recall@10: both sides' oracle SQL composed verbatim as
+    // nested CTEs; the intersection count and one rounded division.
+    "q_ann_recall" ->
+      s"""WITH approx AS ($annLshOracle),
+         |exact AS (
+         |WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+         |scored AS (
+         |  SELECT vec_id,
+         |    round(list_dot_product(CAST(embedding AS DOUBLE[]), (SELECT CAST(e AS DOUBLE[]) FROM q)) /
+         |      (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+         |       sqrt((SELECT list_dot_product(CAST(e AS DOUBLE[]), CAST(e AS DOUBLE[])) FROM q))), 4) AS cosine
+         |  FROM embeddings)
+         |SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 10)
+         |SELECT CAST(10 AS INTEGER) AS k,
+         |  CAST(count(*) AS BIGINT) AS n_hits,
+         |  round(CAST(count(*) AS DOUBLE) / 10.0, 6) AS recall
+         |FROM exact SEMI JOIN approx USING (vec_id)""".stripMargin,
     "q_embed_neardup" -> embedNearDupOracle,
     "q_embed_ivf" ->
       s"""WITH cents AS (SELECT cell, CAST(centroid AS DOUBLE[]) AS c

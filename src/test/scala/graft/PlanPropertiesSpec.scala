@@ -213,4 +213,29 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"benchmark shingles did not broadcast:\n$plan")
   }
+
+  test("keyset pagination: cursor predicate reaches the scan, page is top-k") {
+    val plan = planOf("q_paginate_keyset")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"full sort instead of top-k page:\n$plan")
+    // the Or(GreaterThan(p_name,...), And(...)) cursor tuple must land
+    // in PushedFilters so row groups wholly before the cursor are
+    // skipped on min/max stats
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*Or\\(GreaterThan[^\\]]*\\].*"),
+      s"cursor predicate did not reach the scan:\n$plan")
+  }
+
+  test("sparse k-NN: query postings broadcast into the retrieval join") {
+    val plan = planOf("q_sparse_knn")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query postings not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"all-pairs plan:\n$plan")
+  }
+
+  test("k-hop BFS and textrank: keyed equi-joins only, no all-pairs") {
+    Seq("q_khop", "q_textrank").foreach { q =>
+      val plan = planOf(q)
+      assert(!plan.contains("CartesianProduct"), s"$q all-pairs:\n$plan")
+    }
+  }
 }
