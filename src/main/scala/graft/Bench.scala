@@ -94,7 +94,8 @@ object Bench {
     *    on the day-domain table), q_paginate_keyset (cursor-predicate
     *    variant of the billed paginate/top-k family — the point IS
     *    that it does strictly less work than the offset form),
-    *    q_ewma / q_rolling_zscore (day-domain window arithmetic over
+    *    q_ewma / q_rolling_zscore / q_xcorr / q_cusum (day-domain
+    *    window/lag arithmetic over
     *    the same daily collapse the billed window family runs),
     *    q_quantile_shards (the billed q_distinct_shards merge pattern
     *    + the billed percentile family's read-off),
@@ -139,6 +140,7 @@ object Bench {
     "q_bigram_lm", "q_textrank", "q_ks_test", "q_k_anonymity",
     "q_acf", "q_paginate_keyset", "q_ewma", "q_rolling_zscore",
     "q_quantile_shards", "q_key_skew", "q_ann_recall",
+    "q_xcorr", "q_cusum",
     // fixed-semantics probes
     "q_transform_text", "q_transform_decimal", "q_transform_integer",
     "q_transform_boolean", "q_filter_active_user", "q_html_extract",

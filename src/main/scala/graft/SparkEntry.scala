@@ -1176,6 +1176,33 @@ object SparkEntry {
     TimeSeries.acf(daily, "day", "n", maxLag = 7).orderBy(col("lag"))
   }
 
+  /** Lead-indicator cross-correlation
+    * ([[operators.TimeSeries.crossCorrelation]]): daily click volume
+    * against purchase volume k days later, lags 0..3 — r_0 is exactly
+    * Pearson's r of the two daily series. DECIMAL(38,0)-exact
+    * sufficient statistics, one sqrt+division per lag.
+    */
+  private def xcorrQ(s: SparkSession, d: String): DataFrame = {
+    def daily(tpe: String) = events(s, d)
+      .filter(col("event_type") === tpe)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    TimeSeries.crossCorrelation(daily("click"), daily("purchase"),
+        "day", "n", "n", maxLag = 3)
+      .orderBy(col("lag"))
+  }
+
+  /** CUSUM changepoint ([[operators.TimeSeries.cusumChangepoint]]) on
+    * daily event volume: the day where cumulative deviation from the
+    * series mean peaks — argmax decided wholly in integer arithmetic.
+    */
+  private def cusumQ(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("v"))
+    TimeSeries.cusumChangepoint(daily, "day", "v")
+  }
+
   /** Windowed EWMA ([[operators.TimeSeries.ewma]]) of daily event
     * volume, α=0.3 over an 8-bucket window — integer-literal weight
     * dot products (no pow() float path), one rounded division per row.
@@ -3586,6 +3613,8 @@ object SparkEntry {
     "q_khop" -> (khopQ _),
     "q_acf" -> (acfQ _),
     "q_paginate_keyset" -> (paginateKeyset _),
+    "q_xcorr" -> (xcorrQ _),
+    "q_cusum" -> (cusumQ _),
     "q_ewma" -> (ewmaQ _),
     "q_rolling_zscore" -> (rollingZscore _),
     "q_quantile_shards" -> (quantileShards _),
@@ -3883,6 +3912,47 @@ object SparkEntry {
        |    $sumCols
        |  FROM l)
        |SELECT CAST(lag_k AS INTEGER) AS lag, n_terms, acf FROM (
+       |$arms)
+       |ORDER BY lag""".stripMargin
+  }
+
+  /** Oracle for q_xcorr: the [[acfOracleSql]] technique over the
+    * click/purchase daily join — HUGEINT-exact sufficient statistics,
+    * unrolled lag arms, one sqrt+division per lag with the same
+    * operation order as the Spark expression.
+    */
+  private def xcorrOracleSql: String = {
+    val maxLag = 3
+    val leadCols = (0 to maxLag)
+      .map(j => s"lead(y, $j) OVER (ORDER BY day) AS l$j").mkString(",\n|    ")
+    val sumCols = (0 to maxLag).map(j =>
+      s"""CAST(sum(x * l$j) AS HUGEINT) AS s$j,
+         |    CAST(sum(CASE WHEN l$j IS NOT NULL THEN x END) AS HUGEINT) AS h$j,
+         |    CAST(sum(l$j) AS HUGEINT) AS t$j""".stripMargin).mkString(",\n|    ")
+    val arms = (0 to maxLag).map { j =>
+      s"""SELECT $j AS lag_k, CAST(n - $j AS BIGINT) AS n_terms,
+         |  round(CAST(n*n*s$j - n*sx*t$j - n*sy*h$j + (n - $j)*sx*sy AS DOUBLE) /
+         |        (CAST(n AS DOUBLE) *
+         |         sqrt(CAST(n*sxx - sx*sx AS DOUBLE) *
+         |              CAST(n*syy - sy*sy AS DOUBLE))), 6) AS xcorr FROM s""".stripMargin
+    }.mkString("\n|UNION ALL\n|")
+    s"""WITH cx AS (SELECT date_trunc('day', ts) AS day,
+       |    CAST(count(*) AS HUGEINT) AS x FROM events
+       |  WHERE event_type = 'click' GROUP BY 1),
+       |cy AS (SELECT date_trunc('day', ts) AS day,
+       |    CAST(count(*) AS HUGEINT) AS y FROM events
+       |  WHERE event_type = 'purchase' GROUP BY 1),
+       |j AS (SELECT cx.day, x, y FROM cx JOIN cy USING (day)),
+       |l AS (SELECT x, y,
+       |    $leadCols
+       |  FROM j),
+       |s AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+       |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+       |    CAST(sum(x * x) AS HUGEINT) AS sxx,
+       |    CAST(sum(y * y) AS HUGEINT) AS syy,
+       |    $sumCols
+       |  FROM l)
+       |SELECT CAST(lag_k AS INTEGER) AS lag, n_terms, xcorr FROM (
        |$arms)
        |ORDER BY lag""".stripMargin
   }
@@ -5908,6 +5978,25 @@ object SparkEntry {
     // ACF: unrolled lag arms over one lead-window CTE, HUGEINT-exact
     // sufficient statistics, one rounded division per lag.
     "q_acf" -> acfOracleSql,
+    // Cross-correlation: unrolled lag arms over the click/purchase
+    // daily join, HUGEINT-exact statistics.
+    "q_xcorr" -> xcorrOracleSql,
+    // CUSUM: integer-exact peak argmax (n·S_t − t·Sx), earliest-day
+    // tie break, one rounded division for the reported magnitude.
+    "q_cusum" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS day,
+        |    CAST(count(*) AS HUGEINT) AS x FROM events GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(x) AS HUGEINT) AS sx FROM daily),
+        |s AS (SELECT day,
+        |    CAST(count(*) OVER w AS HUGEINT) AS tt,
+        |    CAST(sum(x) OVER w AS HUGEINT) AS st
+        |  FROM daily WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)),
+        |d AS (SELECT day, n * st - tt * sx AS dev, n FROM s, t)
+        |SELECT day AS change_bucket,
+        |  round(CAST(dev AS DOUBLE) / CAST(n AS DOUBLE), 6) AS cusum,
+        |  CAST(n AS BIGINT) AS n_buckets
+        |FROM d ORDER BY abs(dev) DESC, day LIMIT 1""".stripMargin,
     // EWMA: same integer-literal weight dot products, generated from
     // the same alpha/window formula.
     "q_ewma" -> ewmaOracleSql,

@@ -115,6 +115,106 @@ object TimeSeries {
     sums.select(explode(array(rows: _*)).as("_r")).select(col("_r.*"))
   }
 
+  /** Cross-correlation between two aligned integral series at lags
+    * 0..`maxLag` — the lead-indicator detector ("do clicks today
+    * predict purchases in k days?"): r_xy(k) correlates x_t against
+    * y_{t+k}. Same exactness discipline as [[acf]] — the n²-cleared
+    * identity
+    *
+    *   r_k = (n²·S_k − n·Sx·T_k − n·Sy·H_k + (n−k)·Sx·Sy)
+    *         / (n · sqrt((n·Sxx − Sx²) · (n·Syy − Sy²)))
+    *
+    * with S_k = Σ x_t·y_{t+k}, H_k/T_k the x-head/y-tail partial sums,
+    * keeps every statistic an exact DECIMAL(38,0); one sqrt and one
+    * division per lag on identical doubles, rounded. Note the
+    * denominator uses FULL-series variances (the standard normalized
+    * cross-correlation estimator, the [[acf]] convention at k=0 —
+    * where r_0 is exactly Pearson's r).
+    *
+    * Scale shape: identical to [[acf]] — the two series arrive
+    * already collapsed to the bucket domain, join once on the bucket,
+    * and `maxLag` lead columns ride one domain-sized window.
+    */
+  def crossCorrelation(x: DataFrame, y: DataFrame, bucketCol: String,
+      xCol: String, yCol: String, maxLag: Int,
+      roundTo: Int = 6): DataFrame = {
+    require(maxLag >= 0, "maxLag must be >= 0")
+    val D0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val joined = x.select(col(bucketCol).as("_b"), col(xCol).cast("long").as("_x"))
+      .join(y.select(col(bucketCol).as("_b"), col(yCol).cast("long").as("_y")),
+        "_b")
+    val w = Window.orderBy(col("_b"))
+    val withLeads = joined.select(
+      col("_x").cast(D0).as("x") +: col("_y").cast(D0).as("y") +:
+        (0 to maxLag).map(k =>
+          lead(col("_y"), k).over(w).cast(D0).as(s"_l$k")): _*)
+    val aggs =
+      Seq(count(lit(1)).cast(D0).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy")) ++
+      (0 to maxLag).flatMap { k =>
+        Seq(
+          sum(col("x") * col(s"_l$k")).as(s"s$k"),
+          sum(when(col(s"_l$k").isNotNull, col("x"))).as(s"h$k"),
+          sum(col(s"_l$k")).as(s"t$k"))
+      }
+    val sums = withLeads.agg(aggs.head, aggs.tail: _*)
+    val cxx = col("n") * col("sxx") - col("sx") * col("sx")
+    val cyy = col("n") * col("syy") - col("sy") * col("sy")
+    val rows = (0 to maxLag).map { k =>
+      val num = col("n") * col("n") * col(s"s$k") -
+        col("n") * col("sx") * col(s"t$k") -
+        col("n") * col("sy") * col(s"h$k") +
+        (col("n") - lit(k).cast(D0)) * col("sx") * col("sy")
+      struct(lit(k).as("lag"),
+        (col("n") - lit(k).cast(D0)).cast("long").as("n_terms"),
+        round(num.cast("double") /
+          (col("n").cast("double") *
+            sqrt(cxx.cast("double") * cyy.cast("double"))), roundTo)
+          .as("xcorr"))
+    }
+    sums.select(explode(array(rows: _*)).as("_r")).select(col("_r.*"))
+  }
+
+  /** CUSUM level-shift detection: the bucket where the cumulative sum
+    * of deviations from the series mean peaks in magnitude — the
+    * classic changepoint locator (a step change in the level makes
+    * |Σ_{i<=t}(x_i − x̄)| extreme exactly at the step). The statistic
+    * is cleared of the rational mean: n·S_t − t·Sx is an exact
+    * integer per prefix, so the ARGMAX (and its earliest-bucket tie
+    * break) is decided wholly in integer arithmetic; only the
+    * reported magnitude divides by n once, rounded.
+    *
+    * Output: one row — (change_bucket, cusum, n_buckets) where cusum
+    * is the signed peak deviation sum.
+    *
+    * Scale shape: one running-sum window + one argmax over the bucket
+    * domain (the caller's series is already collapsed to it).
+    */
+  def cusumChangepoint(series: DataFrame, bucketCol: String,
+      valueCol: String, roundTo: Int = 6): DataFrame = {
+    val D0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = series.select(col(bucketCol).as("_b"),
+      col(valueCol).cast("long").as("_x"))
+    val w = Window.orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = base.agg(count(lit(1)).cast(D0).as("_n"),
+      sum(col("_x")).cast(D0).as("_sx"))
+    val scored = base
+      .withColumn("_t", count(lit(1)).over(w).cast(D0))
+      .withColumn("_st", sum(col("_x")).over(w).cast(D0))
+      .crossJoin(broadcast(totals))
+      .withColumn("_dev", col("_n") * col("_st") - col("_t") * col("_sx"))
+    scored
+      .orderBy(abs(col("_dev")).desc, col("_b"))
+      .limit(1)
+      .select(col("_b").as("change_bucket"),
+        round(col("_dev").cast("double") / col("_n").cast("double"), roundTo)
+          .as("cusum"),
+        col("_n").cast("long").as("n_buckets"))
+  }
+
   /** Windowed exponentially-weighted moving average — the monitoring
     * smoother (EWMA control charts, anomaly baselines): each bucket's
     * smoothed value weights the trailing `window` observations by

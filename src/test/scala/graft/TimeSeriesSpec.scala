@@ -75,6 +75,48 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.toSeq === Seq(-0.833333))
   }
 
+  test("crossCorrelation: perfect linear pair gives r0=1, orthogonal lag gives 0") {
+    import spark.implicits._
+    // x=[1,2,3], y=2x: r_0 = 1 exactly. At lag 1 the deviation products
+    // are (x1-2)(y2-4)=0 and (x2-2)(y3-4)=0 -> r_1 = 0 exactly.
+    val x = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("b", "v")
+    val y = Seq((1L, 2L), (2L, 4L), (3L, 6L)).toDF("b", "v")
+    val got = TimeSeries.crossCorrelation(x, y, "b", "v", "v", maxLag = 1)
+      .orderBy("lag").collect()
+      .map(r => (r.getAs[Int]("lag"), r.getAs[Long]("n_terms"),
+        r.getAs[Double]("xcorr")))
+    assert(got.toSeq === Seq((0, 3L, 1.0), (1, 2L, 0.0)))
+  }
+
+  test("crossCorrelation: anti-correlated pair gives r0=-1") {
+    import spark.implicits._
+    val x = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("b", "v")
+    val y = Seq((1L, 6L), (2L, 4L), (3L, 2L)).toDF("b", "v")
+    val r0 = TimeSeries.crossCorrelation(x, y, "b", "v", "v", maxLag = 0)
+      .head().getAs[Double]("xcorr")
+    assert(r0 === -1.0)
+  }
+
+  test("cusumChangepoint: level shift located at the last pre-step bucket") {
+    import spark.implicits._
+    // [10,10,10,20,20]: mean 14, cumulative deviations -4,-8,-12,-6,0
+    // -> peak |−12| at bucket 3, exactly where the level steps.
+    val s = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L), (5L, 20L))
+      .toDF("b", "v")
+    val r = TimeSeries.cusumChangepoint(s, "b", "v").head()
+    assert((r.getAs[Long]("change_bucket"), r.getAs[Double]("cusum"),
+      r.getAs[Long]("n_buckets")) === ((3L, -12.0, 5L)))
+  }
+
+  test("cusumChangepoint: magnitude ties break to the earliest bucket") {
+    import spark.implicits._
+    // [20,10,10,20]: deviations 5,0,-5,0 -> |5| ties at buckets 1 and 3.
+    val s = Seq((1L, 20L), (2L, 10L), (3L, 10L), (4L, 20L)).toDF("b", "v")
+    val r = TimeSeries.cusumChangepoint(s, "b", "v").head()
+    assert(r.getAs[Long]("change_bucket") === 1L)
+    assert(r.getAs[Double]("cusum") === 5.0)
+  }
+
   test("ewma: hand-computed adaptive normalization at the series start") {
     import spark.implicits._
     // alpha=0.3: first row has only itself -> ewma = value; second row
