@@ -103,7 +103,11 @@ object Bench {
     *    billed group-agg family's shape ending in one report row),
     *    q_ann_recall (evaluation composition of the billed
     *    q_embed_ann_lsh and q_embed_topk — both sides' scans are
-    *    already billed; this gates their intersection).
+    *    already billed; this gates their intersection),
+    *    q_scd2_asof (one interval predicate over the billed q_scd2
+    *    construction), q_fk_integrity (four planted-sentinel
+    *    anti-join probes — the billed q_anti_join family's shape
+    *    collapsing to fixed-size audit rows).
     *
     * 2. FIXED-SEMANTICS PROBES — the query's input is a deterministic
     *    fixture synthesized inside the query (the dirty-CTE pattern) or
@@ -140,7 +144,7 @@ object Bench {
     "q_bigram_lm", "q_textrank", "q_ks_test", "q_k_anonymity",
     "q_acf", "q_paginate_keyset", "q_ewma", "q_rolling_zscore",
     "q_quantile_shards", "q_key_skew", "q_ann_recall",
-    "q_xcorr", "q_cusum",
+    "q_xcorr", "q_cusum", "q_scd2_asof", "q_fk_integrity",
     // fixed-semantics probes
     "q_transform_text", "q_transform_decimal", "q_transform_integer",
     "q_transform_boolean", "q_filter_active_user", "q_html_extract",

@@ -3174,6 +3174,65 @@ object SparkEntry {
         col("o_totalprice"))
       .orderBy(col("o_custkey"), col("version"))
 
+  /** Point-in-time (time-travel) read over the [[scd2History]] table:
+    * the version of each entity valid at the probe instant —
+    * [[operators.Scd.asOf]]'s half-open interval predicate
+    * `valid_from <= D AND (valid_to IS NULL OR D < valid_to)`, the
+    * standard warehouse "as of" query the SCD2 shape exists to serve.
+    * Entities whose history starts after the probe date are absent by
+    * construction. At scale the predicate prunes on valid_from
+    * min/max stats per file when history is date-partitioned.
+    */
+  private def scd2AsOf(s: SparkSession, d: String): DataFrame = {
+    val at = lit("1997-06-01 00:00:00").cast(TimestampType)
+    Scd.scd2(
+        t(s, d, "orders").filter(col("o_custkey") < 100)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+            col("o_totalprice")),
+        keyCol = "o_custkey", tsCol = "o_orderdate", tiebreakCol = "o_orderkey")
+      .filter(Scd.asOf(at))
+      .select(col("o_custkey"), col("version").cast(LongType).as("version"),
+        col("valid_from"), col("valid_to"), col("o_totalprice"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** Referential-integrity audit — the data-contract check a warehouse
+    * load runs per batch: for each declared FK relationship, the count
+    * of child rows (and distinct keys) with no parent. Each audit is
+    * one anti-join + aggregate; parents are key projections so the
+    * planner broadcasts the small sides. Three orphan rows over two
+    * keys are PLANTED into every child (negative keys, the sentinel
+    * pattern) so a silently-broken anti-join turns the gate red
+    * instead of passing on an all-zeros corpus.
+    */
+  private def fkIntegrity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val planted = Seq(-1L, -1L, -2L).toDF("k")
+    def audit(rel: String, child: DataFrame, parent: DataFrame): DataFrame =
+      child.unionAll(planted)
+        .join(parent, Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("n_orphan_rows"),
+          countDistinct(col("k")).as("n_orphan_keys"))
+        .select(lit(rel).as("relationship"), col("n_orphan_rows"),
+          col("n_orphan_keys"))
+    def keys(df: DataFrame, c: String) = df.select(col(c).cast(LongType).as("k"))
+    Seq(
+      audit("customer.c_nationkey->nation",
+        keys(t(s, d, "customer"), "c_nationkey"),
+        keys(t(s, d, "nation"), "n_nationkey")),
+      audit("lineitem.l_orderkey->orders",
+        keys(t(s, d, "lineitem"), "l_orderkey"),
+        keys(t(s, d, "orders"), "o_orderkey")),
+      audit("lineitem.l_partkey->part",
+        keys(t(s, d, "lineitem"), "l_partkey"),
+        keys(t(s, d, "part"), "p_partkey")),
+      audit("orders.o_custkey->customer",
+        keys(t(s, d, "orders"), "o_custkey"),
+        keys(t(s, d, "customer"), "c_custkey")))
+      .reduce(_ unionAll _)
+      .orderBy(col("relationship"))
+  }
+
   /** TF-IDF top-3 terms per document (smoothed idf, 4-decimal rounding
     * for engine-reproducible ranking) — see [[operators.TermIndex]].
     */
@@ -3539,6 +3598,8 @@ object SparkEntry {
     "q_decontaminate" -> (decontaminate _),
     "q_contamination_audit" -> (contaminationAudit _),
     "q_scd2" -> (scd2History _),
+    "q_scd2_asof" -> (scd2AsOf _),
+    "q_fk_integrity" -> (fkIntegrity _),
     "q_tfidf" -> (tfidfTop _),
     "q_bm25" -> (bm25Q _),
     "q_bpe_merges" -> (bpeMerges _),
@@ -5064,6 +5125,49 @@ object SparkEntry {
         |FROM orders WHERE o_custkey < 100
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, version""".stripMargin,
+    // SCD2 as-of: same window construction, the half-open interval
+    // predicate at the same probe instant.
+    "q_scd2_asof" ->
+      """WITH h AS (SELECT o_custkey,
+        |    row_number() OVER w AS version,
+        |    o_orderdate AS valid_from,
+        |    lead(o_orderdate) OVER w AS valid_to,
+        |    o_totalprice
+        |  FROM orders WHERE o_custkey < 100
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+        |SELECT o_custkey, version, valid_from, valid_to, o_totalprice
+        |FROM h
+        |WHERE valid_from <= TIMESTAMP '1997-06-01 00:00:00'
+        |  AND (valid_to IS NULL OR TIMESTAMP '1997-06-01 00:00:00' < valid_to)
+        |ORDER BY o_custkey""".stripMargin,
+    // FK integrity: same planted orphans, anti-join per relationship.
+    "q_fk_integrity" ->
+      """WITH p AS (SELECT CAST(k AS BIGINT) AS k
+        |  FROM (VALUES (-1), (-1), (-2)) v(k)),
+        |a1 AS (SELECT 'customer.c_nationkey->nation' AS relationship,
+        |    CAST(count(*) AS BIGINT) AS n_orphan_rows,
+        |    CAST(count(DISTINCT k) AS BIGINT) AS n_orphan_keys
+        |  FROM (SELECT CAST(c_nationkey AS BIGINT) AS k FROM customer
+        |        UNION ALL SELECT k FROM p) c
+        |  ANTI JOIN nation n ON CAST(n.n_nationkey AS BIGINT) = c.k),
+        |a2 AS (SELECT 'lineitem.l_orderkey->orders',
+        |    CAST(count(*) AS BIGINT), CAST(count(DISTINCT k) AS BIGINT)
+        |  FROM (SELECT l_orderkey AS k FROM lineitem
+        |        UNION ALL SELECT k FROM p) c
+        |  ANTI JOIN orders o ON o.o_orderkey = c.k),
+        |a3 AS (SELECT 'lineitem.l_partkey->part',
+        |    CAST(count(*) AS BIGINT), CAST(count(DISTINCT k) AS BIGINT)
+        |  FROM (SELECT l_partkey AS k FROM lineitem
+        |        UNION ALL SELECT k FROM p) c
+        |  ANTI JOIN part t ON t.p_partkey = c.k),
+        |a4 AS (SELECT 'orders.o_custkey->customer',
+        |    CAST(count(*) AS BIGINT), CAST(count(DISTINCT k) AS BIGINT)
+        |  FROM (SELECT o_custkey AS k FROM orders
+        |        UNION ALL SELECT k FROM p) c
+        |  ANTI JOIN customer u ON u.c_custkey = c.k)
+        |SELECT * FROM a1 UNION ALL SELECT * FROM a2
+        |UNION ALL SELECT * FROM a3 UNION ALL SELECT * FROM a4
+        |ORDER BY relationship""".stripMargin,
     // BM25: identical arithmetic shape (idf * tf * (k1+1) / length-norm,
     // per-term contribution round(…, 9) summed as DECIMAL per the
     // float-parity header rule, total rounded to 4), Lucene-default
