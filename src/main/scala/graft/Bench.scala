@@ -107,7 +107,12 @@ object Bench {
     *    q_scd2_asof (one interval predicate over the billed q_scd2
     *    construction), q_fk_integrity (four planted-sentinel
     *    anti-join probes — the billed q_anti_join family's shape
-    *    collapsing to fixed-size audit rows).
+    *    collapsing to fixed-size audit rows),
+    *    q_item_cf (one projection + rank window over the billed
+    *    q_copurchase pair table), q_new_vs_returning /
+    *    q_conversion_latency (two keyed aggregates + one join over
+    *    the event stream — the billed session/funnel family's cost
+    *    class, fixed-size or day-domain outputs).
     *
     * 2. FIXED-SEMANTICS PROBES — the query's input is a deterministic
     *    fixture synthesized inside the query (the dirty-CTE pattern) or
@@ -145,6 +150,7 @@ object Bench {
     "q_acf", "q_paginate_keyset", "q_ewma", "q_rolling_zscore",
     "q_quantile_shards", "q_key_skew", "q_ann_recall",
     "q_xcorr", "q_cusum", "q_scd2_asof", "q_fk_integrity",
+    "q_item_cf", "q_new_vs_returning", "q_conversion_latency",
     // fixed-semantics probes
     "q_transform_text", "q_transform_decimal", "q_transform_integer",
     "q_transform_boolean", "q_filter_active_user", "q_html_extract",

@@ -2594,6 +2594,76 @@ object SparkEntry {
         "l_orderkey", "l_partkey", minSupport = 2L, maxBasket = 64)
       .orderBy(col("item_a"), col("item_b"))
 
+  /** Item-item collaborative filtering — the co-occurrence recommender
+    * read off [[operators.MarketBasket.pairCounts]]: cosine similarity
+    * over basket co-membership, sim(a,b) = n_ab / sqrt(n_a·n_b), top-3
+    * neighbors per item. Counts stay exact integers; the sim is one
+    * sqrt+division rounded to 6, and the per-item ranking orders on
+    * the ROUNDED sim with item-id tie break (engine-stable top-k
+    * membership). The rank window partitions by item — state bounded
+    * by each item's neighbor count, never the pair table.
+    */
+  private def itemCf(s: SparkSession, d: String): DataFrame = {
+    val pairs = MarketBasket.pairCounts(
+      t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+      "l_orderkey", "l_partkey", minSupport = 3L, maxBasket = 64)
+    val sym = pairs.select(col("item_a").as("item"), col("item_b").as("other"),
+        col("n_ab"), col("n_a").as("n_i"), col("n_b").as("n_o"))
+      .unionAll(pairs.select(col("item_b"), col("item_a"),
+        col("n_ab"), col("n_b"), col("n_a")))
+    val w = Window.partitionBy(col("item"))
+      .orderBy(col("sim").desc, col("other"))
+    sym
+      .withColumn("sim", round(col("n_ab").cast(DoubleType) /
+        sqrt((col("n_i") * col("n_o")).cast(DoubleType)), 6))
+      .withColumn("nbr_rank", row_number().over(w))
+      .filter(col("nbr_rank") <= 3)
+      .select(col("item"), col("other"), col("n_ab"), col("sim"),
+        col("nbr_rank"))
+      .orderBy(col("item"), col("nbr_rank"))
+  }
+
+  /** New-vs-returning daily active decomposition — the growth
+    * analytics staple: per day, distinct actives split into first-ever
+    * -seen users and returners. Two keyed aggregates (the day-distinct
+    * collapse and the per-user first day) + one join; all counts exact.
+    */
+  private def newVsReturning(s: SparkSession, d: String): DataFrame = {
+    val days = events(s, d)
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val first = days.groupBy(col("user_id")).agg(min(col("day")).as("_f"))
+    days.join(first, "user_id")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("day") === col("_f"), 1L).otherwise(0L)).as("n_new"))
+      .withColumn("n_returning", col("n_active") - col("n_new"))
+      .orderBy(col("day"))
+  }
+
+  /** Click-to-purchase conversion latency — per user, first purchase
+    * at or after the first click; latencies in whole seconds (exact
+    * microsecond difference, integer div — floor for the post-epoch
+    * corpus), summarized as exact percentile_disc p50/p90 over the
+    * converted population. One row out.
+    */
+  private def conversionLatency(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id")).agg(min(unix_micros(col("ts"))).as("c0"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("pt"))
+    clicks.join(purchases, "user_id")
+      .filter(col("pt") >= col("c0"))
+      .groupBy(col("user_id"), col("c0")).agg(min(col("pt")).as("p0"))
+      .select(expr("(p0 - c0) div 1000000").as("latency_s"))
+      .agg(count(lit(1)).as("n_converted"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY latency_s)")
+          .cast(LongType).as("p50_s"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY latency_s)")
+          .cast(LongType).as("p90_s"))
+  }
+
   /** Per-group z-score normalization ([[operators.StatMoments.zscore]]):
     * document length normalized within each source stratum, from the
     * same exact-decimal power sums as q_stats_moments.
@@ -3651,6 +3721,9 @@ object SparkEntry {
     "q_domain_authority" -> (domainAuthority _),
     "q_triangle_count" -> (triangleCountQ _),
     "q_copurchase" -> (copurchaseQ _),
+    "q_item_cf" -> (itemCf _),
+    "q_new_vs_returning" -> (newVsReturning _),
+    "q_conversion_latency" -> (conversionLatency _),
     "q_winsorize" -> (winsorizeQ _),
     "q_anomaly_mad" -> (anomalyMad _),
     "q_histogram_equidepth" -> (histogramEquidepth _),
@@ -6424,6 +6497,62 @@ object SparkEntry {
         |FROM pairs JOIN support sa ON sa.p = item_a
         |JOIN support sb ON sb.p = item_b
         |ORDER BY item_a, item_b""".stripMargin,
+    // Item-item CF: same pair counts (support >= 3), symmetrized, same
+    // rounded cosine and (sim DESC, other) rank.
+    "q_item_cf" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |kept AS (SELECT o, p FROM (SELECT o, p,
+        |    count(*) OVER (PARTITION BY o) AS n FROM items) WHERE n <= 64),
+        |support AS (SELECT p, count(*) AS n FROM kept GROUP BY p),
+        |pairs AS (SELECT a.p AS item_a, b.p AS item_b, count(*) AS n_ab
+        |  FROM kept a JOIN kept b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |fp AS (SELECT item_a, item_b, n_ab, sa.n AS n_i, sb.n AS n_o
+        |    FROM pairs JOIN support sa ON sa.p = item_a
+        |    JOIN support sb ON sb.p = item_b),
+        |sym AS (SELECT item_a AS item, item_b AS other, n_ab, n_i, n_o
+        |    FROM fp
+        |  UNION ALL SELECT item_b, item_a, n_ab, n_o, n_i FROM fp),
+        |scored AS (SELECT item, other, n_ab,
+        |    round(CAST(n_ab AS DOUBLE) /
+        |      sqrt(CAST(n_i * n_o AS DOUBLE)), 6) AS sim
+        |  FROM sym),
+        |ranked AS (SELECT item, other, n_ab, sim,
+        |    row_number() OVER (PARTITION BY item
+        |      ORDER BY sim DESC, other) AS nbr_rank
+        |  FROM scored)
+        |SELECT item, other, n_ab, sim, nbr_rank FROM ranked
+        |WHERE nbr_rank <= 3 ORDER BY item, nbr_rank""".stripMargin,
+    // New vs returning: same day-distinct collapse + first-day join.
+    "q_new_vs_returning" ->
+      """WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id
+        |  FROM events),
+        |f AS (SELECT user_id, min(day) AS fd FROM days GROUP BY 1)
+        |SELECT d.day,
+        |  CAST(count(*) AS BIGINT) AS n_active,
+        |  CAST(sum(CASE WHEN d.day = f.fd THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_new,
+        |  CAST(count(*) - sum(CASE WHEN d.day = f.fd THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_returning
+        |FROM days d JOIN f USING (user_id)
+        |GROUP BY d.day ORDER BY d.day""".stripMargin,
+    // Conversion latency: exact microsecond spans, integer seconds,
+    // exact percentile_disc summary.
+    "q_conversion_latency" ->
+      """WITH c AS (SELECT user_id, min(epoch_us(ts)) AS c0 FROM events
+        |  WHERE event_type = 'click' GROUP BY 1),
+        |p AS (SELECT user_id, epoch_us(ts) AS pt FROM events
+        |  WHERE event_type = 'purchase'),
+        |l AS (SELECT c.user_id, (min(pt) - c0) // 1000000 AS latency_s
+        |  FROM c JOIN p ON p.user_id = c.user_id AND p.pt >= c.c0
+        |  GROUP BY c.user_id, c.c0)
+        |SELECT CAST(count(*) AS BIGINT) AS n_converted,
+        |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY latency_s)
+        |    AS BIGINT) AS p50_s,
+        |  CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY latency_s)
+        |    AS BIGINT) AS p90_s
+        |FROM l""".stripMargin,
     // Triangles: independent a<b<c 3-way-join formulation (not the
     // Spark side's degree-ordered wedge algorithm) — same set.
     "q_triangle_count" ->
