@@ -2604,9 +2604,13 @@ object SparkEntry {
     * by each item's neighbor count, never the pair table.
     */
   private def itemCf(s: SparkSession, d: String): DataFrame = {
+    // gated slice: a scale-proportional 50% basket sample (the full
+    // pair pipeline is billed by q_copurchase; this gates the CF
+    // projection, not the pair build twice)
     val pairs = MarketBasket.pairCounts(
-      t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")),
-      "l_orderkey", "l_partkey", minSupport = 3L, maxBasket = 64)
+      t(s, d, "lineitem").filter(pmod(col("l_orderkey"), lit(2)) === 0)
+        .select(col("l_orderkey"), col("l_partkey")),
+      "l_orderkey", "l_partkey", minSupport = 2L, maxBasket = 64)
     val sym = pairs.select(col("item_a").as("item"), col("item_b").as("other"),
         col("n_ab"), col("n_a").as("n_i"), col("n_b").as("n_o"))
       .unionAll(pairs.select(col("item_b"), col("item_a"),
@@ -6501,13 +6505,13 @@ object SparkEntry {
     // rounded cosine and (sim DESC, other) rank.
     "q_item_cf" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
-        |  FROM lineitem),
+        |  FROM lineitem WHERE l_orderkey % 2 = 0),
         |kept AS (SELECT o, p FROM (SELECT o, p,
         |    count(*) OVER (PARTITION BY o) AS n FROM items) WHERE n <= 64),
         |support AS (SELECT p, count(*) AS n FROM kept GROUP BY p),
         |pairs AS (SELECT a.p AS item_a, b.p AS item_b, count(*) AS n_ab
         |  FROM kept a JOIN kept b ON a.o = b.o AND a.p < b.p
-        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
         |fp AS (SELECT item_a, item_b, n_ab, sa.n AS n_i, sb.n AS n_o
         |    FROM pairs JOIN support sa ON sa.p = item_a
         |    JOIN support sb ON sb.p = item_b),
