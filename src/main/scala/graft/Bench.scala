@@ -109,7 +109,8 @@ object Bench {
     *    anti-join probes — the billed q_anti_join family's shape
     *    collapsing to fixed-size audit rows),
     *    q_item_cf (one projection + rank window over the billed
-    *    q_copurchase pair table), q_new_vs_returning /
+    *    q_copurchase pair table), q_zipf_slope (a 30-row regression
+    *    over the billed q_vocab_coverage collapse), q_new_vs_returning /
     *    q_conversion_latency (two keyed aggregates + one join over
     *    the event stream — the billed session/funnel family's cost
     *    class, fixed-size or day-domain outputs).
@@ -151,6 +152,7 @@ object Bench {
     "q_quantile_shards", "q_key_skew", "q_ann_recall",
     "q_xcorr", "q_cusum", "q_scd2_asof", "q_fk_integrity",
     "q_item_cf", "q_new_vs_returning", "q_conversion_latency",
+    "q_zipf_slope",
     // fixed-semantics probes
     "q_transform_text", "q_transform_decimal", "q_transform_integer",
     "q_transform_boolean", "q_filter_active_user", "q_html_extract",

@@ -2594,6 +2594,43 @@ object SparkEntry {
         "l_orderkey", "l_partkey", minSupport = 2L, maxBasket = 64)
       .orderBy(col("item_a"), col("item_b"))
 
+  /** Zipf-slope estimation — the corpus-statistics health check: OLS
+    * of ln(frequency) on ln(rank) over the top-30 vocabulary (a
+    * natural corpus slopes near −1; a synthetic or deduplicated-flat
+    * one does not). Float parity for a regression over LOGARITHMS:
+    * double sums are merge-order-dependent, so each ln is rounded to
+    * 6 decimals FIRST and quantized to DECIMAL(18,6) — the sufficient
+    * statistics are then exact decimal dot products and the
+    * slope/intercept/r² are fixed IEEE formulas on them, rounded.
+    */
+  private def zipfSlope(s: SparkSession, d: String): DataFrame = {
+    // DECIMAL(8,6) (ln values < 100) keeps every product inside the
+    // 38-digit budget — wider operands would silently trigger Spark's
+    // precision-overflow scale reduction and break oracle exactness
+    val D6 = DecimalType(8, 6)
+    val xy = TermIndex.vocabCoverage(t(s, d, "documents"), "text", "doc_id",
+        k = 30)
+      .select(
+        round(log(col("token_rank").cast(DoubleType)), 6).cast(D6).as("x"),
+        round(log(col("n_occ").cast(DoubleType)), 6).cast(D6).as("y"))
+    val sums = xy.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+    val nD = col("n").cast(DoubleType)
+    val nDec = col("n").cast(DecimalType(10, 0))
+    val cxx = (nDec * col("sxx") - col("sx") * col("sx")).cast(DoubleType)
+    val cyy = (nDec * col("syy") - col("sy") * col("sy")).cast(DoubleType)
+    val cxy = (nDec * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
+    val slope = cxy / cxx
+    sums.select(col("n").as("n_terms"),
+      round(slope, 6).as("zipf_slope"),
+      round(col("sy").cast(DoubleType) / nD -
+        slope * (col("sx").cast(DoubleType) / nD), 6).as("intercept"),
+      round((cxy * cxy) / (cxx * cyy), 6).as("r2"))
+  }
+
   /** Item-item collaborative filtering — the co-occurrence recommender
     * read off [[operators.MarketBasket.pairCounts]]: cosine similarity
     * over basket co-membership, sim(a,b) = n_ab / sqrt(n_a·n_b), top-3
@@ -3728,6 +3765,7 @@ object SparkEntry {
     "q_item_cf" -> (itemCf _),
     "q_new_vs_returning" -> (newVsReturning _),
     "q_conversion_latency" -> (conversionLatency _),
+    "q_zipf_slope" -> (zipfSlope _),
     "q_winsorize" -> (winsorizeQ _),
     "q_anomaly_mad" -> (anomalyMad _),
     "q_histogram_equidepth" -> (histogramEquidepth _),
@@ -5979,6 +6017,36 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / t, 6)
         |    AS cum_share
         |FROM top, total ORDER BY token_rank""".stripMargin,
+    // Zipf slope: each ln rounded to 6 and quantized to DECIMAL(18,6)
+    // BEFORE any sum, exact decimal sufficient statistics, the same
+    // fixed IEEE formulas.
+    "q_zipf_slope" ->
+      """WITH occ AS (SELECT unnest(list_filter(
+        |    string_split_regex(trim(lower(text)), '\s+'), w -> len(w) > 0)) AS word
+        |  FROM documents),
+        |counts AS (SELECT word, count(*) AS n_occ FROM occ GROUP BY word),
+        |top AS (SELECT word, n_occ FROM counts ORDER BY n_occ DESC, word LIMIT 30),
+        |r AS (SELECT row_number() OVER (ORDER BY n_occ DESC, word) AS rk,
+        |    n_occ FROM top),
+        |xy AS (SELECT
+        |    CAST(round(ln(CAST(rk AS DOUBLE)), 6) AS DECIMAL(8,6)) AS x,
+        |    CAST(round(ln(CAST(n_occ AS DOUBLE)), 6) AS DECIMAL(8,6)) AS y
+        |  FROM r),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+        |    sum(y * y) AS syy, sum(x * y) AS sxy FROM xy)
+        |SELECT n AS n_terms,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |        CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope,
+        |  round(CAST(sy AS DOUBLE) / n -
+        |        (CAST(n * sxy - sx * sy AS DOUBLE) /
+        |         CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |        (CAST(sx AS DOUBLE) / n), 6) AS intercept,
+        |  round((CAST(n * sxy - sx * sy AS DOUBLE) *
+        |         CAST(n * sxy - sx * sy AS DOUBLE)) /
+        |        (CAST(n * sxx - sx * sx AS DOUBLE) *
+        |         CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+        |FROM s""".stripMargin,
     // Unigram LM: same top-2048 vocabulary (ties on the token), same
     // unsmoothed MLE probabilities, OOV pooled into the leftover mass
     // with a one-count floor; natural log in both engines.
