@@ -24,6 +24,15 @@ case class TransitionPair(user_id: Long, prev_type: String, next_type: String)
   */
 case class UserRunningUpdate(user_id: Long, n_events: Long, total_value: Double)
 
+/** First day (epoch micros of the day truncation) a user was ever
+  * seen, carried across micro-batches by
+  * [[EventStreams.firstSeenStream]].
+  */
+case class FirstSeenState(firstDayMicros: Long)
+
+/** One (user, day) activity flag: is this the user's first-ever day? */
+case class UserDayFlag(user_id: Long, day_micros: Long, is_new: Boolean)
+
 /** Event-stream operators. The reference's ingest endpoint is a
   * micro-batch-per-upload pattern (one POST = one batch,
   * reference web/api/products.py:77-95); Structured Streaming's
@@ -200,6 +209,46 @@ object EventStreams {
             prev = Some(TransitionState(r._2, r._3, r._4))
           }
           prev.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** Streaming twin of the batch new-vs-returning decomposition
+    * (SparkEntry.newVsReturning): per-user keyed state carries the
+    * first-ever-seen day; each micro-batch's rows process in day order
+    * and emit one (user, day, is_new) flag per event — is_new exactly
+    * when the event's day IS the user's first day. Downstream,
+    * `groupBy(day).agg(countDistinct(user), countDistinct(user WHERE
+    * is_new))` reproduces the batch n_active/n_new counts exactly when
+    * batches arrive in event-time order per key (the
+    * [[transitionsStream]] contract; out-of-order feeds buffer behind
+    * a watermark first). Duplicate same-day emissions are fine — the
+    * aggregation is distinct-based, mirroring the batch side's
+    * day-distinct collapse.
+    *
+    * Scale shape: ONE fixed-size record per user in the state store
+    * (the smallest possible lifecycle state); each batch shuffles only
+    * its own rows on user_id.
+    */
+  def firstSeenStream(spark: SparkSession, events: DataFrame): Dataset[UserDayFlag] = {
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"),
+        unix_micros(date_trunc("day", col("ts"))).as("day"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FirstSeenState, UserDayFlag](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[(Long, Long)],
+         state: GroupState[FirstSeenState]) =>
+          val days = rows.map(_._2).toSeq.sorted
+          var first = state.getOption.map(_.firstDayMicros)
+          val out = Seq.newBuilder[UserDayFlag]
+          days.foreach { d =>
+            if (first.isEmpty) first = Some(d)
+            out += UserDayFlag(uid, d, d == first.get)
+          }
+          first.foreach(f => state.update(FirstSeenState(f)))
           out.result().iterator
       }
   }

@@ -180,6 +180,46 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-vs-batch differential: firstSeenStream == batch new-vs-returning") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ev = SparkEntry.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("ts"))
+    val rows = ev.collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1)))
+      .sortBy(_._2.getTime) // event-time order across batches
+    val input = MemoryStream[(Long, Timestamp)]
+    val flags = EventStreams.firstSeenStream(spark,
+      input.toDF().toDF("user_id", "ts"))
+    val q = flags.writeStream.outputMode("append")
+      .format("memory").queryName("firstseen_diff")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      rows.grouped((rows.length + 2) / 3)
+        .foreach { b => input.addData(b.toSeq: _*); q.processAllAvailable() }
+      val streamed = spark.table("firstseen_diff")
+        .groupBy(col("day_micros"))
+        .agg(countDistinct(col("user_id")).as("n_active"),
+          countDistinct(when(col("is_new"), col("user_id"))).as("n_new"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val days = ev.select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+        .distinct()
+      val first = days.groupBy(col("user_id")).agg(min(col("day")).as("_f"))
+      val batch = days.join(first, "user_id")
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_active"),
+          sum(when(col("day") === col("_f"), 1L).otherwise(0L)).as("n_new"))
+        .select(unix_micros(col("day")), col("n_active"), col("n_new"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed.nonEmpty)
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("stream-vs-batch differential: dedupStream == batch distinct") {
     // Streaming watermarked dedup on user_id over the real events table
     // must emit exactly the batch-distinct user set: the watermark (far
