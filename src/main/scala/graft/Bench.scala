@@ -52,6 +52,14 @@ object Bench {
     *    (same codec seam and slice shape as the billed q_png_decode),
     *    q_asof_join
     *    (composed twin of the native-plan q_asof_join_native),
+    *    q_bpe_encode (trainer-bound like q_bpe_train — the billed
+    *    q_tokenize_bpe re-runs the same train+encode pipeline),
+    *    q_dedup_chunks (dedup over the billed q_chunk_cdc chunk
+    *    table — the chunking is the data-scale stage),
+    *    q_contamination_audit (the billed q_decontaminate's broadcast
+    *    -shingle plan emitting per-benchmark-doc detail rows),
+    *    q_para_dedup (paragraph-digest window variant of the billed
+    *    exact-dedup family),
     *    q_group_split (group-keyed projection variant of the billed
     *    q_sample_split hash-split family), q_winsorize /
     *    q_histogram_equidepth (exact-percentile / bounded-domain
