@@ -2108,6 +2108,62 @@ object SparkEntry {
       .orderBy(col("cosine").desc, col("vec_id"))
   }
 
+  private lazy val pqDir = s"$artifactRoot/pq"
+
+  /** Product-quantization ANN ([[operators.PqIndex]]): 8 subspaces x 16
+    * codewords over the 64-dim embeddings (a vector stores as 8 codes —
+    * the 32x compression that IS the 100 TB argument), query scored by
+    * ADC table lookups. The trained codebooks are DUMPED to parquet and
+    * the oracle replays code assignment (the 2·v.c − ||c||² first-wins
+    * argmax) and every ADC table entry (dot(q,q) − 2·dot(q,c) +
+    * dot(c,c), sequential sums, left-to-right 8-term total) from that
+    * file — the approximate result set is exactly checkable, the
+    * [[embedIvf]] technique applied to the compression half of IVFADC.
+    */
+  private def embedPq(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, d, "embeddings")
+    val cbs = PqIndex.trainCodebooks(emb, "embedding", "vec_id",
+      m = 8, ksub = 16, iters = 5)
+    cbs.zipWithIndex.flatMap { case (cb, m) =>
+      cb.zipWithIndex.map { case (c, code) => (m, code, c.toSeq) }
+    }.toSeq.toDF("m", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$pqDir/codebooks.parquet")
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(Similarity.toDouble(col("embedding")))
+      .head().getSeq[Double](0)
+    PqIndex.adcTopK(emb, "embedding", "vec_id", qv, cbs, k = 10)
+  }
+
+  /** Oracle for q_embed_pq: per subspace a correlated argmax over the
+    * dumped codebook picks the assigned codeword AND returns its ADC
+    * table value in one subquery; the 8-term sum and rounding mirror
+    * the Spark fold exactly.
+    */
+  private def pqOracleSql: String = {
+    val (m, dsub) = (8, 8)
+    val arms = (0 until m).map { s =>
+      val lo = s * dsub + 1
+      val hi = (s + 1) * dsub
+      s"""(SELECT list_dot_product(q.qe[$lo:$hi], q.qe[$lo:$hi])
+         |   - 2 * list_dot_product(q.qe[$lo:$hi], cb.c)
+         |   + list_dot_product(cb.c, cb.c)
+         | FROM cb, q WHERE cb.m = $s
+         | ORDER BY 2 * list_dot_product(cb.c, emb.e[$lo:$hi])
+         |   - list_dot_product(cb.c, cb.c) DESC, cb.code
+         | LIMIT 1)""".stripMargin
+    }.mkString(" +\n|")
+    s"""WITH cb AS (SELECT m, code, CAST(centroid AS DOUBLE[]) AS c
+       |      FROM read_parquet('$pqDir/codebooks.parquet/*.parquet')),
+       |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |q AS (SELECT e AS qe FROM emb WHERE vec_id = 0),
+       |scored AS (SELECT vec_id,
+       |  round($arms, 6) AS adc_dist
+       |FROM emb)
+       |SELECT vec_id, adc_dist FROM scored
+       |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold with candidates
     * from sign-LSH buckets (8 deterministic hyperplanes -> 256 buckets;
     * the pair join is a bucket equi-join, never all-pairs). The
@@ -3736,6 +3792,7 @@ object SparkEntry {
     "q_embed_ann_lsh" -> (embedAnnLsh _),
     "q_ann_recall" -> (annRecall _),
     "q_embed_ivf" -> (embedIvf _),
+    "q_embed_pq" -> (embedPq _),
     "q_embed_neardup" -> (embedNearDup _),
     "q_text_stats" -> (textStats _),
     "q_text_quality" -> (textQuality _),
@@ -5620,6 +5677,7 @@ object SparkEntry {
          |        (sqrt(list_dot_product(e, e)) * (SELECT sqrt(list_dot_product(qe, qe)) FROM q)), 4) AS cosine
          |      FROM assign WHERE cell IN (SELECT cell FROM probe))
          |SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    "q_embed_pq" -> pqOracleSql,
     "q_ingest_e2e" -> ingestE2eOracle,
     // Recomputes the expected post-swap Derby state from parquet alone;
     // the Spark side must deliver exactly this through the JDBC scan.

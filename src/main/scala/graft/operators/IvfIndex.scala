@@ -41,6 +41,16 @@ object IvfIndex {
       .select(Similarity.toDouble(col(vecCol)))
       .collect()
       .map(_.getSeq[Double](0).toArray)
+    lloyd(sample, nlist, iters)
+  }
+
+  /** Deterministic Lloyd's over an in-memory sample — shared by the
+    * coarse quantizer above and [[PqIndex]]'s per-subspace codebooks.
+    */
+  private[operators] def lloyd(
+      sample: Array[Array[Double]],
+      nlist: Int,
+      iters: Int): Array[Array[Double]] = {
     require(sample.length >= nlist, s"sample ${sample.length} < nlist $nlist")
     val dim = sample.head.length
     // init: evenly-spaced sample points (deterministic, spread out)
@@ -62,7 +72,7 @@ object IvfIndex {
     centroids
   }
 
-  private def nearest(v: Array[Double], cs: Array[Array[Double]]): Int = {
+  private[operators] def nearest(v: Array[Double], cs: Array[Array[Double]]): Int = {
     var best = 0
     var bestD = Double.MaxValue
     var c = 0
