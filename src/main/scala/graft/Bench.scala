@@ -112,6 +112,9 @@ object Bench {
     *    q_ann_recall (evaluation composition of the billed
     *    q_embed_ann_lsh and q_embed_topk — both sides' scans are
     *    already billed; this gates their intersection),
+    *    q_embed_ivfpq (composition of the billed q_embed_ivf coarse
+    *    probe and the billed q_embed_pq ADC scoring — both halves'
+    *    scans already billed; this gates the composition),
     *    q_scd2_asof (one interval predicate over the billed q_scd2
     *    construction), q_fk_integrity (four planted-sentinel
     *    anti-join probes — the billed q_anti_join family's shape
@@ -157,7 +160,7 @@ object Bench {
     "q_window_ntile", "q_window_range", "q_events_tumbling",
     "q_bigram_lm", "q_textrank", "q_ks_test", "q_k_anonymity",
     "q_acf", "q_paginate_keyset", "q_ewma", "q_rolling_zscore",
-    "q_quantile_shards", "q_key_skew", "q_ann_recall",
+    "q_quantile_shards", "q_key_skew", "q_ann_recall", "q_embed_ivfpq",
     "q_xcorr", "q_cusum", "q_scd2_asof", "q_fk_integrity",
     "q_item_cf", "q_new_vs_returning", "q_conversion_latency",
     "q_zipf_slope",

@@ -2135,6 +2135,85 @@ object SparkEntry {
     PqIndex.adcTopK(emb, "embedding", "vec_id", qv, cbs, k = 10)
   }
 
+  /** Full IVFADC ([[embedIvf]] coarse pruning composed with
+    * [[embedPq]] ADC scoring — Jégou et al. 2011 end-to-end): the
+    * coarse quantizer prunes to the query's 4 nearest of 8 cells, and
+    * only survivors pay the 8 ADC table lookups. At 100 TB this is THE
+    * production vector-index read path: cell id prunes partitions,
+    * codes replace floats, the query never touches a stored vector.
+    * Both the cell centroids and the PQ codebooks replay from their
+    * dumped parquet in the oracle.
+    */
+  private def embedIvfPq(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, d, "embeddings")
+    val cs = IvfIndex.trainCentroids(emb, "embedding", "vec_id", nlist = 8, iters = 5)
+    cs.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$pqDir/coarse.parquet")
+    val cbs = PqIndex.trainCodebooks(emb, "embedding", "vec_id",
+      m = 8, ksub = 16, iters = 5)
+    cbs.zipWithIndex.flatMap { case (cb, m) =>
+      cb.zipWithIndex.map { case (c, code) => (m, code, c.toSeq) }
+    }.toSeq.toDF("m", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$pqDir/codebooks2.parquet")
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(Similarity.toDouble(col("embedding")))
+      .head().getSeq[Double](0)
+    val q = qv.toArray
+    val probeCells = cs.zipWithIndex
+      .map { case (c, i) =>
+        (2.0 * c.zip(q).map { case (x, y) => x * y }.sum -
+          c.map(x => x * x).sum, i)
+      }
+      .sortBy { case (sc, i) => (-sc, i) }.take(4).map(_._2)
+    val pruned = emb
+      .withColumn("_cell",
+        IvfIndex.cellId(Similarity.toDouble(col("embedding")), cs))
+      .filter(col("_cell").isin(probeCells.toIndexedSeq: _*))
+    PqIndex.adcTopK(pruned, "embedding", "vec_id", qv, cbs, k = 10)
+  }
+
+  /** Oracle for q_embed_ivfpq: the [[pqOracleSql]] ADC replay with the
+    * [[embedIvf]]-style coarse probe filter in front, both from dumped
+    * parquet.
+    */
+  private def ivfPqOracleSql: String = {
+    val (m, dsub) = (8, 8)
+    val arms = (0 until m).map { s =>
+      val lo = s * dsub + 1
+      val hi = (s + 1) * dsub
+      s"""(SELECT list_dot_product(q.qe[$lo:$hi], q.qe[$lo:$hi])
+         |   - 2 * list_dot_product(q.qe[$lo:$hi], cb.c)
+         |   + list_dot_product(cb.c, cb.c)
+         | FROM cb, q WHERE cb.m = $s
+         | ORDER BY 2 * list_dot_product(cb.c, pruned.e[$lo:$hi])
+         |   - list_dot_product(cb.c, cb.c) DESC, cb.code
+         | LIMIT 1)""".stripMargin
+    }.mkString(" +\n|")
+    s"""WITH cents AS (SELECT cell, CAST(centroid AS DOUBLE[]) AS c
+       |      FROM read_parquet('$pqDir/coarse.parquet/*.parquet')),
+       |cb AS (SELECT m, code, CAST(centroid AS DOUBLE[]) AS c
+       |      FROM read_parquet('$pqDir/codebooks2.parquet/*.parquet')),
+       |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |q AS (SELECT e AS qe FROM emb WHERE vec_id = 0),
+       |probe AS (SELECT cell FROM cents
+       |      ORDER BY 2 * list_dot_product(c, (SELECT qe FROM q)) - list_dot_product(c, c) DESC, cell
+       |      LIMIT 4),
+       |assign AS (SELECT vec_id, e,
+       |      (SELECT cell FROM cents
+       |       ORDER BY 2 * list_dot_product(cents.c, emb.e) - list_dot_product(cents.c, cents.c) DESC, cell
+       |       LIMIT 1) AS cell
+       |      FROM emb),
+       |pruned AS (SELECT vec_id, e FROM assign
+       |      WHERE cell IN (SELECT cell FROM probe)),
+       |scored AS (SELECT vec_id,
+       |  round($arms, 6) AS adc_dist
+       |FROM pruned)
+       |SELECT vec_id, adc_dist FROM scored
+       |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin
+  }
+
   /** Oracle for q_embed_pq: per subspace a correlated argmax over the
     * dumped codebook picks the assigned codeword AND returns its ADC
     * table value in one subquery; the 8-term sum and rounding mirror
@@ -3793,6 +3872,7 @@ object SparkEntry {
     "q_ann_recall" -> (annRecall _),
     "q_embed_ivf" -> (embedIvf _),
     "q_embed_pq" -> (embedPq _),
+    "q_embed_ivfpq" -> (embedIvfPq _),
     "q_embed_neardup" -> (embedNearDup _),
     "q_text_stats" -> (textStats _),
     "q_text_quality" -> (textQuality _),
@@ -5678,6 +5758,7 @@ object SparkEntry {
          |      FROM assign WHERE cell IN (SELECT cell FROM probe))
          |SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
     "q_embed_pq" -> pqOracleSql,
+    "q_embed_ivfpq" -> ivfPqOracleSql,
     "q_ingest_e2e" -> ingestE2eOracle,
     // Recomputes the expected post-swap Derby state from parquet alone;
     // the Spark side must deliver exactly this through the JDBC scan.
