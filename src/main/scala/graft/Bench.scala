@@ -93,6 +93,8 @@ object Bench {
     *    q_textrank (its one corpus-scale stage is exactly the billed
     *    q_pmi_cooccur lead-window pair stream; the PageRank iterations
     *    run at vocabulary scale — the q_domain_authority probe shape),
+    *    q_phrase_search (filtered slices of the occurrence stream the
+    *    billed tfidf/index family scans, joined at posting-list size),
     *    q_ks_test (bounded-value-domain CDF sweep — the drift family
     *    whose binned representative q_drift_psi stays billed),
     *    q_k_anonymity (one keyed count over the quasi-identifier
@@ -158,7 +160,8 @@ object Bench {
     "q_group_percentile", "q_percentile_disc", "q_rollup",
     "q_grouping_sets", "q_window_firstlast", "q_window_lag",
     "q_window_ntile", "q_window_range", "q_events_tumbling",
-    "q_bigram_lm", "q_textrank", "q_ks_test", "q_k_anonymity",
+    "q_bigram_lm", "q_textrank", "q_phrase_search",
+    "q_ks_test", "q_k_anonymity",
     "q_acf", "q_paginate_keyset", "q_ewma", "q_rolling_zscore",
     "q_quantile_shards", "q_key_skew", "q_ann_recall", "q_embed_ivfpq",
     "q_xcorr", "q_cusum", "q_scd2_asof", "q_fk_integrity",

@@ -1120,6 +1120,17 @@ object SparkEntry {
     TermIndex.textrankKeywords(t(s, d, "documents"), "text", "doc_id",
       maxDist = 2, minPairCount = 5, iters = 5, k = 20)
 
+  /** Exact-phrase search ([[operators.TermIndex.phraseSearch]]):
+    * position-chain posting-list intersection for a 3-word phrase; the
+    * oracle counts the same phrase from the shingle table — an
+    * independent formulation of the same match.
+    */
+  private def phraseSearchQ(s: SparkSession, d: String): DataFrame =
+    TermIndex.phraseSearch(t(s, d, "documents"), "text", "doc_id",
+        Seq("big", "order", "scan"))
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
   /** Two-sample KS drift ([[operators.Profiling.ksTest]]): largest CDF
     * gap between English and non-English document lengths. The D
     * argmax is decided entirely in integer arithmetic
@@ -3920,6 +3931,7 @@ object SparkEntry {
     "q_sparse_knn" -> (sparseKnnQ _),
     "q_pmi_cooccur" -> (pmiCooccurQ _),
     "q_textrank" -> (textrankQ _),
+    "q_phrase_search" -> (phraseSearchQ _),
     "q_ks_test" -> (ksTestQ _),
     "q_benford" -> (benfordQ _),
     "q_k_anonymity" -> (kAnonymityQ _),
@@ -6299,6 +6311,17 @@ object SparkEntry {
     // TextRank: q_pmi_cooccur's pair CTEs -> symmetrized graph -> the
     // pageRankOracleSql unrolled-iteration technique -> rounded top-20.
     "q_textrank" -> textrankOracleSql,
+    // Phrase search: the oracle counts phrase-equal SHINGLES — an
+    // independent formulation of the position-chain join.
+    "q_phrase_search" ->
+      """WITH ws AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |sh AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |  FROM ws, UNNEST(range(1, len(w) - 1)) AS t(i)
+        |  WHERE len(w) >= 3)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        |FROM sh WHERE s = 'big order scan'
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // KS: the D argmax decided in exact integer arithmetic over the
     // value domain; one rounded double division at the end.
     "q_ks_test" ->

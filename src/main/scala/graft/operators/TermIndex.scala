@@ -686,6 +686,39 @@ object TermIndex {
           6).as("pmi"))
   }
 
+  /** Positional-index phrase search — the exact-phrase query a lexical
+    * engine answers from word positions (Lucene's phrase query): a doc
+    * matches at position p when phrase word i sits at p+i for every i.
+    * Output: (id, n_hits) per matching document, n_hits = occurrence
+    * count (overlapping matches each count).
+    *
+    * Plan shape: each phrase word's posting list is a FILTERED slice
+    * of the (id, pos, word) occurrence stream — selectivity lands
+    * before any join — and the match is a chain of (id, pos−i)
+    * equi-joins between those slices: posting-list intersection, cost
+    * bounded by the RAREST word's postings, never a corpus scan per
+    * word (the occurrence stream is one scan feeding all slices).
+    * The oracle answers the same question from the SHINGLE table
+    * (window = phrase → count) — an independent formulation, so the
+    * position arithmetic is checked, not replayed.
+    */
+  def phraseSearch(docs: DataFrame, textCol: String, idCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.length >= 2, "phraseSearch needs at least two words")
+    val toks = docs.select(col(idCol).as("id"),
+        posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "w")))
+      .filter(length(col("w")) > 0)
+    val first = toks.filter(col("w") === phrase.head)
+      .select(col("id"), col("pos"))
+    phrase.zipWithIndex.tail
+      .foldLeft(first) { case (acc, (w, i)) =>
+        acc.join(toks.filter(col("w") === w)
+          .select(col("id"), (col("pos") - i).as("pos")), Seq("id", "pos"))
+      }
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** TextRank keyword extraction (Mihalcea & Tarau 2004): rank words by
     * PageRank over the co-occurrence graph — a word is important when
     * important words co-occur with it. The graph-centrality keyword

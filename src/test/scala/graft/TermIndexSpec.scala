@@ -396,6 +396,22 @@ class TermIndexSpec extends SparkSpec {
     assert(pairs.contains(("a", "x2")) && !pairs.contains(("a", "x3")))
   }
 
+  test("phraseSearch: position chains count overlapping matches per doc") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "x a b c y a b c"), // two matches
+      (2L, "a b x c"),         // broken chain - no match
+      (3L, "c b a"),           // reversed - no match
+      (4L, "a a a"))           // overlapping 'a a': positions 0 and 1
+      .toDF("doc_id", "text")
+    val abc = TermIndex.phraseSearch(df, "text", "doc_id", Seq("a", "b", "c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(abc === Map(1L -> 2L))
+    val aa = TermIndex.phraseSearch(df, "text", "doc_id", Seq("a", "a"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(aa === Map(4L -> 2L))
+  }
+
   test("textrank: path-graph ranks match a scalar PageRank replay") {
     import spark.implicits._
     // Docs build the path graph a—b—c (maxDist 1 keeps the pair stream
