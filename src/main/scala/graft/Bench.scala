@@ -95,6 +95,8 @@ object Bench {
     *    run at vocabulary scale — the q_domain_authority probe shape),
     *    q_phrase_search (filtered slices of the occurrence stream the
     *    billed tfidf/index family scans, joined at posting-list size),
+    *    q_chunk_retrieval (the billed q_chunk_overlap construction
+    *    feeding the billed q_bm25 scorer — a composition gate),
     *    q_ks_test (bounded-value-domain CDF sweep — the drift family
     *    whose binned representative q_drift_psi stays billed),
     *    q_k_anonymity (one keyed count over the quasi-identifier
@@ -160,7 +162,7 @@ object Bench {
     "q_group_percentile", "q_percentile_disc", "q_rollup",
     "q_grouping_sets", "q_window_firstlast", "q_window_lag",
     "q_window_ntile", "q_window_range", "q_events_tumbling",
-    "q_bigram_lm", "q_textrank", "q_phrase_search",
+    "q_bigram_lm", "q_textrank", "q_phrase_search", "q_chunk_retrieval",
     "q_ks_test", "q_k_anonymity",
     "q_acf", "q_paginate_keyset", "q_ewma", "q_rolling_zscore",
     "q_quantile_shards", "q_key_skew", "q_ann_recall", "q_embed_ivfpq",

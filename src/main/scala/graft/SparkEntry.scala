@@ -2058,6 +2058,27 @@ object SparkEntry {
         chunkSize = 50, overlap = 10)
       .orderBy(col("doc_id"), col("chunk_id"))
 
+  /** Chunk-level BM25 retrieval — the RAG indexing composition: the
+    * corpus splits into 50-token / 10-overlap chunks
+    * ([[chunkOverlap]]'s construction) and BM25 ranks CHUNKS, so the
+    * retrieved unit is a passage that fits a context window, not a
+    * whole document ([[operators.TermIndex.bm25TopK]] unchanged —
+    * chunk ids pack as doc_id·1000 + chunk_id and unpack in the
+    * output). The oracle chains both siblings' oracle CTEs.
+    */
+  private def chunkRetrieval(s: SparkSession, d: String): DataFrame = {
+    val chunks = TextAnalysis.chunkWords(t(s, d, "documents"), "text",
+        "doc_id", chunkSize = 50, overlap = 10)
+      .select((col("doc_id") * 1000 + col("chunk_id")).as("cid"),
+        col("chunk_text"))
+    TermIndex.bm25TopK(chunks, "chunk_text", "cid",
+        Seq("spark", "merge", "window"), k = 10)
+      .select(expr("cid div 1000").as("doc_id"),
+        pmod(col("cid"), lit(1000)).as("chunk_id"),
+        col("score"), col("rank"))
+      .orderBy(col("rank"))
+  }
+
   private def embedAnnLsh(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")
     val qv = emb.filter(col("vec_id") === 0)
@@ -3874,6 +3895,7 @@ object SparkEntry {
     "q_embed_quantized" -> (embedQuantized _),
     "q_expectations" -> (expectationsQ _),
     "q_chunk_overlap" -> (chunkOverlap _),
+    "q_chunk_retrieval" -> (chunkRetrieval _),
     "q_chunk_cdc" -> (chunkCdc _),
     "q_dedup_chunks" -> (dedupChunks _),
     "q_sentences" -> (sentencesQ _),
@@ -5864,6 +5886,46 @@ object SparkEntry {
         |       array_to_string(chunk, ' ') AS chunk_text
         |FROM c WHERE len(chunk) > 0
         |ORDER BY doc_id, chunk_id""".stripMargin,
+    // Chunk retrieval: the q_chunk_overlap chunk CTEs feeding the
+    // q_bm25 scoring CTEs, packed chunk ids unpacked at the end.
+    "q_chunk_retrieval" ->
+      """WITH w AS (SELECT doc_id,
+        |        list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS ws
+        |      FROM documents),
+        |st AS (SELECT doc_id, ws,
+        |        unnest(range(0, greatest(len(ws), 1), 40)) AS start
+        |      FROM w),
+        |c AS (SELECT doc_id, CAST(start // 40 AS BIGINT) AS chunk_id,
+        |        ws[start + 1 : start + 50] AS chunk
+        |      FROM st),
+        |ch AS (SELECT doc_id * 1000 + chunk_id AS cid,
+        |        array_to_string(chunk, ' ') AS text
+        |      FROM c WHERE len(chunk) > 0),
+        |base AS (SELECT cid,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |                x -> len(x) > 0) AS ws FROM ch),
+        |docs AS (SELECT cid, len(ws) AS dl,
+        |    list_filter(ws, x -> x IN ('spark', 'merge', 'window')) AS hits
+        |  FROM base),
+        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM docs),
+        |tf AS (SELECT cid, dl, unnest(hits) AS word FROM docs),
+        |tfc AS (SELECT cid, dl, word, count(*) AS tf FROM tf GROUP BY 1, 2, 3),
+        |dfc AS (SELECT word, count(DISTINCT cid) AS df FROM tf GROUP BY 1),
+        |contrib AS (SELECT cid,
+        |    CAST(round(
+        |      ln(1.0 + (s.n_docs - dfc.df + 0.5) / (dfc.df + 0.5)) *
+        |        tfc.tf * 2.2 /
+        |        (tfc.tf + 1.2 * (1.0 - 0.75 + 0.75 * tfc.dl / s.avgdl)),
+        |      9) AS DECIMAL(28, 9)) AS cn
+        |  FROM tfc JOIN dfc USING (word), stats s),
+        |scored AS (SELECT cid,
+        |    round(CAST(sum(cn) AS DOUBLE), 4) AS score
+        |  FROM contrib GROUP BY cid),
+        |ranked AS (SELECT cid, score,
+        |    row_number() OVER (ORDER BY score DESC, cid) AS rank
+        |  FROM scored)
+        |SELECT cid // 1000 AS doc_id, cid % 1000 AS chunk_id, score, rank
+        |FROM ranked WHERE rank <= 10 ORDER BY rank""".stripMargin,
     "q_embed_topk" ->
       """WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
         |scored AS (
