@@ -124,7 +124,7 @@ class ProductStore(spark: SparkSession, root: String, keepVersions: Int = 3)
     */
   def overwriteClientAtomic(clientId: Int, df: DataFrame): Unit = {
     val part = s"client_id=$clientId"
-    val tmp = Paths.get(root, s"_staging_${System.nanoTime()}")
+    val tmp = Paths.get(root, s"_staging_${uniqueTag()}")
     align(df).write
       .mode(SaveMode.Overwrite)
       .partitionBy("client_id")
@@ -150,7 +150,7 @@ class ProductStore(spark: SparkSession, root: String, keepVersions: Int = 3)
     * hard links to every current file + the newly written files.
     */
   def append(df: DataFrame): Unit = {
-    val tmp = Paths.get(root, s"_staging_${System.nanoTime()}")
+    val tmp = Paths.get(root, s"_staging_${uniqueTag()}")
     align(df).write
       .mode(SaveMode.Overwrite)
       .partitionBy("client_id")
@@ -184,7 +184,19 @@ class ProductStore(spark: SparkSession, root: String, keepVersions: Int = 3)
     publish(name)
   }
 
-  private def newVersionName(): String = f"v-${System.nanoTime()}%019d"
+  /** Collision-proof unique tag for staging/version/pointer names.
+    * nanoTime alone is NOT unique under concurrency (two threads can
+    * draw the same reading — observed: two concurrent tenant writers
+    * staged into the SAME `_staging_<t>` dir and one job's commit
+    * deleted the other's in-flight `_temporary/0`). The zero-padded
+    * nanoTime prefix keeps names lexicographically time-ordered (the
+    * GC's retention sort relies on that); the UUID suffix makes them
+    * unique by construction across threads AND processes.
+    */
+  private def uniqueTag(): String =
+    f"${System.nanoTime()}%019d-${java.util.UUID.randomUUID().toString.substring(0, 8)}"
+
+  private def newVersionName(): String = s"v-${uniqueTag()}"
 
   /** Publish: write the pointer to a temp file, atomically replace
     * CURRENT. Readers see the old complete version or the new complete
@@ -193,7 +205,7 @@ class ProductStore(spark: SparkSession, root: String, keepVersions: Int = 3)
     */
   private def publish(name: String): Unit = {
     Files.createDirectories(Paths.get(root))
-    val tmp = Paths.get(root, s"_ptr_${System.nanoTime()}")
+    val tmp = Paths.get(root, s"_ptr_${uniqueTag()}")
     Files.writeString(tmp, name)
     Files.move(tmp, currentPtr, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)

@@ -103,12 +103,32 @@ def main():
             d = from_lines(text, path)
         if "queries" not in d:
             # The summary line names its own sidecar ("full"); fall back
-            # to a bench_full.json beside the wrapper file.
+            # to a bench_full.json beside the wrapper file, then to the
+            # round's committed stable snapshot (bench_runs/BENCH_rN_full
+            # .json — the r11 fix for the r10 "regression gate comparing
+            # against NOTHING" failure), then to any sidecar in
+            # bench_runs/ whose sf+total match this run. Every candidate
+            # is still value-checked before being trusted.
+            import glob as _glob
+            import re as _re
+            wrapper_dir = os.path.dirname(os.path.abspath(path))
             cands = []
             if d.get("full"):
                 cands.append(d["full"])
-            cands.append(os.path.join(
-                os.path.dirname(os.path.abspath(path)), "bench_full.json"))
+                cands.append(os.path.join(wrapper_dir, d["full"]))
+            cands.append(os.path.join(wrapper_dir, "bench_full.json"))
+            m = _re.search(r"BENCH_r(\d+)\.json$", os.path.basename(path))
+            if m:
+                n = int(m.group(1))
+                for name in (f"BENCH_r{n:02d}_full.json",
+                             f"BENCH_r{n}_full.json"):
+                    cands.append(os.path.join(wrapper_dir, "bench_runs", name))
+                    cands.append(os.path.join("bench_runs", name))
+            for pat in (os.path.join(wrapper_dir, "bench_runs",
+                                     "bench_full-*.json"),
+                        os.path.join("bench_runs", "bench_full-*.json")):
+                cands.extend(sorted(_glob.glob(pat),
+                                    key=os.path.getmtime, reverse=True))
             for full in cands:
                 if not os.path.exists(full):
                     continue
