@@ -116,6 +116,9 @@ object Bench {
     *    q_ann_recall (evaluation composition of the billed
     *    q_embed_ann_lsh and q_embed_topk — both sides' scans are
     *    already billed; this gates their intersection),
+    *    q_ann_recall_hi (the same eval composition for the
+    *    production multi-probe config, ASSERTING panel-mean
+    *    recall >= 0.8 via its engine-side filter),
     *    q_embed_ivfpq (composition of the billed q_embed_ivf coarse
     *    probe and the billed q_embed_pq ADC scoring — both halves'
     *    scans already billed; this gates the composition),
@@ -124,7 +127,11 @@ object Bench {
     *    anti-join probes — the billed q_anti_join family's shape
     *    collapsing to fixed-size audit rows),
     *    q_item_cf (one projection + rank window over the billed
-    *    q_copurchase pair table), q_zipf_slope (a 30-row regression
+    *    q_copurchase pair table), q_sparse_index_build (content gate
+    *    of the standing posting-table artifact the billed q_sparse_knn
+    *    serves from — its cost is the amortized build plus a
+    *    vocabulary-sized aggregate, and its oracle re-derives the
+    *    artifact from source each run), q_zipf_slope (a 30-row regression
     *    over the billed q_vocab_coverage collapse), q_new_vs_returning /
     *    q_conversion_latency (two keyed aggregates + one join over
     *    the event stream — the billed session/funnel family's cost
@@ -165,10 +172,11 @@ object Bench {
     "q_bigram_lm", "q_textrank", "q_phrase_search", "q_chunk_retrieval",
     "q_ks_test", "q_k_anonymity",
     "q_acf", "q_paginate_keyset", "q_ewma", "q_rolling_zscore",
-    "q_quantile_shards", "q_key_skew", "q_ann_recall", "q_embed_ivfpq",
+    "q_quantile_shards", "q_key_skew", "q_ann_recall", "q_ann_recall_hi",
+    "q_embed_ivfpq",
     "q_xcorr", "q_cusum", "q_scd2_asof", "q_fk_integrity",
     "q_item_cf", "q_new_vs_returning", "q_conversion_latency",
-    "q_zipf_slope",
+    "q_zipf_slope", "q_sparse_index_build",
     // fixed-semantics probes
     "q_transform_text", "q_transform_decimal", "q_transform_integer",
     "q_transform_boolean", "q_filter_active_user", "q_html_extract",

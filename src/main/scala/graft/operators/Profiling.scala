@@ -155,6 +155,11 @@ object Profiling {
       .agg(max(col("_na")).as("n_a"), max(col("_nb")).as("n_b"),
         max(abs(col("_cuma") * col("_nb") - col("_cumb") * col("_na")))
           .as("d_num"))
+      // Degenerate input (no row in either population): the aggregate
+      // over zero rows yields a single all-null row, while a SQL
+      // formulation of the same statistic yields zero rows — define the
+      // empty-input result as EMPTY so both shapes agree.
+      .filter(col("n_a").isNotNull && col("n_b").isNotNull)
       .select(col("n_a"), col("n_b"), col("d_num"),
         round(col("d_num").cast("double") /
           (col("n_a").cast("double") * col("n_b")), roundTo).as("ks_d"))

@@ -134,20 +134,23 @@ object Similarity {
       k: Int = 10,
       planes: Int = 8,
       tables: Int = 1,
-      roundTo: Int = -1): DataFrame = {
+      roundTo: Int = -1,
+      maxHamming: Int = 1): DataFrame = {
     val dim = queryVec.length
     val hps = tableHyperplanes(planes, tables, dim)
     val qNorm = math.sqrt(queryVec.map(x => x * x).sum)
     val v = col(vecCol)
     // All table buckets from ONE native call per row (sign is
-    // scale-invariant, so the raw vector is fine); "bucket matches the
-    // query's or differs by one bit" is a bit_count test per table over
-    // the materialized bucket array. The exact cosine only runs on rows
-    // surviving some table's probe.
+    // scale-invariant, so the raw vector is fine); "bucket within
+    // `maxHamming` sign flips of the query's" is a bit_count test per
+    // table over the materialized bucket array — widening maxHamming is
+    // the multi-probe recall lever (scan fraction per table is
+    // Σ_{i<=H} C(planes,i)/2^planes). The exact cosine only runs on
+    // rows surviving some table's probe.
     val qBuckets = hps.map(hp => scalarBucket(queryVec, hp))
     val bks = graft.functions.GraftFunctions.graftLshBuckets(v, planes, tables, dim)
     val tableHit: Seq[Column] = hps.indices.map { t =>
-      bit_count(element_at(col("_bks"), t + 1).bitwiseXOR(lit(qBuckets(t)))) <= 1
+      bit_count(element_at(col("_bks"), t + 1).bitwiseXOR(lit(qBuckets(t)))) <= maxHamming
     }
     val cos = graftDot(v, lit(queryVec.toArray)) / (sqrt(graftNorm2(v)) * lit(qNorm))
     embeddings

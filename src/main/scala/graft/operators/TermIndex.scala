@@ -91,29 +91,58 @@ object TermIndex {
     * vocabulary would go empty, so the gate declares no cap.
     */
   def sparseKnn(docs: DataFrame, textCol: String, idCol: String,
-      queries: DataFrame, k: Int = 5): DataFrame = {
+      queries: DataFrame, k: Int = 5): DataFrame =
+    sparseKnnFromIndex(
+      tfidfIndex(docs, textCol, idCol).localCheckpoint(), queries, k)
+
+  /** The INDEX BUILD half of [[sparseKnn]]: the scaled-long TF-IDF
+    * posting table (id, word, w) — one corpus explode, tf aggregate,
+    * term-keyed df derived FROM the tf rows (no second corpus pass),
+    * and the weight formula. This is the artifact a deployment
+    * persists once (parquet, term-bucketed at scale) and serves every
+    * retrieval from; [[sparseKnnFromIndex]] is the query side that
+    * never re-reads the corpus.
+    *
+    * Weights are 4-decimal TF-IDF values carried as SCALED LONGS
+    * (w * 10^4): long sums are exact and order-insensitive like the
+    * decimal they replace, but the hot (qid, doc) aggregate then runs
+    * on primitive longs instead of Decimal buffers — measurably
+    * faster on the pair-expansion stream, identical semantics. The
+    * 10^8 scale on dot and norms cancels in the cosine; the oracle
+    * replays the same scaled integers.
+    */
+  def tfidfIndex(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val occ = occurrences(docs, textCol, idCol)
     val tf = occ.groupBy(col("id"), col("word")).agg(count(lit(1)).as("tf"))
       .localCheckpoint()
     // df from the tf aggregate — tf is one row per (doc, term), so a
     // term-keyed count IS the document frequency; no second corpus pass.
     val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    // N counts ALL docs (a doc with no trainable words still counts in
+    // the idf denominator) — countDistinct over tf would drop them.
     val n = docs.agg(count(lit(1)).as("_n"))
-    // Weights are 4-decimal TF-IDF values carried as SCALED LONGS
-    // (w * 10^4): long sums are exact and order-insensitive like the
-    // decimal they replace, but the hot (qid, doc) aggregate then runs
-    // on primitive longs instead of Decimal buffers — measurably
-    // faster on the pair-expansion stream, identical semantics. The
-    // 10^8 scale on dot and norms cancels in the cosine; the oracle
-    // replays the same scaled integers.
-    val weights = tf.join(dfreq, "word").crossJoin(broadcast(n))
+    tf.join(dfreq, "word").crossJoin(broadcast(n))
       .withColumn("w",
         round(col("tf") * log((col("_n") + 1).cast("double") /
           (col("df") + 1).cast("double")) * 1e4, 0).cast("long"))
       .select(col("id"), col("word"), col("w"))
-      .localCheckpoint()
-    val norms = weights.groupBy(col("id"))
-      .agg(sum(col("w") * col("w")).as("n2"))
+  }
+
+  /** The QUERY half of [[sparseKnn]]: retrieval over a standing
+    * posting table — norms from a posting-table aggregate (index-sized,
+    * not corpus-sized), query vectors looked up by broadcast, the
+    * retrieval join keyed on the term with the query side broadcast so
+    * the posting table never shuffles. Cost is Σ over query terms of
+    * df(term) — the inverted-index retrieval bound.
+    */
+  def sparseKnnFromIndex(weights: DataFrame, queries: DataFrame,
+      k: Int = 5, precomputedNorms: Option[DataFrame] = None): DataFrame = {
+    // Norms are derivable from the posting table but a deployment
+    // stores them WITH the index (one aggregate at build time beats one
+    // per query) — callers with a persisted index pass them in.
+    val norms = precomputedNorms.getOrElse(
+      weights.groupBy(col("id"))
+        .agg(sum(col("w") * col("w")).as("n2")))
     val qw = weights.join(
       broadcast(queries.select(col(queries.columns.head).as("id"))), "id")
     val dots = weights

@@ -140,9 +140,17 @@ object TimeSeries {
       roundTo: Int = 6): DataFrame = {
     require(maxLag >= 0, "maxLag must be >= 0")
     val D0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    // FULL-outer + zero-fill: a bucket observed in only one series
+    // counts as zero in the other (the right semantics for event-count
+    // series), so 'k buckets later' stays aligned to the bucket domain
+    // instead of shifting over jointly-observed rows only. Buckets
+    // absent from BOTH series are still absent — a gauge-style series
+    // needs a dense spine (gapFill) before correlating.
     val joined = x.select(col(bucketCol).as("_b"), col(xCol).cast("long").as("_x"))
       .join(y.select(col(bucketCol).as("_b"), col(yCol).cast("long").as("_y")),
-        "_b")
+        Seq("_b"), "full_outer")
+      .select(col("_b"), coalesce(col("_x"), lit(0L)).as("_x"),
+        coalesce(col("_y"), lit(0L)).as("_y"))
     val w = Window.orderBy(col("_b"))
     val withLeads = joined.select(
       col("_x").cast(D0).as("x") +: col("_y").cast(D0).as("y") +:
@@ -245,6 +253,17 @@ object TimeSeries {
       BigInt(alphaNum) * BigInt(alphaDen - alphaNum).pow(k) *
         BigInt(alphaDen).pow(window - 1 - k)
     }
+    // Every coeff*value product and their W-term sum must fit
+    // DECIMAL(38,0): reserve 18 digits for the value (the full LONG
+    // range) plus log10(W) carry digits, and reject configurations
+    // whose largest weight eats the rest — a (window, alphaDen) pair
+    // admitted here can never null out or ANSI-overflow at runtime.
+    val maxCoeffDigits = coeffs.map(_.toString.length).max
+    val carryDigits = math.ceil(math.log10(window.toDouble + 1)).toInt
+    require(maxCoeffDigits + 18 + carryDigits <= 38,
+      s"ewma weights need $maxCoeffDigits digits; with 18 value digits " +
+        s"and $carryDigits carry digits that exceeds DECIMAL(38,0) — " +
+        "reduce window or alphaDen")
     val w = Window.orderBy(col("_b"))
     val base = series
       .select(col(bucketCol).as("_b"), col(valueCol).cast("long").as("_x"))

@@ -97,6 +97,44 @@ class TimeSeriesSpec extends SparkSpec {
     assert(r0 === -1.0)
   }
 
+  test("crossCorrelation: a bucket observed in one series zero-fills, not drops") {
+    import spark.implicits._
+    // y is missing bucket 2. Under the old inner join, lag arithmetic
+    // slid over [1, 3] as if adjacent; with full-outer + zero-fill the
+    // bucket stays in the domain as y=0, so n counts all three buckets.
+    val x = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("b", "v")
+    val y = Seq((1L, 2L), (3L, 6L)).toDF("b", "v")
+    val got = TimeSeries.crossCorrelation(x, y, "b", "v", "v", maxLag = 0)
+      .head()
+    assert(got.getAs[Long]("n_terms") === 3L)
+    // means: x_bar=2, y_bar=8/3; cov and variances over the zero-filled
+    // triple (2,0) included — r0 = (1*2+2*0+3*6 - 3*2*8/3)/... computed
+    // from the closed form below.
+    val xs = Seq(1.0, 2.0, 3.0); val ys = Seq(2.0, 0.0, 6.0)
+    val n = 3.0
+    val num = n * xs.zip(ys).map { case (a, b) => a * b }.sum -
+      xs.sum * ys.sum
+    val den = math.sqrt((n * xs.map(a => a * a).sum - xs.sum * xs.sum) *
+      (n * ys.map(b => b * b).sum - ys.sum * ys.sum))
+    assert(math.abs(got.getAs[Double]("xcorr") -
+      BigDecimal(num / den).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble) < 1e-9)
+  }
+
+  test("ewma: overflow-unsafe (window, alphaDen) configurations are rejected") {
+    import spark.implicits._
+    val s = Seq((1L, 1L)).toDF("b", "x")
+    // window=32, alphaDen=10 needs ~32 coefficient digits + 18 value
+    // digits > DECIMAL(38,0) — must be rejected up front, not null out
+    // at runtime.
+    val e = intercept[IllegalArgumentException] {
+      TimeSeries.ewma(s, "b", "x", window = 32)
+    }
+    assert(e.getMessage.contains("DECIMAL(38,0)"))
+    // the gated config stays legal
+    TimeSeries.ewma(s, "b", "x", window = 8).collect()
+  }
+
   test("cusumChangepoint: level shift located at the last pre-step bucket") {
     import spark.implicits._
     // [10,10,10,20,20]: mean 14, cumulative deviations -4,-8,-12,-6,0
