@@ -238,4 +238,31 @@ class PlanPropertiesSpec extends SparkSpec {
       assert(!plan.contains("CartesianProduct"), s"$q all-pairs:\n$plan")
     }
   }
+
+  test("sparse k-NN serves from the persisted index, never re-reads the corpus") {
+    // The standing-artifact contract: after the index is built, the
+    // QUERY plan reads only the index/norms parquet — a plan that
+    // still scans documents.parquet is re-deriving what the artifact
+    // exists to amortize (the build itself is gated by
+    // q_sparse_index_build, whose oracle re-derives from source).
+    // (documents.parquet may still appear as the doc_id-pruned scan
+    // that selects the gate's query panel — in production those ids
+    // arrive with the request; the claim here is that no TOKENIZATION
+    // of the corpus happens at query time.)
+    val plan = planOf("q_sparse_knn")
+    // (the plan string truncates scan paths, so match the artifact dir
+    // segment rather than the .parquet leaf names)
+    assert(plan.contains("sparseknn"),
+      s"query side does not read the persisted index:\n$plan")
+    assert(!plan.contains("Generate"),
+      s"query side re-tokenizes the corpus (explode in plan):\n$plan")
+  }
+
+  test("multi-probe ANN recall panel is one union plan, no per-query cartesian") {
+    val plan = planOf("q_ann_recall_hi")
+    assert(!plan.contains("CartesianProduct"), s"all-pairs plan:\n$plan")
+    // ten per-query semi-joins, each broadcasting a 10-row side
+    assert(plan.contains("BroadcastHashJoin"),
+      s"panel semi-joins not broadcast:\n$plan")
+  }
 }
