@@ -119,6 +119,9 @@ object Bench {
     *    q_ann_recall_hi (the same eval composition for the
     *    production multi-probe config, ASSERTING panel-mean
     *    recall >= 0.8 via its engine-side filter),
+    *    q_curate_audit (the billed q_curate_docs composition emitting
+    *    per-doc rejection verdicts instead of survivors — same plan,
+    *    same slice, inverted projection),
     *    q_embed_ivfpq (composition of the billed q_embed_ivf coarse
     *    probe and the billed q_embed_pq ADC scoring — both halves'
     *    scans already billed; this gates the composition),
@@ -176,7 +179,7 @@ object Bench {
     "q_embed_ivfpq",
     "q_xcorr", "q_cusum", "q_scd2_asof", "q_fk_integrity",
     "q_item_cf", "q_new_vs_returning", "q_conversion_latency",
-    "q_zipf_slope", "q_sparse_index_build",
+    "q_zipf_slope", "q_sparse_index_build", "q_curate_audit",
     // fixed-semantics probes
     "q_transform_text", "q_transform_decimal", "q_transform_integer",
     "q_transform_boolean", "q_filter_active_user", "q_html_extract",

@@ -2621,6 +2621,37 @@ object SparkEntry {
         minQuality = 0.7, keepLang = "en")
       .orderBy(col("doc_id"))
 
+  /** Rejection audit under the gate ([[operators.CuratePipeline
+    * .rejectionAudit]]): per document, the FIRST curation stage that
+    * rejected it (dup | lang | quality) or 'kept' — the attrition
+    * accounting production corpora publish next to the corpus. Same
+    * half-corpus slice as the q_curate_docs composition sibling; the
+    * oracle replays fingerprint-dedup rank, language id, and the
+    * quality formula for EVERY document (per-row pure functions, so
+    * computing them before the stage filters yields identical values)
+    * and applies the same first-failure precedence.
+    *
+    * Two sentinels are planted so neither rejection branch can pass
+    * vacuously on this (dup-free, high-quality) slice: 990001 copies
+    * the slice's first document's text (same fingerprint, higher id →
+    * verdict 'dup') and 990002 is English-classified but short AND
+    * punctuation-heavy (fails two quality components → 0.3 < 0.7 →
+    * verdict 'quality'). The 'lang' branch fires naturally (47 docs at
+    * sf0.01).
+    */
+  private def curateAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = t(s, d, "documents").filter(col("doc_id") < 2500)
+      .select(col("doc_id"), col("text"))
+    val dupSentinel = base.orderBy(col("doc_id")).limit(1)
+      .select(lit(990001L).as("doc_id"), col("text"))
+    val qualitySentinel = Seq((990002L, "the !!!!!!!")).toDF("doc_id", "text")
+    CuratePipeline.rejectionAudit(
+        base.unionAll(dupSentinel).unionAll(qualitySentinel), "text", "doc_id",
+        minQuality = 0.7, keepLang = "en")
+      .orderBy(col("doc_id"))
+  }
+
   /** Near-dup-cluster curation under the gate: LSH candidates -> exact
     * shingle-Jaccard verify -> connected components -> drop every
     * non-canonical cluster member -> standard curation stages. Same
@@ -4163,6 +4194,7 @@ object SparkEntry {
     "q_group_split" -> (groupSplitQ _),
     "q_pack_sequences" -> (packSequences _),
     "q_curate_docs" -> (curateDocs _),
+    "q_curate_audit" -> (curateAudit _),
     "q_curate_neardup" -> (curateNeardup _),
     "q_dedup_semantic" -> (dedupSemantic _),
     "q_embed_outlier" -> (embedOutlier _),
@@ -7301,6 +7333,54 @@ object SparkEntry {
       s"""WITH ${curateOracleCtes("(SELECT * FROM documents WHERE doc_id < 2500) documents")}
          |SELECT doc_id, fingerprint, lang_pred, quality_score, ws_tokens, bpeish_tokens
          |FROM q WHERE quality_score >= 0.7 ORDER BY doc_id""".stripMargin,
+    // Rejection audit: every per-row signal computed for ALL docs (the
+    // stage filters only gate the VERDICT precedence, and each signal
+    // is a per-row pure function), then the same first-failure CASE.
+    "q_curate_audit" ->
+      s"""WITH base0 AS (SELECT doc_id, text FROM documents WHERE doc_id < 2500),
+         |sent AS (SELECT CAST(990001 AS BIGINT) AS doc_id, text FROM base0
+         |           WHERE doc_id = (SELECT min(doc_id) FROM base0)
+         |         UNION ALL
+         |         SELECT CAST(990002 AS BIGINT), 'the !!!!!!!'),
+         |all0 AS (SELECT * FROM base0 UNION ALL SELECT * FROM sent),
+         |base AS (SELECT doc_id, text,
+         |        md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+         |      FROM all0),
+         |rn AS (SELECT *, row_number() OVER (PARTITION BY fingerprint
+         |        ORDER BY doc_id) AS dup_rank FROM base),
+         |feats AS (SELECT doc_id, dup_rank, text,
+         |        list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> len(x) > 0) AS wsl,
+         |        list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS ws,
+         |        length(text) AS n_chars
+         |      FROM rn),
+         |sc AS (SELECT *,
+         |        len(list_filter(wsl, x -> x IN (${inList(TextAnalysis.enStop)}))) AS s_en,
+         |        len(list_filter(wsl, x -> x IN (${inList(TextAnalysis.esStop)}))) AS s_es,
+         |        len(list_filter(wsl, x -> x IN (${inList(TextAnalysis.frStop)}))) AS s_fr,
+         |        len(list_filter(wsl, x -> x IN (${inList(TextAnalysis.deStop)}))) AS s_de
+         |      FROM feats),
+         |lang AS (SELECT *,
+         |        CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+         |             WHEN s_de = greatest(s_en, s_es, s_fr, s_de) THEN 'de'
+         |             WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+         |             WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+         |             ELSE 'en' END AS lang_pred
+         |      FROM sc),
+         |q2 AS (SELECT doc_id, dup_rank, lang_pred,
+         |        round(CAST(
+         |          0.4 * (CASE WHEN n_chars BETWEEN 20 AND 100000 THEN 1.0 ELSE 0.0 END)
+         |        + 0.3 * (CASE WHEN CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+         |                           / greatest(CAST(n_chars AS DOUBLE), 1.0) < 0.2 THEN 1.0 ELSE 0.0 END)
+         |        + 0.3 * (CASE WHEN CAST(s_en AS DOUBLE)
+         |                           / greatest(CAST(len(ws) AS DOUBLE), 1.0) > 0.01 THEN 1.0 ELSE 0.0 END)
+         |        AS DOUBLE), 2) AS quality_score
+         |      FROM lang)
+         |SELECT doc_id,
+         |  CASE WHEN dup_rank > 1 THEN 'dup'
+         |       WHEN lang_pred <> 'en' THEN 'lang'
+         |       WHEN quality_score < 0.7 THEN 'quality'
+         |       ELSE 'kept' END AS verdict
+         |FROM q2 ORDER BY doc_id""".stripMargin,
     "q_curate_neardup" ->
       s"""WITH RECURSIVE
          |${clusterOracleCtes("doc_id < 300")},

@@ -100,6 +100,37 @@ object CuratePipeline {
         Seq(idCol), "left_anti")
       .transform(curate(_, textCol, idCol, minQuality, keepLang))
 
+  /** Rejection audit — the attrition accounting every production corpus
+    * publishes next to the corpus itself: per document, the FIRST stage
+    * of [[curate]] that rejected it ('dup' | 'lang' | 'quality') or
+    * 'kept'. First-failure precedence mirrors the pipeline's stage
+    * order exactly, so `filter(verdict == 'kept')` reproduces
+    * [[curate]]'s surviving id set by construction, and a
+    * `groupBy(verdict).count` IS the attrition funnel. Same plan shape
+    * as [[curate]] (one fingerprint window + scan-speed expressions) —
+    * the audit costs what the pipeline costs, not a second corpus pass
+    * per stage.
+    */
+  def rejectionAudit(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      minQuality: Double = 0.7,
+      keepLang: String = "en"): DataFrame = {
+    val fp = TextAnalysis.fingerprint(col(textCol))
+    val w = Window.partitionBy(col("_fp")).orderBy(col(idCol))
+    docs
+      .withColumn("_fp", fp)
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("lang_pred", TextAnalysis.langId(col(textCol)))
+      .transform(TextAnalysis.withQuality(_, textCol))
+      .select(col(idCol),
+        when(col("_rn") > 1, lit("dup"))
+          .when(col("lang_pred") =!= keepLang, lit("lang"))
+          .when(col("quality_score") < minQuality, lit("quality"))
+          .otherwise(lit("kept")).as("verdict"))
+  }
+
   def curate(
       docs: DataFrame,
       textCol: String = "text",

@@ -29,6 +29,29 @@ class CuratePipelineSpec extends SparkSpec {
     assert(out(1L).getAs[String]("fingerprint").length === 32)
   }
 
+  test("rejection audit: first-failing-stage verdicts, kept set == curate survivors") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, goodEn),                               // kept
+      (2L, "  " + goodEn.toUpperCase + "  "),     // dup of 1 (same fingerprint)
+      (3L, "el perro corre por la calle y la casa es un lugar con los gatos"), // lang
+      (4L, "x!!! ###"),                           // und lang (no stopwords) -> 'lang'
+      (5L, "the !!!!!!!"),                        // en but short+punct-heavy -> 'quality'
+      (6L, "the cat sat on the mat and it was warm there for a while today")   // kept
+    ).toDF("doc_id", "text")
+    val verdicts = CuratePipeline.rejectionAudit(docs, "text", "doc_id",
+        minQuality = 0.7, keepLang = "en")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
+    assert(verdicts === Map(1L -> "kept", 2L -> "dup", 3L -> "lang",
+      4L -> "lang", 5L -> "quality", 6L -> "kept"))
+    // the audit's kept set must reproduce curate's surviving ids exactly
+    val kept = verdicts.filter(_._2 == "kept").keySet
+    val curated = CuratePipeline.curate(docs, "text", "doc_id",
+        minQuality = 0.7, keepLang = "en")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept === curated)
+  }
+
   test("near-dup cluster curation keeps only canonical members") {
     import spark.implicits._
     // doc 2 is a NEAR dup of doc 1 (extra tail) — different fingerprint,
