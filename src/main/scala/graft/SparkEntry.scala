@@ -2621,6 +2621,52 @@ object SparkEntry {
         minQuality = 0.7, keepLang = "en")
       .orderBy(col("doc_id"))
 
+  /** Sentinel documents for [[gopherRulesQ]] — one per Gopher rule that
+    * cannot fail naturally on the synthetic corpus (single-line,
+    * alphabetic, stopword-rich English), so no flag ever passes
+    * vacuously: 980001 fails mean-word-length, 980002 the symbol
+    * ratio, 980003 alphabetic-word share, 980004 required-words,
+    * 980005 the bullet-line ratio, 980006 the ellipsis-line ratio,
+    * 980007 the word-count floor. Shared verbatim with the oracle SQL
+    * (single source of truth, newline-escaped via chr(10)).
+    */
+  private val gopherSentinels: Seq[(Long, String)] = Seq(
+    980001L -> (Seq.fill(60)("aa").mkString(" ") + " the of and that"),
+    980002L -> (Seq.fill(30)("#").mkString(" ") + " " +
+      Seq.fill(4)("the of and that have with be to").mkString(" ")),
+    980003L -> (Seq.fill(30)("12345 6789").mkString(" ") + " the of"),
+    980004L -> Seq.fill(10)("zebra quantum nebula cosmic falcon meadow")
+      .mkString(" "),
+    980005L -> (1 to 10).map(i => s"- bullet item number $i here")
+      .mkString("\n"),
+    980006L -> ((1 to 10).map(i => s"this line number $i trails off...")
+      .mkString("\n") + "\nthe of and that have plenty of words here to pass"),
+    980007L -> "too short the of",
+    // 980008 passes ALL rules — the synthetic vocabulary carries only
+    // one member of the required-word set, so G7 (and hence `pass`)
+    // fails corpus-wide; without this sentinel the conjunction would
+    // never be proven on its true branch.
+    980008L -> Seq.fill(4)("the cat and the dog have to be with that " +
+      "other friend of the group today").mkString(" "))
+
+  private def sqlStringLit(t: String): String =
+    "'" + t.replace("'", "''").replace("\n", "' || chr(10) || '") + "'"
+
+  /** The published Gopher quality-rule set under the gate
+    * ([[operators.TextAnalysis.gopherRules]]): per document, each of
+    * the seven rules as an integer-exact flag plus the conjunction,
+    * over the full corpus plus the seven [[gopherSentinels]]. The
+    * oracle recomputes every count and every cleared-denominator
+    * comparison from source in SQL.
+    */
+  private def gopherRulesQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      .unionAll(gopherSentinels.toDF("doc_id", "text"))
+    TextAnalysis.gopherRules(docs, "text", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
   /** Rejection audit under the gate ([[operators.CuratePipeline
     * .rejectionAudit]]): per document, the FIRST curation stage that
     * rejected it (dup | lang | quality) or 'kept' — the attrition
@@ -4195,6 +4241,7 @@ object SparkEntry {
     "q_pack_sequences" -> (packSequences _),
     "q_curate_docs" -> (curateDocs _),
     "q_curate_audit" -> (curateAudit _),
+    "q_gopher_rules" -> (gopherRulesQ _),
     "q_curate_neardup" -> (curateNeardup _),
     "q_dedup_semantic" -> (dedupSemantic _),
     "q_embed_outlier" -> (embedOutlier _),
@@ -7333,6 +7380,50 @@ object SparkEntry {
       s"""WITH ${curateOracleCtes("(SELECT * FROM documents WHERE doc_id < 2500) documents")}
          |SELECT doc_id, fingerprint, lang_pred, quality_score, ws_tokens, bpeish_tokens
          |FROM q WHERE quality_score >= 0.7 ORDER BY doc_id""".stripMargin,
+    // Gopher rules: every count and every cleared-denominator integer
+    // comparison recomputed in SQL over the same corpus + sentinels
+    // (sentinel text shared verbatim from gopherSentinels).
+    "q_gopher_rules" -> {
+      val sentVals = gopherSentinels
+        .map { case (id, t) => s"(CAST($id AS BIGINT), ${sqlStringLit(t)})" }
+        .mkString(",\n         |    ")
+      s"""WITH sent(doc_id, text) AS (VALUES
+         |    $sentVals),
+         |all0 AS (SELECT doc_id, text FROM documents
+         |         UNION ALL SELECT * FROM sent),
+         |w AS (SELECT doc_id, text,
+         |    list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS ws,
+         |    string_split(text, chr(10)) AS lines
+         |  FROM all0),
+         |m AS (SELECT doc_id,
+         |    CAST(len(ws) AS BIGINT) AS n_words,
+         |    CAST(coalesce(list_sum(list_transform(ws, x -> len(x))), 0) AS BIGINT) AS sum_word_chars,
+         |    CAST(len(text) - len(regexp_replace(text, '#', '', 'g')) AS BIGINT) AS n_hash,
+         |    CAST((len(text) - len(regexp_replace(text, '\\.\\.\\.', '', 'g'))) // 3 AS BIGINT) AS n_ell,
+         |    CAST(len(lines) AS BIGINT) AS n_lines,
+         |    CAST(len(list_filter(lines, l -> substr(ltrim(l), 1, 1) IN ('-', '*', '•'))) AS BIGINT) AS n_bullet,
+         |    CAST(len(list_filter(lines, l -> regexp_matches(rtrim(l), '\\.\\.\\.$$'))) AS BIGINT) AS n_ell_lines,
+         |    CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+         |    CAST(len(list_intersect(list_distinct(list_transform(ws, x -> lower(x))),
+         |         ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) AS BIGINT) AS n_req
+         |  FROM w),
+         |f AS (SELECT doc_id, n_words, sum_word_chars, n_lines,
+         |    (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+         |    (sum_word_chars >= n_words * 3 AND sum_word_chars <= n_words * 10) AS ok_mean_word_len,
+         |    ((n_hash + n_ell) * 10 <= n_words) AS ok_symbol_ratio,
+         |    (n_bullet * 10 < n_lines * 9) AS ok_bullets,
+         |    (n_ell_lines * 10 < n_lines * 3) AS ok_ellipsis_lines,
+         |    (n_alpha * 5 >= n_words * 4) AS ok_alpha_words,
+         |    (n_req >= 2) AS ok_required_words
+         |  FROM m)
+         |SELECT doc_id, n_words, sum_word_chars, n_lines,
+         |  ok_word_count, ok_mean_word_len, ok_symbol_ratio, ok_bullets,
+         |  ok_ellipsis_lines, ok_alpha_words, ok_required_words,
+         |  (ok_word_count AND ok_mean_word_len AND ok_symbol_ratio
+         |   AND ok_bullets AND ok_ellipsis_lines AND ok_alpha_words
+         |   AND ok_required_words) AS pass
+         |FROM f ORDER BY doc_id""".stripMargin
+    },
     // Rejection audit: every per-row signal computed for ALL docs (the
     // stage filters only gate the VERDICT precedence, and each signal
     // is a per-row pure function), then the same first-failure CASE.

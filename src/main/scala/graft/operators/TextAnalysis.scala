@@ -30,6 +30,68 @@ object TextAnalysis {
 
   def tokenCount(textCol: Column): Column = size(words(textCol))
 
+  /** The eight required-word set of Gopher rule G7 (Rae et al. 2021,
+    * table A1): a document must contain at least two of these.
+    */
+  private[graft] val gopherRequired =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The published Gopher document-quality rule set (Rae et al. 2021,
+    * "Scaling Language Models", appendix A1.1 — the public heuristics
+    * most open corpus pipelines reimplement), each rule emitted as its
+    * own flag plus the conjunction:
+    *
+    *   G1 word count in [50, 100000]
+    *   G2 mean word length in [3, 10]
+    *   G3 symbol-to-word ratio ('#' or '...') <= 0.1
+    *   G4 < 90% of lines start with a bullet ('-', '*', '•')
+    *   G5 < 30% of lines end with an ellipsis
+    *   G6 >= 80% of words contain an alphabetic character
+    *   G7 at least 2 distinct members of [[gopherRequired]]
+    *
+    * Exactness: every ratio rule is decided as a cleared-denominator
+    * INTEGER comparison (mean-length bounds as 3n <= Σlen <= 10n,
+    * 10·symbols <= words, 10·bullets < 9·lines, 10·ellipsis < 3·lines,
+    * 5·alpha >= 4·words) — no float anywhere, so any engine reproduces
+    * the flags bit-for-bit. One scan, scan-speed higher-order-function
+    * expressions, no shuffle: the per-document shape that runs at
+    * whatever parallelism the corpus scan has.
+    */
+  def gopherRules(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val ws = words(col(textCol))
+    val nWords = size(ws).cast("long")
+    val sumLen = aggregate(ws, lit(0L), (acc, w) => acc + length(w).cast("long"))
+    val nHash = (length(col(textCol)) -
+      length(regexp_replace(col(textCol), "#", ""))).cast("long")
+    val nEllipsis = ((length(col(textCol)) -
+      length(regexp_replace(col(textCol), "\\.\\.\\.", ""))) / lit(3)).cast("long")
+    val lines = split(col(textCol), "\n")
+    val nLines = size(lines).cast("long")
+    val nBullet = size(filter(lines, l =>
+      substring(ltrim(l), 1, 1).isin("-", "*", "•"))).cast("long")
+    val nEllLines = size(filter(lines, l => rtrim(l).rlike("\\.\\.\\.$")))
+      .cast("long")
+    val nAlpha = size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("long")
+    val nRequired = size(array_intersect(
+      array_distinct(transform(ws, w => lower(w))),
+      array(gopherRequired.map(lit): _*))).cast("long")
+    df.select(col(idCol), nWords.as("n_words"),
+        sumLen.as("sum_word_chars"), nLines.as("n_lines"),
+        (nWords >= 50L && nWords <= 100000L).as("ok_word_count"),
+        (sumLen >= nWords * 3L && sumLen <= nWords * 10L)
+          .as("ok_mean_word_len"),
+        ((nHash + nEllipsis) * 10L <= nWords).as("ok_symbol_ratio"),
+        (nBullet * 10L < nLines * 9L).as("ok_bullets"),
+        (nEllLines * 10L < nLines * 3L).as("ok_ellipsis_lines"),
+        (nAlpha * 5L >= nWords * 4L).as("ok_alpha_words"),
+        (nRequired >= 2L).as("ok_required_words"))
+      .withColumn("pass",
+        col("ok_word_count") && col("ok_mean_word_len") &&
+          col("ok_symbol_ratio") && col("ok_bullets") &&
+          col("ok_ellipsis_lines") && col("ok_alpha_words") &&
+          col("ok_required_words"))
+  }
+
   /** BPE-ish subword proxy: runs of letters, runs of digits, or single
     * punctuation — a public, deterministic approximation of byte-pair
     * token counts (close to len/4 heuristics but content-aware).

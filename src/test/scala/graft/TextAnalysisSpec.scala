@@ -44,6 +44,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1).getAs[Double]("punct_ratio") > 0.5)
   }
 
+  test("gopherRules: each rule decides on its own axis, integer-exact") {
+    import spark.implicits._
+    val fifty = Seq.fill(4)("the cat and the dog have to be with that " +
+      "other friend of the group today").mkString(" ") // 64 words, all rules pass
+    val docs = Seq(
+      (1L, fifty),
+      (2L, "the of too short"),                                // G1 word count
+      (3L, Seq.fill(60)("aa").mkString(" ") + " the of"),      // G2 mean len < 3
+      (4L, Seq.fill(30)("#").mkString(" ") + " " + fifty),     // G3 symbol ratio
+      (5L, (1 to 10).map(i => s"- item $i of the set with that thing")
+        .mkString("\n")),                                      // G4 all bullets
+      (6L, (1 to 10).map(_ => "this line of the story trails off...")
+        .mkString("\n")),                                      // G5 ellipsis lines
+      (7L, Seq.fill(60)("12345").mkString(" ") + " the of"),   // G6 alpha share
+      (8L, Seq.fill(60)("zebra").mkString(" "))                // G7 required words
+    ).toDF("doc_id", "text")
+    val got = operators.TextAnalysis.gopherRules(docs, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[Boolean]("pass"))
+    assert(!got(2L).getAs[Boolean]("ok_word_count"))
+    assert(!got(3L).getAs[Boolean]("ok_mean_word_len"))
+    assert(!got(4L).getAs[Boolean]("ok_symbol_ratio"))
+    assert(!got(5L).getAs[Boolean]("ok_bullets"))
+    assert(!got(6L).getAs[Boolean]("ok_ellipsis_lines"))
+    assert(!got(7L).getAs[Boolean]("ok_alpha_words"))
+    assert(!got(8L).getAs[Boolean]("ok_required_words"))
+    (2L to 8L).foreach(id => assert(!got(id).getAs[Boolean]("pass")))
+    // integer-exact counts carried alongside the flags
+    assert(got(1L).getAs[Long]("n_words") === 64L)
+    assert(got(5L).getAs[Long]("n_lines") === 10L)
+  }
+
   test("fingerprint is whitespace/case-insensitive, content-sensitive") {
     import spark.implicits._
     val fps = Seq("Hello   World", "  hello world ", "hello worlds")
