@@ -1122,6 +1122,44 @@ object SparkEntry {
       .orderBy(col("qid"), col("sim_rank"))
   }
 
+  /** Incremental index maintenance under the gate — the living-corpus
+    * retrieval story ([[operators.TermIndex.rawIndex]] /
+    * [[operators.TermIndex.weightsFromRaw]]): a standing RAW posting
+    * index over 4/5 of the corpus is persisted once (postings + the
+    * doc-count metadata), each batch contributes only batch-sized work
+    * (its own tf postings + row count), and the merge is a plain union
+    * because df/idf derive from the merged postings at weight time.
+    * The oracle is the FULL-corpus from-scratch derivation (verbatim
+    * the q_sparse_knn SQL): the increment must be semantically
+    * invisible — any drift between merge-then-weight and
+    * rebuild-from-scratch turns the gate red. The q_dedup_index_incr
+    * shape applied to retrieval.
+    */
+  private def sparseKnnIncr(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val base = standing(s"sparseraw:$d") {
+      val path = s"$sparseKnnDir/${dirTag(d)}/standing"
+      val standingDocs = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      TermIndex.rawIndex(standingDocs, "text", "doc_id")
+        .write.mode("overwrite").parquet(s"$path/postings.parquet")
+      TermIndex.docCount(standingDocs)
+        .write.mode("overwrite").parquet(s"$path/meta.parquet")
+      path
+    }
+    val incoming = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val mergedPostings = s.read.parquet(s"$base/postings.parquet")
+      .unionByName(TermIndex.rawIndex(incoming, "text", "doc_id"))
+      .localCheckpoint()
+    val mergedN = s.read.parquet(s"$base/meta.parquet")
+      .unionByName(TermIndex.docCount(incoming))
+      .agg(sum(col("_n")).as("_n"))
+    TermIndex.sparseKnnFromIndex(
+        TermIndex.weightsFromRaw(mergedPostings, mergedN).localCheckpoint(),
+        docs.filter(pmod(col("doc_id"), lit(100)) === 0)
+          .select(col("doc_id")), k = 5)
+      .orderBy(col("qid"), col("sim_rank"))
+  }
+
   /** Content gate for the persisted sparse index: per-term df and
     * total scaled weight over the PERSISTED parquet (not a fresh
     * derivation), for the 50 lexicographically-first terms. The oracle
@@ -4213,6 +4251,7 @@ object SparkEntry {
     "q_incr_agg" -> (incrAgg _),
     "q_sparse_knn" -> (sparseKnnQ _),
     "q_sparse_index_build" -> (sparseIndexBuild _),
+    "q_sparse_knn_incr" -> (sparseKnnIncr _),
     "q_pmi_cooccur" -> (pmiCooccurQ _),
     "q_textrank" -> (textrankQ _),
     "q_phrase_search" -> (phraseSearchQ _),
@@ -4385,6 +4424,38 @@ object SparkEntry {
     * recomputes the exact same bucket ids, probe set, and rounded cosines,
     * making the approximate query exactly checkable.
     */
+  private def sparseKnnOracleSql: String =
+
+      """WITH n AS (SELECT count(*) AS n_docs FROM documents),
+        |w AS (SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |                       x -> len(x) > 0)) AS word
+        |  FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
+        |df AS (SELECT word, count(DISTINCT doc_id) AS df FROM w GROUP BY 1),
+        |wt AS (SELECT tf.doc_id, tf.word,
+        |    CAST(round(tf.tf * ln(CAST(n.n_docs + 1 AS DOUBLE) / (df.df + 1))
+        |      * 10000) AS BIGINT) AS w
+        |  FROM tf JOIN df USING (word), n),
+        |norms AS (SELECT doc_id, sum(w * w) AS n2 FROM wt GROUP BY 1),
+        |q AS (SELECT doc_id FROM documents WHERE doc_id % 100 = 0),
+        |dots AS (SELECT a.doc_id AS qid, b.doc_id AS id,
+        |    sum(a.w * b.w) AS dot
+        |  FROM wt a JOIN q ON q.doc_id = a.doc_id
+        |  JOIN wt b ON b.word = a.word AND b.doc_id <> a.doc_id
+        |  GROUP BY 1, 2),
+        |sim AS (SELECT qid, id,
+        |    round(CAST(dot AS DOUBLE) /
+        |      sqrt(CAST(nq.n2 AS DOUBLE) * CAST(nc.n2 AS DOUBLE)), 6) AS sim
+        |  FROM dots JOIN norms nq ON nq.doc_id = qid
+        |  JOIN norms nc ON nc.doc_id = id),
+        |r AS (SELECT qid, id, sim,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id)
+        |      AS sim_rank
+        |  FROM sim)
+        |SELECT qid, id, sim, sim_rank FROM r WHERE sim_rank <= 5
+        |ORDER BY qid, sim_rank""".stripMargin
+
   private def annLshOracle: String = annLshOracleFor(8, 4, 1)
 
   private def annLshOracleFor(planes: Int, tables: Int,
@@ -6867,37 +6938,12 @@ object SparkEntry {
         |ORDER BY pc.w1, pc.w2""".stripMargin,
     // Sparse k-NN: same 10^4-scaled BIGINT weights, exact integer
     // dots and norms, one sqrt+division on identical doubles, same
-    // (rounded sim, id) ranking.
-    "q_sparse_knn" ->
-      """WITH n AS (SELECT count(*) AS n_docs FROM documents),
-        |w AS (SELECT doc_id,
-        |    unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
-        |                       x -> len(x) > 0)) AS word
-        |  FROM documents),
-        |tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
-        |df AS (SELECT word, count(DISTINCT doc_id) AS df FROM w GROUP BY 1),
-        |wt AS (SELECT tf.doc_id, tf.word,
-        |    CAST(round(tf.tf * ln(CAST(n.n_docs + 1 AS DOUBLE) / (df.df + 1))
-        |      * 10000) AS BIGINT) AS w
-        |  FROM tf JOIN df USING (word), n),
-        |norms AS (SELECT doc_id, sum(w * w) AS n2 FROM wt GROUP BY 1),
-        |q AS (SELECT doc_id FROM documents WHERE doc_id % 100 = 0),
-        |dots AS (SELECT a.doc_id AS qid, b.doc_id AS id,
-        |    sum(a.w * b.w) AS dot
-        |  FROM wt a JOIN q ON q.doc_id = a.doc_id
-        |  JOIN wt b ON b.word = a.word AND b.doc_id <> a.doc_id
-        |  GROUP BY 1, 2),
-        |sim AS (SELECT qid, id,
-        |    round(CAST(dot AS DOUBLE) /
-        |      sqrt(CAST(nq.n2 AS DOUBLE) * CAST(nc.n2 AS DOUBLE)), 6) AS sim
-        |  FROM dots JOIN norms nq ON nq.doc_id = qid
-        |  JOIN norms nc ON nc.doc_id = id),
-        |r AS (SELECT qid, id, sim,
-        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id)
-        |      AS sim_rank
-        |  FROM sim)
-        |SELECT qid, id, sim, sim_rank FROM r WHERE sim_rank <= 5
-        |ORDER BY qid, sim_rank""".stripMargin,
+    // (rounded sim, id) ranking. The SAME from-scratch full-corpus SQL
+    // also judges q_sparse_knn_incr: the merged standing+batch index
+    // must answer exactly like a fresh rebuild.
+    "q_sparse_knn" -> sparseKnnOracleSql,
+    "q_sparse_knn_incr" -> sparseKnnOracleSql,
+    
     // Persisted-index content gate: the oracle re-derives df and the
     // 10^4-scaled weights from SOURCE while the engine reads them off
     // the standing parquet artifact — any staleness or mis-weighting

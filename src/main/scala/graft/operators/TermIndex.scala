@@ -111,17 +111,37 @@ object TermIndex {
     * 10^8 scale on dot and norms cancels in the cosine; the oracle
     * replays the same scaled integers.
     */
-  def tfidfIndex(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val occ = occurrences(docs, textCol, idCol)
-    val tf = occ.groupBy(col("id"), col("word")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
-    // df from the tf aggregate — tf is one row per (doc, term), so a
-    // term-keyed count IS the document frequency; no second corpus pass.
-    val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
-    // N counts ALL docs (a doc with no trainable words still counts in
-    // the idf denominator) — countDistinct over tf would drop them.
-    val n = docs.agg(count(lit(1)).as("_n"))
-    tf.join(dfreq, "word").crossJoin(broadcast(n))
+  def tfidfIndex(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    weightsFromRaw(rawIndex(docs, textCol, idCol).localCheckpoint(),
+      docCount(docs))
+
+  /** RAW posting table (id, word, tf) — the MERGEABLE form of the
+    * inverted index: df and idf derive from it, so two raw indexes over
+    * disjoint document sets merge by plain union (see
+    * [[weightsFromRaw]]), which is how a living corpus maintains its
+    * index per batch instead of rebuilding — the retrieval twin of the
+    * dedup family's persisted-index increment.
+    */
+  def rawIndex(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    occurrences(docs, textCol, idCol)
+      .groupBy(col("id"), col("word")).agg(count(lit(1)).as("tf"))
+
+  /** Document count as a 1-row DataFrame — N counts ALL docs (a doc
+    * with no trainable words still counts in the idf denominator), so
+    * it is index metadata, not derivable from the postings alone.
+    */
+  def docCount(docs: DataFrame): DataFrame =
+    docs.agg(count(lit(1)).as("_n"))
+
+  /** Weighted postings from the raw mergeable form: df is a term-keyed
+    * count over the posting table (one row per (doc, term) — the count
+    * IS the document frequency), N arrives as broadcast metadata, and
+    * the weight formula is the single source shared by every TF-IDF
+    * path (4-decimal values as 10^4-scaled longs; see [[tfidfIndex]]).
+    */
+  def weightsFromRaw(postings: DataFrame, nDocs: DataFrame): DataFrame = {
+    val dfreq = postings.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    postings.join(dfreq, "word").crossJoin(broadcast(nDocs))
       .withColumn("w",
         round(col("tf") * log((col("_n") + 1).cast("double") /
           (col("df") + 1).cast("double")) * 1e4, 0).cast("long"))

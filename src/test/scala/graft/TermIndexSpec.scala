@@ -366,6 +366,35 @@ class TermIndexSpec extends SparkSpec {
     assert(math.abs(r2.getAs[Double]("sim") - 1.0) < 1e-6)
   }
 
+  test("raw-index merge is semantically invisible: merged == from-scratch") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta gamma"),
+      (3L, "alpha beta delta"),
+      (4L, "beta delta epsilon"),
+      (5L, "alpha delta zeta")).toDF("doc_id", "text")
+    val standing = docs.filter($"doc_id" <= 3)
+    val batch = docs.filter($"doc_id" > 3)
+    // merge: postings union (disjoint ids), doc counts add; df/idf
+    // derive at weight time — must equal the full-corpus rebuild
+    val merged = TermIndex.weightsFromRaw(
+      TermIndex.rawIndex(standing, "text", "doc_id")
+        .unionByName(TermIndex.rawIndex(batch, "text", "doc_id")),
+      TermIndex.docCount(standing).unionByName(TermIndex.docCount(batch))
+        .agg(org.apache.spark.sql.functions.sum($"_n").as("_n")))
+    val fresh = TermIndex.tfidfIndex(docs, "text", "doc_id")
+    assert(merged.exceptAll(fresh).isEmpty && fresh.exceptAll(merged).isEmpty,
+      "merged index diverged from the from-scratch build")
+    // and retrieval through the merged index matches the direct path
+    val q = Seq(1L).toDF("doc_id")
+    val viaMerged = TermIndex.sparseKnnFromIndex(merged, q, k = 3)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("sim"))).toSeq
+    val direct = TermIndex.sparseKnn(docs, "text", "doc_id", q, k = 3)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("sim"))).toSeq
+    assert(viaMerged === direct)
+  }
+
   test("pmiCooccur: hand-computed PMI on an alternating doc") {
     import spark.implicits._
     // "a b a b a b": T=6 tokens, lead-1 pairs ab,ba,ab,ba,ab; lead-2
