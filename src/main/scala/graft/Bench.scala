@@ -129,6 +129,9 @@ object Bench {
     *    gate: standing raw index + one batch, judged by the same
     *    from-scratch oracle — its seconds are one batch-sized tf
     *    aggregate plus the amortized standing build),
+    *    q_decontaminate_semantic (the billed embedding family's
+    *    broadcast-scan shape screening against a planted benchmark
+    *    set — the q_decontaminate composition at the vector level),
     *    q_embed_ivfpq (composition of the billed q_embed_ivf coarse
     *    probe and the billed q_embed_pq ADC scoring — both halves'
     *    scans already billed; this gates the composition),
@@ -187,7 +190,7 @@ object Bench {
     "q_xcorr", "q_cusum", "q_scd2_asof", "q_fk_integrity",
     "q_item_cf", "q_new_vs_returning", "q_conversion_latency",
     "q_zipf_slope", "q_sparse_index_build", "q_curate_audit",
-    "q_gopher_rules", "q_sparse_knn_incr",
+    "q_gopher_rules", "q_sparse_knn_incr", "q_decontaminate_semantic",
     // fixed-semantics probes
     "q_transform_text", "q_transform_decimal", "q_transform_integer",
     "q_transform_boolean", "q_filter_active_user", "q_html_extract",

@@ -1122,6 +1122,40 @@ object SparkEntry {
       .orderBy(col("qid"), col("sim_rank"))
   }
 
+  /** SEMANTIC decontamination — the embedding-level twin of the
+    * n-gram q_decontaminate: flag every corpus vector whose cosine to
+    * ANY benchmark vector clears 0.99 (paraphrase-level copies that
+    * lexical shingles miss). The benchmark side is small by definition
+    * (eval sets are kilobytes), so the scan is a broadcast
+    * nested-loop at threshold: each corpus row pays |bench| codegen'd
+    * dot products and the corpus never shuffles — the right 100 TB
+    * plan for contamination screening (a huge benchmark side would
+    * LSH-prefilter first, the [[embedAnnLsh]] machinery). The iid
+    * synthetic embeddings have no near-copies, so exact copies of
+    * each benchmark vector are PLANTED under offset ids — without
+    * them the gate would pass vacuously; the oracle derives the same
+    * planted rows from source and replays every cosine.
+    */
+  private def decontaminateSemantic(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val bench = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select(col("vec_id").as("bench_id"),
+        Similarity.toDouble(col("embedding")).as("be"))
+    val planted = bench.select((col("bench_id") + 1000000L).as("vec_id"),
+      col("be").as("embedding"))
+    val corpus = emb
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("embedding"))
+      .unionByName(planted)
+    corpus.crossJoin(broadcast(bench))
+      .filter(col("vec_id") =!= col("bench_id"))
+      .withColumn("cosine", round(
+        Similarity.dot(col("embedding"), col("be")) /
+          (Similarity.norm(col("embedding")) * Similarity.norm(col("be"))), 4))
+      .filter(col("cosine") >= 0.99)
+      .select(col("vec_id"), col("bench_id"), col("cosine"))
+      .orderBy(col("vec_id"), col("bench_id"))
+  }
+
   /** Incremental index maintenance under the gate — the living-corpus
     * retrieval story ([[operators.TermIndex.rawIndex]] /
     * [[operators.TermIndex.weightsFromRaw]]): a standing RAW posting
@@ -4252,6 +4286,7 @@ object SparkEntry {
     "q_sparse_knn" -> (sparseKnnQ _),
     "q_sparse_index_build" -> (sparseIndexBuild _),
     "q_sparse_knn_incr" -> (sparseKnnIncr _),
+    "q_decontaminate_semantic" -> (decontaminateSemantic _),
     "q_pmi_cooccur" -> (pmiCooccurQ _),
     "q_textrank" -> (textrankQ _),
     "q_phrase_search" -> (phraseSearchQ _),
@@ -6943,6 +6978,21 @@ object SparkEntry {
     // must answer exactly like a fresh rebuild.
     "q_sparse_knn" -> sparseKnnOracleSql,
     "q_sparse_knn_incr" -> sparseKnnOracleSql,
+    // Semantic decontamination: same benchmark slice, same planted
+    // copies derived from source, every cosine replayed with
+    // sequential-sum list_dot_product and the same 4-decimal round.
+    "q_decontaminate_semantic" ->
+      """WITH bench AS (SELECT vec_id AS bench_id, CAST(embedding AS DOUBLE[]) AS be
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |planted AS (SELECT bench_id + 1000000 AS vec_id, be AS e FROM bench),
+        |corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |           UNION ALL SELECT * FROM planted),
+        |scored AS (SELECT c.vec_id, b.bench_id,
+        |    round(list_dot_product(c.e, b.be) /
+        |      (sqrt(list_dot_product(c.e, c.e)) * sqrt(list_dot_product(b.be, b.be))), 4) AS cosine
+        |  FROM corpus c, bench b WHERE c.vec_id <> b.bench_id)
+        |SELECT vec_id, bench_id, cosine FROM scored
+        |WHERE cosine >= 0.99 ORDER BY vec_id, bench_id""".stripMargin,
     
     // Persisted-index content gate: the oracle re-derives df and the
     // 10^4-scaled weights from SOURCE while the engine reads them off
