@@ -1,0 +1,92 @@
+package graft.streaming
+
+import graft.operators.TermIndex
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
+
+import java.nio.file.{Files, Paths}
+
+/** Streaming maintenance of the RAW inverted index — the unbounded twin
+  * of the q_sparse_knn_incr batch merge: documents arrive on a stream,
+  * each micro-batch contributes its own batch-sized posting aggregate
+  * ([[TermIndex.rawIndex]] — (id, word, tf) rows) plus its row count,
+  * and the standing side is NEVER recomputed. Because df/idf derive
+  * from the merged postings at weight time ([[TermIndex
+  * .weightsFromRaw]]), appending postings + adding doc counts IS the
+  * complete index update; retrieval through the maintained store is
+  * provably identical to a from-scratch rebuild over everything seen
+  * (IndexStreamSpec's stream==batch differential).
+  *
+  * Store layout (parquet, append-mode):
+  *   storeDir/postings/  — (id, word, tf), one slice per micro-batch
+  *   storeDir/meta/      — (_n) one row per micro-batch; N = sum
+  *
+  * Scale shape: per micro-batch cost is one explode + one keyed
+  * aggregate over the BATCH (map-side combinable); the standing
+  * posting table is written once and only ever appended to. At 100 TB
+  * the postings dir is term-bucketed so the retrieval join stays
+  * co-located; compaction of small per-batch slices is the
+  * [[graft.operators.Compaction]] job run on the index like any table.
+  * Exactly-once: Spark's streaming commit protocol makes the parquet
+  * append atomic per micro-batch; the doc-count slice rides the same
+  * transaction boundary (same foreachBatch).
+  */
+object IndexStream {
+
+  /** Start maintaining the index store from a document stream with
+    * columns (idCol, textCol). AvailableNow/trigger choices are the
+    * caller's via the returned query's options — tests use the default
+    * micro-batch trigger over a MemoryStream.
+    */
+  def start(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      storeDir: String,
+      checkpointDir: String): StreamingQuery = {
+    Files.createDirectories(Paths.get(storeDir))
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        appendBatch(batch, textCol, idCol, storeDir)
+      }
+      .start()
+  }
+
+  /** One micro-batch's contribution: batch-sized postings + its doc
+    * count, appended. Also the unit the batch path (q_sparse_knn_incr)
+    * and the stream share — both call this semantics, so the
+    * differential spec proves the streaming plumbing, not a fork of
+    * the merge logic.
+    */
+  def appendBatch(batch: DataFrame, textCol: String, idCol: String,
+      storeDir: String): Unit = {
+    if (!batch.isEmpty) {
+      TermIndex.rawIndex(batch, textCol, idCol)
+        .write.mode(SaveMode.Append).parquet(s"$storeDir/postings")
+      TermIndex.docCount(batch)
+        .write.mode(SaveMode.Append).parquet(s"$storeDir/meta")
+    }
+  }
+
+  /** Read the maintained store back as (postings, nDocs) — the inputs
+    * [[TermIndex.weightsFromRaw]] needs. Per-batch posting slices are
+    * disjoint by id (each doc arrives once), so no merge pass is
+    * needed; N is the sum of the per-batch counts.
+    */
+  def readStore(spark: SparkSession, storeDir: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$storeDir/postings"),
+      spark.read.parquet(s"$storeDir/meta").agg(sum(col("_n")).as("_n")))
+
+  /** Retrieval over the maintained store: weight, then the standard
+    * query half ([[TermIndex.sparseKnnFromIndex]]).
+    */
+  def sparseKnn(spark: SparkSession, storeDir: String, queries: DataFrame,
+      k: Int = 5): DataFrame = {
+    val (postings, n) = readStore(spark, storeDir)
+    TermIndex.sparseKnnFromIndex(
+      TermIndex.weightsFromRaw(postings.localCheckpoint(), n), queries, k)
+  }
+}

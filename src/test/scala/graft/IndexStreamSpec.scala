@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.TermIndex
+import graft.streaming.IndexStream
+
+/** Streaming index maintenance: the store built from a document STREAM
+  * (several micro-batches) must be indistinguishable — posting for
+  * posting and through retrieval — from a from-scratch batch build
+  * over the same documents.
+  */
+class IndexStreamSpec extends SparkSpec {
+
+  private def corpus = {
+    import spark.implicits._
+    Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta gamma"),
+      (3L, "alpha beta delta"),
+      (4L, "beta delta epsilon"),
+      (5L, "alpha delta zeta"),
+      (6L, "gamma epsilon zeta alpha")).toDF("doc_id", "text")
+  }
+
+  test("stream-vs-batch differential: maintained store == from-scratch index") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val store = tmpDir("idxstore")
+    val input = MemoryStream[(Long, String)]
+    val q = IndexStream.start(input.toDF().toDF("doc_id", "text"),
+      "text", "doc_id", store, tmpDir("idxckpt"))
+    try {
+      input.addData((1L, "alpha beta gamma"), (2L, "alpha beta gamma"))
+      q.processAllAvailable()
+      input.addData((3L, "alpha beta delta"), (4L, "beta delta epsilon"))
+      q.processAllAvailable()
+      input.addData((5L, "alpha delta zeta"), (6L, "gamma epsilon zeta alpha"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val (postings, n) = IndexStream.readStore(spark, store)
+    assert(n.head().getLong(0) === 6L)
+    val viaStream = TermIndex.weightsFromRaw(postings, n)
+    val fresh = TermIndex.tfidfIndex(corpus, "text", "doc_id")
+    assert(viaStream.exceptAll(fresh).isEmpty &&
+      fresh.exceptAll(viaStream).isEmpty,
+      "stream-maintained index diverged from the from-scratch build")
+    // retrieval through the maintained store == the direct batch path
+    val queries = Seq(1L).toDF("doc_id")
+    val got = IndexStream.sparseKnn(spark, store, queries, k = 3)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("sim"))).toSeq
+    val want = TermIndex.sparseKnn(corpus, "text", "doc_id", queries, k = 3)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("sim"))).toSeq
+    assert(got === want)
+  }
+
+  test("empty micro-batches append nothing; later batches still merge") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val store = tmpDir("idxstore2")
+    val input = MemoryStream[(Long, String)]
+    val q = IndexStream.start(input.toDF().toDF("doc_id", "text"),
+      "text", "doc_id", store, tmpDir("idxckpt2"))
+    try {
+      input.addData((1L, "alpha beta"))
+      q.processAllAvailable()
+      q.processAllAvailable() // no new data — must not write an empty slice
+      input.addData((2L, "beta gamma"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val (postings, n) = IndexStream.readStore(spark, store)
+    assert(n.head().getLong(0) === 2L)
+    assert(postings.count() === 4L) // alpha,beta + beta,gamma
+  }
+}
