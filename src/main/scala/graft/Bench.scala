@@ -50,6 +50,9 @@ object Bench {
     *    is re-run INSIDE the headline q_tokenize_bpe, which bills the
     *    full train+encode pipeline), q_jpeg_decode / q_image_phash
     *    (same codec seam and slice shape as the billed q_png_decode),
+    *    q_image_neardup (the q_image_phash hash table through the
+    *    generic banded Hamming join — decode billed by the phash
+    *    sibling, the join runs on 500 longs),
     *    q_asof_join
     *    (composed twin of the native-plan q_asof_join_native),
     *    q_bpe_encode (trainer-bound like q_bpe_train — the billed
@@ -173,6 +176,7 @@ object Bench {
     "q_dedup_minhash", "q_dedup_simhash", "q_dedup_containment",
     "q_dedup_jaccard", "q_dedup_incremental", "q_asof_join",
     "q_bpe_train", "q_bpe_encode", "q_jpeg_decode", "q_image_phash",
+    "q_image_neardup",
     "q_dedup_chunks",
     "q_contamination_audit",
     "q_group_split", "q_winsorize", "q_histogram_equidepth",

@@ -3535,6 +3535,25 @@ object SparkEntry {
       .orderBy(col("phash"))
   }
 
+  /** Perceptual near-dup JOIN over image hashes ([[operators.Dedup
+    * .hammingPairs]]): the 500 decoded dHashes of [[imagePhash]] put
+    * through the generic banded Hamming self-join at distance <= 2
+    * (8 blocks — complete by pigeonhole: a pair within 2 flips agrees
+    * on >= 6 blocks), exact bit_count verify on candidates only. The
+    * oracle derives every hash analytically from the pixel formula and
+    * enumerates ALL pairs with bit_count(xor) <= 2 — a COMPLETE
+    * referee, so a banding bug that drops candidates turns the gate
+    * red (594 pairs at sf>=0.01: 318 at Hamming 0, 24 at 1, 252 at 2).
+    */
+  private def imageNeardup(s: SparkSession, d: String): DataFrame = {
+    val ids = t(s, d, "documents").filter(col("doc_id") < 500)
+      .select(col("doc_id").as("media_id"))
+    Dedup.hammingPairs(
+        Multimodal.dhashRoundtrip(s, ids).toDF(), "media_id", "phash",
+        maxHamming = 2, pieces = 8)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** JPEG — the dominant crawl image format — under the pixel gate:
     * every row is encoded to REAL JPEG bytes (SOI-asserted) and decoded
     * back through the same `mapPartitions` codec seam as
@@ -4328,6 +4347,7 @@ object SparkEntry {
     "q_png_decode" -> (pngDecode _),
     "q_jpeg_decode" -> (jpegDecode _),
     "q_image_phash" -> (imagePhash _),
+    "q_image_neardup" -> (imageNeardup _),
     "q_orc_roundtrip" -> (orcRoundtrip _),
     "q_jsonl_roundtrip" -> (jsonlRoundtrip _),
     "q_avro_roundtrip" -> (avroRoundtrip _),
@@ -7694,6 +7714,31 @@ object SparkEntry {
         |SELECT phash, count(*) AS n_imgs,
         |  min(media_id) AS min_id, max(media_id) AS max_id
         |FROM hashes GROUP BY phash ORDER BY phash""".stripMargin,
+    // Image near-dup: same analytical hash derivation, then the
+    // textbook ALL-PAIRS Hamming enumeration — complete, so banding
+    // losslessness is re-proved on every run.
+    "q_image_neardup" ->
+      """WITH imgs AS (SELECT doc_id AS media_id FROM documents
+        |  WHERE doc_id < 500),
+        |px AS (SELECT media_id, x.x AS x, y.y AS y,
+        |    ((media_id % 250) * (2 * y.y + 3) + (7 + 29 * y.y) * x.x) % 252
+        |      + ((media_id // 250) * (x.x + y.y)) % 4 AS g
+        |  FROM imgs, LATERAL (SELECT unnest(range(0, 8)) AS x) x,
+        |             LATERAL (SELECT unnest(range(0, 8)) AS y) y),
+        |bits AS (SELECT a.media_id, a.x, a.y
+        |  FROM px a JOIN px b ON b.media_id = a.media_id
+        |    AND b.y = a.y AND b.x = a.x + 1 AND b.g > a.g
+        |  WHERE a.x < 7),
+        |hashes AS (SELECT i.media_id,
+        |    CAST(coalesce(sum(CAST(1 AS BIGINT) << (b.y * 7 + b.x)), 0)
+        |      AS BIGINT) AS phash
+        |  FROM imgs i LEFT JOIN bits b ON b.media_id = i.media_id
+        |  GROUP BY i.media_id)
+        |SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+        |FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
     // JPEG pixel gate: constant-gray planes at quality 1.0 are
     // bit-exact through the lossy codec (DC-only DCT), so the decoded
     // sum is pure arithmetic — w * h * gray.

@@ -723,6 +723,29 @@ object Dedup {
     * evaluate the Hamming test inside the bucket join without re-joining
     * signatures.
     */
+  /** Generic banded Hamming self-join over ANY long hash column —
+    * COMPLETE for distance <= maxHamming by the multi-block pigeonhole
+    * (a pair within maxHamming flips agrees exactly on at least
+    * pieces - maxHamming of the `pieces` blocks; the band keys
+    * enumerate every agreeing-block combination), then exact
+    * `bit_count` verification on candidates only. The SimHash banding
+    * machinery lifted off text signatures so any 64-bit perceptual or
+    * locality hash (image dHash, audio fingerprints) gets the same
+    * sub-quadratic near-dup join.
+    */
+  def hammingPairs(df: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int, pieces: Int): DataFrame = {
+    val banded = df.select(col(idCol).as("id"), col(hashCol).as("h"),
+      explode(graft.functions.GraftFunctions.graftSimHashBands(
+        col(hashCol), pieces, maxHamming)).as("ck"))
+    banded.as("x").join(banded.as("y"),
+        col("x.ck") === col("y.ck") && col("x.id") < col("y.id") &&
+          expr("bit_count(x.h ^ y.h)") <= maxHamming)
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        expr("CAST(bit_count(x.h ^ y.h) AS BIGINT)").as("hamming"))
+      .distinct()
+  }
+
   private def bandedSignatures(sigs: DataFrame, maxHamming: Int, pieces: Int): DataFrame =
     sigs.select(col("id"), col("simhash"),
       explode(graft.functions.GraftFunctions.graftSimHashBands(
