@@ -2739,6 +2739,16 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus report card under the gate ([[operators.CuratePipeline
+    * .reportCard]]): the one-row, all-integer health summary — doc and
+    * unique-fingerprint counts (gap = exact-dup volume), language and
+    * quality pass counts, token mass. The oracle recomputes every
+    * signal and aggregate from source.
+    */
+  private def corpusReport(s: SparkSession, d: String): DataFrame =
+    CuratePipeline.reportCard(t(s, d, "documents"), "text", "doc_id",
+      minQuality = 0.7, keepLang = "en")
+
   /** Rejection audit under the gate ([[operators.CuratePipeline
     * .rejectionAudit]]): per document, the FIRST curation stage that
     * rejected it (dup | lang | quality) or 'kept' — the attrition
@@ -4334,6 +4344,7 @@ object SparkEntry {
     "q_pack_sequences" -> (packSequences _),
     "q_curate_docs" -> (curateDocs _),
     "q_curate_audit" -> (curateAudit _),
+    "q_corpus_report" -> (corpusReport _),
     "q_gopher_rules" -> (gopherRulesQ _),
     "q_curate_neardup" -> (curateNeardup _),
     "q_dedup_semantic" -> (dedupSemantic _),
@@ -7543,6 +7554,49 @@ object SparkEntry {
     // Rejection audit: every per-row signal computed for ALL docs (the
     // stage filters only gate the VERDICT precedence, and each signal
     // is a per-row pure function), then the same first-failure CASE.
+    // Report card: same per-doc signals for every document, then the
+    // seven integer aggregates.
+    "q_corpus_report" ->
+      s"""WITH base AS (SELECT doc_id, text,
+         |        md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         |      FROM documents),
+         |feats AS (SELECT doc_id, fp, text,
+         |        list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> len(x) > 0) AS wsl,
+         |        list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS ws,
+         |        length(text) AS n_chars
+         |      FROM base),
+         |sc AS (SELECT *,
+         |        len(list_filter(wsl, x -> x IN (${inList(TextAnalysis.enStop)}))) AS s_en,
+         |        len(list_filter(wsl, x -> x IN (${inList(TextAnalysis.esStop)}))) AS s_es,
+         |        len(list_filter(wsl, x -> x IN (${inList(TextAnalysis.frStop)}))) AS s_fr,
+         |        len(list_filter(wsl, x -> x IN (${inList(TextAnalysis.deStop)}))) AS s_de
+         |      FROM feats),
+         |lang AS (SELECT *,
+         |        CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+         |             WHEN s_de = greatest(s_en, s_es, s_fr, s_de) THEN 'de'
+         |             WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+         |             WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+         |             ELSE 'en' END AS lang_pred
+         |      FROM sc),
+         |q2 AS (SELECT doc_id, fp, lang_pred,
+         |        round(CAST(
+         |          0.4 * (CASE WHEN n_chars BETWEEN 20 AND 100000 THEN 1.0 ELSE 0.0 END)
+         |        + 0.3 * (CASE WHEN CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+         |                           / greatest(CAST(n_chars AS DOUBLE), 1.0) < 0.2 THEN 1.0 ELSE 0.0 END)
+         |        + 0.3 * (CASE WHEN CAST(s_en AS DOUBLE)
+         |                           / greatest(CAST(len(ws) AS DOUBLE), 1.0) > 0.01 THEN 1.0 ELSE 0.0 END)
+         |        AS DOUBLE), 2) AS quality_score,
+         |        CAST(len(ws) AS BIGINT) AS ws_tokens,
+         |        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpeish_tokens
+         |      FROM lang)
+         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT fp) AS BIGINT) AS n_unique_fp,
+         |  CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_exact_dups,
+         |  CAST(sum(CASE WHEN lang_pred = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_lang,
+         |  CAST(sum(CASE WHEN quality_score >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_ok,
+         |  CAST(sum(ws_tokens) AS BIGINT) AS total_ws_tokens,
+         |  CAST(sum(bpeish_tokens) AS BIGINT) AS total_bpeish_tokens
+         |FROM q2""".stripMargin,
     "q_curate_audit" ->
       s"""WITH base0 AS (SELECT doc_id, text FROM documents WHERE doc_id < 2500),
          |sent AS (SELECT CAST(990001 AS BIGINT) AS doc_id, text FROM base0

@@ -131,6 +131,39 @@ object CuratePipeline {
           .otherwise(lit("kept")).as("verdict"))
   }
 
+  /** One-row corpus report card — the health summary an ops dashboard
+    * reads before (and after) every curation run: document and
+    * unique-fingerprint counts (their gap is the exact-dup volume),
+    * language and quality gate pass counts, and total token mass.
+    * One corpus scan; the only shuffle is the exact distinct-
+    * fingerprint count (at extreme scale swap in the HLL sketch the
+    * profiling family already ships and keep this exact form for
+    * audits). All-integer output, so the row is engine-exact.
+    */
+  def reportCard(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      minQuality: Double = 0.7,
+      keepLang: String = "en"): DataFrame = {
+    val enriched = docs
+      .withColumn("_fp", TextAnalysis.fingerprint(col(textCol)))
+      .withColumn("lang_pred", TextAnalysis.langId(col(textCol)))
+      .transform(TextAnalysis.withQuality(_, textCol))
+      .withColumn("_ws", TextAnalysis.tokenCount(col(textCol)).cast("long"))
+      .withColumn("_bp",
+        TextAnalysis.bpeishTokenCount(col(textCol)).cast("long"))
+    enriched.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("_fp")).as("n_unique_fp"),
+      (count(lit(1)) - countDistinct(col("_fp"))).as("n_exact_dups"),
+      sum(when(col("lang_pred") === keepLang, 1L).otherwise(0L)).as("n_kept_lang"),
+      sum(when(col("quality_score") >= minQuality, 1L).otherwise(0L))
+        .as("n_quality_ok"),
+      sum(col("_ws")).as("total_ws_tokens"),
+      sum(col("_bp")).as("total_bpeish_tokens"))
+  }
+
   def curate(
       docs: DataFrame,
       textCol: String = "text",

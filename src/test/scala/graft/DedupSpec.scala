@@ -398,6 +398,31 @@ class DedupSpec extends SparkSpec {
         r.getAs[Long]("dup_words")))
     assert(got.toSeq === Seq((1L, 2L, 6L), (2L, 2L, 6L)))
   }
+  test("hammingPairs: banded join == brute force on adversarial longs") {
+    import spark.implicits._
+    // Deterministic hash population rich in near-collisions: base
+    // values plus 1- and 2-bit perturbations of some of them, so the
+    // expected output contains pairs at every distance 0, 1, 2.
+    val base = (0 until 40).map(i => i.toLong * 0x9E3779B97F4A7C15L)
+    val perturbed = base.take(12).map(_ ^ 1L) ++
+      base.slice(12, 20).map(_ ^ ((1L << 17) | (1L << 42))) ++
+      base.take(4) // exact duplicates
+    val vals = (base ++ perturbed).zipWithIndex
+      .map { case (h, i) => (i.toLong, h) }
+    val df = vals.toDF("id", "h")
+    val got = Dedup.hammingPairs(df, "id", "h", maxHamming = 2, pieces = 8)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("hamming"))).toSet
+    val want = (for {
+      (ha, ia) <- vals
+      (hb, ib) <- vals if ha < hb
+      d = java.lang.Long.bitCount(ia ^ ib) if d <= 2
+    } yield (ha, hb, d.toLong)).toSet
+    assert(got === want, "banded Hamming join diverged from brute force")
+    assert(want.exists(_._3 == 0L) && want.exists(_._3 == 1L) &&
+      want.exists(_._3 == 2L), "test population must cover all distances")
+  }
+
   test("evalContaminationReport: hits, witnesses, zero-hit eval docs kept") {
     import spark.implicits._
     val train = Seq(
