@@ -128,6 +128,9 @@ object Bench {
     *    q_corpus_report (the same per-doc signals collapsed to one
     *    all-integer summary row — the q_ingest_stats shape at corpus
     *    scale),
+    *    q_vocab_drift (the billed q_drift_psi family's question asked
+    *    of the token distribution — two keyed counts + a
+    *    vocabulary-sized join ending in 20 rows),
     *    q_gopher_rules (scan-speed per-row quality flags — the billed
     *    q_text_quality family's one-scan shape with the published
     *    Gopher rule set),
@@ -198,7 +201,7 @@ object Bench {
     "q_item_cf", "q_new_vs_returning", "q_conversion_latency",
     "q_zipf_slope", "q_sparse_index_build", "q_curate_audit",
     "q_gopher_rules", "q_sparse_knn_incr", "q_decontaminate_semantic",
-    "q_corpus_report",
+    "q_corpus_report", "q_vocab_drift",
     // fixed-semantics probes
     "q_transform_text", "q_transform_decimal", "q_transform_integer",
     "q_transform_boolean", "q_filter_active_user", "q_html_extract",

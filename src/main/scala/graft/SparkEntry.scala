@@ -1213,6 +1213,19 @@ object SparkEntry {
       .orderBy(col("word"))
       .limit(50)
 
+  /** Vocabulary drift under the gate ([[operators.TermIndex
+    * .vocabDrift]]): top-20 terms by corpus-share movement between the
+    * even/odd doc_id snapshot halves — integer-exact cleared-
+    * denominator ranking, one rounded share delta per surviving row.
+    */
+  private def vocabDriftQ(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    TermIndex.vocabDrift(
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+      "text", "doc_id", k = 20)
+  }
+
   /** Flesch readability ([[operators.TextAnalysis.readability]]) over
     * the corpus: three regex counts and one fixed double formula per
     * row, rounded to 4 on both engines.
@@ -4349,6 +4362,7 @@ object SparkEntry {
     "q_curate_docs" -> (curateDocs _),
     "q_curate_audit" -> (curateAudit _),
     "q_corpus_report" -> (corpusReport _),
+    "q_vocab_drift" -> (vocabDriftQ _),
     "q_gopher_rules" -> (gopherRulesQ _),
     "q_curate_neardup" -> (curateNeardup _),
     "q_dedup_semantic" -> (dedupSemantic _),
@@ -7558,6 +7572,26 @@ object SparkEntry {
     // Rejection audit: every per-row signal computed for ALL docs (the
     // stage filters only gate the VERDICT precedence, and each signal
     // is a per-row pure function), then the same first-failure CASE.
+    // Vocabulary drift: same tokenization, same cleared-denominator
+    // integer ranking, same rounded share delta.
+    "q_vocab_drift" ->
+      """WITH wa AS (SELECT unnest(list_filter(
+        |      string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0)) AS word
+        |    FROM documents WHERE doc_id % 2 = 0),
+        |ca AS (SELECT word, count(*) AS n_a FROM wa GROUP BY 1),
+        |wb AS (SELECT unnest(list_filter(
+        |      string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0)) AS word
+        |    FROM documents WHERE doc_id % 2 = 1),
+        |cb AS (SELECT word, count(*) AS n_b FROM wb GROUP BY 1),
+        |j AS (SELECT word, coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+        |    FROM ca FULL OUTER JOIN cb USING (word)),
+        |t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM j),
+        |top AS (SELECT word, n_a, n_b FROM j, t
+        |    ORDER BY abs(n_a * tb - n_b * ta) DESC, word LIMIT 20)
+        |SELECT word, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  round(CAST(n_a AS DOUBLE) / ta - CAST(n_b AS DOUBLE) / tb, 6)
+        |    AS delta_share
+        |FROM top, t ORDER BY word""".stripMargin,
     // Report card: same per-doc signals for every document, then the
     // seven integer aggregates.
     "q_corpus_report" ->

@@ -183,6 +183,45 @@ object TermIndex {
       .select(col("qid"), col("id"), col("sim"), col("sim_rank"))
   }
 
+  /** Vocabulary drift between two corpus snapshots — the NLP-ops twin
+    * of the numeric drift family (PSI/KS watch a column's distribution;
+    * this watches the TOKEN distribution): the k terms whose corpus
+    * share moved most between snapshot A and snapshot B, with their raw
+    * counts and the rounded share delta. The RANKING is decided wholly
+    * in integer arithmetic — |n_a·T_b − n_b·T_a| is the cleared-
+    * denominator form of |share_a − share_b|, exact in longs (counts
+    * ~1e9 x totals ~1e12 would overflow; at that scale the counts ride
+    * DECIMAL(38,0) — the envelope here is orders of magnitude inside
+    * long range) — so the top-k is engine-exact and only the reported
+    * delta is one rounded double per surviving row.
+    *
+    * Plan: one scan + term-keyed count per snapshot (map-side
+    * combinable), full-outer on the term key (vocabulary-sized), totals
+    * via 1-row broadcast cross joins, distributed top-k. Nothing
+    * corpus-sized ever shuffles twice.
+    */
+  def vocabDrift(a: DataFrame, b: DataFrame, textCol: String, idCol: String,
+      k: Int = 20): DataFrame = {
+    val ca = occurrences(a, textCol, idCol)
+      .groupBy(col("word")).agg(count(lit(1)).as("n_a"))
+    val cb = occurrences(b, textCol, idCol)
+      .groupBy(col("word")).agg(count(lit(1)).as("n_b"))
+    val joined = ca.join(cb, Seq("word"), "full_outer")
+      .select(col("word"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val ta = joined.agg(sum(col("n_a")).as("_ta"))
+    val tb = joined.agg(sum(col("n_b")).as("_tb"))
+    joined.crossJoin(broadcast(ta)).crossJoin(broadcast(tb))
+      .withColumn("_score",
+        abs(col("n_a") * col("_tb") - col("n_b") * col("_ta")))
+      .orderBy(col("_score").desc, col("word"))
+      .limit(k)
+      .select(col("word"), col("n_a"), col("n_b"),
+        round(col("n_a").cast("double") / col("_ta") -
+          col("n_b").cast("double") / col("_tb"), 6).as("delta_share"))
+  }
+
   /** Vocabulary coverage curve — the Zipf head of the corpus: the top-k
     * tokens by occurrence count with rank and the CUMULATIVE share of
     * all token occurrences they cover (the "how big must the vocabulary
