@@ -2710,14 +2710,17 @@ object SparkEntry {
         minQuality = 0.7, keepLang = "en")
       .orderBy(col("doc_id"))
 
-  /** Sentinel documents for [[gopherRulesQ]] — one per Gopher rule that
-    * cannot fail naturally on the synthetic corpus (single-line,
-    * alphabetic, stopword-rich English), so no flag ever passes
+  /** Eight sentinel documents for [[gopherRulesQ]], targeting the
+    * Gopher rules that cannot fail (or, for the conjunction, pass)
+    * naturally on the synthetic corpus, so no flag ever decides
     * vacuously: 980001 fails mean-word-length, 980002 the symbol
-    * ratio, 980003 alphabetic-word share, 980004 required-words,
-    * 980005 the bullet-line ratio, 980006 the ellipsis-line ratio,
-    * 980007 the word-count floor. Shared verbatim with the oracle SQL
-    * (single source of truth, newline-escaped via chr(10)).
+    * ratio (and, incidentally, mean-word-length — its single-char '#'
+    * tokens drag the mean below 3; per-rule isolation is NOT
+    * guaranteed across sentinels), 980003 alphabetic-word share,
+    * 980004 required-words, 980005 the bullet-line ratio, 980006 the
+    * ellipsis-line ratio, 980007 the word-count floor, and 980008
+    * passes everything. Shared verbatim with the oracle SQL (single
+    * source of truth, newline-escaped via chr(10)).
     */
   private val gopherSentinels: Seq[(Long, String)] = Seq(
     980001L -> (Seq.fill(60)("aa").mkString(" ") + " the of and that"),
@@ -2744,7 +2747,7 @@ object SparkEntry {
   /** The published Gopher quality-rule set under the gate
     * ([[operators.TextAnalysis.gopherRules]]): per document, each of
     * the seven rules as an integer-exact flag plus the conjunction,
-    * over the full corpus plus the seven [[gopherSentinels]]. The
+    * over the full corpus plus the eight [[gopherSentinels]]. The
     * oracle recomputes every count and every cleared-denominator
     * comparison from source in SQL.
     */
@@ -6225,7 +6228,6 @@ object SparkEntry {
     "q_embed_ann_lsh" -> annLshOracle,
     // ANN recall@10: both sides' oracle SQL composed verbatim as
     // nested CTEs; the intersection count and one rounded division.
-    "q_ann_recall_hi" -> annRecallHiOracle,
     "q_ann_recall_hi" -> annRecallHiOracle,
     "q_ann_recall" ->
       s"""WITH approx AS ($annLshOracle),

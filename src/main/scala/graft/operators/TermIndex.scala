@@ -210,9 +210,11 @@ object TermIndex {
       .select(col("word"),
         coalesce(col("n_a"), lit(0L)).as("n_a"),
         coalesce(col("n_b"), lit(0L)).as("n_b"))
-    val ta = joined.agg(sum(col("n_a")).as("_ta"))
-    val tb = joined.agg(sum(col("n_b")).as("_tb"))
-    joined.crossJoin(broadcast(ta)).crossJoin(broadcast(tb))
+    // one combined totals aggregate + one broadcast cross join — two
+    // separate totals would re-execute the joined subplan per total
+    val totals = joined.agg(sum(col("n_a")).as("_ta"),
+      sum(col("n_b")).as("_tb"))
+    joined.crossJoin(broadcast(totals))
       .withColumn("_score",
         abs(col("n_a") * col("_tb") - col("n_b") * col("_ta")))
       .orderBy(col("_score").desc, col("word"))

@@ -254,14 +254,14 @@ object TimeSeries {
         BigInt(alphaDen).pow(window - 1 - k)
     }
     // Every coeff*value product and their W-term sum must fit
-    // DECIMAL(38,0): reserve 18 digits for the value (the full LONG
-    // range) plus log10(W) carry digits, and reject configurations
+    // DECIMAL(38,0): reserve 19 digits for the value (Long.MaxValue is
+    // 19 digits) plus log10(W) carry digits, and reject configurations
     // whose largest weight eats the rest — a (window, alphaDen) pair
     // admitted here can never null out or ANSI-overflow at runtime.
     val maxCoeffDigits = coeffs.map(_.toString.length).max
     val carryDigits = math.ceil(math.log10(window.toDouble + 1)).toInt
-    require(maxCoeffDigits + 18 + carryDigits <= 38,
-      s"ewma weights need $maxCoeffDigits digits; with 18 value digits " +
+    require(maxCoeffDigits + 19 + carryDigits <= 38,
+      s"ewma weights need $maxCoeffDigits digits; with 19 value digits " +
         s"and $carryDigits carry digits that exceeds DECIMAL(38,0) — " +
         "reduce window or alphaDen")
     val w = Window.orderBy(col("_b"))

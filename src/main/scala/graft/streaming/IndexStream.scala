@@ -18,9 +18,10 @@ import java.nio.file.{Files, Paths}
   * provably identical to a from-scratch rebuild over everything seen
   * (IndexStreamSpec's stream==batch differential).
   *
-  * Store layout (parquet, append-mode):
-  *   storeDir/postings/  — (id, word, tf), one slice per micro-batch
-  *   storeDir/meta/      — (_n) one row per micro-batch; N = sum
+  * Store layout (parquet; one DETERMINISTIC subdirectory per
+  * micro-batch, keyed by the streaming batchId):
+  *   storeDir/postings/batch=<id>/  — that batch's (id, word, tf)
+  *   storeDir/meta/batch=<id>/      — that batch's (_n); N = sum
   *
   * Scale shape: per micro-batch cost is one explode + one keyed
   * aggregate over the BATCH (map-side combinable); the standing
@@ -28,9 +29,13 @@ import java.nio.file.{Files, Paths}
   * the postings dir is term-bucketed so the retrieval join stays
   * co-located; compaction of small per-batch slices is the
   * [[graft.operators.Compaction]] job run on the index like any table.
-  * Exactly-once: Spark's streaming commit protocol makes the parquet
-  * append atomic per micro-batch; the doc-count slice rides the same
-  * transaction boundary (same foreachBatch).
+  * Exactly-once by IDEMPOTENCE, not by append: foreachBatch is
+  * at-least-once (a crash between the sink write and the checkpoint
+  * commit re-delivers the batch), so each batch OVERWRITES its own
+  * batchId-keyed subdirectory — a replay rewrites the identical slice
+  * instead of duplicating postings and inflating df/N. This is the
+  * standard idempotent-sink contract foreachBatch's batchId exists
+  * for.
   */
 object IndexStream {
 
@@ -49,44 +54,55 @@ object IndexStream {
     docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        appendBatch(batch, textCol, idCol, storeDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        appendBatch(batch, textCol, idCol, storeDir, batchId)
       }
       .start()
   }
 
   /** One micro-batch's contribution: batch-sized postings + its doc
-    * count, appended. Also the unit the batch path (q_sparse_knn_incr)
-    * and the stream share — both call this semantics, so the
-    * differential spec proves the streaming plumbing, not a fork of
-    * the merge logic.
+    * count, OVERWRITING the batch's own batchId-keyed slice so a
+    * replayed batch is idempotent (see the class doc). Also the unit
+    * the batch path (q_sparse_knn_incr) and the stream share — both
+    * call this semantics, so the differential spec proves the
+    * streaming plumbing, not a fork of the merge logic.
     */
   def appendBatch(batch: DataFrame, textCol: String, idCol: String,
-      storeDir: String): Unit = {
+      storeDir: String, batchId: Long): Unit = {
     if (!batch.isEmpty) {
       TermIndex.rawIndex(batch, textCol, idCol)
-        .write.mode(SaveMode.Append).parquet(s"$storeDir/postings")
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$storeDir/postings/batch=$batchId")
       TermIndex.docCount(batch)
-        .write.mode(SaveMode.Append).parquet(s"$storeDir/meta")
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$storeDir/meta/batch=$batchId")
     }
   }
 
   /** Read the maintained store back as (postings, nDocs) — the inputs
     * [[TermIndex.weightsFromRaw]] needs. Per-batch posting slices are
     * disjoint by id (each doc arrives once), so no merge pass is
-    * needed; N is the sum of the per-batch counts.
+    * needed; N is the sum of the per-batch counts. The batchId
+    * partition column from the slice layout is dropped — it is sink
+    * bookkeeping, not index content.
     */
   def readStore(spark: SparkSession, storeDir: String): (DataFrame, DataFrame) =
-    (spark.read.parquet(s"$storeDir/postings"),
-      spark.read.parquet(s"$storeDir/meta").agg(sum(col("_n")).as("_n")))
+    (spark.read.parquet(s"$storeDir/postings")
+       .select(col("id"), col("word"), col("tf")),
+      spark.read.parquet(s"$storeDir/meta")
+        .agg(sum(col("_n")).as("_n")))
 
   /** Retrieval over the maintained store: weight, then the standard
-    * query half ([[TermIndex.sparseKnnFromIndex]]).
+    * query half ([[TermIndex.sparseKnnFromIndex]]). The derived
+    * weights are checkpointed — sparseKnnFromIndex reads them three
+    * times (norms, query postings, dots), and without materialization
+    * the df join and weight formula would re-execute per consumer
+    * (the batch siblings' localCheckpoint discipline).
     */
   def sparseKnn(spark: SparkSession, storeDir: String, queries: DataFrame,
       k: Int = 5): DataFrame = {
     val (postings, n) = readStore(spark, storeDir)
     TermIndex.sparseKnnFromIndex(
-      TermIndex.weightsFromRaw(postings.localCheckpoint(), n), queries, k)
+      TermIndex.weightsFromRaw(postings, n).localCheckpoint(), queries, k)
   }
 }

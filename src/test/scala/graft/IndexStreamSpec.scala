@@ -53,6 +53,19 @@ class IndexStreamSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("a replayed micro-batch is idempotent: same batchId overwrites its slice") {
+    import spark.implicits._
+    val store = tmpDir("idxstore3")
+    val batch = Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text")
+    IndexStream.appendBatch(batch, "text", "doc_id", store, batchId = 7L)
+    // foreachBatch is at-least-once: a crash before the checkpoint
+    // commit re-delivers the SAME batchId — the store must not double
+    IndexStream.appendBatch(batch, "text", "doc_id", store, batchId = 7L)
+    val (postings, n) = IndexStream.readStore(spark, store)
+    assert(n.head().getLong(0) === 2L, "doc count doubled on replay")
+    assert(postings.count() === 4L, "postings doubled on replay")
+  }
+
   test("empty micro-batches append nothing; later batches still merge") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
