@@ -134,6 +134,8 @@ object Bench {
     *    q_gopher_rules (scan-speed per-row quality flags — the billed
     *    q_text_quality family's one-scan shape with the published
     *    Gopher rule set),
+    *    q_c4_rules (the same one-scan shape with the published C4
+    *    line-filter recipe),
     *    q_sparse_knn_incr (the billed q_sparse_knn family's merge
     *    gate: standing raw index + one batch, judged by the same
     *    from-scratch oracle — its seconds are one batch-sized tf
@@ -200,7 +202,8 @@ object Bench {
     "q_xcorr", "q_cusum", "q_scd2_asof", "q_fk_integrity",
     "q_item_cf", "q_new_vs_returning", "q_conversion_latency",
     "q_zipf_slope", "q_sparse_index_build", "q_curate_audit",
-    "q_gopher_rules", "q_sparse_knn_incr", "q_decontaminate_semantic",
+    "q_gopher_rules", "q_c4_rules", "q_sparse_knn_incr",
+    "q_decontaminate_semantic",
     "q_corpus_report", "q_vocab_drift",
     // fixed-semantics probes
     "q_transform_text", "q_transform_decimal", "q_transform_integer",

@@ -2769,6 +2769,38 @@ object SparkEntry {
     CuratePipeline.reportCard(t(s, d, "documents"), "text", "doc_id",
       minQuality = 0.7, keepLang = "en")
 
+  /** Sentinels for [[c4RulesQ]] — the synthetic corpus has no terminal
+    * punctuation, braces, or boilerplate markers, so: 970001 passes
+    * everything (six >=3-word terminal-punctuated lines), 970002
+    * plants a brace, 970003 plants 'Lorem Ipsum' (case-insensitively
+    * matched), 970004 has terminal-punctuated lines that are all too
+    * short to retain. Shared verbatim with the oracle.
+    */
+  private val c4Sentinels: Seq[(Long, String)] = Seq(
+    970001L -> (1 to 6).map(i =>
+      s"this is sentence number $i of the page.").mkString("\n"),
+    970002L -> ((1 to 6).map(i =>
+      s"this page has plenty of sentences like number $i.").mkString("\n") +
+      "\nfunction f() { return 1; }"),
+    970003L -> ((1 to 6).map(i =>
+      s"another page with sentence number $i here.").mkString("\n") +
+      "\nLorem Ipsum dolor sit amet."),
+    970004L -> "Stop now.\nGo on!\nWhy me?\nOk then.\nNo more.")
+
+  /** The C4 cleaning recipe under the gate ([[operators.TextAnalysis
+    * .c4Rules]]): per-document line-filter attrition, sentence count,
+    * and page-level drop flags over the full corpus plus the four
+    * [[c4Sentinels]]. The oracle recomputes every count, containment
+    * test, and the conjunction from source.
+    */
+  private def c4RulesQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      .unionAll(c4Sentinels.toDF("doc_id", "text"))
+    TextAnalysis.c4Rules(docs, "text", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
   /** Rejection audit under the gate ([[operators.CuratePipeline
     * .rejectionAudit]]): per document, the FIRST curation stage that
     * rejected it (dup | lang | quality) or 'kept' — the attrition
@@ -4367,6 +4399,7 @@ object SparkEntry {
     "q_corpus_report" -> (corpusReport _),
     "q_vocab_drift" -> (vocabDriftQ _),
     "q_gopher_rules" -> (gopherRulesQ _),
+    "q_c4_rules" -> (c4RulesQ _),
     "q_curate_neardup" -> (curateNeardup _),
     "q_dedup_semantic" -> (dedupSemantic _),
     "q_embed_outlier" -> (embedOutlier _),
@@ -7527,6 +7560,38 @@ object SparkEntry {
       s"""WITH ${curateOracleCtes("(SELECT * FROM documents WHERE doc_id < 2500) documents")}
          |SELECT doc_id, fingerprint, lang_pred, quality_score, ws_tokens, bpeish_tokens
          |FROM q WHERE quality_score >= 0.7 ORDER BY doc_id""".stripMargin,
+    // C4 rules: same line split, same retained-line predicate, same
+    // containment tests and conjunction, sentinel text shared verbatim.
+    "q_c4_rules" -> {
+      val sentVals = c4Sentinels
+        .map { case (id, t) => s"(CAST($id AS BIGINT), ${sqlStringLit(t)})" }
+        .mkString(",\n         |    ")
+      s"""WITH sent(doc_id, text) AS (VALUES
+         |    $sentVals),
+         |all0 AS (SELECT doc_id, text FROM documents
+         |         UNION ALL SELECT * FROM sent),
+         |l AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines
+         |  FROM all0),
+         |k AS (SELECT doc_id, text, lines,
+         |    list_filter(lines, x -> regexp_matches(rtrim(x), '[.!?"]$$')
+         |      AND len(list_filter(string_split_regex(trim(x), '\\s+'),
+         |            w -> len(w) > 0)) >= 3) AS kept
+         |  FROM l)
+         |SELECT doc_id,
+         |  CAST(len(lines) AS BIGINT) AS n_lines,
+         |  CAST(len(kept) AS BIGINT) AS n_kept_lines,
+         |  CAST(coalesce(list_sum(list_transform(kept,
+         |    x -> len(list_filter(string_split_regex(trim(x), '\\s+'),
+         |           w -> len(w) > 0)))), 0) AS BIGINT) AS kept_ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT) AS n_sentences,
+         |  NOT contains(text, '{') AS ok_braces,
+         |  NOT contains(lower(text), 'lorem ipsum') AS ok_lorem,
+         |  len(regexp_extract_all(text, '[.!?]')) >= 5 AS ok_min_sentences,
+         |  (NOT contains(text, '{')) AND (NOT contains(lower(text), 'lorem ipsum'))
+         |    AND len(regexp_extract_all(text, '[.!?]')) >= 5
+         |    AND len(kept) > 0 AS pass
+         |FROM k ORDER BY doc_id""".stripMargin
+    },
     // Gopher rules: every count and every cleared-denominator integer
     // comparison recomputed in SQL over the same corpus + sentinels
     // (sentinel text shared verbatim from gopherSentinels).

@@ -92,6 +92,47 @@ object TextAnalysis {
           col("ok_required_words"))
   }
 
+  /** The C4 cleaning recipe (Raffel et al. 2020, section 2.2 — the
+    * other canonical published corpus filter next to [[gopherRules]]),
+    * as per-document integer counts and flags. C4 is LINE-oriented:
+    * lines are retained only if they end in terminal punctuation
+    * (. ! ? ") and carry at least `minLineWords` words; pages are
+    * dropped outright for code/boilerplate markers ('{', 'lorem
+    * ipsum') or fewer than `minSentences` sentences. Emitted per doc:
+    *
+    *   n_lines / n_kept_lines — the line filter's attrition
+    *   kept_ws_tokens         — token mass surviving the line filter
+    *   n_sentences            — terminal-punctuation count (the
+    *                            deterministic proxy both engines share)
+    *   ok_braces, ok_lorem, ok_min_sentences, pass
+    *
+    * All counts and flags are integer-exact (no float anywhere); one
+    * scan of HOF expressions, no shuffle — scan-speed at any corpus
+    * size, like [[gopherRules]].
+    */
+  def c4Rules(df: DataFrame, textCol: String, idCol: String,
+      minLineWords: Int = 3, minSentences: Int = 5): DataFrame = {
+    val t = col(textCol)
+    val lines = split(t, "\n")
+    val keptLines = filter(lines, l =>
+      rtrim(l).rlike("[.!?\"]$") &&
+        size(filter(split(trim(l), "\\s+"), w => length(w) > 0)) >= minLineWords)
+    val nSentences = regexp_count(t, lit("[.!?]")).cast("long")
+    df.select(col(idCol),
+        size(lines).cast("long").as("n_lines"),
+        size(keptLines).cast("long").as("n_kept_lines"),
+        aggregate(keptLines, lit(0L), (acc, l) =>
+          acc + size(filter(split(trim(l), "\\s+"), w => length(w) > 0))
+            .cast("long")).as("kept_ws_tokens"),
+        nSentences.as("n_sentences"),
+        (!t.contains("{")).as("ok_braces"),
+        (!lower(t).contains("lorem ipsum")).as("ok_lorem"),
+        (nSentences >= minSentences.toLong).as("ok_min_sentences"))
+      .withColumn("pass",
+        col("ok_braces") && col("ok_lorem") && col("ok_min_sentences") &&
+          col("n_kept_lines") > 0L)
+  }
+
   /** BPE-ish subword proxy: runs of letters, runs of digits, or single
     * punctuation — a public, deterministic approximation of byte-pair
     * token counts (close to len/4 heuristics but content-aware).

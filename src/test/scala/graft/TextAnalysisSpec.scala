@@ -76,6 +76,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(5L).getAs[Long]("n_lines") === 10L)
   }
 
+  test("c4Rules: line retention, page-drop flags, and conjunction") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a good long sentence here.\nshort one!\nno punctuation line\nanother fine sentence right there?"),
+      (2L, "code page { with brace. and enough. sentences. four. five. six."),
+      (3L, "Lorem ipsum dolor sit amet. more. text. here. now. fine."),
+      (4L, "no terminal punctuation anywhere at all")
+    ).toDF("doc_id", "text")
+    val got = operators.TextAnalysis.c4Rules(docs, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // doc 1: 4 lines; kept = lines 1 and 4 (terminal punct AND >=3
+    // words; 'short one!' fails the word floor, line 3 the punct rule)
+    assert(got(1L).getAs[Long]("n_lines") === 4L)
+    assert(got(1L).getAs[Long]("n_kept_lines") === 2L)
+    assert(got(1L).getAs[Long]("kept_ws_tokens") === 10L)
+    assert(got(1L).getAs[Long]("n_sentences") === 3L) // . ! ?
+    assert(!got(1L).getAs[Boolean]("ok_min_sentences")) // 3 < 5
+    assert(!got(2L).getAs[Boolean]("ok_braces"))
+    assert(got(2L).getAs[Boolean]("ok_min_sentences")) // 6 sentences
+    assert(!got(2L).getAs[Boolean]("pass"))
+    assert(!got(3L).getAs[Boolean]("ok_lorem"))
+    assert(got(4L).getAs[Long]("n_kept_lines") === 0L)
+    assert(!got(4L).getAs[Boolean]("pass"))
+  }
+
   test("fingerprint is whitespace/case-insensitive, content-sensitive") {
     import spark.implicits._
     val fps = Seq("Hello   World", "  hello world ", "hello worlds")
