@@ -258,6 +258,18 @@ class PlanPropertiesSpec extends SparkSpec {
       s"query side re-tokenizes the corpus (explode in plan):\n$plan")
   }
 
+  test("published-rule scans (gopher, c4) are single-scan, shuffle only to order") {
+    Seq("q_gopher_rules", "q_c4_rules").foreach { q =>
+      val plan = planOf(q)
+      // exactly one exchange — the output orderBy's range partitioning;
+      // the rules themselves are scan-speed HOF expressions
+      val exchanges = "(?<!Broadcast)Exchange ".r.findAllIn(plan).length
+      assert(exchanges <= 1, s"$q shuffles beyond the output sort:\n$plan")
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+        s"$q grew a join:\n$plan")
+    }
+  }
+
   test("multi-probe ANN recall panel is one union plan, no per-query cartesian") {
     val plan = planOf("q_ann_recall_hi")
     assert(!plan.contains("CartesianProduct"), s"all-pairs plan:\n$plan")
