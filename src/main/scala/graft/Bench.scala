@@ -136,6 +136,8 @@ object Bench {
     *    Gopher rule set),
     *    q_c4_rules (the same one-scan shape with the published C4
     *    line-filter recipe),
+    *    q_perplexity_buckets (the billed q_unigram_lm scoring plus a
+    *    doc-domain ntile collapsing to 3 rows),
     *    q_sparse_knn_incr (the billed q_sparse_knn family's merge
     *    gate: standing raw index + one batch, judged by the same
     *    from-scratch oracle — its seconds are one batch-sized tf
@@ -202,7 +204,8 @@ object Bench {
     "q_xcorr", "q_cusum", "q_scd2_asof", "q_fk_integrity",
     "q_item_cf", "q_new_vs_returning", "q_conversion_latency",
     "q_zipf_slope", "q_sparse_index_build", "q_curate_audit",
-    "q_gopher_rules", "q_c4_rules", "q_sparse_knn_incr",
+    "q_gopher_rules", "q_c4_rules", "q_perplexity_buckets",
+    "q_sparse_knn_incr",
     "q_decontaminate_semantic",
     "q_corpus_report", "q_vocab_drift",
     // fixed-semantics probes

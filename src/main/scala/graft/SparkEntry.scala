@@ -2649,6 +2649,30 @@ object SparkEntry {
         vocabSize = 2048)
       .orderBy(col("doc_id"))
 
+  /** CCNet-style perplexity bucketing — the head/middle/tail partition
+    * the CCNet pipeline (Wenzek et al. 2020) cuts a crawl into before
+    * mixing: every document's self-trained unigram avg-NLL
+    * ([[unigramLm]]'s signal) ntile'd into 3 buckets on the
+    * (rounded score, doc_id) total order, then per-bucket doc/token
+    * mass and score range. The ntile window runs over the DOC domain
+    * (one row per document, already collapsed from the token stream);
+    * at extreme corpus sizes it range-partitions with split-point
+    * offsets — the [[operators.GlobalIndex]] technique. The oracle
+    * retrains the identical model and replays the bucketing.
+    */
+  private def perplexityBuckets(s: SparkSession, d: String): DataFrame = {
+    val scored = TermIndex.unigramLogProbScore(t(s, d, "documents"),
+      "text", "doc_id", vocabSize = 2048)
+    val w = Window.orderBy(col("avg_nll"), col("doc_id"))
+    scored.withColumn("bucket", ntile(3).over(w).cast(LongType))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col("avg_nll")).as("min_nll"),
+        max(col("avg_nll")).as("max_nll"))
+      .orderBy(col("bucket"))
+  }
+
   /** URL-level dedup ([[operators.Dedup.keepBestPerKey]]): deterministic
     * dirty URLs are synthesized with doc_id%97 page collisions across
     * four style variants (tracking params, :443 port, trailing slash,
@@ -4337,6 +4361,7 @@ object SparkEntry {
     "q_html_extract" -> (htmlExtract _),
     "q_vocab_coverage" -> (vocabCoverageQ _),
     "q_unigram_lm" -> (unigramLm _),
+    "q_perplexity_buckets" -> (perplexityBuckets _),
     "q_bigram_lm" -> (bigramLm _),
     "q_dedup_url" -> (dedupUrl _),
     "q_temperature_sample" -> (temperatureSample _),
@@ -6768,6 +6793,30 @@ object SparkEntry {
     // Unigram LM: same top-2048 vocabulary (ties on the token), same
     // unsmoothed MLE probabilities, OOV pooled into the leftover mass
     // with a one-count floor; natural log in both engines.
+    // Perplexity buckets: the identical self-trained model, the same
+    // (rounded score, doc_id) ntile order, the same four aggregates.
+    "q_perplexity_buckets" ->
+      """WITH occ AS (SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(trim(lower(text)), '\s+'), w -> len(w) > 0)) AS word
+        |  FROM documents),
+        |counts AS (SELECT word, count(*) AS n FROM occ GROUP BY word),
+        |vocab AS (SELECT word, n FROM counts ORDER BY n DESC, word LIMIT 2048),
+        |tot AS (SELECT count(*) AS t FROM occ),
+        |oov AS (SELECT t, greatest(t - (SELECT CAST(sum(n) AS BIGINT) FROM vocab),
+        |    1) AS oov_mass FROM tot),
+        |scored AS (SELECT o.doc_id,
+        |    coalesce(ln(CAST(v.n AS DOUBLE) / x.t),
+        |             ln(CAST(x.oov_mass AS DOUBLE) / x.t)) AS lp
+        |  FROM occ o LEFT JOIN vocab v USING (word) CROSS JOIN oov x),
+        |docs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    round(-avg(lp), 6) AS avg_nll
+        |  FROM scored GROUP BY doc_id),
+        |b AS (SELECT *, CAST(ntile(3) OVER (ORDER BY avg_nll, doc_id) AS BIGINT)
+        |    AS bucket FROM docs)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  min(avg_nll) AS min_nll, max(avg_nll) AS max_nll
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q_unigram_lm" ->
       """WITH occ AS (SELECT doc_id, unnest(list_filter(
         |    string_split_regex(trim(lower(text)), '\s+'), w -> len(w) > 0)) AS word
