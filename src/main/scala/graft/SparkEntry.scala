@@ -2795,10 +2795,10 @@ object SparkEntry {
 
   /** Sentinels for [[c4RulesQ]] — the synthetic corpus has no terminal
     * punctuation, braces, or boilerplate markers, so: 970001 passes
-    * everything (six >=3-word terminal-punctuated lines), 970002
+    * everything (six >=5-word terminal-punctuated lines), 970002
     * plants a brace, 970003 plants 'Lorem Ipsum' (case-insensitively
-    * matched), 970004 has terminal-punctuated lines that are all too
-    * short to retain. Shared verbatim with the oracle.
+    * matched), 970004 has enough sentences but every line is below
+    * the 5-word retention floor. Shared verbatim with the oracle.
     */
   private val c4Sentinels: Seq[(Long, String)] = Seq(
     970001L -> (1 to 6).map(i =>
@@ -7624,7 +7624,7 @@ object SparkEntry {
          |k AS (SELECT doc_id, text, lines,
          |    list_filter(lines, x -> regexp_matches(rtrim(x), '[.!?"]$$')
          |      AND len(list_filter(string_split_regex(trim(x), '\\s+'),
-         |            w -> len(w) > 0)) >= 3) AS kept
+         |            w -> len(w) > 0)) >= 5) AS kept
          |  FROM l)
          |SELECT doc_id,
          |  CAST(len(lines) AS BIGINT) AS n_lines,
@@ -7635,9 +7635,9 @@ object SparkEntry {
          |  CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT) AS n_sentences,
          |  NOT contains(text, '{') AS ok_braces,
          |  NOT contains(lower(text), 'lorem ipsum') AS ok_lorem,
-         |  len(regexp_extract_all(text, '[.!?]')) >= 5 AS ok_min_sentences,
+         |  len(regexp_extract_all(text, '[.!?]')) >= 3 AS ok_min_sentences,
          |  (NOT contains(text, '{')) AND (NOT contains(lower(text), 'lorem ipsum'))
-         |    AND len(regexp_extract_all(text, '[.!?]')) >= 5
+         |    AND len(regexp_extract_all(text, '[.!?]')) >= 3
          |    AND len(kept) > 0 AS pass
          |FROM k ORDER BY doc_id""".stripMargin
     },

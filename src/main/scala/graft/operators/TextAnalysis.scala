@@ -96,9 +96,10 @@ object TextAnalysis {
     * other canonical published corpus filter next to [[gopherRules]]),
     * as per-document integer counts and flags. C4 is LINE-oriented:
     * lines are retained only if they end in terminal punctuation
-    * (. ! ? ") and carry at least `minLineWords` words; pages are
-    * dropped outright for code/boilerplate markers ('{', 'lorem
-    * ipsum') or fewer than `minSentences` sentences. Emitted per doc:
+    * (. ! ? ") and carry at least `minLineWords` words (the paper's
+    * floor: 5); pages are dropped outright for code/boilerplate
+    * markers ('{', 'lorem ipsum') or fewer than `minSentences`
+    * sentences (the paper's floor: 3). Emitted per doc:
     *
     *   n_lines / n_kept_lines — the line filter's attrition
     *   kept_ws_tokens         — token mass surviving the line filter
@@ -111,19 +112,17 @@ object TextAnalysis {
     * size, like [[gopherRules]].
     */
   def c4Rules(df: DataFrame, textCol: String, idCol: String,
-      minLineWords: Int = 3, minSentences: Int = 5): DataFrame = {
+      minLineWords: Int = 5, minSentences: Int = 3): DataFrame = {
     val t = col(textCol)
     val lines = split(t, "\n")
     val keptLines = filter(lines, l =>
-      rtrim(l).rlike("[.!?\"]$") &&
-        size(filter(split(trim(l), "\\s+"), w => length(w) > 0)) >= minLineWords)
+      rtrim(l).rlike("[.!?\"]$") && size(words(l)) >= minLineWords)
     val nSentences = regexp_count(t, lit("[.!?]")).cast("long")
     df.select(col(idCol),
         size(lines).cast("long").as("n_lines"),
         size(keptLines).cast("long").as("n_kept_lines"),
         aggregate(keptLines, lit(0L), (acc, l) =>
-          acc + size(filter(split(trim(l), "\\s+"), w => length(w) > 0))
-            .cast("long")).as("kept_ws_tokens"),
+          acc + tokenCount(l).cast("long")).as("kept_ws_tokens"),
         nSentences.as("n_sentences"),
         (!t.contains("{")).as("ok_braces"),
         (!lower(t).contains("lorem ipsum")).as("ok_lorem"),

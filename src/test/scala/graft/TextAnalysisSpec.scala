@@ -86,13 +86,15 @@ class TextAnalysisSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     val got = operators.TextAnalysis.c4Rules(docs, "text", "doc_id")
       .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
-    // doc 1: 4 lines; kept = lines 1 and 4 (terminal punct AND >=3
-    // words; 'short one!' fails the word floor, line 3 the punct rule)
+    // doc 1: 4 lines; kept = lines 1 and 4 (terminal punct AND >= 5
+    // words — the published floor; 'short one!' fails it, line 3 the
+    // punct rule)
     assert(got(1L).getAs[Long]("n_lines") === 4L)
     assert(got(1L).getAs[Long]("n_kept_lines") === 2L)
     assert(got(1L).getAs[Long]("kept_ws_tokens") === 10L)
     assert(got(1L).getAs[Long]("n_sentences") === 3L) // . ! ?
-    assert(!got(1L).getAs[Boolean]("ok_min_sentences")) // 3 < 5
+    assert(got(1L).getAs[Boolean]("ok_min_sentences")) // 3 >= 3
+    assert(got(1L).getAs[Boolean]("pass"))
     assert(!got(2L).getAs[Boolean]("ok_braces"))
     assert(got(2L).getAs[Boolean]("ok_min_sentences")) // 6 sentences
     assert(!got(2L).getAs[Boolean]("pass"))
