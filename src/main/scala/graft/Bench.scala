@@ -131,6 +131,8 @@ object Bench {
     *    q_vocab_drift (the billed q_drift_psi family's question asked
     *    of the token distribution — two keyed counts + a
     *    vocabulary-sized join ending in 20 rows),
+    *    q_source_quality (the billed group-agg family's shape over
+    *    the curation signals, one source-keyed aggregate),
     *    q_gopher_rules (scan-speed per-row quality flags — the billed
     *    q_text_quality family's one-scan shape with the published
     *    Gopher rule set),
@@ -207,7 +209,7 @@ object Bench {
     "q_gopher_rules", "q_c4_rules", "q_perplexity_buckets",
     "q_sparse_knn_incr",
     "q_decontaminate_semantic",
-    "q_corpus_report", "q_vocab_drift",
+    "q_corpus_report", "q_vocab_drift", "q_source_quality",
     // fixed-semantics probes
     "q_transform_text", "q_transform_decimal", "q_transform_integer",
     "q_transform_boolean", "q_filter_active_user", "q_html_extract",

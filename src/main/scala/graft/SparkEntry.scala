@@ -2825,6 +2825,29 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-source quality stratification — the "which crawl is junk"
+    * ops view every multi-source corpus triages with: per source,
+    * document count, language-gate and quality-gate pass counts, and
+    * the 100x-scaled integer quality-score sum (the caller divides;
+    * keeping the gate all-integer sidesteps float-mean order
+    * dependence). One scan + one source-keyed aggregate with map-side
+    * combine — the group-agg family's shape over the curation
+    * signals.
+    */
+  private def sourceQuality(s: SparkSession, d: String): DataFrame = {
+    val enriched = TextAnalysis.withQuality(
+      t(s, d, "documents")
+        .withColumn("lang_pred", TextAnalysis.langId(col("text"))), "text")
+    enriched.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("lang_pred") === "en", 1L).otherwise(0L)).as("n_en"),
+        sum(when(col("quality_score") >= 0.7, 1L).otherwise(0L))
+          .as("n_quality_ok"),
+        sum(round(col("quality_score") * 100, 0).cast(LongType))
+          .as("sum_q100"))
+      .orderBy(col("source"))
+  }
+
   /** Rejection audit under the gate ([[operators.CuratePipeline
     * .rejectionAudit]]): per document, the FIRST curation stage that
     * rejected it (dup | lang | quality) or 'kept' — the attrition
@@ -4422,6 +4445,7 @@ object SparkEntry {
     "q_curate_docs" -> (curateDocs _),
     "q_curate_audit" -> (curateAudit _),
     "q_corpus_report" -> (corpusReport _),
+    "q_source_quality" -> (sourceQuality _),
     "q_vocab_drift" -> (vocabDriftQ _),
     "q_gopher_rules" -> (gopherRulesQ _),
     "q_c4_rules" -> (c4RulesQ _),
@@ -7688,6 +7712,41 @@ object SparkEntry {
     // Rejection audit: every per-row signal computed for ALL docs (the
     // stage filters only gate the VERDICT precedence, and each signal
     // is a per-row pure function), then the same first-failure CASE.
+    // Per-source quality stratification: same per-doc signals, one
+    // source-keyed aggregate, all-integer output.
+    "q_source_quality" ->
+      s"""WITH feats AS (SELECT doc_id, source, text,
+         |        list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> len(x) > 0) AS wsl,
+         |        list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS ws,
+         |        length(text) AS n_chars
+         |      FROM documents),
+         |sc AS (SELECT *,
+         |        len(list_filter(wsl, x -> x IN (${inList(TextAnalysis.enStop)}))) AS s_en,
+         |        len(list_filter(wsl, x -> x IN (${inList(TextAnalysis.esStop)}))) AS s_es,
+         |        len(list_filter(wsl, x -> x IN (${inList(TextAnalysis.frStop)}))) AS s_fr,
+         |        len(list_filter(wsl, x -> x IN (${inList(TextAnalysis.deStop)}))) AS s_de
+         |      FROM feats),
+         |lang AS (SELECT *,
+         |        CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+         |             WHEN s_de = greatest(s_en, s_es, s_fr, s_de) THEN 'de'
+         |             WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+         |             WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+         |             ELSE 'en' END AS lang_pred
+         |      FROM sc),
+         |q2 AS (SELECT doc_id, source, lang_pred,
+         |        round(CAST(
+         |          0.4 * (CASE WHEN n_chars BETWEEN 20 AND 100000 THEN 1.0 ELSE 0.0 END)
+         |        + 0.3 * (CASE WHEN CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+         |                           / greatest(CAST(n_chars AS DOUBLE), 1.0) < 0.2 THEN 1.0 ELSE 0.0 END)
+         |        + 0.3 * (CASE WHEN CAST(s_en AS DOUBLE)
+         |                           / greatest(CAST(len(ws) AS DOUBLE), 1.0) > 0.01 THEN 1.0 ELSE 0.0 END)
+         |        AS DOUBLE), 2) AS quality_score
+         |      FROM lang)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN lang_pred = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+         |  CAST(sum(CASE WHEN quality_score >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_ok,
+         |  CAST(sum(CAST(round(quality_score * 100) AS BIGINT)) AS BIGINT) AS sum_q100
+         |FROM q2 GROUP BY source ORDER BY source""".stripMargin,
     // Vocabulary drift: same tokenization, same cleared-denominator
     // integer ranking, same rounded share delta.
     "q_vocab_drift" ->
