@@ -133,6 +133,8 @@ object Bench {
     *    vocabulary-sized join ending in 20 rows),
     *    q_source_quality (the billed group-agg family's shape over
     *    the curation signals, one source-keyed aggregate),
+    *    q_gopher_repetition (the published line-repetition rules —
+    *    the gopher/c4 one-scan shape on per-row array expressions),
     *    q_gopher_rules (scan-speed per-row quality flags — the billed
     *    q_text_quality family's one-scan shape with the published
     *    Gopher rule set),
@@ -210,6 +212,7 @@ object Bench {
     "q_sparse_knn_incr",
     "q_decontaminate_semantic",
     "q_corpus_report", "q_vocab_drift", "q_source_quality",
+    "q_gopher_repetition",
     // fixed-semantics probes
     "q_transform_text", "q_transform_decimal", "q_transform_integer",
     "q_transform_boolean", "q_filter_active_user", "q_html_extract",

@@ -2825,6 +2825,36 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Sentinels for [[gopherRepetitionQ]]: the synthetic corpus is
+    * single-line (both rules pass trivially), so 960001 fails the
+    * duplicate-line fraction (7 of 10 lines identical), 960002 fails
+    * only the CHARACTER fraction (one very long line repeated once
+    * among many short distinct lines — count fraction 1/11 passes,
+    * char fraction ~0.46 fails), and 960003 is multi-line with all
+    * lines distinct (both rules pass non-vacuously).
+    */
+  private val gopherRepSentinels: Seq[(Long, String)] = Seq(
+    960001L -> (Seq.fill(7)("the same boilerplate line again") ++
+      (1 to 3).map(i => s"a distinct line number $i")).mkString("\n"),
+    960002L -> ((Seq.fill(2)("w " * 120 + "this very long line repeats") ++
+      (1 to 9).map(i => s"short $i")).mkString("\n")),
+    960003L -> (1 to 8).map(i => s"line $i is unlike the others").mkString("\n"))
+
+  /** The two line-level Gopher repetition rules under the gate
+    * ([[operators.TextAnalysis.gopherRepetition]]): duplicate-line
+    * fraction < 0.30 and duplicate-line character fraction < 0.20,
+    * integer-exact, over the full corpus plus [[gopherRepSentinels]].
+    * The oracle replays the line split, distinct collapse, char sums,
+    * and both cleared-denominator comparisons.
+    */
+  private def gopherRepetitionQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      .unionAll(gopherRepSentinels.toDF("doc_id", "text"))
+    TextAnalysis.gopherRepetition(docs, "text", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-source quality stratification — the "which crawl is junk"
     * ops view every multi-source corpus triages with: per source,
     * document count, language-gate and quality-gate pass counts, and
@@ -4446,6 +4476,7 @@ object SparkEntry {
     "q_curate_audit" -> (curateAudit _),
     "q_corpus_report" -> (corpusReport _),
     "q_source_quality" -> (sourceQuality _),
+    "q_gopher_repetition" -> (gopherRepetitionQ _),
     "q_vocab_drift" -> (vocabDriftQ _),
     "q_gopher_rules" -> (gopherRulesQ _),
     "q_c4_rules" -> (c4RulesQ _),
@@ -7712,6 +7743,34 @@ object SparkEntry {
     // Rejection audit: every per-row signal computed for ALL docs (the
     // stage filters only gate the VERDICT precedence, and each signal
     // is a per-row pure function), then the same first-failure CASE.
+    // Gopher line-repetition rules: same line split, same distinct
+    // collapse and char sums, same integer comparisons; sentinel text
+    // shared verbatim.
+    "q_gopher_repetition" -> {
+      val sentVals = gopherRepSentinels
+        .map { case (id, t) => s"(CAST($id AS BIGINT), ${sqlStringLit(t)})" }
+        .mkString(",\n         |    ")
+      s"""WITH sent(doc_id, text) AS (VALUES
+         |    $sentVals),
+         |all0 AS (SELECT doc_id, text FROM documents
+         |         UNION ALL SELECT * FROM sent),
+         |m AS (SELECT doc_id,
+         |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+         |    CAST(len(list_distinct(string_split(text, chr(10)))) AS BIGINT) AS n_distinct,
+         |    CAST(coalesce(list_sum(list_transform(string_split(text, chr(10)), x -> len(x))), 0) AS BIGINT) AS line_chars,
+         |    CAST(coalesce(list_sum(list_transform(list_distinct(string_split(text, chr(10))), x -> len(x))), 0) AS BIGINT) AS distinct_chars
+         |  FROM all0)
+         |SELECT doc_id, n_lines,
+         |  n_lines - n_distinct AS n_dup_lines,
+         |  line_chars,
+         |  line_chars - distinct_chars AS dup_line_chars,
+         |  (n_lines - n_distinct) * 10 < n_lines * 3 AS ok_dup_lines,
+         |  (line_chars = 0 OR
+         |   (line_chars - distinct_chars) * 10 < line_chars * 2) AS ok_dup_line_chars,
+         |  ((n_lines - n_distinct) * 10 < n_lines * 3) AND (line_chars = 0 OR
+         |   (line_chars - distinct_chars) * 10 < line_chars * 2) AS pass
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
     // Per-source quality stratification: same per-doc signals, one
     // source-keyed aggregate, all-integer output.
     "q_source_quality" ->

@@ -195,6 +195,42 @@ object TextAnalysis {
       .withColumn("quality_score", score)
   }
 
+  /** The two LINE-level repetition rules of Gopher's table A1 (Rae et
+    * al. 2021), faithfully: a page fails when its duplicate-line
+    * fraction reaches 0.30 or its duplicate-line CHARACTER fraction
+    * reaches 0.20 (characters inside repeated occurrences of a line,
+    * i.e. total line chars minus each distinct line counted once).
+    * Both decided as cleared-denominator INTEGER comparisons over
+    * per-row array expressions — no shuffle, no join, scan speed (the
+    * paragraph-level twins of these rules apply the same arithmetic to
+    * a blank-line split; the synthetic corpus has no paragraphs, so
+    * they are not gated here). The n-gram-fraction rules of the same
+    * table measure CHARACTER mass inside repeated n-grams; the
+    * occurrence-count analogues live in [[repetitionSignals]] and are
+    * deliberately not labeled with the paper's thresholds.
+    */
+  def gopherRepetition(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val nLines = size(lines).cast("long")
+    val nDistinct = size(array_distinct(lines)).cast("long")
+    val lineChars = aggregate(lines, lit(0L),
+      (acc, l) => acc + length(l).cast("long"))
+    val distinctChars = aggregate(array_distinct(lines), lit(0L),
+      (acc, l) => acc + length(l).cast("long"))
+    df.select(col(idCol),
+        nLines.as("n_lines"),
+        (nLines - nDistinct).as("n_dup_lines"),
+        lineChars.as("line_chars"),
+        (lineChars - distinctChars).as("dup_line_chars"),
+        ((nLines - nDistinct) * 10L < nLines * 3L).as("ok_dup_lines"),
+        // zero line chars -> nothing can repeat -> vacuously ok (the
+        // strict comparison would otherwise read 0 < 0 as a failure)
+        (lineChars === 0L ||
+          (lineChars - distinctChars) * 10L < lineChars * 2L)
+          .as("ok_dup_line_chars"))
+      .withColumn("pass", col("ok_dup_lines") && col("ok_dup_line_chars"))
+  }
+
   /** Gopher/C4-style repetition signals per document: the fraction of
     * word-bigram occurrences that are repeats of an earlier bigram
     * (`dup_bigram_ratio`) and the share held by the single most frequent
