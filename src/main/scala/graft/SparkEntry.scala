@@ -2333,7 +2333,12 @@ object SparkEntry {
       .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("e"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
     val hits = annPanelIds.map { qid =>
-      val qv = qvs(qid)
+      // r12 ADVICE: fail with a diagnosable message (not a bare
+      // NoSuchElementException) if a generated dataset ever lacks a
+      // panel vector — the panel contract is vec_id 0,50,...,450.
+      val qv = qvs.getOrElse(qid,
+        sys.error(s"ANN recall panel vector $qid missing from embeddings " +
+          s"(have ${qvs.size} of ${annPanelIds.size} panel ids)"))
       val approx = Similarity.lshTopK(emb, "embedding", "vec_id", qv,
         k = 10, planes = 8, tables = 8, roundTo = 4, maxHamming = 2)
         .select(col("vec_id"))

@@ -86,11 +86,20 @@ object IndexStream {
     * partition column from the slice layout is dropped — it is sink
     * bookkeeping, not index content.
     */
-  def readStore(spark: SparkSession, storeDir: String): (DataFrame, DataFrame) =
-    (spark.read.parquet(s"$storeDir/postings")
-       .select(col("id"), col("word"), col("tf")),
-      spark.read.parquet(s"$storeDir/meta")
-        .agg(sum(col("_n")).as("_n")))
+  def readStore(spark: SparkSession, storeDir: String): (DataFrame, DataFrame) = {
+    // r12 ADVICE: if every micro-batch was empty, appendBatch never
+    // created postings/ or meta/ — an empty index is a VALID store
+    // state (zero postings, N = 0), not an AnalysisException.
+    if (!Files.exists(Paths.get(storeDir, "postings"))) {
+      import spark.implicits._
+      (Seq.empty[(Long, String, Long)].toDF("id", "word", "tf"),
+        Seq(0L).toDF("_n"))
+    } else
+      (spark.read.parquet(s"$storeDir/postings")
+         .select(col("id"), col("word"), col("tf")),
+        spark.read.parquet(s"$storeDir/meta")
+          .agg(sum(col("_n")).cast("long").as("_n")))
+  }
 
   /** Retrieval over the maintained store: weight, then the standard
     * query half ([[TermIndex.sparseKnnFromIndex]]). The derived

@@ -85,4 +85,22 @@ class IndexStreamSpec extends SparkSpec {
     assert(n.head().getLong(0) === 2L)
     assert(postings.count() === 4L) // alpha,beta + beta,gamma
   }
+
+  test("all-empty stream: readStore returns a valid empty index, not an error") {
+    // r12 ADVICE: appendBatch skips empty batches, so a stream whose
+    // every micro-batch was empty leaves storeDir with no postings/ or
+    // meta/ — that is the EMPTY index (zero postings, N = 0), and both
+    // retrieval inputs must come back well-typed and usable.
+    import spark.implicits._
+    val store = tmpDir("idxstore4")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(store))
+    val (postings, n) = IndexStream.readStore(spark, store)
+    assert(n.head().getLong(0) === 0L)
+    assert(postings.isEmpty)
+    assert(postings.columns.toSeq === Seq("id", "word", "tf"))
+    // the empty store still composes with the retrieval path
+    val got = IndexStream.sparseKnn(spark, store,
+      Seq(1L).toDF("doc_id"), k = 3)
+    assert(got.isEmpty)
+  }
 }

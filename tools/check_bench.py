@@ -59,6 +59,47 @@ PER_QUERY_WARN = 1.3
 NEW_QUERY_BUDGET_SEC = 1.0  # SCALE.md: new gated queries should be cheap
 PRESSURE_STALL_PCT = 5.0    # io full avg60 above this => tainted run
 
+# Round-13 slice contract (BASELINE.md "Round-13 slice contract"): the
+# r12 gated-slice sizes are FROZEN — bench recovery must come from plan
+# work, not workload shrinkage. Each entry is an exact source substring
+# that must appear in SparkEntry.scala; a missing one fails the gate.
+# A deliberate re-scope (only allowed direction: growing a slice back
+# after a plan speedup) must update BASELINE.md and this table together.
+SLICE_CONTRACT = {
+    "q_copurchase (quarter baskets)":
+        'pmod(col("l_orderkey"), lit(4)) === 0',
+    "q_setsim_join / q_dedup_simhash_full / q_dedup_substring "
+    "(half corpus; 3 occurrences expected)":
+        'pmod(col("doc_id"), lit(2)) === 0',
+    "q_fuzzy_match (half part dictionary)":
+        'pmod(col("p_partkey"), lit(2)) === 0',
+    "q_fuzzy_match (half customer dictionary)":
+        'pmod(col("c_custkey"), lit(2)) === 0',
+    "q_global_index (half table)":
+        'pmod(col("o_orderkey"), lit(2)) === 0',
+}
+SLICE_MIN_COUNT = {'pmod(col("doc_id"), lit(2)) === 0': 3}
+
+
+def check_slice_contract(failures):
+    import os
+    here = os.path.dirname(os.path.abspath(__file__))
+    entry = os.path.join(here, "..", "src", "main", "scala", "graft",
+                         "SparkEntry.scala")
+    if not os.path.exists(entry):
+        print("note: SparkEntry.scala not found beside tools/; "
+              "slice-contract check skipped")
+        return
+    src = open(entry).read()
+    for label, needle in SLICE_CONTRACT.items():
+        need = SLICE_MIN_COUNT.get(needle, 1)
+        have = src.count(needle)
+        if have < need:
+            failures.append(
+                f"slice contract broken: {label}: expected >= {need} "
+                f"occurrence(s) of `{needle}` in SparkEntry.scala, "
+                f"found {have} (BASELINE.md Round-13 slice contract)")
+
 
 def main():
     argv = [a for a in sys.argv[1:] if a != "--strict"]
@@ -249,6 +290,8 @@ def main():
             elif r > PER_QUERY_WARN:
                 print(f"warn: {name} {pq[name]:.2f}s -> {all_cur[name]:.2f}s "
                       f"({r:.2f}x)")
+
+    check_slice_contract(failures)
 
     if failures:
         print("\nBENCH GATE FAILED:")
