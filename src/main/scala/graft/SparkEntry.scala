@@ -2860,6 +2860,41 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Planted pages for the n-gram repetition rules: a top-bigram-heavy
+    * page (one phrase looping), a duplicated-long-sentence page (fails
+    * every dup-n rule), an all-distinct clean page, a whitespace-only
+    * page (canonically empty — every rule vacuously ok), and a
+    * mixed-case pair-repeat page proving the lowercase canonicalization
+    * (Spam/spam collapse into the same gram).
+    */
+  private val gopherNgramSentinels: Seq[(Long, String)] = Seq(
+    970001L -> (("spam ham " * 30) + "tail"),
+    970002L -> ((Seq.fill(4)("one two three four five six seven eight nine ten")
+      .mkString(" ")) + " coda"),
+    970003L -> "every word here is used exactly once so nothing repeats",
+    970004L -> "   ",
+    970005L -> "Spam Ham spam ham SPAM HAM but the rest is all different words")
+
+  /** The nine N-GRAM repetition rules of Gopher table A1 under the gate
+    * ([[operators.TextAnalysis.ngramRepetition]], via the native
+    * [[graft.functions.GopherNgramStats]] expression — r12 ADVICE wired
+    * it into the registry): per document, the eleven character-mass
+    * statistics and each published-threshold verdict as a
+    * cleared-denominator integer comparison, over the full corpus plus
+    * [[gopherNgramSentinels]]. The oracle replays the canonical
+    * rendering, every gram's (start, end) character span via
+    * cumulative word offsets, occurrences x length for the top rules,
+    * and the running-max span-union sweep for the dup rules — all from
+    * source in SQL.
+    */
+  private def gopherNgramQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      .unionAll(gopherNgramSentinels.toDF("doc_id", "text"))
+    TextAnalysis.ngramRepetition(docs, "text", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-source quality stratification — the "which crawl is junk"
     * ops view every multi-source corpus triages with: per source,
     * document count, language-gate and quality-gate pass counts, and
@@ -4482,6 +4517,7 @@ object SparkEntry {
     "q_corpus_report" -> (corpusReport _),
     "q_source_quality" -> (sourceQuality _),
     "q_gopher_repetition" -> (gopherRepetitionQ _),
+    "q_gopher_ngram" -> (gopherNgramQ _),
     "q_vocab_drift" -> (vocabDriftQ _),
     "q_gopher_rules" -> (gopherRulesQ _),
     "q_c4_rules" -> (c4RulesQ _),
@@ -7775,6 +7811,98 @@ object SparkEntry {
          |  ((n_lines - n_distinct) * 10 < n_lines * 3) AND (line_chars = 0 OR
          |   (line_chars - distinct_chars) * 10 < line_chars * 2) AS pass
          |FROM m ORDER BY doc_id""".stripMargin
+    },
+    // N-gram repetition rules: the oracle rebuilds the canonical
+    // rendering (trim+lower, \s+ split, single-space join), explodes
+    // every word with its cumulative start offset, forms each n-gram's
+    // (start, end, text) via a positional self-join + substr of the
+    // canonical string, then replays occurrences x length (top rules)
+    // and the running-max span-union sweep (dup rules) with window
+    // functions; sentinel text shared verbatim.
+    "q_gopher_ngram" -> {
+      val sentVals = gopherNgramSentinels
+        .map { case (id, t) => s"(CAST($id AS BIGINT), ${sqlStringLit(t)})" }
+        .mkString(",\n         |    ")
+      val topT = Seq(2 -> 20, 3 -> 18, 4 -> 16)
+      val dupT = Seq(5 -> 15, 6 -> 14, 7 -> 13, 8 -> 12, 9 -> 11, 10 -> 10)
+      val statCols =
+        (topT.map { case (n, _) =>
+          s"CAST(coalesce(t.top${n}_chars, 0) AS BIGINT) AS top${n}_chars" } ++
+          dupT.map { case (n, _) =>
+            s"CAST(coalesce(du.dup${n}_chars, 0) AS BIGINT) AS dup${n}_chars" })
+          .mkString(",\n         |  ")
+      val okCols =
+        (topT.map { case (n, t) =>
+          s"top${n}_chars * 100 <= total_chars * $t AS ok_top$n" } ++
+          dupT.map { case (n, t) =>
+            s"dup${n}_chars * 100 <= total_chars * $t AS ok_dup$n" })
+          .mkString(",\n         |  ")
+      val passExpr =
+        (topT.map { case (n, t) => s"top${n}_chars * 100 <= total_chars * $t" } ++
+          dupT.map { case (n, t) => s"dup${n}_chars * 100 <= total_chars * $t" })
+          .mkString("\n         |   AND ")
+      val topPivot = topT.map { case (n, _) =>
+        s"CAST(coalesce(max(CASE WHEN n = $n THEN mass END), 0) AS BIGINT) AS top${n}_chars" }
+        .mkString(",\n         |    ")
+      val dupPivot = dupT.map { case (n, _) =>
+        s"CAST(coalesce(max(CASE WHEN n = $n THEN chars END), 0) AS BIGINT) AS dup${n}_chars" }
+        .mkString(",\n         |    ")
+      s"""WITH sent(doc_id, text) AS (VALUES
+         |    $sentVals),
+         |all0 AS (SELECT doc_id, text FROM documents
+         |         UNION ALL SELECT * FROM sent),
+         |w AS (SELECT doc_id,
+         |    list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> len(x) > 0) AS ws
+         |  FROM all0),
+         |base AS (SELECT doc_id, ws, len(ws) AS nw,
+         |    array_to_string(ws, ' ') AS cs,
+         |    CAST(CASE WHEN len(ws) = 0 THEN 0
+         |         ELSE len(array_to_string(ws, ' ')) END AS BIGINT) AS total_chars
+         |  FROM w),
+         |wrow AS (SELECT doc_id, CAST(t.i AS BIGINT) AS i, ws[CAST(t.i AS INT)] AS word
+         |  FROM base, LATERAL (SELECT unnest(range(1, nw + 1)) AS i) t),
+         |wp AS (SELECT doc_id, i, word,
+         |    CAST(coalesce(sum(len(word) + 1) OVER (PARTITION BY doc_id ORDER BY i
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS wstart
+         |  FROM wrow),
+         |grams AS (SELECT a.doc_id, n.n, a.wstart AS gstart,
+         |    b.wstart + len(b.word) AS gend
+         |  FROM wp a
+         |  CROSS JOIN (SELECT unnest([2, 3, 4, 5, 6, 7, 8, 9, 10]) AS n) n
+         |  JOIN wp b ON b.doc_id = a.doc_id AND b.i = a.i + n.n - 1),
+         |g2 AS (SELECT g.doc_id, g.n, g.gstart, g.gend,
+         |    substr(b.cs, CAST(g.gstart + 1 AS INT), CAST(g.gend - g.gstart AS INT)) AS gram
+         |  FROM grams g JOIN base b USING (doc_id)),
+         |gc AS (SELECT doc_id, n, gram, count(*) AS cnt FROM g2 GROUP BY 1, 2, 3),
+         |tops AS (SELECT doc_id, n, max(cnt * len(gram)) AS mass
+         |  FROM gc WHERE n <= 4 GROUP BY 1, 2),
+         |tops_p AS (SELECT doc_id,
+         |    $topPivot
+         |  FROM tops GROUP BY doc_id),
+         |dups0 AS (SELECT g.doc_id, g.n, g.gstart, g.gend
+         |  FROM g2 g JOIN gc c ON c.doc_id = g.doc_id AND c.n = g.n AND c.gram = g.gram
+         |  WHERE g.n >= 5 AND c.cnt > 1),
+         |sweep AS (SELECT doc_id, n, gstart, gend,
+         |    CAST(coalesce(max(gend) OVER (PARTITION BY doc_id, n ORDER BY gstart
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pmax
+         |  FROM dups0),
+         |dupsum AS (SELECT doc_id, n,
+         |    sum(greatest(gend - greatest(gstart, pmax), 0)) AS chars
+         |  FROM sweep GROUP BY 1, 2),
+         |dups_p AS (SELECT doc_id,
+         |    $dupPivot
+         |  FROM dupsum GROUP BY doc_id),
+         |fin AS (SELECT b.doc_id, b.total_chars,
+         |  $statCols
+         |  FROM base b
+         |  LEFT JOIN tops_p t ON t.doc_id = b.doc_id
+         |  LEFT JOIN dups_p du ON du.doc_id = b.doc_id)
+         |SELECT doc_id, total_chars,
+         |  ${topT.map { case (n, _) => s"top${n}_chars" }.mkString(", ")},
+         |  ${dupT.map { case (n, _) => s"dup${n}_chars" }.mkString(", ")},
+         |  $okCols,
+         |  ($passExpr) AS pass
+         |FROM fin ORDER BY doc_id""".stripMargin
     },
     // Per-source quality stratification: same per-doc signals, one
     // source-keyed aggregate, all-integer output.

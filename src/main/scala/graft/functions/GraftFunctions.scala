@@ -85,6 +85,13 @@ object GraftFunctions {
   def graftBigramStats(text: Column): Column =
     B.column(BigramStats(B.expression(text)))
 
+  /** Per-document word-n-gram CHARACTER statistics for the Gopher
+    * n-gram repetition rules — eleven longs in one codegen'd pass, see
+    * [[GopherNgramStats]].
+    */
+  def graftNgramRepStats(text: Column): Column =
+    B.column(GopherNgramStats(B.expression(text)))
+
   /** Packed multi-block banding keys of a SimHash fingerprint — one
     * array<long>, (comboId << 48) | chunk bits. See [[SimHashBandKeys]].
     */

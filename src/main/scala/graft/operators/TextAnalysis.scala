@@ -231,6 +231,47 @@ object TextAnalysis {
       .withColumn("pass", col("ok_dup_lines") && col("ok_dup_line_chars"))
   }
 
+  /** The nine N-GRAM repetition rules of Gopher's table A1 (Rae et al.
+    * 2021), completing [[gopherRepetition]]'s line-level pair: a page
+    * fails when the character mass of its heaviest single n-gram
+    * (n = 2..4, occurrences x gram length) or of its duplicated
+    * n-grams' span union (n = 5..10, each character counted once)
+    * EXCEEDS the published fraction threshold — top: 0.20/0.18/0.16,
+    * dup: 0.15/0.14/0.13/0.12/0.11/0.10. All eleven statistics come
+    * from ONE native codegen'd pass per row
+    * ([[graft.functions.GopherNgramStats]] — hash maps bounded by the
+    * document's own length; the relational form would shuffle
+    * 9 x corpus-token-count (doc, gram, span) rows to count repeats
+    * that never leave their document), and every verdict is a
+    * cleared-denominator INTEGER comparison — no shuffle, scan speed,
+    * any corpus size. Character positions are measured in the CANONICAL
+    * rendering (trim + lowercase, \s+-split, single-space re-join), so
+    * any engine can replay the arithmetic exactly.
+    */
+  def ngramRepetition(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val topT = Seq(2 -> 20, 3 -> 18, 4 -> 16)
+    val dupT = Seq(5 -> 15, 6 -> 14, 7 -> 13, 8 -> 12, 9 -> 11, 10 -> 10)
+    val base = df.select(col(idCol),
+      graft.functions.GraftFunctions.graftNgramRepStats(col(textCol)).as("_s"))
+    val stats =
+      col("_s.total_chars").as("total_chars") +:
+        (topT.map { case (n, _) => col(s"_s.top${n}_chars").as(s"top${n}_chars") } ++
+          dupT.map { case (n, _) => col(s"_s.dup${n}_chars").as(s"dup${n}_chars") })
+    val oks =
+      topT.map { case (n, t) =>
+        (col(s"_s.top${n}_chars") * 100L <= col("_s.total_chars") * t.toLong)
+          .as(s"ok_top$n")
+      } ++
+        dupT.map { case (n, t) =>
+          (col(s"_s.dup${n}_chars") * 100L <= col("_s.total_chars") * t.toLong)
+            .as(s"ok_dup$n")
+        }
+    base.select(col(idCol) +: (stats ++ oks): _*)
+      .withColumn("pass",
+        (topT.map { case (n, _) => col(s"ok_top$n") } ++
+          dupT.map { case (n, _) => col(s"ok_dup$n") }).reduce(_ && _))
+  }
+
   /** Gopher/C4-style repetition signals per document: the fraction of
     * word-bigram occurrences that are repeats of an earlier bigram
     * (`dup_bigram_ratio`) and the share held by the single most frequent

@@ -473,4 +473,46 @@ class TextAnalysisSpec extends SparkSpec {
     val (w2, s2, _, f2) = got(2L)
     assert(w2 === 4L && s2 === 1L && f2 < 116.145)
   }
+
+  test("ngramRepetition: hand-computed character masses and verdicts") {
+    import spark.implicits._
+    // doc 1: the 10-word sentence repeated once. Canonical length
+    // 48 + 1 + 48 = 97. Heaviest bigram "seven eight" (11 chars) x2 = 22;
+    // trigram "seven eight nine" (16) x2 = 32; 4-gram "six seven eight
+    // nine" / "seven eight nine ten" (20) x2 = 40. Every dup-n span
+    // union covers both sentences minus the joining space: 96 chars.
+    val sentence = "one two three four five six seven eight nine ten"
+    val docs = Seq(
+      (1L, s"$sentence $sentence"),
+      (2L, "alpha beta gamma"),
+      (3L, "   "),
+      (4L, "Spam Ham spam ham")).toDF("doc_id", "text")
+    val got = TextAnalysis.ngramRepetition(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    val d1 = got(0)
+    assert(d1.getAs[Long]("total_chars") === 97L)
+    assert(d1.getAs[Long]("top2_chars") === 22L)
+    assert(d1.getAs[Long]("top3_chars") === 32L)
+    assert(d1.getAs[Long]("top4_chars") === 40L)
+    (5 to 10).foreach(n =>
+      assert(d1.getAs[Long](s"dup${n}_chars") === 96L, s"dup$n"))
+    assert(!d1.getAs[Boolean]("pass"))
+    // doc 2: nothing repeats, but the TOP rules still measure the
+    // heaviest single gram (cnt 1): "alpha beta" = 10 of 16 chars —
+    // over the 20% bar, the published rule's behavior on short docs.
+    val d2 = got(1)
+    assert(d2.getAs[Long]("total_chars") === 16L)
+    assert(d2.getAs[Long]("top2_chars") === 10L)
+    assert((5 to 10).forall(n => d2.getAs[Long](s"dup${n}_chars") === 0L))
+    assert(!d2.getAs[Boolean]("ok_top2") && d2.getAs[Boolean]("ok_dup5"))
+    // doc 3: canonically empty — all zeros, every rule vacuously ok
+    val d3 = got(2)
+    assert(d3.getAs[Long]("total_chars") === 0L)
+    assert(d3.getAs[Boolean]("pass"))
+    // doc 4: lowercase canonicalization collapses Spam/spam into one
+    // gram: "spam ham" x2 = 16 chars of 17
+    val d4 = got(3)
+    assert(d4.getAs[Long]("total_chars") === 17L)
+    assert(d4.getAs[Long]("top2_chars") === 16L)
+  }
 }
