@@ -2032,6 +2032,69 @@ object SparkEntry {
     s.read.parquet(s"$lshFullDir/pairs.parquet").orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Mutation schedule for the text-dedup recall panel: panel doc k
+    * (doc_id < 500, doc_id % 10 == 0 — present at every generated
+    * scale) gets a planted twin (id 980000 + doc_id) whose every m-th
+    * word is replaced by the marker token, m =
+    * muts[(doc_id div 10) mod 10]. Small m → shingle Jaccard far below
+    * the 0.8 verify bar (the twin exercises the NEGATIVE side of the
+    * panel); large m (≥ the doc's word count) → an exact or
+    * near-exact duplicate. The schedule spans the Jaccard range, so
+    * the measured recall covers borderline pairs, not just identical
+    * ones. Deterministic and expressible in both engines (index-aware
+    * transform over the \s+-split word list, single-space re-join), so
+    * the oracle replays the panel from source.
+    */
+  private val dedupRecallMuts = Seq(4, 6, 10, 20, 30, 50, 80, 120, 200, 1000)
+  private lazy val dedupRecallDir = s"$artifactRoot/dduprecall"
+
+  private def dedupRecallPlanted(docs: DataFrame): DataFrame = {
+    val m = element_at(typedLit(dedupRecallMuts),
+      (pmod(expr("doc_id div 10"), lit(10)) + 1).cast("int"))
+    val ws = split(trim(col("text")), "\\s+")
+    val mutated = array_join(
+      transform(ws, (w, i) => when(pmod(i + 1, m) === 0, lit("xmutx")).otherwise(w)),
+      " ")
+    docs.filter(col("doc_id") < 500 && pmod(col("doc_id"), lit(10)) === 0)
+      .select((col("doc_id") + 980000L).as("doc_id"), mutated.as("text"))
+  }
+
+  /** MEASURED banding recall of the production MinHash config (r12
+    * verdict item 3 — the q_ann_recall_hi pattern for text dedup): the
+    * [[dedupRecallPlanted]] twins join the corpus, the production
+    * pipeline (64 hashes, 32 bands, est ≥ 0.35, exact verify ≥ 0.8 —
+    * the q_dedup_lsh_full config) runs over the union, and its verified
+    * (corpus, planted) pairs are DUMPED to parquet. The complete ground
+    * truth is [[operators.Dedup.probeJaccard]] — no LSH, no df cap, so
+    * found ⊆ target by construction and recall = n_found / n_target.
+    * The engine emits its one summary row ONLY when recall ≥ 0.95; the
+    * oracle recomputes the target from source, counts the dumped pairs
+    * that genuinely clear the bar (soundness — a false pair shrinks
+    * the oracle's n_found and reds the gate), and emits its row
+    * UNFILTERED: a recall regression → engine 0 rows vs oracle 1 row.
+    */
+  private def dedupRecall(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    val planted = dedupRecallPlanted(docs)
+    val universe = docs.unionByName(planted)
+    val found = Dedup.exactShingleJaccard(
+        Dedup.minHashLsh(universe, "text", "doc_id",
+          numHashes = 64, bands = 32, threshold = 0.35),
+        universe, "text", "doc_id", n = 3, minJaccard = 0.8)
+      .filter(col("id_a") < 980000L && col("id_b") >= 980000L)
+    found.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dedupRecallDir/found.parquet")
+    val foundBack = s.read.parquet(s"$dedupRecallDir/found.parquet")
+    val target = Dedup.probeJaccard(docs, planted, "text", "doc_id",
+      n = 3, minJaccard = 0.8)
+    target.agg(count(lit(1)).as("n_target"))
+      .crossJoin(foundBack.agg(count(lit(1)).as("n_found")))
+      .select(col("n_target"), col("n_found"),
+        round(col("n_found").cast(DoubleType) /
+          greatest(col("n_target"), lit(1L)).cast(DoubleType), 6).as("recall"))
+      .filter(col("recall") >= 0.95)
+  }
+
   /** Incremental dedup: the 20% of docs with doc_id % 5 == 0 arrive as a
     * new batch and are classified against the standing 80% — exact /
     * near / unique with the smallest matching corpus id. The oracle is
@@ -4397,6 +4460,7 @@ object SparkEntry {
     "q_dedup_jaccard" -> (dedupJaccard _),
     "q_dedup_minhash" -> (dedupMinhash _),
     "q_dedup_lsh_full" -> (dedupLshFull _),
+    "q_dedup_recall" -> (dedupRecall _),
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_dedup_simhash_full" -> (dedupSimhashFull _),
     "q_dedup_incremental" -> (dedupIncremental _),
@@ -6340,6 +6404,47 @@ object SparkEntry {
          |SELECT id_a, id_b, jaccard FROM checked
          |WHERE recomputed >= 0.8 AND recomputed = jaccard
          |ORDER BY id_a, id_b""".stripMargin,
+    // Banding-recall gate: the oracle replays the planted twins from
+    // source (index-aware word replacement, the exact engine schedule),
+    // computes the COMPLETE (corpus, planted) Jaccard target with the
+    // standard shingle replay, counts the dumped engine pairs that
+    // genuinely belong to the target (soundness), and emits its summary
+    // row UNFILTERED — the engine's >= 0.95 filter is the assertion.
+    "q_dedup_recall" -> {
+      val muts = dedupRecallMuts.mkString("[", ", ", "]")
+      s"""WITH docs AS (SELECT doc_id, text FROM documents),
+         |mut AS (SELECT doc_id,
+         |    ($muts)[CAST((doc_id // 10) % 10 + 1 AS INT)] AS m,
+         |    string_split_regex(trim(text), '\\s+') AS ws
+         |  FROM docs WHERE doc_id < 500 AND doc_id % 10 = 0),
+         |planted AS (SELECT doc_id + 980000 AS doc_id,
+         |    array_to_string(list_transform(ws,
+         |      (w, i) -> CASE WHEN i % m = 0 THEN 'xmutx' ELSE w END), ' ') AS text
+         |  FROM mut),
+         |all0 AS (SELECT doc_id, text FROM docs UNION ALL SELECT * FROM planted),
+         |words AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM all0),
+         |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+         |       FROM words, UNNEST(range(1, len(ws) - 1)) AS t(i)
+         |       WHERE len(ws) >= 3),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+         |          FROM sh a JOIN sh b ON a.shingle = b.shingle
+         |          WHERE a.doc_id < 980000 AND b.doc_id >= 980000
+         |          GROUP BY 1, 2),
+         |target AS (SELECT id_a, id_b
+         |           FROM inter
+         |           JOIN sizes sa ON sa.doc_id = id_a
+         |           JOIN sizes sb ON sb.doc_id = id_b
+         |           WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.8),
+         |pairs AS (SELECT id_a, id_b
+         |          FROM read_parquet('$dedupRecallDir/found.parquet/*.parquet')),
+         |sound AS (SELECT p.id_a FROM pairs p
+         |          JOIN target t ON t.id_a = p.id_a AND t.id_b = p.id_b)
+         |SELECT CAST((SELECT count(*) FROM target) AS BIGINT) AS n_target,
+         |  CAST((SELECT count(*) FROM sound) AS BIGINT) AS n_found,
+         |  round(CAST((SELECT count(*) FROM sound) AS DOUBLE) /
+         |        greatest((SELECT count(*) FROM target), 1), 6) AS recall""".stripMargin
+    },
     "q_dedup_simhash" ->
       """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
         |w AS (SELECT doc_id,

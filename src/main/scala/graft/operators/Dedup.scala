@@ -304,6 +304,39 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** COMPLETE exact shingle Jaccard of a small PROBE set against the
+    * corpus: every (corpus_id, probe_id) pair whose true n-gram Jaccard
+    * clears `minJaccard`, with no LSH and no df cap — the ground-truth
+    * side of a banding-recall measurement (and the decontamination
+    * shape: benchmark-vs-corpus, never corpus-vs-corpus).
+    *
+    * Completeness argument: a pair with J > 0 shares at least one
+    * shingle, so the probe-shingle equi-join (probe side BROADCAST —
+    * the probe is a fixed panel, corpus-size-independent) finds every
+    * candidate; the exact verify then recomputes the uncapped Jaccard
+    * with [[exactShingleJaccard]]'s own arithmetic, so the output is
+    * definitionally comparable with the LSH pipeline's verified pairs.
+    * Cost: corpus scan + broadcast join + O(candidates) verify — no
+    * corpus self-join ever forms.
+    */
+  def probeJaccard(
+      corpus: DataFrame,
+      probe: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      minJaccard: Double = 0.8): DataFrame = {
+    val cs = shingles(corpus, textCol, idCol, n)
+    val ps = shingles(probe, textCol, idCol, n)
+    val cand = cs.join(
+        broadcast(ps.select(col("id").as("id_b"), col("shingle"))), "shingle")
+      .select(col("id").as("id_a"), col("id_b")).distinct()
+    exactShingleJaccard(cand,
+      corpus.select(col(idCol), col(textCol))
+        .unionByName(probe.select(col(idCol), col(textCol))),
+      textCol, idCol, n, minJaccard)
+  }
+
   /** Exact word-multiset (bag) Jaccard for a candidate pair set:
     * sum over shared words of min(count_a, count_b), over
     * total_a + total_b - intersection. Frequency-weighted, so documents

@@ -443,4 +443,48 @@ class DedupSpec extends SparkSpec {
       (101L, 3L, 0L, 0L),
       (102L, 1L, 1L, 1L)))
   }
+
+  test("probeJaccard: complete ground truth equals brute-force cross Jaccard") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today again"),
+      (2L, "the quick brown fox jumps over the lazy dog today now"),
+      (3L, "completely different words about gardens and rivers flowing"),
+      (4L, "another unrelated document mentioning mountains and valleys")
+    ).toDF("doc_id", "text")
+    val probe = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today again"), // == 1
+      (11L, "gardens and rivers")                                       // low J vs 3
+    ).toDF("doc_id", "text")
+    val got = Dedup.probeJaccard(corpus, probe, "text", "doc_id",
+        n = 3, minJaccard = 0.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        r.getAs[Double]("jaccard"))).toMap
+    // brute force over every cross pair via the verified-pair path
+    val allPairs = corpus.select(col("doc_id").as("id_a"))
+      .crossJoin(probe.select(col("doc_id").as("id_b")))
+    val brute = Dedup.exactShingleJaccard(allPairs,
+        corpus.unionByName(probe), "text", "doc_id", n = 3, minJaccard = 0.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        r.getAs[Double]("jaccard"))).toMap
+    // probeJaccard omits only J = 0 pairs (no shared shingle)
+    assert(got === brute.filter(_._2 > 0))
+    assert(got((1L, 10L)) === 1.0)
+    // found-subset invariant behind q_dedup_recall's division: the LSH
+    // pipeline's verified pairs are a subset of this complete target
+    val universe = corpus.unionByName(probe)
+    val found = Dedup.exactShingleJaccard(
+      Dedup.minHashLsh(universe, "text", "doc_id",
+        numHashes = 64, bands = 32, threshold = 0.35),
+      universe, "text", "doc_id", n = 3, minJaccard = 0.8)
+      .filter(col("id_b") >= 10L && col("id_a") < 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val target = Dedup.probeJaccard(corpus, probe, "text", "doc_id",
+      n = 3, minJaccard = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.subsetOf(target))
+    // and the production banding config recalls the exact twin
+    assert(found.contains((1L, 10L)))
+  }
 }
