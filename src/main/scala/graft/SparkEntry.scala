@@ -2958,6 +2958,37 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Planted docs for the trained language classifier: one
+    * held-out-sentence per language (none appear in
+    * [[operators.TextAnalysis.langIdTrainSet]]), a stopword-free German
+    * compound-noun doc the marker-word heuristic CANNOT identify (its
+    * NB-vs-heuristic differential lives in TextAnalysisSpec), and a
+    * sub-trigram doc exercising the null-score 'und' path.
+    */
+  private val langIdSentinels: Seq[(Long, String, String)] = Seq(
+    (990001L, "un viaje largo por la costa revela pueblos llenos de musica y comida sabrosa", "es"),
+    (990002L, "apres la pluie les rues brillent et les gens sortent pour marcher ensemble", "fr"),
+    (990003L, "gegen abend wurde der wind starker und trieb dunkle wolken uber das tal", "de"),
+    (990004L, "bright lanterns floated above the harbor as sailors told stories of distant shores", "en"),
+    (990005L, "bahnhofstrasse wunderschoen krankenhaus geschwindigkeitsbegrenzung zusammenarbeit fruehstueck", "de"),
+    (990006L, "ab", "und"))
+
+  /** Trained char-trigram Naive Bayes language ID under the gate
+    * ([[operators.TextAnalysis.langIdNb]]): per-class 4-decimal scores
+    * + argmax prediction over the full corpus plus [[langIdSentinels]].
+    * The oracle replays the ENTIRE model from the shared training
+    * VALUES — gram counts, add-one smoothing, 9-decimal log-probs,
+    * exact decimal sums, unseen-gram fallback, alphabetical tie-break —
+    * the q_unigram_lm full-model-replay technique.
+    */
+  private def langIdNbQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      .unionAll(langIdSentinels.map { case (id, tx, _) => (id, tx) }
+        .toDF("doc_id", "text"))
+    TextAnalysis.langIdNb(docs, "text", "doc_id").orderBy(col("doc_id"))
+  }
+
   /** Per-source quality stratification — the "which crawl is junk"
     * ops view every multi-source corpus triages with: per source,
     * document count, language-gate and quality-gate pass counts, and
@@ -4582,6 +4613,7 @@ object SparkEntry {
     "q_source_quality" -> (sourceQuality _),
     "q_gopher_repetition" -> (gopherRepetitionQ _),
     "q_gopher_ngram" -> (gopherNgramQ _),
+    "q_langid_nb" -> (langIdNbQ _),
     "q_vocab_drift" -> (vocabDriftQ _),
     "q_gopher_rules" -> (gopherRulesQ _),
     "q_c4_rules" -> (c4RulesQ _),
@@ -8007,6 +8039,70 @@ object SparkEntry {
          |  ${dupT.map { case (n, _) => s"dup${n}_chars" }.mkString(", ")},
          |  $okCols,
          |  ($passExpr) AS pass
+         |FROM fin ORDER BY doc_id""".stripMargin
+    },
+    // Trained language ID: the oracle retrains the whole char-trigram
+    // NB model from the shared training VALUES (gram counts, add-one
+    // smoothing, 9-decimal DECIMAL log-probs, unseen-gram fallback)
+    // and rescores every document with the same exact-decimal sums,
+    // 4-decimal rounding, and alphabetical-first argmax.
+    "q_langid_nb" -> {
+      val trainVals = TextAnalysis.langIdTrainSet
+        .map { case (l, tx) => s"('$l', ${sqlStringLit(tx)})" }
+        .mkString(",\n         |    ")
+      val sentVals = langIdSentinels
+        .map { case (id, tx, _) => s"(CAST($id AS BIGINT), ${sqlStringLit(tx)})" }
+        .mkString(",\n         |    ")
+      val langs = TextAnalysis.langIdLangs
+      val pivCols = langs.map(l =>
+        s"CAST(round(max(CASE WHEN lang = '$l' THEN s END), 4) AS DOUBLE) AS s_$l")
+        .mkString(",\n         |    ")
+      val predCase = langs.map(l =>
+        s"WHEN s_$l = greatest(${langs.map(x => s"s_$x").mkString(", ")}) THEN '$l'")
+        .mkString("\n         |       ")
+      s"""WITH train(lang, t) AS (VALUES
+         |    $trainVals),
+         |sent(doc_id, text) AS (VALUES
+         |    $sentVals),
+         |all0 AS (SELECT doc_id, text FROM documents
+         |         UNION ALL SELECT * FROM sent),
+         |tcs AS (SELECT lang, regexp_replace(trim(lower(t)), '\\s+', ' ', 'g') AS cs
+         |  FROM train),
+         |ttf AS (SELECT lang, g, count(*) AS c FROM
+         |    (SELECT lang, substr(cs, CAST(i AS INT), 3) AS g
+         |     FROM tcs, UNNEST(range(1, len(cs) - 1)) AS u1(i)
+         |     WHERE len(cs) >= 3)
+         |  GROUP BY 1, 2),
+         |tot AS (SELECT lang, sum(c) AS t FROM ttf GROUP BY 1),
+         |v AS (SELECT count(DISTINCT g) AS v FROM ttf),
+         |lp AS (SELECT lang, g,
+         |    CAST(round(ln((c + 1.0) / (t + v)), 9) AS DECIMAL(28,9)) AS lp
+         |  FROM ttf JOIN tot USING (lang), v),
+         |u AS (SELECT lang, CAST(round(ln(1.0 / (t + v)), 9) AS DECIMAL(28,9)) AS u
+         |  FROM tot, v),
+         |dcs AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS cs
+         |  FROM all0),
+         |dtf AS (SELECT doc_id, g, count(*) AS tf FROM
+         |    (SELECT doc_id, substr(cs, CAST(i AS INT), 3) AS g
+         |     FROM dcs, UNNEST(range(1, len(cs) - 1)) AS u2(i)
+         |     WHERE len(cs) >= 3)
+         |  GROUP BY 1, 2),
+         |langs AS (SELECT unnest([${langs.map(l => s"'$l'").mkString(", ")}]) AS lang),
+         |contrib AS (SELECT d.doc_id, l.lang,
+         |    sum(CAST(d.tf AS DECIMAL(9,0)) * coalesce(lp.lp, u.u)) AS s
+         |  FROM dtf d CROSS JOIN langs l
+         |  JOIN u ON u.lang = l.lang
+         |  LEFT JOIN lp ON lp.lang = l.lang AND lp.g = d.g
+         |  GROUP BY 1, 2),
+         |piv AS (SELECT doc_id,
+         |    $pivCols
+         |  FROM contrib GROUP BY doc_id),
+         |fin AS (SELECT a.doc_id, ${langs.map(l => s"p.s_$l").mkString(", ")}
+         |  FROM (SELECT doc_id FROM all0) a LEFT JOIN piv p USING (doc_id))
+         |SELECT doc_id, ${langs.map(l => s"s_$l").mkString(", ")},
+         |  CASE WHEN s_de IS NULL THEN 'und'
+         |       $predCase
+         |       ELSE 'und' END AS lang_pred
          |FROM fin ORDER BY doc_id""".stripMargin
     },
     // Per-source quality stratification: same per-doc signals, one

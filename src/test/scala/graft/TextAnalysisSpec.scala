@@ -515,4 +515,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(d4.getAs[Long]("total_chars") === 17L)
     assert(d4.getAs[Long]("top2_chars") === 16L)
   }
+
+  test("langIdNb: held-out sentences classified; beats the heuristic on stopword-free text") {
+    import spark.implicits._
+    // none of these sentences appear in langIdTrainSet
+    val docs = Seq(
+      (1L, "un viaje largo por la costa revela pueblos llenos de musica", "es"),
+      (2L, "apres la pluie les rues brillent et les gens sortent ensemble", "fr"),
+      (3L, "gegen abend wurde der wind starker und trieb wolken uber das tal", "de"),
+      (4L, "bright lanterns floated above the harbor as sailors told stories", "en"),
+      // compound nouns, zero marker stopwords: the heuristic is blind here
+      (5L, "bahnhofstrasse wunderschoen krankenhaus geschwindigkeitsbegrenzung zusammenarbeit", "de"),
+      (6L, "ab", "und") // sub-trigram: null scores, 'und'
+    ).toDF("doc_id", "text", "expected")
+    val nb = TextAnalysis.langIdNb(docs, "text", "doc_id")
+      .join(docs.select("doc_id", "text", "expected"), "doc_id")
+      .withColumn("heur", TextAnalysis.langId(col("text")))
+      .orderBy("doc_id").collect()
+    nb.foreach { r =>
+      assert(r.getAs[String]("lang_pred") === r.getAs[String]("expected"),
+        s"doc ${r.getAs[Long]("doc_id")}")
+    }
+    // the differential: trained NB identifies the stopword-free German
+    // doc the marker-word heuristic cannot
+    val d5 = nb.find(_.getAs[Long]("doc_id") == 5L).get
+    assert(d5.getAs[String]("heur") === "und" &&
+      d5.getAs[String]("lang_pred") === "de")
+    // null scores on the sub-trigram doc, not zeros
+    val d6 = nb.find(_.getAs[Long]("doc_id") == 6L).get
+    assert(d6.isNullAt(d6.fieldIndex("s_en")))
+  }
 }
