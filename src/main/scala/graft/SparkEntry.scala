@@ -4176,6 +4176,47 @@ object SparkEntry {
         numMerges = bpeMergeBudget)
     }
 
+  /** Unigram-LM trainer constants — FIXED jointly with the oracle
+    * generator ([[unigramTrainOracle]] unrolls DP CTEs per word
+    * position and EM round from these).
+    */
+  private val unigramSeedMulti = 96
+  private val unigramKeepMulti = 40
+  private val unigramEmRounds = 2
+  private val unigramMaxPieceLen = 4
+  private val unigramMaxWordLen = 12
+
+  /** Trained unigram vocabulary, memoized per dataset dir like the BPE
+    * merge table ([[standing]] — train once, serve every encode); the
+    * q_unigram_tokenizer oracle retrains from source every run, so a
+    * stale memo still fails the gate.
+    */
+  private def trainedUnigram(s: SparkSession, d: String)
+      : Seq[operators.TermIndex.UnigramPiece] =
+    standing(s"unigram:$d:$unigramSeedMulti:$unigramKeepMulti:$unigramEmRounds") {
+      TermIndex.trainUnigram(t(s, d, "documents"), "text", "doc_id",
+        seedMulti = unigramSeedMulti, keepMulti = unigramKeepMulti,
+        emRounds = unigramEmRounds, maxPieceLen = unigramMaxPieceLen,
+        maxWordLen = unigramMaxWordLen)
+    }
+
+  /** SentencePiece-style unigram-LM tokenizer TRAINER under the gate
+    * ([[operators.TermIndex.trainUnigram]] — r12 verdict item 5): the
+    * pruned vocabulary with final Viterbi-E-step counts and scaled
+    * log-probs. The oracle REPLAYS the entire training run in DuckDB —
+    * substring seeding, both Viterbi-EM rounds as unrolled
+    * position-DP + backtrace CTEs with the same integer scores and
+    * (score, piece-length) argmax, add-one M-steps, and the final
+    * prune — the q_bpe_train technique scaled up from merge replay to
+    * full EM replay.
+    */
+  private def unigramTokenizerQ(s: SparkSession, d: String): DataFrame = {
+    val model = trainedUnigram(s, d)
+    s.createDataFrame(model)
+      .select(col("piece"), col("n_chars"), col("cnt"), col("logp_scaled"))
+      .orderBy(col("cnt").desc, col("piece"))
+  }
+
   /** Full BPE TRAINER under the gate ([[operators.TermIndex.trainBpe]]):
     * the learned merge table after `bpeMergeBudget` iterations. The
     * oracle REPLAYS training independently in DuckDB: symbol sequences
@@ -4507,6 +4548,7 @@ object SparkEntry {
     "q_bm25" -> (bm25Q _),
     "q_bpe_merges" -> (bpeMerges _),
     "q_bpe_train" -> (bpeTrain _),
+    "q_unigram_tokenizer" -> (unigramTokenizerQ _),
     "q_tokenize_bpe" -> (tokenizeBpe _),
     "q_bpe_encode" -> (bpeEncode _),
     "q_quality_classifier" -> (qualityClassifierQ _),
@@ -4684,6 +4726,103 @@ object SparkEntry {
         |    '[' || m.l || m.r || ']') AS seq, v.freq
         |  FROM v${k - 1} v, m$k m)""".stripMargin)
     }
+    sb.toString
+  }
+
+  /** Full-training replay of [[unigramTokenizerQ]] in DuckDB: seeding,
+    * `unigramEmRounds` Viterbi-EM rounds — forward DP unrolled as one
+    * CTE per word position (candidates = pieces of length 1..P ending
+    * there, joined against the previous round's log-prob table; argmax
+    * by (score, piece length) via QUALIFY row_number, the engine DP's
+    * exact tie rule), backtrace unrolled the same way, frequency-
+    * weighted counts, add-one M-step — then the final prune and
+    * renormalize. All scores are 10^6-scaled floor-rounded BIGINTs, so
+    * every comparison the replay makes is integer-exact.
+    */
+  private def unigramTrainOracle: String = {
+    val W = unigramMaxWordLen
+    val P = unigramMaxPieceLen
+    val R = unigramEmRounds
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH occ AS (SELECT unnest(list_filter(
+         |      string_split_regex(trim(lower(text)), '\\s+'),
+         |      x -> len(x) > 0)) AS word FROM documents),
+         |w0 AS MATERIALIZED (SELECT word, count(*) AS freq FROM occ
+         |  WHERE regexp_matches(word, '^[a-z0-9]+$$') AND len(word) <= $W
+         |  GROUP BY 1),
+         |sub AS (SELECT substr(w.word, CAST(t.i AS INT), CAST(l.l AS INT)) AS piece,
+         |    sum(w.freq) AS cnt
+         |  FROM w0 w, (SELECT unnest(range(1, $P + 1)) AS l) l,
+         |    LATERAL (SELECT unnest(range(1, len(w.word) - l.l + 2)) AS i) t
+         |  GROUP BY 1),
+         |seed AS MATERIALIZED (
+         |  SELECT piece, cnt FROM sub WHERE len(piece) = 1
+         |  UNION ALL
+         |  SELECT piece, cnt FROM
+         |    (SELECT piece, cnt FROM sub WHERE len(piece) >= 2
+         |     ORDER BY cnt DESC, piece LIMIT $unigramSeedMulti)),
+         |lp0 AS MATERIALIZED (SELECT piece,
+         |    CAST(floor(ln(CAST(cnt AS DOUBLE) /
+         |      (SELECT CAST(sum(cnt) AS DOUBLE) FROM seed)) * 1e6) AS BIGINT) AS lp
+         |  FROM seed)""".stripMargin)
+    for (r <- 1 to R) {
+      val prev = if (r == 1) "lp0" else s"lp${r - 1}"
+      sb.append(s""",
+        |dp${r}_0 AS (SELECT word, CAST(0 AS BIGINT) AS score, 0 AS plen FROM w0)""".stripMargin)
+      for (p <- 1 to W) {
+        val arms = (1 to math.min(P, p)).map { l =>
+          s"""SELECT d.word, d.score + lp.lp AS score, $l AS plen
+             |    FROM dp${r}_${p - l} d JOIN $prev lp
+             |      ON lp.piece = substr(d.word, ${p - l + 1}, $l)
+             |    WHERE len(d.word) >= $p""".stripMargin
+        }.mkString("\n    UNION ALL\n    ")
+        sb.append(s""",
+          |dp${r}_$p AS MATERIALIZED (SELECT word, score, plen FROM (
+          |    $arms)
+          |  QUALIFY row_number() OVER (PARTITION BY word
+          |    ORDER BY score DESC, plen DESC) = 1)""".stripMargin)
+      }
+      sb.append(s""",
+        |dpall$r AS (${(1 to W).map(p =>
+          s"SELECT word, $p AS pos, plen FROM dp${r}_$p").mkString("\n  UNION ALL ")}),
+        |bt${r}_0 AS (SELECT word, CAST(len(word) AS BIGINT) AS pos FROM w0)""".stripMargin)
+      for (k <- 1 to W - 1) {
+        sb.append(s""",
+          |bt${r}_$k AS MATERIALIZED (SELECT b.word, b.pos - d.plen AS pos
+          |  FROM bt${r}_${k - 1} b JOIN dpall$r d
+          |    ON d.word = b.word AND d.pos = b.pos
+          |  WHERE b.pos > 0)""".stripMargin)
+      }
+      sb.append(s""",
+        |btall$r AS (${(0 until W).map(k =>
+          s"SELECT word, pos FROM bt${r}_$k").mkString("\n  UNION ALL ")}),
+        |cnt${r}_raw AS (SELECT
+        |    substr(b.word, CAST(b.pos - d.plen + 1 AS INT), d.plen) AS piece,
+        |    sum(w.freq) AS cnt
+        |  FROM btall$r b
+        |  JOIN dpall$r d ON d.word = b.word AND d.pos = b.pos
+        |  JOIN w0 w ON w.word = b.word
+        |  WHERE b.pos > 0 GROUP BY 1),
+        |cnt$r AS MATERIALIZED (SELECT s.piece, coalesce(c.cnt, 0) AS cnt
+        |  FROM seed s LEFT JOIN cnt${r}_raw c USING (piece)),
+        |lp$r AS MATERIALIZED (SELECT piece,
+        |    CAST(floor(ln((cnt + 1.0) /
+        |      ((SELECT CAST(sum(cnt) AS DOUBLE) FROM cnt$r) +
+        |       (SELECT count(*) FROM seed))) * 1e6) AS BIGINT) AS lp
+        |  FROM cnt$r)""".stripMargin)
+    }
+    sb.append(s""",
+      |keep AS (SELECT piece, cnt FROM cnt$R WHERE len(piece) = 1
+      |  UNION ALL
+      |  SELECT piece, cnt FROM
+      |    (SELECT piece, cnt FROM cnt$R WHERE len(piece) >= 2
+      |     ORDER BY cnt DESC, piece LIMIT $unigramKeepMulti))
+      |SELECT piece, CAST(len(piece) AS INT) AS n_chars, CAST(cnt AS BIGINT) AS cnt,
+      |  CAST(floor(ln((cnt + 1.0) /
+      |    ((SELECT CAST(sum(cnt) AS DOUBLE) FROM keep) +
+      |     (SELECT count(*) FROM keep))) * 1e6) AS BIGINT) AS logp_scaled
+      |FROM keep ORDER BY cnt DESC, piece""".stripMargin)
     sb.toString
   }
 
@@ -6229,6 +6368,7 @@ object SparkEntry {
     // Trained BPE: full independent training replay (bracket-string
     // symbol sequences, replace-based merges) — see bpeReplayCtes.
     "q_bpe_train" -> bpeTrainOracle,
+    "q_unigram_tokenizer" -> unigramTrainOracle,
     "q_tokenize_bpe" -> tokenizeBpeOracle,
     "q_bpe_encode" -> bpeEncodeOracle,
     // Naive Bayes quality classifier: the oracle RETRAINS the model —

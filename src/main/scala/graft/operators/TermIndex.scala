@@ -861,4 +861,140 @@ object TermIndex {
       .withColumnRenamed("node", "keyword")
       .orderBy(col("kw_rank"))
   }
+
+  /** One entry of a trained unigram-LM vocabulary: the piece, its final
+    * Viterbi-E-step corpus count, and its 10^6-scaled floor-rounded log
+    * probability over the pruned vocabulary.
+    */
+  case class UnigramPiece(piece: String, n_chars: Int, cnt: Long, logp_scaled: Long)
+
+  /** SentencePiece-STYLE unigram-LM tokenizer trainer (Kudo 2018,
+    * arXiv:1804.10959) beside [[trainBpe]] — the r12 verdict item 5
+    * machinery, in the hard-EM (Viterbi) variant every statistic of
+    * which an external engine can replay exactly:
+    *
+    *  1. SEED — the corpus collapses ONCE to (word, freq) (words
+    *     matching `wordPattern`, length <= `maxWordLen` — the trainer's
+    *     candidate cap, like SentencePiece's max sentencepiece length);
+    *     candidate pieces are every substring of length 1..`maxPieceLen`
+    *     weighted by word frequency (overlapping occurrences counted);
+    *     the seed vocabulary keeps ALL single characters (so every word
+    *     stays segmentable) plus the top `seedMulti` multi-character
+    *     pieces by (count DESC, piece ASC).
+    *  2. EM x `emRounds` — E: every word takes its VITERBI-best
+    *     segmentation under the current model via the native integer DP
+    *     ([[graft.functions.UnigramSegment]] — scores are sums of
+    *     10^6-scaled long log-probs, argmax ties broken toward the
+    *     longer piece, both total orders an oracle can replay); piece
+    *     counts are frequency-weighted uses. M: log P(p) =
+    *     floor(ln((cnt+1)/(total+V)) * 1e6) with add-one smoothing over
+    *     the FIXED seed vocabulary (probabilities move, the piece set
+    *     does not — pruning happens once, at the end).
+    *  3. PRUNE — keep single characters plus the top `keepMulti` multi
+    *     pieces by final E-step count (ties on the piece string), then
+    *     renormalize over the kept set.
+    *
+    * floor (not round) for the scaled log-probs on purpose: floor of a
+    * double is the identical operation in every engine, so the gate
+    * never hinges on round-half tie behavior.
+    *
+    * Plan shape for 100 TB: the corpus is touched once (the word-freq
+    * aggregate); every EM iteration runs on the VOCABULARY-scale word
+    * table with the bounded piece model broadcast by closure, and the
+    * only driver state is the piece table itself (seed + counts
+    * collects are bounded by `seedMulti` + the alphabet, the same
+    * budget class as [[trainBpe]]'s 1-row argmax per merge).
+    */
+  def trainUnigram(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      seedMulti: Int = 96,
+      keepMulti: Int = 40,
+      emRounds: Int = 2,
+      maxPieceLen: Int = 4,
+      maxWordLen: Int = 12,
+      wordPattern: String = "^[a-z0-9]+$"): Seq[UnigramPiece] = {
+    require(emRounds >= 1 && seedMulti >= keepMulti)
+    val w0 = occurrences(docs, textCol, idCol)
+      .filter(col("word").rlike(wordPattern) && length(col("word")) <= maxWordLen)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .localCheckpoint()
+    // seed counts: one substring explode, (piece)-keyed aggregate
+    val subArrs = (1 to maxPieceLen).map { l =>
+      when(length(col("word")) >= l,
+        transform(sequence(lit(1), length(col("word")) - (l - 1)),
+          i => col("word").substr(i, lit(l))))
+        .otherwise(array().cast("array<string>"))
+    }
+    val seedCnt = w0.select(col("freq"), explode(flatten(array(subArrs: _*))).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+      .localCheckpoint()
+    val chars = seedCnt.filter(length(col("piece")) === 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val multi = seedCnt.filter(length(col("piece")) >= 2)
+      .orderBy(col("cnt").desc, col("piece")).limit(seedMulti)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val seed: Seq[(String, Long)] = (chars ++ multi).toSeq
+    def floorLp(num: Double, den: Double): Long =
+      math.floor(math.log(num / den) * 1e6).toLong
+    val total0 = seed.map(_._2).sum
+    var lp: Map[String, Long] =
+      seed.map { case (p, c) => p -> floorLp(c.toDouble, total0.toDouble) }.toMap
+    val vSize = seed.size
+    var lastCnt: Map[String, Long] = Map.empty
+    for (_ <- 1 to emRounds) {
+      val (ps, ls) = lp.toSeq.sortBy(_._1).unzip
+      val segExpr = org.apache.spark.sql.GraftSqlBridge.column(
+        graft.functions.UnigramSegment(
+          org.apache.spark.sql.GraftSqlBridge.expression(col("word")), ps, ls, maxPieceLen))
+      val counts = w0.select(col("freq"), explode(segExpr).as("piece"))
+        .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      lastCnt = seed.map { case (p, _) => p -> counts.getOrElse(p, 0L) }.toMap
+      val totalR = lastCnt.valuesIterator.sum
+      lp = seed.map { case (p, _) =>
+        p -> floorLp(lastCnt(p) + 1.0, (totalR + vSize).toDouble)
+      }.toMap
+    }
+    val keptChars = chars.map { case (p, _) => p -> lastCnt(p) }
+    val keptMulti = multi.map { case (p, _) => p -> lastCnt(p) }
+      .sortBy { case (p, c) => (-c, p) }.take(keepMulti)
+    val kept = keptChars ++ keptMulti
+    val totalK = kept.map(_._2).sum
+    kept.map { case (p, c) =>
+      UnigramPiece(p, p.length, c,
+        floorLp(c + 1.0, (totalK + kept.size).toDouble))
+    }.sortBy(u => (-u.cnt, u.piece)).toSeq
+  }
+
+  /** ENCODE with a trained unigram vocabulary — the [[bpeTokenCounts]]
+    * twin: per-document trainable-word and unigram-token counts. The
+    * piece table is closure-broadcast into the native DP expression;
+    * segmentation runs once per DISTINCT word, never per occurrence.
+    */
+  def unigramTokenCounts(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      model: Seq[UnigramPiece],
+      maxPieceLen: Int = 4,
+      wordPattern: String = "^[a-z0-9]+$"): DataFrame = {
+    require(model.nonEmpty, "unigramTokenCounts needs a trained model")
+    val docWords = occurrences(docs, textCol, idCol)
+      .filter(col("word").rlike(wordPattern))
+    val tfd = docWords.groupBy(col("id"), col("word"))
+      .agg(count(lit(1)).as("_c"))
+    val segExpr = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.UnigramSegment(
+        org.apache.spark.sql.GraftSqlBridge.expression(col("word")),
+        model.map(_.piece), model.map(_.logp_scaled), maxPieceLen))
+    val vocab = docWords.select(col("word")).distinct()
+      .select(col("word"), size(segExpr).as("_n_tok"))
+    tfd.join(vocab, "word")
+      .groupBy(col("id"))
+      .agg(sum(col("_c")).as("n_words"),
+        sum(col("_c") * col("_n_tok")).as("n_tokens"))
+      .withColumnRenamed("id", idCol)
+  }
 }

@@ -478,4 +478,77 @@ class TermIndexSpec extends SparkSpec {
       maxDist = 1, minPairCount = 2, iters = 3, k = 10)
     assert(got.count() === 0L)
   }
+
+  test("unigram segment DP: hand-computed argmax and longer-piece tie-break") {
+    import graft.functions.UnigramSegmentUtil.segment
+    val lp = new java.util.HashMap[String, java.lang.Long]()
+    lp.put("a", -10L); lp.put("b", -10L); lp.put("ab", -20L); lp.put("c", -5L)
+    // score(ab as piece) = -20 == score(a)+score(b): tie -> longer piece
+    assert(segment("abab", lp, 4).toSeq === Seq("ab", "ab"))
+    // strictly better multi piece wins outright
+    lp.put("ab", -12L)
+    assert(segment("abc", lp, 4).toSeq === Seq("ab", "c"))
+    // strictly worse multi piece loses to the char path
+    lp.put("ab", -25L)
+    assert(segment("ab", lp, 4).toSeq === Seq("a", "b"))
+    // unknown character: per-character fallback
+    assert(segment("axb", lp, 4).toSeq === Seq("a", "x", "b"))
+    assert(segment("", lp, 4).isEmpty)
+  }
+
+  test("unigram trainer: worked example — dominant word becomes one piece") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "low low low low lowest"),
+      (2L, "low low newest west"),
+      (3L, "low lowest newest")).toDF("doc_id", "text")
+    val model = TermIndex.trainUnigram(docs, "text", "doc_id",
+      seedMulti = 20, keepMulti = 10, emRounds = 2)
+    val byPiece = model.map(m => m.piece -> m).toMap
+    // every corpus character survives pruning
+    "lowestn".foreach(c => assert(byPiece.contains(c.toString), s"char $c"))
+    // 'low' appears 7 times standalone + inside 'lowest' twice: the
+    // seed's heaviest multi piece; after Viterbi-EM every 'low'
+    // occurrence segments through it, so its count stays dominant
+    assert(byPiece.contains("low"))
+    assert(byPiece("low").cnt >= 7L)
+    assert(model.forall(m => m.n_chars == m.piece.length && m.n_chars <= 4))
+    // log-probs are a proper distribution's floor-scaled logs: all
+    // negative, heavier count never gets a smaller logp
+    assert(model.forall(_.logp_scaled < 0))
+    val sorted = model.sortBy(-_.cnt)
+    assert(sorted.zip(sorted.tail).forall { case (x, y) =>
+      x.cnt > y.cnt || x.logp_scaled == y.logp_scaled ||
+        (x.cnt == y.cnt)
+    })
+    // determinism: retraining yields the identical table
+    val again = TermIndex.trainUnigram(docs, "text", "doc_id",
+      seedMulti = 20, keepMulti = 10, emRounds = 2)
+    assert(again === model)
+  }
+
+  test("unigram encode + SequencePacking wiring: counts pack like BPE counts") {
+    import spark.implicits._
+    import graft.operators.SequencePacking
+    val docs = Seq(
+      (1L, "low low lower"),
+      (2L, "newest widest newest"),
+      (3L, "low newest")).toDF("doc_id", "text")
+    val model = TermIndex.trainUnigram(docs, "text", "doc_id",
+      seedMulti = 20, keepMulti = 12, emRounds = 2)
+    val counted = TermIndex.unigramTokenCounts(docs, "text", "doc_id", model)
+      .withColumn("shard", lit("s0"))
+    val rows = counted.orderBy("doc_id").collect()
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      // between one-piece-per-word and one-char-per-word
+      assert(r.getAs[Long]("n_tokens") >= r.getAs[Long]("n_words"))
+    }
+    val packed = SequencePacking.pack(counted, "shard", "doc_id",
+      "n_tokens", capacity = 8)
+    // packing conserves token mass exactly
+    val massIn = rows.map(_.getAs[Long]("n_tokens")).sum
+    val massOut = packed.agg(sum(col("n_toks"))).head().getLong(0)
+    assert(massOut === massIn)
+  }
 }
