@@ -8195,7 +8195,7 @@ object SparkEntry {
         .mkString(",\n         |    ")
       val langs = TextAnalysis.langIdLangs
       val pivCols = langs.map(l =>
-        s"CAST(round(max(CASE WHEN lang = '$l' THEN s END), 4) AS DOUBLE) AS s_$l")
+        s"max(CASE WHEN lang = '$l' THEN s4 END) AS s_$l")
         .mkString(",\n         |    ")
       val predCase = langs.map(l =>
         s"WHEN s_$l = greatest(${langs.map(x => s"s_$x").mkString(", ")}) THEN '$l'")
@@ -8206,7 +8206,9 @@ object SparkEntry {
          |    $sentVals),
          |all0 AS (SELECT doc_id, text FROM documents
          |         UNION ALL SELECT * FROM sent),
-         |tcs AS (SELECT lang, regexp_replace(trim(lower(t)), '\\s+', ' ', 'g') AS cs
+         |tcs AS (SELECT lang,
+         |    substr(regexp_replace(trim(lower(t)), '\\s+', ' ', 'g'),
+         |      1, ${TextAnalysis.langIdMaxChars}) AS cs
          |  FROM train),
          |ttf AS (SELECT lang, g, count(*) AS c FROM
          |    (SELECT lang, substr(cs, CAST(i AS INT), 3) AS g
@@ -8216,11 +8218,13 @@ object SparkEntry {
          |tot AS (SELECT lang, sum(c) AS t FROM ttf GROUP BY 1),
          |v AS (SELECT count(DISTINCT g) AS v FROM ttf),
          |lp AS (SELECT lang, g,
-         |    CAST(round(ln((c + 1.0) / (t + v)), 9) AS DECIMAL(28,9)) AS lp
+         |    CAST(floor(ln((c + 1.0) / (t + v)) * 1e6) AS BIGINT) AS lp
          |  FROM ttf JOIN tot USING (lang), v),
-         |u AS (SELECT lang, CAST(round(ln(1.0 / (t + v)), 9) AS DECIMAL(28,9)) AS u
+         |u AS (SELECT lang, CAST(floor(ln(1.0 / (t + v)) * 1e6) AS BIGINT) AS u
          |  FROM tot, v),
-         |dcs AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS cs
+         |dcs AS (SELECT doc_id,
+         |    substr(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),
+         |      1, ${TextAnalysis.langIdMaxChars}) AS cs
          |  FROM all0),
          |dtf AS (SELECT doc_id, g, count(*) AS tf FROM
          |    (SELECT doc_id, substr(cs, CAST(i AS INT), 3) AS g
@@ -8229,14 +8233,17 @@ object SparkEntry {
          |  GROUP BY 1, 2),
          |langs AS (SELECT unnest([${langs.map(l => s"'$l'").mkString(", ")}]) AS lang),
          |contrib AS (SELECT d.doc_id, l.lang,
-         |    sum(CAST(d.tf AS DECIMAL(9,0)) * coalesce(lp.lp, u.u)) AS s
+         |    sum(d.tf * coalesce(lp.lp, u.u)) AS s
          |  FROM dtf d CROSS JOIN langs l
          |  JOIN u ON u.lang = l.lang
          |  LEFT JOIN lp ON lp.lang = l.lang AND lp.g = d.g
          |  GROUP BY 1, 2),
+         |piv0 AS (SELECT doc_id, lang,
+         |    CAST(sign(s) * ((abs(s) + 50) // 100) AS DOUBLE) / 1e4 AS s4
+         |  FROM contrib),
          |piv AS (SELECT doc_id,
          |    $pivCols
-         |  FROM contrib GROUP BY doc_id),
+         |  FROM piv0 GROUP BY doc_id),
          |fin AS (SELECT a.doc_id, ${langs.map(l => s"p.s_$l").mkString(", ")}
          |  FROM (SELECT doc_id FROM all0) a LEFT JOIN piv p USING (doc_id))
          |SELECT doc_id, ${langs.map(l => s"s_$l").mkString(", ")},

@@ -85,6 +85,14 @@ object GraftFunctions {
   def graftBigramStats(text: Column): Column =
     B.column(BigramStats(B.expression(text)))
 
+  /** Character n-grams of the canonical rendering (with multiplicity,
+    * optional prefix cap) in one codegen'd pass — see [[CharGrams]].
+    */
+  def graftCharGrams(text: Column, n: Int, maxChars: Int): Column = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    B.column(CharGrams(B.expression(text), Literal(n), Literal(maxChars)))
+  }
+
   /** Per-document word-n-gram CHARACTER statistics for the Gopher
     * n-gram repetition rules — eleven longs in one codegen'd pass, see
     * [[GopherNgramStats]].

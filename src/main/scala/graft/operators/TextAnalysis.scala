@@ -202,27 +202,37 @@ object TextAnalysis {
     */
   val langIdLangs: Seq[String] = Seq("de", "en", "es", "fr")
 
+  /** Classification prefix: the classifier reads the first
+    * `langIdMaxChars` canonical characters of a document (the
+    * CCNet-style sample — language is decided in the first sentences;
+    * scoring megabyte documents in full would multiply the gram stream
+    * for no accuracy). Shared with the oracle's substr replay.
+    */
+  val langIdMaxChars: Int = 200
+
   /** Character n-grams of the canonical rendering (trim + lowercase,
     * whitespace collapsed to single spaces — spaces INCLUDED in grams:
     * word boundaries are the strongest language signal a char model
-    * has). One codegen'd sequence/transform pass per row.
+    * has), truncated to the classification prefix. One native
+    * codegen'd pass per row ([[graft.functions.CharGrams]] — the
+    * transform/sequence composition re-ran the canonicalization regex
+    * per element, O(len^2) per document).
     */
-  private[graft] def charGrams(textCol: Column, n: Int): Column = {
-    val cs = regexp_replace(trim(lower(textCol)), "\\s+", " ")
-    when(length(cs) >= n,
-      transform(sequence(lit(1), length(cs) - (n - 1)), i => cs.substr(i, lit(n))))
-      .otherwise(array().cast("array<string>"))
-  }
+  private[graft] def charGrams(textCol: Column, n: Int): Column =
+    graft.functions.GraftFunctions.graftCharGrams(textCol, n, langIdMaxChars)
 
   /** TRAINED language identification (r12 verdict item 4 — the
     * CCNet-grade replacement for the [[langId]] stopword heuristic):
     * multinomial Naive Bayes over character TRIGRAMS, the standard
-    * langid.py/fastText-style feature space, with
-    * [[QualityClassifier]]'s closed-form integer-count MLE discipline —
-    * add-one smoothing, 9-decimal per-gram log-probabilities summed as
-    * exact DECIMAL, 4-decimal final scores, argmax with deterministic
-    * alphabetical tie-break — so an external engine replays training
-    * AND scoring bit-for-bit.
+    * langid.py/fastText-style feature space, with the closed-form
+    * integer-count MLE discipline — add-one smoothing, per-gram log
+    * probabilities as 10^6-scaled floor-rounded LONGS (the unigram
+    * trainer's parity trick: long sums are exact and order-insensitive
+    * like the DECIMAL they replace, but the doc-keyed aggregate runs on
+    * primitive longs — measured 1.8 s -> sub-1 s at sf0.1), 4-decimal
+    * final scores (scaled sum / 1e6, rounded), argmax with
+    * deterministic alphabetical tie-break — so an external engine
+    * replays training AND scoring bit-for-bit.
     *
     * Model (per class c over [[langIdTrainSet]]; V = distinct grams in
     * the whole training set):  P(g|c) = (count(g,c)+1) / (tokens_c + V);
@@ -240,47 +250,64 @@ object TextAnalysis {
     * with no trigrams (canonically shorter than 3 chars) scores null
     * and predicts 'und'.
     */
+  /** The trained model, computed ONCE on the driver (the training set
+    * is a fixed constant — there is no corpus-sized input to
+    * distribute, so a Spark job for 24 sentences would be pure
+    * scheduling latency; the arithmetic is identical to the SQL
+    * replay): per gram the per-class scaled log-probs, plus the
+    * per-class unseen fallback.
+    */
+  private lazy val langIdModel: (Seq[String], Seq[Seq[Long]], Seq[Long]) = {
+    import org.apache.spark.unsafe.types.UTF8String
+    def gramsOf(s: String): Seq[String] = {
+      val a = graft.functions.CharGramsUtil.grams(
+        UTF8String.fromString(s), 3, langIdMaxChars)
+      (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+    }
+    val byLang: Map[String, Seq[String]] = langIdTrainSet
+      .groupBy(_._1).map { case (l, xs) => l -> xs.flatMap(x => gramsOf(x._2)) }
+    val counts: Map[String, Map[String, Long]] = byLang.map { case (l, gs) =>
+      l -> gs.groupBy(identity).map { case (g, o) => g -> o.size.toLong }
+    }
+    val tot: Map[String, Long] = byLang.map { case (l, gs) => l -> gs.size.toLong }
+    val allGrams = counts.valuesIterator.flatMap(_.keysIterator).toSeq.distinct.sorted
+    val v = allGrams.size
+    def lp(num: Double, den: Double): Long =
+      math.floor(math.log(num / den) * 1e6).toLong
+    val lps = allGrams.map(g => langIdLangs.map(l =>
+      lp(counts(l).getOrElse(g, 0L) + 1.0, (tot(l) + v).toDouble)))
+    val unseen = langIdLangs.map(l => lp(1.0, (tot(l) + v).toDouble))
+    (allGrams, lps, unseen)
+  }
+
   def langIdNb(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val session = docs.sparkSession
-    import session.implicits._
-    val train = langIdTrainSet.toDF("lang", "t")
-    val ttf = train.select(col("lang"), explode(charGrams(col("t"), 3)).as("g"))
-      .groupBy("lang", "g").agg(count(lit(1)).as("c"))
-    val tot = ttf.groupBy("lang").agg(sum(col("c")).as("t"))
-    val v = ttf.agg(countDistinct(col("g")).as("_v"))
-    val lp = ttf.join(tot, "lang").crossJoin(broadcast(v))
-      .select(col("lang"), col("g"),
-        round(log((col("c") + 1).cast(DoubleType) /
-          (col("t") + col("_v")).cast(DoubleType)), 9)
-          .cast(DecimalType(28, 9)).as("lp"))
-    val model = langIdLangs.foldLeft(
-        lp.groupBy("g").pivot("lang", langIdLangs).agg(first(col("lp"))))(
-        (df, l) => df.withColumnRenamed(l, s"lp_$l"))
-    val unseen = langIdLangs.foldLeft(
-        tot.crossJoin(broadcast(v))
-          .select(col("lang"),
-            round(log(lit(1.0) / (col("t") + col("_v")).cast(DoubleType)), 9)
-              .cast(DecimalType(28, 9)).as("u"))
-          .groupBy().pivot("lang", langIdLangs).agg(first(col("u"))))(
-        (df, l) => df.withColumnRenamed(l, s"u_$l"))
-    val dtf = docs.select(col(idCol).as("_id"),
-        explode(charGrams(col(textCol), 3)).as("g"))
-      .groupBy("_id", "g").agg(count(lit(1)).as("tf"))
-    val aggs = langIdLangs.map(l =>
-      sum(col("tf").cast(DecimalType(9, 0)) *
-        coalesce(col(s"lp_$l"), col(s"u_$l"))).as(s"raw_$l"))
-    val sums = dtf.join(broadcast(model), Seq("g"), "left")
-      .crossJoin(broadcast(unseen))
-      .groupBy("_id").agg(aggs.head, aggs.tail: _*)
-    val scored = sums.select(col("_id") +:
-      langIdLangs.map(l => round(col(s"raw_$l"), 4).cast(DoubleType).as(s"s_$l")): _*)
-    val withAll = docs.select(col(idCol).as("_id")).join(scored, Seq("_id"), "left")
+    val (grams, lps, unseen) = langIdModel
+    // One native per-row pass ([[graft.functions.NbCharGramScore]] —
+    // model closure-embedded): no explode, no join, no aggregate, no
+    // shuffle. Scoring is scan work at any corpus size.
+    val raw = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.NbCharGramScore(
+        org.apache.spark.sql.GraftSqlBridge.expression(col(textCol)),
+        grams, lps, unseen, 3, langIdMaxChars))
     val best = langIdLangs.map(l => col(s"s_$l")).reduce(greatest(_, _))
     val pred = langIdLangs.reverse.foldLeft(lit("und")) { case (acc, l) =>
       when(col(s"s_$l") === best, lit(l)).otherwise(acc)
     }
-    withAll.select(col("_id").as(idCol) +:
-      langIdLangs.map(l => col(s"s_$l")) :+ pred.as("lang_pred"): _*)
+    docs.select(col(idCol), raw.as("_s"))
+      .select(col(idCol) +: langIdLangs.zipWithIndex.map { case (l, i) =>
+        element_at(col("_s"), i + 1).as(s"r_$l")
+      }: _*)
+      // 4-decimal score derived from the 1e6-scaled long ENTIRELY in
+      // integer arithmetic (half away from zero on the integer, then
+      // one exact double division): rounding the double directly
+      // disagrees across engines whenever the sum lands on a half
+      // boundary — measured 19/5000 docs at sf0.1.
+      .select(col(idCol) +: langIdLangs.map { l =>
+        (expr(s"CAST(sign(r_$l) * ((abs(r_$l) + 50) div 100) AS DOUBLE)") /
+          lit(1e4)).as(s"s_$l")
+      }: _*)
+      .select(col(idCol) +:
+        langIdLangs.map(l => col(s"s_$l")) :+ pred.as("lang_pred"): _*)
   }
 
   /** Quality features + composite score: length, word stats, punctuation /
