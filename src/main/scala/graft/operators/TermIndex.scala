@@ -157,30 +157,76 @@ object TermIndex {
     */
   def sparseKnnFromIndex(weights: DataFrame, queries: DataFrame,
       k: Int = 5, precomputedNorms: Option[DataFrame] = None): DataFrame = {
+    val session = weights.sparkSession
+    import session.implicits._
     // Norms are derivable from the posting table but a deployment
     // stores them WITH the index (one aggregate at build time beats one
     // per query) — callers with a persisted index pass them in.
     val norms = precomputedNorms.getOrElse(
       weights.groupBy(col("id"))
         .agg(sum(col("w") * col("w")).as("n2")))
-    val qw = weights.join(
-      broadcast(queries.select(col(queries.columns.head).as("id"))), "id")
-    val dots = weights
-      .join(broadcast(qw.select(col("id").as("qid"), col("word"),
-        col("w").as("qw"))), "word")
+    // Query postings are BOUNDED (they are the k-NN request batch, not
+    // the corpus), so they collect once and ship inside the
+    // document-at-a-time aggregate ([[graft.functions.MultiDotScore]]):
+    // the posting table is scanned ONCE and each doc's dots against ALL
+    // queries accumulate in one pass — the query-at-a-time equi-join
+    // this replaces shuffled sum-over-query-terms-of-df(term) pair rows
+    // (2.3M at sf0.1) just to re-group them by (query, doc).
+    val reqIds = queries.select(col(queries.columns.head).cast("long"))
+      .collect().map(_.getLong(0)).distinct.sorted.toSeq
+    if (reqIds.isEmpty)
+      return Seq.empty[(Long, Long, Double, Int)]
+        .toDF("qid", "id", "sim", "sim_rank")
+    // isin on the collected request ids instead of a broadcast join:
+    // the predicate pushes into the index scan (row-group pruning on a
+    // sorted/bucketed deployment index), and one job replaces two
+    val qp = weights.filter(col("id").isin(reqIds: _*))
+      .select(col("id"), col("word"), col("w")).collect()
+    val qids: Seq[Long] = qp.map(_.getLong(0)).distinct.sorted.toSeq
+    if (qids.isEmpty)
+      return Seq.empty[(Long, Long, Double, Int)]
+        .toDF("qid", "id", "sim", "sim_rank")
+    val qIdx = qids.zipWithIndex.toMap
+    val byWord = qp.groupBy(_.getString(1))
+    val qWords = byWord.keys.toSeq.sorted
+    val hitIdx = qWords.map(w => byWord(w).map(r => qIdx(r.getLong(0))).toSeq)
+    val hitW = qWords.map(w => byWord(w).map(_.getLong(2)).toSeq)
+    val nQ = qids.length
+    val qn2Map = norms.filter(col("id").isin(qids: _*))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val qn2: Seq[Long] = qids.map(q => qn2Map.getOrElse(q,
+      sys.error(s"query $q has postings but no norm — corrupt index")))
+    val B = org.apache.spark.sql.GraftSqlBridge
+    val multiDot = B.column(graft.functions.MultiDotScore(
+      B.expression(col("word")), B.expression(col("w")),
+      qWords, hitIdx, hitW, nQ).toAggregateExpression())
+    val dots = weights.groupBy(col("id")).agg(multiDot.as("_d"))
+      .select(col("id"), col("_d"),
+        posexplode(slice(col("_d"), 1, nQ)).as(Seq("_qi", "dot")))
+      // pair-existence contract of the join this replaces: a (query,
+      // doc) pair exists iff they share at least one indexed term
+      .filter(element_at(col("_d"), col("_qi") + nQ + 1) > 0)
+      .select(element_at(typedLit(qids), col("_qi") + 1).as("qid"),
+        col("id"), col("dot"),
+        element_at(typedLit(qn2), col("_qi") + 1).as("qn2"))
       .filter(col("id") =!= col("qid"))
-      .groupBy(col("qid"), col("id"))
-      .agg(sum(col("qw") * col("w")).as("dot"))
     val sim = dots
-      .join(norms.select(col("id").as("qid"), col("n2").as("qn2")), "qid")
       .join(norms, "id")
       .withColumn("sim", round(col("dot").cast("double") /
         sqrt(col("qn2").cast("double") * col("n2").cast("double")), 6))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("sim").desc, col("id"))
-    sim.withColumn("sim_rank", row_number().over(w))
-      .filter(col("sim_rank") <= k)
-      .select(col("qid"), col("id"), col("sim"), col("sim_rank"))
+    // Top-k via the map-side-combining native aggregate instead of a
+    // window row_number: the window shape sorts every query's FULL
+    // candidate list after the shuffle, while the aggregate keeps a
+    // k-element heap per task so the exchange carries k rows per
+    // (query, task) and nothing is ever sorted. Same result set — the
+    // (sim DESC, id) order is total.
+    sim.groupBy(col("qid"))
+      .agg(graft.functions.GraftFunctions.graftTopK(
+        struct((-col("sim")).as("nk"), col("id").as("tk")),
+        struct(col("id"), col("sim")), k).as("_top"))
+      .select(col("qid"), posexplode(col("_top")).as(Seq("_pos", "_row")))
+      .select(col("qid"), col("_row.id").as("id"), col("_row.sim").as("sim"),
+        (col("_pos") + 1).cast("int").as("sim_rank"))
   }
 
   /** Vocabulary drift between two corpus snapshots — the NLP-ops twin
