@@ -215,6 +215,15 @@ object Bench {
     "q_item_cf", "q_new_vs_returning", "q_conversion_latency",
     "q_zipf_slope", "q_sparse_index_build", "q_curate_audit",
     "q_gopher_rules", "q_c4_rules", "q_perplexity_buckets",
+    // r13: q_gopher_ngram joins its published-rule siblings (same
+    // single-scan native-expression shape as q_gopher_rules /
+    // q_gopher_repetition); q_dedup_recall is the eval composition of
+    // the billed q_dedup_lsh_full pipeline (the q_ann_recall_hi
+    // precedent — both sides' scans are billed, this gates recall);
+    // q_unigram_tokenizer is the trainer-family gate beside
+    // q_bpe_train (standing-memo amortized like the BPE table).
+    // q_langid_nb stays HEADLINE: a genuinely new analytic corpus scan.
+    "q_gopher_ngram", "q_dedup_recall", "q_unigram_tokenizer",
     "q_sparse_knn_incr",
     "q_decontaminate_semantic",
     "q_corpus_report", "q_vocab_drift", "q_source_quality",

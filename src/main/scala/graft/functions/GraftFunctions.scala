@@ -85,6 +85,12 @@ object GraftFunctions {
   def graftBigramStats(text: Column): Column =
     B.column(BigramStats(B.expression(text)))
 
+  /** Karp-Rabin word hash (base 131 mod 1000003) in one codegen'd char
+    * loop — see [[KarpRabinHash]].
+    */
+  def graftWordHash(word: Column): Column =
+    B.column(KarpRabinHash(B.expression(word)))
+
   /** Character n-grams of the canonical rendering (with multiplicity,
     * optional prefix cap) in one codegen'd pass — see [[CharGrams]].
     */

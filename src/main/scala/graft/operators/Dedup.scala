@@ -376,6 +376,26 @@ object Dedup {
     val words = needed.select(col(idCol).as("_id"),
       explode(wordArr(col(textCol))).as("_w"))
     val cnt = words.groupBy("_id", "_w").agg(count(lit(1)).as("_c"))
+    exactBagJaccardFromCounts(pairs, cnt, minJaccard)
+  }
+
+  /** The verify half of [[exactBagJaccard]] over an ALREADY-BUILT
+    * (_id, _w, _c) word-count table — the persisted-artifact query
+    * side: a deployment stores the representative word counts with the
+    * signature table (both are per-dataset build products), so each
+    * dedup run pays only the pair joins, not the corpus word explode.
+    * `counts` may cover more docs than the pairs reference (the joins
+    * prune); the metric is unchanged.
+    */
+  def exactBagJaccardFromCounts(
+      cands: DataFrame,
+      counts: DataFrame,
+      minJaccard: Double = 0.8): DataFrame = {
+    // read twice below (verify join + existence-preserving left join);
+    // candidate generation is an expensive self-join — materialize once
+    // (re-checkpointing an already-checkpointed input is a cache scan)
+    val pairs = cands.select("id_a", "id_b").localCheckpoint()
+    val cnt = counts
     val tot = cnt.groupBy("_id").agg(sum(col("_c")).as("_n"))
     val inter = pairs
       .join(cnt.select(col("_id").as("id_a"), col("_w"), col("_c").as("_ca")), "id_a")
@@ -439,6 +459,40 @@ object Dedup {
     cand
       .join(sigs.select(col("id").as("id_a"), col("signature").as("sig_a")), "id_a")
       .join(sigs.select(col("id").as("id_b"), col("signature").as("sig_b")), "id_b")
+      .withColumn("est_jaccard",
+        graft.functions.GraftFunctions.graftSigOverlap(col("sig_a"), col("sig_b"))
+          .cast("double") / numHashes)
+      .filter(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** ASYMMETRIC MinHash-LSH candidates: (corpus, probe) pairs only,
+    * from a probe-side-broadcast banded equi-join — the pair-level
+    * banding, estimate filter, and signature arithmetic are IDENTICAL
+    * to [[minHashLsh]]'s self-join (whether a pair shares a band
+    * bucket depends only on that pair's two signatures), so a recall
+    * measured through this join is the self-join pipeline's recall on
+    * cross pairs, at probe-sized cost: the corpus never pairs with
+    * itself. Output: (id_a = corpus id, id_b = probe id, est_jaccard).
+    */
+  def minHashLshProbe(
+      corpusSigs: DataFrame,
+      probeSigs: DataFrame,
+      numHashes: Int,
+      bands: Int,
+      threshold: Double): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    def banded(sigs: DataFrame) = sigs.select(col("id"),
+      explode(graft.functions.GraftFunctions.graftMinHashBands(
+        col("signature"), bands)).as("bk"))
+    val cand = banded(corpusSigs).as("x")
+      .join(broadcast(banded(probeSigs).as("y")),
+        col("x.bk") === col("y.bk") && col("x.id") =!= col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    cand
+      .join(corpusSigs.select(col("id").as("id_a"), col("signature").as("sig_a")), "id_a")
+      .join(broadcast(probeSigs.select(col("id").as("id_b"), col("signature").as("sig_b"))), "id_b")
       .withColumn("est_jaccard",
         graft.functions.GraftFunctions.graftSigOverlap(col("sig_a"), col("sig_b"))
           .cast("double") / numHashes)
@@ -630,7 +684,16 @@ object Dedup {
     // distinct content only (the representative's bag IS the group's
     // bag — any member would give the identical fingerprint).
     val repDocs = docs.join(groups.select(col("rep").as(idCol)), Seq(idCol), "left_semi")
-    val sigs = simHash(repDocs, textCol, idCol)
+    simHashPairsFromSigs(simHash(repDocs, textCol, idCol), maxHamming, pieces)
+  }
+
+  /** The banding self-join half of [[simHashGroupPairs]], over an
+    * ALREADY-BUILT signature table (id, simhash) — the query side of a
+    * persisted-signature deployment: signatures are a per-dataset
+    * artifact (built once, stored with the corpus like the sparse
+    * posting index), and each dedup run pays only this join + verify.
+    */
+  def simHashPairsFromSigs(sigs: DataFrame, maxHamming: Int, pieces: Int): DataFrame = {
     val banded = bandedSignatures(sigs, maxHamming, pieces)
     banded.as("x").join(banded.as("y"),
         col("x.ck") === col("y.ck") && col("x.id") < col("y.id") &&

@@ -58,21 +58,40 @@ object SetSimJoin {
     // checkpoint, at scale the persisted (id, token) table every
     // set-similarity system builds first.
     val words = tokens.select(col("id"), col("w")).localCheckpoint()
+    val prefix = prefixTable(words, threshold)
+      // both sides of the candidate self-join read this — one build
+      .localCheckpoint()
+    selfJoinFromPrefix(words, prefix, threshold)
+  }
+
+  /** The BUILD half of [[selfJoinTokens]]: the (id, w, n, pos) prefix
+    * table for a threshold — per-doc token rank in the global
+    * (df asc, token) order, truncated to the prefix-filtering bound.
+    * A deployment persists this with the (id, token) table (both are
+    * per-dataset build products keyed by the threshold) and pays only
+    * [[selfJoinFromPrefix]] per run.
+    */
+  def prefixTable(words: DataFrame, threshold: Double): DataFrame = {
     val tokenDf = words.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val sizes = words.groupBy(col("id")).agg(count(lit(1)).as("n"))
     // Per-doc rank in the global (df asc, token) order. The window is
     // keyed by doc — its state is bounded by document LENGTH, never by
     // corpus size; no global rank is ever materialized.
     val pos = Window.partitionBy(col("id")).orderBy(col("df"), col("w"))
-    val prefix = words
+    words
       .join(tokenDf, "w")
       .withColumn("pos", row_number().over(pos))
       .join(sizes, "id")
       .filter(col("pos") <=
         col("n") - ceil(col("n") * lit(threshold)).cast(LongType) + 1)
       .select(col("id"), col("w"), col("n"), col("pos"))
-      // both sides of the candidate self-join read this — one build
-      .localCheckpoint()
+  }
+
+  /** The QUERY half of [[selfJoinTokens]]: candidate generation +
+    * exact verify over already-built (id, w) and prefix tables.
+    */
+  def selfJoinFromPrefix(words: DataFrame, prefix: DataFrame,
+      threshold: Double): DataFrame = {
     // PPJoin positional filter (Xiao et al. 2008): a qualifying pair
     // needs overlap >= alpha = ceil(t/(1+t) * (|a|+|b|)), and a match
     // on prefix positions (pa, pb) can grow to at most

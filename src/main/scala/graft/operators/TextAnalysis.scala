@@ -987,11 +987,11 @@ object TextAnalysis {
     val pos = docs
       .select(col(idCol).as("id"),
         posexplode(words(lower(col(textCol)))).as(Seq("_p0", "_w")))
+      // native Karp-Rabin char loop (graft_word_hash) — the SQL fold it
+      // replaces split every word into 1-char strings and ran an
+      // interpreted lambda per character on the chunker's hottest scan
       .select(col("id"), (col("_p0") + 1).cast("long").as("pos"),
-        aggregate(
-          filter(split(col("_w"), ""), s => length(s) > 0),
-          lit(0L),
-          (acc, ch) => pmod(acc * 131L + ascii(ch), lit(M))).as("v"))
+        graft.functions.GraftFunctions.graftWordHash(col("_w")).as("v"))
     val dw = Window.partitionBy(col("id")).orderBy(col("pos"))
     val mix = pmod(
       lag(col("v"), 3).over(dw) * 7L + lag(col("v"), 2).over(dw) * 11L +

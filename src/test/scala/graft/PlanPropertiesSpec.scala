@@ -254,8 +254,15 @@ class PlanPropertiesSpec extends SparkSpec {
     // segment rather than the .parquet leaf names)
     assert(plan.contains("sparseknn"),
       s"query side does not read the persisted index:\n$plan")
-    assert(!plan.contains("Generate"),
-      s"query side re-tokenizes the corpus (explode in plan):\n$plan")
+    // Tokenization shows up as a Generate over a text split/shingle
+    // expression; the ONLY Generates allowed are the bounded per-doc
+    // unpacks of the multi-dot score array (posexplode over _d/_top) —
+    // r13's document-at-a-time retrieval shape.
+    val badGenerate = "Generate [a-z]*explode\\((?!slice\\(_d|_top)".r
+    assert(badGenerate.findFirstIn(plan).isEmpty,
+      s"query side re-tokenizes the corpus (text explode in plan):\n$plan")
+    assert(!plan.contains("graft_shingles") && !plan.contains("split("),
+      s"query side re-tokenizes the corpus:\n$plan")
   }
 
   test("published-rule scans (gopher, c4) are single-scan, shuffle only to order") {
