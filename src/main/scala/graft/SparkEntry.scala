@@ -495,6 +495,13 @@ object SparkEntry {
   private def standing[T <: AnyRef](key: String)(build: => T): T =
     standingArtifacts.computeIfAbsent(key, _ => build).asInstanceOf[T]
 
+  /** Test hook (StandingArtifactSpec): drop every memo so the next
+    * touch rebuilds first-touch, as a fresh JVM would — the
+    * fresh-rebuild==persisted-artifact gate needs to simulate JVM
+    * death without forking one.
+    */
+  private[graft] def clearStandingArtifacts(): Unit = standingArtifacts.clear()
+
   /** Filesystem-safe tag for a dataset dir, for per-dir artifact paths. */
   private def dirTag(d: String): String =
     d.replaceAll("[^A-Za-z0-9.]+", "_")
