@@ -224,6 +224,7 @@ object Bench {
     // q_bpe_train (standing-memo amortized like the BPE table).
     // q_langid_nb stays HEADLINE: a genuinely new analytic corpus scan.
     "q_gopher_ngram", "q_dedup_recall", "q_unigram_tokenizer",
+    "q_unigram_encode",
     "q_sparse_knn_incr",
     "q_decontaminate_semantic",
     "q_corpus_report", "q_vocab_drift", "q_source_quality",

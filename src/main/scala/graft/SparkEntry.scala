@@ -4308,6 +4308,19 @@ object SparkEntry {
       .orderBy(col("cnt").desc, col("piece"))
   }
 
+  /** Unigram ENCODE under the gate — the tokenizer artifact in use:
+    * per-document trainable-word and unigram-token counts on the
+    * doc_id < 100 slice with the trained pruned vocabulary
+    * ([[operators.TermIndex.unigramTokenCounts]] via the standing
+    * model — the q_bpe_encode slice shape; segmentation correctness is
+    * size-independent and the oracle re-derives everything).
+    */
+  private def unigramEncode(s: SparkSession, d: String): DataFrame =
+    TermIndex.unigramTokenCounts(
+        t(s, d, "documents").filter(col("doc_id") < 100),
+        "text", "doc_id", trainedUnigram(s, d))
+      .orderBy(col("doc_id"))
+
   /** Full BPE TRAINER under the gate ([[operators.TermIndex.trainBpe]]):
     * the learned merge table after `bpeMergeBudget` iterations. The
     * oracle REPLAYS training independently in DuckDB: symbol sequences
@@ -4640,6 +4653,7 @@ object SparkEntry {
     "q_bpe_merges" -> (bpeMerges _),
     "q_bpe_train" -> (bpeTrain _),
     "q_unigram_tokenizer" -> (unigramTokenizerQ _),
+    "q_unigram_encode" -> (unigramEncode _),
     "q_tokenize_bpe" -> (tokenizeBpe _),
     "q_bpe_encode" -> (bpeEncode _),
     "q_quality_classifier" -> (qualityClassifierQ _),
@@ -4830,64 +4844,57 @@ object SparkEntry {
     * renormalize. All scores are 10^6-scaled floor-rounded BIGINTs, so
     * every comparison the replay makes is integer-exact.
     */
-  private def unigramTrainOracle: String = {
+  /** Forward-DP + backtrace CTE block over `wordsTable` (one `word`
+    * per row) under log-prob table `lpTable`: emits dp{tag}_0..W,
+    * dpall{tag}, bt{tag}_0..W-1, btall{tag} — shared by the training
+    * E-step replay (one block per EM round) and the encode replay.
+    */
+  private def unigramDpCtes(tag: String, wordsTable: String,
+      lpTable: String): String = {
     val W = unigramMaxWordLen
     val P = unigramMaxPieceLen
+    val sb = new StringBuilder
+    sb.append(s""",
+      |dp${tag}_0 AS (SELECT word, CAST(0 AS BIGINT) AS score, 0 AS plen
+      |  FROM $wordsTable)""".stripMargin)
+    for (p <- 1 to W) {
+      val arms = (1 to math.min(P, p)).map { l =>
+        s"""SELECT d.word, d.score + lp.lp AS score, $l AS plen
+           |    FROM dp${tag}_${p - l} d JOIN $lpTable lp
+           |      ON lp.piece = substr(d.word, ${p - l + 1}, $l)
+           |    WHERE len(d.word) >= $p""".stripMargin
+      }.mkString("\n    UNION ALL\n    ")
+      sb.append(s""",
+        |dp${tag}_$p AS MATERIALIZED (SELECT word, score, plen FROM (
+        |    $arms)
+        |  QUALIFY row_number() OVER (PARTITION BY word
+        |    ORDER BY score DESC, plen DESC) = 1)""".stripMargin)
+    }
+    sb.append(s""",
+      |dpall$tag AS (${(1 to W).map(p =>
+        s"SELECT word, $p AS pos, plen FROM dp${tag}_$p").mkString("\n  UNION ALL ")}),
+      |bt${tag}_0 AS (SELECT word, CAST(len(word) AS BIGINT) AS pos FROM $wordsTable)""".stripMargin)
+    for (k <- 1 to W - 1) {
+      sb.append(s""",
+        |bt${tag}_$k AS MATERIALIZED (SELECT b.word, b.pos - d.plen AS pos
+        |  FROM bt${tag}_${k - 1} b JOIN dpall$tag d
+        |    ON d.word = b.word AND d.pos = b.pos
+        |  WHERE b.pos > 0)""".stripMargin)
+    }
+    sb.append(s""",
+      |btall$tag AS (${(0 until W).map(k =>
+        s"SELECT word, pos FROM bt${tag}_$k").mkString("\n  UNION ALL ")})""".stripMargin)
+    sb.toString
+  }
+
+  private def unigramTrainOracle: String = {
     val R = unigramEmRounds
     val sb = new StringBuilder
-    sb.append(
-      s"""WITH occ AS (SELECT unnest(list_filter(
-         |      string_split_regex(trim(lower(text)), '\\s+'),
-         |      x -> len(x) > 0)) AS word FROM documents),
-         |w0 AS MATERIALIZED (SELECT word, count(*) AS freq FROM occ
-         |  WHERE regexp_matches(word, '^[a-z0-9]+$$') AND len(word) <= $W
-         |  GROUP BY 1),
-         |sub AS (SELECT substr(w.word, CAST(t.i AS INT), CAST(l.l AS INT)) AS piece,
-         |    sum(w.freq) AS cnt
-         |  FROM w0 w, (SELECT unnest(range(1, $P + 1)) AS l) l,
-         |    LATERAL (SELECT unnest(range(1, len(w.word) - l.l + 2)) AS i) t
-         |  GROUP BY 1),
-         |seed AS MATERIALIZED (
-         |  SELECT piece, cnt FROM sub WHERE len(piece) = 1
-         |  UNION ALL
-         |  SELECT piece, cnt FROM
-         |    (SELECT piece, cnt FROM sub WHERE len(piece) >= 2
-         |     ORDER BY cnt DESC, piece LIMIT $unigramSeedMulti)),
-         |lp0 AS MATERIALIZED (SELECT piece,
-         |    CAST(floor(ln(CAST(cnt AS DOUBLE) /
-         |      (SELECT CAST(sum(cnt) AS DOUBLE) FROM seed)) * 1e6) AS BIGINT) AS lp
-         |  FROM seed)""".stripMargin)
+    sb.append(unigramSeedCtes)
     for (r <- 1 to R) {
       val prev = if (r == 1) "lp0" else s"lp${r - 1}"
+      sb.append(unigramDpCtes(r.toString, "w0", prev))
       sb.append(s""",
-        |dp${r}_0 AS (SELECT word, CAST(0 AS BIGINT) AS score, 0 AS plen FROM w0)""".stripMargin)
-      for (p <- 1 to W) {
-        val arms = (1 to math.min(P, p)).map { l =>
-          s"""SELECT d.word, d.score + lp.lp AS score, $l AS plen
-             |    FROM dp${r}_${p - l} d JOIN $prev lp
-             |      ON lp.piece = substr(d.word, ${p - l + 1}, $l)
-             |    WHERE len(d.word) >= $p""".stripMargin
-        }.mkString("\n    UNION ALL\n    ")
-        sb.append(s""",
-          |dp${r}_$p AS MATERIALIZED (SELECT word, score, plen FROM (
-          |    $arms)
-          |  QUALIFY row_number() OVER (PARTITION BY word
-          |    ORDER BY score DESC, plen DESC) = 1)""".stripMargin)
-      }
-      sb.append(s""",
-        |dpall$r AS (${(1 to W).map(p =>
-          s"SELECT word, $p AS pos, plen FROM dp${r}_$p").mkString("\n  UNION ALL ")}),
-        |bt${r}_0 AS (SELECT word, CAST(len(word) AS BIGINT) AS pos FROM w0)""".stripMargin)
-      for (k <- 1 to W - 1) {
-        sb.append(s""",
-          |bt${r}_$k AS MATERIALIZED (SELECT b.word, b.pos - d.plen AS pos
-          |  FROM bt${r}_${k - 1} b JOIN dpall$r d
-          |    ON d.word = b.word AND d.pos = b.pos
-          |  WHERE b.pos > 0)""".stripMargin)
-      }
-      sb.append(s""",
-        |btall$r AS (${(0 until W).map(k =>
-          s"SELECT word, pos FROM bt${r}_$k").mkString("\n  UNION ALL ")}),
         |cnt${r}_raw AS (SELECT
         |    substr(b.word, CAST(b.pos - d.plen + 1 AS INT), d.plen) AS piece,
         |    sum(w.freq) AS cnt
@@ -4904,18 +4911,86 @@ object SparkEntry {
         |  FROM cnt$r)""".stripMargin)
     }
     sb.append(s""",
-      |keep AS (SELECT piece, cnt FROM cnt$R WHERE len(piece) = 1
+      |keep AS MATERIALIZED (SELECT piece, cnt FROM cnt$R WHERE len(piece) = 1
       |  UNION ALL
       |  SELECT piece, cnt FROM
       |    (SELECT piece, cnt FROM cnt$R WHERE len(piece) >= 2
-      |     ORDER BY cnt DESC, piece LIMIT $unigramKeepMulti))
-      |SELECT piece, CAST(len(piece) AS INT) AS n_chars, CAST(cnt AS BIGINT) AS cnt,
-      |  CAST(floor(ln((cnt + 1.0) /
-      |    ((SELECT CAST(sum(cnt) AS DOUBLE) FROM keep) +
-      |     (SELECT count(*) FROM keep))) * 1e6) AS BIGINT) AS logp_scaled
-      |FROM keep ORDER BY cnt DESC, piece""".stripMargin)
+      |     ORDER BY cnt DESC, piece LIMIT $unigramKeepMulti))""".stripMargin)
     sb.toString
   }
+
+  /** Shared replay prefix: corpus word-freq collapse, substring seed,
+    * initial log-prob table — everything before the EM rounds.
+    */
+  private def unigramSeedCtes: String = {
+    val W = unigramMaxWordLen
+    val P = unigramMaxPieceLen
+    s"""WITH occ AS (SELECT unnest(list_filter(
+       |      string_split_regex(trim(lower(text)), '\\s+'),
+       |      x -> len(x) > 0)) AS word FROM documents),
+       |w0 AS MATERIALIZED (SELECT word, count(*) AS freq FROM occ
+       |  WHERE regexp_matches(word, '^[a-z0-9]+$$') AND len(word) <= $W
+       |  GROUP BY 1),
+       |sub AS (SELECT substr(w.word, CAST(t.i AS INT), CAST(l.l AS INT)) AS piece,
+       |    sum(w.freq) AS cnt
+       |  FROM w0 w, (SELECT unnest(range(1, $P + 1)) AS l) l,
+       |    LATERAL (SELECT unnest(range(1, len(w.word) - l.l + 2)) AS i) t
+       |  GROUP BY 1),
+       |seed AS MATERIALIZED (
+       |  SELECT piece, cnt FROM sub WHERE len(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, cnt FROM
+       |    (SELECT piece, cnt FROM sub WHERE len(piece) >= 2
+       |     ORDER BY cnt DESC, piece LIMIT $unigramSeedMulti)),
+       |lp0 AS MATERIALIZED (SELECT piece,
+       |    CAST(floor(ln(CAST(cnt AS DOUBLE) /
+       |      (SELECT CAST(sum(cnt) AS DOUBLE) FROM seed)) * 1e6) AS BIGINT) AS lp
+       |  FROM seed)""".stripMargin
+  }
+
+  /** Replay oracle for q_unigram_encode: training replayed to the
+    * pruned vocabulary, the final log-prob table re-derived over it,
+    * then the SAME integer Viterbi DP (same (score, piece-length) tie
+    * rule) over the encode slice's distinct words; a word's token
+    * count is its backtrace step count. A word longer than
+    * `unigramMaxWordLen` would fall out of the unrolled DP and red the
+    * gate on row counts — visible, never silent (the corpus tops out
+    * at 8 characters).
+    */
+  private def unigramEncodeOracle: String = {
+    val sb = new StringBuilder
+    sb.append(unigramTrainOracle)
+    sb.append(s""",
+      |keeplp AS MATERIALIZED (SELECT piece,
+      |    CAST(floor(ln((cnt + 1.0) /
+      |      ((SELECT CAST(sum(cnt) AS DOUBLE) FROM keep) +
+      |       (SELECT count(*) FROM keep))) * 1e6) AS BIGINT) AS lp
+      |  FROM keep),
+      |tfde AS MATERIALIZED (SELECT doc_id, word, count(*) AS c FROM
+      |    (SELECT doc_id, unnest(list_filter(
+      |        string_split_regex(trim(lower(text)), '\\s+'),
+      |        x -> len(x) > 0)) AS word
+      |     FROM documents WHERE doc_id < 100)
+      |  WHERE regexp_matches(word, '^[a-z0-9]+$$') GROUP BY 1, 2),
+      |we AS MATERIALIZED (SELECT DISTINCT word FROM tfde)""".stripMargin)
+    sb.append(unigramDpCtes("e", "we", "keeplp"))
+    sb.append(s""",
+      |ntok AS (SELECT word, count(*) AS n_tok FROM btalle
+      |  WHERE pos > 0 GROUP BY 1)
+      |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+      |  CAST(sum(c * n_tok) AS BIGINT) AS n_tokens
+      |FROM tfde JOIN ntok USING (word)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    sb.toString
+  }
+
+  /** Final pruned-vocabulary SELECT of the trainer gate. */
+  private def unigramTrainFinalSelect: String =
+    s"""SELECT piece, CAST(len(piece) AS INT) AS n_chars, CAST(cnt AS BIGINT) AS cnt,
+       |  CAST(floor(ln((cnt + 1.0) /
+       |    ((SELECT CAST(sum(cnt) AS DOUBLE) FROM keep) +
+       |     (SELECT count(*) FROM keep))) * 1e6) AS BIGINT) AS logp_scaled
+       |FROM keep ORDER BY cnt DESC, piece""".stripMargin
 
   private def bpeTrainOracle: String =
     bpeReplayCtes(bpeMergeBudget) + "\n" +
@@ -6459,7 +6534,14 @@ object SparkEntry {
     // Trained BPE: full independent training replay (bracket-string
     // symbol sequences, replace-based merges) — see bpeReplayCtes.
     "q_bpe_train" -> bpeTrainOracle,
-    "q_unigram_tokenizer" -> unigramTrainOracle,
+    "q_unigram_tokenizer" ->
+      (unigramTrainOracle + "\n" + unigramTrainFinalSelect),
+    // Unigram ENCODE: the oracle replays training to the pruned
+    // vocabulary, re-derives the final log-prob table over it, runs
+    // the same integer Viterbi DP (same tie rule) over the encode
+    // slice's distinct words, and counts backtrace steps per word —
+    // then the per-doc (n_words, n_tokens) sums.
+    "q_unigram_encode" -> unigramEncodeOracle,
     "q_tokenize_bpe" -> tokenizeBpeOracle,
     "q_bpe_encode" -> bpeEncodeOracle,
     // Naive Bayes quality classifier: the oracle RETRAINS the model —
