@@ -2111,7 +2111,7 @@ object SparkEntry {
     * a build artifact; each recall run signs only the 50 planted twins).
     */
   private def recallSigPath(s: SparkSession, d: String): String =
-    standing(s"ddrsigs:$d") {
+    standing(s"ddrsigs:$d:${dedupRecallMuts.mkString(",")}") {
       val base = s"$dedupRecallDir/${dirTag(d)}"
       val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
       Dedup.minHashSignatures(docs, "text", "doc_id", numHashes = 64)
