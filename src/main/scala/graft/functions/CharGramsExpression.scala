@@ -13,24 +13,36 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object CharGramsUtil {
 
+  /** The canonical rendering as CODE POINTS: trim + lowercase, every
+    * whitespace run collapsed to a single space, then optionally
+    * truncated to the first `maxChars` characters. Code points, not
+    * UTF-16 units, because the replaying SQL (`substr(regexp_replace(
+    * trim(lower(text)), '\s+', ' ', 'g'), 1, maxChars)` and its
+    * windows) counts CHARACTERS — a UTF-16 formulation would mis-window
+    * (and could split a surrogate pair at the truncation edge) on any
+    * supplementary-plane character. One shared helper so the gram
+    * expression and the NB scorer can never drift apart (the two are
+    * parity-critical halves of the same oracle contract).
+    */
+  def canonicalCodePoints(text: UTF8String, maxChars: Int): Array[Int] = {
+    val s = text.trim().toLowerCase().toString.replaceAll("\\s+", " ")
+    val cps = s.codePoints().toArray
+    if (maxChars > 0 && cps.length > maxChars) java.util.Arrays.copyOf(cps, maxChars)
+    else cps
+  }
+
   /** All character n-grams (WITH multiplicity — the NB scorer needs
-    * term frequencies) of the canonical rendering of `text`: trim +
-    * lowercase, every whitespace run collapsed to a single space, then
-    * optionally truncated to the first `maxChars` characters (the
-    * classification prefix sample). Mirrors
-    * `substr(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), 1,
-    * maxChars)` windows exactly, so an external engine replays the gram
-    * stream from the same SQL.
+    * term frequencies) of the canonical rendering of `text` — see
+    * [[canonicalCodePoints]] for the exact-SQL-parity contract.
     */
   def grams(text: UTF8String, n: Int, maxChars: Int): ArrayData = {
-    var s = text.trim().toLowerCase().toString.replaceAll("\\s+", " ")
-    if (maxChars > 0 && s.length > maxChars) s = s.substring(0, maxChars)
-    val len = s.length
+    val cps = canonicalCodePoints(text, maxChars)
+    val len = cps.length
     if (len < n) return new GenericArrayData(Array.empty[Any])
     val out = new Array[Any](len - n + 1)
     var i = 0
     while (i + n <= len) {
-      out(i) = UTF8String.fromString(s.substring(i, i + n))
+      out(i) = UTF8String.fromString(new String(cps, i, n))
       i += 1
     }
     new GenericArrayData(out)

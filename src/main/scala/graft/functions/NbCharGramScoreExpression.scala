@@ -52,16 +52,16 @@ case class NbCharGramScore(
   @transient private lazy val unseenArr: Array[Long] = unseen.toArray
 
   override def nullSafeEval(t: Any): Any = {
-    var s = t.asInstanceOf[UTF8String].trim().toLowerCase().toString
-      .replaceAll("\\s+", " ")
-    if (maxChars > 0 && s.length > maxChars) s = s.substring(0, maxChars)
-    val len = s.length
+    // shared canonicalization with the gram expression — the two are
+    // halves of the same oracle-parity contract (code-point windows)
+    val cps = CharGramsUtil.canonicalCodePoints(t.asInstanceOf[UTF8String], maxChars)
+    val len = cps.length
     if (len < n) return null
     val k = unseenArr.length
     val acc = new Array[Long](k)
     var i = 0
     while (i + n <= len) {
-      val arr = table.get(s.substring(i, i + n))
+      val arr = table.get(new String(cps, i, n))
       val src = if (arr == null) unseenArr else arr
       var j = 0
       while (j < k) { acc(j) += src(j); j += 1 }

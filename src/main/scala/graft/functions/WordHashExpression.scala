@@ -10,11 +10,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * codegen paths of [[KarpRabinHash]].
   */
 object WordHashUtil {
-  /** base-131 polynomial over the word's UTF-16 character codes mod
-    * 1000003 — numerically identical to the SQL fold it replaces
+  /** base-131 polynomial over the word's CODE POINTS mod 1000003 —
+    * numerically identical to the SQL fold it replaces
     * (`aggregate(split(w, ''), 0L, (acc, ch) -> (acc * 131 + ascii(ch))
-    * % 1000003)`) for every BMP character, since `ascii` of a 1-char
-    * string is that character's code point. acc < 2^20, so
+    * % 1000003)`): a Java-regex empty split keeps a surrogate pair as
+    * one element and `ascii` returns its code point, and the DuckDB
+    * oracle's character split is code-point-based too, so the fold must
+    * step per code point, not per UTF-16 unit. acc < 2^20, so
     * acc * 131 + code never overflows a long.
     */
   def hash(word: UTF8String): Long = {
@@ -22,8 +24,9 @@ object WordHashUtil {
     var acc = 0L
     var i = 0
     while (i < s.length) {
-      acc = (acc * 131L + s.charAt(i).toLong) % 1000003L
-      i += 1
+      val cp = s.codePointAt(i)
+      acc = (acc * 131L + cp.toLong) % 1000003L
+      i += Character.charCount(cp)
     }
     acc
   }

@@ -376,7 +376,7 @@ object Dedup {
     val words = needed.select(col(idCol).as("_id"),
       explode(wordArr(col(textCol))).as("_w"))
     val cnt = words.groupBy("_id", "_w").agg(count(lit(1)).as("_c"))
-    exactBagJaccardFromCounts(pairs, cnt, minJaccard)
+    verifyBagJaccard(pairs, cnt, minJaccard)
   }
 
   /** The verify half of [[exactBagJaccard]] over an ALREADY-BUILT
@@ -385,17 +385,26 @@ object Dedup {
     * signature table (both are per-dataset build products), so each
     * dedup run pays only the pair joins, not the corpus word explode.
     * `counts` may cover more docs than the pairs reference (the joins
-    * prune); the metric is unchanged.
+    * prune); the metric is unchanged. Candidate generation is usually
+    * an expensive self-join read twice downstream, so the pair list
+    * materializes once here ([[exactBagJaccard]] checkpoints its own
+    * pairs for the doc prune and calls the shared verify directly —
+    * no double materialization).
     */
   def exactBagJaccardFromCounts(
       cands: DataFrame,
       counts: DataFrame,
-      minJaccard: Double = 0.8): DataFrame = {
-    // read twice below (verify join + existence-preserving left join);
-    // candidate generation is an expensive self-join — materialize once
-    // (re-checkpointing an already-checkpointed input is a cache scan)
-    val pairs = cands.select("id_a", "id_b").localCheckpoint()
-    val cnt = counts
+      minJaccard: Double = 0.8): DataFrame =
+    verifyBagJaccard(cands.select("id_a", "id_b").localCheckpoint(),
+      counts, minJaccard)
+
+  /** Shared verify: `pairs` must already be materialized (it feeds the
+    * intersection join AND the existence-preserving left join below).
+    */
+  private def verifyBagJaccard(
+      pairs: DataFrame,
+      cnt: DataFrame,
+      minJaccard: Double): DataFrame = {
     val tot = cnt.groupBy("_id").agg(sum(col("_c")).as("_n"))
     val inter = pairs
       .join(cnt.select(col("_id").as("id_a"), col("_w"), col("_c").as("_ca")), "id_a")

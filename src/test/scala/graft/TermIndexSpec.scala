@@ -514,12 +514,12 @@ class TermIndexSpec extends SparkSpec {
     assert(byPiece("low").cnt >= 7L)
     assert(model.forall(m => m.n_chars == m.piece.length && m.n_chars <= 4))
     // log-probs are a proper distribution's floor-scaled logs: all
-    // negative, heavier count never gets a smaller logp
+    // negative, and strictly-heavier count implies >= logp (monotone
+    // in count — a sign or formula error inverts this)
     assert(model.forall(_.logp_scaled < 0))
     val sorted = model.sortBy(-_.cnt)
     assert(sorted.zip(sorted.tail).forall { case (x, y) =>
-      x.cnt > y.cnt || x.logp_scaled == y.logp_scaled ||
-        (x.cnt == y.cnt)
+      x.cnt == y.cnt || x.logp_scaled >= y.logp_scaled
     })
     // determinism: retraining yields the identical table
     val again = TermIndex.trainUnigram(docs, "text", "doc_id",

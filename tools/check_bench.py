@@ -62,23 +62,26 @@ PRESSURE_STALL_PCT = 5.0    # io full avg60 above this => tainted run
 # Round-13 slice contract (BASELINE.md "Round-13 slice contract"): the
 # r12 gated-slice sizes are FROZEN — bench recovery must come from plan
 # work, not workload shrinkage. Each entry is an exact source substring
-# that must appear in SparkEntry.scala; a missing one fails the gate.
-# A deliberate re-scope (only allowed direction: growing a slice back
-# after a plan speedup) must update BASELINE.md and this table together.
+# whose occurrence count in SparkEntry.scala must match EXACTLY (an
+# inequality would let one contracted slice shrink behind an unrelated
+# use of the same expression — the doc_id%2 needle also appears in the
+# non-contracted vocabDrift and driftPsi slices). Any count change —
+# a removal OR a new use — fails the gate and forces a deliberate
+# update of BASELINE.md and this table in the same commit (the only
+# allowed slice direction is growing one back after a plan speedup).
 SLICE_CONTRACT = {
     "q_copurchase (quarter baskets)":
-        'pmod(col("l_orderkey"), lit(4)) === 0',
-    "q_setsim_join / q_dedup_simhash_full / q_dedup_substring "
-    "(half corpus; 3 occurrences expected)":
-        'pmod(col("doc_id"), lit(2)) === 0',
+        ('pmod(col("l_orderkey"), lit(4)) === 0', 1),
+    "q_setsim_join + q_dedup_simhash_full + q_dedup_substring (half "
+    "corpus) plus the non-contracted vocabDrift/driftPsi uses":
+        ('pmod(col("doc_id"), lit(2)) === 0', 5),
     "q_fuzzy_match (half part dictionary)":
-        'pmod(col("p_partkey"), lit(2)) === 0',
+        ('pmod(col("p_partkey"), lit(2)) === 0', 1),
     "q_fuzzy_match (half customer dictionary)":
-        'pmod(col("c_custkey"), lit(2)) === 0',
+        ('pmod(col("c_custkey"), lit(2)) === 0', 1),
     "q_global_index (half table)":
-        'pmod(col("o_orderkey"), lit(2)) === 0',
+        ('pmod(col("o_orderkey"), lit(2)) === 0', 1),
 }
-SLICE_MIN_COUNT = {'pmod(col("doc_id"), lit(2)) === 0': 3}
 
 
 def check_slice_contract(failures):
@@ -91,12 +94,11 @@ def check_slice_contract(failures):
               "slice-contract check skipped")
         return
     src = open(entry).read()
-    for label, needle in SLICE_CONTRACT.items():
-        need = SLICE_MIN_COUNT.get(needle, 1)
+    for label, (needle, need) in SLICE_CONTRACT.items():
         have = src.count(needle)
-        if have < need:
+        if have != need:
             failures.append(
-                f"slice contract broken: {label}: expected >= {need} "
+                f"slice contract broken: {label}: expected exactly {need} "
                 f"occurrence(s) of `{needle}` in SparkEntry.scala, "
                 f"found {have} (BASELINE.md Round-13 slice contract)")
 
