@@ -385,4 +385,38 @@ class NativeExpressionDifferentialSpec extends SparkSpec {
       "SELECT graft_edit_within1('kitten', 'sitten') AS d").head().getInt(0)
     assert(viaSql2 === 1)
   }
+
+  test("graft_word_hash == the SQL fold it replaced, incl. astral code points") {
+    import graft.functions.GraftFunctions.graftWordHash
+    import spark.implicits._
+    // the replaced formulation: aggregate over an empty-regex split —
+    // Java regex keeps a surrogate pair as ONE element, ascii() returns
+    // its code point, so the fold steps per code point
+    val words = Seq("alpha", "x", "", "café", "ab𝄞c").toDF("w")
+    val got = words.select(col("w"), graftWordHash(col("w")).as("native"),
+        aggregate(
+          filter(split(col("w"), ""), s => length(s) > 0),
+          lit(0L),
+          (acc, ch) => pmod(acc * 131L + ascii(ch), lit(1000003L))).as("sql"))
+      .collect()
+    got.foreach(r => assert(r.getLong(1) === r.getLong(2), s"word ${r.getString(0)}"))
+    // hand value for the astral case: cps 97, 98, 119070, 99
+    val exp = Seq(97L, 98L, 119070L, 99L)
+      .foldLeft(0L)((a, c) => (a * 131L + c) % 1000003L)
+    assert(got.find(_.getString(0) == "ab𝄞c").get.getLong(1) === exp)
+  }
+
+  test("graft_char_grams windows by code points, not UTF-16 units") {
+    import graft.functions.GraftFunctions.graftCharGrams
+    import spark.implicits._
+    val g = Seq("a𝄞b c").toDF("t")
+      .select(graftCharGrams(col("t"), 3, 0).as("g")).head().getSeq[String](0)
+    // canonical "a𝄞b c" = 5 code points -> 3 trigrams, the astral char
+    // counted as ONE character in every window
+    assert(g === Seq("a𝄞b", "𝄞b ", "b c"))
+    // truncation cuts on a code-point boundary, never mid-surrogate
+    val t = Seq("𝄞𝄞𝄞𝄞").toDF("t")
+      .select(graftCharGrams(col("t"), 3, 3).as("g")).head().getSeq[String](0)
+    assert(t === Seq("𝄞𝄞𝄞"))
+  }
 }
