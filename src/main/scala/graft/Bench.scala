@@ -225,6 +225,9 @@ object Bench {
     // q_langid_nb stays HEADLINE: a genuinely new analytic corpus scan.
     "q_gopher_ngram", "q_dedup_recall", "q_unigram_tokenizer",
     "q_unigram_encode",
+    // capped variant of the billed q_setsim_join (same family plan
+    // with the stop-token cap — the sf1-rehearsal production path)
+    "q_setsim_capped",
     "q_sparse_knn_incr",
     "q_decontaminate_semantic",
     "q_corpus_report", "q_vocab_drift", "q_source_quality",

@@ -1624,6 +1624,41 @@ object SparkEntry {
     * losslessness is verified on every run, not assumed. Jaccard is
     * one integer-ratio double on both engines.
     */
+  /** Planted docs for the capped set-sim gate: ten carriers of a
+    * deliberate stop-shingle ("capstop capstop capstop", df 12 — over
+    * the cap at every scale, so the cap provably bites), plus one
+    * near-dup pair whose similarity flows through RETAINED shingles
+    * (their capped-universe Jaccard is 4/6 vs 5/7 uncapped — a wrong
+    * or missing cap shifts the reported values and reds the gate).
+    */
+  private val setsimCapSentinels: Seq[(Long, String)] =
+    (1 to 10).map(i => (995000L + i,
+      s"capstop capstop capstop capstop uniq${i}a uniq${i}b uniq${i}c uniq${i}d")) ++
+      Seq(
+        (995011L, "capstop capstop capstop alpha1 beta1 gamma1 delta1 epsilon1"),
+        (995012L, "capstop capstop capstop alpha1 beta1 gamma1 delta1 zeta1"))
+
+  /** STOP-TOKEN-CAPPED set-similarity join under the gate
+    * ([[operators.SetSimJoin.selfJoinTokensCapped]]) — the production
+    * complement the sf1 rehearsal motivated: the uncapped AllPairs
+    * gate measured 107x for 10x data on the vocabulary-saturated
+    * synthetic (SCALE.md), and the df cap is the standard trade that
+    * restores linearity (bounded per-token fan-out; the metric becomes
+    * the true Jaccard over the retained universe). The oracle replays
+    * the same cap, threshold, and arithmetic from source.
+    */
+  private def setSimCappedQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, d, "documents").filter(col("doc_id") < 2500)
+      .select(col("doc_id"), col("text"))
+      .unionAll(setsimCapSentinels.toDF("doc_id", "text"))
+    SetSimJoin.selfJoinTokensCapped(
+        Dedup.shingles(docs, "text", "doc_id", 3)
+          .select(col("id"), col("shingle").as("w")),
+        threshold = 0.5, maxDf = 8)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Per-dataset set-similarity artifact ([[standing]], r12 verdict
     * item 6): the (id, token) shingle table and its threshold-keyed
     * prefix table persist once; each join run pays only candidate
@@ -4747,6 +4782,7 @@ object SparkEntry {
     "q_readability" -> (readabilityQ _),
     "q_entity_resolution" -> (entityResolution _),
     "q_setsim_join" -> (setSimJoinQ _),
+    "q_setsim_capped" -> (setSimCappedQ _),
     "q_script_detect" -> (scriptDetect _),
     "q_distinct_shards" -> (distinctShards _),
     "q_countmin" -> (countMinQ _),
@@ -7769,6 +7805,39 @@ object SparkEntry {
     // NO prefix filter — an independent all-candidate derivation over
     // the same half-corpus slice; the Jaccard double is the same
     // integer ratio on both engines.
+    // Capped set-sim: same shingle replay, with the df <= 8 stop-token
+    // filter applied to the universe BEFORE sizes/intersections (both
+    // sides see the reduced sets — the true-Jaccard-over-retained
+    // trade), sentinel text shared verbatim.
+    "q_setsim_capped" -> {
+      val sentVals = setsimCapSentinels
+        .map { case (id, t) => s"(CAST($id AS BIGINT), ${sqlStringLit(t)})" }
+        .mkString(",\n         |    ")
+      s"""WITH sent(doc_id, text) AS (VALUES
+         |    $sentVals),
+         |docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 2500
+         |         UNION ALL SELECT * FROM sent),
+         |words AS (SELECT doc_id,
+         |    string_split_regex(trim(text), '\\s+') AS ws FROM docs),
+         |sh0 AS (SELECT DISTINCT doc_id AS id,
+         |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS w
+         |  FROM words, UNNEST(range(1, len(ws) - 1)) AS t(i)
+         |  WHERE len(ws) >= 3),
+         |kept AS (SELECT w FROM (SELECT w, count(*) AS df FROM sh0 GROUP BY 1)
+         |         WHERE df <= 8),
+         |sh AS (SELECT sh0.* FROM sh0 JOIN kept USING (w)),
+         |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+         |  FROM sh a JOIN sh b ON a.w = b.w AND a.id < b.id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, CAST(n_inter AS BIGINT) AS n_inter,
+         |  CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON sa.id = id_a
+         |JOIN sizes sb ON sb.id = id_b
+         |WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin
+    },
     "q_setsim_join" ->
       """WITH words AS (SELECT doc_id,
         |    string_split_regex(trim(text), '\s+') AS ws FROM documents

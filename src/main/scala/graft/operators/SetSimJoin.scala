@@ -64,6 +64,34 @@ object SetSimJoin {
     selfJoinFromPrefix(words, prefix, threshold)
   }
 
+  /** [[selfJoinTokens]] with the STOP-TOKEN cap — the production path
+    * for vocabulary-saturated corpora: tokens whose document frequency
+    * exceeds `maxDf` leave the universe BEFORE sizes and prefixes are
+    * computed, so both sides of every pair see the same reduced token
+    * sets and the metric stays a true Jaccard over the retained
+    * universe (the [[Dedup.jaccardPairs]] maxDf trade, applied to the
+    * prefix-filter join). Why it exists: AllPairs candidate volume is
+    * sum over prefix tokens of df^2 — sub-quadratic on Zipfian corpora
+    * where rare-token df stays ~constant, but QUADRATIC when the
+    * vocabulary saturates and every token's df grows with the corpus
+    * (measured: the uncapped gate went 107x for 10x data on the
+    * fixed-32-word synthetic at sf1, SCALE.md rehearsal). The cap
+    * bounds per-token fan-out by construction: candidate volume
+    * <= maxDf * retained-token-occurrences — linear in the corpus at
+    * fixed maxDf. A document whose every token is capped away drops
+    * out (it has no retained set to compare).
+    */
+  def selfJoinTokensCapped(tokens: DataFrame, threshold: Double,
+      maxDf: Int): DataFrame = {
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    val words0 = tokens.select(col("id"), col("w")).localCheckpoint()
+    val kept = words0.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("w")
+    val words = words0.join(kept, "w").select("id", "w").localCheckpoint()
+    val prefix = prefixTable(words, threshold).localCheckpoint()
+    selfJoinFromPrefix(words, prefix, threshold)
+  }
+
   /** The BUILD half of [[selfJoinTokens]]: the (id, w, n, pos) prefix
     * table for a threshold — per-doc token rank in the global
     * (df asc, token) order, truncated to the prefix-filtering bound.

@@ -81,6 +81,32 @@ class SetSimJoinSpec extends SparkSpec {
     assert(got === Set((1L, 2L)))
   }
 
+  test("capped join: stop tokens leave the universe on BOTH sides of the metric") {
+    import spark.implicits._
+    // "stop" appears in every doc (df 4 > cap 2); the pair (1,2) shares
+    // {stop, x, y} of {stop, x, y, u1|u2}. Uncapped J = 3/5 = 0.6;
+    // capped universe drops "stop" for EVERYONE: J = 2/4 = 0.5.
+    val docs = Seq(
+      1L -> Seq("stop", "x", "y", "u1"),
+      2L -> Seq("stop", "x", "y", "u2"),
+      3L -> Seq("stop", "p", "q", "r"),
+      4L -> Seq("stop", "m", "n", "o")).flatMap { case (id, ws) =>
+      ws.map(w => (id, w))
+    }.toDF("id", "w")
+    val capped = SetSimJoin.selfJoinTokensCapped(docs, 0.5, maxDf = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    assert(capped.keySet === Set((1L, 2L)))
+    assert(capped((1L, 2L)) === ((2L, 0.5)))
+    // uncapped sees the extra shared stop token
+    val uncapped = SetSimJoin.selfJoinTokens(docs, 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(uncapped((1L, 2L)) === 3L)
+    // a doc whose every token is capped away simply drops out
+    val all = Seq((1L, "s"), (2L, "s"), (3L, "s")).toDF("id", "w")
+    assert(SetSimJoin.selfJoinTokensCapped(all, 0.5, maxDf = 2).isEmpty)
+  }
+
   test("plan: prefix equi-join only - no cartesian, no nested-loop join") {
     val docs = Seq(1L -> Set("a", "b"), 2L -> Set("b", "c"))
     val plan = SetSimJoin.selfJoinTokens(tokensDf(docs), 0.5)
