@@ -1647,15 +1647,34 @@ object SparkEntry {
     * the true Jaccard over the retained universe). The oracle replays
     * the same cap, threshold, and arithmetic from source.
     */
+  /** Capped words + prefix tables persist per dataset like the
+    * uncapped sibling's ([[setSimArtifactPath]]): the capped universe
+    * (slice + sentinels + df filter) is a pure dataset function, so
+    * each run pays candidates + verify only.
+    */
+  private def setSimCappedArtifactPath(s: SparkSession, d: String): String =
+    standing(s"setsimcap:$d:0.5:8") {
+      import s.implicits._
+      val base = s"$artifactRoot/setsimcap/${dirTag(d)}"
+      val docs = t(s, d, "documents").filter(col("doc_id") < 2500)
+        .select(col("doc_id"), col("text"))
+        .unionAll(setsimCapSentinels.toDF("doc_id", "text"))
+      val tokens = Dedup.shingles(docs, "text", "doc_id", 3)
+        .select(col("id"), col("shingle").as("w")).localCheckpoint()
+      val kept = tokens.groupBy(col("w")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 8).select("w")
+      val words = tokens.join(kept, "w").select("id", "w").localCheckpoint()
+      words.write.mode("overwrite").parquet(s"$base/words.parquet")
+      SetSimJoin.prefixTable(words, 0.5)
+        .write.mode("overwrite").parquet(s"$base/prefix.parquet")
+      base
+    }
+
   private def setSimCappedQ(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val docs = t(s, d, "documents").filter(col("doc_id") < 2500)
-      .select(col("doc_id"), col("text"))
-      .unionAll(setsimCapSentinels.toDF("doc_id", "text"))
-    SetSimJoin.selfJoinTokensCapped(
-        Dedup.shingles(docs, "text", "doc_id", 3)
-          .select(col("id"), col("shingle").as("w")),
-        threshold = 0.5, maxDf = 8)
+    val base = setSimCappedArtifactPath(s, d)
+    SetSimJoin.selfJoinFromPrefix(
+        s.read.parquet(s"$base/words.parquet"),
+        s.read.parquet(s"$base/prefix.parquet"), threshold = 0.5)
       .orderBy(col("id_a"), col("id_b"))
   }
 
