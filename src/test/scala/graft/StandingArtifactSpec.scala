@@ -24,7 +24,8 @@ class StandingArtifactSpec extends SparkSpec {
   // the dedup-recall signature+target pair
   private val artifactGates = Seq(
     "q_sparse_index_build", "q_bpe_train", "q_unigram_tokenizer",
-    "q_dedup_simhash_full", "q_setsim_join", "q_dedup_recall")
+    "q_dedup_simhash_full", "q_setsim_join", "q_setsim_capped",
+    "q_dedup_recall")
 
   test("fresh first-touch rebuild equals the persisted artifact, every family") {
     artifactGates.foreach { q =>
