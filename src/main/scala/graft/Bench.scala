@@ -223,7 +223,13 @@ object Bench {
     // q_unigram_tokenizer is the trainer-family gate beside
     // q_bpe_train (standing-memo amortized like the BPE table).
     // q_langid_nb stays HEADLINE: a genuinely new analytic corpus scan.
-    "q_gopher_ngram", "q_dedup_recall", "q_unigram_tokenizer",
+    // q_simhash_recall / q_containment_recall: same eval-composition
+    // taxonomy, for the combination-banding and chunk-banding families
+    // (probe joins over the billed q_dedup_simhash_full /
+    // q_quote_mining machinery).
+    "q_gopher_ngram", "q_dedup_recall", "q_simhash_recall",
+    "q_containment_recall",
+    "q_unigram_tokenizer",
     "q_unigram_encode",
     // capped variant of the billed q_setsim_join (same family plan
     // with the stop-token cap — the sf1-rehearsal production path)

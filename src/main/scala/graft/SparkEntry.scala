@@ -2211,6 +2211,135 @@ object SparkEntry {
       .filter(col("recall") >= 0.95)
   }
 
+  /** Full-corpus SimHash signatures for the SimHash recall readout,
+    * persisted per dataset like [[recallSigPath]]'s MinHash table.
+    */
+  private def simhashRecallSigPath(s: SparkSession, d: String): String =
+    standing(s"simrecsigs:$d") {
+      val base = s"$dedupRecallDir/${dirTag(d)}"
+      Dedup.simHash(t(s, d, "documents").select(col("doc_id"), col("text")),
+          "text", "doc_id")
+        .write.mode("overwrite").parquet(s"$base/simsigs.parquet")
+      base
+    }
+
+  /** HONEST SimHash recall readout — the q_ann_recall pattern (measure,
+    * don't assert) for the combination-banding family: the
+    * [[dedupRecallPlanted]] twins probe the corpus through the
+    * q_dedup_simhash_full config (8 pieces, Hamming <= 6, exact bag
+    * Jaccard >= 0.8 verify) via the pair-identical asymmetric join
+    * ([[operators.Dedup.simHashProbe]]); ground truth is the COMPLETE
+    * bag-Jaccard probe ([[operators.Dedup.probeBagJaccard]]). Unlike
+    * q_dedup_recall this row is UNFILTERED: combination banding is
+    * complete for its HAMMING radius (DedupSpec pigeonhole proof), but
+    * the radius is not the metric — a bag-J 0.8 pair's expected Hamming
+    * can exceed 6 — and this gate measures exactly that envelope, the
+    * honest number a production dedup configs against.
+    */
+  private def simhashRecall(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    val planted = dedupRecallPlanted(docs)
+    val universe = docs.unionByName(planted)
+    val cands = Dedup.simHashProbe(
+      s.read.parquet(s"${simhashRecallSigPath(s, d)}/simsigs.parquet"),
+      Dedup.simHash(planted, "text", "doc_id"), maxHamming = 6, pieces = 8)
+    val found = Dedup.exactBagJaccard(
+        cands.select(col("id_a"), col("id_b")),
+        universe, "text", "doc_id", minJaccard = 0.8)
+      .filter(col("id_a") < 980000L && col("id_b") >= 980000L)
+    found.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dedupRecallDir/simfound.parquet")
+    val foundBack = s.read.parquet(s"$dedupRecallDir/simfound.parquet")
+    val target = Dedup.probeBagJaccard(docs, planted, "text", "doc_id",
+      minJaccard = 0.8)
+    target.agg(count(lit(1)).as("n_target"))
+      .crossJoin(foundBack.agg(count(lit(1)).as("n_found")))
+      .select(col("n_target"), col("n_found"),
+        round(col("n_found").cast(DoubleType) /
+          greatest(col("n_target"), lit(1L)).cast(DoubleType), 6).as("recall"))
+  }
+
+  /** Planted verbatim quotes for the containment recall readout: 50
+    * probe docs, each a CONTIGUOUS word slice of a corpus document
+    * (doc_id % 10 == 5, doc_id < 500) — slice length from a 6..40-word
+    * schedule (below, at, and above the 32-word chunk width) and start
+    * offset 0 or 4 (deliberately NOT stride-aligned, unlike
+    * q_quote_mining's structural sentinel). A verbatim slice's shingles
+    * are all present in its source, so (source, probe) containment is
+    * exactly 1.0 — every probe contributes a known-true target pair
+    * while the offsets/lengths exercise the probabilistic part of the
+    * chunk banding. Deterministic and replayable in both engines
+    * (list_slice over the \s+-split word list).
+    */
+  private val quoteRecallLens = Seq(6, 8, 10, 12, 16, 20, 24, 28, 32, 40)
+
+  private def quoteRecallPlanted(docs: DataFrame): DataFrame = {
+    val l = element_at(typedLit(quoteRecallLens),
+      (pmod(expr("doc_id div 10"), lit(10)) + 1).cast("int"))
+    val off = pmod(expr("doc_id div 10"), lit(2)) * 4
+    val ws = split(trim(col("text")), "\\s+")
+    docs.filter(col("doc_id") < 500 && pmod(col("doc_id"), lit(10)) === 5)
+      .select((col("doc_id") + 990000L).as("doc_id"),
+        array_join(slice(ws, off + 1, l), " ").as("text"))
+  }
+
+  /** Corpus banded chunk keys for the containment recall readout,
+    * persisted per dataset ([[operators.Dedup.chunkBandKeys]] under the
+    * q_quote_mining production config: 32-word chunks, stride 16, 32
+    * hashes, 16 bands).
+    */
+  private def quoteRecallBandPath(s: SparkSession, d: String): String =
+    standing(s"qrecbands:$d") {
+      val base = s"$dedupRecallDir/${dirTag(d)}"
+      Dedup.chunkBandKeys(t(s, d, "documents").select(col("doc_id"), col("text")),
+          "text", "doc_id", chunkWords = 32, stride = 16,
+          numHashes = 32, bands = 16)
+        .write.mode("overwrite").parquet(s"$base/qbands.parquet")
+      base
+    }
+
+  /** HONEST chunk-LSH containment recall readout — the third leg of the
+    * recall triple (q_dedup_recall: MinHash banding, asserted;
+    * q_simhash_recall: combination banding, measured; this: chunk
+    * banding on the quote-mining config, measured): the
+    * [[quoteRecallPlanted]] verbatim slices probe the corpus through
+    * 32/16 chunk banding ([[operators.Dedup.chunkLshProbe]] over the
+    * persisted corpus band table) with directed-containment >= 0.5
+    * exact verify; ground truth is the COMPLETE probe containment
+    * ([[operators.Dedup.probeContainment]]). UNFILTERED by design:
+    * q_quote_mining's planted sentinel proves the stride-aligned
+    * 32-word case structurally, while this row measures the envelope a
+    * production quote miner actually configs against — quotes SHORTER
+    * than the chunk width collide only probabilistically (a 6-word
+    * quote's chunk shares ~4/30 shingles with its covering corpus
+    * window), so recall here is genuinely below 1.0 and the number is
+    * the point.
+    */
+  private def containmentRecall(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    val planted = quoteRecallPlanted(docs)
+    val universe = docs.unionByName(planted)
+    val cands = Dedup.chunkLshProbe(
+      s.read.parquet(s"${quoteRecallBandPath(s, d)}/qbands.parquet"),
+      Dedup.chunkBandKeys(planted, "text", "doc_id", chunkWords = 32,
+        stride = 16, numHashes = 32, bands = 16))
+    val found = Dedup.containmentForPairs(
+        cands.select(col("id_a"), col("id_b")),
+        universe, "text", "doc_id", n = 3, minContainment = 0.5)
+      .filter(col("contained_id") >= 990000L && col("container_id") < 980000L)
+    found.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dedupRecallDir/qfound.parquet")
+    val foundBack = s.read.parquet(s"$dedupRecallDir/qfound.parquet")
+    val target = Dedup.probeContainment(docs, planted, "text", "doc_id",
+        n = 3, minContainment = 0.5)
+      .filter(col("contained_id") >= 990000L && col("container_id") < 980000L)
+    target.agg(count(lit(1)).as("n_target"))
+      .crossJoin(foundBack.agg(count(lit(1)).as("n_found")))
+      .select(col("n_target"), col("n_found"),
+        round(col("n_found").cast(DoubleType) /
+          greatest(col("n_target"), lit(1L)).cast(DoubleType), 6).as("recall"))
+  }
+
   /** Incremental dedup: the 20% of docs with doc_id % 5 == 0 arrive as a
     * new batch and are classified against the standing 80% — exact /
     * near / unique with the smallest matching corpus id. The oracle is
@@ -4691,6 +4820,8 @@ object SparkEntry {
     "q_dedup_minhash" -> (dedupMinhash _),
     "q_dedup_lsh_full" -> (dedupLshFull _),
     "q_dedup_recall" -> (dedupRecall _),
+    "q_simhash_recall" -> (simhashRecall _),
+    "q_containment_recall" -> (containmentRecall _),
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_dedup_simhash_full" -> (dedupSimhashFull _),
     "q_dedup_incremental" -> (dedupIncremental _),
@@ -6810,6 +6941,86 @@ object SparkEntry {
     // standard shingle replay, counts the dumped engine pairs that
     // genuinely belong to the target (soundness), and emits its summary
     // row UNFILTERED — the engine's >= 0.95 filter is the assertion.
+    // SimHash recall readout: planted-twin replay (shared mutation
+    // schedule), COMPLETE bag-Jaccard target via the word-count
+    // min-sum formulation, dumped-pair soundness via the target join,
+    // unfiltered summary row.
+    "q_simhash_recall" -> {
+      val muts = dedupRecallMuts.mkString("[", ", ", "]")
+      s"""WITH docs AS (SELECT doc_id, text FROM documents),
+         |mut AS (SELECT doc_id,
+         |    ($muts)[CAST((doc_id // 10) % 10 + 1 AS INT)] AS m,
+         |    string_split_regex(trim(text), '\\s+') AS ws
+         |  FROM docs WHERE doc_id < 500 AND doc_id % 10 = 0),
+         |planted AS (SELECT doc_id + 980000 AS doc_id,
+         |    array_to_string(list_transform(ws,
+         |      (w, i) -> CASE WHEN i % m = 0 THEN 'xmutx' ELSE w END), ' ') AS text
+         |  FROM mut),
+         |all0 AS (SELECT doc_id, text FROM docs UNION ALL SELECT * FROM planted),
+         |wrds AS (SELECT doc_id,
+         |    unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+         |      x -> len(x) > 0)) AS word
+         |  FROM all0),
+         |cnt AS (SELECT doc_id, word, count(*) AS c FROM wrds GROUP BY 1, 2),
+         |tot AS (SELECT doc_id, sum(c) AS n FROM cnt GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    sum(least(a.c, b.c)) AS ni
+         |  FROM cnt a JOIN cnt b ON a.word = b.word
+         |  WHERE a.doc_id < 980000 AND b.doc_id >= 980000
+         |  GROUP BY 1, 2),
+         |target AS (SELECT id_a, id_b
+         |  FROM inter
+         |  JOIN tot ta ON ta.doc_id = id_a
+         |  JOIN tot tb ON tb.doc_id = id_b
+         |  WHERE CAST(ni AS DOUBLE) / (ta.n + tb.n - ni) >= 0.8),
+         |pairs AS (SELECT id_a, id_b
+         |  FROM read_parquet('$dedupRecallDir/simfound.parquet/*.parquet')),
+         |sound AS (SELECT p.id_a FROM pairs p
+         |  JOIN target t ON t.id_a = p.id_a AND t.id_b = p.id_b)
+         |SELECT CAST((SELECT count(*) FROM target) AS BIGINT) AS n_target,
+         |  CAST((SELECT count(*) FROM sound) AS BIGINT) AS n_found,
+         |  round(CAST((SELECT count(*) FROM sound) AS DOUBLE) /
+         |        greatest((SELECT count(*) FROM target), 1), 6) AS recall""".stripMargin
+    },
+    // Containment recall readout: planted verbatim-slice replay (shared
+    // length/offset schedule), COMPLETE directed-containment target
+    // over distinct 3-shingles, dumped-pair soundness via the target
+    // join, unfiltered summary row.
+    "q_containment_recall" -> {
+      val lens = quoteRecallLens.mkString("[", ", ", "]")
+      s"""WITH docs AS (SELECT doc_id, text FROM documents),
+         |sl AS (SELECT doc_id,
+         |    ($lens)[CAST((doc_id // 10) % 10 + 1 AS INT)] AS l,
+         |    ((doc_id // 10) % 2) * 4 AS o,
+         |    string_split_regex(trim(text), '\\s+') AS ws
+         |  FROM docs WHERE doc_id < 500 AND doc_id % 10 = 5),
+         |planted AS (SELECT doc_id + 990000 AS doc_id,
+         |    array_to_string(list_slice(ws, o + 1, o + l), ' ') AS text
+         |  FROM sl),
+         |all0 AS (SELECT doc_id, text FROM docs UNION ALL SELECT * FROM planted),
+         |words AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM all0),
+         |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+         |       FROM words, UNNEST(range(1, len(ws) - 1)) AS t(i)
+         |       WHERE len(ws) >= 3),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+         |          FROM sh a JOIN sh b ON a.shingle = b.shingle
+         |          WHERE a.doc_id < 980000 AND b.doc_id >= 990000
+         |          GROUP BY 1, 2),
+         |target AS (SELECT id_a AS container_id, id_b AS contained_id
+         |           FROM inter
+         |           JOIN sizes sb ON sb.doc_id = id_b
+         |           WHERE CAST(n_inter AS DOUBLE) / sb.n_sh >= 0.5),
+         |pairs AS (SELECT contained_id, container_id
+         |          FROM read_parquet('$dedupRecallDir/qfound.parquet/*.parquet')),
+         |sound AS (SELECT p.contained_id FROM pairs p
+         |          JOIN target t ON t.contained_id = p.contained_id
+         |                       AND t.container_id = p.container_id)
+         |SELECT CAST((SELECT count(*) FROM target) AS BIGINT) AS n_target,
+         |  CAST((SELECT count(*) FROM sound) AS BIGINT) AS n_found,
+         |  round(CAST((SELECT count(*) FROM sound) AS DOUBLE) /
+         |        greatest((SELECT count(*) FROM target), 1), 6) AS recall""".stripMargin
+    },
     "q_dedup_recall" -> {
       val muts = dedupRecallMuts.mkString("[", ", ", "]")
       s"""WITH docs AS (SELECT doc_id, text FROM documents),

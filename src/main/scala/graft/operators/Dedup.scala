@@ -220,6 +220,31 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 16,
       shingleN: Int = 3): DataFrame = {
+    val banded = chunkBandKeys(docs, textCol, idCol, chunkWords, stride,
+      numHashes, bands, shingleN)
+    banded.as("x").join(banded.as("y"),
+        col("x.bk") === col("y.bk") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+  }
+
+  /** The banded-chunk-key half of [[chunkLshCandidates]]: one (id, bk)
+    * row per band of each chunk's MinHash signature. Factored out so a
+    * deployment can PERSIST the corpus's banded chunk table as a
+    * per-dataset artifact (it is a pure function of the corpus and the
+    * config, like the SimHash signature table) and run both the
+    * self-join and the asymmetric probe join ([[chunkLshProbe]])
+    * against it without re-chunking the corpus.
+    */
+  def chunkBandKeys(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      chunkWords: Int = 32,
+      stride: Int = 16,
+      numHashes: Int = 32,
+      bands: Int = 16,
+      shingleN: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     require(stride > 0 && stride <= chunkWords, "stride must be in [1, chunkWords]")
     val chunks = docs
@@ -239,13 +264,55 @@ object Dedup {
       .withColumn("h", pmod(xxhash64(col("shingle")), lit(MinHash.MersennePrime)))
       .groupBy("id", "_off")
       .agg(graftMinHash(col("h"), numHashes).as("signature"))
-    val banded = sigs.select(col("id"),
+    sigs.select(col("id"),
       explode(graft.functions.GraftFunctions.graftMinHashBands(
         col("signature"), bands)).as("bk"))
-    banded.as("x").join(banded.as("y"),
-        col("x.bk") === col("y.bk") && col("x.id") < col("y.id"))
+  }
+
+  /** ASYMMETRIC chunk-LSH candidates — [[chunkLshCandidates]]'s probe
+    * twin (the [[minHashLshProbe]] pattern for the quote-mining
+    * family): (corpus, probe) pairs whose chunks share a band bucket,
+    * from a probe-side-broadcast equi-join over ALREADY-BANDED chunk
+    * key tables ([[chunkBandKeys]] both sides; the corpus side is the
+    * persisted artifact). Pair-identical to the self-join — bucket
+    * membership is a function of each side's chunks alone — at
+    * probe-sized cost. Output: distinct (id_a = corpus, id_b = probe).
+    */
+  def chunkLshProbe(corpusBands: DataFrame, probeBands: DataFrame): DataFrame =
+    corpusBands.as("x").join(broadcast(probeBands.as("y")),
+        col("x.bk") === col("y.bk") && col("x.id") =!= col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
+
+  /** COMPLETE directed containment of a small PROBE set against the
+    * corpus — the [[probeJaccard]] twin on the containment metric (the
+    * quote family's exact verifier): every (corpus, probe) pair where
+    * either direction's |A∩B|/|A| clears `minContainment`, no LSH, no
+    * chunking, no df cap. A pair with containment > 0 shares a
+    * shingle, so the probe-shingle equi-join (probe side broadcast) is
+    * a complete candidate generator; the verify is
+    * [[containmentForPairs]]'s own arithmetic (both directions — the
+    * caller filters to the direction it plants).
+    */
+  def probeContainment(
+      corpus: DataFrame,
+      probe: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      minContainment: Double = 0.5): DataFrame = {
+    // shingleArr is distinct per row, so the exploded tables are
+    // already (id, shingle)-distinct — no global dedup shuffle needed
+    val cs = corpus.select(col(idCol).as("id_a"),
+      explode(shingleArr(col(textCol), n)).as("_sh"))
+    val ps = probe.select(col(idCol).as("id_b"),
+      explode(shingleArr(col(textCol), n)).as("_sh"))
+    val cand = cs.join(broadcast(ps), "_sh")
+      .select("id_a", "id_b").distinct()
+    containmentForPairs(cand,
+      corpus.select(col(idCol), col(textCol))
+        .unionByName(probe.select(col(idCol), col(textCol))),
+      textCol, idCol, n, minContainment)
   }
 
   /** Directed containment for an already-small candidate pair set —
@@ -507,6 +574,53 @@ object Dedup {
           .cast("double") / numHashes)
       .filter(col("est_jaccard") >= threshold)
       .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** ASYMMETRIC SimHash candidates — the [[minHashLshProbe]] twin for
+    * the combination-banding family: (corpus, probe) pairs within the
+    * Hamming radius, from a probe-side-broadcast banded equi-join with
+    * the radius tested inside the join. Pair-identical to
+    * [[simHashGroupPairs]]'s self-join (bucket membership and Hamming
+    * distance are functions of the pair's two signatures alone), at
+    * probe-sized cost. Output: (id_a = corpus, id_b = probe, hamming).
+    */
+  def simHashProbe(
+      corpusSigs: DataFrame,
+      probeSigs: DataFrame,
+      maxHamming: Int,
+      pieces: Int): DataFrame =
+    bandedSignatures(corpusSigs, maxHamming, pieces).as("x")
+      .join(broadcast(bandedSignatures(probeSigs, maxHamming, pieces).as("y")),
+        col("x.ck") === col("y.ck") && col("x.id") =!= col("y.id") &&
+          expr("bit_count(x.simhash ^ y.simhash)") <= maxHamming)
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
+      .distinct()
+
+  /** COMPLETE exact bag Jaccard of a small PROBE set against the
+    * corpus — the [[probeJaccard]] twin on the word-MULTISET metric
+    * (the SimHash family's exact verifier): every (corpus, probe) pair
+    * whose bag Jaccard clears `minJaccard`, no LSH, no radius. A pair
+    * with bag J > 0 shares a word, so the probe-word equi-join (probe
+    * side broadcast) is a complete candidate generator; the verify is
+    * [[exactBagJaccard]]'s own arithmetic.
+    */
+  def probeBagJaccard(
+      corpus: DataFrame,
+      probe: DataFrame,
+      textCol: String,
+      idCol: String,
+      minJaccard: Double = 0.8): DataFrame = {
+    val cw = corpus.select(col(idCol).as("id_a"),
+      explode(wordArr(col(textCol))).as("_w")).distinct()
+    val pw = probe.select(col(idCol).as("id_b"),
+      explode(wordArr(col(textCol))).as("_w")).distinct()
+    val cand = cw.join(broadcast(pw), "_w")
+      .select("id_a", "id_b").distinct()
+    exactBagJaccard(cand,
+      corpus.select(col(idCol), col(textCol))
+        .unionByName(probe.select(col(idCol), col(textCol))),
+      textCol, idCol, minJaccard)
   }
 
   /** Incremental dedup — classify INCOMING documents against an EXISTING

@@ -487,4 +487,121 @@ class DedupSpec extends SparkSpec {
     // and the production banding config recalls the exact twin
     assert(found.contains((1L, 10L)))
   }
+
+  test("simHashProbe: pair-identical to brute-force cross Hamming join") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the bank"),
+      (2L, "completely different content about query engines and shuffles"),
+      (3L, "unrelated sentence mentioning mountains valleys rivers gardens")
+    ).toDF("doc_id", "text")
+    val probe = Seq(
+      // word-order permutation of corpus 1: bag-identical, so Hamming 0 —
+      // guaranteed inside any radius (a one-word edit on a 12-word doc can
+      // land anywhere on the 64-bit sphere, so it is not a stable fixture)
+      (10L, "near the bank the quick brown fox jumps over the lazy dog"),
+      (11L, "totally disjoint probe words forming another unrelated bag")
+    ).toDF("doc_id", "text")
+    val (maxH, pieces) = (6, 8)
+    val cSigs = Dedup.simHash(corpus, "text", "doc_id")
+    val pSigs = Dedup.simHash(probe, "text", "doc_id")
+    val got = Dedup.simHashProbe(cSigs, pSigs, maxH, pieces)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Int]("hamming")))
+      .toMap
+    // brute force: every (corpus, probe) signature pair within the radius —
+    // combination banding is pigeonhole-complete for maxHamming < pieces,
+    // so the probe join must find EXACTLY this set, not a subset.
+    val brute = cSigs.as("x").crossJoin(pSigs.as("y"))
+      .filter(expr("bit_count(x.simhash ^ y.simhash)") <= maxH)
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Int]("hamming")))
+      .toMap
+    assert(got === brute)
+    assert(got.contains((1L, 10L))) // planted near-dup inside the radius
+  }
+
+  test("probeBagJaccard: complete ground truth equals brute-force bag Jaccard") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val corpus = Seq(
+      (1L, "alpha beta gamma alpha delta epsilon zeta eta theta iota"),
+      (2L, "alpha beta gamma alpha delta epsilon zeta eta theta kappa"),
+      (3L, "completely different words about gardens and rivers flowing")
+    ).toDF("doc_id", "text")
+    val probe = Seq(
+      (10L, "alpha beta gamma alpha delta epsilon zeta eta theta iota"), // == 1
+      (11L, "gardens and rivers")                                        // low J vs 3
+    ).toDF("doc_id", "text")
+    val got = Dedup.probeBagJaccard(corpus, probe, "text", "doc_id",
+        minJaccard = 0.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        r.getAs[Double]("bag_jaccard"))).toMap
+    val allPairs = corpus.select(col("doc_id").as("id_a"))
+      .crossJoin(probe.select(col("doc_id").as("id_b")))
+    val brute = Dedup.exactBagJaccard(allPairs,
+        corpus.unionByName(probe), "text", "doc_id", minJaccard = 0.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        r.getAs[Double]("bag_jaccard"))).toMap
+    // probeBagJaccard omits only J = 0 pairs (no shared word)
+    assert(got === brute.filter(_._2 > 0))
+    assert(got((1L, 10L)) === 1.0)
+  }
+
+  test("chunkLshProbe: pair-identical to the self-join's cross pairs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 40-word docs so chunking (width 8, stride 4) produces several
+    // chunks per doc; probe 10 is a verbatim 12-word slice of doc 1.
+    val mk = (tag: String) => (1 to 40).map(i => s"$tag$i").mkString(" ")
+    val corpus = Seq(
+      (1L, mk("alpha")), (2L, mk("beta")), (3L, mk("gamma"))
+    ).toDF("doc_id", "text")
+    val probe = Seq(
+      (10L, (7 to 18).map(i => s"alpha$i").mkString(" ")),
+      (11L, mk("delta"))
+    ).toDF("doc_id", "text")
+    val cfg = (d: org.apache.spark.sql.DataFrame) =>
+      Dedup.chunkBandKeys(d, "text", "doc_id", chunkWords = 8, stride = 4,
+        numHashes = 32, bands = 16)
+    val got = Dedup.chunkLshProbe(cfg(corpus), cfg(probe))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the symmetric self-join over the union, restricted to cross pairs
+    val self = Dedup.chunkLshCandidates(corpus.unionByName(probe),
+        "text", "doc_id", chunkWords = 8, stride = 4,
+        numHashes = 32, bands = 16)
+      .filter(col("id_a") < 10L && col("id_b") >= 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === self)
+    assert(got.contains((1L, 10L))) // the planted verbatim slice
+  }
+
+  test("probeContainment: complete ground truth equals brute-force containment") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val corpus = Seq(
+      (1L, "one two three four five six seven eight nine ten eleven twelve"),
+      (2L, "completely different words about gardens and rivers flowing today")
+    ).toDF("doc_id", "text")
+    val probe = Seq(
+      (10L, "three four five six seven eight"), // verbatim slice of 1 -> 1.0
+      (11L, "unrelated probe tokens entirely")
+    ).toDF("doc_id", "text")
+    val got = Dedup.probeContainment(corpus, probe, "text", "doc_id",
+        n = 3, minContainment = 0.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        r.getAs[Double]("containment"))).toMap
+    val allPairs = corpus.select(col("doc_id").as("id_a"))
+      .crossJoin(probe.select(col("doc_id").as("id_b")))
+    val brute = Dedup.containmentForPairs(allPairs,
+        corpus.unionByName(probe), "text", "doc_id", n = 3,
+        minContainment = 0.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        r.getAs[Double]("containment"))).toMap
+    // probeContainment omits only zero-overlap pairs (no shared shingle)
+    assert(got === brute.filter(_._2 > 0))
+    // the verbatim slice is fully contained in its source
+    assert(got((10L, 1L)) === 1.0)
+  }
 }
