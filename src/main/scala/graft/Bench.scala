@@ -235,6 +235,9 @@ object Bench {
     // with the stop-token cap — the sf1-rehearsal production path)
     "q_setsim_capped",
     "q_sparse_knn_incr",
+    // its vector-side sibling: merged==fresh store maintenance gate
+    // over the billed q_embed_ivf machinery
+    "q_ivf_incr",
     "q_decontaminate_semantic",
     "q_corpus_report", "q_vocab_drift", "q_source_quality",
     "q_gopher_repetition",

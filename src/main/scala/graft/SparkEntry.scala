@@ -2716,6 +2716,82 @@ object SparkEntry {
       .orderBy(col("cosine").desc, col("vec_id"))
   }
 
+  private lazy val ivfIncrDir = s"$artifactRoot/ivfincr"
+
+  /** Standing IVF store (the vector-side q_sparse_knn_incr): centroids
+    * trained ONCE on the standing 80% (vec_id % 5 != 0) and frozen, the
+    * 80%'s assignments persisted `partitionBy(cell)` per dataset.
+    */
+  private def ivfStorePath(s: SparkSession, d: String): String =
+    standing(s"ivfstore:$d") {
+      import s.implicits._
+      val base = s"$ivfIncrDir/${dirTag(d)}"
+      val standing80 = t(s, d, "embeddings")
+        .filter(pmod(col("vec_id"), lit(5)) =!= 0)
+      val cs = IvfIndex.trainCentroids(standing80, "embedding", "vec_id",
+        nlist = 8, iters = 5)
+      cs.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+        .toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/centroids.parquet")
+      IvfIndex.assign(standing80, "embedding", "vec_id", cs)
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$base/store.parquet")
+      base
+    }
+
+  /** Incremental IVF index maintenance ([[operators.IvfIndex.assign]] /
+    * [[operators.IvfIndex.ivfTopKFromStore]]): the 20% of vectors with
+    * vec_id % 5 == 0 arrive as a batch, are assigned under the FROZEN
+    * standing-corpus centroids (one row-local scan — nothing standing
+    * is touched), and the merged store serves a 3-query retrieval panel
+    * at k=10, nprobe=4. The engine asserts merged == from-scratch
+    * assignment of everything (exceptAll both ways — the structural
+    * guarantee that incremental maintenance never degrades the index),
+    * emitting rows only when they are identical; the oracle replays
+    * assignment, probe selection, and cosine ranking for the whole
+    * panel from the dumped centroid table (the q_embed_ivf technique),
+    * so a divergent store reds the gate as 30 oracle rows vs 0.
+    */
+  private def ivfIncr(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val base = ivfStorePath(s, d)
+    val cents = s.read.parquet(s"$base/centroids.parquet")
+      .orderBy(col("cell")).collect()
+    val cs = cents.map(_.getSeq[Double](1).toArray)
+    // run-scoped copy at the oracle's fixed path (the found.parquet
+    // convention: standing artifacts are per-dataset-tagged, oracle
+    // inputs are refreshed every run)
+    s.read.parquet(s"$base/centroids.parquet")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$ivfIncrDir/centroids.parquet")
+    val incoming = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+    val merged = s.read.parquet(s"$base/store.parquet")
+      .select(col("id"), col("cell"), col("vec"))
+      .unionByName(IvfIndex.assign(incoming, "embedding", "vec_id", cs))
+      .localCheckpoint() // read by the guard + every panel retrieval
+    val fresh = IvfIndex.assign(emb, "embedding", "vec_id", cs)
+    val ok = merged.select(col("id"), col("cell"))
+      .exceptAll(fresh.select(col("id"), col("cell")))
+      .unionByName(fresh.select(col("id"), col("cell"))
+        .exceptAll(merged.select(col("id"), col("cell"))))
+      .agg(count(lit(1)).as("_nd"))
+      .filter(col("_nd") === 0).select(lit(1).as("_ok"))
+    val panel = Seq(0L, 17L, 42L)
+    val qvs = emb.filter(col("vec_id").isin(panel: _*))
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val res = panel.map { qid =>
+      val qv = qvs.getOrElse(qid,
+        sys.error(s"panel vector $qid missing from embeddings"))
+      IvfIndex.ivfTopKFromStore(merged, qv, cs, k = 10, nprobe = 4,
+          roundTo = 4)
+        .withColumn("qid", lit(qid))
+    }.reduce(_ unionByName _)
+    res.crossJoin(ok)
+      .select(col("qid"), col("id").as("vec_id"), col("cosine"))
+      .orderBy(col("qid"), col("cosine").desc, col("vec_id"))
+  }
+
   private lazy val pqDir = s"$artifactRoot/pq"
 
   /** Product-quantization ANN ([[operators.PqIndex]]): 8 subspaces x 16
@@ -4862,6 +4938,7 @@ object SparkEntry {
     "q_ann_recall" -> (annRecall _),
     "q_ann_recall_hi" -> (annRecallHi _),
     "q_embed_ivf" -> (embedIvf _),
+    "q_ivf_incr" -> (ivfIncr _),
     "q_embed_pq" -> (embedPq _),
     "q_embed_ivfpq" -> (embedIvfPq _),
     "q_embed_neardup" -> (embedNearDup _),
@@ -7133,6 +7210,36 @@ object SparkEntry {
          |        (sqrt(list_dot_product(e, e)) * (SELECT sqrt(list_dot_product(qe, qe)) FROM q)), 4) AS cosine
          |      FROM assign WHERE cell IN (SELECT cell FROM probe))
          |SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    // Incremental IVF store: replay assignment / probe / ranking for the
+    // 3-query panel from the dumped (standing-80%-trained) centroids.
+    // The oracle sees only data + centroids — the engine's incremental
+    // merge must land on exactly this from-scratch answer.
+    "q_ivf_incr" ->
+      s"""WITH cents AS (SELECT cell, CAST(centroid AS DOUBLE[]) AS c
+         |      FROM read_parquet('$ivfIncrDir/centroids.parquet/*.parquet')),
+         |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |qs AS (SELECT vec_id AS qid, e AS qe FROM emb WHERE vec_id IN (0, 17, 42)),
+         |probe AS (SELECT qid, cell FROM (
+         |      SELECT q.qid, cents.cell,
+         |        row_number() OVER (PARTITION BY q.qid
+         |          ORDER BY 2 * list_dot_product(cents.c, q.qe) - list_dot_product(cents.c, cents.c) DESC, cents.cell) AS pr
+         |      FROM qs q, cents) WHERE pr <= 4),
+         |assign AS (SELECT vec_id, e,
+         |      (SELECT cell FROM cents
+         |       ORDER BY 2 * list_dot_product(cents.c, emb.e) - list_dot_product(cents.c, cents.c) DESC, cell
+         |       LIMIT 1) AS cell
+         |      FROM emb),
+         |scored AS (SELECT q.qid, a.vec_id,
+         |      round(list_dot_product(a.e, q.qe) /
+         |        (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(q.qe, q.qe))), 4) AS cosine
+         |      FROM qs q
+         |      JOIN probe p ON p.qid = q.qid
+         |      JOIN assign a ON a.cell = p.cell),
+         |ranked AS (SELECT qid, vec_id, cosine,
+         |      row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rk
+         |      FROM scored)
+         |SELECT qid, vec_id, cosine FROM ranked WHERE rk <= 10
+         |ORDER BY qid, cosine DESC, vec_id""".stripMargin,
     "q_embed_pq" -> pqOracleSql,
     "q_embed_ivfpq" -> ivfPqOracleSql,
     "q_ingest_e2e" -> ingestE2eOracle,

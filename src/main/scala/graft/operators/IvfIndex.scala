@@ -102,6 +102,59 @@ object IvfIndex {
     (array_position(arr, array_max(arr)) - 1).cast("int")
   }
 
+  /** Standing-store assignment rows: (id, cell, vec) for a batch of
+    * embeddings under FROZEN centroids — the persisted half of an IVF
+    * deployment (FAISS `add_with_ids` semantics): the coarse quantizer
+    * trains once on the standing corpus, the store lays out
+    * `partitionBy(cell)`, and new vectors append as one row-local scan
+    * (assignment touches nothing standing). Because assignment is a
+    * pure per-row function of (vector, centroids), an incrementally
+    * maintained store is EXACTLY a from-scratch assignment of
+    * everything — the merged==fresh property q_ivf_incr gates.
+    */
+  def assign(
+      embeddings: DataFrame,
+      vecCol: String,
+      idCol: String,
+      centroids: Array[Array[Double]]): DataFrame =
+    embeddings.select(col(idCol).as("id"),
+      cellId(col(vecCol), centroids).as("cell"),
+      Similarity.toDouble(col(vecCol)).as("vec"))
+
+  /** Retrieval over a persisted (id, cell, vec) store: the query's
+    * `nprobe` nearest cells are computed driver-side from the tiny
+    * centroid table, and the cell filter hits the store's partition
+    * layout as PARTITION PRUNING — at 100 TB a query reads nprobe/nlist
+    * of the index and nothing else. Same probe/rank arithmetic as
+    * [[ivfTopK]] (which recomputes assignment on the fly — the
+    * index-build-time path; this is the query-time path).
+    */
+  def ivfTopKFromStore(
+      store: DataFrame,
+      queryVec: Seq[Double],
+      centroids: Array[Array[Double]],
+      k: Int = 10,
+      nprobe: Int = 4,
+      roundTo: Int = -1): DataFrame = {
+    val q = queryVec.toArray
+    val probeCells = centroids.zipWithIndex
+      .map { case (c, i) =>
+        val score = 2.0 * c.zip(q).map { case (x, y) => x * y }.sum -
+          c.map(x => x * x).sum
+        (score, i)
+      }
+      .sortBy { case (s, i) => (-s, i) }.take(nprobe).map(_._2)
+    val qNorm = math.sqrt(q.map(x => x * x).sum)
+    val v = col("vec")
+    val cos = graftDot(v, lit(q)) / (sqrt(graftNorm2(v)) * lit(qNorm))
+    store
+      .filter(col("cell").isin(probeCells.toIndexedSeq: _*))
+      .withColumn("cosine", if (roundTo >= 0) round(cos, roundTo) else cos)
+      .select(col("id"), col("cosine"))
+      .orderBy(col("cosine").desc, col("id"))
+      .limit(k)
+  }
+
   /** ANN top-k: score only rows whose cell is among the query's `nprobe`
     * nearest centroids, then exact-cosine rank (same contract as
     * [[Similarity.lshTopK]]).

@@ -54,4 +54,43 @@ class IvfIndexSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("vec_id")).toSet
     assert(allProbe === exact)
   }
+
+  test("incremental store: merged == fresh, retrieval == on-the-fly path") {
+    import org.apache.spark.sql.functions.pmod
+    val cs = IvfIndex.trainCentroids(
+      full.filter(pmod(col("vec_id"), lit(5)) =!= 0),
+      "embedding", "vec_id", nlist = 8, iters = 5)
+    // standing 80% persisted partitionBy(cell); 20% appended under the
+    // same frozen centroids
+    val storeDir = tmpDir("ivfstore")
+    IvfIndex.assign(full.filter(pmod(col("vec_id"), lit(5)) =!= 0),
+        "embedding", "vec_id", cs)
+      .write.mode("overwrite").partitionBy("cell").parquet(storeDir)
+    val merged = spark.read.parquet(storeDir)
+      .select(col("id"), col("cell"), col("vec"))
+      .unionByName(IvfIndex.assign(
+        full.filter(pmod(col("vec_id"), lit(5)) === 0),
+        "embedding", "vec_id", cs))
+    val fresh = IvfIndex.assign(full, "embedding", "vec_id", cs)
+    assert(merged.select("id", "cell").exceptAll(fresh.select("id", "cell")).isEmpty &&
+      fresh.select("id", "cell").exceptAll(merged.select("id", "cell")).isEmpty,
+      "incrementally maintained store diverged from a from-scratch assignment")
+    // retrieval through the store == the recompute-on-the-fly path
+    val qv = full.filter("vec_id = 0")
+      .select(Similarity.toDouble(col("embedding"))).head().getSeq[Double](0)
+    val viaStore = IvfIndex.ivfTopKFromStore(merged, qv, cs, k = 10, nprobe = 4)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("cosine"))).toSeq
+    val direct = IvfIndex.ivfTopK(full, "embedding", "vec_id", qv, cs,
+        k = 10, nprobe = 4)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cosine"))).toSeq
+    assert(viaStore === direct)
+    // the cell filter reaches the store's partition layout as pruning —
+    // the query-time scan reads nprobe/nlist of the index, not all of it
+    val plan = IvfIndex.ivfTopKFromStore(
+        spark.read.parquet(storeDir).select(col("id"), col("cell"), col("vec")),
+        qv, cs, k = 10, nprobe = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"cell filter did not reach the partitioned scan:\n$plan")
+  }
 }
