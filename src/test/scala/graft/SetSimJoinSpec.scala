@@ -107,6 +107,40 @@ class SetSimJoinSpec extends SparkSpec {
     assert(SetSimJoin.selfJoinTokensCapped(all, 0.5, maxDf = 2).isEmpty)
   }
 
+  test("capped join matches brute force over the retained universe (seeded Zipf)") {
+    val rnd = new scala.util.Random(23)
+    // Zipf-ish vocabulary: a handful of near-ubiquitous head tokens
+    // (guaranteed over any reasonable cap) over a long discriminative
+    // tail — the natural-corpus shape the cap is designed for.
+    val head = (0 until 5).map(i => s"head$i")
+    val tail = (0 until 80).map(i => s"tail$i")
+    // clusters of mutated copies (the first differential's recipe) so
+    // retained-universe similarities land on both sides of the 0.5 bar
+    val docs = (0 until 20).flatMap { c =>
+      val base = rnd.shuffle(tail).take(6 + rnd.nextInt(5)).toSet
+      (0 until 3).map { v =>
+        val hs = head.filter(_ => rnd.nextDouble() < 0.8).toSet
+        val drop = base.take(rnd.nextInt(3))
+        val add = rnd.shuffle(tail).take(rnd.nextInt(3)).toSet
+        ((c * 3 + v).toLong, hs ++ (base -- drop ++ add))
+      }
+    }
+    val maxDf = 12
+    // brute force on the RETAINED universe: drop tokens with corpus df
+    // > maxDf from every set first, then exact Jaccard — the metric
+    // selfJoinTokensCapped's scaladoc promises
+    val df = docs.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
+    val retained = docs.map { case (id, s) => (id, s.filter(df(_) <= maxDf)) }
+      .filter(_._2.nonEmpty)
+    val expect = brute(retained, 0.5)
+    val got = SetSimJoin.selfJoinTokensCapped(tokensDf(docs), 0.5, maxDf = maxDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expect)
+    // the fixture must actually exercise the cap and keep real pairs
+    assert(head.forall(h => df(h) > maxDf), "head tokens must exceed the cap")
+    assert(expect.nonEmpty, "fixture produced no qualifying pairs")
+  }
+
   test("plan: prefix equi-join only - no cartesian, no nested-loop join") {
     val docs = Seq(1L -> Set("a", "b"), 2L -> Set("b", "c"))
     val plan = SetSimJoin.selfJoinTokens(tokensDf(docs), 0.5)
