@@ -20,12 +20,15 @@ class StandingArtifactSpec extends SparkSpec {
 
   // one query per standing-artifact family: posting index (+norms),
   // trained BPE merges, trained unigram vocabulary, SimHash
-  // group/signature/count tables, set-sim token/prefix tables, and
-  // the dedup-recall signature+target pair
+  // group/signature/count tables, set-sim token/prefix tables, the
+  // dedup-recall signature+target pair, and the round-13 additions —
+  // recall-triple signature/band tables and the standing IVF store
+  // (centroids + cell-partitioned assignments)
   private val artifactGates = Seq(
     "q_sparse_index_build", "q_bpe_train", "q_unigram_tokenizer",
     "q_dedup_simhash_full", "q_setsim_join", "q_setsim_capped",
-    "q_dedup_recall")
+    "q_dedup_recall", "q_simhash_recall", "q_containment_recall",
+    "q_ivf_incr")
 
   test("fresh first-touch rebuild equals the persisted artifact, every family") {
     artifactGates.foreach { q =>
