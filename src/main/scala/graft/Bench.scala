@@ -236,8 +236,9 @@ object Bench {
     "q_setsim_capped",
     "q_sparse_knn_incr",
     // its vector-side sibling: merged==fresh store maintenance gate
-    // over the billed q_embed_ivf machinery
-    "q_ivf_incr",
+    // over the billed q_embed_ivf machinery; q_ivf_recall is that
+    // family's measured-recall readout (eval composition)
+    "q_ivf_incr", "q_ivf_recall",
     "q_decontaminate_semantic",
     "q_corpus_report", "q_vocab_drift", "q_source_quality",
     "q_gopher_repetition",

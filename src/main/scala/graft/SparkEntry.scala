@@ -2792,6 +2792,49 @@ object SparkEntry {
       .orderBy(col("qid"), col("cosine").desc, col("vec_id"))
   }
 
+  /** MEASURED IVF recall@10 — the q_ann_recall pattern for the
+    * cell-pruned family, completing measured-recall coverage of every
+    * approximate index (LSH: q_ann_recall/_hi; MinHash/SimHash/chunk
+    * banding: the dedup recall triple; IVF: this): a 5-query panel is
+    * answered twice through [[operators.IvfIndex.ivfTopKFromStore]]
+    * over the full-corpus assignment under the STANDING frozen
+    * centroids — once at the production nprobe=4 (half the cells),
+    * once at nprobe=nlist=8, which probes everything and IS exact
+    * brute force (IvfIndexSpec's allProbe==exact row). recall =
+    * |approx ∩ exact| / 10 per query, UNFILTERED: on the iid-noise
+    * synthetic, cells are near-uniform and recall tracks nprobe/nlist
+    * (~0.5-0.7 measured) — the honest worst case; clustered real
+    * corpora are the favorable case. The oracle replays assignment,
+    * both rankings, and the intersection from the dumped centroids.
+    */
+  private def ivfRecall(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val base = ivfStorePath(s, d)
+    val cs = s.read.parquet(s"$base/centroids.parquet")
+      .orderBy(col("cell")).collect().map(_.getSeq[Double](1).toArray)
+    s.read.parquet(s"$base/centroids.parquet")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$ivfIncrDir/centroids.parquet")
+    val store = IvfIndex.assign(emb, "embedding", "vec_id", cs)
+      .localCheckpoint() // 10 tiny top-k jobs share the one assignment scan
+    val panel = Seq(0L, 17L, 42L, 123L, 256L)
+    val qvs = emb.filter(col("vec_id").isin(panel: _*))
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    panel.map { qid =>
+      val qv = qvs.getOrElse(qid,
+        sys.error(s"panel vector $qid missing from embeddings"))
+      val approx = IvfIndex.ivfTopKFromStore(store, qv, cs,
+        k = 10, nprobe = 4, roundTo = 4).select(col("id"))
+      val exact = IvfIndex.ivfTopKFromStore(store, qv, cs,
+        k = 10, nprobe = 8, roundTo = 4).select(col("id").as("_id_e"))
+      approx.join(exact, col("id") === col("_id_e"))
+        .agg(count(lit(1)).as("n_hit"))
+        .select(lit(qid).as("qid"), col("n_hit"),
+          round(col("n_hit").cast(DoubleType) / 10.0, 6).as("recall"))
+    }.reduce(_ unionByName _).orderBy(col("qid"))
+  }
+
   private lazy val pqDir = s"$artifactRoot/pq"
 
   /** Product-quantization ANN ([[operators.PqIndex]]): 8 subspaces x 16
@@ -4939,6 +4982,7 @@ object SparkEntry {
     "q_ann_recall_hi" -> (annRecallHi _),
     "q_embed_ivf" -> (embedIvf _),
     "q_ivf_incr" -> (ivfIncr _),
+    "q_ivf_recall" -> (ivfRecall _),
     "q_embed_pq" -> (embedPq _),
     "q_embed_ivfpq" -> (embedIvfPq _),
     "q_embed_neardup" -> (embedNearDup _),
@@ -7240,6 +7284,45 @@ object SparkEntry {
          |      FROM scored)
          |SELECT qid, vec_id, cosine FROM ranked WHERE rk <= 10
          |ORDER BY qid, cosine DESC, vec_id""".stripMargin,
+    // IVF recall readout: both rankings replayed from the dumped
+    // centroids — approx probes the top-4 cells, exact scores every
+    // vector (equivalently: probes all 8 cells) — then the per-query
+    // intersection count.
+    "q_ivf_recall" ->
+      s"""WITH cents AS (SELECT cell, CAST(centroid AS DOUBLE[]) AS c
+         |      FROM read_parquet('$ivfIncrDir/centroids.parquet/*.parquet')),
+         |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |qs AS (SELECT vec_id AS qid, e AS qe FROM emb WHERE vec_id IN (0, 17, 42, 123, 256)),
+         |probe AS (SELECT qid, cell FROM (
+         |      SELECT q.qid, cents.cell,
+         |        row_number() OVER (PARTITION BY q.qid
+         |          ORDER BY 2 * list_dot_product(cents.c, q.qe) - list_dot_product(cents.c, cents.c) DESC, cents.cell) AS pr
+         |      FROM qs q, cents) WHERE pr <= 4),
+         |assign AS (SELECT vec_id, e,
+         |      (SELECT cell FROM cents
+         |       ORDER BY 2 * list_dot_product(cents.c, emb.e) - list_dot_product(cents.c, cents.c) DESC, cell
+         |       LIMIT 1) AS cell
+         |      FROM emb),
+         |scored AS (SELECT q.qid, a.vec_id, a.cell,
+         |      round(list_dot_product(a.e, q.qe) /
+         |        (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(q.qe, q.qe))), 4) AS cosine
+         |      FROM qs q CROSS JOIN assign a),
+         |approx AS (SELECT qid, vec_id FROM (
+         |      SELECT s.qid, s.vec_id,
+         |        row_number() OVER (PARTITION BY s.qid ORDER BY s.cosine DESC, s.vec_id) AS rk
+         |      FROM scored s JOIN probe p ON p.qid = s.qid AND p.cell = s.cell)
+         |      WHERE rk <= 10),
+         |exact AS (SELECT qid, vec_id FROM (
+         |      SELECT qid, vec_id,
+         |        row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rk
+         |      FROM scored) WHERE rk <= 10),
+         |hit AS (SELECT a.qid, count(*) AS n_hit
+         |      FROM approx a JOIN exact e ON e.qid = a.qid AND e.vec_id = a.vec_id
+         |      GROUP BY a.qid)
+         |SELECT q.qid, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+         |  round(coalesce(h.n_hit, 0) / 10.0, 6) AS recall
+         |FROM qs q LEFT JOIN hit h ON h.qid = q.qid
+         |ORDER BY q.qid""".stripMargin,
     "q_embed_pq" -> pqOracleSql,
     "q_embed_ivfpq" -> ivfPqOracleSql,
     "q_ingest_e2e" -> ingestE2eOracle,
