@@ -2862,6 +2862,61 @@ object SparkEntry {
     PqIndex.adcTopK(emb, "embedding", "vec_id", qv, cbs, k = 10)
   }
 
+  /** MEASURED PQ recall@10 — the ADC leg of the approximate-index
+    * recall coverage (see [[ivfRecall]]): the 5-query panel ranked by
+    * 8x16 ADC distance ([[operators.PqIndex.adcTopK]] over codes — the
+    * 32x-compressed representation) against exact squared-L2 over the
+    * raw vectors (ADC approximates L2, so L2 is the right ground
+    * truth, not cosine), per-query intersection counts, UNFILTERED.
+    * The measured 0.2-0.4 at sf0.1 is the iid-noise WORST CASE stated
+    * honestly: on near-orthogonal random vectors all pairwise
+    * distances concentrate, so an 8-byte code (32x compression) cannot
+    * separate ranks that differ in the third decimal — exactly why
+    * production systems re-rank an ADC shortlist with exact distances
+    * (the q_embed_ivfpq composition provides the shortlist machinery)
+    * and why clustered real embeddings fare far better. The oracle
+    * replays code assignment, every ADC table entry, the exact
+    * distances, and the intersection from the dumped codebooks.
+    */
+  private def pqRecall(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, d, "embeddings")
+    val cbs = PqIndex.trainCodebooks(emb, "embedding", "vec_id",
+      m = 8, ksub = 16, iters = 5)
+    cbs.zipWithIndex.flatMap { case (cb, m) =>
+      cb.zipWithIndex.map { case (c, code) => (m, code, c.toSeq) }
+    }.toSeq.toDF("m", "code", "centroid")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$pqDir/codebooks_recall.parquet")
+    val panel = Seq(0L, 17L, 42L, 123L, 256L)
+    val qvs = emb.filter(col("vec_id").isin(panel: _*))
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val pinned = emb.localCheckpoint() // 10 tiny top-k jobs, one scan each
+    panel.map { qid =>
+      val qv = qvs.getOrElse(qid,
+        sys.error(s"panel vector $qid missing from embeddings"))
+      val q = qv.toArray
+      val qq = { var x = 0.0; var j = 0
+        while (j < q.length) { x += q(j) * q(j); j += 1 }; x }
+      val v = Similarity.toDouble(col("embedding"))
+      // exact d2 = dot(v,v) - 2 dot(v,q) + dot(q,q): the oracle's
+      // left-to-right formula over the same sequential sums
+      val d2 = round(graft.functions.GraftFunctions.graftNorm2(v)
+        - lit(2.0) * graft.functions.GraftFunctions.graftDot(v, lit(q))
+        + lit(qq), 6)
+      val exact = pinned.withColumn("_d2", d2)
+        .select(col("vec_id").as("_id_e"), col("_d2"))
+        .orderBy(col("_d2"), col("_id_e")).limit(10)
+      val approx = PqIndex.adcTopK(pinned, "embedding", "vec_id", qv, cbs,
+        k = 10).select(col("vec_id"))
+      approx.join(exact, col("vec_id") === col("_id_e"))
+        .agg(count(lit(1)).as("n_hit"))
+        .select(lit(qid).as("qid"), col("n_hit"),
+          round(col("n_hit").cast(DoubleType) / 10.0, 6).as("recall"))
+    }.reduce(_ unionByName _).orderBy(col("qid"))
+  }
+
   /** Full IVFADC ([[embedIvf]] coarse pruning composed with
     * [[embedPq]] ADC scoring — Jégou et al. 2011 end-to-end): the
     * coarse quantizer prunes to the query's 4 nearest of 8 cells, and
@@ -2968,6 +3023,52 @@ object SparkEntry {
        |FROM emb)
        |SELECT vec_id, adc_dist FROM scored
        |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin
+  }
+
+  /** Oracle for q_pq_recall: the [[pqOracleSql]] ADC replay extended to
+    * the 5-query panel (arm subqueries correlate with the outer qs row),
+    * plus the exact squared-L2 ranking and the per-query intersection.
+    */
+  private def pqRecallOracleSql: String = {
+    val (m, dsub) = (8, 8)
+    val arms = (0 until m).map { s =>
+      val lo = s * dsub + 1
+      val hi = (s + 1) * dsub
+      s"""(SELECT list_dot_product(qs.qe[$lo:$hi], qs.qe[$lo:$hi])
+         |   - 2 * list_dot_product(qs.qe[$lo:$hi], cb.c)
+         |   + list_dot_product(cb.c, cb.c)
+         | FROM cb WHERE cb.m = $s
+         | ORDER BY 2 * list_dot_product(cb.c, emb.e[$lo:$hi])
+         |   - list_dot_product(cb.c, cb.c) DESC, cb.code
+         | LIMIT 1)""".stripMargin
+    }.mkString(" +\n|")
+    s"""WITH cb AS (SELECT m, code, CAST(centroid AS DOUBLE[]) AS c
+       |      FROM read_parquet('$pqDir/codebooks_recall.parquet/*.parquet')),
+       |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |qs AS (SELECT vec_id AS qid, e AS qe FROM emb WHERE vec_id IN (0, 17, 42, 123, 256)),
+       |adc AS (SELECT qs.qid, emb.vec_id,
+       |  round($arms, 6) AS adc_dist
+       |FROM emb CROSS JOIN qs),
+       |approx AS (SELECT qid, vec_id FROM (
+       |      SELECT qid, vec_id,
+       |        row_number() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id) AS rk
+       |      FROM adc) WHERE rk <= 10),
+       |ex AS (SELECT qs.qid, emb.vec_id,
+       |      round(list_dot_product(emb.e, emb.e)
+       |        - 2 * list_dot_product(emb.e, qs.qe)
+       |        + list_dot_product(qs.qe, qs.qe), 6) AS d2
+       |      FROM emb CROSS JOIN qs),
+       |exact AS (SELECT qid, vec_id FROM (
+       |      SELECT qid, vec_id,
+       |        row_number() OVER (PARTITION BY qid ORDER BY d2, vec_id) AS rk
+       |      FROM ex) WHERE rk <= 10),
+       |hit AS (SELECT a.qid, count(*) AS n_hit
+       |      FROM approx a JOIN exact e ON e.qid = a.qid AND e.vec_id = a.vec_id
+       |      GROUP BY a.qid)
+       |SELECT q.qid, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+       |  round(coalesce(h.n_hit, 0) / 10.0, 6) AS recall
+       |FROM qs q LEFT JOIN hit h ON h.qid = q.qid
+       |ORDER BY q.qid""".stripMargin
   }
 
   /** Embedding near-duplicate pairs: cosine >= threshold with candidates
@@ -4983,6 +5084,7 @@ object SparkEntry {
     "q_embed_ivf" -> (embedIvf _),
     "q_ivf_incr" -> (ivfIncr _),
     "q_ivf_recall" -> (ivfRecall _),
+    "q_pq_recall" -> (pqRecall _),
     "q_embed_pq" -> (embedPq _),
     "q_embed_ivfpq" -> (embedIvfPq _),
     "q_embed_neardup" -> (embedNearDup _),
@@ -7323,6 +7425,7 @@ object SparkEntry {
          |  round(coalesce(h.n_hit, 0) / 10.0, 6) AS recall
          |FROM qs q LEFT JOIN hit h ON h.qid = q.qid
          |ORDER BY q.qid""".stripMargin,
+    "q_pq_recall" -> pqRecallOracleSql,
     "q_embed_pq" -> pqOracleSql,
     "q_embed_ivfpq" -> ivfPqOracleSql,
     "q_ingest_e2e" -> ingestE2eOracle,
