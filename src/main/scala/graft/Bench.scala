@@ -238,7 +238,7 @@ object Bench {
     // its vector-side sibling: merged==fresh store maintenance gate
     // over the billed q_embed_ivf machinery; q_ivf_recall is that
     // family's measured-recall readout (eval composition)
-    "q_ivf_incr", "q_ivf_recall", "q_pq_recall",
+    "q_ivf_incr", "q_ivf_recall", "q_pq_recall", "q_pq_rerank",
     "q_decontaminate_semantic",
     "q_corpus_report", "q_vocab_drift", "q_source_quality",
     "q_gopher_repetition",
