@@ -2211,15 +2211,21 @@ object SparkEntry {
       .filter(col("recall") >= 0.95)
   }
 
-  /** Full-corpus SimHash signatures for the SimHash recall readout,
-    * persisted per dataset like [[recallSigPath]]'s MinHash table.
+  /** Full-corpus SimHash signatures + complete bag-Jaccard target for
+    * the SimHash recall readout, persisted per dataset like
+    * [[recallSigPath]]'s MinHash pair (the target is a pure function of
+    * the dataset; the ORACLE recomputes it from source every run, so a
+    * stale persisted target reds as an n_target mismatch).
     */
   private def simhashRecallSigPath(s: SparkSession, d: String): String =
-    standing(s"simrecsigs:$d") {
+    standing(s"simrecsigs:$d:${dedupRecallMuts.mkString(",")}") {
       val base = s"$dedupRecallDir/${dirTag(d)}"
-      Dedup.simHash(t(s, d, "documents").select(col("doc_id"), col("text")),
-          "text", "doc_id")
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      Dedup.simHash(docs, "text", "doc_id")
         .write.mode("overwrite").parquet(s"$base/simsigs.parquet")
+      Dedup.probeBagJaccard(docs, dedupRecallPlanted(docs),
+          "text", "doc_id", minJaccard = 0.8)
+        .write.mode("overwrite").parquet(s"$base/simtarget.parquet")
       base
     }
 
@@ -2240,8 +2246,9 @@ object SparkEntry {
     val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
     val planted = dedupRecallPlanted(docs)
     val universe = docs.unionByName(planted)
+    val base = simhashRecallSigPath(s, d)
     val cands = Dedup.simHashProbe(
-      s.read.parquet(s"${simhashRecallSigPath(s, d)}/simsigs.parquet"),
+      s.read.parquet(s"$base/simsigs.parquet"),
       Dedup.simHash(planted, "text", "doc_id"), maxHamming = 6, pieces = 8)
     val found = Dedup.exactBagJaccard(
         cands.select(col("id_a"), col("id_b")),
@@ -2250,8 +2257,7 @@ object SparkEntry {
     found.coalesce(1).write.mode("overwrite")
       .parquet(s"$dedupRecallDir/simfound.parquet")
     val foundBack = s.read.parquet(s"$dedupRecallDir/simfound.parquet")
-    val target = Dedup.probeBagJaccard(docs, planted, "text", "doc_id",
-      minJaccard = 0.8)
+    val target = s.read.parquet(s"$base/simtarget.parquet")
     target.agg(count(lit(1)).as("n_target"))
       .crossJoin(foundBack.agg(count(lit(1)).as("n_found")))
       .select(col("n_target"), col("n_found"),
@@ -2289,12 +2295,19 @@ object SparkEntry {
     * hashes, 16 bands).
     */
   private def quoteRecallBandPath(s: SparkSession, d: String): String =
-    standing(s"qrecbands:$d") {
+    standing(s"qrecbands:$d:${quoteRecallLens.mkString(",")}") {
       val base = s"$dedupRecallDir/${dirTag(d)}"
-      Dedup.chunkBandKeys(t(s, d, "documents").select(col("doc_id"), col("text")),
-          "text", "doc_id", chunkWords = 32, stride = 16,
-          numHashes = 32, bands = 16)
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      Dedup.chunkBandKeys(docs, "text", "doc_id", chunkWords = 32,
+          stride = 16, numHashes = 32, bands = 16)
         .write.mode("overwrite").parquet(s"$base/qbands.parquet")
+      // the complete ground truth persists with the bands (pure function
+      // of the dataset; the oracle recomputes it from source, so a stale
+      // target reds as an n_target mismatch — the recallSigPath contract)
+      Dedup.probeContainment(docs, quoteRecallPlanted(docs), "text", "doc_id",
+          n = 3, minContainment = 0.5)
+        .filter(col("contained_id") >= 990000L && col("container_id") < 980000L)
+        .write.mode("overwrite").parquet(s"$base/qtarget.parquet")
       base
     }
 
@@ -2319,8 +2332,9 @@ object SparkEntry {
     val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
     val planted = quoteRecallPlanted(docs)
     val universe = docs.unionByName(planted)
+    val base = quoteRecallBandPath(s, d)
     val cands = Dedup.chunkLshProbe(
-      s.read.parquet(s"${quoteRecallBandPath(s, d)}/qbands.parquet"),
+      s.read.parquet(s"$base/qbands.parquet"),
       Dedup.chunkBandKeys(planted, "text", "doc_id", chunkWords = 32,
         stride = 16, numHashes = 32, bands = 16))
     val found = Dedup.containmentForPairs(
@@ -2330,9 +2344,7 @@ object SparkEntry {
     found.coalesce(1).write.mode("overwrite")
       .parquet(s"$dedupRecallDir/qfound.parquet")
     val foundBack = s.read.parquet(s"$dedupRecallDir/qfound.parquet")
-    val target = Dedup.probeContainment(docs, planted, "text", "doc_id",
-        n = 3, minContainment = 0.5)
-      .filter(col("contained_id") >= 990000L && col("container_id") < 980000L)
+    val target = s.read.parquet(s"$base/qtarget.parquet")
     target.agg(count(lit(1)).as("n_target"))
       .crossJoin(foundBack.agg(count(lit(1)).as("n_found")))
       .select(col("n_target"), col("n_found"),
@@ -2878,16 +2890,50 @@ object SparkEntry {
     * replays code assignment, every ADC table entry, the exact
     * distances, and the intersection from the dumped codebooks.
     */
-  private def pqRecall(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val emb = t(s, d, "embeddings")
-    val cbs = PqIndex.trainCodebooks(emb, "embedding", "vec_id",
-      m = 8, ksub = 16, iters = 5)
-    cbs.zipWithIndex.flatMap { case (cb, m) =>
-      cb.zipWithIndex.map { case (c, code) => (m, code, c.toSeq) }
-    }.toSeq.toDF("m", "code", "centroid")
+  /** Trained PQ codebooks for the recall/re-rank pair, persisted per
+    * dataset (deterministic k-means over the deterministic sample — the
+    * [[ivfStorePath]] trust model under the immutable-dataset-dir
+    * contract; StandingArtifactSpec gates fresh rebuild == persisted).
+    * The q_embed_pq sibling keeps training BILLED inline every run, so
+    * the family's training cost stays measured there.
+    */
+  private def pqCodebooksPath(s: SparkSession, d: String): String =
+    standing(s"pqcodebooks:$d") {
+      import s.implicits._
+      val base = s"$pqDir/${dirTag(d)}"
+      val cbs = PqIndex.trainCodebooks(t(s, d, "embeddings"),
+        "embedding", "vec_id", m = 8, ksub = 16, iters = 5)
+      cbs.zipWithIndex.flatMap { case (cb, m) =>
+        cb.zipWithIndex.map { case (c, code) => (m, code, c.toSeq) }
+      }.toSeq.toDF("m", "code", "centroid")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$base/codebooks.parquet")
+      base
+    }
+
+  private def readPqCodebooks(s: SparkSession, base: String): Array[Array[Array[Double]]] = {
+    val rows = s.read.parquet(s"$base/codebooks.parquet")
+      .orderBy(col("m"), col("code")).collect()
+    val m = rows.map(_.getInt(0)).max + 1
+    Array.tabulate(m) { i =>
+      rows.filter(_.getInt(0) == i).map(_.getSeq[Double](2).toArray)
+    }
+  }
+
+  /** Read the standing codebooks and refresh the run-scoped oracle copy
+    * (the found.parquet convention), returning them in-memory.
+    */
+  private def pqRecallCodebooks(s: SparkSession, d: String): Array[Array[Array[Double]]] = {
+    val base = pqCodebooksPath(s, d)
+    s.read.parquet(s"$base/codebooks.parquet")
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$pqDir/codebooks_recall.parquet")
+    readPqCodebooks(s, base)
+  }
+
+  private def pqRecall(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val cbs = pqRecallCodebooks(s, d)
     val panel = Seq(0L, 17L, 42L, 123L, 256L)
     val qvs = emb.filter(col("vec_id").isin(panel: _*))
       .select(col("vec_id"), Similarity.toDouble(col("embedding")))
@@ -2932,15 +2978,8 @@ object SparkEntry {
     * intersection.
     */
   private def pqRerank(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
     val emb = t(s, d, "embeddings")
-    val cbs = PqIndex.trainCodebooks(emb, "embedding", "vec_id",
-      m = 8, ksub = 16, iters = 5)
-    cbs.zipWithIndex.flatMap { case (cb, m) =>
-      cb.zipWithIndex.map { case (c, code) => (m, code, c.toSeq) }
-    }.toSeq.toDF("m", "code", "centroid")
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$pqDir/codebooks_recall.parquet")
+    val cbs = pqRecallCodebooks(s, d)
     val panel = Seq(0L, 17L, 42L, 123L, 256L)
     val qvs = emb.filter(col("vec_id").isin(panel: _*))
       .select(col("vec_id"), Similarity.toDouble(col("embedding")))

@@ -28,7 +28,7 @@ class StandingArtifactSpec extends SparkSpec {
     "q_sparse_index_build", "q_bpe_train", "q_unigram_tokenizer",
     "q_dedup_simhash_full", "q_setsim_join", "q_setsim_capped",
     "q_dedup_recall", "q_simhash_recall", "q_containment_recall",
-    "q_ivf_incr")
+    "q_ivf_incr", "q_pq_recall")
 
   test("fresh first-touch rebuild equals the persisted artifact, every family") {
     artifactGates.foreach { q =>
