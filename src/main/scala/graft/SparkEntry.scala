@@ -2132,6 +2132,24 @@ object SparkEntry {
   private val dedupRecallMuts = Seq(4, 6, 10, 20, 30, 50, 80, 120, 200, 1000)
   private lazy val dedupRecallDir = s"$artifactRoot/dduprecall"
 
+  /** Shared tail of the text-dedup recall gates: DUMP the verified
+    * found pairs to the run-scoped path (the oracle re-counts them
+    * against its own target — soundness), read them back, and emit the
+    * one (n_target, n_found, recall) row. Callers append their own
+    * engine-side assertion filter (q_dedup_recall) or none (the honest
+    * unfiltered readouts).
+    */
+  private def recallSummaryRow(s: SparkSession, found: DataFrame,
+      foundPath: String, target: DataFrame): DataFrame = {
+    found.coalesce(1).write.mode("overwrite").parquet(foundPath)
+    val foundBack = s.read.parquet(foundPath)
+    target.agg(count(lit(1)).as("n_target"))
+      .crossJoin(foundBack.agg(count(lit(1)).as("n_found")))
+      .select(col("n_target"), col("n_found"),
+        round(col("n_found").cast(DoubleType) /
+          greatest(col("n_target"), lit(1L)).cast(DoubleType), 6).as("recall"))
+  }
+
   private def dedupRecallPlanted(docs: DataFrame): DataFrame = {
     val m = element_at(typedLit(dedupRecallMuts),
       (pmod(expr("doc_id div 10"), lit(10)) + 1).cast("int"))
@@ -2199,15 +2217,8 @@ object SparkEntry {
     val found = Dedup.exactShingleJaccard(
         cands, universe, "text", "doc_id", n = 3, minJaccard = 0.8)
       .filter(col("id_a") < 980000L && col("id_b") >= 980000L)
-    found.coalesce(1).write.mode("overwrite")
-      .parquet(s"$dedupRecallDir/found.parquet")
-    val foundBack = s.read.parquet(s"$dedupRecallDir/found.parquet")
-    val target = s.read.parquet(s"$base/target.parquet")
-    target.agg(count(lit(1)).as("n_target"))
-      .crossJoin(foundBack.agg(count(lit(1)).as("n_found")))
-      .select(col("n_target"), col("n_found"),
-        round(col("n_found").cast(DoubleType) /
-          greatest(col("n_target"), lit(1L)).cast(DoubleType), 6).as("recall"))
+    recallSummaryRow(s, found, s"$dedupRecallDir/found.parquet",
+        s.read.parquet(s"$base/target.parquet"))
       .filter(col("recall") >= 0.95)
   }
 
@@ -2254,15 +2265,8 @@ object SparkEntry {
         cands.select(col("id_a"), col("id_b")),
         universe, "text", "doc_id", minJaccard = 0.8)
       .filter(col("id_a") < 980000L && col("id_b") >= 980000L)
-    found.coalesce(1).write.mode("overwrite")
-      .parquet(s"$dedupRecallDir/simfound.parquet")
-    val foundBack = s.read.parquet(s"$dedupRecallDir/simfound.parquet")
-    val target = s.read.parquet(s"$base/simtarget.parquet")
-    target.agg(count(lit(1)).as("n_target"))
-      .crossJoin(foundBack.agg(count(lit(1)).as("n_found")))
-      .select(col("n_target"), col("n_found"),
-        round(col("n_found").cast(DoubleType) /
-          greatest(col("n_target"), lit(1L)).cast(DoubleType), 6).as("recall"))
+    recallSummaryRow(s, found, s"$dedupRecallDir/simfound.parquet",
+      s.read.parquet(s"$base/simtarget.parquet"))
   }
 
   /** Planted verbatim quotes for the containment recall readout: 50
@@ -2341,15 +2345,8 @@ object SparkEntry {
         cands.select(col("id_a"), col("id_b")),
         universe, "text", "doc_id", n = 3, minContainment = 0.5)
       .filter(col("contained_id") >= 990000L && col("container_id") < 980000L)
-    found.coalesce(1).write.mode("overwrite")
-      .parquet(s"$dedupRecallDir/qfound.parquet")
-    val foundBack = s.read.parquet(s"$dedupRecallDir/qfound.parquet")
-    val target = s.read.parquet(s"$base/qtarget.parquet")
-    target.agg(count(lit(1)).as("n_target"))
-      .crossJoin(foundBack.agg(count(lit(1)).as("n_found")))
-      .select(col("n_target"), col("n_found"),
-        round(col("n_found").cast(DoubleType) /
-          greatest(col("n_target"), lit(1L)).cast(DoubleType), 6).as("recall"))
+    recallSummaryRow(s, found, s"$dedupRecallDir/qfound.parquet",
+      s.read.parquet(s"$base/qtarget.parquet"))
   }
 
   /** Incremental dedup: the 20% of docs with doc_id % 5 == 0 arrive as a
@@ -2764,18 +2761,38 @@ object SparkEntry {
     * panel from the dumped centroid table (the q_embed_ivf technique),
     * so a divergent store reds the gate as 30 oracle rows vs 0.
     */
+  /** Read the standing centroids once (refreshing the run-scoped
+    * oracle copy at the fixed path — the found.parquet convention:
+    * standing artifacts are per-dataset-tagged, oracle inputs are
+    * refreshed every run), shared by the q_ivf_incr / q_ivf_recall
+    * pair like [[pqRecallCodebooks]] is by the PQ pair.
+    */
+  private def ivfCentroids(s: SparkSession, d: String): Array[Array[Double]] = {
+    val base = ivfStorePath(s, d)
+    val cents = s.read.parquet(s"$base/centroids.parquet")
+      .orderBy(col("cell")).localCheckpoint()
+    cents.coalesce(1).write.mode("overwrite")
+      .parquet(s"$ivfIncrDir/centroids.parquet")
+    cents.collect().map(_.getSeq[Double](1).toArray)
+  }
+
+  /** The 5-query panel's vectors, collected with the missing-vector
+    * guard (r12 ADVICE: a panel id absent from a dataset must fail as
+    * a named error, not an opaque NoSuchElementException).
+    */
+  private def panelVectors(s: SparkSession, d: String,
+      panel: Seq[Long]): Long => Seq[Double] = {
+    val qvs = t(s, d, "embeddings").filter(col("vec_id").isin(panel: _*))
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    qid => qvs.getOrElse(qid,
+      sys.error(s"panel vector $qid missing from embeddings"))
+  }
+
   private def ivfIncr(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")
     val base = ivfStorePath(s, d)
-    val cents = s.read.parquet(s"$base/centroids.parquet")
-      .orderBy(col("cell")).collect()
-    val cs = cents.map(_.getSeq[Double](1).toArray)
-    // run-scoped copy at the oracle's fixed path (the found.parquet
-    // convention: standing artifacts are per-dataset-tagged, oracle
-    // inputs are refreshed every run)
-    s.read.parquet(s"$base/centroids.parquet")
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$ivfIncrDir/centroids.parquet")
+    val cs = ivfCentroids(s, d)
     val incoming = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
     val merged = s.read.parquet(s"$base/store.parquet")
       .select(col("id"), col("cell"), col("vec"))
@@ -2789,13 +2806,9 @@ object SparkEntry {
       .agg(count(lit(1)).as("_nd"))
       .filter(col("_nd") === 0).select(lit(1).as("_ok"))
     val panel = Seq(0L, 17L, 42L)
-    val qvs = emb.filter(col("vec_id").isin(panel: _*))
-      .select(col("vec_id"), Similarity.toDouble(col("embedding")))
-      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val qv = panelVectors(s, d, panel)
     val res = panel.map { qid =>
-      val qv = qvs.getOrElse(qid,
-        sys.error(s"panel vector $qid missing from embeddings"))
-      IvfIndex.ivfTopKFromStore(merged, qv, cs, k = 10, nprobe = 4,
+      IvfIndex.ivfTopKFromStore(merged, qv(qid), cs, k = 10, nprobe = 4,
           roundTo = 4)
         .withColumn("qid", lit(qid))
     }.reduce(_ unionByName _)
@@ -2821,24 +2834,15 @@ object SparkEntry {
     */
   private def ivfRecall(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")
-    val base = ivfStorePath(s, d)
-    val cs = s.read.parquet(s"$base/centroids.parquet")
-      .orderBy(col("cell")).collect().map(_.getSeq[Double](1).toArray)
-    s.read.parquet(s"$base/centroids.parquet")
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$ivfIncrDir/centroids.parquet")
+    val cs = ivfCentroids(s, d)
     val store = IvfIndex.assign(emb, "embedding", "vec_id", cs)
       .localCheckpoint() // 10 tiny top-k jobs share the one assignment scan
     val panel = Seq(0L, 17L, 42L, 123L, 256L)
-    val qvs = emb.filter(col("vec_id").isin(panel: _*))
-      .select(col("vec_id"), Similarity.toDouble(col("embedding")))
-      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val qv = panelVectors(s, d, panel)
     panel.map { qid =>
-      val qv = qvs.getOrElse(qid,
-        sys.error(s"panel vector $qid missing from embeddings"))
-      val approx = IvfIndex.ivfTopKFromStore(store, qv, cs,
+      val approx = IvfIndex.ivfTopKFromStore(store, qv(qid), cs,
         k = 10, nprobe = 4, roundTo = 4).select(col("id"))
-      val exact = IvfIndex.ivfTopKFromStore(store, qv, cs,
+      val exact = IvfIndex.ivfTopKFromStore(store, qv(qid), cs,
         k = 10, nprobe = 8, roundTo = 4).select(col("id").as("_id_e"))
       approx.join(exact, col("id") === col("_id_e"))
         .agg(count(lit(1)).as("n_hit"))
@@ -2931,18 +2935,22 @@ object SparkEntry {
     readPqCodebooks(s, base)
   }
 
-  private def pqRecall(s: SparkSession, d: String): DataFrame = {
-    val emb = t(s, d, "embeddings")
-    val cbs = pqRecallCodebooks(s, d)
+  /** Shared half of the PQ recall/re-rank pair: per panel query, the
+    * exact-squared-L2 top-10 (the ground truth) and the per-query
+    * summary row against a caller-supplied candidate top-10.
+    * `candidates(qid, qv, exactD2)` returns the approx side — ADC
+    * top-10 directly (q_pq_recall) or ADC shortlist re-ranked by the
+    * exact distance column (q_pq_rerank) — so the exact-distance
+    * algebra, panel, and guard live in exactly one place opposite the
+    * oracles' shared CTE prelude.
+    */
+  private def pqPanelRows(s: SparkSession, d: String)(
+      candidates: (Long, Seq[Double], Column, DataFrame) => DataFrame): DataFrame = {
     val panel = Seq(0L, 17L, 42L, 123L, 256L)
-    val qvs = emb.filter(col("vec_id").isin(panel: _*))
-      .select(col("vec_id"), Similarity.toDouble(col("embedding")))
-      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
-    val pinned = emb.localCheckpoint() // 10 tiny top-k jobs, one scan each
+    val qv = panelVectors(s, d, panel)
+    val pinned = t(s, d, "embeddings").localCheckpoint() // tiny top-k jobs, one scan each
     panel.map { qid =>
-      val qv = qvs.getOrElse(qid,
-        sys.error(s"panel vector $qid missing from embeddings"))
-      val q = qv.toArray
+      val q = qv(qid).toArray
       val qq = { var x = 0.0; var j = 0
         while (j < q.length) { x += q(j) * q(j); j += 1 }; x }
       val v = Similarity.toDouble(col("embedding"))
@@ -2954,13 +2962,20 @@ object SparkEntry {
       val exact = pinned.withColumn("_d2", d2)
         .select(col("vec_id").as("_id_e"), col("_d2"))
         .orderBy(col("_d2"), col("_id_e")).limit(10)
-      val approx = PqIndex.adcTopK(pinned, "embedding", "vec_id", qv, cbs,
-        k = 10).select(col("vec_id"))
-      approx.join(exact, col("vec_id") === col("_id_e"))
+      candidates(qid, qv(qid), d2, pinned)
+        .join(exact, col("vec_id") === col("_id_e"))
         .agg(count(lit(1)).as("n_hit"))
         .select(lit(qid).as("qid"), col("n_hit"),
           round(col("n_hit").cast(DoubleType) / 10.0, 6).as("recall"))
     }.reduce(_ unionByName _).orderBy(col("qid"))
+  }
+
+  private def pqRecall(s: SparkSession, d: String): DataFrame = {
+    val cbs = pqRecallCodebooks(s, d)
+    pqPanelRows(s, d) { (_, qv, _, pinned) =>
+      PqIndex.adcTopK(pinned, "embedding", "vec_id", qv, cbs, k = 10)
+        .select(col("vec_id"))
+    }
   }
 
   /** ADC-shortlist + exact re-rank — the production answer to
@@ -2978,41 +2993,19 @@ object SparkEntry {
     * intersection.
     */
   private def pqRerank(s: SparkSession, d: String): DataFrame = {
-    val emb = t(s, d, "embeddings")
     val cbs = pqRecallCodebooks(s, d)
-    val panel = Seq(0L, 17L, 42L, 123L, 256L)
-    val qvs = emb.filter(col("vec_id").isin(panel: _*))
-      .select(col("vec_id"), Similarity.toDouble(col("embedding")))
-      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
-    val pinned = emb.localCheckpoint()
-    panel.map { qid =>
-      val qv = qvs.getOrElse(qid,
-        sys.error(s"panel vector $qid missing from embeddings"))
-      val q = qv.toArray
-      val qq = { var x = 0.0; var j = 0
-        while (j < q.length) { x += q(j) * q(j); j += 1 }; x }
-      val v = Similarity.toDouble(col("embedding"))
-      val d2 = round(graft.functions.GraftFunctions.graftNorm2(v)
-        - lit(2.0) * graft.functions.GraftFunctions.graftDot(v, lit(q))
-        + lit(qq), 6)
-      val exact = pinned.withColumn("_d2", d2)
-        .select(col("vec_id").as("_id_e"), col("_d2"))
-        .orderBy(col("_d2"), col("_id_e")).limit(10)
+    pqPanelRows(s, d) { (_, qv, d2, pinned) =>
       val shortlist = PqIndex.adcTopK(pinned, "embedding", "vec_id", qv, cbs,
         k = 50).select(col("vec_id").as("_id_s"))
       // re-rank the 50-id shortlist with exact distances over the raw
       // vectors (the only stage that touches them), then top-10
-      val reranked = pinned
+      pinned
         .join(shortlist, col("vec_id") === col("_id_s"), "left_semi")
         .withColumn("_d2", d2)
         .select(col("vec_id"), col("_d2"))
         .orderBy(col("_d2"), col("vec_id")).limit(10)
-      reranked.select(col("vec_id"))
-        .join(exact, col("vec_id") === col("_id_e"))
-        .agg(count(lit(1)).as("n_hit"))
-        .select(lit(qid).as("qid"), col("n_hit"),
-          round(col("n_hit").cast(DoubleType) / 10.0, 6).as("recall"))
-    }.reduce(_ unionByName _).orderBy(col("qid"))
+        .select(col("vec_id"))
+    }
   }
 
   /** Full IVFADC ([[embedIvf]] coarse pruning composed with
@@ -3123,11 +3116,13 @@ object SparkEntry {
        |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin
   }
 
-  /** Oracle for q_pq_recall: the [[pqOracleSql]] ADC replay extended to
-    * the 5-query panel (arm subqueries correlate with the outer qs row),
-    * plus the exact squared-L2 ranking and the per-query intersection.
+  /** Shared DuckDB prelude for the PQ recall/re-rank oracles: dumped
+    * codebooks, panel, per-query ADC distances (arm subqueries
+    * correlate with the outer qs row), and per-query exact squared-L2
+    * distances — the engine-side twin of [[pqPanelRows]], factored so
+    * the exact-distance algebra lives in one place per side.
     */
-  private def pqRecallOracleSql: String = {
+  private def pqPanelOraclePrelude: String = {
     val (m, dsub) = (8, 8)
     val arms = (0 until m).map { s =>
       val lo = s * dsub + 1
@@ -3147,77 +3142,53 @@ object SparkEntry {
        |adc AS (SELECT qs.qid, emb.vec_id,
        |  round($arms, 6) AS adc_dist
        |FROM emb CROSS JOIN qs),
+       |ex AS (SELECT qs.qid, emb.vec_id,
+       |      round(list_dot_product(emb.e, emb.e)
+       |        - 2 * list_dot_product(emb.e, qs.qe)
+       |        + list_dot_product(qs.qe, qs.qe), 6) AS d2
+       |      FROM emb CROSS JOIN qs),
+       |exact AS (SELECT qid, vec_id FROM (
+       |      SELECT qid, vec_id,
+       |        row_number() OVER (PARTITION BY qid ORDER BY d2, vec_id) AS rk
+       |      FROM ex) WHERE rk <= 10)""".stripMargin
+  }
+
+  /** Shared tail: per-query intersection of `approx` with `exact`. */
+  private val pqPanelOracleTail: String =
+    """hit AS (SELECT a.qid, count(*) AS n_hit
+      |      FROM approx a JOIN exact e ON e.qid = a.qid AND e.vec_id = a.vec_id
+      |      GROUP BY a.qid)
+      |SELECT q.qid, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+      |  round(coalesce(h.n_hit, 0) / 10.0, 6) AS recall
+      |FROM qs q LEFT JOIN hit h ON h.qid = q.qid
+      |ORDER BY q.qid""".stripMargin
+
+  /** Oracle for q_pq_recall: ADC top-10 directly against the exact
+    * ranking.
+    */
+  private def pqRecallOracleSql: String =
+    s"""$pqPanelOraclePrelude,
        |approx AS (SELECT qid, vec_id FROM (
        |      SELECT qid, vec_id,
        |        row_number() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id) AS rk
        |      FROM adc) WHERE rk <= 10),
-       |ex AS (SELECT qs.qid, emb.vec_id,
-       |      round(list_dot_product(emb.e, emb.e)
-       |        - 2 * list_dot_product(emb.e, qs.qe)
-       |        + list_dot_product(qs.qe, qs.qe), 6) AS d2
-       |      FROM emb CROSS JOIN qs),
-       |exact AS (SELECT qid, vec_id FROM (
-       |      SELECT qid, vec_id,
-       |        row_number() OVER (PARTITION BY qid ORDER BY d2, vec_id) AS rk
-       |      FROM ex) WHERE rk <= 10),
-       |hit AS (SELECT a.qid, count(*) AS n_hit
-       |      FROM approx a JOIN exact e ON e.qid = a.qid AND e.vec_id = a.vec_id
-       |      GROUP BY a.qid)
-       |SELECT q.qid, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
-       |  round(coalesce(h.n_hit, 0) / 10.0, 6) AS recall
-       |FROM qs q LEFT JOIN hit h ON h.qid = q.qid
-       |ORDER BY q.qid""".stripMargin
-  }
+       |$pqPanelOracleTail""".stripMargin
 
-  /** Oracle for q_pq_rerank: [[pqRecallOracleSql]]'s replay with the
-    * 50-deep ADC shortlist re-ranked by exact d2 before the top-10.
+  /** Oracle for q_pq_rerank: the 50-deep ADC shortlist re-ranked by
+    * exact d2 before the top-10.
     */
-  private def pqRerankOracleSql: String = {
-    val (m, dsub) = (8, 8)
-    val arms = (0 until m).map { s =>
-      val lo = s * dsub + 1
-      val hi = (s + 1) * dsub
-      s"""(SELECT list_dot_product(qs.qe[$lo:$hi], qs.qe[$lo:$hi])
-         |   - 2 * list_dot_product(qs.qe[$lo:$hi], cb.c)
-         |   + list_dot_product(cb.c, cb.c)
-         | FROM cb WHERE cb.m = $s
-         | ORDER BY 2 * list_dot_product(cb.c, emb.e[$lo:$hi])
-         |   - list_dot_product(cb.c, cb.c) DESC, cb.code
-         | LIMIT 1)""".stripMargin
-    }.mkString(" +\n|")
-    s"""WITH cb AS (SELECT m, code, CAST(centroid AS DOUBLE[]) AS c
-       |      FROM read_parquet('$pqDir/codebooks_recall.parquet/*.parquet')),
-       |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-       |qs AS (SELECT vec_id AS qid, e AS qe FROM emb WHERE vec_id IN (0, 17, 42, 123, 256)),
-       |adc AS (SELECT qs.qid, emb.vec_id,
-       |  round($arms, 6) AS adc_dist
-       |FROM emb CROSS JOIN qs),
+  private def pqRerankOracleSql: String =
+    s"""$pqPanelOraclePrelude,
        |short AS (SELECT qid, vec_id FROM (
        |      SELECT qid, vec_id,
        |        row_number() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id) AS rk
        |      FROM adc) WHERE rk <= 50),
-       |ex AS (SELECT qs.qid, emb.vec_id,
-       |      round(list_dot_product(emb.e, emb.e)
-       |        - 2 * list_dot_product(emb.e, qs.qe)
-       |        + list_dot_product(qs.qe, qs.qe), 6) AS d2
-       |      FROM emb CROSS JOIN qs),
-       |rerank AS (SELECT qid, vec_id FROM (
+       |approx AS (SELECT qid, vec_id FROM (
        |      SELECT x.qid, x.vec_id,
        |        row_number() OVER (PARTITION BY x.qid ORDER BY x.d2, x.vec_id) AS rk
        |      FROM ex x JOIN short sl ON sl.qid = x.qid AND sl.vec_id = x.vec_id)
        |      WHERE rk <= 10),
-       |exact AS (SELECT qid, vec_id FROM (
-       |      SELECT qid, vec_id,
-       |        row_number() OVER (PARTITION BY qid ORDER BY d2, vec_id) AS rk
-       |      FROM ex) WHERE rk <= 10),
-       |hit AS (SELECT a.qid, count(*) AS n_hit
-       |      FROM rerank a JOIN exact e ON e.qid = a.qid AND e.vec_id = a.vec_id
-       |      GROUP BY a.qid)
-       |SELECT q.qid, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
-       |  round(coalesce(h.n_hit, 0) / 10.0, 6) AS recall
-       |FROM qs q LEFT JOIN hit h ON h.qid = q.qid
-       |ORDER BY q.qid""".stripMargin
-  }
+       |$pqPanelOracleTail""".stripMargin
 
   /** Embedding near-duplicate pairs: cosine >= threshold with candidates
     * from sign-LSH buckets (8 deterministic hyperplanes -> 256 buckets;

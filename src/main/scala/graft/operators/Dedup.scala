@@ -594,6 +594,10 @@ object Dedup {
         col("x.ck") === col("y.ck") && col("x.id") =!= col("y.id") &&
           expr("bit_count(x.simhash ^ y.simhash)") <= maxHamming)
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        // INT like the simhash self-join twins (simHashPairsFromSigs /
+        // simHashNearDup) emit — schema-identical outputs keep the
+        // pair-identity claim true for consumers too (the generic
+        // hammingPairs family is the one that casts to BIGINT)
         expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
       .distinct()
 
@@ -695,6 +699,30 @@ object Dedup {
       bands: Int = 32,
       estThreshold: Double = 0.35,
       shingleN: Int = 3,
+      minJaccard: Double = 0.8): DataFrame =
+    incrementalStatusGivenSigs(index, corpus, incoming,
+      minHashSignatures(incoming, textCol, idCol, numHashes, shingleN),
+      textCol, idCol, numHashes, bands, estThreshold, shingleN, minJaccard)
+
+  /** [[incrementalStatusWithIndex]] with the INCOMING side's MinHash
+    * signatures supplied by the caller — the seam a streaming consumer
+    * needs to compute the batch's signatures ONCE and feed both the
+    * classification and its own index slice (the signature aggregate
+    * is the expensive half; fingerprints are a cheap per-row hash and
+    * stay computed from `incoming` directly so that docs too short to
+    * shingle keep their exact-duplicate semantics).
+    */
+  def incrementalStatusGivenSigs(
+      index: DataFrame,
+      corpus: DataFrame,
+      incoming: DataFrame,
+      incomingSigs: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int = 64,
+      bands: Int = 32,
+      estThreshold: Double = 0.35,
+      shingleN: Int = 3,
       minJaccard: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
 
@@ -708,7 +736,7 @@ object Dedup {
         explode(graft.functions.GraftFunctions.graftMinHashBands(
           col("signature"), bands)).as("bk"))
     val sigsEx = index.select(col("id"), col("signature"))
-    val sigsInc = minHashSignatures(incoming, textCol, idCol, numHashes, shingleN)
+    val sigsInc = incomingSigs.select(col("id"), col("signature"))
     val cand = bandedOf(sigsInc).as("x")
       .join(bandedOf(sigsEx).as("y"), col("x.bk") === col("y.bk"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))

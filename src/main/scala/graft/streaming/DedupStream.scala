@@ -73,17 +73,30 @@ object DedupStream {
   def classifyBatch(spark: SparkSession, batch: DataFrame, textCol: String,
       idCol: String, storeDir: String, batchId: Long): Unit = {
     if (!batch.isEmpty) {
-      val (index, corpus) =
-        readStore(spark, storeDir, textCol, idCol, beforeBatch = batchId)
-      Dedup.incrementalStatusWithIndex(index, corpus, batch, textCol, idCol)
-        .write.mode(SaveMode.Overwrite)
-        .parquet(s"$storeDir/status/batch=$batchId")
-      Dedup.dedupIndex(batch, textCol, idCol)
-        .write.mode(SaveMode.Overwrite)
-        .parquet(s"$storeDir/index/batch=$batchId")
-      batch.select(col(idCol), col(textCol))
-        .write.mode(SaveMode.Overwrite)
-        .parquet(s"$storeDir/docs/batch=$batchId")
+      // The batch feeds three sinks plus the classification; pin it so
+      // the streaming source is not replayed per consumer, and compute
+      // the MinHash signature aggregate (the expensive half) ONCE —
+      // it serves both the classification and this batch's index slice.
+      val pinned = batch.persist()
+      try {
+        val sigs = Dedup.minHashSignatures(pinned, textCol, idCol)
+          .localCheckpoint()
+        val batchIndex = sigs.join(
+          pinned.select(col(idCol).as("id"),
+            Dedup.contentFingerprint(col(textCol)).as("fp")), "id")
+        val (index, corpus) =
+          readStore(spark, storeDir, textCol, idCol, beforeBatch = batchId)
+        Dedup.incrementalStatusGivenSigs(index, corpus, pinned, sigs,
+            textCol, idCol)
+          .write.mode(SaveMode.Overwrite)
+          .parquet(s"$storeDir/status/batch=$batchId")
+        batchIndex
+          .write.mode(SaveMode.Overwrite)
+          .parquet(s"$storeDir/index/batch=$batchId")
+        pinned.select(col(idCol), col(textCol))
+          .write.mode(SaveMode.Overwrite)
+          .parquet(s"$storeDir/docs/batch=$batchId")
+      } finally pinned.unpersist()
     }
   }
 
@@ -97,16 +110,24 @@ object DedupStream {
   def readStore(spark: SparkSession, storeDir: String, textCol: String,
       idCol: String, beforeBatch: Long = Long.MaxValue): (DataFrame, DataFrame) = {
     import spark.implicits._
-    if (!Files.exists(Paths.get(storeDir, "index")))
-      (Seq.empty[(Long, Array[Long], String)].toDF("id", "signature", "fp"),
-        Seq.empty[(Long, String)].toDF(idCol, textCol))
-    else
-      (spark.read.parquet(s"$storeDir/index")
-         .filter(col("batch") < beforeBatch)
-         .select(col("id"), col("signature"), col("fp")),
-        spark.read.parquet(s"$storeDir/docs")
-          .filter(col("batch") < beforeBatch)
-          .select(col(idCol), col(textCol)))
+    // Each side is existence-guarded INDEPENDENTLY: a crash between the
+    // index and docs writes of a batch may leave one dir present and
+    // the other missing, and the restart replays that batch — whose
+    // slices the strictly-before filter excludes anyway. Guarding only
+    // one dir would wedge the stream on an AnalysisException forever.
+    val index =
+      if (!Files.exists(Paths.get(storeDir, "index")))
+        Seq.empty[(Long, Array[Long], String)].toDF("id", "signature", "fp")
+      else spark.read.parquet(s"$storeDir/index")
+        .filter(col("batch") < beforeBatch)
+        .select(col("id"), col("signature"), col("fp"))
+    val corpus =
+      if (!Files.exists(Paths.get(storeDir, "docs")))
+        Seq.empty[(Long, String)].toDF(idCol, textCol)
+      else spark.read.parquet(s"$storeDir/docs")
+        .filter(col("batch") < beforeBatch)
+        .select(col(idCol), col(textCol))
+    (index, corpus)
   }
 
   /** Every classified document so far: (idCol, status, match_id, batch)

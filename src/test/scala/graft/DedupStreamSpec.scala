@@ -87,6 +87,24 @@ class DedupStreamSpec extends SparkSpec {
     assert(corpus.count() === 2L, "docs slice doubled on replay")
   }
 
+  test("restart after a crash between the index and docs writes recovers") {
+    import spark.implicits._
+    val store = tmpDir("ddstore4")
+    val b0 = Seq((1L, base)).toDF("doc_id", "text")
+    // simulate the at-least-once crash window: batch 0's index slice
+    // landed but its docs slice (and checkpoint commit) did not
+    Dedup.dedupIndex(b0, "text", "doc_id")
+      .write.parquet(s"$store/index/batch=0")
+    // the re-delivery must classify and rewrite, not wedge on the
+    // missing docs dir
+    DedupStream.classifyBatch(spark, b0, "text", "doc_id", store, batchId = 0L)
+    val got = DedupStream.statuses(spark, store).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set((1L, "unique")))
+    val (index, corpus) = DedupStream.readStore(spark, store, "text", "doc_id")
+    assert(index.count() === 1L && corpus.count() === 1L)
+  }
+
   test("empty store and empty batches are valid states") {
     import spark.implicits._
     val store = tmpDir("ddstore3")
