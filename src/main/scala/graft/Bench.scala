@@ -235,6 +235,8 @@ object Bench {
     // with the stop-token cap — the sf1-rehearsal production path)
     "q_setsim_capped",
     "q_sparse_knn_incr",
+    // hash-bucket + per-shard window, the q_group_split family shape
+    "q_epoch_shuffle",
     // its vector-side sibling: merged==fresh store maintenance gate
     // over the billed q_embed_ivf machinery; q_ivf_recall is that
     // family's measured-recall readout (eval composition)

@@ -4113,6 +4113,19 @@ object SparkEntry {
     * correct split when near-dups cluster within domains. 60/20/20
     * keeps every shard non-empty over the testdata's 20 sources.
     */
+  /** Epoch reshuffle under the gate ([[operators.TextAnalysis
+    * .epochShuffle]]): two epochs over the documents table, 8 shards.
+    * The oracle replays the epoch-keyed md5, the hex-prefix shard
+    * bucket, and the per-(epoch, shard) position window — so both the
+    * reproducibility claim and the epochs-differ claim are checked
+    * value-for-value, not asserted.
+    */
+  private def epochShuffleQ(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.epochShuffle(
+        t(s, d, "documents").select(col("doc_id")),
+        "doc_id", epochs = 2, shards = 8)
+      .orderBy(col("epoch"), col("shard"), col("pos"))
+
   private def groupSplitQ(s: SparkSession, d: String): DataFrame =
     TextAnalysis.groupSplit(
         t(s, d, "documents").select(col("doc_id"), col("source")),
@@ -5282,6 +5295,7 @@ object SparkEntry {
     "q_weighted_sample" -> (weightedSampleQ _),
     "q_sample_split" -> (sampleSplit _),
     "q_group_split" -> (groupSplitQ _),
+    "q_epoch_shuffle" -> (epochShuffleQ _),
     "q_pack_sequences" -> (packSequences _),
     "q_curate_docs" -> (curateDocs _),
     "q_curate_audit" -> (curateAudit _),
@@ -8810,6 +8824,19 @@ object SparkEntry {
         |  FROM paras)
         |SELECT doc_id, string_agg(para, chr(10) || chr(10) ORDER BY pos) AS clean_text
         |FROM firsts WHERE rk = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Epoch reshuffle: epoch-keyed md5, hex-prefix shard, per-shard
+    // position window — the group-split hash idiom plus row_number.
+    "q_epoch_shuffle" ->
+      """WITH e AS (SELECT doc_id, unnest([0, 1]) AS epoch FROM documents),
+        |h AS (SELECT epoch, doc_id,
+        |    md5(concat(epoch, ':', doc_id)) AS hk
+        |  FROM e),
+        |b AS (SELECT epoch, doc_id, hk,
+        |    CAST(CAST(concat('0x', substr(hk, 1, 6)) AS BIGINT) % 8 AS INT) AS shard
+        |  FROM h)
+        |SELECT epoch, doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY epoch, shard ORDER BY hk, doc_id) AS INT) AS pos
+        |FROM b ORDER BY epoch, shard, pos""".stripMargin,
     "q_sample_split" ->
       """WITH h AS (SELECT doc_id,
         |    ((doc_id % 2147483647) * 2654435761) % 2147483647 AS y

@@ -713,6 +713,32 @@ object TextAnalysis {
           .otherwise("test"))
   }
 
+  /** Deterministic per-epoch reshuffle of a training corpus — the
+    * data-ORDER half of a training run beside [[withSplit]]'s data-SET
+    * half: each epoch maps every unit (document, packed sequence) to a
+    * shard and a position within it via an epoch-keyed content hash, so
+    * the global order (epoch, shard, pos) is (1) reproducible from
+    * (corpus, epoch) alone on any cluster layout, (2) different between
+    * epochs (the hash key includes the epoch), and (3) computed WITHOUT
+    * a global sort: the only ordering work is one window per
+    * (epoch, shard) — exactly the per-output-file sort a shard writer
+    * already pays. At 100 TB `shard` is the write-partition key and a
+    * training reader streams shards in shard-id order; no stage ever
+    * holds a total order.
+    */
+  def epochShuffle(df: DataFrame, idCol: String,
+      epochs: Int = 2, shards: Int = 8): DataFrame = {
+    require(epochs >= 1 && shards >= 1, "epochs and shards must be >= 1")
+    df.withColumn("epoch", explode(typedLit((0 until epochs).toList)))
+      .withColumn("_hk", md5(concat_ws(":", col("epoch"), col(idCol))))
+      .withColumn("shard",
+        (conv(substring(col("_hk"), 1, 6), 16, 10).cast("long") % shards).cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("epoch"), col("shard"))
+          .orderBy(col("_hk"), col(idCol))))
+      .drop("_hk")
+  }
+
   def withSplit(df: DataFrame, idCol: String,
       trainPct: Int = 80, validPct: Int = 10): DataFrame = {
     require(trainPct + validPct < 100, "train + valid must leave room for test")

@@ -545,4 +545,40 @@ class TextAnalysisSpec extends SparkSpec {
     val d6 = nb.find(_.getAs[Long]("doc_id") == 6L).get
     assert(d6.isNullAt(d6.fieldIndex("s_en")))
   }
+
+  test("epochShuffle: reproducible, dense positions, epochs differ, matches local replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = (1L to 200L).toDF("doc_id")
+    val out = TextAnalysis.epochShuffle(docs, "doc_id", epochs = 2, shards = 4)
+      .collect().map(r => (r.getAs[Int]("epoch"), r.getAs[Long]("doc_id"),
+        r.getAs[Int]("shard"), r.getAs[Int]("pos")))
+    // reproducible: a second run is identical
+    val again = TextAnalysis.epochShuffle(docs, "doc_id", epochs = 2, shards = 4)
+      .collect().map(r => (r.getAs[Int]("epoch"), r.getAs[Long]("doc_id"),
+        r.getAs[Int]("shard"), r.getAs[Int]("pos")))
+    assert(out.toSet === again.toSet)
+    // every doc appears once per epoch; positions are dense 1..n per shard
+    assert(out.length === 400)
+    out.groupBy(t => (t._1, t._3)).foreach { case (_, g) =>
+      assert(g.map(_._4).sorted.toSeq === (1 to g.length).toSeq)
+    }
+    // epochs produce different orders (the point of reshuffling)
+    val order0 = out.filter(_._1 == 0).sortBy(t => (t._3, t._4)).map(_._2).toSeq
+    val order1 = out.filter(_._1 == 1).sortBy(t => (t._3, t._4)).map(_._2).toSeq
+    assert(order0 !== order1)
+    // local replay of the full contract: md5(epoch:id) -> shard, rank
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val expect = (for {
+      e <- 0 to 1; id <- 1L to 200L
+      hk = md5hex(s"$e:$id")
+      shard = (java.lang.Long.parseLong(hk.take(6), 16) % 4).toInt
+    } yield (e, id, shard, hk)).groupBy(t => (t._1, t._3)).flatMap { case (_, g) =>
+      g.sortBy(t => (t._4, t._2)).zipWithIndex
+        .map { case ((e, id, sh, _), i) => (e, id, sh, i + 1) }
+    }.toSet
+    assert(out.toSet === expect)
+  }
 }
