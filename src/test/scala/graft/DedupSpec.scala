@@ -522,6 +522,31 @@ class DedupSpec extends SparkSpec {
     assert(got.contains((1L, 10L))) // planted near-dup inside the radius
   }
 
+  test("probe joins broadcast the panel side - the corpus never shuffles for the join") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val corpus = (1L to 50L).map(i => (i, s"corpus doc number $i with words $i"))
+      .toDF("doc_id", "text")
+    val probe = Seq((100L, "corpus doc number 7 with words 7")).toDF("doc_id", "text")
+    val simPlan = Dedup.simHashProbe(
+        Dedup.simHash(corpus, "text", "doc_id"),
+        Dedup.simHash(probe, "text", "doc_id"), maxHamming = 6, pieces = 8)
+      .queryExecution.executedPlan.toString
+    val chunkPlan = Dedup.chunkLshProbe(
+        Dedup.chunkBandKeys(corpus, "text", "doc_id"),
+        Dedup.chunkBandKeys(probe, "text", "doc_id"))
+      .queryExecution.executedPlan.toString
+    for ((name, plan) <- Seq("simHashProbe" -> simPlan, "chunkLshProbe" -> chunkPlan)) {
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$name: probe side must broadcast-join into the corpus scan:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"$name: the corpus must not shuffle for the probe join:\n$plan")
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name: banded equi-join must not degrade to all-pairs:\n$plan")
+    }
+  }
+
   test("probeBagJaccard: complete ground truth equals brute-force bag Jaccard") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
