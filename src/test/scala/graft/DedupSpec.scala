@@ -522,6 +522,61 @@ class DedupSpec extends SparkSpec {
     assert(got.contains((1L, 10L))) // planted near-dup inside the radius
   }
 
+  test("incremental status randomized: exact == brute force, near is sound (seeded)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val vocab = (0 until 40).map(i => s"word$i")
+    def sentence(n: Int): String = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val existing = (1L to 60L).map(i => (i, sentence(8 + rnd.nextInt(8))))
+    // incoming: exact copies (some with whitespace/case jitter — the
+    // fingerprint normalizes), light mutations, and fresh docs
+    val incoming = (0 until 40).map { k =>
+      val id = 1000L + k
+      rnd.nextInt(3) match {
+        case 0 =>
+          val src = existing(rnd.nextInt(existing.size))._2
+          (id, if (k % 2 == 0) s"  ${src.toUpperCase}  " else src)
+        case 1 =>
+          val ws = existing(rnd.nextInt(existing.size))._2.split(" ")
+          (id, ws.updated(rnd.nextInt(ws.length), "mutx").mkString(" "))
+        case _ => (id, sentence(8 + rnd.nextInt(8)))
+      }
+    }
+    val exDf = existing.toDF("doc_id", "text")
+    val inDf = incoming.toDF("doc_id", "text")
+    val got = Dedup.incrementalStatus(exDf, inDf, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), Option(r.getAs[Any]("match_id")).map(_.toString.toLong)))
+      .toMap
+    // brute-force exact: normalized-content equality, min existing id
+    def norm(t: String) = t.trim.toLowerCase.replaceAll("\\s+", " ")
+    val exByNorm = existing.groupBy(e => norm(e._2)).map { case (k, g) =>
+      k -> g.map(_._1).min }
+    // complete near ground truth at the production threshold
+    val nearTruth = Dedup.probeJaccard(exDf, inDf, "text", "doc_id",
+        n = 3, minJaccard = 0.8)
+      .collect().map(r => (r.getLong(1), r.getLong(0))).groupBy(_._1)
+      .map { case (inc, g) => inc -> g.map(_._2).toSet }
+    incoming.foreach { case (id, text) =>
+      val (status, m) = got(id)
+      exByNorm.get(norm(text)) match {
+        case Some(minEx) =>
+          // the exact path is LSH-free and must match brute force exactly
+          assert(status == "exact" && m.contains(minEx), s"doc $id: got $status/$m")
+        case None =>
+          // near is LSH-recalled, so it must be SOUND (every reported
+          // match is a true >= 0.8 neighbor), never asserted complete
+          if (status == "near")
+            assert(nearTruth.get(id).exists(_.contains(m.get)),
+              s"doc $id: near match ${m.get} is not a true neighbor")
+          else
+            assert(status == "unique" && m.isEmpty, s"doc $id: got $status/$m")
+      }
+    }
+    // the planted exact copies guarantee the exact branch is exercised
+    assert(got.values.count(_._1 == "exact") >= 5)
+  }
+
   test("probe joins broadcast the panel side - the corpus never shuffles for the join") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
