@@ -231,6 +231,12 @@ object Bench {
     "q_containment_recall",
     "q_unigram_tokenizer",
     "q_unigram_encode",
+    // DSIR importance resampling: model-fit + scoring composition over
+    // the same explode/aggregate machinery the billed q_bigram_lm /
+    // q_quality_classifier scans exercise
+    "q_dsir_sample",
+    // label-aware variant of the billed q_ann_batch panel retrieval
+    "q_hard_negatives",
     // capped variant of the billed q_setsim_join (same family plan
     // with the stop-token cap — the sf1-rehearsal production path)
     "q_setsim_capped",

@@ -2525,6 +2525,17 @@ object SparkEntry {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  /** Hard-negative mining ([[operators.Similarity.hardNegatives]]):
+    * label-aware top-10 retrieval for the 8-query panel — wrong-label
+    * high-cosine neighbors are the hard negatives a contrastive
+    * trainer wants; the oracle re-ranks by brute force and replays the
+    * label-disagreement flag.
+    */
+  private def hardNegativesQ(s: SparkSession, d: String): DataFrame =
+    Similarity.hardNegatives(t(s, d, "embeddings"), "embedding", "vec_id",
+        "label", isQuery = col("vec_id") < 8, k = 10)
+      .orderBy(col("q_id"), col("rn"))
+
   private def embedTopk(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")
     val qv = emb.filter(col("vec_id") === 0)
@@ -4965,6 +4976,30 @@ object SparkEntry {
         col("source").isin("src0", "src1", "src2", "src3", "src4"))
       .orderBy(col("doc_id"))
 
+  /** DSIR importance resampling ([[operators.Dsir]], Xie et al. 2023):
+    * hashed-n-gram (uni+bigram, 4096 md5 buckets) importance weight of
+    * every raw document against the src0..src3 target slice, with the
+    * top 25% flagged `selected` via the sort-free boundary-bucket
+    * top-K. The oracle refits both bucket multinomials from scratch
+    * and replays every decimal-rounded score and the boundary-exact
+    * selection (row_number over (score desc, doc_id)).
+    *
+    * localCheckpoint: the K=25% cutoff needs the scored count, and the
+    * boundary trick re-reads the scores three times — without
+    * materialization the two-scan feature explode would re-run per
+    * consumer (the batch siblings' discipline).
+    */
+  private def dsirSample(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), lower(col("text")).as("text"), col("source"))
+    val scored = Dsir.importanceScores(docs, "text", "doc_id",
+        col("source").isin("src0", "src1", "src2", "src3"), buckets = 4096)
+      .localCheckpoint()
+    val k = math.ceil(scored.count() * 0.25).toLong
+    Dsir.selectTopK(scored, "score", "doc_id", k)
+      .orderBy(col("doc_id"))
+  }
+
   /** Interpolated bigram-LM scoring
     * ([[operators.TermIndex.bigramLmScore]]): per-doc total negative
     * log-likelihood under the corpus-trained mixture model; the oracle
@@ -5194,6 +5229,8 @@ object SparkEntry {
     "q_tokenize_bpe" -> (tokenizeBpe _),
     "q_bpe_encode" -> (bpeEncode _),
     "q_quality_classifier" -> (qualityClassifierQ _),
+    "q_dsir_sample" -> (dsirSample _),
+    "q_hard_negatives" -> (hardNegativesQ _),
     "q_url_blocklist" -> (urlBlocklist _),
     "q_inverted_index" -> (indexPostings _),
     "q_mix_domains" -> (mixDomains _),
@@ -7087,6 +7124,48 @@ object SparkEntry {
     "q_unigram_encode" -> unigramEncodeOracle,
     "q_tokenize_bpe" -> tokenizeBpeOracle,
     "q_bpe_encode" -> bpeEncodeOracle,
+    // DSIR: the oracle refits both hashed-n-gram bucket multinomials
+    // (uni+bigram, md5-prefix buckets mod 4096, add-one smoothing over
+    // total+B), replays the 9-decimal log-ratio terms, the DECIMAL
+    // weighted per-doc sums rounded to 4, and the top-25% selection as
+    // a literal row_number over (score desc, doc_id) — the formulation
+    // the engine's boundary-bucket construction must be bit-identical
+    // to.
+    "q_dsir_sample" ->
+      """WITH w AS (SELECT doc_id,
+        |    source IN ('src0','src1','src2','src3') AS tgt,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      x -> len(x) > 0) AS ws
+        |  FROM documents),
+        |uni AS (SELECT doc_id, tgt, unnest(ws) AS g FROM w),
+        |bi AS (SELECT doc_id, tgt, ws[t.i - 1] || ' ' || ws[t.i] AS g
+        |  FROM w, unnest(range(2, len(ws) + 1)) AS t(i)
+        |  WHERE len(ws) >= 2),
+        |occ AS (SELECT doc_id, tgt,
+        |    CAST(concat('0x', substr(md5(g), 1, 6)) AS BIGINT) % 4096
+        |      AS bucket
+        |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+        |ct AS (SELECT bucket, count(*) AS n FROM occ WHERE tgt GROUP BY 1),
+        |cr AS (SELECT bucket, count(*) AS n FROM occ WHERE NOT tgt
+        |  GROUP BY 1),
+        |tt AS (SELECT count(*) AS t FROM occ WHERE tgt),
+        |rt AS (SELECT count(*) AS r FROM occ WHERE NOT tgt),
+        |terms AS (SELECT coalesce(ct.bucket, cr.bucket) AS bucket,
+        |    CAST(round(ln((coalesce(ct.n, 0) + 1.0) / (t + 4096)) -
+        |               ln((coalesce(cr.n, 0) + 1.0) / (r + 4096)), 9)
+        |      AS DECIMAL(28,9)) AS term
+        |  FROM ct FULL OUTER JOIN cr ON ct.bucket = cr.bucket
+        |  CROSS JOIN tt CROSS JOIN rt),
+        |db AS (SELECT doc_id, bucket, count(*) AS c FROM occ
+        |  WHERE NOT tgt GROUP BY 1, 2),
+        |sc AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
+        |    CAST(round(sum(CAST(c AS DECIMAL(9,0)) * term), 4) AS DOUBLE)
+        |      AS score
+        |  FROM db JOIN terms USING (bucket) GROUP BY doc_id),
+        |rk AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id)
+        |    AS rn, count(*) OVER () AS n FROM sc)
+        |SELECT doc_id, n_feats, score, rn <= ceil(n * 0.25) AS selected
+        |FROM rk ORDER BY doc_id""".stripMargin,
     // Naive Bayes quality classifier: the oracle RETRAINS the model —
     // same add-one smoothing, same 9-decimal LLR rounding, DECIMAL
     // sum, 4-decimal score; pred derives from the rounded score.
@@ -7718,6 +7797,24 @@ object SparkEntry {
         |    ORDER BY cosine DESC, vec_id) AS rn FROM scored)
         |SELECT q_id, rn, vec_id, cosine FROM ranked WHERE rn <= 5
         |ORDER BY q_id, rn""".stripMargin,
+    // Hard-negative mining: brute-force re-rank + label-disagreement
+    // flag — the engine's broadcast panel + bounded top-k heap must
+    // reproduce the literal window formulation row for row.
+    "q_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS q_id, label AS q_label,
+        |      CAST(embedding AS DOUBLE[]) AS qv
+        |    FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS cv
+        |    FROM embeddings WHERE vec_id >= 8),
+        |scored AS (SELECT q_id, q_label, vec_id, label,
+        |    round(list_dot_product(cv, qv) /
+        |      (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))), 4)
+        |      AS cosine
+        |  FROM c CROSS JOIN q),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY cosine DESC, vec_id) AS rn FROM scored)
+        |SELECT q_id, rn, vec_id, cosine, label <> q_label AS is_hard_negative
+        |FROM ranked WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin,
     "q_text_stats" ->
       s"""SELECT doc_id,
          |  len(string_split_regex(trim(text), '\\s+')) AS n_words,

@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+/** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+  * arXiv:2302.03169): pick raw-corpus documents whose hashed-n-gram
+  * profile looks like a small high-quality TARGET corpus. The published
+  * recipe, re-expressed as Spark aggregates:
+  *
+  *  1. FEATURES — every unigram and space-joined bigram of the
+  *     whitespace token stream, hashed into a fixed bucket domain
+  *     (md5 hex prefix mod B, the repo's oracle-replayable hash).
+  *  2. BAG-OF-BUCKETS MODELS — two multinomials over the bucket
+  *     domain, one fit on the target slice, one on the raw slice,
+  *     each with add-one smoothing (denominators total+B).
+  *  3. IMPORTANCE WEIGHT — per raw document, the log-likelihood
+  *     ratio sum over its feature occurrences:
+  *     log w(x) = sum_b c_b(x) * (ln p_tgt(b) - ln p_raw(b)).
+  *  4. RESAMPLE — keep the top-K raw documents by weight (Xie et
+  *     al.'s Gumbel top-k degenerates to plain top-k at temperature
+  *     0; the deterministic form is what an oracle can replay).
+  *
+  * Numeric discipline is [[TermIndex.bigramLmScore]]'s: the per-bucket
+  * log-ratio rounds to 9 decimals and becomes DECIMAL(28,9), per-doc
+  * sums weight those decimals by DECIMAL(9,0) counts, and the total
+  * rounds to 4 decimals before the double cast — bit-identical in any
+  * engine that implements decimal arithmetic.
+  *
+  * 100 TB shape: the feature explode is a linear corpus scan feeding a
+  * map-side-combinable (doc, bucket) count; both model tables are at
+  * most B rows (B = 4096 here) and BROADCAST back onto the per-doc
+  * aggregate; the totals are scalar cross joins. Nothing pairs the
+  * corpus with itself and no global sort exists anywhere — top-K
+  * selection goes through the quantized-score boundary trick
+  * ([[BudgetSample.fillTokenBudget]]'s construction): per-score counts
+  * prefix-sum on the driver, strictly-better scores are taken with a
+  * scan filter, and only the single boundary score runs an id-ordered
+  * window.
+  */
+object Dsir {
+
+  /** Hashed n-gram occurrences: one (id, flag, bucket) row per unigram
+    * and per bigram of the document's whitespace token stream, where
+    * `flag` carries the caller's target predicate alongside the
+    * explode (so no re-join on id is ever needed). The bucket is the
+    * first 6 md5 hex chars as an integer, mod `buckets` — non-negative
+    * by construction (24 bits), replayable in DuckDB as
+    * CAST(concat('0x', substr(md5(g),1,6)) AS BIGINT) % B.
+    *
+    * Unigrams and bigrams are two scans of the token arrays (the
+    * [[TermIndex.bigramLmScore]] minimum); the bigram leg filters to
+    * size >= 2 BEFORE the position sequence so `element_at` never sees
+    * an out-of-range index under ANSI mode.
+    */
+  def featureOccurrences(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      isTarget: Column,
+      buckets: Int): DataFrame = {
+    require(buckets > 0, "bucket domain must be non-empty")
+    val base = docs.select(col(idCol).as("id"), isTarget.as("_tgt"),
+      TextAnalysis.words(col(textCol)).as("_ws"))
+    val uni = base.select(col("id"), col("_tgt"),
+      explode(col("_ws")).as("g"))
+    val bi = base.filter(size(col("_ws")) >= 2)
+      .select(col("id"), col("_tgt"),
+        explode(transform(sequence(lit(2), size(col("_ws"))),
+          i => concat_ws(" ", element_at(col("_ws"), i - 1),
+            element_at(col("_ws"), i)))).as("g"))
+    uni.unionAll(bi).select(col("id"), col("_tgt"),
+      pmod(conv(substring(md5(col("g")), 1, 6), 16, 10).cast(LongType),
+        lit(buckets.toLong)).as("bucket"))
+  }
+
+  /** Per-raw-document importance scores against the target slice.
+    * Returns (idCol, n_feats, score) for documents where `isTarget` is
+    * false and at least one feature exists; `isTarget` must be a
+    * deterministic predicate over `docs`' columns.
+    */
+  def importanceScores(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      isTarget: Column,
+      buckets: Int = 4096): DataFrame = {
+    val occ = featureOccurrences(docs, textCol, idCol, isTarget, buckets)
+    val tgtCounts = occ.filter(col("_tgt"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("_ct"))
+    val rawCounts = occ.filter(!col("_tgt"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("_cr"))
+    val tgtTotal = occ.filter(col("_tgt")).agg(count(lit(1)).as("_t"))
+    val rawTotal = occ.filter(!col("_tgt")).agg(count(lit(1)).as("_r"))
+    // Model term per bucket, on the union of observed buckets (an
+    // unobserved bucket can never be multiplied by a nonzero count, so
+    // the full 0..B-1 domain never needs materializing). Both count
+    // tables are <= B rows — broadcast.
+    val terms = rawCounts.join(tgtCounts, Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("_ct", "_cr"))
+      .crossJoin(broadcast(tgtTotal))
+      .crossJoin(broadcast(rawTotal))
+      .select(col("bucket"),
+        round(
+          log((col("_ct").cast(DoubleType) + 1.0) /
+            (col("_t").cast(DoubleType) + buckets)) -
+          log((col("_cr").cast(DoubleType) + 1.0) /
+            (col("_r").cast(DoubleType) + buckets)), 9)
+          .cast(DecimalType(28, 9)).as("_term"))
+    val perDoc = occ.filter(!col("_tgt"))
+      .groupBy(col("id"), col("bucket")).agg(count(lit(1)).as("_c"))
+    perDoc.join(broadcast(terms), "bucket")
+      .groupBy(col("id"))
+      .agg(sum(col("_c")).as("n_feats"),
+        round(sum(col("_c").cast(DecimalType(9, 0)) * col("_term")), 4)
+          .cast(DoubleType).as("score"))
+      .withColumnRenamed("id", idCol)
+  }
+
+  /** Flag the top-`k` rows by (`scoreCol` desc, `idCol` asc) with a
+    * boolean `selected` — equivalent to row_number() <= k over that
+    * global order, built WITHOUT the global sort: per-score counts
+    * (bounded by the quantized score domain — scores here are rounded
+    * to 4 decimals) prefix-sum on the driver to find the boundary
+    * score; strictly-better rows are flagged by a scan filter, and only
+    * the boundary score's rows run an id-ordered window.
+    */
+  def selectTopK(
+      scores: DataFrame,
+      scoreCol: String,
+      idCol: String,
+      k: Long): DataFrame = {
+    require(k >= 0, "k must be non-negative")
+    val buckets = scores.groupBy(col(scoreCol))
+      .agg(count(lit(1)).as("_n"))
+      .collect()
+      .map { r =>
+        require(!r.isNullAt(0), s"null $scoreCol: scores must be non-null")
+        val p = r.getDouble(0)
+        require(!p.isNaN, s"NaN $scoreCol: scores must be orderable")
+        (p, r.getLong(1))
+      }
+      .sortBy(-_._1)
+    var acc = 0L
+    var boundary = Option.empty[Double]
+    var remaining = k
+    val it = buckets.iterator
+    while (it.hasNext && boundary.isEmpty) {
+      val (p, n) = it.next()
+      if (acc + n <= k) acc += n
+      else { boundary = Some(p); remaining = k - acc }
+    }
+    boundary match {
+      case None => scores.withColumn("selected", lit(true))
+      case Some(b) =>
+        // Three scan-speed slices, windowed ONLY on the boundary score
+        // (an unpartitioned window, but over one score's rows — the
+        // quantized-domain assumption bounds it, exactly as in
+        // BudgetSample). Strict winners and losers never shuffle.
+        val winners = scores.filter(col(scoreCol) > b)
+          .withColumn("selected", lit(true))
+        val losers = scores.filter(col(scoreCol) < b)
+          .withColumn("selected", lit(false))
+        val edge = scores.filter(col(scoreCol) === b)
+          .withColumn("_rk", row_number().over(Window.orderBy(col(idCol))))
+          .withColumn("selected", col("_rk") <= remaining)
+          .drop("_rk")
+        winners.unionByName(losers).unionByName(edge)
+    }
+  }
+}

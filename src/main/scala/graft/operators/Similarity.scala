@@ -271,4 +271,46 @@ object Similarity {
       .limit(k)
       .withColumn("outlier_rank", row_number().over(w))
   }
+
+  /** Hard-negative mining for contrastive embedding training (the
+    * DPR/E5 recipe, Karpukhin et al. 2020 §3.2): for each labeled
+    * query vector, rank the corpus by cosine and keep the top-k; a
+    * top-k member whose label disagrees with the query's is a HARD
+    * negative — the high-similarity wrong-class item a bi-encoder
+    * learns the most from — while agreeing labels are in-class
+    * positives (and candidate false negatives a curation pass should
+    * re-label rather than train against).
+    *
+    * Plan: the query panel BROADCASTS into one corpus scan; per-query
+    * state is bounded by [[TopK.perGroupAgg]]'s k-element heap
+    * aggregate, so the shuffle moves at most panel x k winner rows.
+    * Ranking uses the ROUNDED cosine (ties then vec_id) so the top-k
+    * boundary is engine-reproducible. For corpus-scale query sets,
+    * route candidate generation through the IVF probes
+    * ([[IvfIndex]]) instead of the exhaustive scan — the mining rule
+    * downstream of the candidate join is identical.
+    */
+  def hardNegatives(
+      embeddings: DataFrame,
+      vecCol: String,
+      idCol: String,
+      labelCol: String,
+      isQuery: Column,
+      k: Int,
+      roundTo: Int = 4): DataFrame = {
+    val queries = embeddings.filter(isQuery)
+      .select(col(idCol).as("q_id"), col(labelCol).as("_ql"),
+        toDouble(col(vecCol)).as("_qv"))
+    val corpus = embeddings.filter(!isQuery)
+      .select(col(idCol), col(labelCol).as("_cl"),
+        toDouble(col(vecCol)).as("_cv"))
+    val scored = corpus.crossJoin(broadcast(queries))
+      .withColumn("cosine",
+        round(dot(col("_cv"), col("_qv")) /
+          (norm(col("_cv")) * norm(col("_qv"))), roundTo))
+    TopK.perGroupAgg(scored, Seq(col("q_id")),
+        sortKey = struct(negate(col("cosine")), col(idCol)), k = k)
+      .select(col("q_id"), col("rn"), col(idCol), col("cosine"),
+        (col("_cl") =!= col("_ql")).as("is_hard_negative"))
+  }
 }

@@ -2,6 +2,7 @@ package graft
 
 import graft.operators.Similarity
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 class SimilaritySpec extends SparkSpec {
 
@@ -133,5 +134,35 @@ class SimilaritySpec extends SparkSpec {
     val expected = math.rint(v5(0) / n5 * 1e4) / 1e4
     assert(got.head._2 === 0)
     assert(got.head._3 === expected)
+  }
+
+  test("hardNegatives: wrong-label top-k neighbors are flagged, ranks exact") {
+    import spark.implicits._
+    // query 0 (label A); corpus: same-class twin, wrong-class near
+    // neighbor (the hard negative), wrong-class far vector
+    val emb = Seq(
+      (0L, "A", Array(1.0f, 0.0f, 0.0f)),
+      (10L, "A", Array(0.99f, 0.14f, 0.0f)),
+      (11L, "B", Array(0.95f, 0.31f, 0.0f)),
+      (12L, "B", Array(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val got = Similarity.hardNegatives(emb, "embedding", "vec_id", "label",
+        isQuery = col("vec_id") === 0L, k = 3)
+      .orderBy(col("rn"))
+      .collect()
+      .map(r => (r.getAs[Int]("rn"), r.getAs[Long]("vec_id"),
+        r.getAs[Boolean]("is_hard_negative")))
+    assert(got.toSeq === Seq((1, 10L, false), (2, 11L, true), (3, 12L, true)))
+    // and the flag agrees with the literal window formulation on the
+    // real corpus slice (differential, not just the toy)
+    val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val mined = Similarity.hardNegatives(real, "embedding", "vec_id",
+      "label", isQuery = col("vec_id") < 4, k = 5)
+    val labels = real.select(col("vec_id"), col("label").as("_l"))
+    val bad = mined.join(labels, "vec_id")
+      .join(labels.select(col("vec_id").as("q_id"), col("_l").as("_ql")), "q_id")
+      .filter(col("is_hard_negative") === (col("_l") === col("_ql")))
+    assert(bad.count() === 0L)
+    assert(mined.count() === 4L * 5L)
   }
 }
