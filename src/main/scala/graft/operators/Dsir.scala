@@ -76,12 +76,15 @@ object Dsir {
         lit(buckets.toLong)).as("bucket"))
   }
 
-  /** Per-raw-document importance scores against the target slice.
-    * Returns (idCol, n_feats, score) for documents where `isTarget` is
-    * false and at least one feature exists; `isTarget` must be a
-    * deterministic predicate over `docs`' columns.
+  /** The frozen model: per-bucket 9-decimal log-likelihood-ratio terms
+    * fit on `docs` (target slice vs raw slice). Emitted only for
+    * OBSERVED buckets — an unobserved bucket can never be multiplied by
+    * a nonzero count downstream, so the full 0..B-1 domain never needs
+    * materializing. At most `buckets` rows: a broadcastable standing
+    * artifact ([[graft.streaming.DsirStream]] scores an unbounded
+    * document stream against exactly this table).
     */
-  def importanceScores(
+  def modelTerms(
       docs: DataFrame,
       textCol: String,
       idCol: String,
@@ -94,11 +97,7 @@ object Dsir {
       .groupBy(col("bucket")).agg(count(lit(1)).as("_cr"))
     val tgtTotal = occ.filter(col("_tgt")).agg(count(lit(1)).as("_t"))
     val rawTotal = occ.filter(!col("_tgt")).agg(count(lit(1)).as("_r"))
-    // Model term per bucket, on the union of observed buckets (an
-    // unobserved bucket can never be multiplied by a nonzero count, so
-    // the full 0..B-1 domain never needs materializing). Both count
-    // tables are <= B rows — broadcast.
-    val terms = rawCounts.join(tgtCounts, Seq("bucket"), "full_outer")
+    rawCounts.join(tgtCounts, Seq("bucket"), "full_outer")
       .na.fill(0L, Seq("_ct", "_cr"))
       .crossJoin(broadcast(tgtTotal))
       .crossJoin(broadcast(rawTotal))
@@ -109,15 +108,93 @@ object Dsir {
           log((col("_cr").cast(DoubleType) + 1.0) /
             (col("_r").cast(DoubleType) + buckets)), 9)
           .cast(DecimalType(28, 9)).as("_term"))
-    val perDoc = occ.filter(!col("_tgt"))
+  }
+
+  /** Score arbitrary documents against a frozen `terms` model table
+    * ((bucket, _term) as produced by [[modelTerms]] — possibly read
+    * back from a persisted artifact): one feature explode, one
+    * map-side-combinable (doc, bucket) count, one broadcast join.
+    * Returns (idCol, n_feats, score) for every input document with at
+    * least one feature.
+    *
+    * `defaultTerm`, when given, is the LLR of a bucket the fit never
+    * observed ([[unseenTerm]]) and applies to features outside the
+    * model's bucket set — the streaming case, where new documents
+    * contain n-grams the frozen fit never saw. When None, every scored
+    * feature must hit the model (true for [[importanceScores]], where
+    * raw-side buckets are observed by construction) — an inner join,
+    * so violating that assumption silently drops features; pass a
+    * default whenever the scored corpus is not the fit corpus.
+    */
+  def scoreAgainst(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      terms: DataFrame,
+      buckets: Int = 4096,
+      defaultTerm: Option[java.math.BigDecimal] = None): DataFrame = {
+    val perDoc = featureOccurrences(docs, textCol, idCol, lit(false), buckets)
       .groupBy(col("id"), col("bucket")).agg(count(lit(1)).as("_c"))
-    perDoc.join(broadcast(terms), "bucket")
-      .groupBy(col("id"))
+    val joined = defaultTerm match {
+      case None => perDoc.join(broadcast(terms), "bucket")
+      case Some(d) => perDoc.join(broadcast(terms), Seq("bucket"), "left")
+        .withColumn("_term",
+          coalesce(col("_term"), lit(d).cast(DecimalType(28, 9))))
+    }
+    joined.groupBy(col("id"))
       .agg(sum(col("_c")).as("n_feats"),
         round(sum(col("_c").cast(DecimalType(9, 0)) * col("_term")), 4)
           .cast(DoubleType).as("score"))
       .withColumnRenamed("id", idCol)
   }
+
+  /** The LLR term of a bucket with zero observations on both sides of
+    * the fit: ln((0+1)/(T+B)) - ln((0+1)/(R+B)), rounded exactly like
+    * [[modelTerms]] rounds observed terms. T and R are the fit's total
+    * feature counts ([[featureTotals]]).
+    */
+  def unseenTerm(tgtTotal: Long, rawTotal: Long, buckets: Int): java.math.BigDecimal =
+    java.math.BigDecimal.valueOf(
+        math.log(1.0 / (tgtTotal.toDouble + buckets)) -
+        math.log(1.0 / (rawTotal.toDouble + buckets)))
+      .setScale(9, java.math.RoundingMode.HALF_UP)
+
+  /** Total feature occurrences of the fit corpus's (target, raw)
+    * halves — the T and R that [[unseenTerm]] needs when a frozen
+    * model will score documents outside the fit corpus.
+    */
+  def featureTotals(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      isTarget: Column,
+      buckets: Int = 4096): (Long, Long) = {
+    val r = featureOccurrences(docs, textCol, idCol, isTarget, buckets)
+      .agg(sum(when(col("_tgt"), 1L).otherwise(0L)).as("_t"),
+        sum(when(!col("_tgt"), 1L).otherwise(0L)).as("_r"))
+      .head()
+    (if (r.isNullAt(0)) 0L else r.getLong(0),
+      if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  /** Per-raw-document importance scores against the target slice:
+    * [[modelTerms]] fit on the whole corpus, then [[scoreAgainst]] over
+    * its raw half. Returns (idCol, n_feats, score) for documents where
+    * `isTarget` is false and at least one feature exists; `isTarget`
+    * must be a deterministic predicate over `docs`' columns.
+    *
+    * A raw-side feature always has a model term: every raw bucket is
+    * observed by construction, so the inner broadcast join in
+    * [[scoreAgainst]] drops nothing here.
+    */
+  def importanceScores(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      isTarget: Column,
+      buckets: Int = 4096): DataFrame =
+    scoreAgainst(docs.filter(!isTarget), textCol, idCol,
+      modelTerms(docs, textCol, idCol, isTarget, buckets), buckets)
 
   /** Flag the top-`k` rows by (`scoreCol` desc, `idCol` asc) with a
     * boolean `selected` — equivalent to row_number() <= k over that
