@@ -284,4 +284,44 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"panel semi-joins not broadcast:\n$plan")
   }
+
+  test("DSIR scoring joins the bounded model via broadcast, no corpus sort") {
+    // q_dsir_sample localCheckpoints the scored table (the boundary
+    // trick re-reads it three times), so the full query's plan starts
+    // at Scan ExistingRDD — assert the SCORING stage's plan directly.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), lower(col("text")).as("text"), col("source"))
+    val scorePlan = operators.Dsir.importanceScores(docs, "text", "doc_id",
+        col("source").isin("src0", "src1", "src2", "src3"), buckets = 4096)
+      .queryExecution.executedPlan.toString
+    // the <= 4096-row terms table must reach the per-doc counts as a
+    // broadcast; a SortMergeJoin here would shuffle the feature stream
+    assert(scorePlan.contains("BroadcastHashJoin"),
+      s"model terms not broadcast:\n$scorePlan")
+    // scalar totals join as BroadcastNestedLoopJoin (broadcast of one
+    // row) — a CartesianProduct would be a genuine all-pairs plan
+    assert(!scorePlan.contains("CartesianProduct"),
+      s"all-pairs plan:\n$scorePlan")
+    assert(!scorePlan.contains("Window "), s"unexpected window:\n$scorePlan")
+    // selection stage: the only unpartitioned window runs over the
+    // single boundary score's rows, never a corpus-wide global sort
+    // feeding a window across every score
+    val plan = planOf("q_dsir_sample")
+    val globalWindows = "Window ".r.findAllIn(plan).length
+    assert(globalWindows <= 1,
+      s"more than the boundary-score window in the plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"selection stage shuffles:\n$plan")
+  }
+
+  test("hard-negative mining broadcasts the panel, heap-bounds the top-k") {
+    val plan = planOf("q_hard_negatives")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"query panel not broadcast into the corpus scan:\n$plan")
+    assert(plan.contains("graft_topk"),
+      s"top-k not the bounded heap aggregate:\n$plan")
+    // no global sort of the scored pairs; ordering happens after the
+    // panel-x-k winners are down to panel size
+    assert(!plan.contains("SortMergeJoin"), s"scored pairs shuffled:\n$plan")
+  }
 }
