@@ -231,6 +231,12 @@ object Bench {
     "q_containment_recall",
     "q_unigram_tokenizer",
     "q_unigram_encode",
+    // WordPiece completes the tokenizer-trainer triad: same
+    // trainer-family taxonomy as q_bpe_train / q_unigram_tokenizer
+    // (standing-memo amortized; the billed headline encode path stays
+    // q_tokenize_bpe).
+    "q_wordpiece_train",
+    "q_wordpiece_encode",
     // DSIR importance resampling: model-fit + scoring composition over
     // the same explode/aggregate machinery the billed q_bigram_lm /
     // q_quality_classifier scans exercise

@@ -4867,6 +4867,65 @@ object SparkEntry {
         "text", "doc_id", trainedUnigram(s, d))
       .orderBy(col("doc_id"))
 
+  /** WordPiece merge budget — FIXED jointly with [[wpReplayCtes]] (the
+    * oracle unrolls one symbol-count + pair-count + argmax + replace
+    * CTE block per iteration from this constant).
+    */
+  private val wpMergeBudget = 10
+
+  /** Encode-side word-length cap for the WordPiece gates, shared with
+    * the oracle's MaxMatch unroll depth (a ≤12-char word takes ≤12
+    * greedy steps, so the replay unrolls exactly 12 step CTEs).
+    */
+  private val wpMaxWordLen = 12
+
+  /** Trained WordPiece model, memoized per dataset dir like the BPE
+    * merge table and the unigram vocabulary ([[standing]] — train once,
+    * serve every encode); the q_wordpiece_train oracle retrains from
+    * source on every run, so a stale memo still fails the gate.
+    */
+  private def trainedWordPiece(s: SparkSession, d: String)
+      : operators.WordPiece.WpModel =
+    standing(s"wordpiece:$d:$wpMergeBudget") {
+      operators.WordPiece.trainWordPiece(t(s, d, "documents"),
+        "text", "doc_id", numMerges = wpMergeBudget)
+    }
+
+  /** WordPiece TRAINER under the gate
+    * ([[operators.WordPiece.trainWordPiece]] — the likelihood-scored
+    * third of the tokenizer triad): the learned merge table with the
+    * integer likelihood score that made each (left, right) the argmax.
+    * The oracle REPLAYS training independently in DuckDB — bracket
+    * symbol strings with '##' continuation prefixes, per-round symbol
+    * AND pair counts, the same (cnt * 10^9) div (cl * cr) integer
+    * score, (score DESC, l, r) argmax, and replace-based merges — the
+    * q_bpe_train technique plus the WordPiece scoring rule.
+    */
+  private def wordPieceTrainQ(s: SparkSession, d: String): DataFrame = {
+    val model = trainedWordPiece(s, d)
+    s.createDataFrame(model.merges)
+      .select(col("rank"), col("left"), col("right"),
+        col("pair_count"), col("score_scaled"))
+      .orderBy(col("rank"))
+  }
+
+  /** WordPiece ENCODE under the gate — greedy longest-match-first
+    * segmentation against the trained vocabulary
+    * ([[operators.WordPiece.wordPieceTokenCounts]] via the standing
+    * model, q_bpe_encode slice shape): per-document word / token / UNK
+    * counts on doc_id < 100. The oracle replays training to the same
+    * vocabulary, then runs MaxMatch itself — one unrolled step CTE per
+    * word position, longest match by QUALIFY over candidate lengths,
+    * dead position → the single [UNK] token — and re-assembles the
+    * per-doc sums.
+    */
+  private def wordPieceEncodeQ(s: SparkSession, d: String): DataFrame =
+    operators.WordPiece.wordPieceTokenCounts(
+        t(s, d, "documents").filter(col("doc_id") < 100),
+        "text", "doc_id", trainedWordPiece(s, d),
+        maxWordLen = wpMaxWordLen)
+      .orderBy(col("doc_id"))
+
   /** Full BPE TRAINER under the gate ([[operators.TermIndex.trainBpe]]):
     * the learned merge table after `bpeMergeBudget` iterations. The
     * oracle REPLAYS training independently in DuckDB: symbol sequences
@@ -5226,6 +5285,8 @@ object SparkEntry {
     "q_bpe_train" -> (bpeTrain _),
     "q_unigram_tokenizer" -> (unigramTokenizerQ _),
     "q_unigram_encode" -> (unigramEncode _),
+    "q_wordpiece_train" -> (wordPieceTrainQ _),
+    "q_wordpiece_encode" -> (wordPieceEncodeQ _),
     "q_tokenize_bpe" -> (tokenizeBpe _),
     "q_bpe_encode" -> (bpeEncode _),
     "q_quality_classifier" -> (qualityClassifierQ _),
@@ -5411,6 +5472,133 @@ object SparkEntry {
         |    '[' || m.l || m.r || ']') AS seq, v.freq
         |  FROM v${k - 1} v, m$k m)""".stripMargin)
     }
+    sb.toString
+  }
+
+  /** WordPiece training replay in DuckDB — [[bpeReplayCtes]] plus the
+    * likelihood scoring rule: word symbol sequences travel as
+    * `[sym][sym]` bracket strings with '##' continuation prefixes
+    * (symbols are ^[a-z0-9]+$ by the trainer's word filter, so neither
+    * brackets nor the '#' prefix can collide with symbol text); each
+    * round k recounts symbols (wsc) AND adjacent pairs (wp) from the
+    * current vocabulary, scores (cnt * 10^9) // (cl * cr) — DuckDB `//`
+    * floors exactly like Spark `div` on non-negative integers — takes
+    * the (score DESC, l, r) argmax (wm), and applies the merge with the
+    * WordPiece join rule merged = l ++ r-without-'##' (wv).
+    */
+  private def wpReplayCtes(n: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH wocc AS (SELECT unnest(list_filter(
+        |      string_split_regex(trim(lower(text)), '\s+'),
+        |      x -> len(x) > 0)) AS word FROM documents),
+        |wfilt AS (SELECT word FROM wocc
+        |  WHERE regexp_matches(word, '^[a-z0-9]+$')),
+        |wv0 AS MATERIALIZED (SELECT word,
+        |    '[' || substr(word, 1, 1) || ']' ||
+        |      regexp_replace(substr(word, 2), '(.)', '[##\1]', 'g') AS seq,
+        |    count(*) AS freq FROM wfilt GROUP BY 1, 2)""".stripMargin)
+    for (k <- 1 to n) {
+      sb.append(s""",
+        |wsc$k AS MATERIALIZED (SELECT t.s AS s, sum(x.freq) AS cnt
+        |  FROM (SELECT string_split(trim(seq, '[]'), '][') AS syms, freq
+        |        FROM wv${k - 1}) x, unnest(x.syms) AS t(s)
+        |  GROUP BY 1),
+        |wp$k AS MATERIALIZED (SELECT s.syms[t.i] AS l, s.syms[t.i + 1] AS r,
+        |    sum(s.freq) AS cnt
+        |  FROM (SELECT string_split(trim(seq, '[]'), '][') AS syms, freq
+        |        FROM wv${k - 1}) s, unnest(range(1, len(s.syms))) AS t(i)
+        |  GROUP BY 1, 2),
+        |wm$k AS MATERIALIZED (SELECT p.l, p.r, p.cnt,
+        |    (p.cnt * 1000000000) // (cl.cnt * cr.cnt) AS score
+        |  FROM wp$k p JOIN wsc$k cl ON cl.s = p.l
+        |  JOIN wsc$k cr ON cr.s = p.r
+        |  ORDER BY score DESC, p.l, p.r LIMIT 1),
+        |wv$k AS MATERIALIZED (SELECT v.word, replace(v.seq,
+        |    '[' || m.l || '][' || m.r || ']',
+        |    '[' || m.l || (CASE WHEN m.r LIKE '##%' THEN substr(m.r, 3)
+        |      ELSE m.r END) || ']') AS seq, v.freq
+        |  FROM wv${k - 1} v, wm$k m)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  private def wpTrainOracle: String =
+    wpReplayCtes(wpMergeBudget) + "\n" +
+      (1 to wpMergeBudget).map(k =>
+        s"""SELECT CAST($k AS BIGINT) AS rank, l AS "left", r AS "right",
+           |  CAST(cnt AS BIGINT) AS pair_count,
+           |  CAST(score AS BIGINT) AS score_scaled FROM wm$k""".stripMargin)
+        .mkString("\nUNION ALL\n") +
+      "\nORDER BY rank"
+
+  /** Replay oracle for q_wordpiece_encode: replay training to the
+    * vocabulary (alphabet = every wv0 symbol; merged pieces
+    * l ++ r-without-'##' per round), then run MaxMatch itself — one
+    * step CTE per word position (a ≤[[wpMaxWordLen]]-char word takes at
+    * most that many greedy steps), candidates = vocabulary pieces
+    * matching at the cursor ('##'-prefixed when not word-initial),
+    * longest candidate wins via QUALIFY, a cursor with no candidate
+    * marks the word [UNK] (1 token, 1 unk) — then the per-doc sums.
+    */
+  private def wpEncodeOracle: String = {
+    val n = wpMergeBudget
+    val W = wpMaxWordLen
+    val mergedPieces = (1 to n).map(k =>
+      s"UNION ALL SELECT l || (CASE WHEN r LIKE '##%' THEN substr(r, 3) " +
+        s"ELSE r END) AS piece FROM wm$k").mkString("\n  ")
+    val sb = new StringBuilder
+    sb.append(wpReplayCtes(n))
+    sb.append(s""",
+      |wpalpha AS (SELECT DISTINCT t.s AS piece
+      |  FROM (SELECT string_split(trim(seq, '[]'), '][') AS syms
+      |        FROM wv0) x, unnest(x.syms) AS t(s)),
+      |wpvocab AS MATERIALIZED (SELECT DISTINCT piece FROM (
+      |  SELECT piece FROM wpalpha
+      |  $mergedPieces)),
+      |wdocw AS (SELECT doc_id, unnest(list_filter(
+      |    string_split_regex(trim(lower(text)), '\\s+'),
+      |    x -> len(x) > 0)) AS word
+      |  FROM documents WHERE doc_id < 100),
+      |wdfilt AS (SELECT doc_id, word FROM wdocw
+      |  WHERE regexp_matches(word, '^[a-z0-9]+${"$"}') AND len(word) <= $W),
+      |wpwords AS (SELECT DISTINCT word FROM wdfilt),
+      |mm0 AS (SELECT word, CAST(0 AS BIGINT) AS pos,
+      |    CAST(0 AS BIGINT) AS ntok, FALSE AS unk FROM wpwords)""".stripMargin)
+    for (k <- 1 to W) {
+      sb.append(s""",
+        |wcand$k AS (SELECT c.word, c.pos, c.ntok, c.l FROM (
+        |    SELECT m.word, m.pos, m.ntok, t.i AS l,
+        |      CASE WHEN m.pos = 0 THEN substr(m.word, 1, t.i)
+        |        ELSE '##' || substr(m.word, m.pos + 1, t.i)
+        |      END AS piece
+        |    FROM mm${k - 1} m, unnest(range(1, ${W + 1})) AS t(i)
+        |    WHERE NOT m.unk AND m.pos < len(m.word)
+        |      AND m.pos + t.i <= len(m.word)) c
+        |  JOIN wpvocab USING (piece)),
+        |wbest$k AS (SELECT word, pos, ntok, l FROM wcand$k
+        |  QUALIFY row_number() OVER (PARTITION BY word ORDER BY l DESC) = 1),
+        |mm$k AS MATERIALIZED (
+        |  SELECT word, pos, ntok, unk FROM mm${k - 1}
+        |  WHERE unk OR pos >= len(word)
+        |  UNION ALL
+        |  SELECT word, pos + l AS pos, ntok + 1 AS ntok, FALSE AS unk
+        |  FROM wbest$k
+        |  UNION ALL
+        |  SELECT m.word, m.pos, m.ntok, TRUE AS unk
+        |  FROM mm${k - 1} m LEFT JOIN wbest$k b ON b.word = m.word
+        |  WHERE NOT m.unk AND m.pos < len(m.word) AND b.word IS NULL)""".stripMargin)
+    }
+    sb.append(s""",
+      |wwid AS (SELECT word,
+      |    CASE WHEN unk THEN 1 ELSE ntok END AS n_tok,
+      |    CASE WHEN unk THEN 1 ELSE 0 END AS n_unk FROM mm$W),
+      |wtf AS (SELECT doc_id, word, count(*) AS c FROM wdfilt GROUP BY 1, 2)
+      |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+      |  CAST(sum(c * n_tok) AS BIGINT) AS n_tokens,
+      |  CAST(sum(c * n_unk) AS BIGINT) AS n_unk
+      |FROM wtf JOIN wwid USING (word)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
     sb.toString
   }
 
@@ -7122,6 +7310,11 @@ object SparkEntry {
     // slice's distinct words, and counts backtrace steps per word —
     // then the per-doc (n_words, n_tokens) sums.
     "q_unigram_encode" -> unigramEncodeOracle,
+    // WordPiece: full independent training replay with the likelihood
+    // score rule, plus an unrolled MaxMatch for encode — see
+    // wpReplayCtes / wpEncodeOracle.
+    "q_wordpiece_train" -> wpTrainOracle,
+    "q_wordpiece_encode" -> wpEncodeOracle,
     "q_tokenize_bpe" -> tokenizeBpeOracle,
     "q_bpe_encode" -> bpeEncodeOracle,
     // DSIR: the oracle refits both hashed-n-gram bucket multinomials
