@@ -5050,7 +5050,7 @@ object SparkEntry {
     */
   private def dsirSample(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
-      .select(col("doc_id"), lower(col("text")).as("text"), col("source"))
+      .select(col("doc_id"), col("text"), col("source"))
     val scored = Dsir.importanceScores(docs, "text", "doc_id",
         col("source").isin("src0", "src1", "src2", "src3"), buckets = 4096)
       .localCheckpoint()

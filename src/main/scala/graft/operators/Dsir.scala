@@ -34,16 +34,23 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
   * most B rows (B = 4096 here) and BROADCAST back onto the per-doc
   * aggregate; the totals are scalar cross joins. Nothing pairs the
   * corpus with itself and no global sort exists anywhere — top-K
-  * selection goes through the quantized-score boundary trick
-  * ([[BudgetSample.fillTokenBudget]]'s construction): per-score counts
-  * prefix-sum on the driver, strictly-better scores are taken with a
-  * scan filter, and only the single boundary score runs an id-ordered
-  * window.
+  * selection finds the boundary score by iterative equal-width
+  * histogram refinement (each level collects at most `fanout` bucket
+  * counts, the interval shrinks geometrically), then flags strict
+  * winners/losers with scan filters and runs an id-ordered window over
+  * ONLY the boundary score's rows. Unlike
+  * [[BudgetSample.fillTokenBudget]] (whose priority domain is bounded
+  * by construction), DSIR scores are per-doc LLR sums whose distinct
+  * count grows with the corpus — so the driver never collects
+  * one-row-per-distinct-score; it collects fixed-size histograms.
   */
 object Dsir {
 
   /** Hashed n-gram occurrences: one (id, flag, bucket) row per unigram
-    * and per bigram of the document's whitespace token stream, where
+    * and per bigram of the document's LOWERCASED whitespace token
+    * stream (the [[TermIndex]]/[[QualityClassifier]]/[[WordPiece]]
+    * tokenization discipline — batch and streaming callers get the
+    * same case-folding without ad hoc pre-lowering), where
     * `flag` carries the caller's target predicate alongside the
     * explode (so no re-join on id is ever needed). The bucket is the
     * first 6 md5 hex chars as an integer, mod `buckets` — non-negative
@@ -63,7 +70,7 @@ object Dsir {
       buckets: Int): DataFrame = {
     require(buckets > 0, "bucket domain must be non-empty")
     val base = docs.select(col(idCol).as("id"), isTarget.as("_tgt"),
-      TextAnalysis.words(col(textCol)).as("_ws"))
+      TextAnalysis.words(lower(col(textCol))).as("_ws"))
     val uni = base.select(col("id"), col("_tgt"),
       explode(col("_ws")).as("g"))
     val bi = base.filter(size(col("_ws")) >= 2)
@@ -198,49 +205,118 @@ object Dsir {
 
   /** Flag the top-`k` rows by (`scoreCol` desc, `idCol` asc) with a
     * boolean `selected` — equivalent to row_number() <= k over that
-    * global order, built WITHOUT the global sort: per-score counts
-    * (bounded by the quantized score domain — scores here are rounded
-    * to 4 decimals) prefix-sum on the driver to find the boundary
-    * score; strictly-better rows are flagged by a scan filter, and only
-    * the boundary score's rows run an id-ordered window.
+    * global order, built WITHOUT the global sort AND without unbounded
+    * driver state:
+    *
+    *  1. LOCATE the boundary score (the k-th largest value) by
+    *     iterative equal-width histogram refinement: split the current
+    *     [lo, hi] score interval into `fanout` buckets, collect the
+    *     per-bucket counts (<= fanout driver rows), walk them
+    *     descending against the exact count of rows strictly above the
+    *     interval, and narrow to the bucket that must contain the
+    *     boundary (widened one bucket each side against float binning
+    *     edge error — containment stays exact because `above` is
+    *     recomputed with a real comparison, not from the histogram).
+    *  2. Once the interval holds <= `maxDistinct` distinct scores,
+    *     collect those per-score counts and finish the prefix-sum walk
+    *     exactly.
+    *  3. Strictly-better rows are flagged by a scan filter, strictly
+    *     worse by another, and only the single boundary score's rows
+    *     run an id-ordered window.
+    *
+    * Driver memory per step is <= max(fanout, maxDistinct) rows no
+    * matter how many distinct scores the corpus produces (DSIR scores
+    * are per-doc LLR sums — their distinct count grows with corpus
+    * size, so the [[BudgetSample]] collect-every-distinct-priority
+    * construction would be O(docs) here). Levels are logarithmic: each
+    * narrows the interval to 3/fanout of its width, and massive ties
+    * collapse `countDistinct` instead of width.
     */
   def selectTopK(
       scores: DataFrame,
       scoreCol: String,
       idCol: String,
-      k: Long): DataFrame = {
+      k: Long,
+      fanout: Int = 1024,
+      maxDistinct: Int = 4096): DataFrame = {
     require(k >= 0, "k must be non-negative")
-    val buckets = scores.groupBy(col(scoreCol))
-      .agg(count(lit(1)).as("_n"))
-      .collect()
-      .map { r =>
-        require(!r.isNullAt(0), s"null $scoreCol: scores must be non-null")
-        val p = r.getDouble(0)
-        require(!p.isNaN, s"NaN $scoreCol: scores must be orderable")
-        (p, r.getLong(1))
+    require(fanout >= 4 && maxDistinct >= 1, "degenerate refinement knobs")
+    val s = col(scoreCol)
+    val stats = scores.agg(
+      count(lit(1)).as("_n"),
+      count(when(s.isNull || isnan(s), lit(1))).as("_bad"),
+      min(s).as("_lo"), max(s).as("_hi")).head()
+    val n = stats.getLong(0)
+    require(stats.getLong(1) == 0L,
+      s"null/NaN $scoreCol: scores must be non-null and orderable")
+    if (k >= n) return scores.withColumn("selected", lit(true))
+    if (k == 0L) return scores.withColumn("selected", lit(false))
+    var lo = stats.getDouble(2)
+    var hi = stats.getDouble(3)
+
+    // Narrow [lo, hi] around the k-th largest score until the interval
+    // holds few enough distinct values to collect exactly.
+    var done = false
+    while (!done) {
+      val distinct = scores.filter(s.between(lo, hi))
+        .agg(countDistinct(s)).head().getLong(0)
+      val w = (hi - lo) / fanout
+      if (distinct <= maxDistinct || w <= 0.0 || lo + w <= lo) done = true
+      else {
+        val above = scores.filter(s > hi).count()
+        val hist = scores.filter(s.between(lo, hi))
+          .groupBy(least(floor((s - lit(lo)) / lit(w)), lit(fanout - 1))
+            .cast(LongType).as("_b"))
+          .agg(count(lit(1)).as("_n"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+          .sortBy(-_._1)
+        var acc = above
+        var bucket = -1L
+        val it = hist.iterator
+        while (it.hasNext && bucket < 0) {
+          val (b, cnt) = it.next()
+          if (acc + cnt < k) acc += cnt else bucket = b
+        }
+        // One-bucket guard band each side: floor() on doubles can bin
+        // an edge value one bucket off, never further.
+        val newLo = math.max(lo, lo + (bucket - 1) * w)
+        val newHi = math.min(hi, lo + (bucket + 2) * w)
+        if (newLo <= lo && newHi >= hi) done = true // no progress: finish
+        else { lo = newLo; hi = newHi }
       }
+    }
+
+    val above = scores.filter(s > hi).count()
+    val cand = scores.filter(s.between(lo, hi))
+      .groupBy(s).agg(count(lit(1)).as("_n"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
       .sortBy(-_._1)
-    var acc = 0L
+    var acc = above
     var boundary = Option.empty[Double]
-    var remaining = k
-    val it = buckets.iterator
+    var remaining = 0L
+    val it = cand.iterator
     while (it.hasNext && boundary.isEmpty) {
-      val (p, n) = it.next()
-      if (acc + n <= k) acc += n
+      val (p, c) = it.next()
+      if (acc + c <= k) acc += c
       else { boundary = Some(p); remaining = k - acc }
     }
+    require(boundary.isDefined || acc >= k,
+      "refinement lost the boundary score — interval containment broken")
     boundary match {
-      case None => scores.withColumn("selected", lit(true))
+      case None =>
+        // k falls exactly on a score-count prefix: everything >= the
+        // last candidate taken is selected, everything below is not.
+        val cut = cand.last._1
+        scores.withColumn("selected", s >= cut)
       case Some(b) =>
         // Three scan-speed slices, windowed ONLY on the boundary score
-        // (an unpartitioned window, but over one score's rows — the
-        // quantized-domain assumption bounds it, exactly as in
-        // BudgetSample). Strict winners and losers never shuffle.
-        val winners = scores.filter(col(scoreCol) > b)
+        // (an unpartitioned window, but over one score's tied rows).
+        // Strict winners and losers never shuffle.
+        val winners = scores.filter(s > b)
           .withColumn("selected", lit(true))
-        val losers = scores.filter(col(scoreCol) < b)
+        val losers = scores.filter(s < b)
           .withColumn("selected", lit(false))
-        val edge = scores.filter(col(scoreCol) === b)
+        val edge = scores.filter(s === b)
           .withColumn("_rk", row_number().over(Window.orderBy(col(idCol))))
           .withColumn("selected", col("_rk") <= remaining)
           .drop("_rk")

@@ -39,11 +39,12 @@ object WordPiece {
   /** 10^9 score scale: merge scores are
     * (pair_count * Scale) div (count(l) * count(r)). Integer division
     * in both engines (Spark `div`, DuckDB `//`) — identical floors,
-    * zero float drift. Overflow headroom: pair_count must stay below
-    * ~9.2e9 (Long.MaxValue / Scale) and count(l)*count(r) below
-    * Long.MaxValue — guarded in [[trainWordPiece]]; a corpus past that
-    * bar (≈10^9+ occurrences of a single symbol) upgrades the score
-    * arithmetic to DECIMAL(38,0), same total order.
+    * zero float drift. The numerator and the count(l)*count(r) product
+    * are computed in DECIMAL (19,0 operands — exact for any Long), so
+    * neither can overflow for any corpus whose individual counts fit a
+    * Long: DECIMAL(19,0)*DECIMAL(19,0) holds (9.2e18)^2 < 10^38
+    * exactly, and the floored quotient is <= Scale (pair_count <=
+    * count(l)), so the Long `score_scaled` never overflows either.
     */
   val Scale = 1000000000L
 
@@ -135,16 +136,18 @@ object WordPiece {
         .join(symCnt.select(col("s").as("l"), col("cnt").as("lcnt")), "l")
         .join(symCnt.select(col("s").as("r"), col("cnt").as("rcnt")), "r")
         .select(col("l"), col("r"), col("cnt"),
-          expr(s"(cnt * ${Scale}L) div (lcnt * rcnt)").as("score"))
+          // DECIMAL(19,0) operands: exact for any Long input, and the
+          // product precision (38,0) holds Long*Long exactly — no ANSI
+          // overflow throw, no non-ANSI silent wrap, for any corpus.
+          expr(s"(CAST(cnt AS DECIMAL(19,0)) * ${Scale}L) div " +
+            "(CAST(lcnt AS DECIMAL(19,0)) * CAST(rcnt AS DECIMAL(19,0)))")
+            .as("score"))
         .orderBy(col("score").desc, col("l"), col("r"))
         .limit(1).collect()
       if (top.isEmpty) exhausted = true
       else {
         val (l, r, cnt, score) = (top(0).getString(0), top(0).getString(1),
           top(0).getLong(2), top(0).getLong(3))
-        require(cnt <= Long.MaxValue / Scale,
-          s"pair count $cnt overflows the $Scale score scale — " +
-            "upgrade the score arithmetic to DECIMAL(38,0)")
         merges += WpMerge(i.toLong, l, r, cnt, score)
         val m = l + r.stripPrefix("##")
         vocab = vocab

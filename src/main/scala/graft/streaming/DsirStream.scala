@@ -43,11 +43,16 @@ object DsirStream {
       storeDir: String,
       checkpointDir: String): StreamingQuery = {
     Files.createDirectories(Paths.get(storeDir))
+    // Enforce the frozen-model contract HERE, not by caller discipline:
+    // a lazy `terms` plan over a changing source would silently refit
+    // per micro-batch. localCheckpoint (eager) pins the fitted <= B-row
+    // table once, so every batch scores against the same model.
+    val frozen = terms.localCheckpoint()
     docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        scoreBatch(batch.toDF(), textCol, idCol, terms, defaultTerm,
+        scoreBatch(batch.toDF(), textCol, idCol, frozen, defaultTerm,
           buckets, storeDir, batchId)
       }
       .start()

@@ -46,6 +46,17 @@ class DsirSpec extends SparkSpec {
     assert(scored(2L)._2 < 0.0)
   }
 
+  test("featureOccurrences lowercases like the sibling tokenizers") {
+    val docs = Seq((1L, "  The Quick FOX "), (2L, "the quick fox"))
+      .toDF("id", "text")
+    val occ = Dsir.featureOccurrences(docs, "text", "id", lit(false), 256)
+    def buckets(id: Long): Seq[Long] =
+      occ.filter(col("id") === id).select("bucket")
+        .collect().map(_.getLong(0)).toSeq.sorted
+    assert(buckets(1L) === buckets(2L),
+      "natural-case text must hash to the same feature buckets")
+  }
+
   test("selectTopK is bit-identical to the global row_number formulation") {
     val scores = Seq(
       (1L, 3.5), (2L, 2.0), (3L, 2.0), (4L, 2.0), (5L, 1.0),
@@ -63,6 +74,29 @@ class DsirSpec extends SparkSpec {
       assert(got === reference(k), s"k=$k")
       // and the unselected complement is intact (flagging, not filtering)
       assert(Dsir.selectTopK(scores, "score", "id", k).count() === 8L)
+    }
+  }
+
+  test("selectTopK histogram refinement matches row_number on a wide domain") {
+    // 250 distinct scores, each tied twice, spread over a real-valued
+    // range: with fanout=8 / maxDistinct=4 the boundary is located
+    // through several histogram-refinement levels, never by collecting
+    // one row per distinct score.
+    val scores = (1 to 500)
+      .map(i => (i.toLong, (i % 250) * 0.7311 - 91.3))
+      .toDF("id", "score")
+    def reference(k: Long): Set[Long] =
+      scores.withColumn("_rn", row_number().over(
+          Window.orderBy(col("score").desc, col("id"))))
+        .filter(col("_rn") <= k)
+        .collect().map(_.getLong(0)).toSet
+    Seq(1L, 7L, 123L, 250L, 251L, 252L, 499L).foreach { k =>
+      val flagged = Dsir.selectTopK(scores, "score", "id", k,
+        fanout = 8, maxDistinct = 4)
+      assert(flagged.count() === 500L, s"k=$k must flag, not filter")
+      val got = flagged.filter(col("selected"))
+        .collect().map(_.getLong(0)).toSet
+      assert(got === reference(k), s"k=$k")
     }
   }
 }
