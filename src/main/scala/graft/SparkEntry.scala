@@ -2548,6 +2548,88 @@ object SparkEntry {
       .orderBy(col("cosine").desc, col("vec_id"))
   }
 
+  /** k-center greedy coreset selection ([[operators.Coreset]] — Gonzalez
+    * 1985's farthest-first 2-approximation, the Sener & Savarese 2018
+    * training-data selection recipe): 6 picks over the embeddings table
+    * from pinned seed vec_id 0, each reporting the rounded squared-L2
+    * radius that elected it. The oracle replays all six rounds UNROLLED
+    * (argmax of the running least-distance per round, 6-decimal rounding
+    * before every comparison), so the engine's k-scan construction must
+    * land on the identical (round, vec_id, radius) table.
+    */
+  private def kcenterSelect(s: SparkSession, d: String): DataFrame =
+    Coreset.kCenterSelect(t(s, d, "embeddings"), "embedding", "vec_id",
+        k = 6, seedId = 0L)
+      .orderBy(col("round"))
+
+  /** Coverage readout of the same 6-pick selection: nearest-center
+    * assignment (rounded d2, ties to the earliest pick) with per-center
+    * counts, exact-DECIMAL mean d2, and max d2 — the max over centers is
+    * the covering radius the greedy invariant promises a 7th pick would
+    * report. */
+  private def kcenterCoverage(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val picks = Coreset.kCenterGreedy(emb, "embedding", "vec_id",
+      k = 6, seedId = 0L)
+    Coreset.kCenterCoverage(emb, "embedding", "vec_id", picks)
+      .orderBy(col("round"))
+  }
+
+  /** Shared unrolled-CTE prefix of the two k-center oracles: dN is every
+    * point's running least squared distance after N centers (6-decimal
+    * rounding before any comparison, exactly like the engine), cN is
+    * round N's (dmin DESC, vec_id) argmax row. The k-round loop the
+    * engine runs becomes k-1 chained CTEs the oracle replays literally —
+    * the q_bpe_train unrolled-replay technique on vectors.
+    */
+  private def kcenterCtes(k: Int): String = {
+    def dist(e: String, c: String) =
+      s"round(list_dot_product($e, $e) - 2 * list_dot_product($e, $c) + " +
+        s"list_dot_product($c, $c), 6)"
+    val sb = new StringBuilder
+    sb ++= "WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e " +
+      "FROM embeddings),\n"
+    sb ++= "d1 AS (SELECT emb.vec_id, emb.e, " + dist("emb.e", "s.e") +
+      " AS dmin FROM emb, (SELECT e FROM emb WHERE vec_id = 0) s),\n"
+    for (i <- 2 to k) {
+      sb ++= s"c$i AS (SELECT vec_id, e, dmin FROM d${i - 1} " +
+        "ORDER BY dmin DESC, vec_id LIMIT 1),\n"
+      if (i < k)
+        sb ++= s"d$i AS (SELECT d.vec_id, d.e, least(d.dmin, " +
+          dist("d.e", s"c$i.e") + s") AS dmin FROM d${i - 1} d, c$i),\n"
+    }
+    sb.toString
+  }
+
+  private def kcenterSelectOracle(k: Int): String =
+    kcenterCtes(k) +
+      "sel AS (SELECT CAST(1 AS BIGINT) AS round, CAST(0 AS BIGINT) AS vec_id, " +
+      "CAST(NULL AS DOUBLE) AS radius\n" +
+      (2 to k).map(i =>
+        s"  UNION ALL SELECT $i, vec_id, dmin FROM c$i").mkString("\n") +
+      ")\nSELECT round, vec_id, radius FROM sel ORDER BY round"
+
+  private def kcenterCoverageOracle(k: Int): String = {
+    def dist(e: String, c: String) =
+      s"round(list_dot_product($e, $e) - 2 * list_dot_product($e, $c) + " +
+        s"list_dot_product($c, $c), 6)"
+    kcenterCtes(k) +
+      "cents AS (SELECT CAST(1 AS BIGINT) AS round, vec_id, e FROM emb " +
+      "WHERE vec_id = 0\n" +
+      (2 to k).map(i =>
+        s"  UNION ALL SELECT $i, vec_id, e FROM c$i").mkString("\n") +
+      "),\n" +
+      "assign AS (SELECT pid, round, cid, d, row_number() OVER " +
+      "(PARTITION BY pid ORDER BY d, round) AS rk FROM\n" +
+      "  (SELECT emb.vec_id AS pid, c.round, c.vec_id AS cid, " +
+      dist("emb.e", "c.e") + " AS d FROM emb, cents c))\n" +
+      "SELECT round, cid AS vec_id, count(*) AS n_assigned,\n" +
+      "  round(CAST(sum(CAST(d AS DECIMAL(38,6))) AS DOUBLE) / count(*), 4) " +
+      "AS avg_d2,\n" +
+      "  max(d) AS max_d2\n" +
+      "FROM assign WHERE rk = 1 GROUP BY round, cid ORDER BY round"
+  }
+
   /** Same retrieval shape as [[embedTopk]] but ranked by the int8-
     * quantized cosine — the 4x-smaller-footprint scale path (see
     * [[operators.Similarity.withInt8Codes]]). The oracle recomputes the
@@ -5307,6 +5389,8 @@ object SparkEntry {
     "q_dedup_chunks" -> (dedupChunks _),
     "q_sentences" -> (sentencesQ _),
     "q_embed_topk" -> (embedTopk _),
+    "q_kcenter_select" -> (kcenterSelect _),
+    "q_kcenter_coverage" -> (kcenterCoverage _),
     "q_ann_batch" -> (annBatch _),
     "q_embed_ann_lsh" -> (embedAnnLsh _),
     "q_ann_recall" -> (annRecall _),
@@ -7977,6 +8061,11 @@ object SparkEntry {
         |       sqrt((SELECT list_dot_product(CAST(e AS DOUBLE[]), CAST(e AS DOUBLE[])) FROM q))), 4) AS cosine
         |  FROM embeddings)
         |SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    // k-center greedy: both oracles replay the full 6-round farthest-first
+    // selection as unrolled CTEs (see kcenterCtes) — no artifact, no
+    // engine state leaks into the check.
+    "q_kcenter_select" -> kcenterSelectOracle(6),
+    "q_kcenter_coverage" -> kcenterCoverageOracle(6),
     "q_ann_batch" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
         |      FROM embeddings WHERE vec_id < 10),
