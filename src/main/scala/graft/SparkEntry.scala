@@ -5045,6 +5045,67 @@ object SparkEntry {
     * size-independent, and the oracle re-derives the slice's alphabet,
     * the merge-token ids, and every sequence from its own replay).
     */
+  /** Tokenizer FERTILITY readout (Rust et al. 2021, "How good is your
+    * tokenizer?" — tokens per word, the standard cross-tokenizer
+    * efficiency metric): the three trained tokenizer families (BPE,
+    * unigram-LM, WordPiece — every one the standing artifact its own
+    * gate trains) encode the SAME doc_id < 100 slice, and each family
+    * reports corpus totals + round(n_tokens / n_words, 4). The oracle
+    * wraps the three per-doc encode replays (tokenizeBpeOracle /
+    * unigramEncodeOracle / wpEncodeOracle — full training re-derivation
+    * included) as subqueries and re-aggregates, so a drift in ANY
+    * trainer or encoder shows up here too.
+    *
+    * n_words differs per family by design: each family's published
+    * pre-tokenizer admits its own word set (WordPiece additionally caps
+    * word length at [[wpMaxWordLen]] — the MaxMatch unroll bound), and
+    * fertility is defined over the family's own admissible words.
+    */
+  private def tokenizerFertility(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").filter(col("doc_id") < 100)
+    def summarize(df: DataFrame, family: String): DataFrame = {
+      val withUnk =
+        if (df.columns.contains("n_unk")) df
+        else df.withColumn("n_unk", lit(0L))
+      withUnk.agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("n_words"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(col("n_unk")).as("n_unk"))
+        .select(lit(family).as("family"), col("n_docs"), col("n_words"),
+          col("n_tokens"), col("n_unk"),
+          round(col("n_tokens").cast("double") /
+            col("n_words").cast("double"), 4).as("fertility"))
+    }
+    summarize(TermIndex.bpeTokenCounts(docs, "text", "doc_id",
+        trainedBpeMerges(s, d)), "bpe")
+      .unionByName(summarize(TermIndex.unigramTokenCounts(docs, "text",
+        "doc_id", trainedUnigram(s, d)), "unigram"))
+      .unionByName(summarize(operators.WordPiece.wordPieceTokenCounts(docs,
+        "text", "doc_id", trainedWordPiece(s, d),
+        maxWordLen = wpMaxWordLen), "wordpiece"))
+      .orderBy(col("family"))
+  }
+
+  private def tokenizerFertilityOracle: String = {
+    def arm(family: String, sub: String, unkExpr: String, filtered: Boolean) =
+      s"SELECT '$family' AS family, CAST(count(*) AS BIGINT) AS n_docs,\n" +
+        "  CAST(sum(n_words) AS BIGINT) AS n_words,\n" +
+        "  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,\n" +
+        s"  $unkExpr AS n_unk,\n" +
+        "  round(CAST(sum(n_tokens) AS DOUBLE) / CAST(sum(n_words) AS DOUBLE), 4)" +
+        " AS fertility\n" +
+        s"FROM ($sub)" + (if (filtered) " WHERE doc_id < 100" else "")
+    arm("bpe", tokenizeBpeOracle, "CAST(0 AS BIGINT)", filtered = true) +
+      "\nUNION ALL\n" +
+      arm("unigram", unigramEncodeOracle, "CAST(0 AS BIGINT)",
+        filtered = false) +
+      "\nUNION ALL\n" +
+      arm("wordpiece", wpEncodeOracle, "CAST(sum(n_unk) AS BIGINT)",
+        filtered = false) +
+      "\nORDER BY family"
+  }
+
   private def bpeEncode(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
     val merges = trainedBpeMerges(s, d)
@@ -5371,6 +5432,7 @@ object SparkEntry {
     "q_wordpiece_encode" -> (wordPieceEncodeQ _),
     "q_tokenize_bpe" -> (tokenizeBpe _),
     "q_bpe_encode" -> (bpeEncode _),
+    "q_tokenizer_fertility" -> (tokenizerFertility _),
     "q_quality_classifier" -> (qualityClassifierQ _),
     "q_dsir_sample" -> (dsirSample _),
     "q_hard_negatives" -> (hardNegativesQ _),
@@ -7401,6 +7463,9 @@ object SparkEntry {
     "q_wordpiece_encode" -> wpEncodeOracle,
     "q_tokenize_bpe" -> tokenizeBpeOracle,
     "q_bpe_encode" -> bpeEncodeOracle,
+    // Fertility: the three encode replays re-aggregated — full trainer
+    // re-derivation runs inside each subquery arm.
+    "q_tokenizer_fertility" -> tokenizerFertilityOracle,
     // DSIR: the oracle refits both hashed-n-gram bucket multinomials
     // (uni+bigram, md5-prefix buckets mod 4096, add-one smoothing over
     // total+B), replays the 9-decimal log-ratio terms, the DECIMAL
