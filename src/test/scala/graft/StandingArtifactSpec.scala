@@ -21,14 +21,19 @@ class StandingArtifactSpec extends SparkSpec {
   // one query per standing-artifact family: posting index (+norms),
   // trained BPE merges, trained unigram vocabulary, SimHash
   // group/signature/count tables, set-sim token/prefix tables, the
-  // dedup-recall signature+target pair, and the round-13 additions —
+  // dedup-recall signature+target pair, the round-13 additions —
   // recall-triple signature/band tables and the standing IVF store
-  // (centroids + cell-partitioned assignments)
+  // (centroids + cell-partitioned assignments) — and the round-14
+  // memoized trainings: the shared outlier/semantic coarse quantizer,
+  // the IVFADC coarse+codebook pair, the WordPiece model, and the
+  // k-center picks
   private val artifactGates = Seq(
     "q_sparse_index_build", "q_bpe_train", "q_unigram_tokenizer",
     "q_dedup_simhash_full", "q_setsim_join", "q_setsim_capped",
     "q_dedup_recall", "q_simhash_recall", "q_containment_recall",
-    "q_ivf_incr", "q_pq_recall")
+    "q_ivf_incr", "q_pq_recall",
+    "q_dedup_semantic", "q_embed_ivfpq", "q_wordpiece_train",
+    "q_kcenter_select")
 
   test("fresh first-touch rebuild equals the persisted artifact, every family") {
     artifactGates.foreach { q =>
