@@ -44,8 +44,25 @@ object Coreset {
   case class KCenterPick(round: Long, id: Long, radius: Option[Double],
       center: Seq[Double])
 
-  private def d2(x: Column, c: Column): Column =
+  private[graft] def d2(x: Column, c: Column): Column =
     round(graftDot(x, x) - lit(2.0) * graftDot(x, c) + graftDot(c, c), 6)
+
+  /** Driver-side mirror of [[d2]]: the SAME three sequential-sum dot
+    * products and the same 6-decimal HALF_UP rounding, so a driver
+    * re-check of a point the distributed filter passed lands on the
+    * identical double ([[graft.streaming.CoresetStream]] depends on
+    * this agreement).
+    */
+  private[graft] def d2Scalar(x: Array[Double], c: Array[Double]): Double = {
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var j = 0
+      val n = math.min(a.length, b.length)
+      while (j < n) { s += a(j) * b(j); j += 1 }
+      s
+    }
+    BigDecimal(dot(x, x) - 2.0 * dot(x, c) + dot(c, c))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
 
   /** Greedy k-center selection. Returns the picks in selection order;
     * `vecs` must carry a long id column and an array<float|double>
