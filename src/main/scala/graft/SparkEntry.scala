@@ -2586,6 +2586,33 @@ object SparkEntry {
         kcenterPicks(s, d))
       .orderBy(col("round"))
 
+  /** MEASURED selection-quality readout (the q_ann_recall philosophy
+    * applied to diversity selection): the greedy picks' covering radius²
+    * against a deterministic pseudo-random 6-selection (rank by
+    * md5(vec_id), the repo's replayable hash) over the same corpus —
+    * what farthest-first actually buys. Reported honestly, not
+    * asserted: greedy's 2-approximation bounds it against OPT, not
+    * against a lucky draw (the planted-geometry assertion where greedy
+    * provably wins lives in CoresetSpec). The oracle replays the full
+    * greedy selection (unrolled CTEs), the hash draw, and both
+    * covering radii.
+    */
+  private def kcenterVsRandom(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val greedyCenters = kcenterPicks(s, d).map(_.center.toArray)
+    val rndCenters = emb
+      .select(Similarity.toDouble(col("embedding")).as("e"),
+        md5(col("vec_id").cast(StringType).cast(BinaryType)).as("h"),
+        col("vec_id"))
+      .orderBy(col("h"), col("vec_id")).limit(6)
+      .collect().map(_.getSeq[Double](0).toArray).toSeq
+    Coreset.coveringRadiusSq(emb, "embedding", greedyCenters, "greedy_r2")
+      .crossJoin(
+        Coreset.coveringRadiusSq(emb, "embedding", rndCenters, "random_r2"))
+      .select(lit(6L).as("k"), col("greedy_r2"), col("random_r2"),
+        round(col("greedy_r2") / col("random_r2"), 4).as("ratio"))
+  }
+
   /** Shared unrolled-CTE prefix of the two k-center oracles: dN is every
     * point's running least squared distance after N centers (6-decimal
     * rounding before any comparison, exactly like the engine), cN is
@@ -2619,6 +2646,26 @@ object SparkEntry {
       (2 to k).map(i =>
         s"  UNION ALL SELECT $i, vec_id, dmin FROM c$i").mkString("\n") +
       ")\nSELECT round, vec_id, radius FROM sel ORDER BY round"
+
+  private def kcenterVsRandomOracle(k: Int): String = {
+    def dist(e: String, c: String) =
+      s"round(list_dot_product($e, $e) - 2 * list_dot_product($e, $c) + " +
+        s"list_dot_product($c, $c), 6)"
+    kcenterCtes(k) +
+      "cents AS (SELECT vec_id, e FROM emb WHERE vec_id = 0\n" +
+      (2 to k).map(i =>
+        s"  UNION ALL SELECT vec_id, e FROM c$i").mkString("\n") + "),\n" +
+      "rnd AS (SELECT vec_id, e FROM emb " +
+      s"ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k),\n" +
+      "gm AS (SELECT emb.vec_id AS pid, min(" + dist("emb.e", "cents.e") +
+      ") AS md FROM emb, cents GROUP BY 1),\n" +
+      "rm AS (SELECT emb.vec_id AS pid, min(" + dist("emb.e", "rnd.e") +
+      ") AS md FROM emb, rnd GROUP BY 1),\n" +
+      "g AS (SELECT max(md) AS greedy_r2 FROM gm),\n" +
+      "r AS (SELECT max(md) AS random_r2 FROM rm)\n" +
+      s"SELECT CAST($k AS BIGINT) AS k, greedy_r2, random_r2, " +
+      "round(greedy_r2 / random_r2, 4) AS ratio FROM g, r"
+  }
 
   private def kcenterCoverageOracle(k: Int): String = {
     def dist(e: String, c: String) =
@@ -5492,6 +5539,7 @@ object SparkEntry {
     "q_embed_topk" -> (embedTopk _),
     "q_kcenter_select" -> (kcenterSelect _),
     "q_kcenter_coverage" -> (kcenterCoverage _),
+    "q_kcenter_vs_random" -> (kcenterVsRandom _),
     "q_ann_batch" -> (annBatch _),
     "q_embed_ann_lsh" -> (embedAnnLsh _),
     "q_ann_recall" -> (annRecall _),
@@ -8170,6 +8218,7 @@ object SparkEntry {
     // engine state leaks into the check.
     "q_kcenter_select" -> kcenterSelectOracle(6),
     "q_kcenter_coverage" -> kcenterCoverageOracle(6),
+    "q_kcenter_vs_random" -> kcenterVsRandomOracle(6),
     "q_ann_batch" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
         |      FROM embeddings WHERE vec_id < 10),

@@ -119,6 +119,23 @@ object Coreset {
       .toDF("round", idCol, "radius")
   }
 
+  /** Covering radius² of an arbitrary selection: max over points of
+    * the min rounded d2 to `centers` — one scan, centers as broadcast
+    * literals, a single max aggregate. What a selection-quality readout
+    * compares (greedy vs a baseline).
+    */
+  def coveringRadiusSq(
+      vecs: DataFrame,
+      vecCol: String,
+      centers: Seq[Array[Double]],
+      as: String): DataFrame = {
+    require(centers.nonEmpty, "covering radius needs at least one center")
+    val dists = centers.map(c => d2(col("_e"), typedLit(c.toSeq)))
+    val dmin = if (dists.length == 1) dists.head else least(dists: _*)
+    vecs.select(Similarity.toDouble(col(vecCol)).as("_e"))
+      .agg(max(dmin).as(as))
+  }
+
   /** Coverage readout of a selection: every point assigned to its
     * nearest center (rounded d2, ties to the earliest-selected center),
     * then per-center (round, idCol, n_assigned, avg_d2, max_d2). The

@@ -78,6 +78,24 @@ class CoresetSpec extends SparkSpec {
       "6th pick's electing radius must equal the 5-center covering radius")
   }
 
+  test("coveringRadiusSq: greedy provably beats a clumped selection") {
+    val mk = (cx: Double, ids: Range) =>
+      ids.map(i => (i.toLong, Seq.tabulate(8)(j =>
+        (if (j == 0) cx else 0.0).toFloat + i * 0.001f)))
+    val docs = (mk(0.0, 0 to 9) ++ mk(100.0, 10 to 19) ++ mk(-100.0, 20 to 29))
+      .toDF("vec_id", "embedding")
+    val picks = Coreset.kCenterGreedy(docs, "embedding", "vec_id", 3, 0L)
+    val greedy = Coreset.coveringRadiusSq(docs, "embedding",
+      picks.map(_.center.toArray), "r").head().getDouble(0)
+    // three selections from ONE cluster: the other two clusters sit
+    // ~100 away, so the covering radius² is ~10^4 x greedy's
+    val clumped = mk(0.0, 0 to 2).map(_._2.map(_.toDouble).toArray)
+    val clump = Coreset.coveringRadiusSq(docs, "embedding", clumped, "r")
+      .head().getDouble(0)
+    assert(greedy * 100 < clump,
+      s"greedy r2 $greedy should be orders below clumped $clump")
+  }
+
   test("duplicate-only corpora stop early instead of re-picking a center") {
     val docs = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(1.0f, 2.0f)),
       (3L, Seq(5.0f, 5.0f))).toDF("vec_id", "embedding")
