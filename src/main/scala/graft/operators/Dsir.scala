@@ -231,6 +231,12 @@ object Dsir {
     * construction would be O(docs) here). Levels are logarithmic: each
     * narrows the interval to 3/fanout of its width, and massive ties
     * collapse `countDistinct` instead of width.
+    *
+    * Caller contract: `scores` is scanned several times per refinement
+    * level (count-distinct, histogram, above-interval count) plus the
+    * final three flagging slices — materialize it first
+    * (localCheckpoint/persist, as q_dsir_sample does) unless its plan
+    * is a trivial scan.
     */
   def selectTopK(
       scores: DataFrame,
