@@ -3904,6 +3904,47 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** SemDedup at production cell granularity — the q_dedup_semantic
+    * sibling with nlist=64 instead of 8, emitting the PAIR-VOLUME
+    * summary (cells used, Σ C(n_cell,2) candidate pairs, duplicate
+    * pairs found) instead of the pair list: the gate that MEASURES the
+    * nlist knob bounding the within-cell quadratic (SCALE.md's sf1
+    * 12x note — the published SemDeDup deployment grows cell COUNT
+    * with the corpus so cell size, and with it the pair join, stays
+    * bounded). The oracle replays assignment, the exact size
+    * combinatorics, and the thresholded pair join from the dumped
+    * 64-cell centroids.
+    */
+  private lazy val semantic64Dir = s"$artifactRoot/semantic64"
+
+  private def semantic64Centroids(s: SparkSession, d: String): Array[Array[Double]] =
+    standing(s"coarse64x3:$d") {
+      import s.implicits._
+      val cs = IvfIndex.trainCentroids(t(s, d, "embeddings"),
+        "embedding", "vec_id", nlist = 64, iters = 3)
+      cs.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+        .toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$semantic64Dir/centroids.parquet")
+      cs
+    }
+
+  private def dedupSemanticScaled(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val cs = semantic64Centroids(s, d)
+    val sizes = emb
+      .select(IvfIndex.cellId(Similarity.toDouble(col("embedding")), cs)
+        .as("cell"))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+    val volume = sizes.agg(count(lit(1)).as("n_cells"),
+      sum(expr("n * (n - 1) div 2")).as("n_candidate_pairs"))
+    val dups = Dedup.semanticNearDup(emb, "embedding", "vec_id",
+        cs, threshold = 0.3)
+      .agg(count(lit(1)).as("n_dups"))
+    volume.crossJoin(dups)
+      .select(col("n_cells"), col("n_candidate_pairs"), col("n_dups"))
+  }
+
   /** PII scrubbing: the corpus carries no PII, so the query INJECTS
     * deterministic synthetic PII (email, phone, URL derived from doc_id)
     * and scrubs it — the oracle rebuilds the same dirty text and applies
@@ -5640,6 +5681,7 @@ object SparkEntry {
     "q_c4_rules" -> (c4RulesQ _),
     "q_curate_neardup" -> (curateNeardup _),
     "q_dedup_semantic" -> (dedupSemantic _),
+    "q_dedup_semantic_scaled" -> (dedupSemanticScaled _),
     "q_embed_outlier" -> (embedOutlier _),
     "q_corpus_shards" -> (corpusShards _),
     "q_multimodal_bytes" -> (multimodalBytes _),
@@ -9888,6 +9930,29 @@ object SparkEntry {
          |FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
          |WHERE round(list_dot_product(a.unit, b.unit), 4) >= 0.3
          |ORDER BY id_a, id_b""".stripMargin,
+    // nlist=64 sibling: assignment + exact pair combinatorics + the
+    // thresholded join, all from the dumped 64-cell centroids.
+    "q_dedup_semantic_scaled" ->
+      s"""WITH cents AS (SELECT cell, CAST(centroid AS DOUBLE[]) AS c
+         |      FROM read_parquet('$semantic64Dir/centroids.parquet/*.parquet')),
+         |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |u AS (SELECT vec_id, e,
+         |        list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS unit
+         |      FROM emb),
+         |assign AS (SELECT vec_id, unit,
+         |      (SELECT cell FROM cents
+         |       ORDER BY 2 * list_dot_product(cents.c, u.e) - list_dot_product(cents.c, cents.c) DESC, cell
+         |       LIMIT 1) AS cell
+         |      FROM u),
+         |sizes AS (SELECT cell, count(*) AS n FROM assign GROUP BY 1),
+         |vol AS (SELECT CAST(count(*) AS BIGINT) AS n_cells,
+         |        CAST(sum(n * (n - 1) // 2) AS BIGINT) AS n_candidate_pairs
+         |      FROM sizes),
+         |d AS (SELECT CAST(count(*) AS BIGINT) AS n_dups
+         |      FROM assign a JOIN assign b
+         |        ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |      WHERE round(list_dot_product(a.unit, b.unit), 4) >= 0.3)
+         |SELECT n_cells, n_candidate_pairs, n_dups FROM vol, d""".stripMargin,
     "q_corpus_shards" ->
       s"""WITH ${curateOracleCtes()},
          |cur AS (SELECT doc_id, ws_tokens, bpeish_tokens FROM q WHERE quality_score >= 0.7),
