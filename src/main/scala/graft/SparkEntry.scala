@@ -500,7 +500,28 @@ object SparkEntry {
     * fresh-rebuild==persisted-artifact gate needs to simulate JVM
     * death without forking one.
     */
-  private[graft] def clearStandingArtifacts(): Unit = standingArtifacts.clear()
+  private[graft] def clearStandingArtifacts(): Unit = {
+    standingArtifacts.clear()
+    dumpOwners.clear()
+  }
+
+  /** Which dataset dir's model currently occupies a FIXED oracle dump
+    * path. Oracle SQL strings are dataset-agnostic, so dump paths must
+    * be fixed — but the model memos are keyed per dataset dir, so a
+    * multi-dir JVM (e.g. benching sf0.1 and sf1 back to back) would
+    * otherwise serve dir A's memo while the fixed path still holds dir
+    * B's dump. [[ensureDump]] rewrites the fixed path ONLY when a
+    * different dir takes it over: the single-dataset common case
+    * (Verify, Bench's timed passes) pays zero extra jobs, and the
+    * pqRecallCodebooks refresh contract holds without its per-call
+    * copy.
+    */
+  private val dumpOwners =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ensureDump(path: String, d: String)(write: => Unit): Unit = {
+    dumpOwners.compute(path, (_, cur) => { if (cur != d) write; d })
+    ()
+  }
 
   /** Filesystem-safe tag for a dataset dir, for per-dir artifact paths. */
   private def dirTag(d: String): String =
@@ -2567,14 +2588,9 @@ object SparkEntry {
         k = 6, seedId = 0L)
     }
 
-  private def kcenterSelect(s: SparkSession, d: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    kcenterPicks(s, d)
-      .map(p => (p.round, p.id, p.radius))
-      .toDF("round", "vec_id", "radius")
+  private def kcenterSelect(s: SparkSession, d: String): DataFrame =
+    Coreset.kCenterSelect(s, kcenterPicks(s, d), "vec_id")
       .orderBy(col("round"))
-  }
 
   /** Coverage readout of the same 6-pick selection: nearest-center
     * assignment (rounded d2, ties to the earliest pick) with per-center
@@ -2639,12 +2655,18 @@ object SparkEntry {
     sb.toString
   }
 
+  /** The `WHERE dmin > 0` on every non-seed arm replays the engine's
+    * early stop: when fewer than k distinct vectors exist, the argmax
+    * dmin collapses to 0 (every remaining point IS a center) and the
+    * engine stops — dmin is non-increasing across rounds, so filtering
+    * each arm reproduces the truncated selection exactly.
+    */
   private def kcenterSelectOracle(k: Int): String =
     kcenterCtes(k) +
       "sel AS (SELECT CAST(1 AS BIGINT) AS round, CAST(0 AS BIGINT) AS vec_id, " +
       "CAST(NULL AS DOUBLE) AS radius\n" +
       (2 to k).map(i =>
-        s"  UNION ALL SELECT $i, vec_id, dmin FROM c$i").mkString("\n") +
+        s"  UNION ALL SELECT $i, vec_id, dmin FROM c$i WHERE dmin > 0").mkString("\n") +
       ")\nSELECT round, vec_id, radius FROM sel ORDER BY round"
 
   private def kcenterVsRandomOracle(k: Int): String = {
@@ -2654,7 +2676,8 @@ object SparkEntry {
     kcenterCtes(k) +
       "cents AS (SELECT vec_id, e FROM emb WHERE vec_id = 0\n" +
       (2 to k).map(i =>
-        s"  UNION ALL SELECT vec_id, e FROM c$i").mkString("\n") + "),\n" +
+        s"  UNION ALL SELECT vec_id, e FROM c$i WHERE dmin > 0").mkString("\n") +
+      "),\n" +
       "rnd AS (SELECT vec_id, e FROM emb " +
       s"ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k),\n" +
       "gm AS (SELECT emb.vec_id AS pid, min(" + dist("emb.e", "cents.e") +
@@ -2675,7 +2698,7 @@ object SparkEntry {
       "cents AS (SELECT CAST(1 AS BIGINT) AS round, vec_id, e FROM emb " +
       "WHERE vec_id = 0\n" +
       (2 to k).map(i =>
-        s"  UNION ALL SELECT $i, vec_id, e FROM c$i").mkString("\n") +
+        s"  UNION ALL SELECT $i, vec_id, e FROM c$i WHERE dmin > 0").mkString("\n") +
       "),\n" +
       "assign AS (SELECT pid, round, cid, d, row_number() OVER " +
       "(PARTITION BY pid ORDER BY d, round) AS rk FROM\n" +
@@ -3175,23 +3198,29 @@ object SparkEntry {
     * memo).
     */
   private def ivfPqModels(s: SparkSession, d: String)
-      : (Array[Array[Double]], Array[Array[Array[Double]]]) =
-    standing(s"ivfpq:$d") {
-      import s.implicits._
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val (cs, cbs) = standing(s"ivfpq:$d:8x5:8x16x5") {
       val emb = t(s, d, "embeddings")
       val cs = IvfIndex.trainCentroids(emb, "embedding", "vec_id",
         nlist = 8, iters = 5)
+      val cbs = PqIndex.trainCodebooks(emb, "embedding", "vec_id",
+        m = 8, ksub = 16, iters = 5)
+      (cs, cbs)
+    }
+    import s.implicits._
+    ensureDump(s"$pqDir/coarse.parquet", d) {
       cs.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
         .toDF("cell", "centroid")
         .coalesce(1).write.mode("overwrite").parquet(s"$pqDir/coarse.parquet")
-      val cbs = PqIndex.trainCodebooks(emb, "embedding", "vec_id",
-        m = 8, ksub = 16, iters = 5)
+    }
+    ensureDump(s"$pqDir/codebooks2.parquet", d) {
       cbs.zipWithIndex.flatMap { case (cb, m) =>
         cb.zipWithIndex.map { case (c, code) => (m, code, c.toSeq) }
       }.toSeq.toDF("m", "code", "centroid")
         .coalesce(1).write.mode("overwrite").parquet(s"$pqDir/codebooks2.parquet")
-      (cs, cbs)
     }
+    (cs, cbs)
+  }
 
   private def embedIvfPq(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")
@@ -3849,6 +3878,12 @@ object SparkEntry {
     */
   private lazy val semanticDir = s"$artifactRoot/semantic"
 
+  /** Test hook (StandingArtifactSpec): the fixed semantic-dedup dump
+    * path, for asserting the [[ensureDump]] multi-dir refresh.
+    */
+  private[graft] def semanticDumpPath: String =
+    s"$semanticDir/centroids.parquet"
+
   private lazy val outlierDir = s"$artifactRoot/outlier"
 
   /** Embedding outlier scoring
@@ -3858,18 +3893,16 @@ object SparkEntry {
     * constants — the 32 most-outlying rows must match bit-for-bit.
     */
   /** Shared 8-cell / 3-iter coarse quantizer for the outlier and
-    * semantic-dedup gates, trained + dumped once per dataset dir
-    * ([[standing]] — the pqCodebooksPath policy: q_embed_ivf keeps the
-    * coarse-training cost BILLED inline every run, so the family's
-    * training cost stays measured there; these siblings serve the memo).
-    * Both dumps land under the fixed oracle paths, so within one
-    * Verify/Bench invocation — which reads exactly one dataset dir —
-    * dump and memo always describe the same data.
+    * semantic-dedup gates, trained once per dataset dir ([[standing]] —
+    * the pqCodebooksPath policy: q_embed_ivf keeps the coarse-training
+    * cost BILLED inline every run, so the family's training cost stays
+    * measured there; these siblings serve the memo). The fixed oracle
+    * dump paths are refreshed through [[ensureDump]], so a multi-dir
+    * JVM keeps dump and memo describing the same dataset.
     */
   private def outlierSemanticCentroids(s: SparkSession, d: String)
-      : (Array[Array[Double]], Array[Array[Double]]) =
-    standing(s"coarse8x3:$d") {
-      import s.implicits._
+      : (Array[Array[Double]], Array[Array[Double]]) = {
+    val (cs, cus) = standing(s"coarse8x3:$d") {
       // iters=3: the oracles recompute from the DUMPED centroids, so
       // training depth affects cell quality, not the gate — 3 Lloyd
       // rounds already separate this corpus' modes.
@@ -3879,16 +3912,23 @@ object SparkEntry {
         val n = math.sqrt(c.map(x => x * x).sum)
         c.map(_ / n)
       }
+      (cs, cus)
+    }
+    import s.implicits._
+    ensureDump(s"$outlierDir/centroids.parquet", d) {
       cs.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq, cus(i).toSeq) }
         .toDF("cell", "centroid", "unit_centroid")
         .coalesce(1).write.mode("overwrite")
         .parquet(s"$outlierDir/centroids.parquet")
+    }
+    ensureDump(s"$semanticDir/centroids.parquet", d) {
       cs.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
         .toDF("cell", "centroid")
         .coalesce(1).write.mode("overwrite")
         .parquet(s"$semanticDir/centroids.parquet")
-      (cs, cus)
     }
+    (cs, cus)
+  }
 
   private def embedOutlier(s: SparkSession, d: String): DataFrame = {
     val (cs, cus) = outlierSemanticCentroids(s, d)
@@ -3917,17 +3957,20 @@ object SparkEntry {
     */
   private lazy val semantic64Dir = s"$artifactRoot/semantic64"
 
-  private def semantic64Centroids(s: SparkSession, d: String): Array[Array[Double]] =
-    standing(s"coarse64x3:$d") {
-      import s.implicits._
-      val cs = IvfIndex.trainCentroids(t(s, d, "embeddings"),
+  private def semantic64Centroids(s: SparkSession, d: String): Array[Array[Double]] = {
+    val cs = standing(s"coarse64x3:$d") {
+      IvfIndex.trainCentroids(t(s, d, "embeddings"),
         "embedding", "vec_id", nlist = 64, iters = 3)
+    }
+    import s.implicits._
+    ensureDump(s"$semantic64Dir/centroids.parquet", d) {
       cs.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
         .toDF("cell", "centroid")
         .coalesce(1).write.mode("overwrite")
         .parquet(s"$semantic64Dir/centroids.parquet")
-      cs
     }
+    cs
+  }
 
   private def dedupSemanticScaled(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")

@@ -111,12 +111,18 @@ object Coreset {
       vecCol: String,
       idCol: String,
       k: Int,
-      seedId: Long): DataFrame = {
-    val spark = vecs.sparkSession
+      seedId: Long): DataFrame =
+    kCenterSelect(vecs.sparkSession,
+      kCenterGreedy(vecs, vecCol, idCol, k, seedId), idCol)
+
+  /** Shape already-computed picks (e.g. a memoized selection) into the
+    * same (round, idCol, radius) gate surface — the single definition
+    * both the inline and memo-serving callers share.
+    */
+  def kCenterSelect(spark: org.apache.spark.sql.SparkSession,
+      picks: Seq[KCenterPick], idCol: String): DataFrame = {
     import spark.implicits._
-    kCenterGreedy(vecs, vecCol, idCol, k, seedId)
-      .map(p => (p.round, p.id, p.radius))
-      .toDF("round", idCol, "radius")
+    picks.map(p => (p.round, p.id, p.radius)).toDF("round", idCol, "radius")
   }
 
   /** Covering radius² of an arbitrary selection: max over points of

@@ -166,8 +166,13 @@ object CoresetStream {
     val stateRoot = Paths.get(storeDir, "state")
     if (!Files.exists(stateRoot)) return Empty
     val bound = beforeBatch.getOrElse(Long.MaxValue)
-    val latest = Files.list(stateRoot).iterator().asScala
-      .map(_.getFileName.toString)
+    // Files.list holds a directory handle until closed — this runs once
+    // per micro-batch for the stream's whole life, so drain it eagerly.
+    val listing = Files.list(stateRoot)
+    val names =
+      try listing.iterator().asScala.map(_.getFileName.toString).toVector
+      finally listing.close()
+    val latest = names
       .collect { case s if s.startsWith("batch=") => s.drop(6).toLong }
       .filter(_ < bound)
       .maxOption

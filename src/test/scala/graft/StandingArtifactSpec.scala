@@ -35,6 +35,25 @@ class StandingArtifactSpec extends SparkSpec {
     "q_dedup_semantic", "q_embed_ivfpq", "q_wordpiece_train",
     "q_kcenter_select")
 
+  test("fixed oracle dumps follow the CURRENT dataset across dirs") {
+    // Oracle SQL is dataset-agnostic, so dump paths are fixed — a
+    // multi-dir JVM must rewrite the fixed path whenever a different
+    // dataset takes it over (ensureDump), or the engine would serve
+    // dir A's memo while the oracle reads dir B's dump.
+    SparkEntry.clearStandingArtifacts()
+    def dump(): Seq[String] =
+      spark.read.parquet(SparkEntry.semanticDumpPath)
+        .orderBy("cell").collect().map(_.toString).toSeq
+    SparkEntry.queries("q_dedup_semantic")(spark, d).collect()
+    val dumpA = dump()
+    SparkEntry.queries("q_dedup_semantic")(spark, "/root/testdata/sf0.1").collect()
+    val dumpB = dump()
+    assert(dumpB !== dumpA, "distinct datasets must produce distinct centroids")
+    SparkEntry.queries("q_dedup_semantic")(spark, d).collect()
+    assert(dump() === dumpA,
+      "returning to the first dataset must restore ITS dump under the fixed path")
+  }
+
   test("fresh first-touch rebuild equals the persisted artifact, every family") {
     artifactGates.foreach { q =>
       val warm = SparkEntry.queries(q)(spark, d)
