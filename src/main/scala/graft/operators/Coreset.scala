@@ -44,8 +44,25 @@ object Coreset {
   case class KCenterPick(round: Long, id: Long, radius: Option[Double],
       center: Seq[Double])
 
+  /** The scan side takes the RAW vector column (float or double):
+    * [[graft.functions.DotProduct]] widens every element to double
+    * before multiplying (bit-identical to the oracle's
+    * CAST(... AS DOUBLE[])), and skipping the interpreted `transform`
+    * cast keeps the whole distance filter inside whole-stage codegen
+    * (PlanPropertiesSpec pins this).
+    */
   private[graft] def d2(x: Column, c: Column): Column =
     round(graftDot(x, x) - lit(2.0) * graftDot(x, c) + graftDot(c, c), 6)
+
+  /** Collected vector cell → double array, whatever numeric element
+    * type the source column carried (float→double is exact).
+    */
+  private[graft] def toDoubleArray(r: org.apache.spark.sql.Row, i: Int): Array[Double] =
+    r.getSeq[Any](i).map {
+      case n: java.lang.Number => n.doubleValue()
+      case other => throw new IllegalArgumentException(
+        s"non-numeric vector element: $other")
+    }.toArray
 
   /** Driver-side mirror of [[d2]]: the SAME three sequential-sum dot
     * products and the same 6-decimal HALF_UP rounding, so a driver
@@ -78,13 +95,13 @@ object Coreset {
       checkpointEvery: Int = 4): Seq[KCenterPick] = {
     require(k >= 1, "k-center needs at least one pick")
     val base = vecs.select(col(idCol).cast("long").as("id"),
-      Similarity.toDouble(col(vecCol)).as("e"))
+      col(vecCol).as("v"))
     val seedRows = base.filter(col("id") === seedId).limit(2).collect()
     require(seedRows.length == 1, s"seed id $seedId must match exactly one row")
-    val seedVec = seedRows(0).getSeq[Double](1)
+    val seedVec = toDoubleArray(seedRows(0), 1).toSeq
     val picks = scala.collection.mutable.ArrayBuffer(
       KCenterPick(1L, seedId, None, seedVec))
-    var cur = base.withColumn("dmin", d2(col("e"), typedLit(seedVec)))
+    var cur = base.withColumn("dmin", d2(col("v"), typedLit(seedVec)))
     var i = 2
     while (i <= k) {
       val top = cur.orderBy(col("dmin").desc, col("id"))
@@ -93,11 +110,11 @@ object Coreset {
       // (dmin 0) — stop, the selection is complete.
       if (top.isEmpty || top(0).getDouble(2) <= 0.0) i = k + 1
       else {
-        val (id, vec, r) = (top(0).getLong(0), top(0).getSeq[Double](1),
-          top(0).getDouble(2))
+        val (id, vec, r) = (top(0).getLong(0),
+          toDoubleArray(top(0), 1).toSeq, top(0).getDouble(2))
         picks += KCenterPick(i.toLong, id, Some(r), vec)
         cur = cur.withColumn("dmin",
-          least(col("dmin"), d2(col("e"), typedLit(vec))))
+          least(col("dmin"), d2(col("v"), typedLit(vec))))
         if (i % checkpointEvery == 0) cur = cur.localCheckpoint()
         i += 1
       }
@@ -136,9 +153,9 @@ object Coreset {
       centers: Seq[Array[Double]],
       as: String): DataFrame = {
     require(centers.nonEmpty, "covering radius needs at least one center")
-    val dists = centers.map(c => d2(col("_e"), typedLit(c.toSeq)))
+    val dists = centers.map(c => d2(col("_v"), typedLit(c.toSeq)))
     val dmin = if (dists.length == 1) dists.head else least(dists: _*)
-    vecs.select(Similarity.toDouble(col(vecCol)).as("_e"))
+    vecs.select(col(vecCol).as("_v"))
       .agg(max(dmin).as(as))
   }
 
@@ -161,10 +178,10 @@ object Coreset {
       picks: Seq[KCenterPick]): DataFrame = {
     require(picks.nonEmpty, "coverage needs at least one center")
     val base = vecs.select(col(idCol).cast("long").as("id"),
-      Similarity.toDouble(col(vecCol)).as("e"))
+      col(vecCol).as("v"))
     // k-way expand: one struct per center, argmin by (d2, pick round).
     val perCenter = picks.map { p =>
-      struct(d2(col("e"), typedLit(p.center)).as("d"),
+      struct(d2(col("v"), typedLit(p.center)).as("d"),
         lit(p.round).as("round"), lit(p.id).as("cid"))
     }
     val assigned = base

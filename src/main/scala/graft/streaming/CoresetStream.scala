@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.operators.{Coreset, Similarity}
+import graft.operators.Coreset
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
@@ -94,18 +94,21 @@ object CoresetStream {
     */
   private def survivors(batch: DataFrame, vecCol: String, idCol: String,
       st: CoverState): Seq[(Long, Array[Double])] = {
+    // raw vector column on the scan side: DotProduct widens per element,
+    // and avoiding the interpreted transform-cast keeps the whole
+    // novelty filter inside whole-stage codegen (PlanPropertiesSpec).
     val base = batch.select(col(idCol).cast("long").as("id"),
-      Similarity.toDouble(col(vecCol)).as("e"))
+      col(vecCol).as("v"))
     val kept =
       if (st.centers.isEmpty) base
       else {
         val dists = st.centers.map { case (_, c) =>
-          Coreset.d2(col("e"), typedLit(c.toSeq)) }
+          Coreset.d2(col("v"), typedLit(c.toSeq)) }
         val dmin = if (dists.length == 1) dists.head else least(dists: _*)
         base.filter(dmin > lit(4.0 * st.rSq))
       }
     kept.orderBy(col("id")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+      .map(r => (r.getLong(0), Coreset.toDoubleArray(r, 1))).toSeq
   }
 
   /** Sequential doubling-algorithm insertions — at most (survivors)

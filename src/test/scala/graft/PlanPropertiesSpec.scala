@@ -324,4 +324,51 @@ class PlanPropertiesSpec extends SparkSpec {
     // panel-x-k winners are down to panel size
     assert(!plan.contains("SortMergeJoin"), s"scored pairs shuffled:\n$plan")
   }
+
+  test("k-center round scan: broadcast-literal argmax, no join, no vector shuffle") {
+    // one selection round = the plan kCenterGreedy builds per
+    // iteration: a running least-distance column over the corpus with
+    // the argmax as TakeOrdered — centers ride as literals, so there
+    // must be NO join of any kind and no Exchange feeding a sort
+    import graft.operators.Coreset
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    val seed = Coreset.toDoubleArray(
+      emb.filter(col("id") === 0).head(), 1).toSeq
+    val round = emb
+      .withColumn("dmin", Coreset.d2(col("v"), typedLit(seed)))
+      .orderBy(col("dmin").desc, col("id")).limit(1)
+    val plan = round.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"argmax is not a TakeOrdered:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("Exchange"),
+      s"a selection round must be one scan — no join, no shuffle:\n$plan")
+    assert(plan.contains("graft_dot"), s"distance not the native dot:\n$plan")
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*(1)"),
+      s"round scan fell out of codegen:\n$plan")
+  }
+
+  test("k-center coverage: one aggregate exchange, centers as literals") {
+    val plan = planOf("q_kcenter_coverage")
+    assert(!plan.contains("Join"),
+      s"coverage must not join — centers are broadcast literals:\n$plan")
+    assert(plan.contains("graft_dot"), s"distance not the native dot:\n$plan")
+  }
+
+  test("streaming k-center entry filter: scan-only, centers as literals") {
+    // the per-batch novelty filter CoresetStream builds: a codegen'd
+    // least chain over broadcast-literal centers — no join, no shuffle
+    import graft.operators.Coreset
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("id"), col("embedding").as("v"))
+    val centers = emb.limit(3).collect()
+      .map(r => Coreset.toDoubleArray(r, 1).toSeq)
+    val dists = centers.map(c => Coreset.d2(col("v"), typedLit(c)))
+    val filtered = emb.filter(least(dists: _*) > lit(0.5))
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"),
+      s"entry filter must be one scan:\n$plan")
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*(1)"),
+      s"entry filter fell out of codegen:\n$plan")
+  }
 }
