@@ -3441,6 +3441,15 @@ object SparkEntry {
       .select(col("doc_id"), col("digit_ratio"), col("quality_score"))
       .orderBy(col("doc_id"))
 
+  /** Shannon character entropy ([[operators.TextAnalysis.charEntropy]]):
+    * per-doc (n, n_distinct, entropy_nats) over the canonical rendering.
+    * The oracle replays canonicalization with the proven q_langid_nb
+    * code-point window at n=1 and the exact-DECIMAL Σ c·ln(c) sum.
+    */
+  private def charEntropyQ(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.charEntropy(t(s, d, "documents"), "text", "doc_id")
+      .orderBy(col("doc_id"))
+
   private def textRepetition(s: SparkSession, d: String): DataFrame =
     TextAnalysis.repetitionSignals(t(s, d, "documents"), "text", "doc_id")
       .select(col("_id").as("doc_id"), col("total_bigrams"),
@@ -5638,6 +5647,7 @@ object SparkEntry {
     "q_embed_neardup" -> (embedNearDup _),
     "q_text_stats" -> (textStats _),
     "q_text_quality" -> (textQuality _),
+    "q_char_entropy" -> (charEntropyQ _),
     "q_text_repetition" -> (textRepetition _),
     "q_sample_stratified" -> (sampleStratified _),
     "q_compact" -> (compactQ _),
@@ -8335,6 +8345,25 @@ object SparkEntry {
         |    ORDER BY cosine DESC, vec_id) AS rn FROM scored)
         |SELECT q_id, rn, vec_id, cosine, label <> q_label AS is_hard_negative
         |FROM ranked WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin,
+    // Character entropy: q_langid_nb's canonical code-point window at
+    // n=1, per-char counts, exact-DECIMAL weighted ln sum, fixed final
+    // IEEE formula.
+    "q_char_entropy" ->
+      s"""WITH dcs AS (SELECT doc_id,
+         |    substr(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),
+         |      1, ${TextAnalysis.langIdMaxChars}) AS cs
+         |  FROM documents),
+         |ch AS (SELECT doc_id, substr(cs, CAST(i AS INT), 1) AS ch
+         |  FROM dcs, UNNEST(range(1, len(cs) + 1)) AS u(i)
+         |  WHERE len(cs) >= 1),
+         |cnt AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+         |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+         |    CAST(count(*) AS BIGINT) AS n_distinct,
+         |    sum(CAST(round(ln(c), 9) AS DECIMAL(20,9)) * c) AS s
+         |  FROM cnt GROUP BY 1)
+         |SELECT doc_id, n, n_distinct,
+         |  round(ln(n) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 4) AS entropy_nats
+         |FROM agg ORDER BY doc_id""".stripMargin,
     "q_text_stats" ->
       s"""SELECT doc_id,
          |  len(string_split_regex(trim(text), '\\s+')) AS n_words,

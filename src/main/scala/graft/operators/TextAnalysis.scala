@@ -314,6 +314,38 @@ object TextAnalysis {
     * digit / stopword ratios. The score is a simple public-recipe blend
     * (length in range, low symbol noise, has stopwords) in [0,1].
     */
+  /** Shannon character entropy (nats) of the canonical rendering's
+    * first [[langIdMaxChars]] code points — the gibberish /
+    * encoding-noise signal curation stacks use beside the repetition
+    * rules: natural prose sits in a narrow band (~2.5-3.2 nats for
+    * English with spaces), base64/hex blobs float above it, single-char
+    * floods collapse toward 0. Canonicalization is [[charGrams]]'s
+    * (trim + lowercase + whitespace collapse + code-point truncation),
+    * so the replaying SQL is the proven q_langid_nb window pattern at
+    * n = 1.
+    *
+    * H = ln(n) − Σ c·ln(c) / n over per-character counts c. Float
+    * parity by the zipf-slope rule: each ln(c) rounds to 9 decimals and
+    * quantizes to DECIMAL(20,9); the weighted sum is exact decimal
+    * (merge-order-insensitive); the final round(ln(n) − S/n, 4) is a
+    * fixed IEEE formula over identical operands in any engine.
+    * Documents with no canonical characters are omitted (entropy of an
+    * empty stream is undefined).
+    */
+  def charEntropy(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(charGrams(col(textCol), 1)).as("ch"))
+      .groupBy(col("id"), col("ch")).agg(count(lit(1)).as("c"))
+      .groupBy(col("id"))
+      .agg(sum(col("c")).as("n"),
+        count(lit(1)).as("n_distinct"),
+        sum(round(log(col("c").cast(DoubleType)), 9)
+          .cast(DecimalType(20, 9)) * col("c")).as("_s"))
+      .select(col("id").as(idCol), col("n"), col("n_distinct"),
+        round(log(col("n").cast(DoubleType)) -
+          col("_s").cast(DoubleType) / col("n").cast(DoubleType), 4)
+          .as("entropy_nats"))
+
   def withQuality(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
     val nChars = length(t)

@@ -53,6 +53,27 @@ class CoresetStreamSpec extends SparkSpec {
     }
   }
 
+  test("real embeddings: batched stream == sequential, float scan side intact") {
+    // the testdata embeddings are float arrays — this drives the raw
+    // float scan path (the codegen'd one) end to end
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(200).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val store = tmpDir("coresetreal")
+    val k = 5
+    emb.grouped(50).zipWithIndex.foreach { case (b, i) =>
+      val df = b.toSeq.toDF("vec_id", "embedding") // array<float>, as stored
+      CoresetStream.processBatch(spark, df, "embedding", "vec_id", k,
+        store, i.toLong)
+    }
+    val got = CoresetStream.readState(spark, store)
+    val want = CoresetStream.insertAll(CoresetStream.Empty,
+      emb.map { case (i, v) => (i, v.map(_.toDouble).toArray) }.toSeq, k)
+    assert(got.centers.map(_._1) === want.centers.map(_._1))
+    assert(got.rSq === want.rSq)
+  }
+
   test("redelivered batch recomputes the identical snapshot") {
     val store = tmpDir("coresetstore2")
     val k = 4

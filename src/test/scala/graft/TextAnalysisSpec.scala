@@ -581,4 +581,30 @@ class TextAnalysisSpec extends SparkSpec {
     }.toSet
     assert(out.toSet === expect)
   }
+
+  test("charEntropy: hand-computed values on degenerate and uniform strings") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aaaa"),        // single symbol: H = 0
+      (2L, "abcd"),        // uniform over 4: H = ln 4
+      (3L, "aaab"),        // counts 3,1 over n=4: H = ln 4 - 3 ln 3 / 4
+      (4L, "  A  a B  "),  // canonicalization: "a a b" -> a:2, b:1, ' ':2
+      (5L, "")             // no canonical chars: omitted
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.charEntropy(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    def h(counts: Seq[Long]): Double = {
+      val n = counts.sum
+      val s = counts.map(c => BigDecimal(math.log(c.toDouble))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP) * BigDecimal(c)).sum
+      BigDecimal(math.log(n.toDouble) - s.toDouble / n.toDouble)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got.keySet === Set(1L, 2L, 3L, 4L))
+    assert(got(1L) === ((4L, 1L, 0.0)))
+    assert(got(2L) === ((4L, 4L, h(Seq(1L, 1L, 1L, 1L)))))
+    assert(got(3L) === ((4L, 2L, h(Seq(3L, 1L)))))
+    assert(got(4L) === ((5L, 3L, h(Seq(2L, 2L, 1L)))))
+  }
 }
