@@ -2629,6 +2629,57 @@ object SparkEntry {
         round(col("greedy_r2") / col("random_r2"), 4).as("ratio"))
   }
 
+  /** Greedy max-coverage selection ([[operators.MaxCover]] — Nemhauser
+    * et al. 1978 greedy over hashed uni+bigram feature buckets, the
+    * coverage-space complement of the k-center family): 5 picks over
+    * the documents table at B=1024, each reporting its exact integer
+    * marginal gain and the running covered-bucket total. The picks are
+    * memoized per dataset ([[standing]]); the oracle replays all five
+    * rounds UNROLLED — per-doc uncovered counts, (gain DESC, id ASC)
+    * argmax, covered-set union — from the same md5 bucket hash, so a
+    * stale memo fails the gate.
+    */
+  private def maxcoverPicks(s: SparkSession, d: String): Seq[MaxCover.CoverPick] =
+    standing(s"maxcover:$d:5:1024") {
+      val pairs = MaxCover.featurePairs(t(s, d, "documents"), "text",
+        "doc_id", buckets = 1024).localCheckpoint()
+      MaxCover.greedyMaxCover(pairs, k = 5)
+    }
+
+  private def maxcoverSelect(s: SparkSession, d: String): DataFrame =
+    MaxCover.coverSelect(s, maxcoverPicks(s, d), "doc_id")
+      .orderBy(col("round"))
+
+  private def maxcoverOracle(k: Int, buckets: Int): String = {
+    val sb = new StringBuilder
+    sb ++= "WITH w AS (SELECT doc_id, " +
+      "list_filter(string_split_regex(trim(lower(text)), '\\s+'), " +
+      "x -> len(x) > 0) AS ws FROM documents),\n"
+    sb ++= "uni AS (SELECT doc_id, unnest(ws) AS g FROM w),\n"
+    sb ++= "bi AS (SELECT doc_id, ws[t.i - 1] || ' ' || ws[t.i] AS g " +
+      "FROM w, unnest(range(2, len(ws) + 1)) AS t(i) WHERE len(ws) >= 2),\n"
+    sb ++= "feats AS (SELECT DISTINCT doc_id AS id, " +
+      s"CAST(concat('0x', substr(md5(g), 1, 6)) AS BIGINT) % $buckets " +
+      "AS bucket FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),\n"
+    for (i <- 1 to k) {
+      val notIn =
+        if (i == 1) ""
+        else s" WHERE bucket NOT IN (SELECT bucket FROM cov${i - 1})"
+      sb ++= s"g$i AS (SELECT id, count(*) AS g FROM feats$notIn GROUP BY 1),\n"
+      sb ++= s"p$i AS (SELECT id, g FROM g$i ORDER BY g DESC, id LIMIT 1),\n"
+      val prev = if (i == 1) "" else s"SELECT bucket FROM cov${i - 1} UNION "
+      sb ++= s"cov$i AS (${prev}SELECT bucket FROM feats " +
+        s"WHERE id = (SELECT id FROM p$i)),\n"
+      sb ++= s"t$i AS (SELECT count(*) AS c FROM cov$i),\n"
+    }
+    sb ++= "sel AS (\n" + (1 to k).map(i =>
+      s"  SELECT CAST($i AS BIGINT) AS round, id AS doc_id, g AS gain, " +
+        s"(SELECT CAST(c AS BIGINT) FROM t$i) AS covered FROM p$i")
+      .mkString("\n  UNION ALL\n") +
+      ")\nSELECT round, doc_id, gain, covered FROM sel ORDER BY round"
+    sb.toString
+  }
+
   /** Shared unrolled-CTE prefix of the two k-center oracles: dN is every
     * point's running least squared distance after N centers (6-decimal
     * rounding before any comparison, exactly like the engine), cN is
@@ -5633,6 +5684,7 @@ object SparkEntry {
     "q_kcenter_select" -> (kcenterSelect _),
     "q_kcenter_coverage" -> (kcenterCoverage _),
     "q_kcenter_vs_random" -> (kcenterVsRandom _),
+    "q_maxcover_select" -> (maxcoverSelect _),
     "q_ann_batch" -> (annBatch _),
     "q_embed_ann_lsh" -> (embedAnnLsh _),
     "q_ann_recall" -> (annRecall _),
@@ -8314,6 +8366,7 @@ object SparkEntry {
     "q_kcenter_select" -> kcenterSelectOracle(6),
     "q_kcenter_coverage" -> kcenterCoverageOracle(6),
     "q_kcenter_vs_random" -> kcenterVsRandomOracle(6),
+    "q_maxcover_select" -> maxcoverOracle(5, 1024),
     "q_ann_batch" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
         |      FROM embeddings WHERE vec_id < 10),
