@@ -2650,6 +2650,83 @@ object SparkEntry {
     MaxCover.coverSelect(s, maxcoverPicks(s, d), "doc_id")
       .orderBy(col("round"))
 
+  /** Budgeted max-coverage ([[operators.MaxCover.greedyBudgetCover]] —
+    * the Khuller–Moss–Naor gain/cost ratio rule): pick documents
+    * maximizing newly-covered vocabulary buckets PER TOKEN under a
+    * 60-token budget, 6 rounds max (documents cost 10-100 tokens here,
+    * so the affordability filter binds after the first few picks and
+    * the run can stop early on an exhausted budget — both engines
+    * replay that stop). Cost = the document's lowercased
+    * whitespace token count (the same token stream the features hash
+    * from), attached to the pair table with ONE build-time join (the
+    * memo amortizes it; per-round scans carry the cost column for
+    * free). The oracle replays every round's affordability filter,
+    * integer floor-division ratio argmax, budget arithmetic, and
+    * covered-set union unrolled — empty rounds (nothing affordable)
+    * produce no row in either engine, so early stop is hash-gated too.
+    */
+  private def maxcoverBudgetPicks(s: SparkSession, d: String): Seq[MaxCover.BudgetPick] =
+    standing(s"maxcoverbudget:$d:60:6:1024") {
+      val docs = t(s, d, "documents")
+      val costs = docs.select(col("doc_id").as("id"),
+        size(TextAnalysis.words(lower(col("text")))).cast(LongType).as("cost"))
+      val pairs = MaxCover.featurePairs(docs, "text", "doc_id",
+        buckets = 1024).join(costs, "id").localCheckpoint()
+      MaxCover.greedyBudgetCover(pairs, budget = 60L, maxRounds = 6)
+    }
+
+  private def maxcoverBudget(s: SparkSession, d: String): DataFrame =
+    MaxCover.budgetSelect(s, maxcoverBudgetPicks(s, d), "doc_id")
+      .orderBy(col("round"))
+
+  private def maxcoverBudgetOracle(budget: Long, maxRounds: Int,
+      buckets: Int): String = {
+    val sb = new StringBuilder
+    sb ++= "WITH w AS (SELECT doc_id, " +
+      "list_filter(string_split_regex(trim(lower(text)), '\\s+'), " +
+      "x -> len(x) > 0) AS ws FROM documents),\n"
+    sb ++= "uni AS (SELECT doc_id, unnest(ws) AS g FROM w),\n"
+    sb ++= "bi AS (SELECT doc_id, ws[t.i - 1] || ' ' || ws[t.i] AS g " +
+      "FROM w, unnest(range(2, len(ws) + 1)) AS t(i) WHERE len(ws) >= 2),\n"
+    sb ++= "feats AS (SELECT DISTINCT doc_id AS id, " +
+      s"CAST(concat('0x', substr(md5(g), 1, 6)) AS BIGINT) % $buckets " +
+      "AS bucket FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),\n"
+    sb ++= "dcost AS (SELECT doc_id AS id, len(ws) AS cost FROM w),\n"
+    sb ++= "fc AS (SELECT f.id, f.bucket, c.cost FROM feats f " +
+      "JOIN dcost c ON f.id = c.id),\n"
+    for (i <- 1 to maxRounds) {
+      // MATERIALIZED: each round's CTEs are referenced by several later
+      // rounds — inlined (DuckDB's default) the CTE tree re-evaluates
+      // exponentially in maxRounds; materialization keeps the replay
+      // linear, exactly like the engine's one-scan-per-round loop.
+      val remaining =
+        if (i == 1) budget.toString
+        else s"$budget - (SELECT s FROM s${i - 1})"
+      val notIn =
+        if (i == 1) ""
+        else s" AND bucket NOT IN (SELECT bucket FROM cov${i - 1})"
+      sb ++= s"g$i AS MATERIALIZED (SELECT id, count(*) AS g, max(cost) AS cost " +
+        s"FROM fc WHERE cost <= $remaining$notIn GROUP BY 1),\n"
+      sb ++= s"p$i AS MATERIALIZED (SELECT id, g, cost FROM g$i " +
+        "ORDER BY (g * 1000000) // cost DESC, id LIMIT 1),\n"
+      val prevSpent = if (i == 1) "0" else s"(SELECT s FROM s${i - 1})"
+      sb ++= s"s$i AS MATERIALIZED (SELECT $prevSpent + " +
+        s"COALESCE((SELECT cost FROM p$i), 0) AS s),\n"
+      val prevCov = if (i == 1) "" else s"SELECT bucket FROM cov${i - 1} UNION "
+      sb ++= s"cov$i AS MATERIALIZED (${prevCov}SELECT bucket FROM feats " +
+        s"WHERE id = (SELECT id FROM p$i)),\n"
+      sb ++= s"t$i AS MATERIALIZED (SELECT count(*) AS c FROM cov$i),\n"
+    }
+    sb ++= "sel AS (\n" + (1 to maxRounds).map(i =>
+      s"  SELECT CAST($i AS BIGINT) AS round, id AS doc_id, g AS gain, " +
+        s"cost, (SELECT CAST(s AS BIGINT) FROM s$i) AS spent, " +
+        s"(SELECT CAST(c AS BIGINT) FROM t$i) AS covered FROM p$i")
+      .mkString("\n  UNION ALL\n") +
+      ")\nSELECT round, doc_id, gain, cost, spent, covered FROM sel " +
+      "ORDER BY round"
+    sb.toString
+  }
+
   private def maxcoverOracle(k: Int, buckets: Int): String = {
     val sb = new StringBuilder
     sb ++= "WITH w AS (SELECT doc_id, " +
@@ -2665,12 +2742,16 @@ object SparkEntry {
       val notIn =
         if (i == 1) ""
         else s" WHERE bucket NOT IN (SELECT bucket FROM cov${i - 1})"
-      sb ++= s"g$i AS (SELECT id, count(*) AS g FROM feats$notIn GROUP BY 1),\n"
-      sb ++= s"p$i AS (SELECT id, g FROM g$i ORDER BY g DESC, id LIMIT 1),\n"
+      // MATERIALIZED: cov/p CTEs feed several later rounds — inlined
+      // (DuckDB's default) the replay tree re-evaluates exponentially
+      // in k, which only shows at corpus scale (fine at sf0.01, stalls
+      // at sf1); materialization keeps it linear like the engine loop.
+      sb ++= s"g$i AS MATERIALIZED (SELECT id, count(*) AS g FROM feats$notIn GROUP BY 1),\n"
+      sb ++= s"p$i AS MATERIALIZED (SELECT id, g FROM g$i ORDER BY g DESC, id LIMIT 1),\n"
       val prev = if (i == 1) "" else s"SELECT bucket FROM cov${i - 1} UNION "
-      sb ++= s"cov$i AS (${prev}SELECT bucket FROM feats " +
+      sb ++= s"cov$i AS MATERIALIZED (${prev}SELECT bucket FROM feats " +
         s"WHERE id = (SELECT id FROM p$i)),\n"
-      sb ++= s"t$i AS (SELECT count(*) AS c FROM cov$i),\n"
+      sb ++= s"t$i AS MATERIALIZED (SELECT count(*) AS c FROM cov$i),\n"
     }
     sb ++= "sel AS (\n" + (1 to k).map(i =>
       s"  SELECT CAST($i AS BIGINT) AS round, id AS doc_id, g AS gain, " +
@@ -5685,6 +5766,7 @@ object SparkEntry {
     "q_kcenter_coverage" -> (kcenterCoverage _),
     "q_kcenter_vs_random" -> (kcenterVsRandom _),
     "q_maxcover_select" -> (maxcoverSelect _),
+    "q_maxcover_budget" -> (maxcoverBudget _),
     "q_ann_batch" -> (annBatch _),
     "q_embed_ann_lsh" -> (embedAnnLsh _),
     "q_ann_recall" -> (annRecall _),
@@ -8367,6 +8449,7 @@ object SparkEntry {
     "q_kcenter_coverage" -> kcenterCoverageOracle(6),
     "q_kcenter_vs_random" -> kcenterVsRandomOracle(6),
     "q_maxcover_select" -> maxcoverOracle(5, 1024),
+    "q_maxcover_budget" -> maxcoverBudgetOracle(60L, 6, 1024),
     "q_ann_batch" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
         |      FROM embeddings WHERE vec_id < 10),

@@ -87,4 +87,76 @@ object MaxCover {
     picks.map(p => (p.round, p.id, p.gain, p.covered))
       .toDF("round", idCol, "gain", "covered")
   }
+
+  /** One budgeted pick: `cost` is the document's token price, `spent`
+    * the running total after the pick.
+    */
+  case class BudgetPick(round: Long, id: Long, gain: Long, cost: Long,
+      spent: Long, covered: Long)
+
+  /** BUDGETED greedy max-coverage — the cost-ratio rule of Khuller,
+    * Moss & Naor (1999, "The budgeted maximum coverage problem"): each
+    * round picks, among documents still AFFORDABLE (cost <= remaining
+    * budget), the one maximizing floor(gain·10^6 / cost) — newly covered
+    * buckets per token paid, the objective of "best corpus under a
+    * token budget". The floor-division ratio is exact integer
+    * arithmetic (gain <= B keeps gain·10^6 far from Long overflow), so
+    * the (ratio DESC, id ASC) argmax is a total order any engine
+    * replays. (KMN's full (1−1/e)/2-certified variant also compares
+    * against the best affordable singleton; the plain ratio rule is the
+    * deployed heuristic and is what this declares.)
+    *
+    * `pairs` must carry (id, bucket, cost) with cost constant per id
+    * and >= 1 (a document in the pair table has at least one token);
+    * materialize it first — each round scans it once. Stops when no
+    * affordable document has an uncovered bucket (budget exhausted
+    * down to the cheapest doc, or full coverage), or after `maxRounds`
+    * (the oracle-unroll bound).
+    *
+    * Same 100 TB shape as [[greedyMaxCover]]: per round one scan +
+    * hash aggregate + TakeOrdered; the affordability filter is a
+    * scan-level comparison against a literal; driver state is the
+    * covered set (<= B ints) and the picks.
+    */
+  def greedyBudgetCover(pairs: DataFrame, budget: Long,
+      maxRounds: Int): Seq[BudgetPick] = {
+    require(budget >= 1 && maxRounds >= 1, "degenerate budget knobs")
+    val covered = scala.collection.mutable.HashSet.empty[Long]
+    val picks = scala.collection.mutable.ArrayBuffer.empty[BudgetPick]
+    var spent = 0L
+    var i = 1
+    while (i <= maxRounds) {
+      val affordable = pairs.filter(col("cost") <= lit(budget - spent))
+      val uncovered =
+        if (covered.isEmpty) affordable
+        else affordable.filter(!col("bucket").isInCollection(covered.toSeq))
+      val top = uncovered
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("gain"), max(col("cost")).as("cost"))
+        .withColumn("r", expr("(gain * 1000000) div cost"))
+        .orderBy(col("r").desc, col("id"))
+        .limit(1).collect()
+      if (top.isEmpty) i = maxRounds + 1 // nothing affordable adds anything
+      else {
+        val (id, gain, cost) = (top(0).getLong(0), top(0).getLong(1),
+          top(0).getLong(2))
+        val newBuckets = pairs.filter(col("id") === id)
+          .select(col("bucket").cast(LongType)).collect().map(_.getLong(0))
+        covered ++= newBuckets
+        spent += cost
+        picks += BudgetPick(i.toLong, id, gain, cost, spent,
+          covered.size.toLong)
+        i += 1
+      }
+    }
+    picks.toSeq
+  }
+
+  /** The budgeted selection as a DataFrame gate surface. */
+  def budgetSelect(spark: org.apache.spark.sql.SparkSession,
+      picks: Seq[BudgetPick], idCol: String): DataFrame = {
+    import spark.implicits._
+    picks.map(p => (p.round, p.id, p.gain, p.cost, p.spent, p.covered))
+      .toDF("round", idCol, "gain", "cost", "spent", "covered")
+  }
 }

@@ -79,6 +79,50 @@ class MaxCoverSpec extends SparkSpec {
     assert(got === want)
   }
 
+  private def costedPairsDF(sets: Map[Long, (Long, Seq[Long])]) =
+    sets.toSeq.flatMap { case (id, (cost, bs)) =>
+      bs.map(b => (id, b, cost))
+    }.toDF("id", "bucket", "cost")
+
+  test("budgeted greedy: ratio argmax, affordability skip, early stop") {
+    // doc 1: 4 buckets at cost 8 (ratio 0.5M); doc 2: 3 buckets at cost
+    // 3 (ratio 1M — wins round 1 despite smaller gain); doc 3: 2 fresh
+    // buckets at cost 20 (NEVER affordable after round 2 on budget 12);
+    // doc 4: 1 fresh bucket at cost 2.
+    val sets = Map(
+      1L -> (8L, Seq(1L, 2L, 3L, 4L)),
+      2L -> (3L, Seq(3L, 4L, 5L)),
+      3L -> (20L, Seq(8L, 9L)),
+      4L -> (2L, Seq(6L)))
+    val picks = MaxCover.greedyBudgetCover(costedPairsDF(sets),
+      budget = 12L, maxRounds = 10)
+    // round 1: doc 2 (ratio 1M beats doc 1's 0.5M); round 2: doc 4
+    // (fresh gain 1 / cost 2 = 0.5M beats doc 1's remaining {1,2}/8 =
+    // 0.25M; doc 3 costs 20 > 9 remaining); round 3: doc 1 (gain 2,
+    // cost 8 <= 7 remaining? NO — 8 > 7, unaffordable; doc 3 still
+    // 20 > 7) -> stop with budget left but nothing affordable.
+    assert(picks.map(p => (p.round, p.id, p.gain, p.cost, p.spent, p.covered)) ===
+      Seq((1L, 2L, 3L, 3L, 3L, 3L), (2L, 4L, 1L, 2L, 5L, 4L)))
+    assert(picks.last.spent <= 12L)
+  }
+
+  test("budgeted greedy: every pick affordable at its turn, spent is a running sum") {
+    val sets = (0L until 10L).map { i =>
+      i -> ((5L + i, (0 until 8).map(j => (i * 13L + j * 7L) % 50L).distinct.toSeq))
+    }.toMap
+    val budget = 30L
+    val picks = MaxCover.greedyBudgetCover(costedPairsDF(sets), budget, 10)
+    assert(picks.nonEmpty)
+    var remaining = budget
+    picks.foreach { p =>
+      assert(p.cost <= remaining, s"pick $p was not affordable at its turn")
+      remaining -= p.cost
+    }
+    assert(picks.map(_.cost).sum === picks.last.spent)
+    assert(picks.last.spent <= budget)
+    assert(picks.map(_.gain).sum === picks.last.covered)
+  }
+
   test("coverSelect readout preserves pick order and schema") {
     val picks = Seq(MaxCover.CoverPick(1L, 42L, 7L, 7L),
       MaxCover.CoverPick(2L, 13L, 3L, 10L))

@@ -355,6 +355,33 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(plan.contains("graft_dot"), s"distance not the native dot:\n$plan")
   }
 
+  test("max-cover round: literal covered-set filter, combinable gain agg, TakeOrdered argmax") {
+    // one greedy round over the materialized pair table, exactly as
+    // greedyMaxCover builds it: the covered set rides as an in-set
+    // literal filter, gains are a map-side-combinable hash aggregate,
+    // the argmax is a TakeOrdered — no join anywhere and only the ONE
+    // aggregate exchange (the pair-table distinct is amortized into the
+    // one-time materialization, like the production localCheckpoint)
+    import graft.operators.MaxCover
+    val pairs = MaxCover.featurePairs(
+      spark.read.parquet(s"$sf/documents.parquet"), "text", "doc_id", 1024)
+      .localCheckpoint()
+    val round = pairs
+      .filter(!col("bucket").isInCollection((1L to 40L).toSeq))
+      .groupBy(col("id")).agg(count(lit(1)).as("gain"))
+      .orderBy(col("gain").desc, col("id")).limit(1)
+    val plan = round.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"argmax is not a TakeOrdered:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
+      s"a greedy round must not join:\n$plan")
+    val exchanges = "(?<!Broadcast)Exchange ".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"more than the gain-agg exchange:\n$plan")
+    // partial aggregation: a map-side HashAggregate must feed the final
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      s"gain count does not combine map-side:\n$plan")
+  }
+
   test("streaming k-center entry filter: scan-only, centers as literals") {
     // the per-batch novelty filter CoresetStream builds: a codegen'd
     // least chain over broadcast-literal centers — no join, no shuffle
