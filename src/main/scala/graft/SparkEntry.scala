@@ -518,10 +518,23 @@ object SparkEntry {
     */
   private val dumpOwners =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def ensureDump(path: String, d: String)(write: => Unit): Unit = {
-    dumpOwners.compute(path, (_, cur) => { if (cur != d) write; d })
-    ()
-  }
+  private val dumpLock = new Object
+  /** Ownership is RELINQUISHED before the write and claimed only after
+    * it succeeds: a write that fails mid-overwrite (old files already
+    * deleted) must leave the path ownerless so the next touch rewrites
+    * it, never serve a stale owner over a gutted directory. The
+    * explicit lock (not CHM.compute) keeps the multi-second Spark write
+    * out of the map's bin lock; dumps are rare one-time events, so
+    * serializing them is fine.
+    */
+  private def ensureDump(path: String, d: String)(write: => Unit): Unit =
+    dumpLock.synchronized {
+      if (dumpOwners.get(path) != d) {
+        dumpOwners.remove(path)
+        write
+        dumpOwners.put(path, d)
+      }
+    }
 
   /** Filesystem-safe tag for a dataset dir, for per-dir artifact paths. */
   private def dirTag(d: String): String =
@@ -4116,14 +4129,14 @@ object SparkEntry {
   private def dedupSemanticScaled(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")
     val cs = semantic64Centroids(s, d)
-    val sizes = emb
-      .select(IvfIndex.cellId(Similarity.toDouble(col("embedding")), cs)
-        .as("cell"))
-      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+    // one cell assignment (64 dots + unit vector per row), materialized
+    // and shared by the pair-volume readout AND the pair join
+    val assigned = Dedup.assignCells(emb, "embedding", "vec_id", cs)
+      .localCheckpoint()
+    val sizes = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n"))
     val volume = sizes.agg(count(lit(1)).as("n_cells"),
       sum(expr("n * (n - 1) div 2")).as("n_candidate_pairs"))
-    val dups = Dedup.semanticNearDup(emb, "embedding", "vec_id",
-        cs, threshold = 0.3)
+    val dups = Dedup.semanticNearDupAssigned(assigned, threshold = 0.3)
       .agg(count(lit(1)).as("n_dups"))
     volume.crossJoin(dups)
       .select(col("n_cells"), col("n_candidate_pairs"), col("n_dups"))
@@ -5972,7 +5985,8 @@ object SparkEntry {
         |        FROM wv${k - 1}) s, unnest(range(1, len(s.syms))) AS t(i)
         |  GROUP BY 1, 2),
         |wm$k AS MATERIALIZED (SELECT p.l, p.r, p.cnt,
-        |    (p.cnt * 1000000000) // (cl.cnt * cr.cnt) AS score
+        |    CAST((CAST(p.cnt AS HUGEINT) * 1000000000) //
+        |      (CAST(cl.cnt AS HUGEINT) * CAST(cr.cnt AS HUGEINT)) AS BIGINT) AS score
         |  FROM wp$k p JOIN wsc$k cl ON cl.s = p.l
         |  JOIN wsc$k cr ON cr.s = p.r
         |  ORDER BY score DESC, p.l, p.r LIMIT 1),

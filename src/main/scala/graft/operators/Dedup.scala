@@ -1188,10 +1188,31 @@ object Dedup {
       idCol: String,
       centroids: Array[Array[Double]],
       threshold: Double,
-      roundTo: Int = 4): DataFrame = {
-    val unit = Similarity.withUnitVector(embeddings, vecCol).select(
+      roundTo: Int = 4): DataFrame =
+    semanticNearDupAssigned(
+      assignCells(embeddings, vecCol, idCol, centroids), threshold, roundTo)
+
+  /** The (id, _unit, cell) frame [[semanticNearDup]] pairs over — split
+    * out so a caller that needs BOTH the assignment (cell sizes, pair
+    * volume) and the pairs computes the per-row unit vector + argmin
+    * distance work once and reuses the materialized frame.
+    */
+  def assignCells(
+      embeddings: DataFrame,
+      vecCol: String,
+      idCol: String,
+      centroids: Array[Array[Double]]): DataFrame =
+    Similarity.withUnitVector(embeddings, vecCol).select(
       col(idCol).as("id"), col("_unit"),
       IvfIndex.cellId(Similarity.toDouble(col(vecCol)), centroids).as("cell"))
+
+  /** Within-cell thresholded cosine pairs over a precomputed
+    * [[assignCells]] frame.
+    */
+  def semanticNearDupAssigned(
+      unit: DataFrame,
+      threshold: Double,
+      roundTo: Int = 4): DataFrame =
     unit.as("x").join(unit.as("y"),
         col("x.cell") === col("y.cell") && col("x.id") < col("y.id"))
       .withColumn("cosine",
@@ -1199,7 +1220,6 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         col("x.cell").as("cell"), col("cosine"))
-  }
 
   /** Key-level dedup — keep the single best row per key under an
     * explicit ordering (CommonCrawl-style URL dedup: many snapshots of

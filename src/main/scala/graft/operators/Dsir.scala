@@ -210,13 +210,14 @@ object Dsir {
     *
     *  1. LOCATE the boundary score (the k-th largest value) by
     *     iterative equal-width histogram refinement: split the current
-    *     [lo, hi] score interval into `fanout` buckets, collect the
-    *     per-bucket counts (<= fanout driver rows), walk them
-    *     descending against the exact count of rows strictly above the
-    *     interval, and narrow to the bucket that must contain the
-    *     boundary (widened one bucket each side against float binning
-    *     edge error — containment stays exact because `above` is
-    *     recomputed with a real comparison, not from the histogram).
+    *     [lo, hi] score interval into `fanout` buckets and collect ONE
+    *     grouped scan per level (<= fanout + 2 driver rows — the
+    *     buckets plus above/below cells, each carrying row count and
+    *     distinct-score count), walk the buckets descending against the
+    *     exact above-interval count, and narrow to the bucket that must
+    *     contain the boundary (widened one bucket each side against
+    *     float binning edge error — containment stays exact because
+    *     `above` comes from a real comparison cell, not bucket math).
     *  2. Once the interval holds <= `maxDistinct` distinct scores,
     *     collect those per-score counts and finish the prefix-sum walk
     *     exactly.
@@ -261,34 +262,44 @@ object Dsir {
     var hi = stats.getDouble(3)
 
     // Narrow [lo, hi] around the k-th largest score until the interval
-    // holds few enough distinct values to collect exactly.
+    // holds few enough distinct values to collect exactly. ONE grouped
+    // scan per level: every row lands in exactly one cell (-1 above the
+    // interval, -2 below, else its histogram bucket — a deterministic
+    // function of the score, so per-cell countDistinct sums to the
+    // interval's exact distinct count), carrying the histogram, the
+    // above-count, and the distinct readout together.
     var done = false
     while (!done) {
-      val distinct = scores.filter(s.between(lo, hi))
-        .agg(countDistinct(s)).head().getLong(0)
       val w = (hi - lo) / fanout
-      if (distinct <= maxDistinct || w <= 0.0 || lo + w <= lo) done = true
+      if (w <= 0.0 || lo + w <= lo) done = true // degenerate width
       else {
-        val above = scores.filter(s > hi).count()
-        val hist = scores.filter(s.between(lo, hi))
-          .groupBy(least(floor((s - lit(lo)) / lit(w)), lit(fanout - 1))
-            .cast(LongType).as("_b"))
-          .agg(count(lit(1)).as("_n"))
-          .collect().map(r => (r.getLong(0), r.getLong(1)))
-          .sortBy(-_._1)
-        var acc = above
-        var bucket = -1L
-        val it = hist.iterator
-        while (it.hasNext && bucket < 0) {
-          val (b, cnt) = it.next()
-          if (acc + cnt < k) acc += cnt else bucket = b
+        val cells = scores.groupBy(
+            when(s > hi, lit(-1L))
+              .when(s < lo, lit(-2L))
+              .otherwise(least(floor((s - lit(lo)) / lit(w)), lit(fanout - 1))
+                .cast(LongType)).as("_b"))
+          .agg(count(lit(1)).as("_n"), countDistinct(s).as("_d"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        val distinct = cells.collect { case (b, _, d) if b >= 0 => d }.sum
+        if (distinct <= maxDistinct) done = true
+        else {
+          val above = cells.collectFirst { case (-1L, n, _) => n }.getOrElse(0L)
+          val hist = cells.collect { case (b, n, _) if b >= 0 => (b, n) }
+            .sortBy(-_._1)
+          var acc = above
+          var bucket = -1L
+          val it = hist.iterator
+          while (it.hasNext && bucket < 0) {
+            val (b, cnt) = it.next()
+            if (acc + cnt < k) acc += cnt else bucket = b
+          }
+          // One-bucket guard band each side: floor() on doubles can bin
+          // an edge value one bucket off, never further.
+          val newLo = math.max(lo, lo + (bucket - 1) * w)
+          val newHi = math.min(hi, lo + (bucket + 2) * w)
+          if (newLo <= lo && newHi >= hi) done = true // no progress: finish
+          else { lo = newLo; hi = newHi }
         }
-        // One-bucket guard band each side: floor() on doubles can bin
-        // an edge value one bucket off, never further.
-        val newLo = math.max(lo, lo + (bucket - 1) * w)
-        val newHi = math.min(hi, lo + (bucket + 2) * w)
-        if (newLo <= lo && newHi >= hi) done = true // no progress: finish
-        else { lo = newLo; hi = newHi }
       }
     }
 

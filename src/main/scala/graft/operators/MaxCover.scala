@@ -20,12 +20,17 @@ import org.apache.spark.sql.types.LongType
   *
   * 100 TB shape: the corpus collapses ONCE to the distinct (doc,
   * bucket) pair table (a map-side-combinable aggregate); each of the k
-  * greedy rounds is one scan of that table — the covered set (≤ B
-  * integers) rides into the scan as a broadcast literal set filter, the
-  * per-doc gain is a hash aggregate, the argmax a TakeOrdered. Driver
-  * state is the covered-bucket set (≤ B ints) + k picks. Total cost k
-  * linear scans of the pair table, the published lazy-greedy shape
-  * without the per-element priority queue.
+  * greedy rounds is TWO scans of that table — the argmax scan (covered
+  * set rides in as a broadcast literal set filter, per-doc gain is a
+  * hash aggregate, argmax a TakeOrdered) plus a narrow winner-bucket
+  * fetch over the same uncovered projection (equivalent to fetching the
+  * winner's full bucket set, since its covered buckets are already in
+  * the covered set). Driver state is the covered-bucket set (≤ B ints)
+  * + k picks. Total cost 2k linear scans of the pair table, the
+  * published lazy-greedy shape without the per-element priority queue.
+  * (Fusing the fetch into the argmax aggregate would make every group
+  * carry a bucket-set state — per-doc heap cost corpus-wide to save one
+  * scan touching a single doc; the two-scan round is the cheaper shape.)
   */
 object MaxCover {
 
@@ -52,7 +57,7 @@ object MaxCover {
     *
     * `pairs` must be the [[featurePairs]] table (or any distinct
     * (id, bucket) frame); materialize it first — each round scans it
-    * once.
+    * twice (argmax + the narrow winner-bucket fetch).
     */
   def greedyMaxCover(pairs: DataFrame, k: Int): Seq[CoverPick] = {
     require(k >= 1, "max-cover needs at least one pick")
@@ -70,7 +75,10 @@ object MaxCover {
       if (top.isEmpty) i = k + 1 // nothing uncovered anywhere: stop
       else {
         val (id, gain) = (top(0).getLong(0), top(0).getLong(1))
-        val newBuckets = pairs.filter(col("id") === id)
+        // fetch only the winner's UNCOVERED buckets: its covered ones
+        // are already in the set, so the union is identical and the
+        // fetch scan filters harder
+        val newBuckets = uncovered.filter(col("id") === id)
           .select(col("bucket").cast(LongType)).collect().map(_.getLong(0))
         covered ++= newBuckets
         picks += CoverPick(i.toLong, id, gain, covered.size.toLong)
@@ -113,10 +121,10 @@ object MaxCover {
     * down to the cheapest doc, or full coverage), or after `maxRounds`
     * (the oracle-unroll bound).
     *
-    * Same 100 TB shape as [[greedyMaxCover]]: per round one scan +
-    * hash aggregate + TakeOrdered; the affordability filter is a
-    * scan-level comparison against a literal; driver state is the
-    * covered set (<= B ints) and the picks.
+    * Same 100 TB shape as [[greedyMaxCover]] (two scans per round:
+    * argmax + winner fetch); the affordability filter is a scan-level
+    * comparison against a literal; driver state is the covered set
+    * (<= B ints) and the picks.
     */
   def greedyBudgetCover(pairs: DataFrame, budget: Long,
       maxRounds: Int): Seq[BudgetPick] = {
@@ -140,7 +148,10 @@ object MaxCover {
       else {
         val (id, gain, cost) = (top(0).getLong(0), top(0).getLong(1),
           top(0).getLong(2))
-        val newBuckets = pairs.filter(col("id") === id)
+        // winner's uncovered buckets only — covered ones are already in
+        // the set (the winner passed the affordability filter, so all
+        // its uncovered pairs are in this frame)
+        val newBuckets = uncovered.filter(col("id") === id)
           .select(col("bucket").cast(LongType)).collect().map(_.getLong(0))
         covered ++= newBuckets
         spent += cost

@@ -136,14 +136,12 @@ object CoresetStream {
             i += 1
           }
           rSq = math.max(4.0 * rSq, minPair)
-          val keep = Vector.newBuilder[(Long, Array[Double])]
           var kept = Vector.empty[(Long, Array[Double])]
           centers.foreach { c =>
-            if (!kept.exists(o => Coreset.d2Scalar(c._2, o._2) <= rSq)) {
-              kept :+= c; keep += c
-            }
+            if (!kept.exists(o => Coreset.d2Scalar(c._2, o._2) <= rSq))
+              kept :+= c
           }
-          centers = keep.result()
+          centers = kept
         }
       }
     }

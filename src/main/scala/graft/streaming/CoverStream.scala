@@ -71,12 +71,21 @@ object CoverStream {
       idCol: String, k: Int, tau: Long, buckets: Int, storeDir: String,
       batchId: Long): Unit = {
     if (!batch.isEmpty) {
+      // Knob drift guard: a store written under different (k, tau)
+      // holds accepts made under DIFFERENT semantics, and a redelivered
+      // batch would recompute a different snapshot — refuse loudly
+      // rather than silently reinterpret the old state.
+      knobsOf(spark, storeDir, beforeBatch = Some(batchId)).foreach {
+        case (sk, st) => require(sk == k && st == tau,
+          s"store $storeDir was written with (k=$sk, tau=$st); " +
+            s"refusing to continue it with (k=$k, tau=$tau)")
+      }
       val prior = readState(spark, storeDir, beforeBatch = Some(batchId))
       val next =
         if (prior.selected.length >= k) prior // full: nothing can accept
         else insertAll(prior,
           survivors(batch, textCol, idCol, tau, buckets), k, tau)
-      writeState(spark, next, storeDir, batchId)
+      writeState(spark, next, storeDir, batchId, k, tau)
     }
   }
 
@@ -111,21 +120,29 @@ object CoverStream {
   }
 
   private def writeState(spark: SparkSession, st: CoverState,
-      storeDir: String, batchId: Long): Unit = {
+      storeDir: String, batchId: Long, k: Int, tau: Long): Unit = {
     import spark.implicits._
-    Seq((st.selected, st.covered.toSeq.sorted))
-      .toDF("selected", "covered")
+    Seq((st.selected, st.covered.toSeq.sorted, k, tau))
+      .toDF("selected", "covered", "k", "tau")
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$storeDir/state/batch=$batchId")
   }
 
-  /** Latest snapshot strictly before `beforeBatch` (the redelivery
-    * guard); no snapshot yet is the VALID empty state.
+  /** The (k, tau) a store's latest snapshot was written under; None for
+    * an empty store.
     */
-  def readState(spark: SparkSession, storeDir: String,
-      beforeBatch: Option[Long] = None): CoverState = {
+  private[graft] def knobsOf(spark: SparkSession, storeDir: String,
+      beforeBatch: Option[Long] = None): Option[(Int, Long)] =
+    latestSnapshot(spark, storeDir, beforeBatch)
+      .map(r => (r.getAs[Int]("k"), r.getAs[Long]("tau")))
+
+  /** Latest snapshot row strictly before `beforeBatch` (the redelivery
+    * guard); None when no snapshot qualifies.
+    */
+  private def latestSnapshot(spark: SparkSession, storeDir: String,
+      beforeBatch: Option[Long]): Option[Row] = {
     val stateRoot = Paths.get(storeDir, "state")
-    if (!Files.exists(stateRoot)) return Empty
+    if (!Files.exists(stateRoot)) return None
     val bound = beforeBatch.getOrElse(Long.MaxValue)
     val listing = Files.list(stateRoot)
     val names =
@@ -134,15 +151,21 @@ object CoverStream {
     names
       .collect { case s if s.startsWith("batch=") => s.drop(6).toLong }
       .filter(_ < bound)
-      .maxOption match {
-      case None => Empty
-      case Some(b) =>
-        val rows = spark.read.parquet(s"$storeDir/state/batch=$b").collect()
-        if (rows.isEmpty) Empty
-        else CoverState(rows(0).getSeq[Long](0).toVector,
-          rows(0).getSeq[Long](1).toSet)
-    }
+      .maxOption
+      .flatMap { b =>
+        spark.read.parquet(s"$storeDir/state/batch=$b").collect().headOption
+      }
   }
+
+  /** No snapshot yet is the VALID empty state. */
+  def readState(spark: SparkSession, storeDir: String,
+      beforeBatch: Option[Long] = None): CoverState =
+    latestSnapshot(spark, storeDir, beforeBatch) match {
+      case None => Empty
+      case Some(r) => CoverState(
+        r.getSeq[Long](r.fieldIndex("selected")).toVector,
+        r.getSeq[Long](r.fieldIndex("covered")).toSet)
+    }
 
   /** External readout: (ord, id, covered_total). */
   def selection(spark: SparkSession, storeDir: String): DataFrame = {

@@ -87,6 +87,22 @@ class CoverStreamSpec extends SparkSpec {
     assert(replayed.covered === after.covered)
   }
 
+  test("knob drift: a store written under (k, tau) refuses other knobs") {
+    val store = tmpDir("coverstore4")
+    CoverStream.processBatch(spark, docs.take(30).toDF("doc_id", "text"),
+      "text", "doc_id", 5, 2L, B, store, 0L)
+    assert(CoverStream.knobsOf(spark, store) === Some((5, 2L)))
+    val e = intercept[IllegalArgumentException] {
+      CoverStream.processBatch(spark, docs.slice(30, 60).toDF("doc_id", "text"),
+        "text", "doc_id", 5, 3L, B, store, 1L)
+    }
+    assert(e.getMessage.contains("tau=2"))
+    // same knobs continue fine
+    CoverStream.processBatch(spark, docs.slice(30, 60).toDF("doc_id", "text"),
+      "text", "doc_id", 5, 2L, B, store, 1L)
+    assert(CoverStream.readState(spark, store).selected.nonEmpty)
+  }
+
   test("empty store is the valid empty state; selection readout matches") {
     val store = tmpDir("coverstore3")
     assert(CoverStream.readState(spark, store).selected.isEmpty)
