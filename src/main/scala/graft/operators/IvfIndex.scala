@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.GraftFunctions.{graftDot, graftNorm2}
+import graft.functions.GraftFunctions.graftDot
 
 /** IVF (inverted-file) approximate nearest neighbor: a coarse quantizer
   * partitions the corpus into `nlist` cells; a query scores only the
@@ -129,6 +129,43 @@ object IvfIndex {
     * [[ivfTopK]] (which recomputes assignment on the fly — the
     * index-build-time path; this is the query-time path).
     */
+  /** The query's `nprobe` nearest cells, computed driver-side with the
+    * SAME score formula as cell assignment (2 q.c - ||c||^2, sequential
+    * sums, ties on cell id) — the single definition both the build-time
+    * ([[ivfTopK]]) and query-time ([[ivfTopKFromStore]]) paths share,
+    * so the "same probe arithmetic" contract can never drift.
+    */
+  private[operators] def probeCellsOf(
+      q: Array[Double],
+      centroids: Array[Array[Double]],
+      nprobe: Int): Array[Int] = {
+    require(q.length == centroids.head.length,
+      s"query dim ${q.length} != centroid dim ${centroids.head.length}")
+    centroids.zipWithIndex
+      .map { case (c, i) =>
+        val score = 2.0 * c.zip(q).map { case (x, y) => x * y }.sum -
+          c.map(x => x * x).sum
+        (score, i)
+      }
+      .sortBy { case (s, i) => (-s, i) }.take(nprobe).map(_._2)
+  }
+
+  /** Shared cosine-rank tail of the two probe paths: zero-norm rows
+    * score 0 ([[Similarity.cosineToQuery]]'s convention — NaN would
+    * rank first in the descending sort).
+    */
+  private def rankProbed(probed: DataFrame, v: Column, id: Column,
+      queryVec: Seq[Double], k: Int, roundTo: Int): DataFrame = {
+    val qNorm = math.sqrt(queryVec.map(x => x * x).sum)
+    Similarity.requireQueryNorm(qNorm)
+    val cos = Similarity.cosineToQuery(v, queryVec, qNorm)
+    probed
+      .withColumn("cosine", if (roundTo >= 0) round(cos, roundTo) else cos)
+      .select(id, col("cosine"))
+      .orderBy(col("cosine").desc, id)
+      .limit(k)
+  }
+
   def ivfTopKFromStore(
       store: DataFrame,
       queryVec: Seq[Double],
@@ -136,23 +173,10 @@ object IvfIndex {
       k: Int = 10,
       nprobe: Int = 4,
       roundTo: Int = -1): DataFrame = {
-    val q = queryVec.toArray
-    val probeCells = centroids.zipWithIndex
-      .map { case (c, i) =>
-        val score = 2.0 * c.zip(q).map { case (x, y) => x * y }.sum -
-          c.map(x => x * x).sum
-        (score, i)
-      }
-      .sortBy { case (s, i) => (-s, i) }.take(nprobe).map(_._2)
-    val qNorm = math.sqrt(q.map(x => x * x).sum)
-    val v = col("vec")
-    val cos = graftDot(v, lit(q)) / (sqrt(graftNorm2(v)) * lit(qNorm))
-    store
-      .filter(col("cell").isin(probeCells.toIndexedSeq: _*))
-      .withColumn("cosine", if (roundTo >= 0) round(cos, roundTo) else cos)
-      .select(col("id"), col("cosine"))
-      .orderBy(col("cosine").desc, col("id"))
-      .limit(k)
+    val probeCells = probeCellsOf(queryVec.toArray, centroids, nprobe)
+    rankProbed(
+      store.filter(col("cell").isin(probeCells.toIndexedSeq: _*)),
+      col("vec"), col("id"), queryVec, k, roundTo)
   }
 
   /** ANN top-k: score only rows whose cell is among the query's `nprobe`
@@ -168,26 +192,12 @@ object IvfIndex {
       k: Int = 10,
       nprobe: Int = 4,
       roundTo: Int = -1): DataFrame = {
-    val q = queryVec.toArray
-    // Probe ranking uses the SAME score formula as cell assignment
-    // (2 q.c - ||c||^2, sequential sums) so any engine replaying the
-    // centroids computes bitwise-identical scores; ties break on cell id.
-    val probeCells = centroids.zipWithIndex
-      .map { case (c, i) =>
-        val score = 2.0 * c.zip(q).map { case (x, y) => x * y }.sum -
-          c.map(x => x * x).sum
-        (score, i)
-      }
-      .sortBy { case (s, i) => (-s, i) }.take(nprobe).map(_._2)
-    val qNorm = math.sqrt(q.map(x => x * x).sum)
+    val probeCells = probeCellsOf(queryVec.toArray, centroids, nprobe)
     val v = col(vecCol)
-    val cos = graftDot(v, lit(q)) / (sqrt(graftNorm2(v)) * lit(qNorm))
-    embeddings
-      .withColumn("_cell", cellId(v, centroids))
-      .filter(col("_cell").isin(probeCells.toIndexedSeq: _*))
-      .withColumn("cosine", if (roundTo >= 0) round(cos, roundTo) else cos)
-      .select(col(idCol), col("cosine"))
-      .orderBy(col("cosine").desc, col(idCol))
-      .limit(k)
+    rankProbed(
+      embeddings
+        .withColumn("_cell", cellId(v, centroids))
+        .filter(col("_cell").isin(probeCells.toIndexedSeq: _*)),
+      v, col(idCol), queryVec, k, roundTo)
   }
 }

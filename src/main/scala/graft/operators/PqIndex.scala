@@ -86,6 +86,9 @@ object PqIndex {
       roundTo: Int = 6): DataFrame = {
     val q = queryVec.toArray
     val dsub = codebooks.head.head.length
+    require(q.length == codebooks.length * dsub,
+      s"query dim ${q.length} != m*dsub = ${codebooks.length * dsub} — " +
+        "a shorter query would silently truncate the last subspaces' tables")
     def dot(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var j = 0
       while (j < a.length) { s += a(j) * b(j); j += 1 }
@@ -106,7 +109,10 @@ object PqIndex {
     embeddings
       .withColumn("adc_dist", round(adc, roundTo))
       .select(col(idCol), col("adc_dist"))
-      .orderBy(col("adc_dist"), col(idCol))
+      // nulls LAST: a null embedding yields a null code chain and a null
+      // distance; the ascending sort's NULLS FIRST default would let k
+      // null rows fill the whole top-k
+      .orderBy(col("adc_dist").asc_nulls_last, col(idCol))
       .limit(k)
   }
 }

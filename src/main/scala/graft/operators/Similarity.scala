@@ -30,17 +30,46 @@ object Similarity {
 
   def toDouble(vec: Column): Column = transform(vec, x => x.cast("double"))
 
-  /** Adds `_unit`: the L2-normalized double-precision copy of vecCol. */
+  /** Adds `_unit`: the L2-normalized double-precision copy of vecCol.
+    * A zero-norm vector normalizes to ITSELF (all zeros) rather than a
+    * NaN array, so downstream cosines read 0 — the [[cosineToQuery]]
+    * zero-norm convention.
+    */
   def withUnitVector(df: DataFrame, vecCol: String): DataFrame = {
     val v = toDouble(col(vecCol))
     df.withColumn("_dvec", v)
       .withColumn("_norm", norm(col("_dvec")))
-      .withColumn("_unit", transform(col("_dvec"), x => x / col("_norm")))
+      .withColumn("_unit", when(col("_norm") === 0.0, col("_dvec"))
+        .otherwise(transform(col("_dvec"), x => x / col("_norm"))))
       .drop("_dvec")
   }
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine of a corpus vector against a literal query, with the
+    * ZERO-NORM CONVENTION: a zero-norm (or null) corpus vector scores
+    * 0.0 — "no direction, similar to nothing". Without the guard,
+    * 0/0 = NaN, and Spark orders NaN ABOVE every double, so a single
+    * all-zeros padding vector would rank FIRST in every descending
+    * cosine top-k (and null rows would float wherever the sort's null
+    * default puts them). Query-side zero norms are rejected by the
+    * callers' require instead — a directionless query has no answer.
+    * (The harness corpora contain no zero/null vectors, so the gates'
+    * oracle parity is unaffected; the convention matters for library
+    * callers with padded or missing embeddings.)
+    */
+  private[operators] def cosineToQuery(
+      v: Column, queryVec: Seq[Double], qNorm: Double): Column = {
+    val n2 = graftNorm2(v)
+    when(v.isNull || n2 === 0.0, lit(0.0))
+      .otherwise(graftDot(v, lit(queryVec.toArray)) / (sqrt(n2) * lit(qNorm)))
+  }
+
+  /** The callers' query-side guard. */
+  private[operators] def requireQueryNorm(qNorm: Double): Unit =
+    require(qNorm > 0.0 && !qNorm.isNaN,
+      "query vector must have a nonzero finite norm")
 
   /** Exact top-k by cosine similarity against a literal query vector.
     * sort+limit compiles to TakeOrderedAndProject: each partition keeps its
@@ -60,8 +89,9 @@ object Similarity {
       k: Int = 10,
       roundTo: Int = -1): DataFrame = {
     val qNorm = math.sqrt(queryVec.map(x => x * x).sum)
+    requireQueryNorm(qNorm)
     val v = col(vecCol)
-    val cos = graftDot(v, lit(queryVec.toArray)) / (sqrt(graftNorm2(v)) * lit(qNorm))
+    val cos = cosineToQuery(v, queryVec, qNorm)
     embeddings
       .withColumn("cosine", if (roundTo >= 0) round(cos, roundTo) else cos)
       .select(col(idCol), col("cosine"))
@@ -91,6 +121,8 @@ object Similarity {
     * compile bomb and the bucket array is computed once per row.
     */
   def hyperplaneBucket(vec: Column, planes: Int, dim: Int = 64): Column = {
+    require(planes >= 1 && planes <= 64,
+      s"planes $planes outside [1, 64] — the bucket packs sign bits into one Long")
     val hp = hyperplanes(planes, dim)
     hp.indices.map { i =>
       when(graftDot(vec, lit(hp(i))) >= 0, lit(1L << i)).otherwise(lit(0L))
@@ -136,9 +168,12 @@ object Similarity {
       tables: Int = 1,
       roundTo: Int = -1,
       maxHamming: Int = 1): DataFrame = {
+    require(planes >= 1 && planes <= 64,
+      s"planes $planes outside [1, 64] — buckets pack into one Long")
     val dim = queryVec.length
     val hps = tableHyperplanes(planes, tables, dim)
     val qNorm = math.sqrt(queryVec.map(x => x * x).sum)
+    requireQueryNorm(qNorm)
     val v = col(vecCol)
     // All table buckets from ONE native call per row (sign is
     // scale-invariant, so the raw vector is fine); "bucket within
@@ -152,7 +187,7 @@ object Similarity {
     val tableHit: Seq[Column] = hps.indices.map { t =>
       bit_count(element_at(col("_bks"), t + 1).bitwiseXOR(lit(qBuckets(t)))) <= maxHamming
     }
-    val cos = graftDot(v, lit(queryVec.toArray)) / (sqrt(graftNorm2(v)) * lit(qNorm))
+    val cos = cosineToQuery(v, queryVec, qNorm)
     embeddings
       .withColumn("_bks", bks)
       .filter(tableHit.reduce(_ || _))
@@ -201,13 +236,18 @@ object Similarity {
       queryVec: Seq[Double],
       k: Int = 10,
       roundTo: Int = 4): DataFrame = {
+    requireQueryNorm(math.sqrt(queryVec.map(x => x * x).sum))
     val qscale = math.max(queryVec.map(math.abs).max / 127.0, 1e-30)
     val qCode = queryVec.map(x =>
       math.max(math.min(math.floor(x / qscale + 0.5), 127.0), -127.0))
     val qNorm = math.sqrt(qCode.map(x => x * x).sum)
     val coded = withInt8Codes(embeddings, vecCol)
-    val cos = graftDot(col("_q"), lit(qCode.toArray)) /
-      (sqrt(graftNorm2(col("_q"))) * lit(qNorm))
+    // zero-norm convention (see cosineToQuery): an all-zeros code —
+    // only a zero-norm raw vector produces one — scores 0.0, never NaN
+    val n2 = graftNorm2(col("_q"))
+    val cos = when(col("_q").isNull || n2 === 0.0, lit(0.0))
+      .otherwise(graftDot(col("_q"), lit(qCode.toArray)) /
+        (sqrt(n2) * lit(qNorm)))
     coded
       .withColumn("q_cosine", round(cos, roundTo))
       .select(col(idCol), col("q_cosine"))
@@ -304,10 +344,15 @@ object Similarity {
     val corpus = embeddings.filter(!isQuery)
       .select(col(idCol), col(labelCol).as("_cl"),
         toDouble(col(vecCol)).as("_cv"))
+    // zero-norm convention: a directionless side scores 0, never NaN
+    // (NaN would silently distort the per-query heap boundary)
+    val n2c = graftNorm2(col("_cv"))
+    val n2q = graftNorm2(col("_qv"))
     val scored = corpus.crossJoin(broadcast(queries))
       .withColumn("cosine",
-        round(dot(col("_cv"), col("_qv")) /
-          (norm(col("_cv")) * norm(col("_qv"))), roundTo))
+        round(when(n2c === 0.0 || n2q === 0.0, lit(0.0))
+          .otherwise(dot(col("_cv"), col("_qv")) /
+            (sqrt(n2c) * sqrt(n2q))), roundTo))
     TopK.perGroupAgg(scored, Seq(col("q_id")),
         sortKey = struct(negate(col("cosine")), col(idCol)), k = k)
       .select(col("q_id"), col("rn"), col(idCol), col("cosine"),

@@ -47,10 +47,19 @@ object TermIndex {
       k: Int = 3): DataFrame = {
     val occ = occurrences(docs, textCol, idCol)
     val tf = occ.groupBy(col("id"), col("word")).agg(count(lit(1)).as("tf"))
-    val df = occ.groupBy(col("word")).agg(countDistinct(col("id")).as("df"))
+    // df from the tf aggregate — one row per (doc, word) already, so a
+    // plain count IS the document frequency (the weightsFromRaw /
+    // bm25TopK trick; a countDistinct over the raw occurrence stream
+    // would be a second corpus-scale distinct aggregate for nothing)
+    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("_n"))
     val w = Window.partitionBy(col("id"))
       .orderBy(col("tfidf").desc, col("word"))
+    // the tf * ln((N+1)/(df+1)) formula is kept TEXTUALLY IN SYNC with
+    // weightsFromRaw (which carries it as 10^4-scaled longs); they are
+    // not one expression because round(x, 4) on the double and
+    // round(x*1e4, 0)/1e4 can disagree at ULP boundaries, and each
+    // side's oracle replays its own form — change BOTH or neither
     tf.join(df, "word")
       .crossJoin(broadcast(n))
       .withColumn("tfidf",
@@ -139,6 +148,15 @@ object TermIndex {
     * the weight formula is the single source shared by every TF-IDF
     * path (4-decimal values as 10^4-scaled longs; see [[tfidfIndex]]).
     */
+  /** Integer envelope: downstream norms and dots accumulate Σ w·w in
+    * Long, exact while every doc's norm² stays under 2^63 — |w| up to
+    * ~3.0e9 per term (tf·idf ≤ 3.0e5 at the 10^4 scale) with headroom
+    * for the sum. Under Spark's default ANSI mode an overflow FAILS
+    * LOUD (ARITHMETIC_OVERFLOW during the norm aggregate), never wraps
+    * silently; a corpus near the envelope (a doc repeating one rare
+    * term ~10^5 times) should cap tf via the df/stop-term rule or move
+    * the norm aggregate to DECIMAL(38,0).
+    */
   def weightsFromRaw(postings: DataFrame, nDocs: DataFrame): DataFrame = {
     val dfreq = postings.groupBy(col("word")).agg(count(lit(1)).as("df"))
     postings.join(dfreq, "word").crossJoin(broadcast(nDocs))
@@ -154,11 +172,24 @@ object TermIndex {
     * retrieval join keyed on the term with the query side broadcast so
     * the posting table never shuffles. Cost is Σ over query terms of
     * df(term) — the inverted-index retrieval bound.
+    *
+    * Caller contract: `queries`' FIRST column is the request batch's
+    * query doc-id and must be integral (it is collected as Long) —
+    * validated here rather than silently cast, since a text-first
+    * queries frame would otherwise throw an opaque ANSI cast error or
+    * resolve to the wrong ids.
     */
   def sparseKnnFromIndex(weights: DataFrame, queries: DataFrame,
       k: Int = 5, precomputedNorms: Option[DataFrame] = None): DataFrame = {
     val session = weights.sparkSession
     import session.implicits._
+    require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+        .contains(queries.schema.head.dataType),
+      s"queries' first column (${queries.columns.head}: " +
+        s"${queries.schema.head.dataType.simpleString}) must be the " +
+        "integral query doc-id")
     // Norms are derivable from the posting table but a deployment
     // stores them WITH the index (one aggregate at build time beats one
     // per query) — callers with a persisted index pass them in.
@@ -791,19 +822,41 @@ object TermIndex {
     * expression — ln((n_pair·T·T) / (Np·n1·n2)) evaluated
     * left-to-right in double — rounded to 6 decimals on both engines.
     */
-  def pmiCooccur(docs: DataFrame, textCol: String, idCol: String,
-      maxDist: Int = 2, minPairCount: Long = 5): DataFrame = {
-    val toks = docs
-      .select(col(idCol).as("id"),
+  /** Positional surface-form tokens — shared by [[pmiCooccur]],
+    * [[textrankKeywords]], and [[phraseSearch]]. DELIBERATELY
+    * case-sensitive, unlike [[words]] (which lowercases for the
+    * TF-IDF/BM25 family): co-occurrence graphs and phrase positions are
+    * surface-form semantics, and each gate's oracle replays exactly
+    * this tokenization. Callers wanting case-folded graphs lower() the
+    * text column first.
+    */
+  private def surfaceTokens(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
         posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "w")))
       .filter(length(col("w")) > 0)
+
+  /** The maxDist lead-window co-occurrence pair stream over
+    * [[surfaceTokens]] — ONE per-document window with `maxDist` LEAD
+    * columns (linear in corpus size; never the per-document position
+    * self-join). The single definition [[pmiCooccur]] and
+    * [[textrankKeywords]] both build their graphs from, so the
+    * parity-sensitive pair semantics cannot drift between them.
+    */
+  private def leadWindowPairs(toks: DataFrame, maxDist: Int): DataFrame = {
     val wd = Window.partitionBy(col("id")).orderBy(col("pos"))
     val withLeads = toks.select(col("w").as("w1") +:
       (1 to maxDist).map(k => lead(col("w"), k).over(wd).as(s"_n$k")): _*)
-    val pairs = (1 to maxDist).map(k =>
+    (1 to maxDist).map(k =>
         withLeads.filter(col(s"_n$k").isNotNull)
           .select(col("w1"), col(s"_n$k").as("w2")))
       .reduce(_ unionAll _)
+  }
+
+  def pmiCooccur(docs: DataFrame, textCol: String, idCol: String,
+      maxDist: Int = 2, minPairCount: Long = 5): DataFrame = {
+    val toks = surfaceTokens(docs, textCol, idCol)
+    val pairs = leadWindowPairs(toks, maxDist)
     val pairCounts = pairs.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("n_pair"))
     val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("n_w"))
@@ -841,9 +894,7 @@ object TermIndex {
   def phraseSearch(docs: DataFrame, textCol: String, idCol: String,
       phrase: Seq[String]): DataFrame = {
     require(phrase.length >= 2, "phraseSearch needs at least two words")
-    val toks = docs.select(col(idCol).as("id"),
-        posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "w")))
-      .filter(length(col("w")) > 0)
+    val toks = surfaceTokens(docs, textCol, idCol)
     val first = toks.filter(col("w") === phrase.head)
       .select(col("id"), col("pos"))
     phrase.zipWithIndex.tail
@@ -882,17 +933,7 @@ object TermIndex {
   def textrankKeywords(docs: DataFrame, textCol: String, idCol: String,
       maxDist: Int = 2, minPairCount: Long = 5, iters: Int = 5,
       k: Int = 20): DataFrame = {
-    val toks = docs
-      .select(col(idCol).as("id"),
-        posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "w")))
-      .filter(length(col("w")) > 0)
-    val wd = Window.partitionBy(col("id")).orderBy(col("pos"))
-    val withLeads = toks.select(col("w").as("w1") +:
-      (1 to maxDist).map(j => lead(col("w"), j).over(wd).as(s"_n$j")): _*)
-    val pairs = (1 to maxDist).map(j =>
-        withLeads.filter(col(s"_n$j").isNotNull)
-          .select(col("w1"), col(s"_n$j").as("w2")))
-      .reduce(_ unionAll _)
+    val pairs = leadWindowPairs(surfaceTokens(docs, textCol, idCol), maxDist)
     val frequent = pairs.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("n_pair"))
       .filter(col("n_pair") >= minPairCount && col("w1") =!= col("w2"))
@@ -1024,9 +1065,13 @@ object TermIndex {
       textCol: String,
       idCol: String,
       model: Seq[UnigramPiece],
-      maxPieceLen: Int = 4,
       wordPattern: String = "^[a-z0-9]+$"): DataFrame = {
     require(model.nonEmpty, "unigramTokenCounts needs a trained model")
+    // the DP's piece-length cap DERIVES from the model (max n_chars):
+    // an independent caller-supplied cap smaller than the longest
+    // trained piece would silently make those pieces unreachable and
+    // change every segmentation with no error
+    val maxPieceLen = model.map(_.n_chars).max
     val docWords = occurrences(docs, textCol, idCol)
       .filter(col("word").rlike(wordPattern))
     val tfd = docWords.groupBy(col("id"), col("word"))

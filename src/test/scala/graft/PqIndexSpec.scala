@@ -74,4 +74,35 @@ class PqIndexSpec extends SparkSpec {
       }
     }
   }
+
+  test("null embeddings rank LAST in ADC, never fill the top-k") {
+    import spark.implicits._
+    val cbs = PqIndex.trainCodebooks(clustered, "embedding", "vec_id",
+      m = 2, ksub = 2, iters = 5)
+    val withNulls = clustered.unionByName(
+      Seq((100L, Option.empty[Seq[Float]]),
+        (101L, Option.empty[Seq[Float]]))
+        .toDF("vec_id", "embedding"))
+    val top = PqIndex.adcTopK(withNulls, "embedding", "vec_id",
+      Seq.fill(16)(0.0), cbs, k = 12).collect()
+    // the 10 cluster-A rows (distance 0) come first; null rows never
+    // appear while a real row is available (NULLS FIRST default would
+    // have put 100/101 at ranks 1-2)
+    assert(top.take(10).forall(_.getLong(0) < 10L))
+    assert(!top.take(10).exists(r => r.getLong(0) >= 100L))
+  }
+
+  test("wrong-dimension query vector is rejected, not silently truncated") {
+    val cbs = PqIndex.trainCodebooks(clustered, "embedding", "vec_id",
+      m = 2, ksub = 2, iters = 5)
+    intercept[IllegalArgumentException] {
+      PqIndex.adcTopK(clustered, "embedding", "vec_id",
+        Seq.fill(12)(0.0), cbs, k = 3)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.IvfIndex.ivfTopK(clustered, "embedding", "vec_id",
+        Seq.fill(12)(0.0),
+        Array(Array.fill(16)(0.0), Array.fill(16)(10.0)), k = 3)
+    }
+  }
 }

@@ -165,4 +165,39 @@ class SimilaritySpec extends SparkSpec {
     assert(bad.count() === 0L)
     assert(mined.count() === 4L * 5L)
   }
+
+  test("zero-norm corpus vector scores 0.0 and never tops the ranking") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq.fill(4)(0.0f)), // zero vector: 0/0 would be NaN (NaN sorts FIRST desc)
+      (2L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Seq(0.9f, 0.1f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(df, "embedding", "vec_id",
+      Seq(1.0, 0.0, 0.0, 0.0), k = 3, roundTo = 4).collect()
+    assert(top.map(_.getLong(0)).toSeq === Seq(2L, 3L, 1L))
+    assert(top.last.getDouble(1) === 0.0)
+    val q = Similarity.int8TopK(df, "embedding", "vec_id",
+      Seq(1.0, 0.0, 0.0, 0.0), k = 3).collect()
+    assert(q.head.getLong(0) === 2L && q.last.getLong(0) === 1L)
+  }
+
+  test("zero-norm query vector is rejected loudly") {
+    intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopK(emb, "embedding", "vec_id",
+        Seq(0.0, 0.0, 0.0, 0.0), k = 3)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.lshTopK(emb, "embedding", "vec_id",
+        Seq.fill(16)(0.0), k = 3)
+    }
+  }
+
+  test("planes outside [1, 64] are rejected (bucket bits pack one Long)") {
+    intercept[IllegalArgumentException] {
+      Similarity.lshTopK(emb, "embedding", "vec_id", queryVec, planes = 72)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.hyperplaneBucket(col("embedding"), planes = 65)
+    }
+  }
 }
