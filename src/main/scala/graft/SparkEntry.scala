@@ -8714,8 +8714,10 @@ object SparkEntry {
         |    END AS url
         |  FROM documents),
         |c1 AS (SELECT doc_id, url,
-        |    regexp_replace(lower(regexp_extract(url, '^((?i:https?)://[^/?#]+)', 1)),
-        |      ':(80|443)$', '') AS host,
+        |    regexp_replace(regexp_replace(
+        |      lower(regexp_extract(url, '^((?i:https?)://[^/?#]+)', 1)),
+        |      '^(https://[^:]+):443$', '\1'),
+        |      '^(http://[^:]+):80$', '\1') AS host,
         |    regexp_extract(url, '^(?i:https?)://[^/?#]+(.*)$', 1) AS rest
         |  FROM dirty),
         |c2 AS (SELECT doc_id, url, host,
@@ -8911,8 +8913,10 @@ object SparkEntry {
         |    END AS url
         |  FROM documents),
         |c1 AS (SELECT doc_id, n_chars,
-        |    regexp_replace(lower(regexp_extract(url, '^((?i:https?)://[^/?#]+)', 1)),
-        |      ':(80|443)$', '') AS host,
+        |    regexp_replace(regexp_replace(
+        |      lower(regexp_extract(url, '^((?i:https?)://[^/?#]+)', 1)),
+        |      '^(https://[^:]+):443$', '\1'),
+        |      '^(http://[^:]+):80$', '\1') AS host,
         |    regexp_extract(url, '^(?i:https?)://[^/?#]+(.*)$', 1) AS rest
         |  FROM dirty),
         |c2 AS (SELECT doc_id, n_chars, host,

@@ -32,7 +32,7 @@ object BigramStatsUtil {
     // diverges (Turkish dotless i).
     val s = text.trim().toLowerCase().toString
     val out = new Array[Any](3)
-    val ws = s.split("\\s+", -1)
+    val ws = WsPattern.split(s)
     if (ws.length < 2) {
       out(0) = 0L; out(1) = 0L; out(2) = 0L
       return new GenericInternalRow(out)

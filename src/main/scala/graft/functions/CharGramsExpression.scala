@@ -25,7 +25,7 @@ object CharGramsUtil {
     * parity-critical halves of the same oracle contract).
     */
   def canonicalCodePoints(text: UTF8String, maxChars: Int): Array[Int] = {
-    val s = text.trim().toLowerCase().toString.replaceAll("\\s+", " ")
+    val s = WsPattern.collapse(text.trim().toLowerCase().toString)
     val cps = s.codePoints().toArray
     if (maxChars > 0 && cps.length > maxChars) java.util.Arrays.copyOf(cps, maxChars)
     else cps

@@ -100,7 +100,7 @@ object GraftFunctions {
   }
 
   /** Per-document word-n-gram CHARACTER statistics for the Gopher
-    * n-gram repetition rules — eleven longs in one codegen'd pass, see
+    * n-gram repetition rules — ten longs in one codegen'd pass, see
     * [[GopherNgramStats]].
     */
   def graftNgramRepStats(text: Column): Column =

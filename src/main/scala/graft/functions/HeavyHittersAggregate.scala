@@ -116,9 +116,11 @@ case class HeavyHitters(
   override def checkInputDataTypes(): TypeCheckResult = {
     if (item.dataType != StringType) {
       TypeCheckResult.TypeCheckFailure(s"$prettyName item must be STRING")
-    } else if (!kExpr.foldable || kExpr.eval() == null ||
+    } else if (!kExpr.foldable || !GraftAggUtil.integralLiteralType(kExpr) ||
+        kExpr.eval() == null ||
         kExpr.eval().asInstanceOf[Number].intValue() <= 0) {
-      TypeCheckResult.TypeCheckFailure(s"$prettyName k must be a positive literal")
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName k must be a positive integral literal")
     } else {
       TypeCheckResult.TypeCheckSuccess
     }

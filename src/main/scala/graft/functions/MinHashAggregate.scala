@@ -21,6 +21,16 @@ object MinHash {
     val rnd = new scala.util.Random(42)
     val a = Array.fill(numHashes)(math.abs(rnd.nextLong()) % MersennePrime | 1L)
     val b = Array.fill(numHashes)(math.abs(rnd.nextLong()) % MersennePrime)
+    // VALIDATE the fixed draw rather than redraw with a safer idiom —
+    // changing the draw would change every signature ever persisted.
+    // Two latent hazards in the idiom above: `abs % p | 1` can yield
+    // exactly p (p is odd), making (a_i*h + b_i) % p constant in h and
+    // slot i useless; and abs(Long.MinValue) is NEGATIVE, which would
+    // emit negative residues. Neither occurs in the seed-42 stream for
+    // any k (checked here on every materialization), so the guard is a
+    // tripwire, not a behavior change.
+    require(a.forall(x => x > 0L && x != MersennePrime) && b.forall(_ >= 0L),
+      "degenerate MinHash parameter draw — see params() scaladoc")
     (a, b)
   }
 }
@@ -57,8 +67,8 @@ case class MinHashSig(
   @transient private lazy val (pa, pb) = MinHash.params(k)
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (!kExpr.foldable)
-      TypeCheckResult.TypeCheckFailure(s"$prettyName k must be a literal")
+    if (!kExpr.foldable || !GraftAggUtil.integralLiteralType(kExpr))
+      TypeCheckResult.TypeCheckFailure(s"$prettyName k must be an integral literal")
     else if (kExpr.eval() == null || kExpr.eval().asInstanceOf[Number].intValue() <= 0)
       TypeCheckResult.TypeCheckFailure(s"$prettyName k must be a positive integer")
     else if (hash.dataType != LongType)

@@ -20,6 +20,15 @@ object MinHashBandUtil {
   def bandKeys(sig: ArrayData, bands: Int): ArrayData = {
     val n = sig.numElements()
     val r = n / bands
+    // r == 0 would make every band key the seed constant — the
+    // candidate self-join downstream degenerates to a full cross
+    // product with no error; a remainder silently ignores the trailing
+    // signature positions (reduced recall). Signature length is only
+    // known per row, so the guard lives here, not in the type check —
+    // one branch per row against a degenerate-join meltdown.
+    if (r == 0 || n % bands != 0)
+      throw new IllegalArgumentException(
+        s"graft_minhash_bands: bands $bands must divide signature length $n")
     val out = new Array[Any](bands)
     var b = 0
     while (b < bands) {

@@ -46,9 +46,10 @@ object NgramRepUtil {
     * running-max sweep (no sort, no interval list).
     */
   def stats(text: UTF8String): InternalRow = {
-    val out = new Array[Any](11)
+    // 10 slots = schema: total + top2..4 + dup5..10
+    val out = new Array[Any](10)
     java.util.Arrays.fill(out.asInstanceOf[Array[AnyRef]], java.lang.Long.valueOf(0L))
-    val ws0 = text.trim().toLowerCase().toString.split("\\s+", -1)
+    val ws0 = WsPattern.split(text.trim().toLowerCase().toString)
     var nw = 0
     var k = 0
     while (k < ws0.length) { if (ws0(k).nonEmpty) nw += 1; k += 1 }

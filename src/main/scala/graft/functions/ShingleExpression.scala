@@ -10,6 +10,20 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Single-pass distinct word n-gram shingling, shared by the interpreted
   * and codegen paths of [[WordShingles]].
   */
+/** Statically compiled whitespace pattern shared by the scan-speed text
+  * utilities: `String.split(regex, …)` compiles a fresh Pattern on EVERY
+  * row for multi-char regexes — exactly the per-row cost these native
+  * expressions exist to remove (the NormalizeTextUtil discipline).
+  * `Pattern.split(s, -1)` is semantics-identical to
+  * `s.split("\\s+", -1)` (trailing empties kept), and Pattern is
+  * immutable/thread-safe.
+  */
+private[functions] object WsPattern {
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+  def split(s: String): Array[String] = ws.split(s, -1)
+  def collapse(s: String): String = ws.matcher(s).replaceAll(" ")
+}
+
 object ShingleUtil {
 
   /** Distinct word n-gram shingles of `text`, in first-occurrence order.
@@ -27,7 +41,7 @@ object ShingleUtil {
     // limit -1: SQL split keeps TRAILING empty strings (text ending in a
     // tab/newline yields a trailing "" word); Java's default limit 0
     // drops them and would lose the final shingle.
-    val words = s.split("\\s+", -1)
+    val words = WsPattern.split(s)
     if (words.length < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String]()
     val sb = new java.lang.StringBuilder()

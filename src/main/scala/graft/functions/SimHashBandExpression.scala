@@ -19,6 +19,24 @@ object SimHashBandUtil {
     comboCache.computeIfAbsent((pieces, shared),
       _ => (0 until pieces).combinations(shared).map(_.toArray).toArray)
 
+  /** C(n, r) computed arithmetically, capped: returns as soon as the
+    * running count exceeds `cap` (so the analysis-time replication check
+    * never materializes — or even fully counts — an astronomical
+    * combination table).
+    */
+  def comboCountCapped(n: Int, r: Int, cap: Long): Long = {
+    val k = math.min(r, n - r)
+    if (k < 0) return 0L
+    var c = 1L
+    var i = 0
+    while (i < k) {
+      c = c * (n - i) / (i + 1) // exact: product of i+1 consecutive ints
+      if (c > cap) return c
+      i += 1
+    }
+    c
+  }
+
   /** The C(pieces, pieces-maxHamming) banding keys of one fingerprint,
     * each packed as (comboId << 48) | concatenated-chunk-bits — one long
     * per key, so the candidate equi-join runs on a single long column.
@@ -90,7 +108,12 @@ case class SimHashBandKeys(simhash: Expression, piecesExpr: Expression,
         else if ((p - h) * (64 / p) > 48)
           TypeCheckResult.TypeCheckFailure(
             s"$prettyName key bits (pieces-maxHamming)*(64/pieces) must fit in 48")
-        else if (SimHashBandUtil.combos(p, p - h).length > 256)
+        // count C(p, p-h) ARITHMETICALLY with an early cutoff — calling
+        // combos() here would materialize the full combination table
+        // before the cap check, and C(64, 48) ~ 4.9e14 arrays hangs the
+        // driver during ANALYSIS for parameter mistakes the check exists
+        // to reject
+        else if (SimHashBandUtil.comboCountCapped(p, p - h, 256) > 256)
           TypeCheckResult.TypeCheckFailure(
             s"$prettyName C($p, ${p - h}) banding subsets - too much replication")
         else TypeCheckResult.TypeCheckSuccess

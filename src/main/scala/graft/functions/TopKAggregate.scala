@@ -11,6 +11,20 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData, TypeUtils}
 import org.apache.spark.sql.types._
 
+/** Shared literal-argument checks for the typed aggregates. */
+private[functions] object GraftAggUtil {
+  /** True when the expression's type can be read as an integral k —
+    * checked BEFORE any `asInstanceOf[Number]` so a string literal
+    * fails analysis cleanly instead of throwing ClassCastException,
+    * and a fractional literal is rejected instead of silently
+    * truncating.
+    */
+  def integralLiteralType(e: Expression): Boolean = e.dataType match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+}
+
 /** Bounded top-k kept during update/merge: at most k (key, value) pairs
   * with the smallest keys, as a max-heap so the current worst is O(1).
   */
@@ -54,15 +68,24 @@ case class TopKRows(
   override def prettyName: String = "graft_topk"
   override def children: Seq[Expression] = Seq(key, value, kExpr)
   override def nullable: Boolean = false
-  override def dataType: DataType = ArrayType(value.dataType, containsNull = false)
+  // a non-null key can carry a NULL value — the heap stores it, so the
+  // array's containsNull must follow the value's nullability (a false
+  // promise here lets downstream codegen elide null checks and read
+  // garbage)
+  override def dataType: DataType =
+    ArrayType(value.dataType, containsNull = value.nullable)
 
   private lazy val k: Int = kExpr.eval().asInstanceOf[Number].intValue()
   @transient private lazy val ord: Ordering[Any] =
     TypeUtils.getInterpretedOrdering(key.dataType)
 
   override def checkInputDataTypes(): TypeCheckResult = {
-    if (!kExpr.foldable) {
-      TypeCheckResult.TypeCheckFailure(s"$prettyName k must be a literal")
+    if (!kExpr.foldable || !GraftAggUtil.integralLiteralType(kExpr)) {
+      // type check BEFORE the Number cast: a string literal would throw
+      // ClassCastException out of analysis, a fractional literal would
+      // silently truncate
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName k must be an integral literal")
     } else if (kExpr.eval() == null ||
         kExpr.eval().asInstanceOf[Number].intValue() <= 0) {
       TypeCheckResult.TypeCheckFailure(s"$prettyName k must be a positive integer")

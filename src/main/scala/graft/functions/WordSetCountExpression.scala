@@ -40,7 +40,7 @@ object WordSetCountUtil {
     val set = setOf(words)
     val s = text.trim().toString
     if (s.isEmpty) return 0
-    val ws = s.split("\\s+", -1)
+    val ws = WsPattern.split(s)
     var n = 0
     var i = 0
     while (i < ws.length) {

@@ -309,10 +309,26 @@ object Dedup {
       explode(shingleArr(col(textCol), n)).as("_sh"))
     val cand = cs.join(broadcast(ps), "_sh")
       .select("id_a", "id_b").distinct()
-    containmentForPairs(cand,
-      corpus.select(col(idCol), col(textCol))
-        .unionByName(probe.select(col(idCol), col(textCol))),
-      textCol, idCol, n, minContainment)
+    // side-resolved verify (see probeJaccard): id_a from the corpus
+    // only, id_b from the probe only — overlapping id spaces must not
+    // cross-contaminate the containment arithmetic
+    val base = cand
+      .join(corpus.select(col(idCol).as("id_a"),
+        shingleArr(col(textCol), n).as("_sh_a")), "id_a")
+      .join(probe.select(col(idCol).as("id_b"),
+        shingleArr(col(textCol), n).as("_sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("_sh_a"), col("_sh_b"))).as("_ni"),
+        size(col("_sh_a")).as("_na"), size(col("_sh_b")).as("_nb"))
+    val ab = base.select(col("id_a").as("contained_id"),
+      col("id_b").as("container_id"),
+      (col("_ni").cast("double") / col("_na")).as("containment"))
+    val ba = base.select(col("id_b").as("contained_id"),
+      col("id_a").as("container_id"),
+      (col("_ni").cast("double") / col("_nb")).as("containment"))
+    ab.unionByName(ba)
+      .withColumn("containment", round(col("containment"), 4))
+      .filter(col("containment") >= minContainment)
   }
 
   /** Directed containment for an already-small candidate pair set —
@@ -398,10 +414,21 @@ object Dedup {
     val cand = cs.join(
         broadcast(ps.select(col("id").as("id_b"), col("shingle"))), "shingle")
       .select(col("id").as("id_a"), col("id_b")).distinct()
-    exactShingleJaccard(cand,
-      corpus.select(col(idCol), col(textCol))
-        .unionByName(probe.select(col(idCol), col(textCol))),
-      textCol, idCol, n, minJaccard)
+    // SIDE-RESOLVED verify: id_a joins ONLY the corpus, id_b ONLY the
+    // probe — a unioned text table would hold duplicate ids whenever
+    // the two id SPACES overlap (both 0-based: the common
+    // decontamination case) and multiply the verify join with
+    // corpus-text-vs-itself rows.
+    cand
+      .join(corpus.select(col(idCol).as("id_a"),
+        shingleArr(col(textCol), n).as("_sh_a")), "id_a")
+      .join(probe.select(col(idCol).as("id_b"),
+        shingleArr(col(textCol), n).as("_sh_b")), "id_b")
+      .withColumn("_ni", size(array_intersect(col("_sh_a"), col("_sh_b"))))
+      .withColumn("jaccard", col("_ni").cast("double") /
+        (size(col("_sh_a")) + size(col("_sh_b")) - col("_ni")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
   }
 
   /** Exact word-multiset (bag) Jaccard for a candidate pair set:
@@ -620,11 +647,33 @@ object Dedup {
     val pw = probe.select(col(idCol).as("id_b"),
       explode(wordArr(col(textCol))).as("_w")).distinct()
     val cand = cw.join(broadcast(pw), "_w")
-      .select("id_a", "id_b").distinct()
-    exactBagJaccard(cand,
-      corpus.select(col(idCol), col(textCol))
-        .unionByName(probe.select(col(idCol), col(textCol))),
-      textCol, idCol, minJaccard)
+      .select("id_a", "id_b").distinct().localCheckpoint()
+    // side-resolved verify (see probeJaccard): word counts for id_a
+    // come ONLY from the corpus (pruned to candidate docs), for id_b
+    // ONLY from the probe — overlapping id spaces stay independent
+    val idsA = cand.select(col("id_a").as("_cid")).distinct()
+    val cntA = corpus.join(idsA, col(idCol) === col("_cid"), "left_semi")
+      .select(col(idCol).as("id_a"), explode(wordArr(col(textCol))).as("_w"))
+      .groupBy("id_a", "_w").agg(count(lit(1)).as("_ca"))
+    val cntB = probe
+      .select(col(idCol).as("id_b"), explode(wordArr(col(textCol))).as("_w"))
+      .groupBy("id_b", "_w").agg(count(lit(1)).as("_cb"))
+    val totA = cntA.groupBy("id_a").agg(sum(col("_ca")).as("_na"))
+    val totB = cntB.groupBy("id_b").agg(sum(col("_cb")).as("_nb"))
+    val inter = cand
+      .join(cntA, "id_a")
+      .join(cntB, Seq("id_b", "_w"))
+      .groupBy("id_a", "id_b")
+      .agg(sum(least(col("_ca"), col("_cb"))).as("_ni"))
+    cand
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .na.fill(0L, Seq("_ni"))
+      .join(totA, "id_a")
+      .join(totB, "id_b")
+      .withColumn("bag_jaccard",
+        col("_ni").cast("double") / (col("_na") + col("_nb") - col("_ni")))
+      .filter(col("bag_jaccard") >= minJaccard)
+      .select("id_a", "id_b", "bag_jaccard")
   }
 
   /** Incremental dedup — classify INCOMING documents against an EXISTING
@@ -665,9 +714,18 @@ object Dedup {
       idCol: String,
       numHashes: Int = 64,
       shingleN: Int = 3): DataFrame =
-    minHashSignatures(docs, textCol, idCol, numHashes, shingleN)
-      .join(docs.select(col(idCol).as("id"),
-        contentFingerprint(col(textCol)).as("fp")), "id")
+    // fingerprint side FIRST with a LEFT join to the signatures: a doc
+    // too short to shingle (< shingleN words) has no signature row, and
+    // an inner join would drop its fingerprint from the index entirely
+    // — its exact duplicates would then classify 'unique', violating
+    // the docs-too-short-keep-exact-semantics contract. A null
+    // signature is harmless downstream: graftMinHashBands of null
+    // explodes to no band keys.
+    docs.select(col(idCol).as("id"),
+        contentFingerprint(col(textCol)).as("fp"))
+      .join(minHashSignatures(docs, textCol, idCol, numHashes, shingleN),
+        Seq("id"), "left")
+      .select(col("id"), col("signature"), col("fp"))
 
   def incrementalStatus(
       existing: DataFrame,
@@ -919,15 +977,12 @@ object Dedup {
       textCol: String,
       idCol: String,
       maxHamming: Int,
-      pieces: Int): DataFrame = {
-    val banded = bandedSignatures(simHash(docs, textCol, idCol), maxHamming, pieces)
-    banded.as("x").join(banded.as("y"),
-        col("x.ck") === col("y.ck") && col("x.id") < col("y.id") &&
-          expr("bit_count(x.simhash ^ y.simhash)") <= maxHamming)
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
-      .distinct()
-  }
+      pieces: Int): DataFrame =
+    // the per-document signature table goes through the SAME banding
+    // self-join as the persisted-signature path — one definition, so a
+    // join-predicate fix can never reach one and miss the other
+    simHashPairsFromSigs(simHash(docs, textCol, idCol), maxHamming, pieces)
+      .withColumnsRenamed(Map("rep_a" -> "id_a", "rep_b" -> "id_b"))
 
   /** The candidate stage of [[simHashNearDup]], exposed so its selectivity
     * is testable: distinct (id_a, id_b) pairs that could be within
@@ -1077,6 +1132,18 @@ object Dedup {
       labels = next.select(col("id"), col("component"))
       it += 1
     }
+    // FAIL LOUD on non-convergence: returning the intermediate labels
+    // would silently split one true component into several "clusters"
+    // and a curation pass would keep multiple representatives of the
+    // same duplicate group. min-label propagation converges in
+    // O(component diameter) rounds; near-dup graphs have small
+    // diameters, so hitting the cap means the graph (or maxIters) is
+    // not what the caller thinks.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds — " +
+          "a component's diameter exceeds maxIters; raise it (cost is " +
+          "one join+aggregate per round) or pre-contract the graph")
     labels
   }
 

@@ -164,7 +164,12 @@ object Multimodal {
       strideMs: Long,
       sampleRate: Int = 16000,
       maxChunks: Int = 64): DataFrame =
-    media.filter(col("kind") === "audio")
+    // duration must be known and positive: greatest()/least() SKIP
+    // nulls, so a null duration_ms would otherwise fabricate a
+    // [0, chunkMs] chunk (and duration 0 a zero-length one) for audio
+    // whose real length nobody knows — unknown-duration rows emit no
+    // chunks
+    media.filter(col("kind") === "audio" && col("meta.duration_ms") > 0)
       .withColumn("start_ms", explode(slice(
         sequence(lit(0L), greatest(col("meta.duration_ms") - 1, lit(0L)),
           lit(strideMs)),
@@ -180,7 +185,8 @@ object Multimodal {
     * generated sequence, no decode.
     */
   def sampleFrames(media: DataFrame, everyMs: Long, maxFrames: Int = 32): DataFrame =
-    media.filter(col("kind") === "video")
+    // unknown/zero duration emits no frames — see chunkAudio
+    media.filter(col("kind") === "video" && col("meta.duration_ms") > 0)
       .withColumn("frame_ts_ms", explode(slice(
         sequence(lit(0L), greatest(col("meta.duration_ms") - 1, lit(0L)), lit(everyMs)),
         1, maxFrames)))

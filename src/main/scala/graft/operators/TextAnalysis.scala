@@ -600,10 +600,14 @@ object TextAnalysis {
       .withColumn("_cap", idiv(col("_n_total") * capPct.toLong, lit(100L)))
       .withColumn("_rate_pct",
         least(lit(100L), idiv(col("_cap") * 100L, col("_n_dom"))))
-      .select(col(domainCol), col("_rate_pct"))
-    df.join(broadcast(rates), domainCol)
+      .select(col(domainCol).as("_dom_key"), col("_rate_pct"))
+    // NULL-SAFE rate lookup: groupBy keeps a null-domain group, so the
+    // rate table has a row for it — but an equi-join on the column name
+    // drops every null-domain row (null never equals null), silently
+    // DELETING unparsed-domain rows instead of capping them
+    df.join(broadcast(rates), col(domainCol) <=> col("_dom_key"))
       .filter(splitBucket(col(idCol)) < col("_rate_pct"))
-      .drop("_rate_pct")
+      .drop("_dom_key", "_rate_pct")
   }
 
   /** Weight-proportional Bernoulli sampling — importance sampling for
@@ -713,10 +717,12 @@ object TextAnalysis {
       .withColumn("_rate_pct",
         least(lit(100L), floor(round(lit(100.0) * col("_budget") *
           (col("_w") / col("_wsum")) / col("_n_dom"), 9)).cast("long")))
-      .select(col(domainCol), col("_rate_pct"))
-    df.join(broadcast(rates), domainCol)
+      .select(col(domainCol).as("_dom_key"), col("_rate_pct"))
+    // null-safe lookup — see capDomains: an equi-join would silently
+    // delete every null-domain row instead of resampling it
+    df.join(broadcast(rates), col(domainCol) <=> col("_dom_key"))
       .filter(splitBucket(col(idCol)) < col("_rate_pct"))
-      .drop("_rate_pct")
+      .drop("_dom_key", "_rate_pct")
   }
 
   /** Leakage-safe GROUP-aware split: every row of a group (domain,
@@ -796,11 +802,14 @@ object TextAnalysis {
     *
     * Scale shape: the line document-frequency aggregate is ONE shuffle
     * with map-side partial aggregation (repeated boilerplate lines
-    * collapse inside each task before the exchange), and the surviving
-    * boilerplate set is SMALL BY CONSTRUCTION — at most
-    * total_lines / minDocFreq distinct values — so the anti-join that
-    * strips it broadcasts: the corpus-sized line table never shuffles
-    * for the join. Reassembly groups by document id with an
+    * collapse inside each task before the exchange). The boilerplate
+    * set is bounded by total_lines / minDocFreq distinct values —
+    * small at any realistic minDocFreq RELATIVE to the corpus, but not
+    * unconditionally broadcastable (1e12 lines / df 100 is billions of
+    * line strings), so the anti-join's strategy is LEFT TO THE PLANNER:
+    * under AQE the measured set broadcasts when it fits and falls back
+    * to a shuffled anti-join when it does not, instead of a forced
+    * broadcast dying with an OOM. Reassembly groups by document id with an
     * array_sort(collect_list(struct(pos, line))) so line order is
     * restored regardless of partitioning; the id-preserving left join
     * back to the input moves only (id) on the probe side and the
@@ -822,7 +831,7 @@ object TextAnalysis {
       .filter(col("_df") >= minDocFreq)
       .select(col("_line"))
     val assembled = lines
-      .join(broadcast(boiler), Seq("_line"), "left_anti")
+      .join(boiler, Seq("_line"), "left_anti")
       .groupBy(col("_id"))
       .agg(concat_ws("\n",
         transform(array_sort(collect_list(struct(col("_pos"), col("_line")))),
@@ -898,7 +907,10 @@ object TextAnalysis {
     * near-exact dedup key.
     */
   def fingerprint(textCol: Column): Column =
-    md5(regexp_replace(lower(trim(textCol)), "\\s+", " "))
+    // DELEGATES to the dedup family's key — one definition keeps this
+    // fingerprint joinable against Dedup/DedupStream index fingerprints
+    // forever (two textually-identical copies could drift)
+    Dedup.contentFingerprint(textCol)
 
   /** URL canonicalization — the key-normalization step URL-level dedup
     * needs before grouping (the same page crawled twice rarely has a
@@ -920,12 +932,24 @@ object TextAnalysis {
     // and both Java regex and RE2 accept the inline-group form.
     val prefix = regexp_extract(u, "^((?i:https?)://[^/?#]+)", 1)
     val rest = regexp_extract(u, "^(?i:https?)://[^/?#]+(.*)$", 1)
-    val host = regexp_replace(lower(prefix), ":(80|443)$", "")
+    // default-port stripping is SCHEME-AWARE: :80 is only http's
+    // default and :443 only https' — stripping either for either scheme
+    // would merge http://host:443 (a distinct resource) with
+    // http://host and wrongly delete one capture in URL dedup
+    val host = regexp_replace(
+      regexp_replace(lower(prefix), "^(https://[^:]+):443$", "$1"),
+      "^(http://[^:]+):80$", "$1")
     val noFrag = regexp_replace(rest, "#.*$", "")
     val noTrack = regexp_replace(noFrag, "[?&](utm_[a-z]+|fbclid)=[^&#]*", "")
     val fixedQ = regexp_replace(noTrack, "^([^?]*)&", "$1?")
     val noDangle = regexp_replace(fixedQ, "[?&]$", "")
-    concat(host, regexp_replace(noDangle, "/$", ""))
+    // non-http(s)/schemeless URLs pass through UNCHANGED — prefix
+    // extracts '' for them, and collapsing every unparseable URL onto
+    // the '' key would merge them into ONE dedup group and delete all
+    // but one (the filterBlockedDomains keep-what-you-cannot-parse
+    // convention)
+    when(length(prefix) === 0, u)
+      .otherwise(concat(host, regexp_replace(noDangle, "/$", "")))
   }
 
   /** Domain-blocklist filter with subdomain semantics — the crawl-

@@ -44,6 +44,17 @@ case class AsOfJoinNode(
     extends BinaryNode {
 
   require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty)
+  // The executor compares RIGHT-side projected rows with orderings
+  // built from LEFT-side data types — a type mismatch would not error,
+  // it would read the wrong byte widths and return garbage matches.
+  leftKeys.zip(rightKeys).foreach { case (l, r) =>
+    require(l.dataType == r.dataType,
+      s"as-of key type mismatch: ${l.name}: ${l.dataType.simpleString} vs " +
+        s"${r.name}: ${r.dataType.simpleString}")
+  }
+  require(leftTs.dataType == rightTs.dataType,
+    s"as-of timestamp type mismatch: ${leftTs.dataType.simpleString} vs " +
+      s"${rightTs.dataType.simpleString}")
 
   override def output: Seq[Attribute] = left.output ++ valueOutput
 
@@ -125,14 +136,20 @@ case class AsOfJoinExec(
     val leftOut = left.output
     val rightOut = right.output
     val outAttrs = outputAttrs
+    // locals for EVERY field the closure touches — referencing the
+    // case-class fields below would capture `this` and serialize the
+    // whole AsOfJoinExec (both child plan trees) into every task
+    val lKeyTsExprs = leftKeys :+ leftTs
+    val rKeyTsExprs = rightKeys :+ rightTs
+    val rValExprs = rightValues
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       // (key..., ts) projections — compared with the natural ascending
       // interpreted ordering, which matches the required child ordering.
-      val lKeyTsProj = UnsafeProjection.create(leftKeys :+ leftTs, leftOut)
-      val rKeyTsProj = UnsafeProjection.create(rightKeys :+ rightTs, rightOut)
+      val lKeyTsProj = UnsafeProjection.create(lKeyTsExprs, leftOut)
+      val rKeyTsProj = UnsafeProjection.create(rKeyTsExprs, rightOut)
       val keyOnlyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
       val keyTsOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes :+ tsType)
-      val rValProj = UnsafeProjection.create(rightValues, rightOut)
+      val rValProj = UnsafeProjection.create(rValExprs, rightOut)
       val outProj = UnsafeProjection.create(outAttrs, outAttrs)
       val nullValues = new GenericInternalRow(numValues)
       val joined = new JoinedRow

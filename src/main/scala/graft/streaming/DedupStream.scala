@@ -81,9 +81,15 @@ object DedupStream {
       try {
         val sigs = Dedup.minHashSignatures(pinned, textCol, idCol)
           .localCheckpoint()
-        val batchIndex = sigs.join(
-          pinned.select(col(idCol).as("id"),
-            Dedup.contentFingerprint(col(textCol)).as("fp")), "id")
+        // fingerprint side first + LEFT join (the Dedup.dedupIndex
+        // shape): a doc too short to shingle has no signature row, and
+        // an inner join would drop its fingerprint from the persisted
+        // index — its later exact duplicates would classify 'unique'
+        val batchIndex = pinned
+          .select(col(idCol).as("id"),
+            Dedup.contentFingerprint(col(textCol)).as("fp"))
+          .join(sigs, Seq("id"), "left")
+          .select(col("id"), col("signature"), col("fp"))
         val (index, corpus) =
           readStore(spark, storeDir, textCol, idCol, beforeBatch = batchId)
         Dedup.incrementalStatusGivenSigs(index, corpus, pinned, sigs,

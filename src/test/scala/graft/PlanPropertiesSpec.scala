@@ -155,12 +155,17 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"corpus shuffled for rates:\n$plan")
   }
 
-  test("boilerplate strip is a broadcast anti-join, corpus lines never shuffle") {
-    val plan = planOf("q_boilerplate")
+  test("boilerplate strip: AQE picks a broadcast anti-join at this scale") {
+    // the broadcast is no longer FORCED (the boilerplate set is only
+    // small relative to the corpus, not unconditionally small — a
+    // forced hint would OOM instead of falling back at 100 TB), so the
+    // strategy is AQE's runtime choice: execute, then assert the
+    // finalized plan broadcast the measured-tiny set here
+    val df = SparkEntry.queries("q_boilerplate")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
     assert(plan.matches("(?s).*BroadcastHashJoin[^\\n]*LeftAnti.*"),
-      s"boilerplate set not a broadcast anti-join:\n$plan")
-    assert(!plan.contains("SortMergeJoin"),
-      s"line table shuffled for the strip:\n$plan")
+      s"boilerplate set not broadcast by AQE at gate scale:\n$plan")
   }
 
   test("URL dedup windows on the canonical key, no join anywhere") {
