@@ -9000,7 +9000,7 @@ object SparkEntry {
     // (both engines print decimals identically), expected shares as
     // 6-decimal literals, chi-square terms from exact counts.
     "q_benford" ->
-      """WITH d AS (SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(38,2))
         |      AS VARCHAR), 1, 1) AS INTEGER) AS digit
         |  FROM orders WHERE o_totalprice >= 1),
         |c AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY 1),
@@ -9519,12 +9519,15 @@ object SparkEntry {
          |WHERE abs(CAST(d.estimate AS DOUBLE) - n) <= 0.05 * n
          |ORDER BY d.scope""".stripMargin,
     // Count-Min: full sketch replay — same fixed hash rows, same sparse
-    // cell aggregate, same min-over-depth with absent cells as 0.
+    // cell aggregate, same min-over-depth with absent cells as 0. The
+    // key reduces mod P first (the engine's overflow-safe cellOf);
+    // identical for the non-negative in-range keys here.
     "q_countmin" ->
       """WITH ab(j, a, b) AS (VALUES (0, 1299709, 7), (1, 15485863, 101),
         |    (2, 32452843, 1009), (3, 49979687, 10007)),
         |cells AS (SELECT j,
-        |    ((a * l_partkey + b) % 2147483647) % 1024 AS c,
+        |    ((a * ((l_partkey % 2147483647 + 2147483647) % 2147483647) + b)
+        |      % 2147483647) % 1024 AS c,
         |    count(*) AS n
         |  FROM lineitem CROSS JOIN ab GROUP BY 1, 2),
         |probes AS (SELECT DISTINCT l_partkey AS k FROM lineitem
@@ -9532,7 +9535,8 @@ object SparkEntry {
         |est AS (SELECT k, min(coalesce(cells.n, 0)) AS est
         |  FROM probes CROSS JOIN ab LEFT JOIN cells
         |    ON cells.j = ab.j
-        |    AND cells.c = ((ab.a * k + ab.b) % 2147483647) % 1024
+        |    AND cells.c = ((ab.a * ((k % 2147483647 + 2147483647)
+        |      % 2147483647) + ab.b) % 2147483647) % 1024
         |  GROUP BY k),
         |exact AS (SELECT l_partkey AS k, count(*) AS exact_n
         |  FROM lineitem WHERE l_partkey < 30 GROUP BY 1)

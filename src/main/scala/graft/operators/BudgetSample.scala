@@ -41,8 +41,15 @@ object BudgetSample {
       idCol: String,
       budget: Long): DataFrame = {
     require(budget >= 0, "budget must be non-negative")
-    val buckets = docs.groupBy(col(priorityCol))
-      .agg(sum(col(tokenCol)).as("_t"))
+    // Priorities read as doubles and tokens as longs VIA CASTS in the
+    // aggregate (exact for int/long/float inputs; the driver-side
+    // getDouble/getLong would otherwise ClassCastException on any
+    // numeric type that isn't literally Double/Long); an all-null token
+    // bucket sums to null -> contributes 0. The boundary filters below
+    // compare the raw column against the collected double — the same
+    // widening, so grouping and filtering agree.
+    val buckets = docs.groupBy(col(priorityCol).cast("double").as("_p"))
+      .agg(coalesce(sum(col(tokenCol).cast("long")), lit(0L)).as("_t"))
       .collect()
       .map { r =>
         // A null or NaN priority has no place in a total priority

@@ -41,7 +41,12 @@ object CountMin {
   }
 
   private def cellOf(k: Column, width: Int): Column =
-    ((col("a") * k + col("b")) % P) % width
+    // k reduces mod P FIRST: a raw 64-bit key (xxhash64 ids) would
+    // overflow a*k past 2^63 and Scala/SQL % would emit NEGATIVE cells
+    // — still sketch/estimate-consistent, but the pairwise-independence
+    // error bound breaks and the table silently spans 2*width-1 cells.
+    // After pmod, a * k' < 5e7 * 2^31 ≈ 1e17 stays comfortably exact.
+    ((col("a") * pmod(k, lit(P)) + col("b")) % P) % width
 
   /** Build the sketch for `keyCol` occurrences in `df`:
     * one row per non-empty cell, (j, c, n).

@@ -66,7 +66,13 @@ object GlobalIndex {
     val bucketExpr =
       if (splits.isEmpty) lit(0)
       else size(filter(lit(splits), s => col(key).cast("double") >= s))
-    val bucketed = df.withColumn("_b", bucketExpr)
+    // pin: the bucketed table feeds the offsets aggregate AND the
+    // ranking join (two plan branches), and the input already executed
+    // once for approxQuantile — without materialization an expensive
+    // upstream df computes three times, and a NONDETERMINISTIC df
+    // (sample, rand-keyed, mutable source) could make the offset counts
+    // disagree with the rows being ranked, colliding or gapping indexes
+    val bucketed = df.withColumn("_b", bucketExpr).localCheckpoint()
     // Offsets: per-bucket counts prefix-summed best-bucket-first. The
     // single-partition window is over `buckets` ROWS (the aggregated
     // counts), not the data — same bounded-work class as the previous

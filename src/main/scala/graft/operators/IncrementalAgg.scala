@@ -29,15 +29,29 @@ import org.apache.spark.sql.functions._
 object IncrementalAgg {
 
   /** Merge two additive aggregate states sharing the schema
-    * (keys..., counts/sums...): full-outer join on `keys`, null-safe
-    * column-wise addition of every column in `adds`.
+    * (keys..., counts/sums...): NULL-SAFE full-outer join on `keys`
+    * (groupBy puts all null-key rows in ONE group, so the merge must
+    * match null keys too — a plain equi-join would keep one null-key
+    * state row per side and duplicate it forever), with column-wise
+    * addition that preserves SUM's null semantics: a sum that is null
+    * on BOTH sides (all-null values, or one side absent with the other
+    * null) stays null, exactly as a recompute over the union would
+    * report — rewriting it to 0 would break the merge==recompute
+    * bit-for-bit contract and make "no data" read as "sum is zero".
     */
   def merge(base: DataFrame, delta: DataFrame, keys: Seq[String],
       adds: Seq[String]): DataFrame = {
-    val d2 = adds.foldLeft(delta)((df, c) => df.withColumnRenamed(c, s"_d_$c"))
-    adds.foldLeft(base.join(d2, keys, "full_outer")) { (df, c) =>
+    val d2 = (keys ++ adds).foldLeft(delta)(
+      (df, c) => df.withColumnRenamed(c, s"_d_$c"))
+    val cond = keys.map(k => col(k) <=> col(s"_d_$k")).reduce(_ && _)
+    val joined = base.join(d2, cond, "full_outer")
+    val withKeys = keys.foldLeft(joined) { (df, k) =>
+      df.withColumn(k, coalesce(col(k), col(s"_d_$k"))).drop(s"_d_$k")
+    }
+    adds.foldLeft(withKeys) { (df, c) =>
       df.withColumn(c,
-        coalesce(col(c), lit(0)) + coalesce(col(s"_d_$c"), lit(0)))
+        when(col(c).isNull && col(s"_d_$c").isNull, col(c))
+          .otherwise(coalesce(col(c), lit(0)) + coalesce(col(s"_d_$c"), lit(0))))
         .drop(s"_d_$c")
     }
   }

@@ -38,8 +38,13 @@ object LinkGraph {
     require(damping > 0 && damping < 1, "damping must be in (0, 1)")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .localCheckpoint()
+    // checkpoint: every iteration's rank rebuild left-joins against the
+    // full node set, so without pinning it the union+distinct shuffle
+    // replays inside every materialization (once per non-checkpointed
+    // iteration folded into each checkpoint's plan)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
     // Node count is a bounded driver scalar (graph order, not corpus
     // size) — the standard PageRank initialization needs it.
     val n = nodes.count().toDouble
@@ -104,7 +109,9 @@ object LinkGraph {
     var visited = seeds.select(col(seedCol).as("node")).distinct()
       .withColumn("dist", lit(0L)).localCheckpoint()
     var frontier = visited
-    for (i <- 1 to maxHops) {
+    var i = 1
+    var exhausted = false
+    while (i <= maxHops && !exhausted) {
       val reached = frontier
         .join(e, col("node") === col("src"))
         .select(col("dst").as("node")).distinct()
@@ -112,7 +119,13 @@ object LinkGraph {
         .join(visited.select(col("node")), Seq("node"), "left_anti")
         .withColumn("dist", lit(i.toLong))
         .localCheckpoint()
-      visited = visited.unionAll(frontier).localCheckpoint()
+      // early exit at the true eccentricity: an exhausted frontier can
+      // never repopulate, and each further hop would still launch real
+      // jobs (localCheckpoint is eager) over empty data. The isEmpty
+      // probe reads the just-checkpointed frontier — one cheap action.
+      if (frontier.isEmpty) exhausted = true
+      else visited = visited.unionAll(frontier).localCheckpoint()
+      i += 1
     }
     visited
   }

@@ -105,8 +105,18 @@ object Profiling {
     val eps = lit(epsilon)
     val p = greatest(col("n_base").cast("double") / col("_tb"), eps)
     val q = greatest(col("n_cur").cast("double") / col("_tc"), eps)
-    b.join(c, Seq("bucket"), "full_outer")
-      .na.fill(0L, Seq("n_base", "n_cur"))
+    // NULL-SAFE bucket match: a null value buckets to null on BOTH
+    // sides, and a plain full-outer equi-join never matches null keys —
+    // two identically-sized null buckets would each score as one-sided
+    // drift against epsilon (huge spurious psi). With <=> the null
+    // bucket is one real category, so missing-ness drift is measured
+    // like any other share shift.
+    val bb = b.withColumnRenamed("bucket", "_bk_base")
+    val cc = c.withColumnRenamed("bucket", "_bk_cur")
+    bb.join(cc, col("_bk_base") <=> col("_bk_cur"), "full_outer")
+      .select(coalesce(col("_bk_base"), col("_bk_cur")).as("bucket"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
       .crossJoin(broadcast(totals))
       .select(col("bucket"), col("n_base"), col("n_cur"),
         round((p - q) * log(p / q), roundTo).as("psi_term"))
@@ -142,6 +152,10 @@ object Profiling {
       .select(col(valueCol).cast("long").as("v"),
         when(inA, 1L).otherwise(0L).as("_a"),
         when(inB, 1L).otherwise(0L).as("_b"))
+      // null values carry no position on the real line: unfiltered they
+      // form a v=null group that the window's nulls-first order puts at
+      // the HEAD of both cumulative sums, corrupting the CDFs
+      .filter(col("v").isNotNull)
       .filter(col("_a") + col("_b") > 0)
       .groupBy(col("v"))
       .agg(sum(col("_a")).as("ca"), sum(col("_b")).as("cb"))
@@ -155,11 +169,13 @@ object Profiling {
       .agg(max(col("_na")).as("n_a"), max(col("_nb")).as("n_b"),
         max(abs(col("_cuma") * col("_nb") - col("_cumb") * col("_na")))
           .as("d_num"))
-      // Degenerate input (no row in either population): the aggregate
-      // over zero rows yields a single all-null row, while a SQL
-      // formulation of the same statistic yields zero rows — define the
-      // empty-input result as EMPTY so both shapes agree.
-      .filter(col("n_a").isNotNull && col("n_b").isNotNull)
+      // Degenerate input: BOTH populations empty yields one all-null
+      // aggregate row, and exactly ONE empty population yields n=0 (not
+      // null) whose D would divide by zero — a two-sample statistic is
+      // undefined either way, so define both as the EMPTY result (the
+      // shape a SQL formulation also produces).
+      .filter(col("n_a").isNotNull && col("n_b").isNotNull &&
+        col("n_a") > 0 && col("n_b") > 0)
       .select(col("n_a"), col("n_b"), col("d_num"),
         round(col("d_num").cast("double") /
           (col("n_a").cast("double") * col("n_b")), roundTo).as("ks_d"))
@@ -173,10 +189,16 @@ object Profiling {
     * share against the Benford expectation plus the chi-square term —
     * sum the column and compare against the 8-degree critical value.
     *
-    * The first digit is taken from the DECIMAL(18,2) string rendering
+    * The first digit is taken from the DECIMAL(38,2) string rendering
     * (both engines print decimals identically; no log10/pow float path,
-    * whose ULP behavior at exact powers of ten differs by platform),
-    * and rows below 1 are excluded (their leading digit is a zero).
+    * whose ULP behavior at exact powers of ten differs by platform; 38
+    * digits so any Long-scale amount renders instead of silently
+    * nulling), and rows below 1 are excluded (their leading digit is a
+    * zero). Declared contract: the audited column is MONEY-LIKE — exact
+    * at two decimals — so the rendering never rounds; a column with
+    * more fractional precision would have values in [d.995, d+1) HALF_UP
+    * round across the digit boundary (1.996 -> "2.00") and callers
+    * should pre-truncate instead.
     * The expected shares are the nine Benford constants as 6-decimal
     * literals — fixed numbers, not runtime logarithms — so every
     * derived value is a deterministic function of exact integers.
@@ -190,7 +212,7 @@ object Profiling {
       5 -> 0.079181, 6 -> 0.066947, 7 -> 0.057992, 8 -> 0.051153,
       9 -> 0.045757)
     val digit = substring(
-      col(amountCol).cast(org.apache.spark.sql.types.DecimalType(18, 2))
+      col(amountCol).cast(org.apache.spark.sql.types.DecimalType(38, 2))
         .cast("string"), 1, 1).cast("int")
     // Rows below 1 are excluded BEFORE the digit cast — their rendering
     // starts with '0' or '-', which ANSI integer casting must never see.

@@ -52,10 +52,16 @@ object QualityClassifier {
       posLabel: Column): DataFrame = {
     val base = docs.select(col(idCol).as("id"), posLabel.as("_pos"),
       words(col(textCol)).as("_ws"))
+    // materialize: tf feeds BOTH the training aggregates and the scoring
+    // join — without pinning it, Spark recomputes the corpus explode +
+    // (id, word) aggregate once per consumer (the single-explode claim
+    // in the class doc would otherwise be false at exactly the corpus
+    // scale it targets)
     val tf = base
       .select(col("id"), col("_pos"), explode(col("_ws")).as("word"))
       .groupBy(col("id"), col("_pos"), col("word"))
       .agg(count(lit(1)).as("_c"))
+      .localCheckpoint()
     val wc = tf.groupBy(col("word")).agg(
       coalesce(sum(when(col("_pos"), col("_c"))), lit(0L)).as("_n_pos"),
       coalesce(sum(when(!col("_pos"), col("_c"))), lit(0L)).as("_n_neg"))
@@ -74,16 +80,28 @@ object QualityClassifier {
           log((col("_n_neg") + 1).cast(DoubleType) /
             (col("_t_neg") + col("_v")).cast(DoubleType)), 9)
           .cast(DecimalType(28, 9)).as("_w_llr"))
-    val priorLlr = round(
-      log(col("_d_pos").cast(DoubleType)) -
-      log(col("_d_neg").cast(DoubleType)), 9).cast(DecimalType(28, 9))
-    tf.join(llr, "word")
+    // a weak-label predicate matching NO documents (or all of them) is
+    // a misconfiguration: log(0) would silently null every score and
+    // pred — fail loud at scoring time instead
+    val priorLlr = when(col("_d_pos") === 0 || col("_d_neg") === 0,
+        raise_error(lit("nbScore: a class is empty — the posLabel " +
+          "predicate must match some but not all documents"))
+          .cast(DecimalType(28, 9)))
+      .otherwise(round(
+        log(col("_d_pos").cast(DoubleType)) -
+        log(col("_d_neg").cast(DoubleType)), 9).cast(DecimalType(28, 9)))
+    val sums = tf.join(llr, "word")
       .groupBy(col("id"))
       // _c narrows to DECIMAL(9,0) first: long x DECIMAL(28,9) needs
       // precision 49, which Spark caps at 38 by SHRINKING THE SCALE to
       // 6 — silently rounding every product. (9,0) x (28,9) fits at
       // (38,9), so the sum stays exact; the oracle mirrors the cast.
       .agg(sum(col("_c").cast(DecimalType(9, 0)) * col("_w_llr")).as("_s"))
+    // EVERY document gets a verdict: a zero-word doc (empty/whitespace
+    // text) has no tf rows and would vanish from the aggregate — for a
+    // quality filter those are exactly the rows that must be classified;
+    // their correct score is the prior LLR alone (an empty word sum).
+    base.select(col("id")).join(sums, Seq("id"), "left")
       .crossJoin(broadcast(priors))
       // round the EXACT decimal, cast to double after: rounding a
       // decimal at scale 4 is the same half-away-from-zero operation in
@@ -91,7 +109,8 @@ object QualityClassifier {
       // whenever the exact sum sits on a half-way boundary (measured:
       // 8/500 docs at sf0.01).
       .select(col("id"),
-        round(col("_s") + priorLlr, 4).cast(DoubleType).as("score"))
+        round(coalesce(col("_s"), lit(0).cast(DecimalType(38, 9))) +
+          priorLlr, 4).cast(DoubleType).as("score"))
       .withColumn("pred", col("score") > 0)
       .withColumnRenamed("id", idCol)
   }

@@ -110,8 +110,14 @@ object SetSimJoin {
       .join(tokenDf, "w")
       .withColumn("pos", row_number().over(pos))
       .join(sizes, "id")
+      // 1e-9 slack INSIDE the ceil (the alpha discipline below): the
+      // double product n*t over-rounds above the true value at exact
+      // boundaries (IEEE: 100*0.07 = 7.000000000000001, ceil -> 8
+      // instead of 7), which would SHORTEN the prefix and silently drop
+      // qualifying pairs; the slack can only lengthen the prefix —
+      // strictly conservative, verify stays exact.
       .filter(col("pos") <=
-        col("n") - ceil(col("n") * lit(threshold)).cast(LongType) + 1)
+        col("n") - ceil(col("n") * lit(threshold) - lit(1e-9)).cast(LongType) + 1)
       .select(col("id"), col("w"), col("n"), col("pos"))
   }
 
@@ -140,8 +146,11 @@ object SetSimJoin {
     val cands = prefix.as("a")
       .join(prefix.as("b"),
         col("a.w") === col("b.w") && col("a.id") < col("b.id"))
+      // same 1e-9 slack as alpha/prefix: max*t over-rounds at exact
+      // boundaries (7 >= 100*0.07 is FALSE in doubles) and would drop a
+      // qualifying pair before the exact verify ever sees it
       .filter(least(col("a.n"), col("b.n")).cast(DoubleType) >=
-        greatest(col("a.n"), col("b.n")) * lit(threshold))
+        greatest(col("a.n"), col("b.n")) * lit(threshold) - lit(1e-9))
       .filter(lit(1) + least(col("a.n") - col("a.pos"),
         col("b.n") - col("b.pos")) >= alpha)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),

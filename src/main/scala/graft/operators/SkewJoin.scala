@@ -28,7 +28,15 @@ import org.apache.spark.sql.functions._
 object SkewJoin {
 
   /** Deterministic salt for a row: spread the big side's rows uniformly
-    * without RNG (reproducible plans, works under retries/speculation).
+    * without RNG (reproducible plans, works under retries/speculation —
+    * a nondeterministic salt recomputed for a lost shuffle block while
+    * other blocks keep their old values can double-count or drop rows).
+    *
+    * LIMITATION of any deterministic salt: rows IDENTICAL in the spread
+    * columns hash to the same salt, so a hot key whose payloads repeat
+    * verbatim does not spread. Callers with duplicate payloads should
+    * pass a unique row id in `spreadCols` — a truly content-identical
+    * row set has no deterministic handle to split on.
     */
   private def salt(spreadCols: Seq[Column], factor: Int): Column =
     pmod(hash(spreadCols: _*), lit(factor))

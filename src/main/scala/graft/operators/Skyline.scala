@@ -23,12 +23,23 @@ import org.apache.spark.sql.functions._
   * (domain-sized window), and semi-join survivors back at scan speed.
   * No row-row dominance join ever runs; the O(n²) all-pairs check
   * exists only in the oracle, which is the point of the gate.
+  *
+  * DECLARED PREMISES: (1) xCol is DISCRETE — the group table, the
+  * single-task running-max window, and the broadcast back are all
+  * bounded by the distinct-x domain, so a continuous x (distinct x ~
+  * row count) must be bucketed/quantized by the caller first;
+  * (2) rows with a null coordinate are EXCLUDED — dominance is a
+  * comparison, and SQL comparisons against null are never true, so a
+  * null-coordinate row can neither dominate nor be dominated; including
+  * them would also poison the running max (null x sorts first and its
+  * group max would suppress genuine frontier points).
   */
 object Skyline {
 
   /** Skyline rows of `df` minimizing `xCol`, maximizing `yCol`. */
   def skyline2d(df: DataFrame, xCol: String, yCol: String): DataFrame = {
-    val groups = df.groupBy(col(xCol))
+    val clean = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    val groups = clean.groupBy(col(xCol))
       .agg(max(col(yCol)).as("_gmax"))
     val w = Window.orderBy(col(xCol))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -36,7 +47,7 @@ object Skyline {
       .withColumn("_prevmax", max(col("_gmax")).over(w))
       .filter(col("_prevmax").isNull || col("_gmax") > col("_prevmax"))
       .select(col(xCol), col("_gmax"))
-    df.join(broadcast(frontier), Seq(xCol))
+    clean.join(broadcast(frontier), Seq(xCol))
       .filter(col(yCol) === col("_gmax"))
       .drop("_gmax")
   }

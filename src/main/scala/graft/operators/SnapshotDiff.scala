@@ -24,15 +24,25 @@ object SnapshotDiff {
       b: DataFrame,
       idCol: String,
       textCol: String): DataFrame = {
+    // presence is carried EXPLICITLY: a null text fingerprints to null
+    // (md5(null) = null), so "fingerprint is null" does NOT mean "id
+    // absent from this snapshot" — an id present on both sides with one
+    // null text must classify changed/unchanged, never added/removed
+    // (a mislabel would make the incremental consumer re-ingest a doc
+    // that was never added, or treat a live doc as deleted).
     val fpA = a.select(col(idCol),
-      TextAnalysis.fingerprint(col(textCol)).as("_fp_a"))
+      TextAnalysis.fingerprint(col(textCol)).as("_fp_a"),
+      lit(true).as("_in_a"))
     val fpB = b.select(col(idCol),
-      TextAnalysis.fingerprint(col(textCol)).as("_fp_b"))
+      TextAnalysis.fingerprint(col(textCol)).as("_fp_b"),
+      lit(true).as("_in_b"))
     fpA.join(fpB, Seq(idCol), "full_outer")
       .withColumn("status",
-        when(col("_fp_a").isNull, "added")
-          .when(col("_fp_b").isNull, "removed")
-          .when(col("_fp_a") =!= col("_fp_b"), "changed")
+        when(col("_in_a").isNull, "added")
+          .when(col("_in_b").isNull, "removed")
+          // <=> treats two null texts as unchanged, null-vs-text as
+          // changed — the recompute semantics of comparing the rows
+          .when(!(col("_fp_a") <=> col("_fp_b")), "changed")
           .otherwise("unchanged"))
       .select(col(idCol), col("status"))
   }

@@ -28,6 +28,16 @@ import org.apache.spark.sql.types._
   */
 object StatMoments {
 
+  // Declared input contract (the benford discipline): values EXACT at
+  // two decimals — money, counts, lengths — with |x| < 10^16. The width
+  // is NOT widened casually: (18,2) operands give (37,4) products that
+  // still fit DECIMAL's 38-digit cap exactly, while wider operands
+  // would overflow the product precision and Spark silently SHRINKS THE
+  // SCALE (rounding every x², xy) to compensate. Inputs with more
+  // fractional precision than 2 digits quantize at the cast — callers
+  // with micro-scale data must pre-scale to an exact 2-decimal domain;
+  // under default ANSI mode an out-of-range value fails loud at the
+  // cast, never silently nulls out of the sums.
   private val D = DecimalType(18, 2)
 
   /** Per-group moment summary of `x` and the (x, y) relationship.
@@ -97,11 +107,16 @@ object StatMoments {
     val cxx = n * sxx - sx * sx
     // The n >= 2 guard keeps ANSI arithmetic from evaluating the
     // divide-by-zero branch for singleton groups.
-    val enriched = stats.select(col(groupCol),
+    val enriched = stats.select(col(groupCol).as("_grp_key"),
       (sx / n).as("_mean"),
       when(col("_n") >= 2, sqrt(cxx / (n * (n - lit(1.0)))))
         .otherwise(lit(0.0)).as("_sd"))
-    df.join(broadcast(enriched), groupCol)
+    // NULL-SAFE stats lookup: groupBy keeps a null-key group and its
+    // stats row exists, but a plain equi-join would drop every
+    // null-group row from the output — a normalization pass must never
+    // delete rows
+    df.join(broadcast(enriched), col(groupCol) <=> col("_grp_key"))
+      .drop("_grp_key")
       .withColumn("zscore",
         when(col("_sd") > 0,
           round((col(valueCol).cast(DoubleType) - col("_mean")) / col("_sd"),

@@ -85,6 +85,12 @@ object TimeSeries {
   def acf(series: DataFrame, bucketCol: String, valueCol: String,
       maxLag: Int, roundTo: Int = 6): DataFrame = {
     require(maxLag >= 1, "maxLag must be >= 1")
+    // Digit envelope (the sparse-kNN norms discipline): the largest
+    // intermediate is n²·sxx ≈ n³·max(x)² and must fit DECIMAL(38,0) —
+    // e.g. 1e4 buckets of |x| ≤ 1e8 uses ~10^28 of the 38 digits. Under
+    // Spark's default ANSI mode an overflow FAILS LOUD (decimal
+    // overflow error), never nulls silently; pre-scale the series down
+    // if a wider domain is needed.
     val D0 = org.apache.spark.sql.types.DecimalType(38, 0)
     val w = Window.orderBy(col("_b"))
     val withLeads = series

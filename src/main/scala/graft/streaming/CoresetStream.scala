@@ -80,11 +80,43 @@ object CoresetStream {
   def processBatch(spark: SparkSession, batch: DataFrame, vecCol: String,
       idCol: String, k: Int, storeDir: String, batchId: Long): Unit = {
     if (!batch.isEmpty) {
+      // knob drift guard (the CoverStream discipline): a store written
+      // under a different k holds a center set whose |C| <= k invariant
+      // and doubling history were maintained under DIFFERENT semantics
+      // — refuse loudly instead of silently violating the bound
+      knobsOf(spark, storeDir, beforeBatch = Some(batchId)).foreach { sk =>
+        require(sk == k,
+          s"store $storeDir was written with k=$sk; " +
+            s"refusing to continue it with k=$k")
+      }
       val prior = readState(spark, storeDir, beforeBatch = Some(batchId))
       val next = insertAll(prior,
         survivors(batch, vecCol, idCol, prior), k)
-      writeState(spark, next, storeDir, batchId)
+      writeState(spark, next, storeDir, batchId, k)
     }
+  }
+
+  /** The k a store's latest snapshot was written under; None for an
+    * empty store (or a pre-k-column legacy snapshot).
+    */
+  private[graft] def knobsOf(spark: SparkSession, storeDir: String,
+      beforeBatch: Option[Long] = None): Option[Int] = {
+    val stateRoot = Paths.get(storeDir, "state")
+    if (!Files.exists(stateRoot)) return None
+    val bound = beforeBatch.getOrElse(Long.MaxValue)
+    val listing = Files.list(stateRoot)
+    val names =
+      try listing.iterator().asScala.map(_.getFileName.toString).toVector
+      finally listing.close()
+    names
+      .collect { case s if s.startsWith("batch=") => s.drop(6).toLong }
+      .filter(_ < bound)
+      .maxOption
+      .flatMap { b =>
+        val df = spark.read.parquet(s"$storeDir/state/batch=$b")
+        if (!df.columns.contains("k")) None
+        else df.select(col("k")).collect().headOption.map(_.getInt(0))
+      }
   }
 
   /** The batch's potential state-changers under the ENTRY state, in
@@ -119,6 +151,12 @@ object CoresetStream {
     var centers = st.centers
     var rSq = st.rSq
     pts.foreach { case (id, v) =>
+      // dimension guard: d2Scalar (and graftDot on the scan side) sum
+      // over min(len) — a mismatched vector would silently truncate
+      // instead of erroring
+      require(centers.isEmpty || v.length == centers.head._2.length,
+        s"vector dim ${v.length} != maintained center dim " +
+          s"${centers.head._2.length}")
       val covered = centers.nonEmpty &&
         centers.exists { case (_, c) => Coreset.d2Scalar(v, c) <= 4.0 * rSq }
       if (!covered) {
@@ -149,11 +187,11 @@ object CoresetStream {
   }
 
   private def writeState(spark: SparkSession, st: CoverState,
-      storeDir: String, batchId: Long): Unit = {
+      storeDir: String, batchId: Long, k: Int): Unit = {
     import spark.implicits._
     st.centers.zipWithIndex
-      .map { case ((id, v), ord) => (ord, id, v.toSeq, st.rSq) }
-      .toDF("ord", "id", "vec", "r_sq")
+      .map { case ((id, v), ord) => (ord, id, v.toSeq, st.rSq, k) }
+      .toDF("ord", "id", "vec", "r_sq", "k")
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$storeDir/state/batch=$batchId")
   }

@@ -71,21 +71,24 @@ object CoverStream {
       idCol: String, k: Int, tau: Long, buckets: Int, storeDir: String,
       batchId: Long): Unit = {
     if (!batch.isEmpty) {
-      // Knob drift guard: a store written under different (k, tau)
-      // holds accepts made under DIFFERENT semantics, and a redelivered
-      // batch would recompute a different snapshot — refuse loudly
-      // rather than silently reinterpret the old state.
+      // Knob drift guard: a store written under different (k, tau,
+      // buckets) holds accepts made under DIFFERENT semantics — a
+      // changed bucket modulus even makes the covered-set ids
+      // meaningless against new batches — and a redelivered batch
+      // would recompute a different snapshot. Refuse loudly rather
+      // than silently reinterpret the old state.
       knobsOf(spark, storeDir, beforeBatch = Some(batchId)).foreach {
-        case (sk, st) => require(sk == k && st == tau,
-          s"store $storeDir was written with (k=$sk, tau=$st); " +
-            s"refusing to continue it with (k=$k, tau=$tau)")
+        case (sk, st, sb) => require(sk == k && st == tau && sb == buckets,
+          s"store $storeDir was written with (k=$sk, tau=$st, " +
+            s"buckets=$sb); refusing to continue it with (k=$k, " +
+            s"tau=$tau, buckets=$buckets)")
       }
       val prior = readState(spark, storeDir, beforeBatch = Some(batchId))
       val next =
         if (prior.selected.length >= k) prior // full: nothing can accept
         else insertAll(prior,
           survivors(batch, textCol, idCol, tau, buckets), k, tau)
-      writeState(spark, next, storeDir, batchId, k, tau)
+      writeState(spark, next, storeDir, batchId, k, tau, buckets)
     }
   }
 
@@ -97,7 +100,11 @@ object CoverStream {
   private def survivors(batch: DataFrame, textCol: String, idCol: String,
       tau: Long, buckets: Int): Seq[(Long, Array[Long])] =
     MaxCover.featurePairs(batch, textCol, idCol, buckets)
-      .groupBy(col("id")).agg(collect_set(col("bucket")).as("bs"))
+      // cast defensively (the CoresetStream discipline): featurePairs
+      // aliases the caller's id column unchanged, so an IntegerType id
+      // would make the driver-side getLong throw and kill the stream
+      .groupBy(col("id").cast("long").as("id"))
+      .agg(collect_set(col("bucket")).as("bs"))
       .filter(size(col("bs")) >= tau)
       .orderBy(col("id")).collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray.sorted)).toSeq
@@ -120,21 +127,23 @@ object CoverStream {
   }
 
   private def writeState(spark: SparkSession, st: CoverState,
-      storeDir: String, batchId: Long, k: Int, tau: Long): Unit = {
+      storeDir: String, batchId: Long, k: Int, tau: Long,
+      buckets: Int): Unit = {
     import spark.implicits._
-    Seq((st.selected, st.covered.toSeq.sorted, k, tau))
-      .toDF("selected", "covered", "k", "tau")
+    Seq((st.selected, st.covered.toSeq.sorted, k, tau, buckets))
+      .toDF("selected", "covered", "k", "tau", "buckets")
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$storeDir/state/batch=$batchId")
   }
 
-  /** The (k, tau) a store's latest snapshot was written under; None for
-    * an empty store.
+  /** The (k, tau, buckets) a store's latest snapshot was written under;
+    * None for an empty store.
     */
   private[graft] def knobsOf(spark: SparkSession, storeDir: String,
-      beforeBatch: Option[Long] = None): Option[(Int, Long)] =
+      beforeBatch: Option[Long] = None): Option[(Int, Long, Int)] =
     latestSnapshot(spark, storeDir, beforeBatch)
-      .map(r => (r.getAs[Int]("k"), r.getAs[Long]("tau")))
+      .map(r => (r.getAs[Int]("k"), r.getAs[Long]("tau"),
+        r.getAs[Int]("buckets")))
 
   /** Latest snapshot row strictly before `beforeBatch` (the redelivery
     * guard); None when no snapshot qualifies.

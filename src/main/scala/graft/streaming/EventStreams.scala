@@ -62,18 +62,24 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"), col("n_events"))
 
   /** Batch sessionization via gaps-and-islands: a new session starts when
-    * the gap to the previous event of the same user exceeds `gapMinutes`.
-    * Deterministic and SQL-expressible (oracle-checkable), same semantics
-    * as the streaming `session_window`.
+    * the gap to the previous event of the same user EXCEEDS `gapMinutes`
+    * (strict >, at full MICROSECOND precision — the declared rule the
+    * oracle replays with epoch_us; per-timestamp second truncation would
+    * make the split decision depend on each endpoint's fractional part
+    * rather than the true gap). Deterministic and SQL-expressible.
+    * Residual hair vs the streaming `session_window`: the native window
+    * is half-open, splitting at gap EXACTLY equal (>=) where this rule
+    * merges — divergence requires a gap equal to the threshold to the
+    * microsecond.
     */
   def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
-    val gapSec = gapMinutes * 60L
+    val gapMicros = gapMinutes * 60L * 1000000L
     events
       .withColumn("_prev", lag(col("ts"), 1).over(byUser))
       .withColumn("_new_session",
         when(col("_prev").isNull ||
-          unix_timestamp(col("ts")) - unix_timestamp(col("_prev")) > gapSec, 1)
+          unix_micros(col("ts")) - unix_micros(col("_prev")) > gapMicros, 1)
           .otherwise(0))
       .withColumn("session_seq",
         sum(col("_new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))

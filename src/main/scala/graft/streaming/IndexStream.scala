@@ -87,18 +87,26 @@ object IndexStream {
     * bookkeeping, not index content.
     */
   def readStore(spark: SparkSession, storeDir: String): (DataFrame, DataFrame) = {
+    import spark.implicits._
     // r12 ADVICE: if every micro-batch was empty, appendBatch never
     // created postings/ or meta/ — an empty index is a VALID store
-    // state (zero postings, N = 0), not an AnalysisException.
-    if (!Files.exists(Paths.get(storeDir, "postings"))) {
-      import spark.implicits._
-      (Seq.empty[(Long, String, Long)].toDF("id", "word", "tf"),
-        Seq(0L).toDF("_n"))
-    } else
-      (spark.read.parquet(s"$storeDir/postings")
-         .select(col("id"), col("word"), col("tf")),
-        spark.read.parquet(s"$storeDir/meta")
-          .agg(sum(col("_n")).cast("long").as("_n")))
+    // state (zero postings, N = 0), not an AnalysisException. The two
+    // sides are guarded INDEPENDENTLY (the DedupStream.readStore
+    // discipline): appendBatch writes postings THEN meta, so a crash
+    // between the two leaves an orphaned postings slice — meta absent
+    // or behind — until the batch replays; reading must not throw in
+    // that window.
+    val postings =
+      if (!Files.exists(Paths.get(storeDir, "postings")))
+        Seq.empty[(Long, String, Long)].toDF("id", "word", "tf")
+      else spark.read.parquet(s"$storeDir/postings")
+        .select(col("id"), col("word"), col("tf"))
+    val n =
+      if (!Files.exists(Paths.get(storeDir, "meta")))
+        Seq(0L).toDF("_n")
+      else spark.read.parquet(s"$storeDir/meta")
+        .agg(coalesce(sum(col("_n")), lit(0L)).cast("long").as("_n"))
+    (postings, n)
   }
 
   /** Retrieval over the maintained store: weight, then the standard

@@ -21,7 +21,9 @@ import java.sql.Timestamp
   * `maxFilesPerTrigger`, never by file size). The heavy lifting —
   * parse, validate, merge — happens in the service's own distributed
   * batch plan against the file path, exactly as in the POST model. The
-  * checkpoint makes arrival processing exactly-once across restarts.
+  * checkpoint plus the batchId-keyed processed marker make arrival
+  * processing effectively-once across restarts (see [[start]] for the
+  * exact redelivery contract).
   */
 object IngestStream {
 
@@ -44,10 +46,22 @@ object IngestStream {
   /** Start the endpoint: every arriving file runs one ingest batch, in
     * lexicographic path order within a micro-batch (producers that need
     * strict ordering encode it in the name, the standard drop-dir
-    * contract). `batchTsFor` pins the batch stamp deterministically;
-    * `onReport` receives each file's [[operators.IngestionReport]] —
-    * a failed file reports failure and writes nothing, and the stream
-    * keeps consuming (the per-batch atomicity of the POST model).
+    * contract). `batchTsFor` pins the batch stamp; the DEFAULT derives
+    * it from the file's modification time, so a redelivered batch
+    * re-stamps identically (a wall-clock default would re-stamp every
+    * replayed merge differently). `onReport` receives each file's
+    * [[operators.IngestionReport]] — a failed file reports failure and
+    * writes nothing, and the stream keeps consuming (the per-batch
+    * atomicity of the POST model).
+    *
+    * Redelivery: foreachBatch is AT-LEAST-ONCE, and the service's
+    * sku-less insert path is not idempotent — so a batchId-keyed
+    * processed marker (under the checkpoint dir, the sibling streams'
+    * snapshot-per-batchId discipline) skips fully-processed batches on
+    * replay. A crash INSIDE a batch replays that batch's files;
+    * upserts re-merge to the identical state under the deterministic
+    * batchTs, and `onReport` may re-fire for them — report consumers
+    * that require exactly-once should key on (path, ts).
     */
   def start(
       spark: SparkSession,
@@ -55,17 +69,25 @@ object IngestStream {
       cfg: ParserConfig,
       dir: String,
       checkpointDir: String,
-      batchTsFor: String => Timestamp = _ => new Timestamp(System.currentTimeMillis()),
+      batchTsFor: String => Timestamp = p => new Timestamp(
+        java.nio.file.Files.getLastModifiedTime(java.nio.file.Paths.get(
+          p.stripPrefix("file:"))).toMillis),
       onReport: (String, IngestionReport) => Unit = (_, _) => ()): StreamingQuery =
     fromDropDirectory(spark, dir).writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        val files = batch.select(col("file_path")).distinct()
-          .collect().map(_.getString(0)).sorted
-        files.foreach { path =>
-          onReport(path, service.ingest(cfg, path,
-            fullUpdate = isFullUpdate(path), batchTs = batchTsFor(path)))
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val marker = java.nio.file.Paths.get(
+          checkpointDir, "graft-processed", s"batch=$batchId")
+        if (!java.nio.file.Files.exists(marker)) {
+          val files = batch.select(col("file_path")).distinct()
+            .collect().map(_.getString(0)).sorted
+          files.foreach { path =>
+            onReport(path, service.ingest(cfg, path,
+              fullUpdate = isFullUpdate(path), batchTs = batchTsFor(path)))
+          }
+          java.nio.file.Files.createDirectories(marker)
+          ()
         }
       }
       .start()

@@ -91,12 +91,18 @@ class CoverStreamSpec extends SparkSpec {
     val store = tmpDir("coverstore4")
     CoverStream.processBatch(spark, docs.take(30).toDF("doc_id", "text"),
       "text", "doc_id", 5, 2L, B, store, 0L)
-    assert(CoverStream.knobsOf(spark, store) === Some((5, 2L)))
+    assert(CoverStream.knobsOf(spark, store) === Some((5, 2L, B)))
     val e = intercept[IllegalArgumentException] {
       CoverStream.processBatch(spark, docs.slice(30, 60).toDF("doc_id", "text"),
         "text", "doc_id", 5, 3L, B, store, 1L)
     }
     assert(e.getMessage.contains("tau=2"))
+    // a changed bucket modulus makes the covered-set ids meaningless —
+    // refused even with (k, tau) unchanged
+    intercept[IllegalArgumentException] {
+      CoverStream.processBatch(spark, docs.slice(30, 60).toDF("doc_id", "text"),
+        "text", "doc_id", 5, 2L, B / 2, store, 1L)
+    }
     // same knobs continue fine
     CoverStream.processBatch(spark, docs.slice(30, 60).toDF("doc_id", "text"),
       "text", "doc_id", 5, 2L, B, store, 1L)

@@ -141,6 +141,24 @@ class SetSimJoinSpec extends SparkSpec {
     assert(expect.nonEmpty, "fixture produced no qualifying pairs")
   }
 
+  test("float-boundary threshold (0.07): qualifying pair at exactly J = t survives") {
+    // IEEE: 100 * 0.07 = 7.000000000000001, so an unslacked
+    // ceil(n*t) shortens doc 2's prefix by one position AND the length
+    // filter rejects min=7 >= max*t — both previously dropped this
+    // qualifying pair before the exact verify. |a| = 7 ⊂ |b| = 100:
+    // J = 7/100 = 0.07 exactly; the 93 unique fillers (df 1) sort
+    // BEFORE the shared tokens (df 2), so the shared tokens sit at the
+    // very end of b's prefix window — the worst case for the bound.
+    val shared = (1 to 7).map(i => s"s$i").toSet
+    val fillers = (8 to 100).map(i => f"u$i%03d").toSet
+    val docs = Seq(1L -> shared, 2L -> (shared ++ fillers))
+    val got = SetSimJoin.selfJoinTokens(tokensDf(docs), 0.07)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got === Seq((1L, 2L, 7L, 0.07)),
+      s"boundary pair lost to float rounding: $got")
+  }
+
   test("plan: prefix equi-join only - no cartesian, no nested-loop join") {
     val docs = Seq(1L -> Set("a", "b"), 2L -> Set("b", "c"))
     val plan = SetSimJoin.selfJoinTokens(tokensDf(docs), 0.5)
