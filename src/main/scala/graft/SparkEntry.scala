@@ -6875,11 +6875,11 @@ object SparkEntry {
        |              ELSE t.lco END AS lco
        |       FROM s1 t FULL JOIN m2 s ON t.sku = s.sku),
        |deact AS (SELECT sku, title,
-       |         CASE WHEN sku IS NOT NULL AND len(sku) > 0
+       |         CASE WHEN sku IS NOT NULL
        |                   AND sku NOT IN (SELECT sku FROM m3 WHERE sku IS NOT NULL)
        |              THEN false ELSE active END AS active,
        |         max_price,
-       |         CASE WHEN sku IS NOT NULL AND len(sku) > 0
+       |         CASE WHEN sku IS NOT NULL
        |                   AND sku NOT IN (SELECT sku FROM m3 WHERE sku IS NOT NULL)
        |              THEN TIMESTAMP '2024-01-03 00:00:00' ELSE lco END AS lco
        |       FROM s2),

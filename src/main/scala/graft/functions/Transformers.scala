@@ -78,6 +78,22 @@ object Transformers {
   def errorFlag(raw: Column, transformed: Column): Column =
     raw.isNotNull && transformed.isNull
 
+  /** True when an integer-target value PARSES as a number but lies
+    * outside INTEGER's range: the reference transforms it fine (Python
+    * ints are arbitrary precision) and the batch then dies at the
+    * database INSERT into the INTEGER column — the pre-sink validation
+    * channel (the VARCHAR-width discipline) reproduces that abort.
+    * Without the flag, try_cast Double→Int yields NULL and the
+    * coalesce-to-0 in [[integer]] would SILENTLY store 0 for a
+    * perfectly parseable out-of-range value; genuine garbage stays 0
+    * (the reference's `except ValueError: return 0`).
+    */
+  def integerRangeErrorFlag(raw: Column): Column = {
+    val d = trim(raw.cast(StringType)).try_cast(DoubleType)
+    d.isNotNull &&
+      (d > lit(Int.MaxValue.toDouble) || d < lit(Int.MinValue.toDouble))
+  }
+
   val registry: Map[String, Column => Column] = Map(
     "text" -> text,
     "decimal" -> decimal,

@@ -46,7 +46,10 @@ object AsOfJoin {
     val lTagged = left
       .withColumn("_ats", col(leftTsCol))
       .withColumn("_side", lit(1))
-    val rTagged = right.select(
+    // a right row with a NULL timestamp can never satisfy ts <= left.ts
+    // — unfiltered it would sort FIRST (nulls-first ascending) and
+    // attach to every left row as if stamped -infinity
+    val rTagged = right.filter(col(rightTsCol).isNotNull).select(
         keys.map(col) ++ Seq(col(rightTsCol).as("_ats"),
           struct(valueCols.map(col): _*).as("_aval")): _*)
       .withColumn("_side", lit(0))
@@ -92,7 +95,10 @@ object AsOfJoin {
     // Fresh aliases give the right side new exprIds, so left/right built
     // from the same source never collide in the analyzer.
     val rCols = (keys :+ rightTsCol) ++ valueCols
-    val rAliased = right.select(rCols.map(c => col(c).as(s"_r_$c")): _*)
+    // null-ts right rows filtered for parity with [[asOf]] (they can
+    // never satisfy ts <= left.ts)
+    val rAliased = right.filter(col(rightTsCol).isNotNull)
+      .select(rCols.map(c => col(c).as(s"_r_$c")): _*)
     val lPlan = B.analyzed(left)
     val rPlan = B.analyzed(rAliased)
     def attrOf(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,

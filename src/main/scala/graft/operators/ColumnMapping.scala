@@ -151,10 +151,24 @@ object ColumnMapping {
           col(s"`$src`").cast(org.apache.spark.sql.types.StringType)
             .as(s"_raw_len_$dst")
       }
+    // Integer range validation (the reference's DB would reject the
+    // INSERT — see Transformers.integerRangeErrorFlag): flag parseable
+    // values outside INTEGER's range so the service aborts the batch
+    // instead of silently storing the coalesce-to-0 fallback.
+    val rangeFlags: Seq[Column] = cfg.columnMapping.collect {
+      case (src, (dst, "integer")) if present.contains(src) =>
+        Transformers.integerRangeErrorFlag(col(s"`$src`"))
+          .as(s"_err_range_$dst")
+    }
+    val rangeRawVals: Seq[Column] = cfg.columnMapping.collect {
+      case (src, (dst, "integer")) if present.contains(src) =>
+        col(s"`$src`").cast(org.apache.spark.sql.types.StringType)
+          .as(s"_raw_range_$dst")
+    }
     val passthrough: Seq[Column] =
       if (present.contains(IngestSource.ROW_IDX)) Seq(col(IngestSource.ROW_IDX)) else Nil
-    raw.select(mapped ++ errFlags ++ lenFlags ++ rawVals ++ lenRawVals ++
-      passthrough: _*)
+    raw.select(mapped ++ errFlags ++ lenFlags ++ rangeFlags ++ rawVals ++
+      lenRawVals ++ rangeRawVals ++ passthrough: _*)
   }
 
   private def targetType(dst: String) =

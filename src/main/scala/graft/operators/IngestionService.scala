@@ -69,7 +69,22 @@ class IngestionService(
           s"Error during data ingestion: ${e.getMessage}", 0L, Map.empty)
     }
 
+  /** The whole read-merge-publish sequence runs under the backend's
+    * per-client ingest lock: without it two concurrent SAME-client
+    * batches each merge against the same starting state and the second
+    * publish silently discards the first batch's rows (the lost update
+    * the reference's database row-locking prevents). Different tenants
+    * hold different monitors and still ingest fully in parallel.
+    */
   private def doIngest(
+      mapped: DataFrame,
+      fullUpdate: Boolean,
+      batchTs: Timestamp): IngestionReport =
+    store.ingestLock(clientId).synchronized {
+      doIngestLocked(mapped, fullUpdate, batchTs)
+    }
+
+  private def doIngestLocked(
       mapped: DataFrame,
       fullUpdate: Boolean,
       batchTs: Timestamp): IngestionReport = {
@@ -128,36 +143,50 @@ class IngestionService(
 
     // Full-update: deactivate this client's skus absent from the batch,
     // BEFORE the merge so re-ingested skus are reactivated/updated by it.
-    val (base, deactStats) =
-      if (fullUpdate && hasSku) {
-        val ingestedSkus = deduped.select("client_id", "sku")
-        val (updated, affectedFlag) = MergeOps.antiUpdate(
-          target, ingestedSkus, Seq("client_id", "sku"),
-          scope = col("client_id") === clientId && col("sku").isNotNull &&
-            length(col("sku")) > 0,
-          updates = Map(
-            "active" -> lit(false),
-            "last_changed_on" -> stamp))
-        val materialized = updated.persist(StorageLevel.MEMORY_AND_DISK)
-        val deactivated = materialized.filter(affectedFlag).count()
-        (materialized.drop("_deactivated", "_hit"),
-          Map("deactivated_count" -> deactivated,
-            "total_ingested_skus" -> nSkus))
-      } else (target, Map.empty[String, Long])
-    stats ++= deactStats
+    // Deactivation scope is `sku IS NOT NULL` exactly like the
+    // reference's UPDATE (service.py:74-79 — an empty-string sku is
+    // non-null there and IS deactivated; only genuinely null skus stay
+    // out of full-update scope).
+    var toUnpersist = Option.empty[DataFrame]
+    try {
+      val (base, deactStats) =
+        if (fullUpdate && hasSku) {
+          val ingestedSkus = deduped.select("client_id", "sku")
+          val (updated, affectedFlag) = MergeOps.antiUpdate(
+            target, ingestedSkus, Seq("client_id", "sku"),
+            scope = col("client_id") === clientId && col("sku").isNotNull,
+            updates = Map(
+              "active" -> lit(false),
+              "last_changed_on" -> stamp))
+          val materialized = updated.persist(StorageLevel.MEMORY_AND_DISK)
+          toUnpersist = Some(materialized)
+          val deactivated = materialized.filter(affectedFlag).count()
+          (materialized.drop("_deactivated", "_hit"),
+            Map("deactivated_count" -> deactivated,
+              "total_ingested_skus" -> nSkus))
+        } else (target, Map.empty[String, Long])
+      stats ++= deactStats
 
-    val merged = MergeOps.coalesceMerge(
-      base, deduped, ProductSchema.mergeKeys,
-      touchedCol = Some("last_changed_on"), stamp = stamp)
+      // No sku column mapped at all: every row is an insert (the
+      // reference's `if sku:` routes them all to the INSERT path) — a
+      // merge on the sku key would fail ANALYSIS on the missing USING
+      // column and reject a batch the reference accepts.
+      val merged =
+        if (hasSku)
+          MergeOps.coalesceMerge(
+            base, deduped, ProductSchema.mergeKeys,
+            touchedCol = Some("last_changed_on"), stamp = stamp)
+        else base
 
-    val result = merged
-      .unionByName(inserts, allowMissingColumns = true)
-      .withColumn("active", coalesce(col("active"), lit(true)))
-      .withColumn("last_changed_on", coalesce(col("last_changed_on"), stamp))
+      val result = merged
+        .unionByName(inserts, allowMissingColumns = true)
+        .withColumn("active", coalesce(col("active"), lit(true)))
+        .withColumn("last_changed_on", coalesce(col("last_changed_on"), stamp))
 
-    store.overwriteClientAtomic(clientId, result)
-    IngestionReport(success = true,
-      s"Successfully processed $processed items", processed, stats)
+      store.overwriteClientAtomic(clientId, result)
+      IngestionReport(success = true,
+        s"Successfully processed $processed items", processed, stats)
+    } finally toUnpersist.foreach(_.unpersist())
   }
 
   /** Per-row failure details for the abort report: up to
@@ -170,9 +199,14 @@ class IngestionService(
     errCols.toSeq.flatMap { ec =>
       val dst = ec.stripPrefix("_err_")
       // VARCHAR(n) violations ride the same flag channel under a `len_`
-      // sub-prefix and report a width message instead of a parse message.
-      val target = dst.stripPrefix("len_")
-      val overLength = dst.startsWith("len_")
+      // sub-prefix (width message); INTEGER range violations under
+      // `range_` (overflow message); plain strict-parse flags carry the
+      // bare target name.
+      val target = dst.stripPrefix("len_").stripPrefix("range_")
+      val kind =
+        if (dst.startsWith("len_")) "len"
+        else if (dst.startsWith("range_")) "range"
+        else "parse"
       val rawCol =
         if (mapped.columns.contains(s"_raw_$dst")) col(s"_raw_$dst")
         else lit(null).cast("string")
@@ -183,15 +217,17 @@ class IngestionService(
         .orderBy(col("_i"))
         .limit(IngestionService.MaxReportedErrors)
         .collect()
-        .map(r => (r.getLong(0), target, overLength,
+        .map(r => (r.getLong(0), target, kind,
           Option(r.getString(1)).getOrElse("<null>")))
     }
       .sortBy(t => (t._1, t._2))
       .take(IngestionService.MaxReportedErrors)
       .map {
-        case (i, dst, true, v) =>
+        case (i, dst, "len", v) =>
           s"row $i: column '$dst' value exceeds VARCHAR(${graft.ProductSchema.varcharLen(dst)}): '$v'"
-        case (i, dst, false, v) =>
+        case (i, dst, "range", v) =>
+          s"row $i: column '$dst' value out of INTEGER range: '$v'"
+        case (i, dst, _, v) =>
           s"row $i: column '$dst' could not interpret value '$v'"
       }
   }

@@ -33,4 +33,19 @@ trait ProductBackend {
   def overwriteClientAtomic(clientId: Int, df: DataFrame): Unit
   def truncateClient(clientId: Int): Unit
   def append(df: DataFrame): Unit
+
+  /** Monitor serializing one tenant's READ-MERGE-PUBLISH sequence
+    * (IngestionService.doIngest): two concurrent ingests for the SAME
+    * client would each read the same starting state, merge their batch
+    * against it, and the second publish would silently discard the
+    * first batch's rows — the lost update the reference's database
+    * row-locking prevents. Per-client monitors keep DIFFERENT tenants'
+    * ingests fully parallel; only same-client ingests serialize
+    * (exactly the contention a transactional backend serializes too).
+    * Default: one JVM-wide monitor per (backend instance, client).
+    */
+  private val ingestLocks =
+    new java.util.concurrent.ConcurrentHashMap[Int, Object]()
+  def ingestLock(clientId: Int): Object =
+    ingestLocks.computeIfAbsent(clientId, _ => new Object)
 }

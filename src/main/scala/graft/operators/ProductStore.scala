@@ -78,6 +78,11 @@ class ProductStore(spark: SparkSession, root: String, keepVersions: Int = 3)
 
   def exists: Boolean = currentVersion.isDefined
 
+  override def ingestLock(clientId: Int): Object =
+    ProductStore.ingestLocks.computeIfAbsent(
+      (Paths.get(root).toAbsolutePath.normalize.toString, clientId),
+      _ => new Object)
+
   private def currentVersion: Option[Path] =
     if (Files.exists(currentPtr))
       Some(versionsDir.resolve(Files.readString(currentPtr).trim))
@@ -104,12 +109,23 @@ class ProductStore(spark: SparkSession, root: String, keepVersions: Int = 3)
     * rewrite every other tenant's files.
     */
   def overwriteAtomic(df: DataFrame): Unit = {
-    val name = newVersionName()
+    // stage OUTSIDE versions/ (the append/replacePartition discipline):
+    // a build written directly into versions/ is visible to a
+    // concurrent publisher's gc(), which can delete the in-progress
+    // unpublished directory once enough newer versions exist — the
+    // staging prefix is never gc-listed, and the move happens under
+    // the lock
+    val tmp = Paths.get(root, s"_staging_${uniqueTag()}")
     align(df).write
       .mode(SaveMode.Overwrite)
       .partitionBy("client_id")
-      .parquet(versionsDir.resolve(name).toString)
-    withWriteLock(publish(name))
+      .parquet(tmp.toString)
+    withWriteLock {
+      val name = newVersionName()
+      mergeMove(tmp, versionsDir.resolve(name))
+      publish(name)
+    }
+    Try(deleteRecursively(tmp))
   }
 
   /** Replace ONLY `client_id=clientId`'s partition with the given rows
@@ -196,7 +212,30 @@ class ProductStore(spark: SparkSession, root: String, keepVersions: Int = 3)
   private def uniqueTag(): String =
     f"${System.nanoTime()}%019d-${java.util.UUID.randomUUID().toString.substring(0, 8)}"
 
-  private def newVersionName(): String = s"v-${uniqueTag()}"
+  /** Version names must sort by CREATION ORDER — gc retention keeps the
+    * lexicographically-latest `keepVersions`. nanoTime is not monotone
+    * across reboots or hosts (a shared store root would otherwise see
+    * every new version rank BELOW pre-reboot ones and get gc'd on the
+    * next publish while ancient versions survive forever), so the
+    * prefix clamps to strictly above the existing maximum. Called only
+    * under the write lock, so the read-max-then-allocate is atomic.
+    */
+  private def newVersionName(): String = {
+    val floor =
+      if (!Files.exists(versionsDir)) 0L
+      else {
+        val listing = Files.list(versionsDir)
+        val names =
+          try {
+            import scala.jdk.CollectionConverters._
+            listing.iterator().asScala.map(_.getFileName.toString).toVector
+          } finally listing.close()
+        names.flatMap(n => Try(n.stripPrefix("v-").take(19).toLong).toOption)
+          .maxOption.map(_ + 1L).getOrElse(0L)
+      }
+    val nano = math.max(System.nanoTime(), floor)
+    f"v-$nano%019d-${java.util.UUID.randomUUID().toString.substring(0, 8)}"
+  }
 
   /** Publish: write the pointer to a temp file, atomically replace
     * CURRENT. Readers see the old complete version or the new complete
@@ -212,10 +251,23 @@ class ProductStore(spark: SparkSession, root: String, keepVersions: Int = 3)
     gc(name)
   }
 
+  /** Drained, CLOSED directory listing — Files.list holds an open
+    * directory descriptor until closed, and the store's recursive
+    * link/move/delete walks previously leaked one per directory per
+    * publish (reclaimed only at GC finalization — a long-running driver
+    * under steady ingest accumulates fds until "Too many open files").
+    */
+  private def children(p: Path): Seq[Path] = {
+    val s = Files.list(p)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.toVector
+    } finally s.close()
+  }
+
   private def gc(liveName: String): Unit = Try {
     if (Files.exists(versionsDir)) {
-      import scala.jdk.CollectionConverters._
-      val all = Files.list(versionsDir).iterator().asScala.toSeq
+      val all = children(versionsDir)
         .map(_.getFileName.toString).sorted.reverse
       all.drop(keepVersions).filterNot(_ == liveName)
         .foreach(n => Try(deleteRecursively(versionsDir.resolve(n))))
@@ -228,7 +280,7 @@ class ProductStore(spark: SparkSession, root: String, keepVersions: Int = 3)
   private def linkTree(src: Path, dst: Path): Unit = {
     if (Files.isDirectory(src)) {
       Files.createDirectories(dst)
-      Files.list(src).forEach(child => linkTree(child, dst.resolve(child.getFileName)))
+      children(src).foreach(child => linkTree(child, dst.resolve(child.getFileName)))
     } else {
       Files.createDirectories(dst.getParent)
       Files.createLink(dst, src)
@@ -240,7 +292,7 @@ class ProductStore(spark: SparkSession, root: String, keepVersions: Int = 3)
     */
   private def mergeMove(src: Path, dst: Path): Unit = {
     Files.createDirectories(dst)
-    Files.list(src).forEach { child =>
+    children(src).foreach { child =>
       val t = dst.resolve(child.getFileName)
       if (Files.isDirectory(child) && Files.exists(t)) mergeMove(child, t)
       else Files.move(child, t, StandardCopyOption.REPLACE_EXISTING)
@@ -262,8 +314,13 @@ class ProductStore(spark: SparkSession, root: String, keepVersions: Int = 3)
 
   private def deleteRecursively(p: Path): Unit = {
     if (Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      val w = Files.walk(p)
+      val all =
+        try {
+          import scala.jdk.CollectionConverters._
+          w.iterator().asScala.toVector
+        } finally w.close()
+      all.reverse.foreach(Files.delete)
     }
   }
 }
@@ -273,4 +330,11 @@ object ProductStore {
     * instances in this JVM (see [[ProductStore#withWriteLock]]).
     */
   private val jvmLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Per-(root, client) ingest monitors — shared across ProductStore
+    * instances on the same root, so same-client ingests serialize even
+    * through separate store objects (see [[ProductBackend.ingestLock]]).
+    */
+  private val ingestLocks =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Object]()
 }

@@ -58,8 +58,14 @@ object IngestSource {
           val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
           val target =
             if (fs.getFileStatus(p).isDirectory)
+              // mirror Spark's own listing filter: BOTH '_' and '.'
+              // prefixed names are invisible to the scan ('.'-files —
+              // e.g. Hadoop's .part.crc checksums — sort before data
+              // files and would otherwise be probed as the header)
               fs.listStatus(p).filter(_.isFile).map(_.getPath)
-                .filterNot(_.getName.startsWith("_")).sortBy(_.getName).head
+                .filterNot(n => n.getName.startsWith("_") ||
+                  n.getName.startsWith("."))
+                .sortBy(_.getName).head
             else p
           val in = fs.open(target)
           val line =

@@ -315,4 +315,39 @@ class IngestionServiceSpec extends SparkSpec {
       csv("a1,X,1"))
     assert(!rep.success && rep.message.contains("Unknown parser id"))
   }
+
+  test("config mapping no sku column: every row inserts (reference `if sku:` path)") {
+    // the reference routes sku-less records to the INSERT path; a merge
+    // on the missing sku key previously failed ANALYSIS and rejected
+    // the whole batch
+    val store = freshStore()
+    val svc = new IngestionService(spark, store, clientId = 1)
+    val noSkuCfg = ParserConfig("csv", Seq("title" -> ("title", "text")))
+    val rep = svc.ingest(noSkuCfg, csv("a1,First,1", "a2,Second,0"))
+    assert(rep.success, rep.message)
+    assert(rep.processedCount === 2)
+    val rows = store.read().orderBy("title").collect()
+    assert(rows.map(_.getAs[String]("title")).toSeq === Seq("First", "Second"))
+    assert(rows.forall(_.getAs[String]("sku") == null))
+  }
+
+  test("parseable out-of-INTEGER-range value aborts the batch (DB INSERT parity)") {
+    // Python int('9999999999') succeeds, then the reference's INTEGER
+    // column INSERT aborts the batch — coalesce-to-0 must not silently
+    // store 0 for it; genuine garbage still transforms to 0.
+    val store = freshStore()
+    val svc = new IngestionService(spark, store, clientId = 1)
+    val qtyCfg = ParserConfig("csv", Seq(
+      "sku" -> ("sku", "text"),
+      "title" -> ("stock_quantity", "integer"),
+      "active" -> ("active", "boolean")))
+    val rep = svc.ingest(qtyCfg, csv("a1,9999999999,1"))
+    assert(!rep.success)
+    assert(rep.report.exists(_.contains("out of INTEGER range")), rep.report)
+    assert(store.read().isEmpty, "aborted batch must write nothing")
+    // garbage -> 0, batch succeeds (reference except ValueError -> 0)
+    val ok = svc.ingest(qtyCfg, csv("a1,garbage,1"))
+    assert(ok.success, ok.message)
+    assert(store.read().head().getAs[Int]("stock_quantity") === 0)
+  }
 }
