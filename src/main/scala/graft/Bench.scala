@@ -299,7 +299,11 @@ object Bench {
     } catch { case _: Throwable => Map.empty }
   }
 
-  private def jsonStr(s: String): String =
+  /** JSON string escape shared by the harness mains (Verify delegates
+    * here) — one implementation so the two emitted-JSON surfaces can
+    * never drift. Escapes quote, backslash, and ALL control chars.
+    */
+  private[graft] def jsonStr(s: String): String =
     "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
@@ -395,6 +399,11 @@ object Bench {
     // scheduling floor x job count as much as data volume, so the
     // sidecar records how many jobs each query launched — the direct
     // target when trimming multi-job queries (see SCALE.md).
+    // PRECISION CAVEAT: job-start events arrive on the async listener
+    // bus, so under bus backlog a query's last event can land after its
+    // delta is read — counts carry ±1 jitter between adjacent queries
+    // (the bus-drain API is private[spark]); treat the sidecar as a
+    // trim-target ranking, not an exact ledger.
     val jobCounter = new java.util.concurrent.atomic.AtomicInteger(0)
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
@@ -429,6 +438,12 @@ object Bench {
           } catch {
             case e: Throwable =>
               errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName)
+              // a pass-1 success followed by a pass-2 throw must not
+              // leave the pass-1 time in the headline maps — an errored
+              // query gets NO time at all (the documented contract), it
+              // must never look green in a per-query diff
+              analytic -= name; extended -= name; fixtures -= name
+              jobs -= name
           }
         }
       }
@@ -459,7 +474,7 @@ object Bench {
     val jobsJson = jobs.toSeq.sortBy(-_._2)
       .map { case (k, v) => s"${jsonStr(k)}:$v" }
       .mkString("{", ",", "}")
-    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${timesJson(analytic)},"extended":${timesJson(extended)},"extended_total":${fmt(extended.values.sum)},"fixtures":${timesJson(fixtures)},"errors":$errJson,"n_errors":${errors.size},"jobs":$jobsJson,$pressureFields,"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${timesJson(analytic)},"extended":${timesJson(extended)},"extended_total":${fmt(extended.values.sum)},"fixtures":${timesJson(fixtures)},"errors":$errJson,"n_errors":${errors.size},"jobs":$jobsJson,$pressureFields,"sf":${jsonStr(sfDir)}}"""
     println(fullLine)
     // The full line has grown past the driver's bounded tail capture
     // (every round records parsed:null — the line's HEAD, with
@@ -487,7 +502,7 @@ object Bench {
     // inside any tail window, so the headline total survives even when
     // the per-query map doesn't. Its metric name differs from the full
     // line's so no consumer can mistake one shape for the other.
-    println(s"""{"metric":"total_summary","value":${fmt(total)},"unit":"sec","n_queries":${analytic.size},"extended_total":${fmt(extended.values.sum)},"n_extended":${extended.size},"fixtures_total":${fmt(fixtures.values.sum)},"n_fixtures":${fixtures.size},"n_errors":${errors.size},$pressureFields,"full":"$sidecar","sf":"$sfDir"}""")
+    println(s"""{"metric":"total_summary","value":${fmt(total)},"unit":"sec","n_queries":${analytic.size},"extended_total":${fmt(extended.values.sum)},"n_extended":${extended.size},"fixtures_total":${fmt(fixtures.values.sum)},"n_fixtures":${fixtures.size},"n_errors":${errors.size},$pressureFields,"full":${jsonStr(sidecar)},"sf":${jsonStr(sfDir)}}""")
     // A throwing query must fail the bench visibly, not pass silently.
     if (errors.nonEmpty) sys.exit(1)
   }

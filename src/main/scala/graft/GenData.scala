@@ -19,6 +19,13 @@ object GenData {
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/dev/shm/graft-sf1")
+    // region/nation copy verbatim from the fixed source dir — validated
+    // UP FRONT so a wrong path fails before gigabytes of tmpfs writes,
+    // and overridable by the same env the other harness mains read
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    require(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(srcDir, "region.parquet")),
+      s"source dir $srcDir has no region.parquet — set SPARK_GRAFT_SF_DIR")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -171,9 +178,9 @@ object GenData {
       .withColumn("s_acctbal", round(u(col("s_suppkey"), 36) * 11000.0 - 1000.0, 2))
     supplier.write.mode(SaveMode.Overwrite).parquet(s"$out/supplier.parquet")
 
-    // region/nation do not scale — copy the sf0.1 fixed tables verbatim
+    // region/nation do not scale — copy the fixed tables verbatim
     Seq("region", "nation").foreach { tname =>
-      spark.read.parquet(s"/root/testdata/sf0.1/$tname.parquet")
+      spark.read.parquet(s"$srcDir/$tname.parquet")
         .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$out/$tname.parquet")
     }
 

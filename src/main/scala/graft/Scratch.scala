@@ -58,6 +58,15 @@ object Scratch {
     * touched; per-file failures are swallowed (another reaper may be
     * racing on the same stale dir).
     */
+  /** Name of the ownership marker dropped into every dir Scratch
+    * issues: the reaper deletes ONLY marked dirs, so an
+    * externally-managed directory that happens to match the
+    * graft-<tag>-<digits> shape (e.g. a caller-set
+    * SPARK_GRAFT_ARTIFACT_DIR another process still reads) is never
+    * reaped out from under its owner.
+    */
+  private val OwnerMarker = ".graft-scratch"
+
   private lazy val staleReaped: Unit = {
     val baseDir = Paths.get(base)
     val pat = java.util.regex.Pattern.compile("graft-.*-(\\d+)")
@@ -65,7 +74,7 @@ object Scratch {
       val s = Files.list(baseDir)
       try s.forEach { p =>
         val m = pat.matcher(p.getFileName.toString)
-        if (m.matches()) {
+        if (m.matches() && Files.exists(p.resolve(OwnerMarker))) {
           val alive = try ProcessHandle.of(m.group(1).toLong)
             .map[Boolean](_.isAlive).orElse(false)
           catch { case _: Throwable => true } // unparseable: leave it
@@ -73,6 +82,18 @@ object Scratch {
         }
       } finally s.close()
     } catch { case _: Throwable => () }
+  }
+
+  /** Create the dir eagerly and mark it as Scratch-owned (see
+    * [[OwnerMarker]]); failures are non-fatal — an unmarked dir is
+    * merely never reaped.
+    */
+  private def marked(d: String): String = {
+    try {
+      Files.createDirectories(Paths.get(d))
+      Files.writeString(Paths.get(d, OwnerMarker), "")
+    } catch { case _: Throwable => () }
+    d
   }
 
   /** Per-process-unique scratch dir (pid suffix, same isolation story as
@@ -84,7 +105,7 @@ object Scratch {
     hookInstalled
     val d = s"$base/graft-$tag-${ProcessHandle.current().pid()}"
     issued.synchronized(issued += d)
-    d
+    marked(d)
   }
 
   /** Per-process-unique dir that OUTLIVES this JVM (oracle artifacts the
@@ -93,6 +114,6 @@ object Scratch {
     */
   def persistentDir(tag: String): String = {
     staleReaped
-    s"$base/graft-$tag-${ProcessHandle.current().pid()}"
+    marked(s"$base/graft-$tag-${ProcessHandle.current().pid()}")
   }
 }

@@ -19,5 +19,9 @@ object Smoke {
     df.show(5, truncate = false)
     println(s"SMOKE rows=$n ${if (n > 0) "PASS" else "FAIL"}")
     spark.stop()
+    // a failing smoke must fail VISIBLY to exit-code consumers too (the
+    // Bench discipline) — printing FAIL while exiting 0 lets a CI step
+    // wired to the status report success on a broken entry
+    if (n == 0) sys.exit(1)
   }
 }
