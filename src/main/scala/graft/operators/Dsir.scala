@@ -97,17 +97,20 @@ object Dsir {
       idCol: String,
       isTarget: Column,
       buckets: Int = 4096): DataFrame = {
+    // ONE corpus explode: both classes' per-bucket counts come from a
+    // single conditional aggregate, and the totals are sums over that
+    // <= B-row table — the four-filtered-branches formulation planned
+    // the tokenize+explode subtree four times (Spark shares no common
+    // subtrees across aggregation branches), quadrupling the dominant
+    // corpus-scan cost of a model fit.
     val occ = featureOccurrences(docs, textCol, idCol, isTarget, buckets)
-    val tgtCounts = occ.filter(col("_tgt"))
-      .groupBy(col("bucket")).agg(count(lit(1)).as("_ct"))
-    val rawCounts = occ.filter(!col("_tgt"))
-      .groupBy(col("bucket")).agg(count(lit(1)).as("_cr"))
-    val tgtTotal = occ.filter(col("_tgt")).agg(count(lit(1)).as("_t"))
-    val rawTotal = occ.filter(!col("_tgt")).agg(count(lit(1)).as("_r"))
-    rawCounts.join(tgtCounts, Seq("bucket"), "full_outer")
-      .na.fill(0L, Seq("_ct", "_cr"))
-      .crossJoin(broadcast(tgtTotal))
-      .crossJoin(broadcast(rawTotal))
+    val counts = occ.groupBy(col("bucket")).agg(
+      sum(when(col("_tgt"), 1L).otherwise(0L)).as("_ct"),
+      sum(when(!col("_tgt"), 1L).otherwise(0L)).as("_cr"))
+    val totals = counts.agg(
+      sum(col("_ct")).as("_t"), sum(col("_cr")).as("_r"))
+    counts
+      .crossJoin(broadcast(totals))
       .select(col("bucket"),
         round(
           log((col("_ct").cast(DoubleType) + 1.0) /
@@ -251,11 +254,18 @@ object Dsir {
     val s = col(scoreCol)
     val stats = scores.agg(
       count(lit(1)).as("_n"),
-      count(when(s.isNull || isnan(s), lit(1))).as("_bad"),
+      // ±Infinity is as fatal as NaN here: an infinite hi makes the
+      // bucket width infinite, one narrowing collapses the interval to
+      // [Inf, Inf] with w = NaN (neither degenerate-width guard fires
+      // on NaN), and the final walk ends in the spurious
+      // "refinement lost the boundary" require
+      count(when(s.isNull || isnan(s) ||
+        s === Double.PositiveInfinity || s === Double.NegativeInfinity,
+        lit(1))).as("_bad"),
       min(s).as("_lo"), max(s).as("_hi")).head()
     val n = stats.getLong(0)
     require(stats.getLong(1) == 0L,
-      s"null/NaN $scoreCol: scores must be non-null and orderable")
+      s"null/NaN/Inf $scoreCol: scores must be finite and orderable")
     if (k >= n) return scores.withColumn("selected", lit(true))
     if (k == 0L) return scores.withColumn("selected", lit(false))
     var lo = stats.getDouble(2)

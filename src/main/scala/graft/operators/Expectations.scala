@@ -58,9 +58,13 @@ object Expectations {
     */
   final case class Unique(colName: String) extends Check {
     val name = s"unique($colName)"
-    def metric: Column =
+    // coalesce like ratio(): an empty table's 0/0 is otherwise a NULL
+    // metric and a NULL verdict, which a three-valued pass/fail gate
+    // (`passed =!= false`) would silently bless
+    def metric: Column = coalesce(
       countDistinct(col(colName)).cast("double") /
-        count(lit(1)).cast("double")
+        count(lit(1)).cast("double"),
+      lit(0.0))
     def passed(m: Column): Column = m >= 1.0
   }
 
@@ -71,9 +75,11 @@ object Expectations {
   final case class UniqueApprox(colName: String, minRatio: Double = 0.97)
       extends Check {
     val name = s"unique_approx($colName)"
-    def metric: Column =
+    // empty-table 0/0 coalesces to 0.0/false like Unique — see above
+    def metric: Column = coalesce(
       approx_count_distinct(col(colName)).cast("double") /
-        count(lit(1)).cast("double")
+        count(lit(1)).cast("double"),
+      lit(0.0))
     def passed(m: Column): Column = m >= minRatio
   }
 
@@ -132,12 +138,23 @@ object Expectations {
     */
   def validate(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "no checks declared")
+    // Disambiguate repeated same-type/same-column checks (two InRange
+    // bands on one column would otherwise emit indistinguishable rows
+    // in engine-dependent relative order): the SECOND and later
+    // occurrence of a name gets a #<k> suffix; unique names — the
+    // common case, and every existing caller — are untouched.
+    val seen = scala.collection.mutable.Map.empty[String, Int]
+    val names = checks.map { c =>
+      val k = seen.getOrElse(c.name, 0)
+      seen(c.name) = k + 1
+      if (k == 0) c.name else s"${c.name}#${k + 1}"
+    }
     val metrics = checks.zipWithIndex.flatMap { case (c, i) =>
       Seq(round(c.metric, 6).as(s"_m$i"), c.passed(c.metric).as(s"_p$i"))
     }
     val one = df.agg(metrics.head, metrics.tail: _*)
     val stacked = checks.zipWithIndex.flatMap { case (c, i) =>
-      Seq(lit(c.name), lit(c.colName), col(s"_m$i"), col(s"_p$i"))
+      Seq(lit(names(i)), lit(c.colName), col(s"_m$i"), col(s"_p$i"))
     }
     one.select(stack(
         (lit(checks.size) +: stacked): _*)
