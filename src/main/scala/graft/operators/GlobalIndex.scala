@@ -52,10 +52,16 @@ object GlobalIndex {
         "to the single-reducer global window — convert timestamps/strings " +
         "to a numeric sort key explicitly")
     val cols: Seq[Column] = orderCols.map(col)
+    // pin BEFORE the quantile pass: approxQuantile is an action, so an
+    // unpinned input would compute once for the quantiles and again for
+    // the checkpoint below — and a NONDETERMINISTIC input (sample,
+    // rand-keyed, mutable source) could make the offset counts disagree
+    // with the rows being ranked, colliding or gapping indexes
+    val pinned = df.localCheckpoint()
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
     val splits =
       if (probs.isEmpty) Array.empty[Double] // buckets=1: single range
-      else df.stat.approxQuantile(key, probs, 0.001).distinct.sorted
+      else pinned.stat.approxQuantile(key, probs, 0.001).distinct.sorted
     // bucket = number of split points <= key, as size(filter(splits)):
     // one array literal + a 3-node lambda, not a `buckets`-term when
     // chain. The when-chain version codegen'd a comparison cascade
@@ -66,13 +72,10 @@ object GlobalIndex {
     val bucketExpr =
       if (splits.isEmpty) lit(0)
       else size(filter(lit(splits), s => col(key).cast("double") >= s))
-    // pin: the bucketed table feeds the offsets aggregate AND the
-    // ranking join (two plan branches), and the input already executed
-    // once for approxQuantile — without materialization an expensive
-    // upstream df computes three times, and a NONDETERMINISTIC df
-    // (sample, rand-keyed, mutable source) could make the offset counts
-    // disagree with the rows being ranked, colliding or gapping indexes
-    val bucketed = df.withColumn("_b", bucketExpr).localCheckpoint()
+    // the bucketed table feeds the offsets aggregate AND the ranking
+    // join (two plan branches) — both re-read the pinned blocks, never
+    // the upstream plan
+    val bucketed = pinned.withColumn("_b", bucketExpr)
     // Offsets: per-bucket counts prefix-summed best-bucket-first. The
     // single-partition window is over `buckets` ROWS (the aggregated
     // counts), not the data — same bounded-work class as the previous
@@ -89,5 +92,64 @@ object GlobalIndex {
         row_number().over(Window.partitionBy(col("_b")).orderBy(cols: _*)))
       .withColumn(indexCol, (col("_off") + col("_lrank") - 1L).cast("long"))
       .drop("_b", "_lrank", "_off")
+  }
+
+  /** Scalable global running sums — the prefix-sum sibling of
+    * [[withGlobalIndex]], for sweep-line queries (interval concurrency,
+    * cumulative inventory) whose naive shape is a prefix sum over an
+    * unpartitioned `Window.orderBy(key)`: a single task sorting the
+    * whole table. Same split-points construction: bucket rows by VALUE
+    * range of `orderCol` (one approxQuantile pass), per-bucket partial
+    * sums in parallel (each task sorts one value range), per-bucket
+    * TOTALS prefix-summed by a window over just `buckets` rows and
+    * broadcast back as starting offsets.
+    *
+    * `sums` gives (srcCol, outCol, inclusive) triples: inclusive=true is
+    * `ROWS UNBOUNDED PRECEDING..CURRENT`, false stops at `1 PRECEDING`
+    * (the "events strictly before t" side of an inclusive-interval
+    * sweep). `orderCol` must be numeric and unique (pre-aggregate to
+    * distinct keys first) — ties would make "preceding" ill-defined.
+    */
+  def withRunningSums(
+      df: DataFrame,
+      orderCol: String,
+      sums: Seq[(String, String, Boolean)],
+      buckets: Int = 64): DataFrame = {
+    require(sums.nonEmpty, "running sums need at least one (src, out, inclusive) spec")
+    require(df.schema(orderCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"running-sum order column '$orderCol' must be numeric " +
+        s"(got ${df.schema(orderCol).dataType.simpleString})")
+    // pin BEFORE the quantile pass (see withGlobalIndex): one upstream
+    // computation feeds the quantiles, the per-bucket totals AND the
+    // within-bucket ranking
+    val pinned = df.localCheckpoint()
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val splits =
+      if (probs.isEmpty) Array.empty[Double]
+      else pinned.stat.approxQuantile(orderCol, probs, 0.001).distinct.sorted
+    val bucketExpr =
+      if (splits.isEmpty) lit(0)
+      else size(filter(lit(splits), s => col(orderCol).cast("double") >= s))
+    val bucketed = pinned.withColumn("_b", bucketExpr)
+    // per-bucket totals -> EXCLUSIVE prefix (each bucket's starting
+    // offset) over `buckets` rows, broadcast back
+    val totals = sums.map { case (src, out, _) => sum(col(src)).as(s"_t_$out") }
+    val offsets = bucketed.groupBy(col("_b"))
+      .agg(totals.head, totals.tail: _*)
+      .select(col("_b") +: sums.map { case (_, out, _) =>
+        coalesce(sum(col(s"_t_$out")).over(Window.orderBy(col("_b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as(s"_o_$out")
+      }: _*)
+    val inBucket = Window.partitionBy(col("_b")).orderBy(col(orderCol))
+    sums.foldLeft(bucketed.join(broadcast(offsets), Seq("_b"))) {
+      case (acc, (src, out, inclusive)) =>
+        val local =
+          if (inclusive)
+            sum(col(src)).over(inBucket.rowsBetween(Window.unboundedPreceding, 0))
+          else coalesce(
+            sum(col(src)).over(inBucket.rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L))
+        acc.withColumn(out, col(s"_o_$out") + local)
+    }.drop("_b" +: sums.map { case (_, out, _) => s"_o_$out" }: _*)
   }
 }

@@ -117,15 +117,34 @@ class JdbcProductStore(
     try body(conn) finally conn.close()
   }
 
+  /** Unquoted identifiers fold per-database: Derby/Oracle store them
+    * upper-case, Postgres (the reference's actual DB, db/models.py)
+    * lower-case. Ask the driver which folding it applies; for drivers
+    * that report neither, probe exact + both foldings so an existing
+    * table is never missed (a miss re-runs CREATE TABLE and fails).
+    */
   private def tableExists(conn: Connection, name: String): Boolean = {
-    val rs = conn.getMetaData.getTables(null, null, name.toUpperCase, null)
-    try rs.next() finally rs.close()
+    val md = conn.getMetaData
+    val candidates =
+      if (Try(md.storesUpperCaseIdentifiers()).getOrElse(false)) Seq(name.toUpperCase)
+      else if (Try(md.storesLowerCaseIdentifiers()).getOrElse(false)) Seq(name.toLowerCase)
+      else Seq(name, name.toUpperCase, name.toLowerCase)
+    candidates.distinct.exists { n =>
+      val rs = md.getTables(null, null, n, null)
+      try rs.next() finally rs.close()
+    }
   }
 
   private def ensureTable(): Unit = withConnection { conn =>
     if (!tableExists(conn, table)) {
       val st = conn.createStatement()
-      try st.executeUpdate(createDdl) finally st.close()
+      // check-then-create can lose a create/create race with another
+      // connection; the loser's "already exists" error is success iff a
+      // re-probe now sees the table (don't trust vendor SQLStates).
+      try st.executeUpdate(createDdl)
+      catch {
+        case _: java.sql.SQLException if tableExists(conn, table) => ()
+      } finally st.close()
     }
   }
 
@@ -172,6 +191,10 @@ class JdbcProductStore(
     try {
       st.executeUpdate(s"DELETE FROM $table WHERE ${q("client_id")} = $clientId")
       conn.commit()
+    } catch {
+      // roll back before close: an open transaction makes close() raise
+      // (Derby 25001), masking the real DELETE failure.
+      case t: Throwable => Try(conn.rollback()); throw t
     } finally st.close()
   }
 
@@ -189,26 +212,31 @@ class JdbcProductStore(
       requireRows: Boolean,
       abortMsg: String = "empty staged batch"): Unit = {
     val staging = s"${table}_stage_${ProcessHandle.current().pid()}_${Thread.currentThread().getId}"
-    align(df).write.mode(SaveMode.Overwrite)
-      .option("createTableColumnTypes", columnTypes)
-      .jdbc(url, staging, props)
-    try withConnection { conn =>
-      conn.setAutoCommit(false)
-      val st = conn.createStatement()
-      try {
-        if (requireRows) {
-          val rs = st.executeQuery(s"SELECT count(*) FROM $staging")
-          val n = try { rs.next(); rs.getLong(1) } finally rs.close()
-          if (n == 0) throw new IllegalStateException(abortMsg)
-        }
-        st.executeUpdate(
-          s"DELETE FROM $table${deleteWhere.fold("")(w => s" WHERE $w")}")
-        val cols = ProductSchema.CLIENT_PRODUCTS_SCHEMA.fieldNames.map(q).mkString(", ")
-        st.executeUpdate(s"INSERT INTO $table ($cols) SELECT $cols FROM $staging")
-        conn.commit()
-      } catch {
-        case t: Throwable => Try(conn.rollback()); throw t
-      } finally st.close()
+    // The staging WRITE sits inside the try: if an executor task dies
+    // mid-write, the finally still drops the half-written staging table
+    // (the Try around DROP absorbs the nothing-was-created case).
+    try {
+      align(df).write.mode(SaveMode.Overwrite)
+        .option("createTableColumnTypes", columnTypes)
+        .jdbc(url, staging, props)
+      withConnection { conn =>
+        conn.setAutoCommit(false)
+        val st = conn.createStatement()
+        try {
+          if (requireRows) {
+            val rs = st.executeQuery(s"SELECT count(*) FROM $staging")
+            val n = try { rs.next(); rs.getLong(1) } finally rs.close()
+            if (n == 0) throw new IllegalStateException(abortMsg)
+          }
+          st.executeUpdate(
+            s"DELETE FROM $table${deleteWhere.fold("")(w => s" WHERE $w")}")
+          val cols = ProductSchema.CLIENT_PRODUCTS_SCHEMA.fieldNames.map(q).mkString(", ")
+          st.executeUpdate(s"INSERT INTO $table ($cols) SELECT $cols FROM $staging")
+          conn.commit()
+        } catch {
+          case t: Throwable => Try(conn.rollback()); throw t
+        } finally st.close()
+      }
     } finally withConnection { conn =>
       val st = conn.createStatement()
       try Try(st.executeUpdate(s"DROP TABLE $staging")) finally st.close()

@@ -422,4 +422,116 @@ object Multimodal {
         }
       }
   }
+
+  // ---- REAL audio decode: RIFF/WAVE container + PCM samples ------------
+
+  /** Deterministic 16-bit PCM sample formula: sample `i` of clip `id`,
+    * in [-32768, 32767]. Pure integer arithmetic (the [[pixelR]]
+    * discipline for audio), so an external engine recomputes any
+    * aggregate of the decoded samples analytically — what makes a REAL
+    * container+PCM decode oracle-checkable.
+    */
+  @inline def pcmSample(id: Long, i: Int): Int =
+    ((((id * 31L + 17L * i) % 65536L) + 65536L) % 65536L - 32768L).toInt
+
+  /** Encode a deterministic clip as a REAL RIFF/WAVE file: PCM s16le
+    * mono, little-endian throughout, with a `LIST` metadata chunk
+    * deliberately placed BEFORE `data` — a decoder that assumes samples
+    * start at fixed offset 44 (instead of walking chunks) reads garbage
+    * and goes red under the gate. Executor-side only.
+    */
+  def encodeWav(id: Long, nSamples: Int, sampleRate: Int): Array[Byte] = {
+    val info = s"graft-$id".getBytes("US-ASCII")
+    val infoPadded = if (info.length % 2 == 0) info else info :+ 0.toByte
+    val listBody = 4 + 8 + infoPadded.length // "INFO" + "INAM" subchunk
+    val dataBytes = nSamples * 2
+    val riffBody = 4 + (8 + 16) + (8 + listBody) + (8 + dataBytes)
+    val buf = java.nio.ByteBuffer.allocate(8 + riffBody)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(riffBody)
+      .put("WAVE".getBytes("US-ASCII"))
+    // fmt chunk: PCM(1), mono, rate, byteRate, blockAlign, 16 bits
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16)
+    // LIST/INFO chunk before data — forces real chunk walking
+    buf.put("LIST".getBytes("US-ASCII")).putInt(listBody)
+      .put("INFO".getBytes("US-ASCII"))
+      .put("INAM".getBytes("US-ASCII")).putInt(info.length).put(infoPadded)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    var i = 0
+    while (i < nSamples) { buf.putShort(pcmSample(id, i).toShort); i += 1 }
+    buf.array()
+  }
+
+  case class DecodedAudio(media_id: Long, sample_rate: Int, n_channels: Int,
+      bits: Int, n_samples: Long, sum_samples: Long, min_sample: Int,
+      max_sample: Int)
+
+  /** Decode WAV bytes: verify the RIFF/WAVE magic, WALK the chunk list
+    * (arbitrary chunk order, odd-size pad bytes) to `fmt ` and `data`,
+    * require PCM s16, then reduce the samples to exact count/sum/min/max.
+    */
+  def decodeWav(id: Long, bytes: Array[Byte]): DecodedAudio = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(): String = {
+      val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+    }
+    require(fourcc() == "RIFF", s"media $id: not a RIFF container")
+    buf.getInt // riff body size
+    require(fourcc() == "WAVE", s"media $id: RIFF but not WAVE")
+    var rate, channels, bits = -1
+    var dataOff, dataLen = -1
+    while (buf.remaining() >= 8) {
+      val cid = fourcc()
+      val size = buf.getInt
+      cid match {
+        case "fmt " =>
+          val p = buf.position()
+          val audioFormat = buf.getShort.toInt
+          require(audioFormat == 1, s"media $id: non-PCM WAV (format $audioFormat)")
+          channels = buf.getShort.toInt
+          rate = buf.getInt
+          buf.getInt; buf.getShort // byteRate, blockAlign
+          bits = buf.getShort.toInt
+          buf.position(p)
+        case "data" => dataOff = buf.position(); dataLen = size
+        case _ => () // LIST etc: skipped below
+      }
+      buf.position(buf.position() + size + (size & 1)) // odd sizes pad
+    }
+    require(rate > 0 && dataOff >= 0, s"media $id: missing fmt/data chunk")
+    require(bits == 16 && channels == 1,
+      s"media $id: expected s16 mono, got ${bits}-bit x$channels")
+    val n = dataLen / 2
+    var (s, mn, mx) = (0L, Int.MaxValue, Int.MinValue)
+    buf.position(dataOff)
+    var i = 0
+    while (i < n) {
+      val v = buf.getShort.toInt
+      s += v; if (v < mn) mn = v; if (v > mx) mx = v
+      i += 1
+    }
+    DecodedAudio(id, rate, channels, bits, n.toLong, s,
+      if (n == 0) 0 else mn, if (n == 0) 0 else mx)
+  }
+
+  /** REAL audio roundtrip at the decode boundary: for every
+    * (id, n_samples, sample_rate) row, ENCODE a deterministic clip to
+    * actual WAV bytes and DECODE it back through the chunk-walking
+    * parser — the [[pngRoundtrip]] discipline for the audio modality.
+    * Same `mapPartitions` seam: at 100 TB the payload column arrives
+    * from parquet instead of the synthesizer and only this stage
+    * changes; everything downstream is fixed-width rows.
+    */
+  def wavRoundtrip(spark: SparkSession, specs: DataFrame): Dataset[DecodedAudio] = {
+    import spark.implicits._
+    specs.select(col("media_id").cast(LongType),
+        col("n_samples").cast(IntegerType), col("sample_rate").cast(IntegerType))
+      .as[(Long, Int, Int)]
+      .mapPartitions { rows =>
+        rows.map { case (id, n, rate) => decodeWav(id, encodeWav(id, n, rate)) }
+      }
+  }
 }

@@ -28,4 +28,25 @@ class ConcurrencyPeakSpec extends SparkSpec {
     assert(got.toSeq === Seq(
       ("2024-01-01 00:00:00.0", 2L), ("2024-01-02 00:00:00.0", 2L)))
   }
+
+  test("a day fully spanned by an open session still reports its carry-in peak") {
+    import spark.implicits._
+    val dir = tmpDir("concpeak_span")
+    val start = java.time.LocalDateTime.of(2024, 3, 1, 23, 0)
+    // 63 events 25 min apart (< the 30-min gap) = ONE session
+    // [Mar 1 23:00, Mar 3 00:50]. Mar 2 contains no session boundary at
+    // all — without midnight sweep points it silently drops from the
+    // output (the banked r14 under-reporting finding).
+    val rows = (0 to 62).map { i =>
+      (9L, 100L + i, "view",
+        java.sql.Timestamp.valueOf(start.plusMinutes(25L * i)))
+    }
+    rows.toDF("user_id", "event_id", "event_type", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q_concurrency_peak")(spark, dir)
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1)))
+    assert(got.toSeq === Seq(
+      ("2024-03-01 00:00:00.0", 1L), ("2024-03-02 00:00:00.0", 1L),
+      ("2024-03-03 00:00:00.0", 1L)))
+  }
 }

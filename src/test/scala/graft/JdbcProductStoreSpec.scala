@@ -10,11 +10,11 @@ import org.apache.spark.sql.functions._
 class JdbcProductStoreSpec extends SparkSpec {
 
   private var dbN = 0
-  private def freshStore(): JdbcProductStore = {
+  private def freshUrl(): String = {
     dbN += 1
-    new JdbcProductStore(spark,
-      s"jdbc:derby:memory:graft_test_${System.nanoTime()}_$dbN;create=true")
+    s"jdbc:derby:memory:graft_test_${System.nanoTime()}_$dbN;create=true"
   }
+  private def freshStore(): JdbcProductStore = new JdbcProductStore(spark, freshUrl())
 
   private val cfg = ParserConfig.fromJson(
     """{"parser_id": "csv", "column_mapping": {
@@ -114,6 +114,81 @@ class JdbcProductStoreSpec extends SparkSpec {
       assert(rows.length === 1, s"client $c lost its rows")
       assert(rows.head.getAs[String]("title") === s"C$c round 3")
     }
+  }
+
+  test("tableExists folds identifiers per driver metadata, not hardcoded upper") {
+    // Derby reports storesUpperCaseIdentifiers=true; a second constructor
+    // over the SAME database must find the existing table (no CREATE
+    // re-run) regardless of folding. A lowercase-probe simulation covers
+    // the Postgres side: Derby's metadata lookup is exact-match, so a
+    // lowercase probe finds nothing — proving the old `name.toUpperCase`
+    // hardcoding was load-bearing and the driver-metadata branch is what
+    // keeps the probe correct per database.
+    val url = s"jdbc:derby:memory:graft_fold_${System.nanoTime()};create=true"
+    val s1 = new JdbcProductStore(spark, url)
+    import spark.implicits._
+    s1.overwriteClientAtomic(1, Seq((1, "a1", "T")).toDF("client_id", "sku", "title"))
+    val s2 = new JdbcProductStore(spark, url) // would throw if CREATE re-ran
+    assert(s2.exists && s2.readClient(1).count() === 1)
+    // direct metadata check: Derby folds upper, so exact lowercase misses
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val md = conn.getMetaData
+      assert(md.storesUpperCaseIdentifiers(), "Derby folds upper")
+      val rsLower = md.getTables(null, null, "client_products", null)
+      try assert(!rsLower.next(), "exact lowercase probe must miss on Derby — " +
+        "folding has to come from driver metadata") finally rsLower.close()
+    } finally conn.close()
+  }
+
+  test("concurrent constructors over one database race safely on CREATE") {
+    import java.util.concurrent.atomic.AtomicReference
+    val url = s"jdbc:derby:memory:graft_race_${System.nanoTime()};create=true"
+    val failure = new AtomicReference[Throwable](null)
+    val stores = new java.util.concurrent.ConcurrentLinkedQueue[JdbcProductStore]()
+    val threads = (1 to 6).map { _ =>
+      new Thread(() => {
+        try stores.add(new JdbcProductStore(spark, url))
+        catch { case t: Throwable => failure.compareAndSet(null, t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(60000))
+    assert(failure.get() == null, s"constructor lost the create race: ${failure.get()}")
+    assert(stores.size === 6 && stores.peek().exists)
+  }
+
+  test("truncateClient rolls back cleanly when the DELETE fails") {
+    import spark.implicits._
+    val url = freshUrl()
+    val store = new JdbcProductStore(spark, url)
+    store.overwriteClientAtomic(1, Seq((1, "a1", "T")).toDF("client_id", "sku", "title"))
+    // Force the DELETE to fail by dropping the table out from under the
+    // store via a raw connection; the surfaced error must be the real
+    // SQL failure ("does not exist"), not Derby 25001 (invalid txn state
+    // at close) from an un-rolled-back transaction.
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate("DROP TABLE client_products") finally st.close()
+    } finally conn.close()
+    val e = intercept[java.sql.SQLException] { store.truncateClient(1) }
+    assert(e.getSQLState === "42X05", // table does not exist — the real error
+      s"expected the DELETE's own failure, got ${e.getSQLState}: ${e.getMessage}")
+  }
+
+  test("a failed staging write leaves no orphaned staging table") {
+    import spark.implicits._
+    val url = freshUrl()
+    val store = new JdbcProductStore(spark, url)
+    // title wider than VARCHAR(255) → executor-side INSERT into the
+    // staging table fails mid-write (22001 truncation).
+    val wide = Seq((1, "a1", "x" * 400)).toDF("client_id", "sku", "title")
+    intercept[Throwable] { store.overwriteClientAtomic(1, wide) }
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn.getMetaData.getTables(null, null, "%STAGE%", null)
+      try assert(!rs.next(), "orphaned staging table left behind") finally rs.close()
+    } finally conn.close()
   }
 
   test("tenant filter is pushed down into the JDBC scan") {

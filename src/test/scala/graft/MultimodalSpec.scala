@@ -158,4 +158,69 @@ class MultimodalSpec extends SparkSpec {
     val n = hashes.values.toSet.size
     assert(n >= 200, s"expected >=200 distinct hashes across 250 seeds, got $n")
   }
+
+  test("WAV golden bytes: RIFF/fmt headers match the spec byte-for-byte") {
+    val bytes = Multimodal.encodeWav(5L, nSamples = 2, sampleRate = 16000)
+    def ascii(off: Int, n: Int) = new String(bytes.slice(off, off + n), "US-ASCII")
+    assert(ascii(0, 4) === "RIFF" && ascii(8, 4) === "WAVE")
+    assert(ascii(12, 4) === "fmt ")
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(buf.getInt(16) === 16, "fmt chunk size")
+    assert(buf.getShort(20) === 1, "PCM format tag")
+    assert(buf.getShort(22) === 1, "mono")
+    assert(buf.getInt(24) === 16000, "sample rate")
+    assert(buf.getInt(28) === 32000, "byte rate")
+    assert(buf.getShort(32) === 2 && buf.getShort(34) === 16, "block/bits")
+    // the LIST chunk sits between fmt and data — data is NOT at 44
+    assert(ascii(36, 4) === "LIST")
+    assert(bytes.containsSlice("data".getBytes("US-ASCII")))
+    // RIFF body size covers the whole file
+    assert(buf.getInt(4) === bytes.length - 8)
+  }
+
+  test("WAV decode walks chunks and reduces samples exactly") {
+    val id = 42L
+    val n = 777
+    val d = Multimodal.decodeWav(id, Multimodal.encodeWav(id, n, 8000))
+    assert(d.sample_rate === 8000 && d.n_channels === 1 && d.bits === 16)
+    assert(d.n_samples === n.toLong)
+    val samples = (0 until n).map(i => Multimodal.pcmSample(id, i))
+    assert(d.sum_samples === samples.map(_.toLong).sum)
+    assert(d.min_sample === samples.min && d.max_sample === samples.max)
+  }
+
+  test("WAV decode rejects non-PCM and non-RIFF payloads") {
+    val good = Multimodal.encodeWav(1L, 4, 16000)
+    // flip the fmt audioFormat tag (offset 20, LE short) to 3 = float
+    val nonPcm = good.clone(); nonPcm(20) = 3
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.decodeWav(1L, nonPcm)
+    }
+    assert(e.getMessage.contains("non-PCM"))
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWav(1L, "nonsense-bytes-here".getBytes("US-ASCII"))
+    }
+  }
+
+  test("wavRoundtrip dataset matches per-row analytic aggregates") {
+    import spark.implicits._
+    val specs = Seq((10L, 100, 8000), (11L, 65537, 16000), (12L, 1, 8000))
+      .toDF("media_id", "n_samples", "sample_rate")
+    val got = Multimodal.wavRoundtrip(spark, specs).collect()
+      .map(r => r.media_id -> r).toMap
+    assert(got.size === 3)
+    // 65537 samples wraps the 65536-period formula — sum is NOT n*mean
+    Seq((10L, 100), (11L, 65537), (12L, 1)).foreach { case (id, n) =>
+      var (s, mn, mx) = (0L, Int.MaxValue, Int.MinValue)
+      var i = 0
+      while (i < n) {
+        val v = Multimodal.pcmSample(id, i)
+        s += v; mn = math.min(mn, v); mx = math.max(mx, v); i += 1
+      }
+      val r = got(id)
+      assert(r.n_samples === n.toLong && r.sum_samples === s &&
+        r.min_sample === mn && r.max_sample === mx, s"id=$id")
+    }
+  }
 }
