@@ -982,29 +982,55 @@ object SparkEntry {
     val sess = sessionize(events(s, d))
       .groupBy(col("user_id"), col("session_seq"))
       .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
-    // Zero-delta sweep points at every midnight a multi-day session is
-    // open across: a day fully spanned by open sessions may contain no
-    // start/end instant at all, and without a sweep point it would
-    // silently drop from the output (per-day under-reporting). The
-    // midnight's running level IS the carry-in concurrency for that day.
-    val midnights = sess
-      .filter(date_trunc("day", col("en")) > date_trunc("day", col("st")))
-      .select(explode(expr("sequence(date_trunc('DAY', st) + INTERVAL 1 DAY, " +
-        "date_trunc('DAY', en), INTERVAL 1 DAY)")).as("ts"),
-        lit(0L).as("s"), lit(0L).as("e"))
-    val bounds = sess.select(col("st").as("ts"), lit(1L).as("s"), lit(0L).as("e"))
-      .unionAll(sess.select(col("en").as("ts"), lit(0L).as("s"), lit(1L).as("e")))
-      .unionAll(midnights)
+    // ONE pass over the session table emits all sweep points: the +1
+    // start, the -1 end, and a zero-delta point at every midnight a
+    // multi-day session is open across — a day fully spanned by open
+    // sessions may contain no start/end instant at all, and without a
+    // sweep point it would silently drop from the output (per-day
+    // under-reporting); the midnight's running level IS the carry-in
+    // concurrency for that day. A single explode (not a 3-way union)
+    // matters: each union branch would re-evaluate the sessionize
+    // window+aggregate above the shared exchange.
+    val bounds = sess
+      .select(explode(concat(
+        array(
+          struct(col("st").as("ts"), lit(1L).as("s"), lit(0L).as("e")),
+          struct(col("en").as("ts"), lit(0L).as("s"), lit(1L).as("e"))),
+        transform(
+          when(date_trunc("day", col("en")) > date_trunc("day", col("st")),
+            expr("sequence(date_trunc('DAY', st) + INTERVAL 1 DAY, " +
+              "date_trunc('DAY', en), INTERVAL 1 DAY)"))
+            .otherwise(expr("CAST(array() AS array<timestamp>)")),
+          m => struct(m.as("ts"), lit(0L).as("s"), lit(0L).as("e"))))).as("b"))
+      .select(col("b.ts").as("ts"), col("b.s").as("s"), col("b.e").as("e"))
       .groupBy(col("ts"))
       .agg(sum(col("s")).as("ns"), sum(col("e")).as("ne"))
-      .withColumn("_k", unix_micros(col("ts")))
-    // running starts-through-t minus ends-before-t, via the split-points
-    // prefix sum (GlobalIndex.withRunningSums) — never an unpartitioned
-    // global window over the boundary table (corpus-scale at 100 TB).
-    GlobalIndex.withRunningSums(bounds, "_k",
-        Seq(("ns", "rs", true), ("ne", "re", false)))
+    // Two-level sweep (the split-points idea with the DAY as the natural
+    // bucket, collapsed into one linear pipeline — no join back, so the
+    // expensive session build is never evaluated twice):
+    //   peak(day) = carry(day) + max over in-day points of the LOCAL
+    //   net level, where carry(day) = Σ_{d'<day} (starts - ends).
+    // The in-day window partitions by day (parallel, bounded by a day's
+    // boundary volume); the carry window runs over #days rows — domain-
+    // sized, never corpus-sized. Ends count strictly-before (inclusive
+    // intervals): in-day via 1 PRECEDING over distinct instants, and
+    // prior days' ends are all strictly before any instant of this day.
+    val byDayW = Window.partitionBy(date_trunc("day", col("ts")))
+      .orderBy(col("ts"))
+    val dayW = Window.orderBy(col("day"))
+    bounds
+      .withColumn("lrs",
+        sum(col("ns")).over(byDayW.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("lre", coalesce(
+        sum(col("ne")).over(byDayW.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
       .groupBy(date_trunc("day", col("ts")).as("day"))
-      .agg(max(col("rs") - col("re")).as("peak"))
+      .agg(max(col("lrs") - col("lre")).as("_mx"),
+        sum(col("ns")).as("_s"), sum(col("ne")).as("_e"))
+      .withColumn("_carry", coalesce(
+        sum(col("_s") - col("_e")).over(dayW.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("day"), (col("_carry") + col("_mx")).as("peak"))
       .orderBy(col("day"))
   }
 
@@ -1816,9 +1842,12 @@ object SparkEntry {
     * of the same containment.
     */
   private def rangeJoin(s: SparkSession, d: String): DataFrame = {
-    val sessions = eventsSession(s, d)
-      .select(col("user_id"), col("session_seq"),
-        col("session_start"), col("session_end"))
+    // sessions straight from the shared sessionizer — NOT eventsSession,
+    // whose output-ordering orderBy would be a wasted global sort of the
+    // session table under this join (measured ~1/3 of the sf1 tail)
+    val sessions = sessionize(events(s, d))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
     val pts = events(s, d).select(col("event_id"), col("user_id"), col("ts"))
     RangeJoin.intervalJoin(pts, sessions, Seq("user_id"),
         "ts", "session_start", "session_end", bucketWidthSec = 3600L)

@@ -100,8 +100,15 @@ case class SimHashBandKeys(simhash: Expression, piecesExpr: Expression,
       return TypeCheckResult.TypeCheckFailure(s"$prettyName simhash must be BIGINT")
     (litInt(piecesExpr), litInt(maxHammingExpr)) match {
       case (Some(p), Some(h)) =>
-        if (p <= 0 || 64 % p != 0)
-          TypeCheckResult.TypeCheckFailure(s"$prettyName pieces must divide 64")
+        // pieces need not divide 64: chunks are floor(64/pieces) bits
+        // each, and any leftover TOP bits are simply uncovered — a flip
+        // there dirties no chunk, so it can only make the pigeonhole
+        // argument easier; completeness is untouched and the candidate
+        // join re-checks the exact bit_count anyway. Non-dividing piece
+        // counts are the knob that trades key length (bucket
+        // selectivity) against combo replication.
+        if (p <= 0 || p > 64)
+          TypeCheckResult.TypeCheckFailure(s"$prettyName needs 1 <= pieces <= 64")
         else if (h < 0 || h >= p)
           TypeCheckResult.TypeCheckFailure(
             s"$prettyName needs 0 <= maxHamming < pieces for pigeonhole completeness")

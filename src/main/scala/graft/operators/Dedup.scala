@@ -489,18 +489,34 @@ object Dedup {
       cands: DataFrame,
       counts: DataFrame,
       minJaccard: Double = 0.8): DataFrame =
-    verifyBagJaccard(cands.select("id_a", "id_b").localCheckpoint(),
-      counts, minJaccard)
+    // no checkpoint here: verifyBagJaccard consumes the candidate list
+    // once (the size-filtered pair table it pins internally covers both
+    // of its own downstream branches), so the banding self-join still
+    // runs exactly once
+    verifyBagJaccard(cands.select("id_a", "id_b"), counts, minJaccard)
 
   /** Shared verify: `pairs` must already be materialized (it feeds the
     * intersection join AND the existence-preserving left join below).
     */
   private def verifyBagJaccard(
-      pairs: DataFrame,
+      pairs0: DataFrame,
       cnt: DataFrame,
       minJaccard: Double): DataFrame = {
     val tot = cnt.groupBy("_id").agg(sum(col("_c")).as("_n"))
-    val inter = pairs
+    // EXACT size prefilter (the classic length filter, Arasu/Bayardo
+    // similarity-join literature): intersection is at most min(na, nb),
+    // so bag Jaccard is at most min/max — a pair whose totals are more
+    // than a factor 1/t apart can never pass and is dropped BEFORE the
+    // per-word intersection join (the expensive explode). Pairs whose
+    // id has no word rows drop at the inner tot join, exactly as the
+    // final tot joins dropped them before.
+    val pairs = pairs0
+      .join(tot.select(col("_id").as("id_a"), col("_n").as("_na")), "id_a")
+      .join(tot.select(col("_id").as("id_b"), col("_n").as("_nb")), "id_b")
+      .filter(least(col("_na"), col("_nb")).cast("double")
+        >= lit(minJaccard) * greatest(col("_na"), col("_nb")))
+      .localCheckpoint() // feeds the intersection join AND the left join
+    val inter = pairs.select("id_a", "id_b")
       .join(cnt.select(col("_id").as("id_a"), col("_w"), col("_c").as("_ca")), "id_a")
       .join(cnt.select(col("_id").as("id_b"), col("_w"), col("_c").as("_cb")),
         Seq("id_b", "_w"))
@@ -509,8 +525,6 @@ object Dedup {
     pairs
       .join(inter, Seq("id_a", "id_b"), "left")
       .na.fill(0L, Seq("_ni"))
-      .join(tot.select(col("_id").as("id_a"), col("_n").as("_na")), "id_a")
-      .join(tot.select(col("_id").as("id_b"), col("_n").as("_nb")), "id_b")
       .withColumn("bag_jaccard",
         col("_ni").cast("double") / (col("_na") + col("_nb") - col("_ni")))
       .filter(col("bag_jaccard") >= minJaccard)

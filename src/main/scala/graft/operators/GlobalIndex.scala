@@ -110,27 +110,41 @@ object GlobalIndex {
     * sweep). `orderCol` must be numeric and unique (pre-aggregate to
     * distinct keys first) — ties would make "preceding" ill-defined.
     */
+  /** `bucketBy` short-circuits the quantile pass: when the caller has a
+    * NATURAL bucket that is a pure monotone function of the order key (a
+    * calendar day over an event-time key, a shard prefix over an id),
+    * value-based bucketing needs no approxQuantile action and no
+    * checkpoint — the expression is deterministic, so the per-bucket
+    * totals and the ranked branch agree by construction and Spark's
+    * ReuseExchange serves both from one upstream shuffle. Quantile
+    * bucketing remains the general path for keys with no such structure.
+    */
   def withRunningSums(
       df: DataFrame,
       orderCol: String,
       sums: Seq[(String, String, Boolean)],
-      buckets: Int = 64): DataFrame = {
+      buckets: Int = 64,
+      bucketBy: Option[Column] = None): DataFrame = {
     require(sums.nonEmpty, "running sums need at least one (src, out, inclusive) spec")
     require(df.schema(orderCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"running-sum order column '$orderCol' must be numeric " +
         s"(got ${df.schema(orderCol).dataType.simpleString})")
-    // pin BEFORE the quantile pass (see withGlobalIndex): one upstream
-    // computation feeds the quantiles, the per-bucket totals AND the
-    // within-bucket ranking
-    val pinned = df.localCheckpoint()
-    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
-    val splits =
-      if (probs.isEmpty) Array.empty[Double]
-      else pinned.stat.approxQuantile(orderCol, probs, 0.001).distinct.sorted
-    val bucketExpr =
-      if (splits.isEmpty) lit(0)
-      else size(filter(lit(splits), s => col(orderCol).cast("double") >= s))
-    val bucketed = pinned.withColumn("_b", bucketExpr)
+    val bucketed = bucketBy match {
+      case Some(b) => df.withColumn("_b", b)
+      case None =>
+        // pin BEFORE the quantile pass (see withGlobalIndex): one
+        // upstream computation feeds the quantiles, the per-bucket
+        // totals AND the within-bucket ranking
+        val pinned = df.localCheckpoint()
+        val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+        val splits =
+          if (probs.isEmpty) Array.empty[Double]
+          else pinned.stat.approxQuantile(orderCol, probs, 0.001).distinct.sorted
+        val bucketExpr =
+          if (splits.isEmpty) lit(0)
+          else size(filter(lit(splits), s => col(orderCol).cast("double") >= s))
+        pinned.withColumn("_b", bucketExpr)
+    }
     // per-bucket totals -> EXCLUSIVE prefix (each bucket's starting
     // offset) over `buckets` rows, broadcast back
     val totals = sums.map { case (src, out, _) => sum(col(src)).as(s"_t_$out") }

@@ -80,7 +80,7 @@ class IngestionService(
       mapped: DataFrame,
       fullUpdate: Boolean,
       batchTs: Timestamp): IngestionReport =
-    store.ingestLock(clientId).synchronized {
+    store.withIngestLock(clientId) {
       doIngestLocked(mapped, fullUpdate, batchTs)
     }
 

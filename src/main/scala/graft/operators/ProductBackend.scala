@@ -34,18 +34,23 @@ trait ProductBackend {
   def truncateClient(clientId: Int): Unit
   def append(df: DataFrame): Unit
 
-  /** Monitor serializing one tenant's READ-MERGE-PUBLISH sequence
+  /** Serialize one tenant's READ-MERGE-PUBLISH sequence
     * (IngestionService.doIngest): two concurrent ingests for the SAME
     * client would each read the same starting state, merge their batch
     * against it, and the second publish would silently discard the
     * first batch's rows — the lost update the reference's database
-    * row-locking prevents. Per-client monitors keep DIFFERENT tenants'
-    * ingests fully parallel; only same-client ingests serialize
-    * (exactly the contention a transactional backend serializes too).
-    * Default: one JVM-wide monitor per (backend instance, client).
+    * row-locking prevents (ingestion/service.py:92-106). Per-client
+    * locks keep DIFFERENT tenants' ingests fully parallel; only
+    * same-client ingests serialize (exactly the contention a
+    * transactional backend serializes too).
+    *
+    * Default: a JVM monitor per (backend instance, client) — sufficient
+    * for backends whose publish itself is a database transaction.
+    * [[ProductStore]] overrides with a monitor-wrapped OS FILE lock so
+    * two *processes* publishing the same client serialize too.
     */
   private val ingestLocks =
     new java.util.concurrent.ConcurrentHashMap[Int, Object]()
-  def ingestLock(clientId: Int): Object =
-    ingestLocks.computeIfAbsent(clientId, _ => new Object)
+  def withIngestLock[T](clientId: Int)(body: => T): T =
+    ingestLocks.computeIfAbsent(clientId, _ => new Object).synchronized(body)
 }

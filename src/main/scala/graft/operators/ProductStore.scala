@@ -78,10 +78,33 @@ class ProductStore(spark: SparkSession, root: String, keepVersions: Int = 3)
 
   def exists: Boolean = currentVersion.isDefined
 
-  override def ingestLock(clientId: Int): Object =
-    ProductStore.ingestLocks.computeIfAbsent(
+  /** Cross-PROCESS same-client ingest serialization: a JVM monitor per
+    * (root, client) orders threads in this process, wrapping an OS file
+    * lock (`_ingest_<client>.lock`, [[FileChannel#lock]] blocks until
+    * acquired) that orders separate writer processes — the same nesting
+    * as [[withWriteLock]], and for the same reason: the JVM throws
+    * OverlappingFileLockException instead of queueing when two threads
+    * of one process lock the same file. Without the file lock, two
+    * processes ingesting the same client each read the same starting
+    * state and the second publish silently discards the first's merge —
+    * the reference gets this from Postgres row locks
+    * (ingestion/service.py:92-106). Different clients use different
+    * lock files, so cross-tenant ingests never serialize here.
+    */
+  override def withIngestLock[T](clientId: Int)(body: => T): T = {
+    val monitor = ProductStore.ingestLocks.computeIfAbsent(
       (Paths.get(root).toAbsolutePath.normalize.toString, clientId),
       _ => new Object)
+    monitor.synchronized {
+      Files.createDirectories(Paths.get(root))
+      val ch = FileChannel.open(Paths.get(root, s"_ingest_$clientId.lock"),
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      try {
+        val lk = ch.lock()
+        try body finally lk.release()
+      } finally ch.close()
+    }
+  }
 
   private def currentVersion: Option[Path] =
     if (Files.exists(currentPtr))

@@ -53,6 +53,14 @@ class GlobalIndexSpec extends SparkSpec {
         .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
       assert(got === naive, s"buckets=$buckets")
     }
+    // natural value bucketing (monotone function of the key) must agree
+    // with both the quantile path and the single-reducer formulation
+    val gotNatural = GlobalIndex.withRunningSums(df, "k",
+        Seq(("a", "ra", true), ("b", "rb", false)),
+        bucketBy = Some(floor(col("k") / 100)))
+      .select("k", "ra", "rb").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(gotNatural === naive, "bucketBy")
   }
 
   test("secondary order columns break primary ties deterministically") {

@@ -350,4 +350,38 @@ class IngestionServiceSpec extends SparkSpec {
     assert(ok.success, ok.message)
     assert(store.read().head().getAs[Int]("stock_quantity") === 0)
   }
+
+  test("same-client ingest lock blocks across PROCESSES, not just threads") {
+    val root = tmpDir("xproc_store")
+    val store = new ProductStore(spark, root)
+    val marker = java.nio.file.Paths.get(root, "_holder_ready")
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    // a REAL second OS process holds client 7's ingest file lock for 2.5s
+    val p = new ProcessBuilder(javaBin, "-cp",
+        System.getProperty("java.class.path"),
+        "graft.LockHolder", root, "7", "2500", marker.toString)
+      .redirectErrorStream(true).start()
+    try {
+      val deadline = System.nanoTime() + 15_000_000_000L
+      while (!java.nio.file.Files.exists(marker)) {
+        assert(System.nanoTime() < deadline, "LockHolder never signalled")
+        Thread.sleep(20)
+      }
+      // a DIFFERENT client's lock is free — must enter immediately
+      val tFree0 = System.nanoTime()
+      store.withIngestLock(8) { () }
+      assert((System.nanoTime() - tFree0) / 1e6 < 1000,
+        "different-client lock must not contend")
+      // the SAME client's lock must block until the other process
+      // releases — a JVM monitor alone cannot see the other process
+      val t0 = System.nanoTime()
+      store.withIngestLock(7) { () }
+      val waitedMs = (System.nanoTime() - t0) / 1e6
+      assert(waitedMs >= 800,
+        s"entered the client-7 lock after ${waitedMs}ms while another " +
+          "process held it — the ingest lock does not serialize across processes")
+    } finally {
+      p.waitFor()
+    }
+  }
 }

@@ -1,0 +1,25 @@
+package graft
+
+import java.nio.channels.FileChannel
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+/** Test-only subprocess: acquires a ProductStore ingest file lock
+  * (`<root>/_ingest_<client>.lock`), writes a marker file to signal the
+  * parent it holds the lock, sleeps, releases, exits. Spawned by
+  * IngestionServiceSpec's cross-process test as a REAL second OS
+  * process — in-JVM, a second FileChannel.lock on the same file throws
+  * OverlappingFileLockException instead of blocking, so only a genuine
+  * child process can prove the lock serializes across processes.
+  */
+object LockHolder {
+  def main(args: Array[String]): Unit = {
+    val Array(root, clientId, holdMs, marker) = args
+    val ch = FileChannel.open(Paths.get(root, s"_ingest_$clientId.lock"),
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+    val lk = ch.lock()
+    Files.writeString(Paths.get(marker), "held")
+    Thread.sleep(holdMs.toLong)
+    lk.release()
+    ch.close()
+  }
+}
