@@ -37,11 +37,16 @@ object ProfSimFull {
       Seq("doc_id"), "left_semi").localCheckpoint()
     time("simhash_sigs") { Dedup.simHash(repDocs, "text", "doc_id").count() }
     val sigs = Dedup.simHash(repDocs, "text", "doc_id").localCheckpoint()
-    // graft_simhash_bands: pieces must divide 64, and C(16,10) trips the
-    // replication cap — 8 is the only admissible piece count at
-    // maxHamming=6, so there is no piece knob to turn here.
-    time("pairs_pieces8") {
-      Dedup.simHashPairsFromSigs(sigs, maxHamming = 6, pieces = 8).count()
+    // The admissible piece counts at maxHamming=6 (pieces > maxHamming,
+    // C(p, p-6) <= 256, key bits <= 48 — divisibility no longer required
+    // since the round-15 relaxation): 7 (7 combos x 9-bit keys),
+    // 8 (28 x 16), 9 (84 x 21), 10 (210 x 24). All emit the SAME
+    // complete candidate set; only the collision/replication balance
+    // moves.
+    Seq(7, 8, 9, 10).foreach { pieces =>
+      time(s"pairs_pieces$pieces") {
+        Dedup.simHashPairsFromSigs(sigs, maxHamming = 6, pieces = pieces).count()
+      }
     }
     val gpairs = Dedup.simHashPairsFromSigs(sigs, 6, 8).localCheckpoint()
     val counts = repDocs.select(col("doc_id").as("_id"),

@@ -969,14 +969,16 @@ object SparkEntry {
     * at t), so concurrency(t) = running starts through t minus running
     * ends before t — two running sums over the DISTINCT boundary
     * -instant table. No pairwise overlap join ever runs (the naive
-    * interval-overlap self-join is quadratic in the busy hour); the
-    * running sums range-partition with per-split offsets — the
-    * [[operators.GlobalIndex.withRunningSums]] split-points technique —
-    * so no unpartitioned global window survives at any scale. Days
-    * fully spanned by open sessions get zero-delta midnight sweep
-    * points (sequence+explode per multi-day session), so carry-in
-    * concurrency is reported even when no boundary instant lands on
-    * the day.
+    * interval-overlap self-join is quadratic in the busy hour), and no
+    * unpartitioned global window survives at any scale: the running
+    * sums decompose over the DAY (the output grain) into per-day local
+    * sweeps — a day-partitioned window — plus a #days-row carry prefix,
+    * inlined here as one linear pipeline (the generic operator for
+    * running-sum columns over keys with no such natural bucket is
+    * [[operators.GlobalIndex.withRunningSums]]). Days fully spanned by
+    * open sessions get zero-delta midnight sweep points
+    * (sequence+explode per multi-day session), so carry-in concurrency
+    * is reported even when no boundary instant lands on the day.
     */
   private def concurrencyPeak(s: SparkSession, d: String): DataFrame = {
     val sess = sessionize(events(s, d))

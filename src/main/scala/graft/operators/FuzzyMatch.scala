@@ -45,18 +45,22 @@ object FuzzyMatch {
            |                substr(name, i + 1, length(name))))),
            |  s -> xxhash64(s)))""".stripMargin)
 
-  /** All unordered pairs of distinct `nameCol` values within Levenshtein
-    * distance 1. Output: name_a < name_b, dist ∈ {0 impossible, 1}.
-    */
-  def matchPairs(entities: DataFrame, nameCol: String): DataFrame = {
-    val v = entities.select(col(nameCol).as("name")).distinct()
+  /** Variant table of one dataframe of names: (name, variant-hash). */
+  private def variants(entities: DataFrame, nameCol: String): DataFrame =
+    entities.select(col(nameCol).as("name")).distinct()
       .select(col("name"), explode(delete1Hashes).as("vh"))
-    val candidates = v.as("a")
+
+  /** Candidate join + exact verify over a (name, vh) variant table — the
+    * ONE definition of the blocking/verify pipeline, shared by the
+    * lossless and the df-capped entry points so the verify rule can
+    * never diverge between them.
+    */
+  private def pairsFromVariants(v: DataFrame): DataFrame =
+    v.as("a")
       .join(v.as("b"),
         col("a.vh") === col("b.vh") && col("a.name") < col("b.name"))
       .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
       .distinct()
-    candidates
       // graft_edit_within1 == levenshtein(a, b, 1): -1 past the bound,
       // else the exact distance — one codegen'd two-pointer scan per
       // pair instead of a DP table (this verify dominates the query)
@@ -64,7 +68,12 @@ object FuzzyMatch {
         graft.functions.GraftFunctions.graftEditWithin1(
           col("name_a"), col("name_b")))
       .filter(col("dist") >= 0)
-  }
+
+  /** All unordered pairs of distinct `nameCol` values within Levenshtein
+    * distance 1. Output: name_a < name_b, dist ∈ {0 impossible, 1}.
+    */
+  def matchPairs(entities: DataFrame, nameCol: String): DataFrame =
+    pairsFromVariants(variants(entities, nameCol))
 
   /** [[matchPairs]] with a document-frequency cap on the blocking
     * variants: variants shared by more than `maxDf` names are dropped
@@ -96,19 +105,9 @@ object FuzzyMatch {
       nameCol: String,
       maxDf: Int): DataFrame = {
     require(maxDf >= 1, "maxDf must be >= 1")
-    val v = entities.select(col(nameCol).as("name")).distinct()
-      .select(col("name"), explode(delete1Hashes).as("vh"))
+    val v = variants(entities, nameCol)
     val hot = v.groupBy("vh").agg(count(lit(1)).as("_df"))
       .filter(col("_df") > maxDf).select("vh")
-    val kept = v.join(broadcast(hot), Seq("vh"), "left_anti")
-    kept.as("a")
-      .join(kept.as("b"),
-        col("a.vh") === col("b.vh") && col("a.name") < col("b.name"))
-      .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
-      .distinct()
-      .withColumn("dist",
-        graft.functions.GraftFunctions.graftEditWithin1(
-          col("name_a"), col("name_b")))
-      .filter(col("dist") >= 0)
+    pairsFromVariants(v.join(broadcast(hot), Seq("vh"), "left_anti"))
   }
 }

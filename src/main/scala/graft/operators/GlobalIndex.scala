@@ -113,11 +113,15 @@ object GlobalIndex {
   /** `bucketBy` short-circuits the quantile pass: when the caller has a
     * NATURAL bucket that is a pure monotone function of the order key (a
     * calendar day over an event-time key, a shard prefix over an id),
-    * value-based bucketing needs no approxQuantile action and no
-    * checkpoint — the expression is deterministic, so the per-bucket
-    * totals and the ranked branch agree by construction and Spark's
-    * ReuseExchange serves both from one upstream shuffle. Quantile
-    * bucketing remains the general path for keys with no such structure.
+    * value-based bucketing needs no approxQuantile action. The input is
+    * still pinned: the bucketed table feeds the offsets aggregate AND
+    * the ranked branch, and a nondeterministic input (sample, rand-keyed
+    * source) would otherwise give the two branches different rows —
+    * offsets disagreeing with the rows being summed, silently wrong
+    * running sums (ReuseExchange does NOT reliably deduplicate the
+    * branches: join-induced null filters already break subtree equality
+    * in practice). Quantile bucketing remains the general path for keys
+    * with no natural bucket structure.
     */
   def withRunningSums(
       df: DataFrame,
@@ -130,7 +134,7 @@ object GlobalIndex {
       s"running-sum order column '$orderCol' must be numeric " +
         s"(got ${df.schema(orderCol).dataType.simpleString})")
     val bucketed = bucketBy match {
-      case Some(b) => df.withColumn("_b", b)
+      case Some(b) => df.withColumn("_b", b).localCheckpoint()
       case None =>
         // pin BEFORE the quantile pass (see withGlobalIndex): one
         // upstream computation feeds the quantiles, the per-bucket

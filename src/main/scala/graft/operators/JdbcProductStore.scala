@@ -140,15 +140,70 @@ class JdbcProductStore(
       val st = conn.createStatement()
       // check-then-create can lose a create/create race with another
       // connection; the loser's "already exists" error is success iff a
-      // re-probe now sees the table (don't trust vendor SQLStates).
+      // re-probe now sees the table (don't trust vendor SQLStates). The
+      // probe itself runs inside Try so a dead connection can't replace
+      // the original DDL failure with a metadata-read exception.
       try st.executeUpdate(createDdl)
       catch {
-        case _: java.sql.SQLException if tableExists(conn, table) => ()
+        case _: java.sql.SQLException
+            if Try(tableExists(conn, table)).getOrElse(false) => ()
       } finally st.close()
     }
   }
 
   def exists: Boolean = withConnection(tableExists(_, table))
+
+  private val lockTable = s"${table}_ingest_locks"
+
+  private def ensureLockTable(): Unit = withConnection { conn =>
+    if (!tableExists(conn, lockTable)) {
+      val st = conn.createStatement()
+      try st.executeUpdate(
+        s"CREATE TABLE $lockTable (${q("client_id")} INTEGER PRIMARY KEY)")
+      catch {
+        case _: java.sql.SQLException
+            if Try(tableExists(conn, lockTable)).getOrElse(false) => ()
+      } finally st.close()
+    }
+  }
+
+  /** Same-client ingest serialization from the DATABASE's own row locks —
+    * the reference's semantics (ingestion/service.py:92-106, Postgres):
+    * a dedicated connection takes an EXCLUSIVE row lock on the client's
+    * row of `<table>_ingest_locks` (a self-assignment UPDATE: X locks
+    * are held to end-of-transaction at every isolation level, on Derby
+    * and Postgres alike — unlike FOR UPDATE cursor locks, which Derby
+    * may release at cursor close) and holds the transaction open for the
+    * whole read-merge-publish `body`. Serializes across threads, store
+    * INSTANCES, and separate PROCESSES sharing the database; different
+    * clients lock different rows and never contend. The client's row is
+    * seeded in its own autocommit transaction first (a duplicate-key
+    * loss to a concurrent seeder is success). Note Derby's
+    * `derby.locks.waitTimeout` (default 60 s) bounds how long a second
+    * ingest waits; Postgres waits indefinitely.
+    */
+  override def withIngestLock[T](clientId: Int)(body: => T): T = {
+    ensureLockTable()
+    withConnection { conn =>
+      val st = conn.createStatement()
+      try Try(st.executeUpdate(
+        s"INSERT INTO $lockTable (${q("client_id")}) VALUES ($clientId)"))
+      finally st.close()
+    }
+    withConnection { conn =>
+      conn.setAutoCommit(false)
+      val st = conn.createStatement()
+      try {
+        st.executeUpdate(s"UPDATE $lockTable SET ${q("client_id")} = " +
+          s"${q("client_id")} WHERE ${q("client_id")} = $clientId")
+        val out = body
+        conn.commit()
+        out
+      } catch {
+        case t: Throwable => Try(conn.rollback()); throw t
+      } finally st.close()
+    }
+  }
 
   /** Databases report their own identifier case (Derby upper-cases); alias
     * back to the canonical schema names so downstream operators and

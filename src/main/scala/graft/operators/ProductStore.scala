@@ -62,49 +62,45 @@ class ProductStore(spark: SparkSession, root: String, keepVersions: Int = 3)
     * throws OverlappingFileLockException instead of queueing when two
     * threads of one process lock the same file.
     */
-  private def withWriteLock[T](body: => T): T = {
-    val monitor = ProductStore.jvmLocks.computeIfAbsent(
-      Paths.get(root).toAbsolutePath.normalize.toString, _ => new Object)
+  /** The ONE definition of the monitor-wrapped OS file lock both store
+    * locks use: the JVM monitor orders threads in this process, the file
+    * lock orders separate processes, and the monitor MUST wrap the file
+    * lock (the JVM throws OverlappingFileLockException instead of
+    * queueing when two threads of one process lock the same file). NOT
+    * re-entrant: a thread already holding a lock file must not
+    * re-acquire it — the second FileChannel.lock() throws.
+    */
+  private def withFileLock[T](monitor: Object, lockFile: String)(body: => T): T =
     monitor.synchronized {
       Files.createDirectories(Paths.get(root))
-      val ch = FileChannel.open(Paths.get(root, "_write.lock"),
+      val ch = FileChannel.open(Paths.get(root, lockFile),
         StandardOpenOption.CREATE, StandardOpenOption.WRITE)
       try {
         val lk = ch.lock()
         try body finally lk.release()
       } finally ch.close()
     }
-  }
+
+  private def withWriteLock[T](body: => T): T =
+    withFileLock(ProductStore.jvmLocks.computeIfAbsent(
+      Paths.get(root).toAbsolutePath.normalize.toString, _ => new Object),
+      "_write.lock")(body)
 
   def exists: Boolean = currentVersion.isDefined
 
-  /** Cross-PROCESS same-client ingest serialization: a JVM monitor per
-    * (root, client) orders threads in this process, wrapping an OS file
-    * lock (`_ingest_<client>.lock`, [[FileChannel#lock]] blocks until
-    * acquired) that orders separate writer processes — the same nesting
-    * as [[withWriteLock]], and for the same reason: the JVM throws
-    * OverlappingFileLockException instead of queueing when two threads
-    * of one process lock the same file. Without the file lock, two
-    * processes ingesting the same client each read the same starting
-    * state and the second publish silently discards the first's merge —
-    * the reference gets this from Postgres row locks
-    * (ingestion/service.py:92-106). Different clients use different
-    * lock files, so cross-tenant ingests never serialize here.
+  /** Cross-PROCESS same-client ingest serialization via [[withFileLock]]
+    * on `_ingest_<client>.lock`: without the file lock, two processes
+    * ingesting the same client each read the same starting state and the
+    * second publish silently discards the first's merge — the reference
+    * gets this from Postgres row locks (ingestion/service.py:92-106).
+    * Different clients use different lock files, so cross-tenant ingests
+    * never serialize here.
     */
-  override def withIngestLock[T](clientId: Int)(body: => T): T = {
-    val monitor = ProductStore.ingestLocks.computeIfAbsent(
+  override def withIngestLock[T](clientId: Int)(body: => T): T =
+    withFileLock(ProductStore.ingestLocks.computeIfAbsent(
       (Paths.get(root).toAbsolutePath.normalize.toString, clientId),
-      _ => new Object)
-    monitor.synchronized {
-      Files.createDirectories(Paths.get(root))
-      val ch = FileChannel.open(Paths.get(root, s"_ingest_$clientId.lock"),
-        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
-      try {
-        val lk = ch.lock()
-        try body finally lk.release()
-      } finally ch.close()
-    }
-  }
+      _ => new Object),
+      s"_ingest_$clientId.lock")(body)
 
   private def currentVersion: Option[Path] =
     if (Files.exists(currentPtr))

@@ -352,34 +352,45 @@ class IngestionServiceSpec extends SparkSpec {
   }
 
   test("same-client ingest lock blocks across PROCESSES, not just threads") {
+    import java.nio.file.{Files, Paths}
+    import java.util.concurrent.atomic.AtomicBoolean
     val root = tmpDir("xproc_store")
     val store = new ProductStore(spark, root)
-    val marker = java.nio.file.Paths.get(root, "_holder_ready")
+    val marker = Paths.get(root, "_holder_ready")
+    val goFile = Paths.get(root, "_holder_go")
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
-    // a REAL second OS process holds client 7's ingest file lock for 2.5s
+    // a REAL second OS process holds client 7's ingest file lock until
+    // we write the go-file (handshake — no wall-clock race; 30s valve)
     val p = new ProcessBuilder(javaBin, "-cp",
         System.getProperty("java.class.path"),
-        "graft.LockHolder", root, "7", "2500", marker.toString)
+        "graft.LockHolder", root, "7", marker.toString, goFile.toString,
+        "30000")
       .redirectErrorStream(true).start()
     try {
       val deadline = System.nanoTime() + 15_000_000_000L
-      while (!java.nio.file.Files.exists(marker)) {
+      while (!Files.exists(marker)) {
         assert(System.nanoTime() < deadline, "LockHolder never signalled")
         Thread.sleep(20)
       }
-      // a DIFFERENT client's lock is free — must enter immediately
-      val tFree0 = System.nanoTime()
+      // a DIFFERENT client's lock is free — completes while 7 is held
       store.withIngestLock(8) { () }
-      assert((System.nanoTime() - tFree0) / 1e6 < 1000,
-        "different-client lock must not contend")
       // the SAME client's lock must block until the other process
       // releases — a JVM monitor alone cannot see the other process
-      val t0 = System.nanoTime()
-      store.withIngestLock(7) { () }
-      val waitedMs = (System.nanoTime() - t0) / 1e6
-      assert(waitedMs >= 800,
-        s"entered the client-7 lock after ${waitedMs}ms while another " +
-          "process held it — the ingest lock does not serialize across processes")
+      val attempting = new AtomicBoolean(false)
+      val entered = new AtomicBoolean(false)
+      val t = new Thread(() => {
+        attempting.set(true)
+        store.withIngestLock(7) { entered.set(true) }
+      })
+      t.start()
+      while (!attempting.get()) Thread.sleep(5)
+      Thread.sleep(500) // generous: an un-held lock enters in ~ms
+      assert(!entered.get(),
+        "entered the client-7 lock while another process held it — " +
+          "the ingest lock does not serialize across processes")
+      Files.writeString(goFile, "go") // release the child
+      t.join(15000)
+      assert(entered.get(), "lock never acquired after the holder released")
     } finally {
       p.waitFor()
     }

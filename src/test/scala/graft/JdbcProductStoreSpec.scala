@@ -191,6 +191,43 @@ class JdbcProductStoreSpec extends SparkSpec {
     } finally conn.close()
   }
 
+  test("ingest lock serializes across store INSTANCES via the DB row lock") {
+    import java.util.concurrent.CountDownLatch
+    import java.util.concurrent.atomic.AtomicBoolean
+    val url = freshUrl()
+    val store1 = new JdbcProductStore(spark, url)
+    val store2 = new JdbcProductStore(spark, url) // separate instance:
+    // per-instance JVM monitors can't serialize these — only the
+    // database row lock can (the cross-process mechanism, exercised
+    // across connections; embedded Derby forbids two JVMs on one DB)
+    val held = new CountDownLatch(1)
+    val release = new CountDownLatch(1)
+    val entered2 = new AtomicBoolean(false)
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val t1 = new Thread(() => {
+      try store1.withIngestLock(7) { held.countDown(); release.await() }
+      catch { case t: Throwable => failure.compareAndSet(null, t); held.countDown() }
+    })
+    val t2 = new Thread(() => {
+      try store2.withIngestLock(7) { entered2.set(true) }
+      catch { case t: Throwable => failure.compareAndSet(null, t) }
+    })
+    t1.start(); held.await()
+    t2.start()
+    // while instance 1 holds client 7's row lock, a DIFFERENT client on
+    // instance 2 must pass immediately...
+    store2.withIngestLock(8) { () }
+    // ...but the SAME client must block (generous settle window: an
+    // un-held DB lock acquires in ms)
+    Thread.sleep(500)
+    assert(!entered2.get(),
+      "second instance entered client 7's ingest lock while the first held it")
+    release.countDown()
+    t1.join(30000); t2.join(30000)
+    assert(failure.get() == null, s"locked path failed: ${failure.get()}")
+    assert(entered2.get(), "lock never acquired after release")
+  }
+
   test("tenant filter is pushed down into the JDBC scan") {
     val store = freshStore()
     val plan = store.readClient(3).queryExecution.executedPlan.toString
