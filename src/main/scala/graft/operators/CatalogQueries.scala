@@ -52,7 +52,13 @@ object CatalogQueries {
     *
     * the sort key. Here the cursor is `sku` alone: (client_id, sku) is
     * the reference table's uniqueness contract (the upsert key), so
-    * within a tenant `sku` IS a total order.
+    * within a tenant the NON-NULL skus form a total order. NULL-sku
+    * rows (the reference's always-insert no-sku path persists them, and
+    * they are NOT unique) have no place in a key ordering — they are
+    * explicitly outside the keyset view and reachable via [[list]];
+    * left implicit, the `sku > after` predicate would drop them
+    * silently, which is the same result but an accident of three-valued
+    * logic rather than a contract.
     *
     * Plan shape: the `sku > after` predicate lands in PushedFilters
     * (min/max row-group pruning skips every chunk wholly before the
@@ -67,7 +73,7 @@ object CatalogQueries {
     require(limit >= 1 && limit <= MaxLimit, s"limit must be in [1,$MaxLimit]")
     products
       .filter(col("client_id") === clientId)
-      .filter(col("sku") > afterSku)
+      .filter(col("sku").isNotNull && col("sku") > afterSku)
       .orderBy(col("sku"))
       .limit(limit)
   }

@@ -17,8 +17,14 @@ import org.apache.spark.sql.functions._
   */
 object Histogram {
 
-  def equiWidth(df: DataFrame, valueCol: String, buckets: Int): DataFrame = {
+  def equiWidth(df0: DataFrame, valueCol: String, buckets: Int): DataFrame = {
     require(buckets > 0, "buckets must be positive")
+    // NULL values are excluded (the SQL aggregate convention): unfiltered,
+    // a null x makes floor(...) null and least(buckets-1, null) returns
+    // buckets-1 — least() SKIPS nulls — silently inflating the TOP bucket;
+    // an all-null column would put every row at bucket buckets-1 with
+    // null bounds.
+    val df = df0.filter(col(valueCol).isNotNull)
     val bounds = df.agg(
       min(col(valueCol)).cast("double").as("_lo"),
       max(col(valueCol)).cast("double").as("_hi"))

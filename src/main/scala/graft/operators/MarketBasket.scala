@@ -51,7 +51,12 @@ object MarketBasket {
     // sides); materialize once — the distinct and the size filter are
     // the expensive corpus passes and must not replay per consumer
     val kept = items.join(sizes, "o").localCheckpoint()
+    // pinned: the two broadcast lookups below project support under
+    // DIFFERENT aliases (item_a/item_b), which canonicalize differently
+    // — exchange reuse cannot merge them, so an unpinned support would
+    // re-run this aggregate over `kept` once per broadcast
     val support = kept.groupBy(col("p")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
     val pairs = kept.as("a")
       .join(kept.as("b"),
         col("a.o") === col("b.o") && col("a.p") < col("b.p"))

@@ -102,7 +102,16 @@ object MergeOps {
     val marked = ingestedKeys.select(joinKeys.map(col): _*).distinct()
       .withColumn("_hit", lit(true))
     val joined = target.join(marked, joinKeys, "left")
-    val affected = scope && col("_hit").isNull
+    // SQL NOT IN parity (the reference's UPDATE ... WHERE sku NOT IN
+    // (...)): a NULL left-side key compares unknown and is NEVER
+    // updated — without the guard, a null-key target row finds no join
+    // match and would be treated as "not ingested" and updated.
+    // (`ingestedKeys` must be null-free, as the reference's batch key
+    // list is by construction — a null IN-list member would make SQL
+    // NOT IN update nothing at all, a footgun this operator rejects by
+    // contract rather than emulating.)
+    val affected = scope && col("_hit").isNull &&
+      joinKeys.map(col(_).isNotNull).reduce(_ && _)
     val projected = target.columns.toSeq.map { c =>
       updates.get(c) match {
         case Some(u) => when(affected, u).otherwise(col(s"`$c`")).as(c)

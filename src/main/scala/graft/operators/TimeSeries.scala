@@ -42,7 +42,12 @@ object TimeSeries {
     */
   def resampleFill(obs: DataFrame, keyCol: String, bucketCol: String,
       valueCol: String): DataFrame = {
-    val agg = obs.groupBy(col(keyCol), col(bucketCol))
+    // "observed" means a bucket with at least one NON-NULL value: an
+    // all-null bucket aggregates to a null sum, and if it were the
+    // key's min bucket the carry would emit null v_fill at the head,
+    // breaking the never-null contract — filtered, it is simply a gap.
+    val agg = obs.filter(col(valueCol).isNotNull)
+      .groupBy(col(keyCol), col(bucketCol))
       .agg(sum(col(valueCol)).as("v_sum"))
     val spine = agg.groupBy(col(keyCol))
       .agg(min(col(bucketCol)).as("b0"), max(col(bucketCol)).as("b1"))
@@ -93,7 +98,12 @@ object TimeSeries {
     // if a wider domain is needed.
     val D0 = org.apache.spark.sql.types.DecimalType(38, 0)
     val w = Window.orderBy(col("_b"))
+    // NULL values are excluded up front: count(lit(1)) would include
+    // them in n while every sum skips them, and a mid-series null lead
+    // breaks the head-sum assumption (that _l$k is null only for the
+    // last k rows) — a single null would silently corrupt every lag.
     val withLeads = series
+      .filter(col(valueCol).isNotNull)
       .select(col(bucketCol).as("_b"), col(valueCol).cast("long").as("_x"))
       .select(col("_x").cast(D0).as("x") +:
         (1 to maxLag).map(k =>
@@ -209,7 +219,10 @@ object TimeSeries {
   def cusumChangepoint(series: DataFrame, bucketCol: String,
       valueCol: String, roundTo: Int = 6): DataFrame = {
     val D0 = org.apache.spark.sql.types.DecimalType(38, 0)
-    val base = series.select(col(bucketCol).as("_b"),
+    // null values excluded: count(lit(1)) would include them in _n/_t
+    // while the sums skip them (the acf consistency rule)
+    val base = series.filter(col(valueCol).isNotNull)
+      .select(col(bucketCol).as("_b"),
       col(valueCol).cast("long").as("_x"))
     val w = Window.orderBy(col("_b"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -306,7 +319,9 @@ object TimeSeries {
     */
   def resampleInterpolate(obs: DataFrame, keyCol: String,
       bucketCol: String, valueCol: String): DataFrame = {
-    val agg = obs.groupBy(col(keyCol), col(bucketCol))
+    // same observed-means-non-null convention as [[resampleFill]]
+    val agg = obs.filter(col(valueCol).isNotNull)
+      .groupBy(col(keyCol), col(bucketCol))
       .agg(sum(col(valueCol)).cast("double").as("v_sum"))
     val spine = agg.groupBy(col(keyCol))
       .agg(min(col(bucketCol)).as("b0"), max(col(bucketCol)).as("b1"))

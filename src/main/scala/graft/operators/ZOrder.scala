@@ -58,10 +58,14 @@ object ZOrder {
     */
   def layout(df: DataFrame, x: Column, y: Column, bits: Int = 16,
       numPartitions: Int = 0): DataFrame = {
-    val keyed = df.withColumn("zkey", zkey(x, y, bits))
+    // underscore-prefixed helper column, dropped before returning:
+    // withColumn REPLACES by name, so a business column named "zkey"
+    // would otherwise be silently overwritten — and every caller would
+    // persist a synthetic extra column into the laid-out table
+    val keyed = df.withColumn("_zkey", zkey(x, y, bits))
     val ranged =
-      if (numPartitions > 0) keyed.repartitionByRange(numPartitions, col("zkey"))
-      else keyed.repartitionByRange(col("zkey"))
-    ranged.sortWithinPartitions(col("zkey"))
+      if (numPartitions > 0) keyed.repartitionByRange(numPartitions, col("_zkey"))
+      else keyed.repartitionByRange(col("_zkey"))
+    ranged.sortWithinPartitions(col("_zkey")).drop("_zkey")
   }
 }

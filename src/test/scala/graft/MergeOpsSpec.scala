@@ -72,4 +72,16 @@ class MergeOpsSpec extends SparkSpec {
       Seq((1, true), (2, false), (3, true), (4, true)))
     assert(updated.filter(flag).count() === 1)
   }
+
+  test("antiUpdate never updates null-key rows (SQL NOT IN parity)") {
+    import spark.implicits._
+    val target = Seq((Some("a1"), true), (None: Option[String], true))
+      .toDF("sku", "active")
+    val keys = Seq("zz").toDF("sku")
+    val (out, _) = MergeOps.antiUpdate(target, keys, Seq("sku"),
+      scope = lit(true), updates = Map("active" -> lit(false)))
+    val bySku = out.collect().map(r => Option(r.getString(0)) -> r.getBoolean(1)).toMap
+    assert(bySku(Some("a1")) === false, "non-ingested non-null key updates")
+    assert(bySku(None) === true, "null key compares unknown under NOT IN - never updated")
+  }
 }

@@ -174,4 +174,11 @@ class ProfilingSpec extends SparkSpec {
     assert(spikes.map(_._2).toSet.subsetOf(flagged))
     assert(flagged.forall(_ >= 1000000L))
   }
+
+  test("histogram excludes null values instead of inflating the top bucket") {
+    import spark.implicits._
+    val df = Seq(Some(0.0), Some(5.0), Some(10.0), None, None).toDF("v")
+    val h = Histogram.equiWidth(df, "v", buckets = 2).collect()
+    assert(h.map(_.getLong(3)).sum === 3, "nulls must not be counted")
+  }
 }

@@ -190,4 +190,25 @@ class TimeSeriesSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("null values are excluded: acf/resampleFill/cusum treat them as absent") {
+    import spark.implicits._
+    // acf: a mid-series null value must not corrupt n or the head sums —
+    // the result equals the acf of the same series with the row dropped
+    val withNull = Seq((0L, Some(3L)), (1L, Some(1L)), (2L, None),
+      (3L, Some(3L)), (4L, Some(1L)), (5L, Some(3L)))
+      .toDF("bucket", "v")
+    val dropped = withNull.filter(col("v").isNotNull)
+    val a1 = TimeSeries.acf(withNull, "bucket", "v", maxLag = 2).collect()
+    val a2 = TimeSeries.acf(dropped, "bucket", "v", maxLag = 2).collect()
+    assert(a1.map(_.toString).toSeq === a2.map(_.toString).toSeq)
+    // resampleFill: an all-null min bucket must be a GAP outside the
+    // spine, never a null v_fill head with was_gap=false
+    val obs = Seq((1L, 0L, None), (1L, 2L, Some(5.0)), (1L, 4L, Some(7.0)))
+      .toDF("k", "bucket", "v")
+    val filled = TimeSeries.resampleFill(obs, "k", "bucket", "v")
+      .orderBy("bucket").collect()
+    assert(filled.map(_.getLong(1)).toSeq === Seq(2L, 3L, 4L), "spine starts at first NON-NULL bucket")
+    assert(filled.forall(!_.isNullAt(2)), "v_fill never null")
+  }
 }
