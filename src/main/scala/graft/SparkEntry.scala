@@ -1529,22 +1529,41 @@ object SparkEntry {
     * per-key distribution (0 = uniform, →1 = one key owns the table).
     * Gini comes from the sorted-rank identity
     * (2·Σ i·cᵢ − (n+1)·Σcᵢ) / (n·Σcᵢ) — exact integers until one
-    * rounded division; tied counts contribute c·Σi regardless of
-    * their order, so the ranking tiebreak cannot change the value.
+    * rounded division. Tied counts contribute c·Σi regardless of their
+    * order, which is not just a determinism note but the SCALE lever:
+    * the rank-weighted sum collapses onto the distinct-count-value
+    * table — keys with count c occupy the contiguous rank block
+    * (cum, cum+m], so their contribution is c·(m·cum + m(m+1)/2) —
+    * and the only window runs over DISTINCT per-key counts
+    * (value-domain bounded, the equi-depth histogram argument), never
+    * a corpus-scale row_number over every key.
     */
   private def keySkew(s: SparkSession, d: String): DataFrame = {
     val counts = events(s, d).groupBy(col("user_id"))
       .agg(count(lit(1)).as("c"))
-    val ranked = counts.withColumn("i",
-      row_number().over(Window.orderBy(col("c"), col("user_id"))))
-    // rank-weighted sum in DECIMAL(38,0): at extreme key counts the
-    // i*c products overflow BIGINT long before the value domain does
+    val byC = counts.groupBy(col("c")).agg(count(lit(1)).as("m"))
+    val w = Window.orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // products in DECIMAL(38,0): at extreme key counts the rank-block
+    // sums overflow BIGINT long before the value domain does
     val D0 = DecimalType(38, 0)
-    ranked.agg(
-        count(lit(1)).as("n_keys"),
-        sum(col("c")).as("total_rows"),
+    val cD = col("c").cast(D0)
+    val mD = col("m").cast(D0)
+    byC
+      .withColumn("_cum",
+        coalesce(sum(col("m")).over(w), lit(0L)).cast(D0))
+      .agg(
+        // coalesce: sum over an empty table is null where the oracle's
+        // count(*) is 0 — the old count(lit(1)) shape matched for free
+        coalesce(sum(col("m")), lit(0L)).as("n_keys"),
+        sum(cD * mD).cast(LongType).as("total_rows"),
         max(col("c")).as("_cmax"),
-        sum(col("i").cast(D0) * col("c").cast(D0)).as("_s1"))
+        // the /2 promotes to DECIMAL(38,6) (32 integer digits); cast the
+        // exact quotient (m(m+1) is always even) back to scale 0 so the
+        // products keep the full 38-digit headroom the old per-key
+        // formulation had
+        sum(cD * (mD * col("_cum") +
+          (mD * (mD + 1) / 2).cast(D0))).as("_s1"))
       .select(col("n_keys"), col("total_rows"),
         round(col("_cmax").cast(DoubleType) / col("total_rows"), 6)
           .as("max_key_share"),
