@@ -141,6 +141,32 @@ class JdbcProductStoreSpec extends SparkSpec {
     } finally conn.close()
   }
 
+  test("lowercase-folding databases (the Postgres branch) find their tables") {
+    // drive the storesLowerCaseIdentifiers=true branch of tableExists
+    // against a REAL database via the LowerFoldingDriver proxy — the
+    // exact path the old hardcoded toUpperCase broke on Postgres (the
+    // existing table was never found and CREATE TABLE re-ran).
+    LowerFoldingDriver.ensureRegistered()
+    val url = s"${LowerFoldingDriver.Prefix}memory:graft_pg_${System.nanoTime()};create=true"
+    val s1 = new JdbcProductStore(spark, url)
+    assert(s1.exists, "first constructor created and re-probed the table")
+    // the second constructor must FIND the table through the lowercase
+    // probe; with upper-hardcoded folding the probe misses, CREATE
+    // re-runs, and the already-exists race guard would mask it only if
+    // the re-probe worked — which is the same folding logic under test
+    val s2 = new JdbcProductStore(spark, url)
+    assert(s2.exists)
+    // sanity: the proxy really reports Postgres-style folding
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val md = conn.getMetaData
+      assert(md.storesLowerCaseIdentifiers() && !md.storesUpperCaseIdentifiers())
+      val rs = md.getTables(null, null, "client_products", null)
+      try assert(rs.next(), "lowercase probe resolves through the folding layer")
+      finally rs.close()
+    } finally conn.close()
+  }
+
   test("concurrent constructors over one database race safely on CREATE") {
     import java.util.concurrent.atomic.AtomicReference
     val url = s"jdbc:derby:memory:graft_race_${System.nanoTime()};create=true"
