@@ -37,7 +37,13 @@ object SequencePacking {
       tokenCol: String,
       capacity: Int): DataFrame = {
     require(capacity > 0, "capacity must be positive")
+    // explicit ROWS frame: orderBy alone defaults to a RANGE frame, under
+    // which duplicate ids in one shard share a cumulative _end and get
+    // IDENTICAL overlapping spans (offsets assigned twice, others never)
+    // — with ROWS, duplicate ids degrade to an arbitrary-but-valid
+    // packing order instead of corrupt spans
     val w = Window.partitionBy(col(partCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val chunkLo: Column = col("chunk_id") * capacity
     docs
       .filter(col(tokenCol) > 0)

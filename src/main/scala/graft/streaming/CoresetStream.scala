@@ -84,26 +84,52 @@ object CoresetStream {
       // under a different k holds a center set whose |C| <= k invariant
       // and doubling history were maintained under DIFFERENT semantics
       // — refuse loudly instead of silently violating the bound
-      knobsOf(spark, storeDir, beforeBatch = Some(batchId)).foreach { sk =>
+      val snap = snapshotRows(spark, storeDir, beforeBatch = Some(batchId))
+      snap.flatMap(kOf).foreach { sk =>
         require(sk == k,
           s"store $storeDir was written with k=$sk; " +
             s"refusing to continue it with k=$k")
       }
-      val prior = readState(spark, storeDir, beforeBatch = Some(batchId))
-      val next = insertAll(prior,
-        survivors(batch, vecCol, idCol, prior), k)
-      writeState(spark, next, storeDir, batchId, k)
+      val prior = snap.map(stateOf).getOrElse(Empty)
+      // BOUNDED driver pulls: the entry filter contributes nothing while
+      // the state is empty or young (tiny rSq), so one collect of the
+      // whole batch is unbounded driver memory on batch 0. Pull
+      // ascending-id chunks, re-filtering the REMAINDER against the
+      // UPDATED state between chunks — the re-filter's drop predicate is
+      // exactly insertAll's own skip test (d2 <= 4*rSq against current
+      // centers, same rounding), so the final state equals the one-shot
+      // sequential insertion while each driver pull stays <= DriverChunk.
+      val base = batch
+        .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+        .localCheckpoint() // re-read per chunk from pinned blocks
+      var st = prior
+      var lastId = Long.MinValue
+      var more = true
+      while (more) {
+        val surv = survivors(base, st, lastId, DriverChunk)
+        if (surv.isEmpty) more = false
+        else {
+          st = insertAll(st, surv, k)
+          lastId = surv.last._1
+        }
+      }
+      writeState(spark, st, storeDir, batchId, k)
     }
   }
 
-  /** The k a store's latest snapshot was written under; None for an
-    * empty store (or a pre-k-column legacy snapshot).
+  private val DriverChunk = 8192
+
+  /** Latest snapshot batch id strictly before `beforeBatch` — the ONE
+    * listing both the knob guard and the state read share (was two
+    * listings + two parquet reads of the same snapshot per micro-batch).
     */
-  private[graft] def knobsOf(spark: SparkSession, storeDir: String,
-      beforeBatch: Option[Long] = None): Option[Int] = {
+  private def latestBatch(storeDir: String,
+      beforeBatch: Option[Long]): Option[Long] = {
     val stateRoot = Paths.get(storeDir, "state")
     if (!Files.exists(stateRoot)) return None
     val bound = beforeBatch.getOrElse(Long.MaxValue)
+    // Files.list holds a directory handle until closed — this runs once
+    // per micro-batch for the stream's whole life, so drain it eagerly.
     val listing = Files.list(stateRoot)
     val names =
       try listing.iterator().asScala.map(_.getFileName.toString).toVector
@@ -112,34 +138,54 @@ object CoresetStream {
       .collect { case s if s.startsWith("batch=") => s.drop(6).toLong }
       .filter(_ < bound)
       .maxOption
-      .flatMap { b =>
-        val df = spark.read.parquet(s"$storeDir/state/batch=$b")
-        if (!df.columns.contains("k")) None
-        else df.select(col("k")).collect().headOption.map(_.getInt(0))
-      }
   }
 
-  /** The batch's potential state-changers under the ENTRY state, in
-    * ascending-id order (the deterministic processing order): rows
-    * whose rounded d2 to EVERY entry center exceeds 4·rSq. See the
-    * class doc for why dropping entry-covered points is exact.
+  /** The latest snapshot's rows (ord-ordered), read ONCE. */
+  private def snapshotRows(spark: SparkSession, storeDir: String,
+      beforeBatch: Option[Long]): Option[Array[Row]] =
+    latestBatch(storeDir, beforeBatch).map { b =>
+      spark.read.parquet(s"$storeDir/state/batch=$b")
+        .orderBy(col("ord")).collect()
+    }
+
+  private def stateOf(rows: Array[Row]): CoverState =
+    if (rows.isEmpty) Empty
+    else CoverState(
+      rows.map(r => (r.getAs[Long]("id"),
+        r.getAs[Seq[Double]]("vec").toArray)).toVector,
+      rows.head.getAs[Double]("r_sq"))
+
+  private def kOf(rows: Array[Row]): Option[Int] =
+    rows.headOption.filter(_.schema.fieldNames.contains("k"))
+      .map(_.getAs[Int]("k"))
+
+  /** The k a store's latest snapshot was written under; None for an
+    * empty store (or a pre-k-column legacy snapshot).
     */
-  private def survivors(batch: DataFrame, vecCol: String, idCol: String,
-      st: CoverState): Seq[(Long, Array[Double])] = {
+  private[graft] def knobsOf(spark: SparkSession, storeDir: String,
+      beforeBatch: Option[Long] = None): Option[Int] =
+    snapshotRows(spark, storeDir, beforeBatch).flatMap(kOf)
+
+  /** The next <= `limit` potential state-changers with id > `afterId`
+    * under the CURRENT state, in ascending-id order (the deterministic
+    * processing order): rows whose rounded d2 to EVERY center exceeds
+    * 4·rSq. See the class doc for why dropping covered points is exact.
+    */
+  private def survivors(base: DataFrame, st: CoverState, afterId: Long,
+      limit: Int): Seq[(Long, Array[Double])] = {
     // raw vector column on the scan side: DotProduct widens per element,
     // and avoiding the interpreted transform-cast keeps the whole
     // novelty filter inside whole-stage codegen (PlanPropertiesSpec).
-    val base = batch.select(col(idCol).cast("long").as("id"),
-      col(vecCol).as("v"))
+    val scoped = base.filter(col("id") > afterId)
     val kept =
-      if (st.centers.isEmpty) base
+      if (st.centers.isEmpty) scoped
       else {
         val dists = st.centers.map { case (_, c) =>
           Coreset.d2(col("v"), typedLit(c.toSeq)) }
         val dmin = if (dists.length == 1) dists.head else least(dists: _*)
-        base.filter(dmin > lit(4.0 * st.rSq))
+        scoped.filter(dmin > lit(4.0 * st.rSq))
       }
-    kept.orderBy(col("id")).collect()
+    kept.orderBy(col("id")).limit(limit).collect()
       .map(r => (r.getLong(0), Coreset.toDoubleArray(r, 1))).toSeq
   }
 
@@ -201,32 +247,8 @@ object CoresetStream {
     * the VALID empty state, not an AnalysisException.
     */
   def readState(spark: SparkSession, storeDir: String,
-      beforeBatch: Option[Long] = None): CoverState = {
-    val stateRoot = Paths.get(storeDir, "state")
-    if (!Files.exists(stateRoot)) return Empty
-    val bound = beforeBatch.getOrElse(Long.MaxValue)
-    // Files.list holds a directory handle until closed — this runs once
-    // per micro-batch for the stream's whole life, so drain it eagerly.
-    val listing = Files.list(stateRoot)
-    val names =
-      try listing.iterator().asScala.map(_.getFileName.toString).toVector
-      finally listing.close()
-    val latest = names
-      .collect { case s if s.startsWith("batch=") => s.drop(6).toLong }
-      .filter(_ < bound)
-      .maxOption
-    latest match {
-      case None => Empty
-      case Some(b) =>
-        val rows = spark.read.parquet(s"$storeDir/state/batch=$b")
-          .orderBy(col("ord")).collect()
-        if (rows.isEmpty) Empty
-        else CoverState(
-          rows.map(r => (r.getAs[Long]("id"),
-            r.getAs[Seq[Double]]("vec").toArray)).toVector,
-          rows.head.getAs[Double]("r_sq"))
-    }
-  }
+      beforeBatch: Option[Long] = None): CoverState =
+    snapshotRows(spark, storeDir, beforeBatch).map(stateOf).getOrElse(Empty)
 
   /** External readout of the maintained centers: (ord, id, r_sq). */
   def centers(spark: SparkSession, storeDir: String): DataFrame = {

@@ -45,9 +45,15 @@ object DsirStream {
     Files.createDirectories(Paths.get(storeDir))
     // Enforce the frozen-model contract HERE, not by caller discipline:
     // a lazy `terms` plan over a changing source would silently refit
-    // per micro-batch. localCheckpoint (eager) pins the fitted <= B-row
-    // table once, so every batch scores against the same model.
-    val frozen = terms.localCheckpoint()
+    // per micro-batch. The freeze must also be DURABLE for a stream
+    // designed to run forever: localCheckpoint blocks live only on the
+    // executors that wrote them, so losing one (spot churn, OOM kill)
+    // would fail every later micro-batch with a missing-block error.
+    // The model is <= B rows by construction — collect it and rebuild a
+    // driver-owned local relation instead.
+    val spark = terms.sparkSession
+    val frozen = spark.createDataFrame(
+      java.util.Arrays.asList(terms.collect(): _*), terms.schema)
     docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)

@@ -55,13 +55,19 @@ object IngestStream {
     * atomicity of the POST model).
     *
     * Redelivery: foreachBatch is AT-LEAST-ONCE, and the service's
-    * sku-less insert path is not idempotent — so a batchId-keyed
-    * processed marker (under the checkpoint dir, the sibling streams'
-    * snapshot-per-batchId discipline) skips fully-processed batches on
-    * replay. A crash INSIDE a batch replays that batch's files;
-    * upserts re-merge to the identical state under the deterministic
-    * batchTs, and `onReport` may re-fire for them — report consumers
-    * that require exactly-once should key on (path, ts).
+    * sku-less insert path is not idempotent — so processed markers
+    * (under the checkpoint dir, the sibling streams' snapshot-per-
+    * batchId discipline) bound replay: a batch marker skips
+    * fully-processed batches, and PER-FILE markers inside a batch skip
+    * every file whose ingest already completed, so a crash replays AT
+    * MOST the single in-flight file. Upserts re-merge to the identical
+    * state under the deterministic batchTs; the sku-less insert path
+    * has a residual duplicate window exactly as wide as the gap between
+    * a file's publish and its marker write (closing it fully needs the
+    * marker to ride the store publish itself — the version-dir marker
+    * design, banked in SURVEY §7.4s). `onReport` may re-fire for a
+    * replayed file — report consumers that require exactly-once should
+    * key on (path, ts).
     */
   def start(
       spark: SparkSession,
@@ -77,16 +83,26 @@ object IngestStream {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val marker = java.nio.file.Paths.get(
-          checkpointDir, "graft-processed", s"batch=$batchId")
-        if (!java.nio.file.Files.exists(marker)) {
+        import java.nio.file.{Files, Paths}
+        val root = Paths.get(checkpointDir, "graft-processed")
+        val batchMarker = root.resolve(s"batch=$batchId")
+        if (!Files.exists(batchMarker)) {
           val files = batch.select(col("file_path")).distinct()
             .collect().map(_.getString(0)).sorted
+          Files.createDirectories(root)
           files.foreach { path =>
-            onReport(path, service.ingest(cfg, path,
-              fullUpdate = isFullUpdate(path), batchTs = batchTsFor(path)))
+            // per-file marker (flat, batch-qualified, path-hashed): a
+            // mid-batch crash replays at most the one in-flight file
+            val digest = java.security.MessageDigest.getInstance("MD5")
+              .digest(path.getBytes("UTF-8")).map("%02x".format(_)).mkString
+            val fileMarker = root.resolve(s"file_${batchId}_$digest")
+            if (!Files.exists(fileMarker)) {
+              onReport(path, service.ingest(cfg, path,
+                fullUpdate = isFullUpdate(path), batchTs = batchTsFor(path)))
+              Files.createFile(fileMarker)
+            }
           }
-          java.nio.file.Files.createDirectories(marker)
+          Files.createDirectories(batchMarker)
           ()
         }
       }

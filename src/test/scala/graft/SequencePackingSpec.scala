@@ -94,4 +94,28 @@ class SequencePackingSpec extends SparkSpec {
       "prio", "doc_id", budget).collect().map(_.getAs[Long]("doc_id")).toSet
     assert(kept === sizes.take(2).map(_._1).toSet)
   }
+
+  test("duplicate ids in one shard still pack into disjoint exhaustive spans") {
+    import spark.implicits._
+    import graft.operators.SequencePacking
+    // the default RANGE frame gave duplicate ids IDENTICAL cumulative
+    // sums -> overlapping spans; the explicit ROWS frame degrades them
+    // to an arbitrary-but-valid packing
+    val docs = Seq((0, 5L, 10L), (0, 5L, 10L), (0, 7L, 4L))
+      .toDF("shard", "doc_id", "n_toks")
+    val packed = SequencePacking.pack(docs, "shard", "doc_id", "n_toks",
+      capacity = 16).collect()
+    val total = packed.map(_.getAs[Long]("n_toks")).sum
+    assert(total === 24L, "every token assigned exactly once")
+    // offsets within each chunk are disjoint and exhaustive
+    val byChunk = packed.groupBy(_.getAs[Long]("chunk_id"))
+    byChunk.foreach { case (chunk, rows) =>
+      val covered = rows.flatMap { r =>
+        val off = r.getAs[Long]("off_in_chunk")
+        (off until off + r.getAs[Long]("n_toks"))
+      }.sorted
+      assert(covered.distinct.length === covered.length,
+        s"chunk $chunk has overlapping spans")
+    }
+  }
 }
