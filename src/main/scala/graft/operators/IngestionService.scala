@@ -52,22 +52,36 @@ class IngestionService(
     clientId: Int,
     varchar: VarcharPolicy = VarcharPolicy.Strict) {
 
+  /** `marker`: an ingest token committed ATOMICALLY with the batch's
+    * publish (see [[ProductBackend.overwriteClientAtomic]]) — after a
+    * successful ingest [[alreadyIngested]] returns true for it, and a
+    * crash anywhere before the publish leaves both the table and the
+    * marker untouched. At-least-once callers (the drop-directory
+    * stream) use it to make redelivered files no-ops.
+    */
   def ingest(
       cfg: ParserConfig,
       path: String,
       fullUpdate: Boolean = false,
-      batchTs: Timestamp = new Timestamp(System.currentTimeMillis())): IngestionReport =
+      batchTs: Timestamp = new Timestamp(System.currentTimeMillis()),
+      marker: Option[String] = None): IngestionReport =
     try {
       val raw = IngestSource(cfg.parserId).read(spark, path)
       val mapped = ColumnMapping(raw, cfg.validated(), varchar)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      try doIngest(mapped, fullUpdate, batchTs)
+      try doIngest(mapped, fullUpdate, batchTs, marker)
       finally mapped.unpersist()
     } catch {
       case e: Exception =>
         IngestionReport(success = false,
           s"Error during data ingestion: ${e.getMessage}", 0L, Map.empty)
     }
+
+  /** True iff a marker token passed to a prior [[ingest]] call was
+    * committed with its publish — i.e. that file's batch is fully
+    * reflected in the live table.
+    */
+  def alreadyIngested(marker: String): Boolean = store.hasMarker(marker)
 
   /** The whole read-merge-publish sequence runs under the backend's
     * per-client ingest lock: without it two concurrent SAME-client
@@ -79,15 +93,17 @@ class IngestionService(
   private def doIngest(
       mapped: DataFrame,
       fullUpdate: Boolean,
-      batchTs: Timestamp): IngestionReport =
+      batchTs: Timestamp,
+      marker: Option[String]): IngestionReport =
     store.withIngestLock(clientId) {
-      doIngestLocked(mapped, fullUpdate, batchTs)
+      doIngestLocked(mapped, fullUpdate, batchTs, marker)
     }
 
   private def doIngestLocked(
       mapped: DataFrame,
       fullUpdate: Boolean,
-      batchTs: Timestamp): IngestionReport = {
+      batchTs: Timestamp,
+      marker: Option[String]): IngestionReport = {
     val errCols = mapped.columns.filter(_.startsWith("_err_"))
     // One pass over the batch yields the strict-error count (abort gate),
     // the processed count, AND the distinct-sku count full-update needs —
@@ -183,7 +199,7 @@ class IngestionService(
         .withColumn("active", coalesce(col("active"), lit(true)))
         .withColumn("last_changed_on", coalesce(col("last_changed_on"), stamp))
 
-      store.overwriteClientAtomic(clientId, result)
+      store.overwriteClientAtomic(clientId, result, marker)
       IngestionReport(success = true,
         s"Successfully processed $processed items", processed, stats)
     } finally toUnpersist.foreach(_.unpersist())

@@ -130,8 +130,20 @@ class JdbcProductStore(
       else if (Try(md.storesLowerCaseIdentifiers()).getOrElse(false)) Seq(name.toLowerCase)
       else Seq(name, name.toUpperCase, name.toLowerCase)
     candidates.distinct.exists { n =>
+      // getTables treats its name argument as a LIKE pattern, where '_'
+      // matches ANY single character — a bare rs.next() probe for
+      // client_products (or the _ingest_locks/_ingest_markers siblings)
+      // can false-positive on a similarly-named table, skip CREATE
+      // TABLE, and fail later SQL with table-not-found. Escaping is not
+      // portable (Derby REPORTS an empty getSearchStringEscape and
+      // treats backslashes literally), so instead require an exact
+      // TABLE_NAME match among the pattern's hits.
       val rs = md.getTables(null, null, n, null)
-      try rs.next() finally rs.close()
+      try {
+        var found = false
+        while (!found && rs.next()) found = rs.getString("TABLE_NAME") == n
+        found
+      } finally rs.close()
     }
   }
 
@@ -184,18 +196,37 @@ class JdbcProductStore(
     */
   override def withIngestLock[T](clientId: Int)(body: => T): T = {
     ensureLockTable()
-    withConnection { conn =>
+    // Seed the client's lock row in its own autocommit transaction. A
+    // duplicate-key loss to a concurrent seeder is success, but the Try
+    // swallows EVERY SQLException — so mutual exclusion must not rest on
+    // the seed having worked: the locking UPDATE below verifies it
+    // matched exactly one row, and retries the seed once if the row is
+    // missing (transient seed failure, dropped lock table). An UPDATE
+    // that matches 0 rows takes NO row lock, and proceeding would
+    // silently reintroduce the same-client lost-update race.
+    def seed(): Unit = withConnection { conn =>
       val st = conn.createStatement()
       try Try(st.executeUpdate(
         s"INSERT INTO $lockTable (${q("client_id")}) VALUES ($clientId)"))
       finally st.close()
+      ()
     }
+    seed()
     withConnection { conn =>
       conn.setAutoCommit(false)
       val st = conn.createStatement()
+      val lockSql = s"UPDATE $lockTable SET ${q("client_id")} = " +
+        s"${q("client_id")} WHERE ${q("client_id")} = $clientId"
       try {
-        st.executeUpdate(s"UPDATE $lockTable SET ${q("client_id")} = " +
-          s"${q("client_id")} WHERE ${q("client_id")} = $clientId")
+        var locked = st.executeUpdate(lockSql)
+        if (locked != 1) {
+          seed()
+          locked = st.executeUpdate(lockSql)
+        }
+        if (locked != 1)
+          throw new IllegalStateException(
+            s"ingest lock row for client $clientId absent after re-seed " +
+              s"($locked rows matched) — refusing to run unserialized")
         val out = body
         conn.commit()
         out
@@ -230,15 +261,50 @@ class JdbcProductStore(
     canonical(spark.read.jdbc(url, table, partitionCol, lowerBound, upperBound,
       numPartitions, props))
 
+  private val markerTable = s"${table}_ingest_markers"
+
+  private def ensureMarkerTable(): Unit = withConnection { conn =>
+    if (!tableExists(conn, markerTable)) {
+      val st = conn.createStatement()
+      try st.executeUpdate(
+        s"CREATE TABLE $markerTable (${q("token")} VARCHAR(128) PRIMARY KEY)")
+      catch {
+        case _: java.sql.SQLException
+            if Try(tableExists(conn, markerTable)).getOrElse(false) => ()
+      } finally st.close()
+    }
+  }
+
+  /** Marker visibility comes from the database transaction itself: the
+    * token row is inserted inside [[stageAndSwap]]'s single commit, so
+    * it exists iff the batch's DELETE+INSERT committed (the reference's
+    * own bundled-bookkeeping shape, ingestion/service.py:108).
+    */
+  override def hasMarker(token: String): Boolean = withConnection { conn =>
+    tableExists(conn, markerTable) && {
+      val ps = conn.prepareStatement(
+        s"SELECT 1 FROM $markerTable WHERE ${q("token")} = ?")
+      try {
+        ps.setString(1, token)
+        val rs = ps.executeQuery()
+        try rs.next() finally rs.close()
+      } finally ps.close()
+    }
+  }
+
   def overwriteAtomic(df: DataFrame): Unit =
     stageAndSwap(df, deleteWhere = None, requireRows = false)
 
-  def overwriteClientAtomic(clientId: Int, df: DataFrame): Unit =
+  def overwriteClientAtomic(
+      clientId: Int, df: DataFrame, marker: Option[String] = None): Unit = {
+    marker.foreach(_ => ensureMarkerTable()) // DDL outside the swap transaction
     stageAndSwap(align(df).filter(col("client_id") === clientId),
       deleteWhere = Some(s"${q("client_id")} = $clientId"), requireRows = true,
       abortMsg = s"staged batch contains no rows for client_id=$clientId — " +
         "refusing to replace the live rows (use truncateClient for " +
-        "deliberate truncation)")
+        "deliberate truncation)",
+      marker = marker)
+  }
 
   def truncateClient(clientId: Int): Unit = withConnection { conn =>
     conn.setAutoCommit(false)
@@ -265,7 +331,8 @@ class JdbcProductStore(
       df: DataFrame,
       deleteWhere: Option[String],
       requireRows: Boolean,
-      abortMsg: String = "empty staged batch"): Unit = {
+      abortMsg: String = "empty staged batch",
+      marker: Option[String] = None): Unit = {
     val staging = s"${table}_stage_${ProcessHandle.current().pid()}_${Thread.currentThread().getId}"
     // The staging WRITE sits inside the try: if an executor task dies
     // mid-write, the finally still drops the half-written staging table
@@ -287,6 +354,17 @@ class JdbcProductStore(
             s"DELETE FROM $table${deleteWhere.fold("")(w => s" WHERE $w")}")
           val cols = ProductSchema.CLIENT_PRODUCTS_SCHEMA.fieldNames.map(q).mkString(", ")
           st.executeUpdate(s"INSERT INTO $table ($cols) SELECT $cols FROM $staging")
+          // Ingest marker rides the same transaction: delete-then-insert
+          // keeps a replayed token idempotent (commit makes it visible
+          // atomically with the batch).
+          marker.foreach { t =>
+            val del = conn.prepareStatement(
+              s"DELETE FROM $markerTable WHERE ${q("token")} = ?")
+            try { del.setString(1, t); del.executeUpdate() } finally del.close()
+            val ins = conn.prepareStatement(
+              s"INSERT INTO $markerTable (${q("token")}) VALUES (?)")
+            try { ins.setString(1, t); ins.executeUpdate() } finally ins.close()
+          }
           conn.commit()
         } catch {
           case t: Throwable => Try(conn.rollback()); throw t

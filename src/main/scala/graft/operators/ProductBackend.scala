@@ -30,9 +30,32 @@ trait ProductBackend {
   def read(): DataFrame
   def readClient(clientId: Int): DataFrame
   def overwriteAtomic(df: DataFrame): Unit
-  def overwriteClientAtomic(clientId: Int, df: DataFrame): Unit
+
+  /** Replace one tenant's rows, optionally COMMITTING an ingest marker
+    * token in the SAME atomic publish: the marker becomes visible via
+    * [[hasMarker]] if and only if the new tenant state is the live one.
+    * This is how at-least-once delivery (the drop-directory stream's
+    * foreachBatch) gets effectively-once ingestion even for the
+    * non-idempotent sku-less insert path — a replayed file whose marker
+    * is present was FULLY committed, and one whose marker is absent
+    * wrote NOTHING (all-or-nothing publish), so re-running it is safe.
+    * The reference gets the same property from bundling its bookkeeping
+    * and data writes in one Postgres commit (ingestion/service.py:108).
+    * Tokens must be file-name-safe: `[A-Za-z0-9._-]+`.
+    */
+  def overwriteClientAtomic(
+      clientId: Int, df: DataFrame, marker: Option[String] = None): Unit
   def truncateClient(clientId: Int): Unit
   def append(df: DataFrame): Unit
+
+  /** True iff a marker token committed by a prior
+    * [[overwriteClientAtomic]] publish is reflected in the LIVE table
+    * state. Carried forward across later publishes of any tenant
+    * (each new version derives from the current one); a full-table
+    * [[overwriteAtomic]] discards markers — it replaces state the
+    * markers vouched for.
+    */
+  def hasMarker(token: String): Boolean
 
   /** Serialize one tenant's READ-MERGE-PUBLISH sequence
     * (IngestionService.doIngest): two concurrent ingests for the SAME

@@ -157,7 +157,8 @@ class ProductStore(spark: SparkSession, root: String, keepVersions: Int = 3)
     * client_id) would otherwise silently wipe the tenant's data. Explicit
     * truncation is a separate, deliberate operation ([[truncateClient]]).
     */
-  def overwriteClientAtomic(clientId: Int, df: DataFrame): Unit = {
+  def overwriteClientAtomic(
+      clientId: Int, df: DataFrame, marker: Option[String] = None): Unit = {
     val part = s"client_id=$clientId"
     val tmp = Paths.get(root, s"_staging_${uniqueTag()}")
     align(df).write
@@ -171,8 +172,9 @@ class ProductStore(spark: SparkSession, root: String, keepVersions: Int = 3)
         s"staged batch contains no rows for client_id=$clientId — refusing to " +
           "replace the live partition (use truncateClient for deliberate truncation)")
     }
-    replacePartition(part, Some(src))
-    Try(deleteRecursively(tmp))
+    try replacePartition(part, Some(src), marker)
+    finally Try(deleteRecursively(tmp))
+    ()
   }
 
   /** Deliberately remove one client's partition (the explicit form of
@@ -202,22 +204,50 @@ class ProductStore(spark: SparkSession, root: String, keepVersions: Int = 3)
 
   /** Build a new version that equals the current one except for `part`,
     * which is replaced by `src` (or dropped when None), then publish.
+    * `marker` commits an ingest token ATOMICALLY with the data: it is
+    * written INTO the new version directory (under `_markers/`, a
+    * `_`-prefixed name Spark's file listing ignores) BEFORE the CURRENT
+    * swap — so the token is visible iff this publish is live, and
+    * hard-link carry-forward of the version's children propagates all
+    * earlier tokens through every later version (see
+    * [[ProductBackend.overwriteClientAtomic]]).
     */
-  private def replacePartition(part: String, src: Option[Path]): Unit = withWriteLock {
-    val name = newVersionName()
-    val target = versionsDir.resolve(name)
-    Files.createDirectories(target)
-    currentVersion.foreach { cur =>
-      if (Files.exists(cur)) {
-        Files.list(cur).forEach { child =>
-          if (child.getFileName.toString != part)
-            linkTree(child, target.resolve(child.getFileName))
+  private def replacePartition(
+      part: String, src: Option[Path], marker: Option[String] = None): Unit =
+    withWriteLock {
+      marker.foreach(token =>
+        require(token.matches("[A-Za-z0-9._-]+") && !token.startsWith("."),
+          s"ingest marker token must be file-name-safe ([A-Za-z0-9._-]+): '$token'"))
+      val name = newVersionName()
+      val target = versionsDir.resolve(name)
+      Files.createDirectories(target)
+      currentVersion.foreach { cur =>
+        if (Files.exists(cur)) {
+          Files.list(cur).forEach { child =>
+            if (child.getFileName.toString != part)
+              linkTree(child, target.resolve(child.getFileName))
+          }
         }
       }
+      src.foreach(s => Files.move(s, target.resolve(part), StandardCopyOption.ATOMIC_MOVE))
+      marker.foreach { token =>
+        val dir = target.resolve(MarkersDir)
+        Files.createDirectories(dir)
+        val f = dir.resolve(token)
+        if (!Files.exists(f)) Files.createFile(f)
+        ()
+      }
+      publish(name)
     }
-    src.foreach(s => Files.move(s, target.resolve(part), StandardCopyOption.ATOMIC_MOVE))
-    publish(name)
-  }
+
+  private val MarkersDir = "_markers"
+
+  /** Marker probe against the LIVE version only — a token whose publish
+    * lost the CURRENT swap (crash before publish) is invisible, exactly
+    * the contract replay dedup needs.
+    */
+  override def hasMarker(token: String): Boolean =
+    currentVersion.exists(v => Files.exists(v.resolve(MarkersDir).resolve(token)))
 
   /** Collision-proof unique tag for staging/version/pointer names.
     * nanoTime alone is NOT unique under concurrency (two threads can

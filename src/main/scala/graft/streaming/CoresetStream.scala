@@ -78,7 +78,8 @@ object CoresetStream {
   }
 
   def processBatch(spark: SparkSession, batch: DataFrame, vecCol: String,
-      idCol: String, k: Int, storeDir: String, batchId: Long): Unit = {
+      idCol: String, k: Int, storeDir: String, batchId: Long,
+      chunk: Int = DriverChunk): Unit = {
     if (!batch.isEmpty) {
       // knob drift guard (the CoverStream discipline): a store written
       // under a different k holds a center set whose |C| <= k invariant
@@ -94,23 +95,28 @@ object CoresetStream {
       // BOUNDED driver pulls: the entry filter contributes nothing while
       // the state is empty or young (tiny rSq), so one collect of the
       // whole batch is unbounded driver memory on batch 0. Pull
-      // ascending-id chunks, re-filtering the REMAINDER against the
+      // ascending chunks, re-filtering the REMAINDER against the
       // UPDATED state between chunks — the re-filter's drop predicate is
       // exactly insertAll's own skip test (d2 <= 4*rSq against current
       // centers, same rounding), so the final state equals the one-shot
       // sequential insertion while each driver pull stays <= DriverChunk.
+      // Paging key: (id, mid) where mid is a synthetic unique tiebreaker
+      // PINNED by the localCheckpoint — paging on id alone would skip
+      // duplicate ids straddling a chunk boundary and make the
+      // orderBy(id).limit cut nondeterministic across ties.
       val base = batch
         .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+        .withColumn("mid", monotonically_increasing_id())
         .localCheckpoint() // re-read per chunk from pinned blocks
       var st = prior
-      var lastId = Long.MinValue
+      var last = (Long.MinValue, Long.MinValue)
       var more = true
       while (more) {
-        val surv = survivors(base, st, lastId, DriverChunk)
+        val surv = survivors(base, st, last, chunk)
         if (surv.isEmpty) more = false
         else {
-          st = insertAll(st, surv, k)
-          lastId = surv.last._1
+          st = insertAll(st, surv.map { case (id, _, v) => (id, v) }, k)
+          last = (surv.last._1, surv.last._2)
         }
       }
       writeState(spark, st, storeDir, batchId, k)
@@ -171,12 +177,14 @@ object CoresetStream {
     * processing order): rows whose rounded d2 to EVERY center exceeds
     * 4·rSq. See the class doc for why dropping covered points is exact.
     */
-  private def survivors(base: DataFrame, st: CoverState, afterId: Long,
-      limit: Int): Seq[(Long, Array[Double])] = {
+  private def survivors(base: DataFrame, st: CoverState,
+      after: (Long, Long), limit: Int): Seq[(Long, Long, Array[Double])] = {
     // raw vector column on the scan side: DotProduct widens per element,
     // and avoiding the interpreted transform-cast keeps the whole
     // novelty filter inside whole-stage codegen (PlanPropertiesSpec).
-    val scoped = base.filter(col("id") > afterId)
+    val (afterId, afterMid) = after
+    val scoped = base.filter(col("id") > afterId ||
+      (col("id") === afterId && col("mid") > afterMid))
     val kept =
       if (st.centers.isEmpty) scoped
       else {
@@ -185,8 +193,8 @@ object CoresetStream {
         val dmin = if (dists.length == 1) dists.head else least(dists: _*)
         scoped.filter(dmin > lit(4.0 * st.rSq))
       }
-    kept.orderBy(col("id")).limit(limit).collect()
-      .map(r => (r.getLong(0), Coreset.toDoubleArray(r, 1))).toSeq
+    kept.orderBy(col("id"), col("mid")).limit(limit).collect()
+      .map(r => (r.getLong(0), r.getLong(2), Coreset.toDoubleArray(r, 1))).toSeq
   }
 
   /** Sequential doubling-algorithm insertions — at most (survivors)

@@ -55,19 +55,22 @@ object IngestStream {
     * atomicity of the POST model).
     *
     * Redelivery: foreachBatch is AT-LEAST-ONCE, and the service's
-    * sku-less insert path is not idempotent — so processed markers
-    * (under the checkpoint dir, the sibling streams' snapshot-per-
-    * batchId discipline) bound replay: a batch marker skips
-    * fully-processed batches, and PER-FILE markers inside a batch skip
-    * every file whose ingest already completed, so a crash replays AT
-    * MOST the single in-flight file. Upserts re-merge to the identical
-    * state under the deterministic batchTs; the sku-less insert path
-    * has a residual duplicate window exactly as wide as the gap between
-    * a file's publish and its marker write (closing it fully needs the
-    * marker to ride the store publish itself — the version-dir marker
-    * design, banked in SURVEY §7.4s). `onReport` may re-fire for a
-    * replayed file — report consumers that require exactly-once should
-    * key on (path, ts).
+    * sku-less insert path is not idempotent — so each file's ingest
+    * commits a PER-FILE MARKER TOKEN atomically with its store publish
+    * ([[operators.ProductBackend.overwriteClientAtomic]]: the token
+    * rides the version directory through the CURRENT swap on the
+    * parquet store, or the single swap transaction over JDBC). A
+    * replayed file whose token is visible was FULLY committed and is
+    * skipped; one whose token is absent wrote NOTHING (all-or-nothing
+    * publish) and re-runs safely — there is no crash point that
+    * duplicates a sku-less insert. The batchId marker under the
+    * checkpoint dir is purely a fast path that skips store probes for
+    * fully-processed batches. A file whose ingest FAILED (validation
+    * abort) commits no token; it is retried on a replay of its batch
+    * and deterministically fails again — same semantics as the batch
+    * POST model. `onReport` may re-fire for a replayed failed file —
+    * report consumers that require exactly-once should key on
+    * (path, ts).
     */
   def start(
       spark: SparkSession,
@@ -91,15 +94,17 @@ object IngestStream {
             .collect().map(_.getString(0)).sorted
           Files.createDirectories(root)
           files.foreach { path =>
-            // per-file marker (flat, batch-qualified, path-hashed): a
-            // mid-batch crash replays at most the one in-flight file
+            // per-file token (batch-qualified, path-hashed) committed
+            // atomically WITH the ingest's store publish — marker
+            // present == batch fully committed, absent == nothing
+            // written, so replay is exact (no duplicate window)
             val digest = java.security.MessageDigest.getInstance("MD5")
               .digest(path.getBytes("UTF-8")).map("%02x".format(_)).mkString
-            val fileMarker = root.resolve(s"file_${batchId}_$digest")
-            if (!Files.exists(fileMarker)) {
+            val token = s"ingest_${batchId}_$digest"
+            if (!service.alreadyIngested(token)) {
               onReport(path, service.ingest(cfg, path,
-                fullUpdate = isFullUpdate(path), batchTs = batchTsFor(path)))
-              Files.createFile(fileMarker)
+                fullUpdate = isFullUpdate(path), batchTs = batchTsFor(path),
+                marker = Some(token)))
             }
           }
           Files.createDirectories(batchMarker)

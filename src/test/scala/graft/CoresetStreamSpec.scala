@@ -20,6 +20,31 @@ class CoresetStreamSpec extends SparkSpec {
 
   private val stream = (0 until 120).map(i => (i.toLong, pt(i)))
 
+  test("duplicate ids straddling chunk boundaries are never skipped") {
+    // paging on id alone would drop a duplicate id's later rows at a
+    // chunk cut; the (id, mid) composite key must process every row.
+    // coalesce(1) pins mid order == row order so the sequential
+    // reference is deterministic.
+    val pts = (0 until 20).map(i => ((i / 2).toLong, pt(i + 500)))
+    val store = tmpDir("coreset-dup")
+    val k = 5
+    val df = pts.toDF("vec_id", "embedding").coalesce(1)
+    CoresetStream.processBatch(spark, df, "embedding", "vec_id", k, store,
+      batchId = 0L, chunk = 3)
+    val got = CoresetStream.readState(spark, store)
+    val want = CoresetStream.insertAll(CoresetStream.Empty,
+      pts.sortBy(_._1).map { case (i, v) => (i, v.toArray) }, k) // stable sort
+    assert(got.centers.map(_._1) === want.centers.map(_._1),
+      "chunked paging over duplicate ids diverged from sequential insertion")
+    assert(got.rSq === want.rSq)
+    // covering invariant over EVERY input row, duplicates included
+    pts.foreach { case (i, v) =>
+      val dmin = got.centers.map(c =>
+        graft.operators.Coreset.d2Scalar(v.toArray, c._2)).min
+      assert(dmin <= 16.0 * got.rSq, s"row with id $i escaped the 4r cover")
+    }
+  }
+
   test("stream == pure sequential doubling; state bounded; 4r covering holds") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

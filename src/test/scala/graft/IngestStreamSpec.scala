@@ -91,6 +91,68 @@ class IngestStreamSpec extends SparkSpec {
     assert(bySku("a1").head.getAs[Timestamp]("last_changed_on") === ts(4))
   }
 
+  test("replay after a crash between publish and batch marker duplicates nothing") {
+    // The worst case the per-file store marker exists for: a file of
+    // SKU-LESS rows (the non-idempotent insert path) whose ingest
+    // PUBLISHED, followed by a crash before any checkpoint-side marker
+    // was written. On restart the batch replays — and must skip the
+    // file because its token committed atomically with the publish.
+    val store = new ProductStore(spark, tmpDir("store-crash"))
+    val svc = new IngestionService(spark, store, clientId = 1)
+    val dropDir = tmpDir("drop-crash")
+    val ckpt = tmpDir("ckpt-crash")
+    writeText(dropDir, "anon.csv", "sku,title,active\n,Anon A,1\n,Anon B,1")
+    val q1 = IngestStream.start(spark, svc, cfg, dropDir,
+      checkpointDir = ckpt, batchTsFor = _ => ts(1))
+    try q1.processAllAvailable() finally q1.stop()
+    assert(store.read().count() === 2)
+
+    // simulate the crash: reconstruct the checkpoint as it would look
+    // had the process died right after the store publish — offsets
+    // written, but NO commit log entry and NO fast-path batch marker.
+    // (A fresh path sidesteps Spark's same-JVM guard against rewriting
+    // a commit log it has already seen at the original path.)
+    import java.nio.file.{Files => F, Path, Paths => P}
+    val ckpt2 = tmpDir("ckpt-crash-restored")
+    def copyTree(src: Path, dst: Path): Unit = {
+      val w = F.walk(src)
+      try {
+        import scala.jdk.CollectionConverters._
+        w.iterator().asScala.foreach { p =>
+          val t = dst.resolve(src.relativize(p))
+          if (F.isDirectory(p)) F.createDirectories(t)
+          else { F.createDirectories(t.getParent); F.copy(p, t) }
+        }
+      } finally w.close()
+    }
+    copyTree(P.get(ckpt), P.get(ckpt2))
+    assert(F.deleteIfExists(P.get(ckpt2, "commits", "0")),
+      "expected Spark commit log entry for batch 0")
+    // Hadoop's local ChecksumFileSystem keeps a .crc sidecar per file;
+    // a stale one left behind makes the re-written commit look like a
+    // concurrent writer's
+    F.deleteIfExists(P.get(ckpt2, "commits", ".0.crc"))
+    def rmTree(p: Path): Unit =
+      if (F.exists(p)) {
+        val w = F.walk(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          w.iterator().asScala.toVector.reverse.foreach(F.delete)
+        } finally w.close()
+      }
+    rmTree(P.get(ckpt2, "graft-processed"))
+
+    val replayReports = mutable.ArrayBuffer.empty[String]
+    val q2 = IngestStream.start(spark, svc, cfg, dropDir,
+      checkpointDir = ckpt2, batchTsFor = _ => ts(1),
+      onReport = (p, _) => replayReports.synchronized { replayReports += p })
+    try q2.processAllAvailable() finally q2.stop()
+
+    assert(store.read().count() === 2,
+      "replayed file re-ran its sku-less inserts — the marker did not ride the publish")
+    assert(replayReports.isEmpty, "skipped file must not re-fire onReport")
+  }
+
   test("same-trigger arrivals process in lexicographic path order") {
     val store = new ProductStore(spark, tmpDir("store-multi"))
     val svc = new IngestionService(spark, store, clientId = 1)

@@ -395,4 +395,42 @@ class IngestionServiceSpec extends SparkSpec {
       p.waitFor()
     }
   }
+
+  test("ingest markers commit atomically with the publish and ride later versions") {
+    import spark.implicits._
+    // keepVersions=1: survival across publishes must come from the
+    // hard-link carry-forward into each NEW version, not from old
+    // versions escaping GC
+    val store = new ProductStore(spark, tmpDir("store-markers"), keepVersions = 1)
+    assert(!store.hasMarker("t1"), "empty store has no markers")
+    store.overwriteClientAtomic(1,
+      Seq((1, "a1", "T1")).toDF("client_id", "sku", "title"), marker = Some("t1"))
+    assert(store.hasMarker("t1"))
+    // a LATER publish of another tenant carries the token forward
+    store.overwriteClientAtomic(2,
+      Seq((2, "b1", "T2")).toDF("client_id", "sku", "title"), marker = Some("t2"))
+    assert(store.hasMarker("t1") && store.hasMarker("t2"))
+    // append and truncate preserve markers too
+    store.append(Seq((3, "c1", "T3")).toDF("client_id", "sku", "title"))
+    store.truncateClient(3)
+    assert(store.hasMarker("t1") && store.hasMarker("t2"))
+    // an ABORTED publish leaves no marker (all-or-nothing includes the token)
+    intercept[IllegalStateException] {
+      store.overwriteClientAtomic(9,
+        Seq((1, "zz", "Wrong tenant")).toDF("client_id", "sku", "title"),
+        marker = Some("t9"))
+    }
+    assert(!store.hasMarker("t9"), "aborted publish must not commit its marker")
+    // a FULL-table overwrite replaces the state the markers vouched for
+    store.overwriteAtomic(Seq((1, "a1", "Fresh")).toDF("client_id", "sku", "title"))
+    assert(!store.hasMarker("t1") && !store.hasMarker("t2"))
+    // unsafe token names fail loud, and the failed build never publishes
+    val before = store.read().count()
+    intercept[Exception] {
+      store.overwriteClientAtomic(1,
+        Seq((1, "a1", "X")).toDF("client_id", "sku", "title"),
+        marker = Some("../escape"))
+    }
+    assert(store.read().count() === before)
+  }
 }

@@ -262,4 +262,38 @@ class JdbcProductStoreSpec extends SparkSpec {
       plan.toLowerCase.contains("equalto(client_id,3)"),
       s"expected pushed tenant filter in:\n$plan")
   }
+
+  test("ingest markers share the swap transaction: visible on commit, absent on abort") {
+    import spark.implicits._
+    val store = freshStore()
+    assert(!store.hasMarker("tok1"), "no markers before any publish")
+    store.overwriteClientAtomic(1,
+      Seq((1, "a1", "T")).toDF("client_id", "sku", "title"), marker = Some("tok1"))
+    assert(store.hasMarker("tok1"))
+    assert(!store.hasMarker("tok2"))
+    // an aborted swap (empty staged batch) rolls the marker back with it
+    val other = Seq((2, "b1", "Other")).toDF("client_id", "sku", "title")
+    intercept[IllegalStateException] {
+      store.overwriteClientAtomic(1, other, marker = Some("tok_abort"))
+    }
+    assert(!store.hasMarker("tok_abort"),
+      "aborted transaction must not commit its marker")
+    // replaying the same token is idempotent, not a duplicate-key failure
+    store.overwriteClientAtomic(1,
+      Seq((1, "a1", "T2")).toDF("client_id", "sku", "title"), marker = Some("tok1"))
+    assert(store.hasMarker("tok1"))
+  }
+
+  test("tableExists escapes LIKE wildcards: similar names don't mask a missing table") {
+    // client_products's probe pattern contains '_', a single-char LIKE
+    // wildcard: with table `clientXproducts` already present, an
+    // UNESCAPED probe for `client_products` false-positives, skips
+    // CREATE TABLE, and the first read fails with table-not-found.
+    val url = freshUrl()
+    val decoy = new JdbcProductStore(spark, url, table = "clientXproducts")
+    assert(decoy.exists)
+    val store = new JdbcProductStore(spark, url, table = "client_products")
+    assert(store.exists)
+    assert(store.read().count() === 0) // the real table was created and reads
+  }
 }

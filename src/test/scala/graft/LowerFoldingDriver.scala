@@ -37,18 +37,39 @@ object LowerFoldingDriver {
             case "storesUpperCaseIdentifiers" => java.lang.Boolean.FALSE
             case "storesMixedCaseIdentifiers" => java.lang.Boolean.FALSE
             case "getTables" =>
-              // lowercase table-name pattern -> Derby's stored uppercase
+              // lowercase table-name pattern -> Derby's stored uppercase,
+              // and fold the RETURNED names back to lowercase — Postgres
+              // both matches and REPORTS lowercase, and callers verify
+              // the hit via an exact TABLE_NAME comparison
               val a = args.clone()
               a(2) = a(2) match {
                 case s: String => s.toUpperCase
                 case other => other
               }
-              m.invoke(md, a: _*).asInstanceOf[ResultSet]
+              wrapTablesResult(m.invoke(md, a: _*).asInstanceOf[ResultSet])
             case _ =>
               try m.invoke(md, args: _*)
               catch { case e: java.lang.reflect.InvocationTargetException => throw e.getCause }
           }
       }).asInstanceOf[DatabaseMetaData]
+
+  private def wrapTablesResult(rs: ResultSet): ResultSet =
+    Proxy.newProxyInstance(rs.getClass.getClassLoader,
+      Array(classOf[ResultSet]),
+      new InvocationHandler {
+        override def invoke(proxy: Any, m: Method, args: Array[AnyRef]): AnyRef = {
+          val out =
+            try m.invoke(rs, args: _*)
+            catch { case e: java.lang.reflect.InvocationTargetException => throw e.getCause }
+          val isTableName = m.getName == "getString" && args != null &&
+            args.length == 1 &&
+            (args(0) == "TABLE_NAME" || args(0) == Integer.valueOf(3))
+          out match {
+            case s: String if isTableName => s.toLowerCase
+            case other => other
+          }
+        }
+      }).asInstanceOf[ResultSet]
 
   private def wrapConnection(c: Connection): Connection =
     Proxy.newProxyInstance(c.getClass.getClassLoader,
