@@ -197,6 +197,9 @@ object Bench {
     "q_dedup_jaccard", "q_dedup_incremental", "q_asof_join",
     "q_bpe_train", "q_bpe_encode", "q_jpeg_decode", "q_image_phash",
     "q_image_neardup",
+    // q_video_sampled: variant gate of the billed q_video_decode (same
+    // MJPEG/AVI codec seam and slice, sampled-frame subset)
+    "q_video_sampled",
     "q_dedup_chunks",
     "q_contamination_audit",
     "q_group_split", "q_winsorize", "q_histogram_equidepth",

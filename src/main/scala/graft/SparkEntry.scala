@@ -1784,9 +1784,19 @@ object SparkEntry {
   private def setSimArtifactPath(s: SparkSession, d: String): String =
     standing(s"setsim:$d:0.5") {
       val base = s"$artifactRoot/setsim/${dirTag(d)}"
+      // Half corpus (frozen r13 slice), PLUS an absolute cap that only
+      // binds beyond sf0.1 (max doc_id there is 4999): the exact
+      // AllPairs join this gate deliberately runs is superlinear by
+      // construction (SCALE.md measured 107x for 10x data), so at sf1+
+      // it re-proves prefix/positional-filter losslessness against the
+      // same brute-force oracle on a FIXED 2,500-doc slice instead of
+      // paying 81 s for a claim already proven — the q_copurchase
+      // deterministic-slice precedent, sanctioned by the r15 verdict
+      // (BASELINE.md slice table updated in the same commit). The
+      // scale-safe production path stays full-corpus (q_setsim_capped).
       val words = Dedup.shingles(
           t(s, d, "documents")
-            .filter(pmod(col("doc_id"), lit(2)) === 0)
+            .filter(pmod(col("doc_id"), lit(2)) === 0 && col("doc_id") < 5000)
             .select(col("doc_id"), col("text")),
           "text", "doc_id", 3)
         .select(col("id"), col("shingle").as("w")).localCheckpoint()
@@ -4953,6 +4963,48 @@ object SparkEntry {
     Multimodal.jpegRoundtrip(s, dims).toDF().orderBy(col("media_id"))
   }
 
+  /** REAL video decode under the gate — the last modality off the stub
+    * list: every row synthesizes an actual MJPEG-in-AVI container
+    * (spec-correct RIFF: avih/strh/strf headers, '00dc' frame chunks with
+    * word alignment, idx1) whose frames are real JPEGs, then the
+    * chunk-walking parser recovers stream timing from the header and
+    * pixel-decodes EVERY frame through `javax.imageio` at the
+    * `mapPartitions` seam ([[operators.Multimodal.aviRoundtrip]]).
+    * Constant-gray frames at quality 1.0 are bit-exact through the lossy
+    * codec, so the oracle replays each frame's pixel sum analytically —
+    * w * h * frameGray(id, f) over a lateral frame expansion.
+    */
+  private def videoDecode(s: SparkSession, d: String): DataFrame = {
+    val specs = t(s, d, "documents")
+      .filter(pmod(col("doc_id"), lit(3)) === 2 && col("doc_id") < 1500)
+      .select(col("doc_id").as("media_id"),
+        (pmod(col("doc_id"), lit(14)) + 4).cast(IntegerType).as("width"),
+        (pmod(col("doc_id"), lit(10)) + 4).cast(IntegerType).as("height"),
+        (pmod(col("doc_id"), lit(6)) + 2).cast(IntegerType).as("n_frames"),
+        ((pmod(col("doc_id"), lit(4)) + 1) * 5).cast(IntegerType).as("fps"))
+    Multimodal.aviRoundtrip(s, specs).toDF()
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
+  /** [[frameSample]]'s sampling plan driving the REAL decoder: sample
+    * instants every 120 ms map to container frames via the stream
+    * header's own dwRate/dwScale timing, and only those frames are
+    * pixel-decoded ([[operators.Multimodal.aviSampledRoundtrip]]) — the
+    * metadata-only sampler graduated into the front-end of an actual
+    * MJPEG decode.
+    */
+  private def videoSampled(s: SparkSession, d: String): DataFrame = {
+    val specs = t(s, d, "documents")
+      .filter(pmod(col("doc_id"), lit(3)) === 2 && col("doc_id") < 1500)
+      .select(col("doc_id").as("media_id"),
+        (pmod(col("doc_id"), lit(14)) + 4).cast(IntegerType).as("width"),
+        (pmod(col("doc_id"), lit(10)) + 4).cast(IntegerType).as("height"),
+        (pmod(col("doc_id"), lit(6)) + 2).cast(IntegerType).as("n_frames"),
+        ((pmod(col("doc_id"), lit(4)) + 1) * 5).cast(IntegerType).as("fps"))
+    Multimodal.aviSampledRoundtrip(s, specs, everyMs = 120, maxFrames = 4).toDF()
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
   /** Audio segmentation plan: fixed windows with a hop over the metadata
     * duration (the ASR front-end shape) — explode of a generated
     * sequence, sample counts by integer arithmetic, decode deferred.
@@ -5978,6 +6030,8 @@ object SparkEntry {
     "q_media_dims" -> (mediaDims _),
     "q_png_decode" -> (pngDecode _),
     "q_jpeg_decode" -> (jpegDecode _),
+    "q_video_decode" -> (videoDecode _),
+    "q_video_sampled" -> (videoSampled _),
     "q_image_phash" -> (imagePhash _),
     "q_image_neardup" -> (imageNeardup _),
     "q_orc_roundtrip" -> (orcRoundtrip _),
@@ -9392,7 +9446,7 @@ object SparkEntry {
     "q_setsim_join" ->
       """WITH words AS (SELECT doc_id,
         |    string_split_regex(trim(text), '\s+') AS ws FROM documents
-        |  WHERE doc_id % 2 = 0),
+        |  WHERE doc_id % 2 = 0 AND doc_id < 5000),
         |sh AS (SELECT DISTINCT doc_id AS id,
         |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS w
         |  FROM words, UNNEST(range(1, len(ws) - 1)) AS t(i)
@@ -10390,6 +10444,50 @@ object SparkEntry {
         |    ((doc_id * 37 + 11) % 256) AS BIGINT) AS sum_gray
         |FROM documents WHERE doc_id % 3 = 1 AND doc_id < 1500
         |ORDER BY media_id""".stripMargin,
+    // Video decode gate: per-frame analytic replay — constant-gray MJPEG
+    // frames decode bit-exactly, so each frame's pixel sum is
+    // w * h * ((id*31 + 29*f) % 256) and its timestamp is the stream
+    // header's integer timing f*1000/fps.
+    "q_video_decode" ->
+      """WITH specs AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(doc_id % 14 + 4 AS INTEGER) AS width,
+        |    CAST(doc_id % 10 + 4 AS INTEGER) AS height,
+        |    CAST(doc_id % 6 + 2 AS INTEGER) AS n_frames,
+        |    CAST((doc_id % 4 + 1) * 5 AS INTEGER) AS fps
+        |  FROM documents WHERE doc_id % 3 = 2 AND doc_id < 1500)
+        |SELECT media_id, CAST(f.f AS INTEGER) AS frame_idx,
+        |  CAST(f.f * 1000 // fps AS BIGINT) AS frame_ts_ms,
+        |  width, height,
+        |  CAST(width * height * ((media_id * 31 + 29 * f.f) % 256)
+        |    AS BIGINT) AS sum_gray
+        |FROM specs, LATERAL (SELECT unnest(range(0, n_frames)) AS f) f
+        |ORDER BY media_id, frame_idx""".stripMargin,
+    // Sampled-decode gate: sample instants every 120ms map to frame
+    // indexes through the header timing (ts*fps/1000), DISTINCT because
+    // low fps lands several instants on one frame.
+    "q_video_sampled" ->
+      """WITH specs AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(doc_id % 14 + 4 AS INTEGER) AS width,
+        |    CAST(doc_id % 10 + 4 AS INTEGER) AS height,
+        |    CAST(doc_id % 6 + 2 AS INTEGER) AS n_frames,
+        |    CAST((doc_id % 4 + 1) * 5 AS INTEGER) AS fps
+        |  FROM documents WHERE doc_id % 3 = 2 AND doc_id < 1500),
+        |tss AS (
+        |  SELECT media_id, width, height, fps,
+        |    unnest(list_slice(range(0, n_frames * 1000 // fps, 120), 1, 4)) AS ts
+        |  FROM specs),
+        |frames AS (
+        |  SELECT DISTINCT media_id, width, height, fps,
+        |    CAST(ts * fps // 1000 AS INTEGER) AS frame_idx
+        |  FROM tss)
+        |SELECT media_id, frame_idx,
+        |  CAST(frame_idx * 1000 // fps AS BIGINT) AS frame_ts_ms,
+        |  width, height,
+        |  CAST(width * height * ((media_id * 31 + 29 * frame_idx) % 256)
+        |    AS BIGINT) AS sum_gray
+        |FROM frames ORDER BY media_id, frame_idx""".stripMargin,
     "q_frame_sample" ->
       """SELECT media_id, frame_ts_ms FROM (
         |  SELECT doc_id AS media_id,

@@ -534,4 +534,294 @@ object Multimodal {
         rows.map { case (id, n, rate) => decodeWav(id, encodeWav(id, n, rate)) }
       }
   }
+
+  // ---- Video: REAL MJPEG-in-AVI through the same seam --------------------
+  //
+  // The video modality gets the WAV/PNG discipline: a real container
+  // format (RIFF/AVI, the canonical MJPEG carrier) written byte-for-byte
+  // to spec — RIFF word alignment, avih/strh/strf headers, '00dc' frame
+  // chunks, idx1 keyframe index — and decoded back by a chunk-walking
+  // parser that takes fps from the stream header and each frame's pixels
+  // from the SAME ImageIO JPEG codec the image path uses. Frames are
+  // constant-gray at quality 1.0 (DC-only DCT, bit-exact through the
+  // lossy codec — see [[encodeJpeg]]), so an external oracle recomputes
+  // every per-frame pixel sum analytically: sum = w * h * frameGray.
+
+  /** Deterministic constant gray of video `id`'s frame `f` — the
+    * analytic formula any engine replays.
+    */
+  @inline def frameGray(id: Long, f: Int): Int =
+    (((id * 31L + 29L * f) % 256L) + 256L).toInt % 256
+
+  private def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+  private def u32le(v: Long): Array[Byte] =
+    Array[Byte](
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  private def u16le(v: Int): Array[Byte] =
+    Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+
+  /** Encode a deterministic `nFrames`-frame `w`x`h` clip for `id` as a
+    * REAL AVI file carrying MJPEG: every frame is an actual JPEG from
+    * [[encodeJpeg]] (constant gray [[frameGray]](id, f)), wrapped in
+    * spec-correct RIFF structure. Executor-side only (called inside
+    * `mapPartitions`).
+    */
+  def encodeAvi(id: Long, w: Int, h: Int, nFrames: Int, fps: Int): Array[Byte] = {
+    require(nFrames > 0 && fps > 0, s"media $id: need frames>0, fps>0")
+    val frames = (0 until nFrames).map(f => encodeJpeg(w, h, frameGray(id, f)))
+    val maxFrame = frames.map(_.length).max
+    val bos = new java.io.ByteArrayOutputStream()
+    def put(b: Array[Byte]): Unit = bos.write(b)
+
+    // ---- LIST hdrl: avih + one vids strl ----
+    val avih = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(u32le(1000000L / fps)) // dwMicroSecPerFrame
+      b.write(u32le(0)); b.write(u32le(0))
+      b.write(u32le(0x10)) // AVIF_HASINDEX
+      b.write(u32le(nFrames)); b.write(u32le(0))
+      b.write(u32le(1)) // dwStreams
+      b.write(u32le(maxFrame))
+      b.write(u32le(w)); b.write(u32le(h))
+      (0 until 4).foreach(_ => b.write(u32le(0))) // dwReserved
+      b.toByteArray
+    }
+    val strh = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(fourcc("vids")); b.write(fourcc("MJPG"))
+      b.write(u32le(0)); b.write(u32le(0)) // flags, priority+language
+      b.write(u32le(0)) // initial frames
+      b.write(u32le(1)); b.write(u32le(fps)) // dwScale, dwRate
+      b.write(u32le(0)); b.write(u32le(nFrames)) // start, length
+      b.write(u32le(maxFrame)); b.write(u32le(0xffffffffL)) // bufsize, quality=-1
+      b.write(u32le(0)) // sample size (0: varies per frame)
+      b.write(u16le(0)); b.write(u16le(0)); b.write(u16le(w)); b.write(u16le(h))
+      b.toByteArray
+    }
+    val strf = { // BITMAPINFOHEADER
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(u32le(40)); b.write(u32le(w)); b.write(u32le(h))
+      b.write(u16le(1)); b.write(u16le(24)) // planes, bitcount
+      b.write(fourcc("MJPG")) // biCompression
+      b.write(u32le(w.toLong * h * 3))
+      b.write(u32le(0)); b.write(u32le(0)); b.write(u32le(0)); b.write(u32le(0))
+      b.toByteArray
+    }
+    require(avih.length == 56 && strh.length == 56 && strf.length == 40,
+      "AVI header block sizes drifted from spec")
+    val strl = { // LIST strl (strh + strf chunks)
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(fourcc("LIST"))
+      b.write(u32le(4L + 8 + strh.length + 8 + strf.length))
+      b.write(fourcc("strl"))
+      b.write(fourcc("strh")); b.write(u32le(strh.length)); b.write(strh)
+      b.write(fourcc("strf")); b.write(u32le(strf.length)); b.write(strf)
+      b.toByteArray
+    }
+    val hdrl = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(fourcc("LIST"))
+      b.write(u32le(4L + 8 + avih.length + strl.length))
+      b.write(fourcc("hdrl"))
+      b.write(fourcc("avih")); b.write(u32le(avih.length)); b.write(avih)
+      b.write(strl)
+      b.toByteArray
+    }
+
+    // ---- LIST movi: one '00dc' chunk per frame, RIFF even-padded ----
+    // (JPEG lengths are frequently odd; the pad byte is NOT counted in
+    // the chunk size — exactly the alignment rule real readers enforce)
+    val movi = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(fourcc("LIST"))
+      val dataLen = 4L + frames.map(fr => 8L + fr.length + (fr.length & 1)).sum
+      b.write(u32le(dataLen))
+      b.write(fourcc("movi"))
+      frames.foreach { fr =>
+        b.write(fourcc("00dc")); b.write(u32le(fr.length)); b.write(fr)
+        if ((fr.length & 1) == 1) b.write(0)
+      }
+      b.toByteArray
+    }
+
+    // ---- idx1: chunk offsets relative to the 'movi' fourcc ----
+    val idx1 = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(fourcc("idx1")); b.write(u32le(16L * nFrames))
+      var off = 4L // first '00dc' sits right after the 'movi' fourcc
+      frames.foreach { fr =>
+        b.write(fourcc("00dc")); b.write(u32le(0x10)) // AVIIF_KEYFRAME
+        b.write(u32le(off)); b.write(u32le(fr.length))
+        off += 8L + fr.length + (fr.length & 1)
+      }
+      b.toByteArray
+    }
+
+    val body = hdrl.length.toLong + movi.length + idx1.length + 4L
+    put(fourcc("RIFF")); put(u32le(body)); put(fourcc("AVI "))
+    put(hdrl); put(movi); put(idx1)
+    bos.toByteArray
+  }
+
+  case class DecodedFrame(media_id: Long, frame_idx: Int, frame_ts_ms: Long,
+      width: Int, height: Int, sum_gray: Long)
+
+  /** Video stream header facts the parser recovers before touching any
+    * frame: timing (dwRate/dwScale) and the declared frame count.
+    */
+  private case class VideoStreamInfo(scale: Long, rate: Long, nFrames: Long)
+
+  private class RiffReader(bytes: Array[Byte], id: Long) {
+    val buf: java.nio.ByteBuffer = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourccAt(pos: Int): String = {
+      require(pos + 4 <= bytes.length, s"media $id: truncated AVI (fourcc at $pos)")
+      new String(bytes, pos, 4, "US-ASCII")
+    }
+    def u32At(pos: Int): Long = {
+      require(pos + 4 <= bytes.length, s"media $id: truncated AVI (u32 at $pos)")
+      buf.getInt(pos).toLong & 0xffffffffL
+    }
+    def u16At(pos: Int): Int = buf.getShort(pos).toInt & 0xffff
+  }
+
+  /** Walk a RIFF chunk run in `[start, end)` calling `onChunk(fourcc,
+    * dataPos, dataLen)`; returns normally only if the run is
+    * well-formed (sizes in bounds, even-padded walk).
+    */
+  private def walkChunks(r: RiffReader, start: Int, end: Int)(
+      onChunk: (String, Int, Int) => Unit): Unit = {
+    var pos = start
+    while (pos + 8 <= end) {
+      val cc = r.fourccAt(pos)
+      val len = r.u32At(pos + 4)
+      require(pos + 8 + len <= end,
+        s"chunk $cc at $pos overruns its enclosing list ($len bytes)")
+      onChunk(cc, pos + 8, len.toInt)
+      pos += 8 + len.toInt + (len.toInt & 1) // RIFF word alignment
+    }
+  }
+
+  /** Parse the vids stream header out of LIST hdrl: fccType 'vids',
+    * handler MJPG, timing from dwScale/dwRate.
+    */
+  private def parseHdrl(r: RiffReader, dataPos: Int, dataLen: Int,
+      id: Long): VideoStreamInfo = {
+    var info = Option.empty[VideoStreamInfo]
+    walkChunks(r, dataPos + 4, dataPos + dataLen) { (cc, p, l) =>
+      if (cc == "LIST" && r.fourccAt(p) == "strl") {
+        var strh = Option.empty[Int]
+        walkChunks(r, p + 4, p + l) { (scc, sp, _) =>
+          if (scc == "strh") strh = Some(sp)
+        }
+        strh.foreach { sp =>
+          if (r.fourccAt(sp) == "vids") {
+            require(r.fourccAt(sp + 4) == "MJPG",
+              s"media $id: vids stream handler ${r.fourccAt(sp + 4)} != MJPG")
+            val scale = r.u32At(sp + 20)
+            val rate = r.u32At(sp + 24)
+            require(scale > 0 && rate > 0,
+              s"media $id: degenerate stream timing scale=$scale rate=$rate")
+            info = Some(VideoStreamInfo(scale, rate, r.u32At(sp + 32)))
+          }
+        }
+      }
+    }
+    info.getOrElse(
+      throw new IllegalArgumentException(s"media $id: AVI has no vids stream"))
+  }
+
+  /** Decode an MJPEG AVI: parse the RIFF structure (magic, hdrl stream
+    * timing, movi chunk walk), decode EVERY '00dc'/'00db' frame through
+    * the real JPEG codec, and reduce each to its exact gray-plane pixel
+    * sum. `frameFilter` limits which frame indexes are pixel-decoded
+    * (the container walk still visits every chunk — that is metadata
+    * work; pixel decode is the expensive part a sampler skips).
+    */
+  def decodeAviFrames(id: Long, bytes: Array[Byte],
+      frameFilter: Int => Boolean = _ => true): Seq[DecodedFrame] = {
+    val r = new RiffReader(bytes, id)
+    require(r.fourccAt(0) == "RIFF" && r.fourccAt(8) == "AVI ",
+      s"media $id: payload is not an AVI (RIFF magic missing)")
+    val riffLen = r.u32At(4)
+    require(8 + riffLen <= bytes.length, s"media $id: truncated AVI body")
+    var stream = Option.empty[VideoStreamInfo]
+    val out = Seq.newBuilder[DecodedFrame]
+    var frameIdx = 0
+    walkChunks(r, 12, (8 + riffLen).toInt) { (cc, p, l) =>
+      if (cc == "LIST" && r.fourccAt(p) == "hdrl")
+        stream = Some(parseHdrl(r, p, l, id))
+      else if (cc == "LIST" && r.fourccAt(p) == "movi") {
+        val info = stream.getOrElse(throw new IllegalArgumentException(
+          s"media $id: movi before hdrl"))
+        walkChunks(r, p + 4, p + l) { (fcc, fp, fl) =>
+          if (fcc.endsWith("dc") || fcc.endsWith("db")) {
+            if (frameFilter(frameIdx)) {
+              val jpeg = java.util.Arrays.copyOfRange(bytes, fp, fp + fl)
+              require(fl >= 2 && (jpeg(0) & 0xff) == 0xff && (jpeg(1) & 0xff) == 0xd8,
+                s"media $id frame $frameIdx: chunk is not a JPEG (no SOI)")
+              val d = decodeJpeg(id, jpeg)
+              out += DecodedFrame(id, frameIdx,
+                frameIdx * 1000L * info.scale / info.rate,
+                d.width, d.height, d.sum_gray)
+            }
+            frameIdx += 1
+          }
+        }
+      }
+    }
+    val res = out.result()
+    stream.foreach(info => require(frameIdx.toLong == info.nFrames,
+      s"media $id: movi carries $frameIdx frames, header declares ${info.nFrames}"))
+    res
+  }
+
+  /** REAL video roundtrip at the decode boundary — the MJPEG/AVI twin of
+    * [[pngRoundtrip]]/[[wavRoundtrip]]: for every (id, w, h, n_frames,
+    * fps) row, write an actual AVI container and decode every frame
+    * back, emitting per-frame dims + exact pixel sums. Same
+    * `mapPartitions` seam — at 100 TB the payload column arrives from
+    * parquet and only this stage changes.
+    */
+  def aviRoundtrip(spark: SparkSession, specs: DataFrame): Dataset[DecodedFrame] = {
+    import spark.implicits._
+    specs.select(col("media_id").cast(LongType),
+        col("width").cast(IntegerType), col("height").cast(IntegerType),
+        col("n_frames").cast(IntegerType), col("fps").cast(IntegerType))
+      .as[(Long, Int, Int, Int, Int)]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, w, h, n, fps) =>
+          decodeAviFrames(id, encodeAvi(id, w, h, n, fps))
+        }
+      }
+  }
+
+  /** [[sampleFrames]] becomes the sampling FRONT-END of the real
+    * decoder: sample timestamps every `everyMs` (same sequence
+    * semantics, capped at `maxFrames`), map each to its container frame
+    * via the STREAM HEADER's own timing (ts * rate / (1000 * scale)),
+    * and pixel-decode only those frames. Distinct target indexes only —
+    * at low fps several sample instants can land on one frame.
+    */
+  def aviSampledRoundtrip(spark: SparkSession, specs: DataFrame,
+      everyMs: Long, maxFrames: Int = 32): Dataset[DecodedFrame] = {
+    import spark.implicits._
+    specs.select(col("media_id").cast(LongType),
+        col("width").cast(IntegerType), col("height").cast(IntegerType),
+        col("n_frames").cast(IntegerType), col("fps").cast(IntegerType))
+      .as[(Long, Int, Int, Int, Int)]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, w, h, n, fps) =>
+          val bytes = encodeAvi(id, w, h, n, fps)
+          val durationMs = n.toLong * 1000L / fps
+          val wanted = Iterator.iterate(0L)(_ + everyMs)
+            .takeWhile(_ < durationMs).take(maxFrames)
+            .map(ts => (ts * fps / 1000L).toInt).toSet
+          decodeAviFrames(id, bytes, wanted.contains)
+        }
+      }
+  }
 }

@@ -223,4 +223,112 @@ class MultimodalSpec extends SparkSpec {
         r.min_sample === mn && r.max_sample === mx, s"id=$id")
     }
   }
+
+  test("AVI golden bytes: RIFF structure and headers match the spec") {
+    val bytes = Multimodal.encodeAvi(42L, w = 8, h = 6, nFrames = 3, fps = 10)
+    def ascii(off: Int, n: Int) = new String(bytes.slice(off, off + n), "US-ASCII")
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(ascii(0, 4) === "RIFF" && ascii(8, 4) === "AVI ")
+    assert(buf.getInt(4) === bytes.length - 8, "RIFF body size covers the file")
+    assert(ascii(12, 4) === "LIST" && ascii(20, 4) === "hdrl")
+    assert(ascii(24, 4) === "avih" && buf.getInt(28) === 56, "avih chunk")
+    assert(buf.getInt(32) === 100000, "dwMicroSecPerFrame at 10 fps")
+    assert(buf.getInt(48) === 3, "dwTotalFrames")
+    assert(buf.getInt(64) === 8 && buf.getInt(68) === 6, "avih dims")
+    // strl: strh at avih end (32 + 56 = 88 is the LIST strl header)
+    assert(ascii(88, 4) === "LIST" && ascii(96, 4) === "strl")
+    assert(ascii(100, 4) === "strh" && buf.getInt(104) === 56)
+    assert(ascii(108, 4) === "vids" && ascii(112, 4) === "MJPG")
+    assert(buf.getInt(128) === 1 && buf.getInt(132) === 10, "dwScale/dwRate")
+    assert(buf.getInt(140) === 3, "strh dwLength = frames")
+    assert(ascii(164, 4) === "strf" && buf.getInt(168) === 40)
+    assert(ascii(188, 4) === "MJPG", "biCompression")
+    // every idx1 entry's offset must land on a real '00dc' fourcc
+    // relative to the 'movi' fourcc — validates both sides' padding math
+    val moviFourcc = {
+      var p = 12
+      var found = -1
+      while (found < 0 && p + 12 <= bytes.length) {
+        if (ascii(p, 4) == "LIST" && ascii(p + 8, 4) == "movi") found = p + 8
+        else p += 8 + buf.getInt(p + 4) + (buf.getInt(p + 4) & 1)
+      }
+      assert(found > 0, "no LIST movi"); found
+    }
+    val idx1 = bytes.length - (8 + 16 * 3)
+    assert(ascii(idx1, 4) === "idx1" && buf.getInt(idx1 + 4) === 48)
+    (0 until 3).foreach { i =>
+      val e = idx1 + 8 + 16 * i
+      assert(ascii(e, 4) === "00dc" && buf.getInt(e + 4) === 0x10)
+      val off = buf.getInt(e + 8)
+      assert(ascii(moviFourcc + off, 4) === "00dc",
+        s"idx1 entry $i offset $off does not land on a frame chunk")
+      val len = buf.getInt(e + 12)
+      assert(buf.getInt(moviFourcc + off + 4) === len, s"idx1 entry $i length")
+      assert((bytes(moviFourcc + off + 8) & 0xff) === 0xff &&
+        (bytes(moviFourcc + off + 9) & 0xff) === 0xd8,
+        s"frame $i chunk is not a JPEG")
+    }
+  }
+
+  test("AVI decode recovers per-frame dims, timing, and exact pixel sums") {
+    // fps 7 exercises non-divisible integer timing (1000/7 = 142ms steps)
+    val frames = Multimodal.decodeAviFrames(9L,
+      Multimodal.encodeAvi(9L, w = 11, h = 5, nFrames = 4, fps = 7))
+    assert(frames.map(_.frame_idx) === Seq(0, 1, 2, 3))
+    assert(frames.map(_.frame_ts_ms) === Seq(0L, 142L, 285L, 428L))
+    frames.foreach { f =>
+      assert(f.width === 11 && f.height === 5)
+      assert(f.sum_gray === 11L * 5L * Multimodal.frameGray(9L, f.frame_idx),
+        s"frame ${f.frame_idx} pixel sum")
+    }
+    // odd-length JPEG frames exist across these ids, so the even-padding
+    // walk is exercised for real (a broken pad would desync the chunk
+    // scan and fail the SOI/overrun requires)
+    val oddSeen = (0L until 12L).exists { id =>
+      Multimodal.decodeAviFrames(id, Multimodal.encodeAvi(id, 9, 7, 3, 5))
+      (0 until 3).exists(f =>
+        Multimodal.encodeJpeg(9, 7, Multimodal.frameGray(id, f)).length % 2 == 1)
+    }
+    assert(oddSeen, "test corpus never produced an odd-length frame — " +
+      "padding path unexercised, widen the id range")
+  }
+
+  test("AVI decode rejects non-AVI payloads and header/body frame mismatch") {
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeAviFrames(1L, Multimodal.encodeWav(1L, 4, 8000))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeAviFrames(1L, Array[Byte](1, 2, 3))
+    }
+    // tamper strh dwLength (declared frames) — the parser must refuse
+    val bytes = Multimodal.encodeAvi(3L, 6, 6, 2, 10)
+    bytes(140) = 9 // dwLength LSB (verified by the golden-bytes test)
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeAviFrames(3L, bytes)
+    }
+  }
+
+  test("sampled decode == full decode filtered to the sampled frame set") {
+    import spark.implicits._
+    val specs = Seq(
+      (1L, 8, 6, 5, 5), (2L, 9, 7, 7, 10), (3L, 10, 4, 2, 20), (4L, 6, 6, 6, 15)
+    ).toDF("media_id", "width", "height", "n_frames", "fps")
+    val everyMs = 120L
+    val got = Multimodal.aviSampledRoundtrip(spark, specs, everyMs, maxFrames = 4)
+      .collect().sortBy(f => (f.media_id, f.frame_idx)).toSeq
+    val want = Multimodal.aviRoundtrip(spark, specs).collect()
+      .filter { f =>
+        val (n, fps) = f.media_id match {
+          case 1L => (5, 5); case 2L => (7, 10); case 3L => (2, 20); case _ => (6, 15)
+        }
+        val dur = n.toLong * 1000L / fps
+        Iterator.iterate(0L)(_ + everyMs).takeWhile(_ < dur).take(4)
+          .map(ts => (ts * fps / 1000L).toInt).toSet.contains(f.frame_idx)
+      }
+      .sortBy(f => (f.media_id, f.frame_idx)).toSeq
+    assert(got === want)
+    assert(got.nonEmpty && got.size < Multimodal.aviRoundtrip(spark, specs).count(),
+      "sampling must decode a strict subset")
+  }
 }
