@@ -270,10 +270,7 @@ object Bench {
     "q_dedup_url", "q_para_dedup", "q_domain_authority",
     "q_khop", "q_benford")
 
-  private def force(df: DataFrame): Unit = {
-    val cols = df.columns.map(col).toSeq
-    df.agg(bit_xor(xxhash64(struct(cols: _*)))).head()
-  }
+  private def force(df: DataFrame): Unit = ProfHarness.force(df)
 
   /** Linux PSI snapshot (io/cpu some+full avg60) — emitted in the bench
     * JSON so a run measured under host stall windows carries its own

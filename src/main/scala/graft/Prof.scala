@@ -38,20 +38,18 @@ object Prof {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    def time(name: String)(f: => Any): Unit = {
-      (1 to 3).foreach { i =>
-        val t0 = System.nanoTime()
-        f
-        println(f"PROF $name run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
-      }
-    }
-    def force(name: String): Unit = {
-      val df = SparkEntry.queries(name)(spark, sfDir)
-      df.agg(bit_xor(xxhash64(struct(df.columns.map(col): _*)))).head()
-    }
+    def time(name: String)(f: => Any): Unit =
+      ProfHarness.time(s"PROF $name")(f)
+    def force(name: String): Unit =
+      ProfHarness.force(SparkEntry.queries(name)(spark, sfDir))
     val names = if (args.nonEmpty) args.toSeq else Seq("q_group_agg")
-    // one warmup query to absorb JVM/parquet-footer startup
-    try force("q_group_agg") catch { case _: Throwable => () }
+    // Warm up with a plain scan+count, NOT a query that might be
+    // profiled: warming q_group_agg pre-filled the codegen cache for
+    // q_group_agg itself, so its run1 read warm and the cold-vs-warm
+    // attribution this tool exists for was wrong for that query.
+    try spark.read.parquet(s"$sfDir/orders.parquet")
+      .agg(count(lit(1))).head()
+    catch { case _: Throwable => () }
     names.foreach(n => time(n)(force(n)))
     spark.stop()
   }

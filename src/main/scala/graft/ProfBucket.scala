@@ -15,15 +15,12 @@ object ProfBucket {
       .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.local.dir", Scratch.localDir("scratch-local"))
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     def time(name: String)(f: => Any): Unit =
-      (1 to 4).foreach { i =>
-        val t0 = System.nanoTime()
-        f
-        println(f"PB $name run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
-      }
+      ProfHarness.time(s"PB $name", reps = 4)(f)
     val hp = Similarity.hyperplanes(8, 64)
     def bucketLiteral(vec: org.apache.spark.sql.Column) =
       hp.indices.map { i =>

@@ -14,10 +14,8 @@ object ProfCap {
       .config("spark.local.dir", Scratch.localDir("scratch-local"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    def time(name: String)(f: => Any): Unit = {
-      val t0 = System.nanoTime; val r = f
-      println(f"PROFCAP $name: ${(System.nanoTime - t0) / 1e9}%.3f s  ($r)")
-    }
+    def time(name: String)(f: => Any): Unit =
+      ProfHarness.timeShown(s"PROFCAP $name")(f)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))
     val tokens = Dedup.shingles(docs, "text", "doc_id", 3)

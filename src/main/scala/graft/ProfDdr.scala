@@ -14,10 +14,8 @@ object ProfDdr {
       .config("spark.local.dir", Scratch.localDir("scratch-local"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    def time(name: String)(f: => Any): Unit = {
-      val t0 = System.nanoTime; val r = f
-      println(f"PROFDDR $name: ${(System.nanoTime - t0) / 1e9}%.3f s  ($r)")
-    }
+    def time(name: String)(f: => Any): Unit =
+      ProfHarness.timeShown(s"PROFDDR $name")(f)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").select(col("doc_id"), col("text"))
     val muts = Seq(4, 6, 10, 20, 30, 50, 80, 120, 200, 1000)
     val m = element_at(typedLit(muts), (pmod(expr("doc_id div 10"), lit(10)) + 1).cast("int"))

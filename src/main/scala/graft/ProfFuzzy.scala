@@ -16,13 +16,8 @@ object ProfFuzzy {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    def time(name: String)(f: => Any): Unit = {
-      (1 to 2).foreach { i =>
-        val t0 = System.nanoTime()
-        val r = f
-        println(f"PROF $name run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s -> $r")
-      }
-    }
+    def time(name: String)(f: => Any): Unit =
+      ProfHarness.timeShown(s"PROF $name", reps = 2)(f)
     // full q_fuzzy_match dictionary: half parts + planted typos + half customers
     val pn = spark.read.parquet(s"$sfDir/part.parquet")
       .filter(pmod(col("p_partkey"), lit(2)) === 0)
@@ -73,8 +68,7 @@ object ProfFuzzy {
       .filter(col("dist") <= 1)
     time("verified")(fil.count())
     time("ordered_forced") {
-      val df = fil.orderBy("name_a", "name_b")
-      df.agg(bit_xor(xxhash64(struct(df.columns.map(col): _*)))).head()
+      ProfHarness.force(fil.orderBy("name_a", "name_b"))
     }
     val fil2 = dis
       .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 1))
@@ -86,8 +80,7 @@ object ProfFuzzy {
       .filter(col("dist") >= 0)
     time("verified_native")(fil3.count())
     time("ordered_forced_native") {
-      val df = fil3.orderBy("name_a", "name_b")
-      df.agg(bit_xor(xxhash64(struct(df.columns.map(col): _*)))).head()
+      ProfHarness.force(fil3.orderBy("name_a", "name_b"))
     }
     // verify FIRST (cheap codegen'd within-1 scan), distinct AFTER: the
     // distinct shuffle carries 1.46M verified pairs instead of 6M
@@ -99,8 +92,7 @@ object ProfFuzzy {
       .distinct()
     time("verify_then_distinct")(fil4.count())
     time("ordered_forced_v2") {
-      val df = fil4.orderBy("name_a", "name_b")
-      df.agg(bit_xor(xxhash64(struct(df.columns.map(col): _*)))).head()
+      ProfHarness.force(fil4.orderBy("name_a", "name_b"))
     }
     spark.stop()
   }

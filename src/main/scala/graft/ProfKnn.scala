@@ -14,10 +14,8 @@ object ProfKnn {
       .config("spark.local.dir", Scratch.localDir("scratch-local"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    def time(name: String)(f: => Any): Unit = {
-      val t0 = System.nanoTime; val r = f
-      println(f"PROFKNN $name: ${(System.nanoTime - t0) / 1e9}%.3f s  ($r)")
-    }
+    def time(name: String)(f: => Any): Unit =
+      ProfHarness.timeShown(s"PROFKNN $name")(f)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val base = Scratch.localDir("profknn")
     TermIndex.tfidfIndex(docs, "text", "doc_id")

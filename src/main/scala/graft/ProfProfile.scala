@@ -11,15 +11,12 @@ object ProfProfile {
       .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.local.dir", Scratch.localDir("scratch-local"))
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
     def time(name: String)(f: => Any): Unit =
-      (1 to 3).foreach { i =>
-        val t0 = System.nanoTime()
-        f
-        println(f"PP $name run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
-      }
+      ProfHarness.time(s"PP $name")(f)
     time("warm") { orders.agg(count(lit(1))).head() }
     time("plain_aggs") {
       orders.agg(count(lit(1)), count(when(col("o_custkey").isNull, 1)),

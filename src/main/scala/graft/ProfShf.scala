@@ -14,10 +14,8 @@ object ProfShf {
       .config("spark.local.dir", Scratch.localDir("scratch-local"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    def time(name: String)(f: => Any): Unit = {
-      val t0 = System.nanoTime; val r = f
-      println(f"PROFSHF $name: ${(System.nanoTime - t0) / 1e9}%.3f s  ($r)")
-    }
+    def time(name: String)(f: => Any): Unit =
+      ProfHarness.timeShown(s"PROFSHF $name")(f)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .filter(pmod(col("doc_id"), lit(2)) === 0)
     val base = Scratch.localDir("profshf")

@@ -18,13 +18,8 @@ object ProfSim {
       .config("spark.local.dir", Scratch.localDir("scratch-local"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    def time(name: String)(f: => Any): Unit = {
-      (1 to 3).foreach { i =>
-        val t0 = System.nanoTime()
-        f
-        println(f"PROFSIM $name run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
-      }
-    }
+    def time(name: String)(f: => Any): Unit =
+      ProfHarness.time(s"PROFSIM $name")(f)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .filter(col("doc_id") < 300)
     time("bagGroups") { Dedup.bagGroups(docs, "text", "doc_id").count() }

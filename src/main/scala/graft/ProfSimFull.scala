@@ -22,13 +22,8 @@ object ProfSimFull {
       .config("spark.local.dir", Scratch.localDir("profsimfull"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    def time(name: String)(f: => Any): Unit = {
-      (1 to 2).foreach { i =>
-        val t0 = System.nanoTime()
-        val r = f
-        println(f"PROFSIMFULL $name run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s -> $r")
-      }
-    }
+    def time(name: String)(f: => Any): Unit =
+      ProfHarness.timeShown(s"PROFSIMFULL $name", reps = 2)(f)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .filter(pmod(col("doc_id"), lit(2)) === 0)
     time("bagGroups") { Dedup.bagGroups(docs, "text", "doc_id").count() }

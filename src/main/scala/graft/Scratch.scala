@@ -99,21 +99,29 @@ object Scratch {
   /** Per-process-unique scratch dir (pid suffix, same isolation story as
     * SparkEntry.artifactRoot): concurrent runs never share shuffle dirs,
     * and this process deletes its own dirs on exit.
+    *
+    * The `-l-` kind discriminator keeps the shutdown-deleted namespace
+    * DISJOINT from [[persistentDir]]'s: without it, localDir(tag) and
+    * persistentDir(tag) returned the same path, so one same-JVM
+    * localDir call with a persistent tag would register the
+    * oracle-artifact dir for shutdown deletion and the driver's
+    * post-exit DuckDB pass would read an empty dir.
     */
   def localDir(tag: String): String = {
     staleReaped
     hookInstalled
-    val d = s"$base/graft-$tag-${ProcessHandle.current().pid()}"
+    val d = s"$base/graft-l-$tag-${ProcessHandle.current().pid()}"
     issued.synchronized(issued += d)
     marked(d)
   }
 
   /** Per-process-unique dir that OUTLIVES this JVM (oracle artifacts the
     * driver's DuckDB pass reads after Verify exits). Reaped as stale by
-    * the next harness process once this pid dies.
+    * the next harness process once this pid dies. Kind-disjoint from
+    * [[localDir]] — see there.
     */
   def persistentDir(tag: String): String = {
     staleReaped
-    marked(s"$base/graft-$tag-${ProcessHandle.current().pid()}")
+    marked(s"$base/graft-p-$tag-${ProcessHandle.current().pid()}")
   }
 }

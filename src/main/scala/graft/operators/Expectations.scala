@@ -83,10 +83,23 @@ object Expectations {
     def passed(m: Column): Column = m >= minRatio
   }
 
-  /** Fraction of rows with lo <= column <= hi (nulls fail) >= minRatio. */
+  /** Compact bound formatting for parameterized constraint names:
+    * integral doubles print without the trailing `.0` (the common
+    * declared-bound case), everything else as-is.
+    */
+  private def num(v: Double): String =
+    if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString else v.toString
+
+  /** Fraction of rows with lo <= column <= hi (nulls fail) >= minRatio.
+    * The bounds are part of the constraint NAME — several bands on one
+    * column (a completely normal suite: a sanity band at ratio 1.0 plus
+    * a tighter expected-distribution band at a lower ratio) each report
+    * under a self-describing, deterministically ordered name instead of
+    * relying on declaration order.
+    */
   final case class InRange(colName: String, lo: Double, hi: Double,
       minRatio: Double = 1.0) extends Check {
-    val name = s"in_range($colName)"
+    val name = s"in_range($colName,${num(lo)},${num(hi)})"
     def metric: Column = ratio(col(colName).between(lo, hi))
     def passed(m: Column): Column = m >= minRatio
   }
@@ -123,6 +136,18 @@ object Expectations {
       predicate: Column, minRatio: Double = 1.0) extends Check {
     def metric: Column = ratio(predicate)
     def passed(m: Column): Column = m >= minRatio
+  }
+
+  /** Explicit-name override for any check — the escape hatch when a
+    * suite declares two constraints whose auto-names would still
+    * collide (e.g. two [[MatchesPattern]] on one column, whose regex
+    * does not belong in a report key): `Labeled("ascii(name)",
+    * MatchesPattern("name", ...))`.
+    */
+  final case class Labeled(name: String, inner: Check) extends Check {
+    def colName: String = inner.colName
+    def metric: Column = inner.metric
+    def passed(m: Column): Column = inner.passed(m)
   }
 
   /** Evaluates every check in one aggregation job and returns one row

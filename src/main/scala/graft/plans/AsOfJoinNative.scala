@@ -58,6 +58,23 @@ case class AsOfJoinNode(
 
   override def output: Seq[Attribute] = left.output ++ valueOutput
 
+  /** The planner's default estimate for an unrecognized binary node is
+    * the PRODUCT of the children's sizeInBytes — |L| x |R| bytes for an
+    * operator that emits EXACTLY one row per left row. That estimate
+    * poisons every downstream join choice (a 5 MB as-of result
+    * estimated at 25 TB can never be broadcast, forcing shuffle joins
+    * above it). Propagate the left child's statistics, widened by the
+    * carried right value columns.
+    */
+  override def stats: org.apache.spark.sql.catalyst.plans.logical.Statistics = {
+    val l = left.stats
+    val scale =
+      BigDecimal(output.length) / BigDecimal(math.max(1, left.output.length))
+    org.apache.spark.sql.catalyst.plans.logical.Statistics(
+      sizeInBytes = (BigDecimal(l.sizeInBytes) * scale).toBigInt.max(1),
+      rowCount = l.rowCount)
+  }
+
   // valueOutput is minted by this node, not drawn from a child —
   // CheckAnalysis otherwise reports it "missing from input".
   override def producedAttributes: AttributeSet = AttributeSet(valueOutput)

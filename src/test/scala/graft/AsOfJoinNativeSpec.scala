@@ -121,4 +121,31 @@ class AsOfJoinNativeSpec extends SparkSpec {
       s"native operator missing from plan:\n$plan")
     assert(!plan.contains("Window"), s"window machinery leaked into native plan:\n$plan")
   }
+
+  test("node stats propagate left cardinality, not a |L|x|R| join product") {
+    import spark.implicits._
+    // the default binary-node estimate multiplies child sizes — a small
+    // as-of result would be estimated at TB scale and never broadcast
+    // by a downstream join
+    val left = (1 to 200).map(i => (i.toLong % 4, ts(i))).toDF("k", "lts")
+    val right = (1 to 200).map(i => (i.toLong % 4, ts(i), i * 1.0))
+      .toDF("k", "rts", "v")
+    val native = AsOfJoin.asOfNative(left, right, Seq("k"), "lts", "rts", Seq("v"))
+    val node = native.queryExecution.optimizedPlan.collectFirst {
+      case n: graft.plans.AsOfJoinNode => n
+    }.getOrElse(fail("AsOfJoinNode missing from optimized plan"))
+    val product = node.left.stats.sizeInBytes * node.right.stats.sizeInBytes
+    assert(node.stats.sizeInBytes < node.left.stats.sizeInBytes * 3,
+      s"as-of stats ${node.stats.sizeInBytes} not propagated from left " +
+        s"${node.left.stats.sizeInBytes}")
+    assert(node.stats.sizeInBytes < product,
+      "as-of stats degenerated to the join-product default")
+    // end-to-end consequence: the small as-of result broadcasts into a
+    // downstream equi-join instead of forcing a shuffle join
+    val big = (1 to 5000).map(i => (i.toLong % 4, s"row$i")).toDF("k", "pay")
+    val joined = big.join(native.select(col("k"), col("asof_v")).distinct(), Seq("k"))
+    val jp = joined.queryExecution.executedPlan.toString
+    assert(jp.contains("BroadcastHashJoin"),
+      s"small as-of result did not broadcast:\n$jp")
+  }
 }

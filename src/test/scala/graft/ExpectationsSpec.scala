@@ -36,7 +36,7 @@ class ExpectationsSpec extends SparkSpec {
     assert(out("row_count") === ((4.0, true)))
     assert(out("unique(id)") === ((0.75, false))) // 3 distinct / 4 rows
     assert(out("complete(name)") === ((0.75, false))) // under 0.9
-    assert(out("in_range(size)") === ((0.75, false))) // 200 out of range
+    assert(out("in_range(size,1,100)") === ((0.75, false))) // 200 out of range
     assert(out("in_set(lang)") === ((0.75, true))) // xx outside, >= 0.7
     // null name fails rlike -> 3/4 matched, >= 0.7 passes
     assert(out("matches(name)") === ((0.75, true)))
@@ -67,5 +67,32 @@ class ExpectationsSpec extends SparkSpec {
       Seq(Unique("id"), RowCountAtLeast(1), Complete("name")))
       .collect().map(_.getAs[String]("constraint_name")).toSeq
     assert(names === names.sorted)
+  }
+
+  test("two InRange bands on one column report distinct, self-describing rows") {
+    val out = Expectations.validate(df, Seq(
+        InRange("size", 1, 100),              // sanity band, strict
+        InRange("size", 1, 15, minRatio = 0.5), // distribution band, tolerant
+        Labeled("lowercase(name)", MatchesPattern("name", "^[a-z]+$")),
+        MatchesPattern("name", "^[a-z]+$", minRatio = 0.7)))
+      .collect()
+    val names = out.map(_.getAs[String]("constraint_name")).toSeq
+    assert(names === Seq(
+      "in_range(size,1,100)", "in_range(size,1,15)",
+      "lowercase(name)", "matches(name)"), "parameterized/labeled names")
+    assert(names.distinct === names, "no colliding constraint names")
+    assert(names === names.sorted, "deterministic report order")
+    val bands = out.filter(_.getAs[String]("constraint_name").startsWith("in_range"))
+      .map(r => (r.getAs[String]("constraint_name"), r.getAs[Double]("metric"),
+        r.getAs[Boolean]("passed"))).toSeq
+    // 4 rows, sizes 10/20/30/200: [1,100] covers 3; [1,15] covers 1
+    assert(bands === Seq(
+      ("in_range(size,1,100)", 0.75, false),
+      ("in_range(size,1,15)", 0.25, false)))
+    // the #k fallback still catches residual exact duplicates
+    val dup = Expectations.validate(df,
+        Seq(InRange("size", 1, 100), InRange("size", 1, 100, minRatio = 0.5)))
+      .collect().map(_.getAs[String]("constraint_name")).toSeq
+    assert(dup === Seq("in_range(size,1,100)", "in_range(size,1,100)#2"))
   }
 }
