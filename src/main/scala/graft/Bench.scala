@@ -29,7 +29,8 @@ object Bench {
     * it exists to exercise — file orchestration, not an analytic plan.
     */
   private val fixtureQueries =
-    Set("q_ingest_e2e", "q_jdbc_roundtrip", "q_bucketed_join", "q_compact")
+    Set("q_ingest_e2e", "q_ingest_bucketed", "q_jdbc_roundtrip",
+      "q_bucketed_join", "q_compact")
 
   /** Correctness-gate queries timed under "extended" and excluded from
     * the headline analytic total (round 8; the round-7 verdict's "fit

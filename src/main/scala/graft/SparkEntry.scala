@@ -4707,6 +4707,7 @@ object SparkEntry {
     * oracle SQL reads the same CSVs back with DuckDB read_csv.
     */
   private lazy val e2eDir = s"$artifactRoot/e2e"
+  private lazy val e2eBucketedDir = s"$artifactRoot/e2e_bucketed"
 
   private val e2eBatch1 =
     """sku,title,active,price
@@ -4765,17 +4766,33 @@ object SparkEntry {
     * the final table state; the oracle replays the same three CSVs through
     * equivalent SQL (mapping, coalesce-merge, deactivation) in DuckDB.
     */
-  private def ingestE2e(s: SparkSession, d: String): DataFrame = {
+  private def ingestE2e(s: SparkSession, d: String): DataFrame =
+    ingestE2eIn(s, e2eDir, root => new ProductStore(s, root))
+
+  /** The same flagship e2e sequence through a BUCKETED store (8
+    * sku-hash buckets per tenant — the sub-tenant merge granularity of
+    * [[operators.ProductStore]]): identical semantics, identical
+    * oracle replay modulo the fixture directory, proving bucketing is
+    * a pure layout choice under the full batch mix (inserts, within-
+    * batch dup skus, full-update's whole-partition path, JSON batch,
+    * abort batch).
+    */
+  private def ingestE2eBucketed(s: SparkSession, d: String): DataFrame =
+    ingestE2eIn(s, e2eBucketedDir,
+      root => new ProductStore(s, root, skuBuckets = Some(8)))
+
+  private def ingestE2eIn(s: SparkSession, fixtureDir: String,
+      mkStore: String => ProductStore): DataFrame = {
     import java.nio.file.{Files, Paths}
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles.foreach(rm)
       f.delete()
     }
-    val dir = new java.io.File(e2eDir)
+    val dir = new java.io.File(fixtureDir)
     if (dir.exists) rm(dir)
     dir.mkdirs()
     def write(name: String, content: String): String = {
-      val p = Paths.get(e2eDir, name)
+      val p = Paths.get(fixtureDir, name)
       Files.writeString(p, content)
       p.toString
     }
@@ -4795,7 +4812,7 @@ object SparkEntry {
     val cfg4 = ParserConfig("json", Seq(
       "sku" -> ("sku", "text"), "title" -> ("title", "text"),
       "active" -> ("active", "boolean")))
-    val store = new ProductStore(s, s"$e2eDir/store")
+    val store = mkStore(s"$fixtureDir/store")
     val svc = new IngestionService(s, store, clientId = 1)
     def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-0$day%d 00:00:00")
     val r1 = svc.ingest(cfg1, b1, fullUpdate = false, batchTs = ts(1))
@@ -6063,6 +6080,7 @@ object SparkEntry {
     "q_xml_roundtrip" -> (xmlRoundtrip _),
     "q_bucketed_join" -> (bucketedJoinAgg _),
     "q_ingest_e2e" -> (ingestE2e _),
+    "q_ingest_bucketed" -> (ingestE2eBucketed _),
     "q_jdbc_roundtrip" -> (jdbcRoundtrip _)
   )
 
@@ -6995,7 +7013,9 @@ object SparkEntry {
     * recompute the abort report — and contribute NOTHING to the table
     * state, proving the no-commit semantics externally.
     */
-  private def ingestE2eOracle: String = {
+  private def ingestE2eOracle: String = ingestE2eOracleIn(e2eDir)
+
+  private def ingestE2eOracleIn(e2eDir: String): String = {
     val bool =
       """CASE WHEN lower(trim(active)) IN ('yes','true','1') THEN true
         |       WHEN lower(trim(active)) IN ('no','false','0') THEN false
@@ -8492,6 +8512,7 @@ object SparkEntry {
     "q_embed_pq" -> pqOracleSql,
     "q_embed_ivfpq" -> ivfPqOracleSql,
     "q_ingest_e2e" -> ingestE2eOracle,
+    "q_ingest_bucketed" -> ingestE2eOracleIn(e2eBucketedDir),
     // Recomputes the expected post-swap Derby state from parquet alone;
     // the Spark side must deliver exactly this through the JDBC scan.
     "q_jdbc_roundtrip" ->

@@ -115,12 +115,26 @@ class IngestionService(
       if (rawHasSku)
         countDistinct(when(col("sku").isNotNull && length(col("sku")) > 0, col("sku")))
       else lit(0L)
+    // Touched-bucket discovery rides the SAME gate pass (the one-pass
+    // discipline above — not a second job over the batch). The sku is
+    // hashed AFTER a string cast, matching the store's own post-schema-
+    // cast hashing in align(): a non-text sku mapping (integer sku ids)
+    // hashes differently in its native type, and a mismatched bucket set
+    // would abort every valid batch at the stray-bucket guard.
+    val bucketSet = store.skuBuckets match {
+      case Some(n) if !fullUpdate =>
+        collect_set(ProductStore.bucketOf(
+          (if (rawHasSku) col("sku") else lit(null)).cast("string"), n))
+      case _ => typedLit(Seq.empty[Int])
+    }
     val gate = mapped.agg(
       count(lit(1)).as("n"),
       coalesce(sum(when(errOr, 1L).otherwise(0L)), lit(0L)).as("bad"),
-      distinctSkus.as("n_skus")).head()
+      distinctSkus.as("n_skus"),
+      bucketSet.as("bkts")).head()
     val (processed, badCount, nSkus) =
       (gate.getLong(0), gate.getLong(1), gate.getLong(2))
+    val touched: Seq[Int] = gate.getSeq[Int](3).sorted
     if (badCount > 0)
       return IngestionReport(success = false,
         s"Error during data ingestion: $badCount row(s) failed transformation",
@@ -142,7 +156,17 @@ class IngestionService(
     // Tenant scope from the start: the merge reads ONLY this client's
     // partition (pruned scan) and the final write rewrites only that
     // partition — another tenant's files are never touched by this batch.
-    val target = store.readClient(clientId)
+    //
+    // Sub-tenant scope on a bucketed backend (the 100 TB single-giant-
+    // tenant story): a default-mode batch's merge keys all hash into the
+    // batch's own sku buckets (`touched`, collected in the gate pass —
+    // <= n values, bounded driver state), so the merge reads and
+    // rewrites ONLY those buckets — every untouched bucket of the SAME
+    // client hard-links forward. Full-update keeps the whole partition:
+    // absent skus in ANY bucket must deactivate.
+    val target =
+      if (touched.nonEmpty) store.readClientBuckets(clientId, touched)
+      else store.readClient(clientId)
     var stats = Map("processed_count" -> processed)
 
     // Within-batch duplicate skus: later row wins column-wise (reference
@@ -199,7 +223,10 @@ class IngestionService(
         .withColumn("active", coalesce(col("active"), lit(true)))
         .withColumn("last_changed_on", coalesce(col("last_changed_on"), stamp))
 
-      store.overwriteClientAtomic(clientId, result, marker)
+      if (touched.nonEmpty)
+        store.overwriteClientBucketsAtomic(clientId, touched, result, marker)
+      else
+        store.overwriteClientAtomic(clientId, result, marker)
       IngestionReport(success = true,
         s"Successfully processed $processed items", processed, stats)
     } finally toUnpersist.foreach(_.unpersist())

@@ -57,6 +57,37 @@ trait ProductBackend {
     */
   def hasMarker(token: String): Boolean
 
+  /** Sub-tenant merge granularity (the 100 TB single-giant-tenant
+    * story): when Some(n), the backend physically clusters each
+    * tenant's rows into n sku-hash buckets, [[readClientBuckets]]
+    * prunes a read to the named buckets, and
+    * [[overwriteClientBucketsAtomic]] replaces ONLY those buckets —
+    * a small batch against a huge tenant rewrites the few buckets its
+    * skus hash into while every other bucket's files carry over
+    * untouched (hard links on the parquet store). None (the default,
+    * and always for transactional backends whose DELETE..WHERE is
+    * already row-granular) keeps whole-partition semantics; both
+    * bucket methods then fall back to their whole-partition twins, so
+    * callers can be written once against the bucket API.
+    */
+  def skuBuckets: Option[Int] = None
+
+  /** Pruned tenant read: only the named sku-hash buckets (computed
+    * with [[ProductStore.bucketOf]]). Fallback: the whole tenant.
+    */
+  def readClientBuckets(clientId: Int, buckets: Seq[Int]): DataFrame =
+    readClient(clientId)
+
+  /** Replace only the named buckets of one tenant, atomically, with
+    * the same marker contract as [[overwriteClientAtomic]]. Every
+    * staged row must hash into `buckets` — anything else would be
+    * silently dropped and MUST abort instead. Fallback: whole-tenant
+    * replace.
+    */
+  def overwriteClientBucketsAtomic(clientId: Int, buckets: Seq[Int],
+      df: DataFrame, marker: Option[String] = None): Unit =
+    overwriteClientAtomic(clientId, df, marker)
+
   /** Serialize one tenant's READ-MERGE-PUBLISH sequence
     * (IngestionService.doIngest): two concurrent ingests for the SAME
     * client would each read the same starting state, merge their batch

@@ -33,9 +33,14 @@ import scala.util.Try
   * scoped reads prune to one partition, and [[overwriteClientAtomic]]
   * rewrites ONLY the ingesting client's partition — every other tenant's
   * files are HARD-LINKED into the new version (same inodes, zero copy,
-  * byte-identical). On a real deployment this store is the place to swap
-  * in a table format with MERGE and a transaction log (Delta/Iceberg) —
-  * the operator semantics above it do not change.
+  * byte-identical). For the single-giant-tenant regime, `skuBuckets`
+  * splits each tenant into sku-hash bucket subdirectories and
+  * [[overwriteClientBucketsAtomic]] narrows the rewrite further to the
+  * buckets a batch actually touches — a MB-scale batch against a TB-
+  * scale tenant relinks everything else. On a real deployment this
+  * store is the place to swap in a table format with MERGE and a
+  * transaction log (Delta/Iceberg) — the operator semantics above it do
+  * not change.
   *
   * Concurrency: every version BUILD that derives from CURRENT (partition
   * replace, append) plus the publish itself runs under a per-root write
@@ -49,11 +54,68 @@ import scala.util.Try
   * metadata work, milliseconds) is serialized, so tenant ingests still
   * overlap on the cluster.
   */
-class ProductStore(spark: SparkSession, root: String, keepVersions: Int = 3)
+class ProductStore(spark: SparkSession, root: String, keepVersions: Int = 3,
+    override val skuBuckets: Option[Int] = None)
     extends ProductBackend {
+
+  skuBuckets.foreach(n => require(n > 0, s"skuBuckets must be positive: $n"))
 
   private val currentPtr = Paths.get(root, "CURRENT")
   private val versionsDir = Paths.get(root, "versions")
+  private val layoutPtr = Paths.get(root, "_layout")
+
+  /** The bucket layout is ON-DISK state, not a per-open choice: stamped
+    * at first publish and VERIFIED on every open of an existing root —
+    * reopening with a different bucket count would silently route skus
+    * to buckets the merge never reads (duplicate rows, no error), and
+    * toggling bucketing over existing data mixes leaf depths. A root
+    * that predates stamping (has CURRENT, no _layout) is by
+    * construction unbucketed.
+    */
+  private def layoutTag: String = skuBuckets.fold("buckets=none")(n => s"buckets=$n")
+
+  private def verifyLayout(): Unit = {
+    if (Files.exists(layoutPtr)) {
+      val stamped = Files.readString(layoutPtr).trim
+      require(stamped == layoutTag,
+        s"store at $root was written with layout '$stamped'; refusing to open " +
+          s"it as '$layoutTag' — bucket layout is fixed at table creation")
+    } else if (Files.exists(currentPtr)) {
+      require(skuBuckets.isEmpty,
+        s"store at $root predates bucket layouts (unbucketed); refusing to " +
+          s"open it as '$layoutTag'")
+    }
+  }
+  verifyLayout()
+
+  /** Called under the write lock before every publish: stamps a fresh
+    * root, re-verifies an existing one (a concurrent writer with a
+    * different layout must fail before it can publish).
+    */
+  private def stampLayout(): Unit = {
+    verifyLayout()
+    if (!Files.exists(layoutPtr)) {
+      Files.createDirectories(Paths.get(root))
+      Files.writeString(layoutPtr, layoutTag)
+      ()
+    }
+  }
+
+  /** Physical layout columns: with [[skuBuckets]] each tenant partition
+    * splits into `_bucket=<pmod(hash(sku), n)>` subdirectories, so a
+    * batch can replace just the buckets its skus hash into
+    * ([[overwriteClientBucketsAtomic]]) and tenant reads can prune to
+    * them ([[readClientBuckets]]). The bucket column is layout-only:
+    * it never leaves the store (dropped on read).
+    */
+  private val partitionCols: Seq[String] =
+    if (skuBuckets.isDefined) Seq("client_id", ProductStore.BucketCol)
+    else Seq("client_id")
+
+  private val storedSchema =
+    skuBuckets.fold(ProductSchema.CLIENT_PRODUCTS_SCHEMA)(_ =>
+      ProductSchema.CLIENT_PRODUCTS_SCHEMA
+        .add(ProductStore.BucketCol, org.apache.spark.sql.types.IntegerType))
 
   /** Serialize read-CURRENT -> build-version -> publish. The JVM monitor
     * (per canonical root) orders threads in this process; the OS file
@@ -107,13 +169,18 @@ class ProductStore(spark: SparkSession, root: String, keepVersions: Int = 3)
       Some(versionsDir.resolve(Files.readString(currentPtr).trim))
     else None
 
-  def read(): DataFrame =
+  def read(): DataFrame = readRaw().drop(ProductStore.BucketCol)
+
+  /** Raw read INCLUDING the layout bucket column (bucketed stores) —
+    * internal, so bucket filters can prune before the column is
+    * dropped from the caller-facing schema.
+    */
+  private def readRaw(): DataFrame =
     currentVersion match {
       case Some(dir) =>
-        spark.read.schema(ProductSchema.CLIENT_PRODUCTS_SCHEMA).parquet(dir.toString)
+        spark.read.schema(storedSchema).parquet(dir.toString)
       case None =>
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[Row], ProductSchema.CLIENT_PRODUCTS_SCHEMA)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], storedSchema)
     }
 
   /** Read only one client's partition — partition pruning makes this a
@@ -121,6 +188,20 @@ class ProductStore(spark: SparkSession, root: String, keepVersions: Int = 3)
     */
   def readClient(clientId: Int): DataFrame =
     read().filter(col("client_id") === clientId)
+
+  /** Pruned tenant read: `client_id=X/_bucket=B` directories only (both
+    * filters are partition predicates — the scan lists just those
+    * dirs). Whole-tenant fallback on an unbucketed store.
+    */
+  override def readClientBuckets(clientId: Int, buckets: Seq[Int]): DataFrame =
+    skuBuckets match {
+      case Some(_) =>
+        readRaw()
+          .filter(col("client_id") === clientId &&
+            col(ProductStore.BucketCol).isin(buckets: _*))
+          .drop(ProductStore.BucketCol)
+      case None => readClient(clientId)
+    }
 
   /** Write a full new table version and atomically publish it. Used for
     * whole-table operations; per-client batches should use
@@ -137,7 +218,7 @@ class ProductStore(spark: SparkSession, root: String, keepVersions: Int = 3)
     val tmp = Paths.get(root, s"_staging_${uniqueTag()}")
     align(df).write
       .mode(SaveMode.Overwrite)
-      .partitionBy("client_id")
+      .partitionBy(partitionCols: _*)
       .parquet(tmp.toString)
     withWriteLock {
       val name = newVersionName()
@@ -157,13 +238,17 @@ class ProductStore(spark: SparkSession, root: String, keepVersions: Int = 3)
     * client_id) would otherwise silently wipe the tenant's data. Explicit
     * truncation is a separate, deliberate operation ([[truncateClient]]).
     */
-  def overwriteClientAtomic(
-      clientId: Int, df: DataFrame, marker: Option[String] = None): Unit = {
+  /** Stage one client's rows to a fresh `_staging_*` prefix (never
+    * gc-listed — see [[overwriteAtomic]]) and return (stagingRoot,
+    * stagedClientDir). The empty-staging ABORT is shared policy: a df
+    * with no rows for the client must never silently wipe live data.
+    */
+  private def stageClientPartition(clientId: Int, df: DataFrame): (Path, Path) = {
     val part = s"client_id=$clientId"
     val tmp = Paths.get(root, s"_staging_${uniqueTag()}")
     align(df).write
       .mode(SaveMode.Overwrite)
-      .partitionBy("client_id")
+      .partitionBy(partitionCols: _*)
       .parquet(tmp.toString)
     val src = tmp.resolve(part)
     if (!Files.exists(src)) {
@@ -172,10 +257,62 @@ class ProductStore(spark: SparkSession, root: String, keepVersions: Int = 3)
         s"staged batch contains no rows for client_id=$clientId — refusing to " +
           "replace the live partition (use truncateClient for deliberate truncation)")
     }
-    try replacePartition(part, Some(src), marker)
+    (tmp, src)
+  }
+
+  def overwriteClientAtomic(
+      clientId: Int, df: DataFrame, marker: Option[String] = None): Unit = {
+    val (tmp, src) = stageClientPartition(clientId, df)
+    try replacePartition(s"client_id=$clientId", Some(src), marker)
     finally Try(deleteRecursively(tmp))
     ()
   }
+
+  /** Replace ONLY the named sku-hash buckets of `clientId`'s partition
+    * with the given rows — the sub-tenant form of
+    * [[overwriteClientAtomic]]: a small batch against a huge tenant
+    * rewrites the few `_bucket=B` directories its skus hash into while
+    * every other bucket (and every other tenant) hard-links forward
+    * untouched. Same all-or-nothing + marker contract.
+    *
+    * Fails loud if any staged row hashes OUTSIDE `buckets`: replacing
+    * only the declared buckets would silently drop that row — the
+    * caller's merge scope and the declared set must agree.
+    */
+  override def overwriteClientBucketsAtomic(clientId: Int, buckets: Seq[Int],
+      df: DataFrame, marker: Option[String] = None): Unit =
+    skuBuckets match {
+      case None => overwriteClientAtomic(clientId, df, marker)
+      case Some(n) =>
+        require(buckets.nonEmpty, "no buckets declared")
+        require(buckets.forall(b => b >= 0 && b < n),
+          s"bucket ids must be in [0, $n): ${buckets.mkString(",")}")
+        val part = s"client_id=$clientId"
+        val (tmp, src) = stageClientPartition(clientId, df)
+        val declared = buckets.map(b => s"${ProductStore.BucketCol}=$b").toSet
+        val staged = children(src).map(_.getFileName.toString)
+        // declared and staged must agree EXACTLY: a staged row outside
+        // the declared set would be silently dropped by the replace, and
+        // a declared bucket with no staged rows would be silently
+        // TRUNCATED (excluded from carry-forward, nothing moved in) —
+        // the bucket-granular form of the empty-staging wipe the
+        // whole-partition path aborts on.
+        val stray = staged.filterNot(declared.contains)
+        val truncating = declared -- staged.toSet
+        if (stray.nonEmpty || truncating.nonEmpty) {
+          Try(deleteRecursively(tmp))
+          throw new IllegalStateException(
+            if (stray.nonEmpty)
+              s"staged rows hash outside the declared buckets ($stray vs " +
+                s"$declared) — replacing only the declared set would drop them"
+            else
+              s"declared buckets received no staged rows ($truncating) — " +
+                "replacing them would truncate live data (shrink the declared set)")
+        }
+        try replaceClientBuckets(part, declared, src, marker)
+        finally Try(deleteRecursively(tmp))
+        ()
+    }
 
   /** Deliberately remove one client's partition (the explicit form of
     * what a silently-empty staged batch must never do).
@@ -190,7 +327,7 @@ class ProductStore(spark: SparkSession, root: String, keepVersions: Int = 3)
     val tmp = Paths.get(root, s"_staging_${uniqueTag()}")
     align(df).write
       .mode(SaveMode.Overwrite)
-      .partitionBy("client_id")
+      .partitionBy(partitionCols: _*)
       .parquet(tmp.toString)
     withWriteLock {
       val name = newVersionName()
@@ -215,29 +352,79 @@ class ProductStore(spark: SparkSession, root: String, keepVersions: Int = 3)
   private def replacePartition(
       part: String, src: Option[Path], marker: Option[String] = None): Unit =
     withWriteLock {
-      marker.foreach(token =>
-        require(token.matches("[A-Za-z0-9._-]+") && !token.startsWith("."),
-          s"ingest marker token must be file-name-safe ([A-Za-z0-9._-]+): '$token'"))
+      validateMarker(marker)
       val name = newVersionName()
       val target = versionsDir.resolve(name)
       Files.createDirectories(target)
       currentVersion.foreach { cur =>
         if (Files.exists(cur)) {
-          Files.list(cur).forEach { child =>
+          // children(), not a raw Files.list: the unclosed stream leaks
+          // one directory fd per publish (see children's scaladoc)
+          children(cur).foreach { child =>
             if (child.getFileName.toString != part)
               linkTree(child, target.resolve(child.getFileName))
           }
         }
       }
       src.foreach(s => Files.move(s, target.resolve(part), StandardCopyOption.ATOMIC_MOVE))
-      marker.foreach { token =>
-        val dir = target.resolve(MarkersDir)
-        Files.createDirectories(dir)
-        val f = dir.resolve(token)
-        if (!Files.exists(f)) Files.createFile(f)
-        ()
-      }
+      writeMarker(target, marker)
       publish(name)
+    }
+
+  /** Replace only the named bucket subdirectories of one tenant's
+    * partition: everything else — other tenants AND this tenant's
+    * untouched buckets — hard-links into the new version (same inodes,
+    * zero copy). The sub-tenant sibling of [[replacePartition]], with
+    * the identical marker-rides-publish contract.
+    */
+  private def replaceClientBuckets(part: String, replaced: Set[String],
+      src: Path, marker: Option[String]): Unit =
+    withWriteLock {
+      validateMarker(marker)
+      val name = newVersionName()
+      val target = versionsDir.resolve(name)
+      Files.createDirectories(target)
+      val targetClient = target.resolve(part)
+      currentVersion.foreach { cur =>
+        if (Files.exists(cur)) {
+          children(cur).foreach { child =>
+            if (child.getFileName.toString != part)
+              linkTree(child, target.resolve(child.getFileName))
+            else {
+              Files.createDirectories(targetClient)
+              children(child).foreach { bucketDir =>
+                if (!replaced.contains(bucketDir.getFileName.toString))
+                  linkTree(bucketDir, targetClient.resolve(bucketDir.getFileName))
+              }
+            }
+          }
+        }
+      }
+      Files.createDirectories(targetClient)
+      children(src).foreach(b => Files.move(b,
+        targetClient.resolve(b.getFileName), StandardCopyOption.ATOMIC_MOVE))
+      writeMarker(target, marker)
+      publish(name)
+    }
+
+  private def validateMarker(marker: Option[String]): Unit =
+    marker.foreach(token =>
+      require(token.matches("[A-Za-z0-9._-]+") && !token.startsWith("."),
+        s"ingest marker token must be file-name-safe ([A-Za-z0-9._-]+): '$token'"))
+
+  /** Write the ingest token INTO the version dir (under `_markers/`, a
+    * `_`-prefixed name Spark's file listing ignores) BEFORE the CURRENT
+    * swap — the token is visible iff this publish is live, and
+    * hard-link carry-forward propagates earlier tokens through every
+    * later version (see [[ProductBackend.overwriteClientAtomic]]).
+    */
+  private def writeMarker(target: Path, marker: Option[String]): Unit =
+    marker.foreach { token =>
+      val dir = target.resolve(MarkersDir)
+      Files.createDirectories(dir)
+      val f = dir.resolve(token)
+      if (!Files.exists(f)) Files.createFile(f)
+      ()
     }
 
   private val MarkersDir = "_markers"
@@ -292,6 +479,7 @@ class ProductStore(spark: SparkSession, root: String, keepVersions: Int = 3)
     * the retention count (the published one is always kept).
     */
   private def publish(name: String): Unit = {
+    stampLayout()
     Files.createDirectories(Paths.get(root))
     val tmp = Paths.get(root, s"_ptr_${uniqueTag()}")
     Files.writeString(tmp, name)
@@ -355,11 +543,18 @@ class ProductStore(spark: SparkSession, root: String, keepVersions: Int = 3)
     * the right shape for MB-scale tenant batches; a tenant large enough
     * to need parallel writers would add a bucketing column here.
     */
-  private def align(df: DataFrame): DataFrame =
-    df.select(ProductSchema.CLIENT_PRODUCTS_SCHEMA.fields.toSeq.map(f =>
+  private def align(df: DataFrame): DataFrame = {
+    val base = df.select(ProductSchema.CLIENT_PRODUCTS_SCHEMA.fields.toSeq.map(f =>
       (if (df.columns.contains(f.name)) col(f.name)
        else lit(null)).cast(f.dataType).as(f.name)): _*)
-      .repartition(col("client_id"))
+    skuBuckets match {
+      case Some(n) =>
+        base.withColumn(ProductStore.BucketCol,
+            ProductStore.bucketOf(col("sku"), n))
+          .repartition(partitionCols.map(col): _*)
+      case None => base.repartition(col("client_id"))
+    }
+  }
 
   private def deleteRecursively(p: Path): Unit = {
     if (Files.exists(p)) {
@@ -375,6 +570,19 @@ class ProductStore(spark: SparkSession, root: String, keepVersions: Int = 3)
 }
 
 object ProductStore {
+  /** Layout-only bucket column name for bucketed stores. */
+  private[operators] val BucketCol = "_bucket"
+
+  /** THE sku→bucket function, shared by the store's writer and every
+    * caller that restricts a merge to touched buckets
+    * ([[IngestionService]]) — two divergent definitions would silently
+    * route a row to a bucket the merge never read. Spark's `hash` of a
+    * NULL sku returns the seed (never null), so insert-only rows land
+    * in one deterministic bucket.
+    */
+  def bucketOf(sku: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column =
+    pmod(hash(sku), lit(n)).cast("int")
+
   /** One monitor per canonical store root, shared by all ProductStore
     * instances in this JVM (see [[ProductStore#withWriteLock]]).
     */

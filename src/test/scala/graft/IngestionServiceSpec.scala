@@ -396,6 +396,154 @@ class IngestionServiceSpec extends SparkSpec {
     }
   }
 
+  test("bucketed store: ingest sequence matches the plain store exactly") {
+    // sub-tenant sku-hash buckets are a pure LAYOUT choice: the same
+    // mixed batch sequence (create, upsert, empty-sku insert,
+    // full-update) must produce an identical logical table
+    val plain = new ProductStore(spark, tmpDir("store-plainb"))
+    val bucketed = new ProductStore(spark, tmpDir("store-buck"), skuBuckets = Some(8))
+    val batches = Seq(
+      (Seq("a1,First,1", "b2,Second,0", ",Anon,1"), false, ts1),
+      (Seq("a1,First v2,0", "c3,Third,1"), false, ts2),
+      (Seq("a1,Final,1", "c3,Third,1"), true, ts2)) // full-update: whole-partition path
+    Seq(plain, bucketed).foreach { store =>
+      val svc = new IngestionService(spark, store, clientId = 1)
+      batches.foreach { case (rows, fu, t) =>
+        val rep = svc.ingest(cfg, csv(rows: _*), fullUpdate = fu, batchTs = t)
+        assert(rep.success, rep.message)
+      }
+    }
+    val cols = Seq("client_id", "sku", "title", "active", "last_changed_on")
+    val got = bucketed.read().select(cols.map(col): _*)
+      .orderBy("sku", "title").collect().toSeq
+    val want = plain.read().select(cols.map(col): _*)
+      .orderBy("sku", "title").collect().toSeq
+    assert(got === want)
+    // b2 (absent from the full-update) deactivated on BOTH layouts
+    assert(bucketed.read().filter(col("sku") === "b2")
+      .head.getAs[Boolean]("active") === false)
+  }
+
+  test("a small batch leaves the same client's untouched buckets byte-identical") {
+    import java.nio.file.{Files, Path, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = tmpDir("store-bucket-ident")
+    val store = new ProductStore(spark, root, skuBuckets = Some(8))
+    val svc = new IngestionService(spark, store, 1)
+    val seed = (0 until 32).map(i => s"sku$i,Item $i,1")
+    assert(svc.ingest(cfg, csv(seed: _*)).success)
+    def liveDir: Path = Paths.get(root, "versions",
+      Files.readString(Paths.get(root, "CURRENT")).trim)
+    def snapshot(): Map[String, Object] = {
+      val dir = liveDir.resolve("client_id=1")
+      Files.walk(dir).iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .map(p => dir.relativize(p).toString -> Files.getAttribute(p, "unix:ino"))
+        .toMap
+    }
+    val before = snapshot()
+    assert(before.keys.map(_.split('/').head).toSet.size > 1,
+      "seed must span several buckets or the test proves nothing")
+    // one-sku update: only that sku's bucket may be rewritten
+    val updBucket = spark.range(1)
+      .select(graft.operators.ProductStore.bucketOf(lit("sku0"), 8))
+      .head().getInt(0)
+    assert(svc.ingest(cfg, csv("sku0,Item 0 v2,0")).success)
+    val after = snapshot()
+    val prefix = s"_bucket=$updBucket"
+    def untouched(m: Map[String, Object]) =
+      m.filterNot(_._1.startsWith(prefix))
+    assert(untouched(after) === untouched(before),
+      "untouched buckets of the INGESTING client must hard-link forward (same inodes)")
+    assert(after.keys.exists(_.startsWith(prefix)), "touched bucket missing")
+    assert(after.filter(_._1.startsWith(prefix)) !==
+      before.filter(_._1.startsWith(prefix)), "touched bucket was not rewritten")
+    // and the merge applied without losing any other row
+    assert(store.readClient(1).count() === 32)
+    assert(store.readClient(1).filter(col("sku") === "sku0")
+      .head.getAs[String]("title") === "Item 0 v2")
+    assert(store.readClient(1).filter(col("sku") === "sku1")
+      .head.getAs[String]("title") === "Item 1")
+  }
+
+  test("bucket write rejects rows hashing outside the declared set; markers ride it") {
+    import spark.implicits._
+    val store = new ProductStore(spark, tmpDir("store-bucket-stray"),
+      skuBuckets = Some(8))
+    store.overwriteClientAtomic(1,
+      Seq((1, "k1", "T")).toDF("client_id", "sku", "title"))
+    val before = store.readClient(1).collect().toSeq
+    val b = spark.range(1)
+      .select(graft.operators.ProductStore.bucketOf(lit("k1"), 8)).head().getInt(0)
+    val upd = Seq((1, "k1", "T2")).toDF("client_id", "sku", "title")
+    intercept[IllegalStateException] {
+      store.overwriteClientBucketsAtomic(1, Seq((b + 1) % 8), upd)
+    }
+    assert(store.readClient(1).collect().toSeq === before,
+      "stray-bucket abort must leave the live state untouched")
+    store.overwriteClientBucketsAtomic(1, Seq(b), upd, marker = Some("tok_bucket"))
+    assert(store.hasMarker("tok_bucket"), "marker must ride the bucket publish")
+    assert(store.readClient(1).head.getAs[String]("title") === "T2")
+  }
+
+  test("bucket layout is stamped on disk; mismatched reopen fails loud") {
+    import spark.implicits._
+    val root = tmpDir("store-layout")
+    val store = new ProductStore(spark, root, skuBuckets = Some(8))
+    store.overwriteClientAtomic(1,
+      Seq((1, "a1", "T")).toDF("client_id", "sku", "title"))
+    // reopening with a different count (or unbucketed) would silently
+    // route skus to buckets the merge never reads — must refuse
+    intercept[IllegalArgumentException] {
+      new ProductStore(spark, root, skuBuckets = Some(16))
+    }
+    intercept[IllegalArgumentException] { new ProductStore(spark, root) }
+    assert(new ProductStore(spark, root, skuBuckets = Some(8))
+      .readClient(1).count() === 1, "matching reopen must work")
+    // an unbucketed root refuses a bucketed reopen symmetrically
+    val root2 = tmpDir("store-layout2")
+    new ProductStore(spark, root2).overwriteClientAtomic(1,
+      Seq((1, "a1", "T")).toDF("client_id", "sku", "title"))
+    intercept[IllegalArgumentException] {
+      new ProductStore(spark, root2, skuBuckets = Some(8))
+    }
+  }
+
+  test("non-text sku mapping buckets identically on both sides (post-cast hash)") {
+    // the touched-set discovery hashes sku AFTER the string cast the
+    // store's writer applies — in the native integer type the hashes
+    // differ and every valid batch would abort at the stray-bucket guard
+    val store = new ProductStore(spark, tmpDir("store-intsku"), skuBuckets = Some(8))
+    val svc = new IngestionService(spark, store, 1)
+    val cfgInt = ParserConfig("csv", Seq(
+      "code" -> ("sku", "integer"), "title" -> ("title", "text")))
+    val dir = tmpDir("intsku")
+    val r1 = svc.ingest(cfgInt,
+      writeText(dir, "b1.csv", "code,title\n5,First\n7,Other"))
+    assert(r1.success, r1.message)
+    val r2 = svc.ingest(cfgInt, writeText(dir, "b2.csv", "code,title\n5,Updated"))
+    assert(r2.success, r2.message)
+    val rows = store.readClient(1).orderBy("sku").collect()
+    assert(rows.map(_.getAs[String]("sku")).toSeq === Seq("5", "7"))
+    assert(rows.head.getAs[String]("title") === "Updated", "merge, not duplicate")
+  }
+
+  test("declaring a bucket with no staged rows aborts instead of truncating it") {
+    import spark.implicits._
+    val store = new ProductStore(spark, tmpDir("store-bucket-trunc"),
+      skuBuckets = Some(8))
+    store.overwriteClientAtomic(1,
+      Seq((1, "k1", "T1"), (1, "zz", "T2")).toDF("client_id", "sku", "title"))
+    val b = spark.range(1)
+      .select(graft.operators.ProductStore.bucketOf(lit("k1"), 8)).head().getInt(0)
+    val upd = Seq((1, "k1", "T1 v2")).toDF("client_id", "sku", "title")
+    intercept[IllegalStateException] {
+      store.overwriteClientBucketsAtomic(1, Seq(b, (b + 1) % 8), upd)
+    }
+    assert(store.readClient(1).count() === 2,
+      "the empty declared bucket must not be truncated")
+  }
+
   test("ingest markers commit atomically with the publish and ride later versions") {
     import spark.implicits._
     // keepVersions=1: survival across publishes must come from the
