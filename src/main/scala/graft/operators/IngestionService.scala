@@ -83,6 +83,13 @@ class IngestionService(
     */
   def alreadyIngested(marker: String): Boolean = store.hasMarker(marker)
 
+  /** Retire committed ingest markers failing `keep` — passthrough to
+    * [[ProductBackend.retireMarkers]], which owns the cost argument;
+    * the CALLER owns the safety argument (only retire tokens whose
+    * batches can no longer be redelivered).
+    */
+  def retireMarkers(keep: String => Boolean): Unit = store.retireMarkers(keep)
+
   /** The whole read-merge-publish sequence runs under the backend's
     * per-client ingest lock: without it two concurrent SAME-client
     * batches each merge against the same starting state and the second

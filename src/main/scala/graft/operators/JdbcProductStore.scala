@@ -292,11 +292,53 @@ class JdbcProductStore(
     }
   }
 
+  /** Retire markers failing `keep` in one transaction (see
+    * [[ProductBackend.retireMarkers]]). Rows are cheap here compared to
+    * the parquet store's per-publish link cost, but the table still
+    * grows for the deployment's lifetime — and [[hasMarker]] probes it
+    * per file — so the same caller-driven retention applies. The keep
+    * predicate is a Scala function, so tokens are paged to the driver;
+    * the table is retention-bounded by construction once callers retire.
+    */
+  override def retireMarkers(keep: String => Boolean): Unit =
+    withConnection { conn =>
+      if (tableExists(conn, markerTable)) {
+        conn.setAutoCommit(false)
+        val st = conn.createStatement()
+        try {
+          val rs = st.executeQuery(s"SELECT ${q("token")} FROM $markerTable")
+          val dropped = Seq.newBuilder[String]
+          try {
+            while (rs.next()) {
+              val t = rs.getString(1)
+              if (!keep(t)) dropped += t
+            }
+          } finally rs.close()
+          val del = conn.prepareStatement(
+            s"DELETE FROM $markerTable WHERE ${q("token")} = ?")
+          try dropped.result().foreach { t =>
+            del.setString(1, t); del.executeUpdate(); ()
+          } finally del.close()
+          conn.commit()
+        } catch {
+          case t: Throwable => Try(conn.rollback()); throw t
+        } finally st.close()
+      }
+    }
+
+  /** Full-table replace DISCARDS markers in the same transaction — the
+    * [[ProductBackend.hasMarker]] contract (markers vouch for state this
+    * replaces), and parity with the parquet store whose fresh version
+    * dir drops them implicitly: a replayed file after a full restore
+    * must RE-INGEST on both backends, not be skipped by a stale token.
+    */
   def overwriteAtomic(df: DataFrame): Unit =
-    stageAndSwap(df, deleteWhere = None, requireRows = false)
+    stageAndSwap(df, deleteWhere = None, requireRows = false,
+      clearMarkers = true)
 
   def overwriteClientAtomic(
       clientId: Int, df: DataFrame, marker: Option[String] = None): Unit = {
+    marker.foreach(ProductBackend.validateMarkerToken)
     marker.foreach(_ => ensureMarkerTable()) // DDL outside the swap transaction
     stageAndSwap(align(df).filter(col("client_id") === clientId),
       deleteWhere = Some(s"${q("client_id")} = $clientId"), requireRows = true,
@@ -332,7 +374,8 @@ class JdbcProductStore(
       deleteWhere: Option[String],
       requireRows: Boolean,
       abortMsg: String = "empty staged batch",
-      marker: Option[String] = None): Unit = {
+      marker: Option[String] = None,
+      clearMarkers: Boolean = false): Unit = {
     val staging = s"${table}_stage_${ProcessHandle.current().pid()}_${Thread.currentThread().getId}"
     // The staging WRITE sits inside the try: if an executor task dies
     // mid-write, the finally still drops the half-written staging table
@@ -352,6 +395,8 @@ class JdbcProductStore(
           }
           st.executeUpdate(
             s"DELETE FROM $table${deleteWhere.fold("")(w => s" WHERE $w")}")
+          if (clearMarkers && tableExists(conn, markerTable))
+            st.executeUpdate(s"DELETE FROM $markerTable")
           val cols = ProductSchema.CLIENT_PRODUCTS_SCHEMA.fieldNames.map(q).mkString(", ")
           st.executeUpdate(s"INSERT INTO $table ($cols) SELECT $cols FROM $staging")
           // Ingest marker rides the same transaction: delete-then-insert

@@ -802,9 +802,12 @@ object Multimodal {
   /** [[sampleFrames]] becomes the sampling FRONT-END of the real
     * decoder: sample timestamps every `everyMs` (same sequence
     * semantics, capped at `maxFrames`), map each to its container frame
-    * via the STREAM HEADER's own timing (ts * rate / (1000 * scale)),
-    * and pixel-decode only those frames. Distinct target indexes only —
-    * at low fps several sample instants can land on one frame.
+    * index as ts * fps / 1000, and pixel-decode only those frames.
+    * The mapping uses the CALLER's fps spec, which here IS the stream
+    * header's timing (this function synthesizes the container from the
+    * same spec; a reader of foreign AVIs would parse the header first
+    * and map via rate/scale). Distinct target indexes only — at low fps
+    * several sample instants can land on one frame.
     */
   def aviSampledRoundtrip(spark: SparkSession, specs: DataFrame,
       everyMs: Long, maxFrames: Int = 32): Dataset[DecodedFrame] = {

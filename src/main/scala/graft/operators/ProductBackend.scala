@@ -57,6 +57,23 @@ trait ProductBackend {
     */
   def hasMarker(token: String): Boolean
 
+  /** Drop committed marker tokens failing `keep` — the RETENTION half
+    * of the marker contract. Without it markers accumulate for the
+    * store's whole lifetime: on the parquet backend every publish
+    * hard-links every live token forward, so per-publish cost grows
+    * O(total files ever ingested) — unbounded on a deployment doing
+    * hourly drops for years. Retirement is safe ONLY for tokens whose
+    * batches can no longer be redelivered (the drop-directory stream
+    * replays at most batches at-or-after the last unconverged
+    * checkpoint commit, so tokens a safe window older than the current
+    * batch are dead); retiring a live token re-opens the duplicate
+    * window [[overwriteClientAtomic]] closes. Callers own that safety
+    * argument — see [[graft.streaming.IngestStream]]'s batch-window
+    * predicate. Tokens failing `keep` that the caller does not own
+    * must be kept by the caller's predicate, not by this method.
+    */
+  def retireMarkers(keep: String => Boolean): Unit
+
   /** Sub-tenant merge granularity (the 100 TB single-giant-tenant
     * story): when Some(n), the backend physically clusters each
     * tenant's rows into n sku-hash buckets, [[readClientBuckets]]
@@ -111,4 +128,19 @@ trait ProductBackend {
     new java.util.concurrent.ConcurrentHashMap[Int, Object]()
   def withIngestLock[T](clientId: Int)(body: => T): T =
     ingestLocks.computeIfAbsent(clientId, _ => new Object).synchronized(body)
+}
+
+object ProductBackend {
+  /** Marker-token rule BOTH backends enforce — parity matters because a
+    * deployment may restore a parquet store into a database (or back):
+    * a token accepted by one backend and rejected by the other would
+    * make the replay-dedup contract backend-dependent. File-name-safe
+    * for the parquet store's `_markers/` entries, within the JDBC
+    * store's VARCHAR(128) column, never dot-led (hidden files).
+    */
+  def validateMarkerToken(token: String): Unit =
+    require(token.length <= 128 && token.matches("[A-Za-z0-9._-]+") &&
+        !token.startsWith("."),
+      "ingest marker token must be <=128 chars of [A-Za-z0-9._-], " +
+        s"not dot-led: '$token'")
 }

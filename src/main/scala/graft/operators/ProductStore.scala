@@ -408,9 +408,7 @@ class ProductStore(spark: SparkSession, root: String, keepVersions: Int = 3,
     }
 
   private def validateMarker(marker: Option[String]): Unit =
-    marker.foreach(token =>
-      require(token.matches("[A-Za-z0-9._-]+") && !token.startsWith("."),
-        s"ingest marker token must be file-name-safe ([A-Za-z0-9._-]+): '$token'"))
+    marker.foreach(ProductBackend.validateMarkerToken)
 
   /** Write the ingest token INTO the version dir (under `_markers/`, a
     * `_`-prefixed name Spark's file listing ignores) BEFORE the CURRENT
@@ -435,6 +433,37 @@ class ProductStore(spark: SparkSession, root: String, keepVersions: Int = 3,
     */
   override def hasMarker(token: String): Boolean =
     currentVersion.exists(v => Files.exists(v.resolve(MarkersDir).resolve(token)))
+
+  /** Retire committed markers failing `keep` in ONE atomic publish: the
+    * new version hard-links every child of the current one except
+    * `_markers/`, which carries only the kept tokens — bounding the
+    * O(live tokens) link cost every later publish pays (see
+    * [[ProductBackend.retireMarkers]] for the caller-owned safety
+    * argument). No-op without a publish when nothing would drop, so an
+    * amortized caller (retire every K batches) never churns versions.
+    */
+  override def retireMarkers(keep: String => Boolean): Unit = withWriteLock {
+    currentVersion.foreach { cur =>
+      val mdir = cur.resolve(MarkersDir)
+      if (Files.isDirectory(mdir)) {
+        val tokens = children(mdir).map(_.getFileName.toString)
+        if (tokens.exists(t => !keep(t))) {
+          val name = newVersionName()
+          val target = versionsDir.resolve(name)
+          Files.createDirectories(target)
+          children(cur).foreach { child =>
+            if (child.getFileName.toString != MarkersDir)
+              linkTree(child, target.resolve(child.getFileName))
+          }
+          val tm = target.resolve(MarkersDir)
+          Files.createDirectories(tm)
+          tokens.filter(keep).foreach(t =>
+            Files.createLink(tm.resolve(t), mdir.resolve(t)))
+          publish(name)
+        }
+      }
+    }
+  }
 
   /** Collision-proof unique tag for staging/version/pointer names.
     * nanoTime alone is NOT unique under concurrency (two threads can

@@ -71,7 +71,19 @@ object IngestStream {
     * POST model. `onReport` may re-fire for a replayed failed file —
     * report consumers that require exactly-once should key on
     * (path, ts).
+    *
+    * Retention: every `markerRetentionBatches` batches, tokens minted a
+    * full window before the current batch are retired (a replay can
+    * only redeliver the last uncommitted batch, never one a window
+    * back), bounding the marker set — and the parquet store's
+    * per-publish carry-forward cost — to O(window), not O(lifetime
+    * files). 0 disables retention (markers then grow unboundedly).
     */
+  /** Token shape this stream mints — retention parses the batch id back
+    * out of it; tokens of any other shape are never retired here.
+    */
+  private val TokenShape = "^ingest_([0-9]+)_[0-9a-f]{32}$".r
+
   def start(
       spark: SparkSession,
       service: IngestionService,
@@ -81,7 +93,8 @@ object IngestStream {
       batchTsFor: String => Timestamp = p => new Timestamp(
         java.nio.file.Files.getLastModifiedTime(java.nio.file.Paths.get(
           p.stripPrefix("file:"))).toMillis),
-      onReport: (String, IngestionReport) => Unit = (_, _) => ()): StreamingQuery =
+      onReport: (String, IngestionReport) => Unit = (_, _) => (),
+      markerRetentionBatches: Int = 64): StreamingQuery =
     fromDropDirectory(spark, dir).writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
@@ -108,6 +121,33 @@ object IngestStream {
             }
           }
           Files.createDirectories(batchMarker)
+          // Amortized MARKER RETENTION (every `markerRetentionBatches`
+          // batches): a replay redelivers at most batches at-or-after
+          // the last uncommitted checkpoint entry — never a full window
+          // back — so tokens minted >= one window before this batch are
+          // dead and safe to retire (bounding the O(live tokens) cost
+          // every parquet publish pays; see ProductBackend.retireMarkers).
+          // Tokens of any OTHER shape (not minted here) are always kept.
+          // The same cutoff prunes the batch fast-path marker dirs.
+          if (markerRetentionBatches > 0 && batchId > 0 &&
+              batchId % markerRetentionBatches == 0L) {
+            val cutoff = batchId - markerRetentionBatches
+            service.retireMarkers {
+              // unparseable-as-Long batch component (overflow) => keep
+              case TokenShape(b) =>
+                scala.util.Try(b.toLong).toOption.forall(_ >= cutoff)
+              case _ => true
+            }
+            val s = Files.list(root)
+            try s.iterator().forEachRemaining { p =>
+              val n = p.getFileName.toString
+              if (n.startsWith("batch=") &&
+                  scala.util.Try(n.stripPrefix("batch=").toLong)
+                    .toOption.exists(_ < cutoff))
+                scala.util.Try(Files.delete(p))
+              ()
+            } finally s.close()
+          }
           ()
         }
       }

@@ -153,6 +153,42 @@ class IngestStreamSpec extends SparkSpec {
     assert(replayReports.isEmpty, "skipped file must not re-fire onReport")
   }
 
+  test("marker retention: tokens a full window old retire; recent ones survive") {
+    import java.nio.file.{Files => F, Paths => P}
+    val store = new ProductStore(spark, tmpDir("store-retain"))
+    val svc = new IngestionService(spark, store, clientId = 1)
+    val dropDir = tmpDir("drop-retain")
+    val ckpt = tmpDir("ckpt-retain")
+    // window of 2: the retire hook fires at batch 2 (cutoff 0 — drops
+    // nothing) and batch 4 (cutoff 2 — retires batches 0 and 1)
+    // capture the EXACT path strings the stream hashes into its tokens
+    val seen = mutable.ArrayBuffer.empty[String]
+    val q = IngestStream.start(spark, svc, cfg, dropDir,
+      checkpointDir = ckpt, batchTsFor = _ => ts(1),
+      onReport = (p, _) => seen.synchronized { seen += p },
+      markerRetentionBatches = 2)
+    try {
+      (0 until 5).foreach { i =>
+        writeText(dropDir, s"f$i.csv", s"sku,title,active\ns$i,T$i,1")
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val digests = seen.map(p => java.security.MessageDigest.getInstance("MD5")
+      .digest(p.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    // batches 0,1 retired at the batch-4 hook; 2,3,4 inside the window
+    assert(!svc.alreadyIngested(s"ingest_0_${digests(0)}"))
+    assert(!svc.alreadyIngested(s"ingest_1_${digests(1)}"))
+    (2 until 5).foreach(i => assert(
+      svc.alreadyIngested(s"ingest_${i}_${digests(i)}"),
+      s"batch $i's token must survive retention"))
+    // the fast-path batch markers pruned to the same cutoff
+    val root = P.get(ckpt, "graft-processed")
+    assert(!F.exists(root.resolve("batch=0")) && !F.exists(root.resolve("batch=1")))
+    assert(F.exists(root.resolve("batch=4")))
+    // and all five rows are live — retention never touches data
+    assert(store.read().count() === 5)
+  }
+
   test("same-trigger arrivals process in lexicographic path order") {
     val store = new ProductStore(spark, tmpDir("store-multi"))
     val svc = new IngestionService(spark, store, clientId = 1)

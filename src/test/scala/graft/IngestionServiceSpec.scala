@@ -581,4 +581,32 @@ class IngestionServiceSpec extends SparkSpec {
     }
     assert(store.read().count() === before)
   }
+
+  test("marker retention: retire drops only non-kept tokens, atomically, without churn") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val root = tmpDir("store-retire")
+    val store = new ProductStore(spark, root, keepVersions = 1)
+    store.overwriteClientAtomic(1,
+      Seq((1, "a1", "T1")).toDF("client_id", "sku", "title"), marker = Some("old_1"))
+    store.overwriteClientAtomic(1,
+      Seq((1, "a1", "T2")).toDF("client_id", "sku", "title"), marker = Some("new_2"))
+    def versionCount: Long = {
+      val s = Files.list(Paths.get(root, "versions"))
+      try s.count() finally s.close()
+    }
+    // a retire that drops nothing must not publish a new version
+    val before = versionCount
+    store.retireMarkers(_ => true)
+    assert(versionCount === before, "no-drop retire must not churn versions")
+    // retiring the old token keeps the new one AND the data
+    store.retireMarkers(_.startsWith("new_"))
+    assert(!store.hasMarker("old_1") && store.hasMarker("new_2"))
+    val live = store.readClient(1).select("title").as[String].collect()
+    assert(live.toSeq === Seq("T2"), "retire must not touch data")
+    // the kept token still carries forward through later publishes
+    store.overwriteClientAtomic(2,
+      Seq((2, "b1", "B")).toDF("client_id", "sku", "title"))
+    assert(store.hasMarker("new_2") && !store.hasMarker("old_1"))
+  }
 }

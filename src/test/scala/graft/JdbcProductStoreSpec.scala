@@ -284,6 +284,31 @@ class JdbcProductStoreSpec extends SparkSpec {
     assert(store.hasMarker("tok1"))
   }
 
+  test("marker retention and full-table overwrite parity with the parquet store") {
+    import spark.implicits._
+    val store = freshStore()
+    store.overwriteClientAtomic(1,
+      Seq((1, "a1", "T1")).toDF("client_id", "sku", "title"), marker = Some("old_1"))
+    store.overwriteClientAtomic(1,
+      Seq((1, "a1", "T2")).toDF("client_id", "sku", "title"), marker = Some("new_2"))
+    // retire drops only non-kept tokens, leaves data alone
+    store.retireMarkers(_.startsWith("new_"))
+    assert(!store.hasMarker("old_1") && store.hasMarker("new_2"))
+    assert(store.readClient(1).count() === 1)
+    // the parquet store's fresh version dir drops markers on a FULL
+    // replace; the database must match, or a replayed file after a full
+    // restore is wrongly skipped here and re-ingested there
+    store.overwriteAtomic(Seq((1, "a1", "Fresh")).toDF("client_id", "sku", "title"))
+    assert(!store.hasMarker("new_2"),
+      "full-table overwrite must discard markers (parquet-store parity)")
+    // token validation parity: the parquet store's unsafe names fail here too
+    intercept[Exception] {
+      store.overwriteClientAtomic(1,
+        Seq((1, "a1", "X")).toDF("client_id", "sku", "title"),
+        marker = Some("../escape"))
+    }
+  }
+
   test("tableExists escapes LIKE wildcards: similar names don't mask a missing table") {
     // client_products's probe pattern contains '_', a single-char LIKE
     // wildcard: with table `clientXproducts` already present, an
