@@ -247,6 +247,10 @@ object Bench {
     "q_dsir_sample",
     // label-aware variant of the billed q_ann_batch panel retrieval
     "q_hard_negatives",
+    // eval composition (prefix-dim + rerank recall readout) over the
+    // billed q_embed_topk machinery; MMR is the greedy diversity
+    // re-rank variant of the same shortlist scan
+    "q_matryoshka_recall", "q_mmr_rerank",
     // capped variant of the billed q_setsim_join (same family plan
     // with the stop-token cap — the sf1-rehearsal production path)
     "q_setsim_capped",

