@@ -91,7 +91,14 @@ object Profiling {
     require(bucketWidth > 0, "bucketWidth must be positive")
     def buckets(df: DataFrame, n: String): DataFrame = {
       val v = col(valueCol).cast("long")
-      val b = ((v - pmod(v, lit(bucketWidth))) / bucketWidth).cast("long")
+      // Integer floor-division throughout: Column./ is DOUBLE division,
+      // and a long above 2^53 loses precision in the long->double
+      // conversion BEFORE dividing — adjacent buckets silently merge.
+      // (v - pmod) is an exact multiple of the width, so the DECIMAL
+      // divide is integral and exact at every long magnitude.
+      val b = (v - pmod(v, lit(bucketWidth)))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+        .divide(lit(bucketWidth)).cast("long")
       df.select(b.as("bucket"))
         .groupBy(col("bucket")).agg(count(lit(1)).as(n))
     }
@@ -276,15 +283,23 @@ object Profiling {
   def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
       k: Int = 5): DataFrame = {
     val v = df.withColumn("_v", col(valueCol).cast("long"))
+    // NULL-SAFE stats lookups (the StatMoments.zscore rule): groupBy
+    // keeps a null-key group and its median/MAD rows exist, but a plain
+    // equi-join would silently DELETE every null-group row from the
+    // output — an outlier flagger must never drop rows.
     val med = v.groupBy(col(groupCol)).agg(
       expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY _v)")
         .cast("long").as("med"))
-    val dev = v.join(broadcast(med), groupCol)
+      .withColumnRenamed(groupCol, "_med_key")
+    val dev = v.join(broadcast(med), col(groupCol) <=> col("_med_key"))
+      .drop("_med_key")
       .withColumn("_dev", abs(col("_v") - col("med")))
     val mad = dev.groupBy(col(groupCol)).agg(
       expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY _dev)")
         .cast("long").as("mad"))
-    dev.join(broadcast(mad), groupCol)
+      .withColumnRenamed(groupCol, "_mad_key")
+    dev.join(broadcast(mad), col(groupCol) <=> col("_mad_key"))
+      .drop("_mad_key")
       .withColumn("is_outlier",
         (col("_dev") > col("mad") * k).cast("int"))
       .drop("_v", "_dev")

@@ -20,6 +20,12 @@ import org.apache.spark.sql.functions._
   * replicated ceil(span/width) times, so pick a width near the typical
   * interval span (too narrow -> interval blowup; too wide -> each
   * bucket degenerates toward the per-key cross product).
+  *
+  * Contract notes: rows with a NULL timestamp or NULL interval endpoint
+  * drop out (a null bucket joins nothing; `sequence` of a null bound is
+  * null and explodes to no rows) — callers with open-ended intervals
+  * must clamp them to the data's time range first. An inverted interval
+  * (end before start) matches nothing, like its BETWEEN formulation.
   */
 object RangeJoin {
 

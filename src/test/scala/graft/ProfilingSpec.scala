@@ -106,6 +106,33 @@ class ProfilingSpec extends SparkSpec {
     assert(got.filter(_._1 == "h").forall(t => t._3 == 5L && t._4 == 0L && t._5 == 0))
   }
 
+  test("madOutliers: null-group rows are scored, never deleted") {
+    import spark.implicits._
+    // The StatMoments.zscore rule: groupBy keeps the null-key group, so
+    // a plain equi-join lookup would silently delete its rows. All four
+    // rows must come back, and the null group flags its own spike.
+    val df = Seq((Some("g"), 5L), (None, 10L), (None, 12L), (None, 500L))
+      .toDF("grp", "v")
+    val got = Profiling.madOutliers(df, "grp", "v", k = 5).collect()
+    assert(got.length === 4, "no row may be dropped by the stats lookup")
+    val nullRows = got.filter(_.isNullAt(0))
+    assert(nullRows.length === 3)
+    assert(nullRows.count(_.getAs[Int]("is_outlier") == 1) === 1)
+  }
+
+  test("distributionDrift: buckets stay exact above 2^53") {
+    import spark.implicits._
+    // Adjacent width-1000 buckets at a magnitude where long->double
+    // conversion loses the low bits: double division would merge them.
+    val a = (1L << 60) - ((1L << 60) % 1000L) // exact bucket boundary
+    val base = Seq(a, a + 1000L).toDF("v")
+    val cur = Seq(a, a + 1000L).toDF("v")
+    val got = Profiling.distributionDrift(base, cur, "v", 1000L)
+    assert(got.count() === 2, "adjacent huge-magnitude buckets must not merge")
+    assert(got.agg(org.apache.spark.sql.functions.sum("psi_term"))
+      .head().getDouble(0) === 0.0)
+  }
+
   test("ksTest: hand-computed integer D argmax and final division") {
     import spark.implicits._
     // A = {1,2,3}, B = {2,4}. Cumulative (ca,cb) over v: (1,0) (2,1)
