@@ -231,18 +231,29 @@ object TermIndex {
     val multiDot = B.column(graft.functions.MultiDotScore(
       B.expression(col("word")), B.expression(col("w")),
       qWords, hitIdx, hitW, nQ).toAggregateExpression())
+    // The norm lookup joins BEFORE the per-query explode: the grouped
+    // aggregate has one row per DOC (corpus-sized), while the exploded
+    // stream has one row per (doc, query) — up to nQ-fold larger (25M
+    // rows at sf1's saturated vocabulary, where every pair shares a
+    // term). Joining at the doc grain probes the norm relation 50k
+    // times instead of 25M and carries n2 through the explode as one
+    // extra long. (A document-at-a-time MultiTopK aggregate replacing
+    // the explode entirely was built and A/B-measured at wall-clock
+    // PARITY — both shapes are single-stage with k-row exchanges; the
+    // generator stream is CPU-local, not a shuffle — and rejected, see
+    // SCALE.md.)
     val dots = weights.groupBy(col("id")).agg(multiDot.as("_d"))
-      .select(col("id"), col("_d"),
+      .join(norms, "id")
+      .select(col("id"), col("n2"), col("_d"),
         posexplode(slice(col("_d"), 1, nQ)).as(Seq("_qi", "dot")))
       // pair-existence contract of the join this replaces: a (query,
       // doc) pair exists iff they share at least one indexed term
       .filter(element_at(col("_d"), col("_qi") + nQ + 1) > 0)
       .select(element_at(typedLit(qids), col("_qi") + 1).as("qid"),
-        col("id"), col("dot"),
+        col("id"), col("dot"), col("n2"),
         element_at(typedLit(qn2), col("_qi") + 1).as("qn2"))
       .filter(col("id") =!= col("qid"))
     val sim = dots
-      .join(norms, "id")
       .withColumn("sim", round(col("dot").cast("double") /
         sqrt(col("qn2").cast("double") * col("n2").cast("double")), 6))
     // Top-k via the map-side-combining native aggregate instead of a
