@@ -3236,6 +3236,51 @@ object SparkEntry {
       .orderBy(col("cosine").desc, col("vec_id"))
   }
 
+  private lazy val embedDriftDir = s"$artifactRoot/embdrift"
+
+  /** EMBEDDING-distribution drift between two corpus snapshots — the
+    * semantic sibling of the scalar monitors (q_drift_psi watches a
+    * numeric column's buckets, q_ks_test its CDF; this watches WHERE
+    * the corpus lives in embedding space): vectors of both snapshots
+    * are assigned to FROZEN IVF cells (centroids trained on the BASE
+    * snapshot only — the production shape: the monitor's reference
+    * frame is fixed when the baseline ships, so a drifting current
+    * corpus cannot redefine the cells it is measured against), and the
+    * per-cell mass shares feed the same clamped PSI rule as
+    * q_drift_psi ([[operators.Profiling.psiOverBuckets]] — one
+    * definition for both monitors). Sum psi_term for the headline
+    * index; > 0.25 = the embedding distribution moved (new topic mix,
+    * encoder version slip, crawler config change — shifts scalar
+    * monitors can miss entirely).
+    *
+    * 100 TB shape: cell assignment is one scan per snapshot with
+    * nlist-bounded literal centroids (scan-speed, no shuffle of
+    * vectors), histograms are map-side-combinable counts over <= nlist
+    * cells, and the PSI join is cell-table-sized. The corpus is never
+    * pairwise-joined. The oracle replays assignment from the dumped
+    * centroid table (the q_embed_ivf technique) and the PSI arithmetic
+    * from the counts.
+    */
+  private def embedDrift(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, d, "embeddings")
+    val base = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val cur = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+    val cs = IvfIndex.trainCentroids(base, "embedding", "vec_id",
+      nlist = 8, iters = 5)
+    cs.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$embedDriftDir/centroids.parquet")
+    def hist(df: DataFrame, n: String): DataFrame =
+      df.select(IvfIndex.cellId(col("embedding"), cs).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as(n))
+    Profiling.psiOverBuckets(hist(base, "n_base"), hist(cur, "n_cur"))
+      .select(col("bucket").as("cell"), col("n_base"), col("n_cur"),
+        col("psi_term"))
+      .orderBy(col("cell"))
+  }
+
   private lazy val ivfIncrDir = s"$artifactRoot/ivfincr"
 
   /** Standing IVF store (the vector-side q_sparse_knn_incr): centroids
@@ -6066,6 +6111,7 @@ object SparkEntry {
     "q_matryoshka_recall" -> (matryoshkaRecall _),
     "q_mmr_rerank" -> (mmrRerankQ _),
     "q_embed_ivf" -> (embedIvf _),
+    "q_embed_drift" -> (embedDrift _),
     "q_ivf_incr" -> (ivfIncr _),
     "q_ivf_recall" -> (ivfRecall _),
     "q_pq_recall" -> (pqRecall _),
@@ -8632,6 +8678,34 @@ object SparkEntry {
     "q_matryoshka_recall" -> matryoshkaOracleSql,
     "q_mmr_rerank" -> mmrOracleSql,
     "q_embed_neardup" -> embedNearDupOracle,
+    // Embedding-cell drift: assignment replayed from the dumped frozen
+    // centroids (the q_embed_ivf technique), then the q_drift_psi
+    // arithmetic over the two cell histograms.
+    "q_embed_drift" ->
+      s"""WITH cents AS (SELECT cell, CAST(centroid AS DOUBLE[]) AS c
+         |      FROM read_parquet('$embedDriftDir/centroids.parquet/*.parquet')),
+         |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |assign AS (SELECT vec_id,
+         |      (SELECT cell FROM cents
+         |       ORDER BY 2 * list_dot_product(cents.c, emb.e) - list_dot_product(cents.c, cents.c) DESC, cell
+         |       LIMIT 1) AS cell
+         |      FROM emb),
+         |b AS (SELECT cell, count(*) AS n_base FROM assign
+         |      WHERE vec_id % 2 = 0 GROUP BY cell),
+         |cc AS (SELECT cell, count(*) AS n_cur FROM assign
+         |      WHERE vec_id % 2 = 1 GROUP BY cell),
+         |tot AS (SELECT (SELECT CAST(sum(n_base) AS DOUBLE) FROM b) AS tb,
+         |               (SELECT CAST(sum(n_cur) AS DOUBLE) FROM cc) AS tc),
+         |j AS (SELECT coalesce(b.cell, cc.cell) AS cell,
+         |        coalesce(n_base, 0) AS n_base, coalesce(n_cur, 0) AS n_cur
+         |      FROM b FULL OUTER JOIN cc ON b.cell = cc.cell)
+         |SELECT cell, n_base, n_cur,
+         |  round((greatest(CAST(n_base AS DOUBLE) / (SELECT tb FROM tot), 1e-6)
+         |       - greatest(CAST(n_cur AS DOUBLE) / (SELECT tc FROM tot), 1e-6))
+         |    * ln(greatest(CAST(n_base AS DOUBLE) / (SELECT tb FROM tot), 1e-6)
+         |       / greatest(CAST(n_cur AS DOUBLE) / (SELECT tc FROM tot), 1e-6)),
+         |    6) AS psi_term
+         |FROM j ORDER BY cell""".stripMargin,
     "q_embed_ivf" ->
       s"""WITH cents AS (SELECT cell, CAST(centroid AS DOUBLE[]) AS c
          |      FROM read_parquet('$ivfDir/centroids.parquet/*.parquet')),

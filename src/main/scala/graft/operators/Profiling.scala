@@ -102,11 +102,22 @@ object Profiling {
       df.select(b.as("bucket"))
         .groupBy(col("bucket")).agg(count(lit(1)).as(n))
     }
-    val b = buckets(base, "n_base")
-    val c = buckets(current, "n_cur")
-    // Every row lands in some bucket, so each snapshot's total is the
-    // sum of its bucket counts — derived from the bounded aggregates,
-    // not two more corpus scans.
+    psiOverBuckets(buckets(base, "n_base"), buckets(current, "n_cur"),
+      epsilon, roundTo)
+  }
+
+  /** The PSI rule over two already-bucketed count tables
+    * (`(bucket, n_base)` / `(bucket, n_cur)`) — the single definition
+    * [[distributionDrift]] and the embedding-cell drift monitor share.
+    * Totals derive from the bounded bucket tables (every row landed in
+    * some bucket — never a second corpus scan) and arrive by 1-row
+    * broadcast cross join.
+    */
+  def psiOverBuckets(
+      b: DataFrame,
+      c: DataFrame,
+      epsilon: Double = 1e-6,
+      roundTo: Int = 6): DataFrame = {
     val totals = b.agg(sum(col("n_base")).as("_tb"))
       .crossJoin(c.agg(sum(col("n_cur")).as("_tc")))
     val eps = lit(epsilon)
