@@ -88,22 +88,30 @@ object Profiling {
       bucketWidth: Long,
       epsilon: Double = 1e-6,
       roundTo: Int = 6): DataFrame = {
-    require(bucketWidth > 0, "bucketWidth must be positive")
-    def buckets(df: DataFrame, n: String): DataFrame = {
-      val v = col(valueCol).cast("long")
-      // Integer floor-division throughout: Column./ is DOUBLE division,
-      // and a long above 2^53 loses precision in the long->double
-      // conversion BEFORE dividing — adjacent buckets silently merge.
-      // (v - pmod) is an exact multiple of the width, so the DECIMAL
-      // divide is integral and exact at every long magnitude.
-      val b = (v - pmod(v, lit(bucketWidth)))
-        .cast(org.apache.spark.sql.types.DecimalType(38, 0))
-        .divide(lit(bucketWidth)).cast("long")
-      df.select(b.as("bucket"))
-        .groupBy(col("bucket")).agg(count(lit(1)).as(n))
-    }
-    psiOverBuckets(buckets(base, "n_base"), buckets(current, "n_cur"),
+    psiOverBuckets(bucketCounts(base, valueCol, bucketWidth, "n_base"),
+      bucketCounts(current, valueCol, bucketWidth, "n_cur"),
       epsilon, roundTo)
+  }
+
+  /** Fixed-width bucket histogram of `valueCol` — the single bucketing
+    * definition [[distributionDrift]] and the streaming drift monitor
+    * share (two monitors bucketing differently would not be comparable).
+    * Null values form their own bucket (see [[psiOverBuckets]]).
+    */
+  def bucketCounts(df: DataFrame, valueCol: String, bucketWidth: Long,
+      countName: String): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val v = col(valueCol).cast("long")
+    // Integer floor-division throughout: Column./ is DOUBLE division,
+    // and a long above 2^53 loses precision in the long->double
+    // conversion BEFORE dividing — adjacent buckets silently merge.
+    // (v - pmod) is an exact multiple of the width, so the DECIMAL
+    // divide is integral and exact at every long magnitude.
+    val b = (v - pmod(v, lit(bucketWidth)))
+      .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+      .divide(lit(bucketWidth)).cast("long")
+    df.select(b.as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as(countName))
   }
 
   /** The PSI rule over two already-bucketed count tables
