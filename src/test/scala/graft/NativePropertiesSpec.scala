@@ -1,0 +1,250 @@
+package graft
+
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.functions._
+
+/** Differential PROPERTY tests for the native expressions: hundreds of
+  * deterministically generated inputs per property, each evaluated
+  * through the real codegen path (one DataFrame per property — the
+  * generated cases ride a single job) and compared against an
+  * independent slow reference implementation written straight from the
+  * documented contract. Complements the example-based specs and the
+  * oracle gates: generated inputs reach the edge interactions
+  * (whitespace runs, tie collisions, length-off-by-one alignments,
+  * astral code points) that hand-picked examples miss.
+  *
+  * Generation is seeded `scala.util.Random`, NOT randomized per run — a
+  * property that fails must fail on every run with the same input, or
+  * CI flakes train people to re-run instead of fix.
+  */
+class NativePropertiesSpec extends SparkSpec {
+
+  // -------------------------------------------------------------------
+  // EditWithin1 vs full Levenshtein DP (the documented levenshtein(a,b,1)
+  // contract, UTF-16-unit distances)
+  // -------------------------------------------------------------------
+  private def levenshtein(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("property: graftEditWithin1 == sign of bounded Levenshtein on generated pairs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // tiny alphabet so one-edit pairs collide with equal pairs often
+    def word(n: Int): String = Seq.fill(n)("abµ".charAt(rnd.nextInt(3))).mkString
+    def mutate(s: String): String = {
+      if (s.isEmpty) return "a"
+      rnd.nextInt(3) match {
+        case 0 => // substitute
+          val i = rnd.nextInt(s.length)
+          s.substring(0, i) + "abµc".charAt(rnd.nextInt(4)) + s.substring(i + 1)
+        case 1 => // insert
+          val i = rnd.nextInt(s.length + 1)
+          s.substring(0, i) + "abµc".charAt(rnd.nextInt(4)) + s.substring(i)
+        case 2 => // delete
+          val i = rnd.nextInt(s.length)
+          s.substring(0, i) + s.substring(i + 1)
+      }
+    }
+    val pairs = (1 to 400).map { _ =>
+      val a = word(rnd.nextInt(8))
+      val b = rnd.nextInt(4) match {
+        case 0 => a
+        case 1 => mutate(a)
+        case 2 => mutate(mutate(a))
+        case 3 => word(rnd.nextInt(8))
+      }
+      (a, b)
+    } :+ (("", "")) :+ (("", "a")) :+ (("ab", ""))
+    val got = pairs.toDF("a", "b")
+      .withColumn("d", graftEditWithin1(col("a"), col("b")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    got.foreach { case (a, b, d) =>
+      val lev = levenshtein(a, b)
+      val want = if (lev == 0) 0 else if (lev == 1) 1 else -1
+      assert(d === want, s"editWithin1('$a','$b') = $d, Levenshtein $lev")
+    }
+  }
+
+  // -------------------------------------------------------------------
+  // WordShingles vs the documented SQL composition (ASCII-space trim,
+  // \s+ split with trailing empties kept, first-occurrence dedup)
+  // -------------------------------------------------------------------
+  private def refShingles(text: String, n: Int): Seq[String] = {
+    val s = text.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+    if (s.isEmpty) return Seq.empty
+    val words = s.split("\\s+", -1)
+    if (words.length < n) return Seq.empty
+    words.sliding(n).map(_.mkString(" ")).toSeq.distinct
+  }
+
+  test("property: graftShingles == trim/split/slide/distinct reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(12)
+    val ws = Seq(" ", "  ", "\t", "\n", " \t ")
+    val vocab = Seq("a", "b", "ab", "µx")
+    val texts = (1 to 300).map { _ =>
+      val n = rnd.nextInt(8)
+      val body = Seq.fill(n)(vocab(rnd.nextInt(vocab.size)))
+        .mkString(ws(rnd.nextInt(ws.size)))
+      // leading/trailing whitespace of both kinds exercises the
+      // ASCII-space-only trim vs regex-split interaction
+      (if (rnd.nextBoolean()) " " else "\t") + body +
+        (if (rnd.nextBoolean()) " " else "\n")
+    } :+ "" :+ "   " :+ "\t\t" :+ "one"
+    for (n <- Seq(1, 2, 3)) {
+      val got = texts.toDF("t")
+        .withColumn("sh", graftShingles(col("t"), n))
+        .collect().map(r => (r.getString(0), r.getSeq[String](1)))
+      got.foreach { case (t, sh) =>
+        assert(sh === refShingles(t, n),
+          s"shingles(${t.replace("\t", "\\t").replace("\n", "\\n")}, $n)")
+      }
+    }
+  }
+
+  // -------------------------------------------------------------------
+  // KarpRabinHash vs a code-point fold (astral chars step ONE code
+  // point, not two UTF-16 units — the documented contract)
+  // -------------------------------------------------------------------
+  test("property: graftWordHash == base-131 code-point fold") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val astral = new String(Character.toChars(0x1F600))
+    val chars = Seq("a", "z", "0", "µ", "齐", astral)
+    val words = (1 to 200).map(_ =>
+      Seq.fill(rnd.nextInt(10))(chars(rnd.nextInt(chars.size))).mkString) :+ ""
+    val got = words.toDF("w")
+      .withColumn("h", graftWordHash(col("w")))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    got.foreach { case (w, h) =>
+      var acc = 0L
+      w.codePoints().forEach(cp => acc = (acc * 131L + cp) % 1000003L)
+      assert(h === acc, s"wordHash('$w')")
+    }
+  }
+
+  // -------------------------------------------------------------------
+  // DotProduct vs left-to-right sequential sum; min-length truncation
+  // is the documented semantics (callers validate dims)
+  // -------------------------------------------------------------------
+  test("property: graftDot == sequential zip sum, exactly, at any length pair") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(14)
+    val rows = (1 to 200).map { _ =>
+      val la = rnd.nextInt(6)
+      val lb = rnd.nextInt(6)
+      (Array.fill(la)(rnd.nextGaussian()), Array.fill(lb)(rnd.nextGaussian()))
+    }
+    val got = rows.toDF("a", "b")
+      .withColumn("d", graftDot(col("a"), col("b")))
+      .collect().map(r =>
+        (r.getSeq[Double](0), r.getSeq[Double](1), r.getDouble(2)))
+    got.foreach { case (a, b, d) =>
+      var s = 0.0
+      a.zip(b).foreach { case (x, y) => s += x * y }
+      assert(d === s, s"dot over ${a.length}x${b.length}")
+    }
+  }
+
+  // -------------------------------------------------------------------
+  // SignatureOverlap vs zip-equality count
+  // -------------------------------------------------------------------
+  test("property: graftSigOverlap == equal-position count") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(15)
+    val rows = (1 to 200).map { _ =>
+      val n = rnd.nextInt(8) + 1
+      val a = Array.fill(n)(rnd.nextInt(3).toLong)
+      // half the pairs share a prefix so agreements cluster
+      val b = a.zipWithIndex.map { case (v, i) =>
+        if (rnd.nextBoolean()) v else rnd.nextInt(3).toLong
+      }
+      (a, b)
+    }
+    val got = rows.toDF("a", "b")
+      .withColumn("o", graftSigOverlap(col("a"), col("b")))
+      .collect().map(r => (r.getSeq[Long](0), r.getSeq[Long](1), r.getInt(2)))
+    got.foreach { case (a, b, o) =>
+      assert(o === a.zip(b).count { case (x, y) => x == y })
+    }
+  }
+
+  // -------------------------------------------------------------------
+  // TopKRows vs sortBy.take(k) — unique keys (equal-key survivorship is
+  // deliberately unspecified; gate callers use struct keys for total
+  // orders)
+  // -------------------------------------------------------------------
+  test("property: graftTopK == sort-take on unique keys") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(16)
+    for (trial <- 1 to 5) {
+      val keys = rnd.shuffle((1L to 40L).toList).take(20 + rnd.nextInt(20))
+      val rows = keys.map(k => (k, s"v$k"))
+      val got = rows.toDF("k", "v")
+        .agg(graftTopK(col("k"), col("v"), 5).as("top"))
+        .head().getSeq[String](0)
+      val want = rows.sortBy(_._1).take(5).map(_._2)
+      assert(got === want, s"trial $trial")
+    }
+  }
+
+  // -------------------------------------------------------------------
+  // HeavyHitters: the Misra-Gries guarantees, not a point answer —
+  // every item with true count > spilled is present, and
+  // est <= true <= est + spilled for every reported item
+  // -------------------------------------------------------------------
+  test("property: graftHeavyHitters satisfies the Misra-Gries guarantees") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    for (trial <- 1 to 3) {
+      // Zipf-ish: item i appears ~ 600 / (i + 1) times
+      val stream = rnd.shuffle((0 until 30).flatMap(i =>
+        Seq.fill(600 / (i + 1))(s"item$i")).toList)
+      val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val row = stream.toDF("item")
+        .agg(graftHeavyHitters(col("item"), 8).as("hh"))
+        .select(col("hh.spilled"), col("hh.items")).head()
+      val spilled = row.getLong(0)
+      val items = row.getSeq[org.apache.spark.sql.Row](1)
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      truth.foreach { case (item, n) =>
+        if (n > spilled)
+          assert(items.contains(item),
+            s"trial $trial: '$item' (true $n > spilled $spilled) missing")
+      }
+      items.foreach { case (item, est) =>
+        val n = truth(item)
+        assert(est <= n && n <= est + spilled,
+          s"trial $trial: '$item' est $est outside [${n - spilled}, $n]")
+      }
+    }
+  }
+
+  // -------------------------------------------------------------------
+  // NormalizeText: idempotence — a canonicalizer that moves on a second
+  // application is not canonical
+  // -------------------------------------------------------------------
+  test("property: graftNormalizeText is idempotent on generated unicode text") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(18)
+    val pieces = Seq("Héllo", "WORLD", "über", "naïve", "  ", "\t", "a\u0301",
+      "ＡＢ", "ﬁsh", "x", "齐大", "\u00A0", "ŒUF")
+    val texts = (1 to 200).map(_ =>
+      Seq.fill(rnd.nextInt(6))(pieces(rnd.nextInt(pieces.size))).mkString) :+ ""
+    val rows = texts.toDF("t")
+      .withColumn("n1", graftNormalizeText(col("t")))
+      .withColumn("n2", graftNormalizeText(graftNormalizeText(col("t"))))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getString(1) === r.getString(2),
+        s"normalize not idempotent on '${r.getString(0)}'")
+    }
+  }
+}
