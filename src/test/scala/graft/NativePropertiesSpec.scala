@@ -228,6 +228,112 @@ class NativePropertiesSpec extends SparkSpec {
   }
 
   // -------------------------------------------------------------------
+  // SimHash combination banding: for configs whose packed keys carry
+  // comboId and chunk bits without overlap (shared*width <= 48), two
+  // fingerprints share a band key IFF their differing bits span at most
+  // maxHamming chunks — the exact pigeonhole guarantee the sub-quadratic
+  // Hamming join rests on, in both directions
+  // -------------------------------------------------------------------
+  test("property: graftSimHashBands share a key iff flipped chunks <= maxHamming") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    for ((pieces, maxH) <- Seq((8, 2), (4, 2))) {
+      val width = 64 / pieces
+      val rows = (1 to 150).map { _ =>
+        val f1 = rnd.nextLong()
+        val nFlips = rnd.nextInt(2 * maxH + 1)
+        val bits = rnd.shuffle((0 until 64).toList).take(nFlips)
+        val f2 = bits.foldLeft(f1)((f, b) => f ^ (1L << b))
+        val flippedChunks = bits.map(_ / width).distinct.size
+        (f1, f2, flippedChunks <= maxH)
+      }
+      val got = rows.toDF("f1", "f2", "want")
+        .withColumn("share", arrays_overlap(
+          graftSimHashBands(col("f1"), pieces, maxH),
+          graftSimHashBands(col("f2"), pieces, maxH)))
+        .collect()
+      got.foreach { r =>
+        assert(r.getBoolean(3) === r.getBoolean(2),
+          s"pieces=$pieces h=$maxH f1=${r.getLong(0)} f2=${r.getLong(1)}: " +
+            s"share=${r.getBoolean(3)} expected=${r.getBoolean(2)}")
+      }
+    }
+  }
+
+  // -------------------------------------------------------------------
+  // MinHash banding: equal band rows => equal band key (completeness —
+  // what candidate recall rests on); with this seeded generator, bands
+  // differing in some row never collide (64-bit mixed keys)
+  // -------------------------------------------------------------------
+  test("property: graftMinHashBands agree per band iff the band's rows agree") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20)
+    val bands = 4
+    val r = 4
+    val rows = (1 to 150).map { _ =>
+      val a = Array.fill(bands * r)(rnd.nextInt(50).toLong)
+      val b = a.clone()
+      // corrupt a random subset of bands by one row each
+      val dirty = (0 until bands).filter(_ => rnd.nextBoolean())
+      dirty.foreach(j => b(j * r + rnd.nextInt(r)) += 1000L)
+      (a, b, (0 until bands).map(j => !dirty.contains(j)))
+    }
+    val got = rows.toDF("a", "b", "want")
+      .select(graftMinHashBands(col("a"), bands).as("ka"),
+        graftMinHashBands(col("b"), bands).as("kb"), col("want"))
+      .collect()
+    got.foreach { row =>
+      val ka = row.getSeq[Long](0); val kb = row.getSeq[Long](1)
+      val want = row.getSeq[Boolean](2)
+      (0 until bands).foreach(j =>
+        assert((ka(j) == kb(j)) === want(j), s"band $j"))
+    }
+  }
+
+  // -------------------------------------------------------------------
+  // MinHash signatures: a function of the hash MULTISET's distinct
+  // values — invariant under input order and duplication (min is
+  // commutative and idempotent), which is what makes per-batch index
+  // increments equal a from-scratch build
+  // -------------------------------------------------------------------
+  test("property: graftMinHash is order- and duplication-invariant") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(21)
+    for (trial <- 1 to 5) {
+      val hashes = Seq.fill(30)(rnd.nextLong())
+      val shuffled = rnd.shuffle(hashes)
+      val duplicated = rnd.shuffle(hashes ++ hashes.take(10))
+      def sig(hs: Seq[Long]): Seq[Long] =
+        hs.toDF("h").agg(graftMinHash(col("h"), 16).as("s"))
+          .head().getSeq[Long](0)
+      val base = sig(hashes)
+      assert(sig(shuffled) === base, s"trial $trial: order changed the signature")
+      assert(sig(duplicated) === base, s"trial $trial: duplicates changed the signature")
+    }
+  }
+
+  // -------------------------------------------------------------------
+  // Two independent sign-LSH bucket implementations (the literal-plane
+  // codegen fold used as a join key vs the native array expression used
+  // as a probe filter) must agree — they share one hyperplane source
+  // and drifting apart would silently split every bucketed join
+  // -------------------------------------------------------------------
+  test("property: hyperplaneBucket == graftLshBuckets table 0") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(22)
+    val dim = 16
+    val planes = 8
+    val rows = (1 to 100).map(_ => Tuple1(Array.fill(dim)(rnd.nextGaussian())))
+    val got = rows.toDF("v")
+      .withColumn("scalar",
+        graft.operators.Similarity.hyperplaneBucket(col("v"), planes, dim))
+      .withColumn("native",
+        element_at(graftLshBuckets(col("v"), planes, 1, dim), 1))
+      .collect()
+    got.foreach(r => assert(r.getLong(1) === r.getLong(2)))
+  }
+
+  // -------------------------------------------------------------------
   // NormalizeText: idempotence — a canonicalizer that moves on a second
   // application is not canonical
   // -------------------------------------------------------------------
