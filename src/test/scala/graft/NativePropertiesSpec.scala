@@ -334,6 +334,104 @@ class NativePropertiesSpec extends SparkSpec {
   }
 
   // -------------------------------------------------------------------
+  // GopherNgramStats vs a brute-force reference: topN as a max over a
+  // multiset, dupN as a SET-of-covered-character-indexes union — an
+  // independent formulation of the production code's running-max sweep
+  // -------------------------------------------------------------------
+  private def refNgramStats(text: String): Seq[Long] = {
+    val words = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (words.isEmpty) return Seq.fill(10)(0L)
+    val cs = words.mkString(" ")
+    val starts = words.scanLeft(0)((p, w) => p + w.length + 1).init
+    val ends = starts.zip(words).map { case (s, w) => s + w.length }
+    val out = scala.collection.mutable.ArrayBuffer[Long](cs.length.toLong)
+    for (n <- 2 to 4) {
+      val grams = (0 to words.length - n)
+        .map(i => cs.substring(starts(i), ends(i + n - 1)))
+      out += (if (grams.isEmpty) 0L
+        else grams.groupBy(identity)
+          .map { case (g, occ) => occ.size.toLong * g.length }.max)
+    }
+    for (n <- 5 to 10) {
+      val idx = (0 to words.length - n)
+      val counts = idx.groupBy(i => cs.substring(starts(i), ends(i + n - 1)))
+        .map { case (g, is) => g -> is.size }
+      val covered = scala.collection.mutable.Set.empty[Int]
+      idx.foreach { i =>
+        if (counts(cs.substring(starts(i), ends(i + n - 1))) > 1)
+          (starts(i) until ends(i + n - 1)).foreach(covered += _)
+      }
+      out += covered.size.toLong
+    }
+    out.toSeq
+  }
+
+  test("property: graftNgramRepStats == brute-force character-mass reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val vocab = Seq("aa", "B", "ccc", "dd")
+    val texts = (1 to 150).map { _ =>
+      val n = rnd.nextInt(25)
+      val base = Seq.fill(n)(vocab(rnd.nextInt(vocab.size)))
+      // repetition-heavy tail: append a repeated block so dup5..10 fire
+      val block = Seq.fill(rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size)))
+      val all = base ++ block ++ block
+      all.mkString(Seq(" ", "  ", "\t")(rnd.nextInt(3)))
+    } :+ "" :+ "one" :+ "a a a a a a a a a a a a"
+    val fields = NgramRepUtil_fields
+    val got = texts.toDF("t")
+      .select(col("t"), graftNgramRepStats(col("t")).as("st"))
+      .select(col("t") +: fields.map(f => col(s"st.$f")): _*)
+      .collect()
+    got.foreach { r =>
+      val want = refNgramStats(r.getString(0))
+      val have = fields.indices.map(i => r.getLong(i + 1))
+      assert(have === want,
+        s"ngram stats diverged on '${r.getString(0).take(60)}'")
+    }
+  }
+
+  private def NgramRepUtil_fields: Seq[String] =
+    graft.functions.NgramRepUtil.schema.fieldNames.toSeq
+
+  // -------------------------------------------------------------------
+  // BigramStats vs a direct multiset reference (empty words KEPT — the
+  // documented explode-form parity)
+  // -------------------------------------------------------------------
+  test("property: graftBigramStats == multiset reference with empty words kept") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(24)
+    val vocab = Seq("x", "YY", "z")
+    val texts = (1 to 150).map { _ =>
+      val body = Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(Seq(" ", "\t", "  ")(rnd.nextInt(3)))
+      (if (rnd.nextBoolean()) "\t" else "") + body +
+        (if (rnd.nextBoolean()) "\n" else "")
+    } :+ "" :+ " " :+ "solo"
+    val got = texts.toDF("t")
+      .select(col("t"), graftBigramStats(col("t")).as("st"))
+      .select(col("t"), col("st.total_bigrams"), col("st.distinct_bigrams"),
+        col("st.max_count"))
+      .collect()
+    got.foreach { r =>
+      val s = r.getString(0).dropWhile(_ == ' ').reverse.dropWhile(_ == ' ')
+        .reverse.toLowerCase
+      val ws = s.split("\\s+", -1) // empties kept
+      val (tot, dis, mx) =
+        if (ws.length < 2) (0L, 0L, 0L)
+        else {
+          val grams = ws.sliding(2).map(_.mkString(" ")).toSeq
+          (grams.size.toLong,
+            grams.distinct.size.toLong,
+            grams.groupBy(identity).values.map(_.size).max.toLong)
+        }
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((tot, dis, mx)),
+        s"bigram stats diverged on '${r.getString(0).replace("\t", "\\t")
+          .replace("\n", "\\n")}'")
+    }
+  }
+
+  // -------------------------------------------------------------------
   // NormalizeText: idempotence — a canonicalizer that moves on a second
   // application is not canonical
   // -------------------------------------------------------------------
