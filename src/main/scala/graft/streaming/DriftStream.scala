@@ -80,6 +80,11 @@ object DriftStream {
     Files.createDirectories(Paths.get(storeDir))
     if (!Files.exists(Paths.get(storeDir, "meta"))) {
       import spark.implicits._
+      // an EMPTY baseline has no distribution to drift from — shares
+      // divide by a null total and every later batch would die on a
+      // null PSI sum; refuse at start instead
+      require(!baseline.isEmpty,
+        "drift baseline is empty — a monitor needs a reference distribution")
       Profiling.bucketCounts(baseline, valueCol, bucketWidth, "n_base")
         .coalesce(1).write.mode(SaveMode.Overwrite)
         .parquet(s"$storeDir/baseline")

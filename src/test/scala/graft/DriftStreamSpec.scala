@@ -86,5 +86,10 @@ class DriftStreamSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       DriftStream.ensureBaseline(spark, df(baselineVals), "v", 10L, store, 1e-4)
     }
+    // an empty baseline fails loud at start, not as a per-batch NPE
+    intercept[IllegalArgumentException] {
+      DriftStream.ensureBaseline(spark, df(Seq.empty), "v", 10L,
+        tmpDir("driftstore-empty"), 1e-6)
+    }
   }
 }
