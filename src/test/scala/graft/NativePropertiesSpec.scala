@@ -432,6 +432,104 @@ class NativePropertiesSpec extends SparkSpec {
   }
 
   // -------------------------------------------------------------------
+  // WordPiece MaxMatch vs an independently written greedy reference,
+  // over generated vocabularies and words (two-letter alphabet so
+  // prefix collisions are dense)
+  // -------------------------------------------------------------------
+  test("property: WordPieceSegmentUtil == independent greedy reference") {
+    import graft.functions.WordPieceSegmentUtil
+    val rnd = new scala.util.Random(25)
+    def refSegment(word: String, vocab: Set[String], maxLen: Int): Seq[String] = {
+      def go(pos: Int, acc: List[String]): Seq[String] =
+        if (pos >= word.length) acc.reverse
+        else {
+          val cands = (math.min(maxLen, word.length - pos) to 1 by -1).iterator
+            .map { l =>
+              val raw = word.substring(pos, pos + l)
+              if (pos == 0) raw else "##" + raw
+            }.find(vocab.contains)
+          cands match {
+            case None => Seq(WordPieceSegmentUtil.Unk)
+            case Some(p) =>
+              go(pos + p.length - (if (pos == 0) 0 else 2), p :: acc)
+          }
+        }
+      if (word.isEmpty) Seq.empty else go(0, Nil)
+    }
+    for (trial <- 1 to 100) {
+      val pieces = Seq("a", "b", "ab", "ba", "aab", "abb")
+      val vocabSet = (pieces.filter(_ => rnd.nextBoolean()) ++
+        pieces.map("##" + _).filter(_ => rnd.nextBoolean())).toSet
+      if (vocabSet.nonEmpty) {
+        val hs = new java.util.HashSet[String]()
+        vocabSet.foreach(hs.add)
+        val maxLen = 1 + rnd.nextInt(3)
+        val word = Seq.fill(rnd.nextInt(10))("ab".charAt(rnd.nextInt(2))).mkString
+        val got = WordPieceSegmentUtil.segment(word, hs, maxLen).toSeq
+        val want = refSegment(word, vocabSet, maxLen)
+        assert(got === want, s"trial $trial word='$word' vocab=$vocabSet maxLen=$maxLen")
+        // invariants on the success path: membership + reassembly
+        if (got != Seq(WordPieceSegmentUtil.Unk)) {
+          assert(got.forall(vocabSet.contains))
+          assert(got.zipWithIndex.map { case (p, i) =>
+            if (i == 0) p else p.stripPrefix("##")
+          }.mkString === word)
+        }
+      }
+    }
+  }
+
+  // -------------------------------------------------------------------
+  // Unigram-LM segmentation: always reassembles; on the DP path every
+  // piece is in the table and NO randomly generated valid segmentation
+  // scores higher (optimality spot-check without duplicating the DP);
+  // unknown characters take the per-character fallback
+  // -------------------------------------------------------------------
+  test("property: UnigramSegmentUtil reassembles, is table-valid, and beats random splits") {
+    import graft.functions.UnigramSegmentUtil
+    val rnd = new scala.util.Random(26)
+    for (trial <- 1 to 60) {
+      val pieces = Seq("a", "b", "ab", "ba", "aa", "bb", "aba").distinct
+      val lp = new java.util.HashMap[String, java.lang.Long]()
+      val score = scala.collection.mutable.Map.empty[String, Long]
+      pieces.foreach { p =>
+        val s = -(1L + rnd.nextInt(2000000)) // 10^6-scaled negative log prob
+        lp.put(p, s); score(p) = s
+      }
+      val maxLen = 3
+      val word = Seq.fill(1 + rnd.nextInt(9))("ab".charAt(rnd.nextInt(2))).mkString
+      val got = UnigramSegmentUtil.segment(word, lp, maxLen).toSeq
+      assert(got.mkString === word, s"trial $trial: no reassembly for '$word'")
+      assert(got.forall(score.contains), s"trial $trial: piece outside the table")
+      val gotScore = got.map(score).sum
+      // random valid segmentations must never beat the DP result
+      def randomSplit(w: String): Option[Seq[String]] = {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var pos = 0
+        while (pos < w.length) {
+          val ls = (1 to math.min(maxLen, w.length - pos))
+            .filter(l => score.contains(w.substring(pos, pos + l)))
+          if (ls.isEmpty) return None
+          val l = ls(rnd.nextInt(ls.size))
+          out += w.substring(pos, pos + l)
+          pos += l
+        }
+        Some(out.toSeq)
+      }
+      (1 to 30).foreach { _ =>
+        randomSplit(word).foreach { alt =>
+          assert(alt.map(score).sum <= gotScore,
+            s"trial $trial: $alt (${alt.map(score).sum}) beats DP $got ($gotScore)")
+        }
+      }
+      // unknown character: per-character fallback, still reassembling
+      val fb = UnigramSegmentUtil.segment(word + "z", lp, maxLen).toSeq
+      assert(fb.mkString === word + "z" && fb.forall(_.length == 1),
+        s"trial $trial: fallback shape")
+    }
+  }
+
+  // -------------------------------------------------------------------
   // NormalizeText: idempotence — a canonicalizer that moves on a second
   // application is not canonical
   // -------------------------------------------------------------------
