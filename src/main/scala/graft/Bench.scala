@@ -199,8 +199,10 @@ object Bench {
     "q_bpe_train", "q_bpe_encode", "q_jpeg_decode", "q_image_phash",
     "q_image_neardup",
     // q_video_sampled: variant gate of the billed q_video_decode (same
-    // MJPEG/AVI codec seam and slice, sampled-frame subset)
-    "q_video_sampled",
+    // MJPEG/AVI codec seam and slice, sampled-frame subset);
+    // q_audio_vad: feature variant of the billed q_audio_decode (same
+    // WAV codec seam and slice, windowed energy/ZCR)
+    "q_video_sampled", "q_audio_vad",
     "q_dedup_chunks",
     "q_contamination_audit",
     "q_group_split", "q_winsorize", "q_histogram_equidepth",

@@ -5222,6 +5222,26 @@ object SparkEntry {
     Multimodal.wavRoundtrip(s, specs).toDF().orderBy(col("media_id"))
   }
 
+  /** Frame-level VAD features over the REAL decoded PCM
+    * ([[operators.Multimodal.wavVadFeatures]]): the energy/ZCR pair an
+    * ASR curation front-end gates silence and noise with, computed in
+    * 256-sample windows from samples that went through the actual
+    * RIFF/WAVE codec seam. All-integer features (Σs², strict
+    * sign-change count), so the oracle replays every window from the
+    * sample formula analytically — the same lateral-expansion envelope
+    * as q_audio_decode's slice.
+    */
+  private def audioVad(s: SparkSession, d: String): DataFrame = {
+    val specs = t(s, d, "documents")
+      .filter(pmod(col("doc_id"), lit(3)) === 2 && col("doc_id") < 1500)
+      .select(col("doc_id").as("media_id"),
+        (pmod(col("doc_id"), lit(700)) + 100).cast(IntegerType).as("n_samples"),
+        (pmod(col("doc_id"), lit(2)) * 8000 + 8000).cast(IntegerType)
+          .as("sample_rate"))
+    Multimodal.wavVadFeatures(s, specs, windowSamples = 256).toDF()
+      .orderBy(col("media_id"), col("chunk_idx"))
+  }
+
   /** ORC source/sink round-trip under the gate: a deterministic orders
     * slice is written as ORC (the other columnar format large estates
     * actually hold), read back through the ORC reader, and aggregated;
@@ -6215,6 +6235,7 @@ object SparkEntry {
     "q_frame_sample" -> (frameSample _),
     "q_audio_chunks" -> (audioChunks _),
     "q_audio_decode" -> (audioDecode _),
+    "q_audio_vad" -> (audioVad _),
     "q_multimodal_resize" -> (multimodalResize _),
     "q_media_dims" -> (mediaDims _),
     "q_png_decode" -> (pngDecode _),
@@ -10854,6 +10875,35 @@ object SparkEntry {
         |  CAST(min(v) AS INTEGER) AS min_sample,
         |  CAST(max(v) AS INTEGER) AS max_sample
         |FROM samples GROUP BY 1, 2 ORDER BY media_id""".stripMargin,
+    // VAD features: every 256-sample window's energy and strict
+    // sign-change count replayed from the sample formula in pure
+    // integer arithmetic (start_ms via integer division, like the
+    // engine's long truncation).
+    "q_audio_vad" ->
+      """WITH specs AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(doc_id % 700 + 100 AS INTEGER) AS n_samples,
+        |    CAST(doc_id % 2 * 8000 + 8000 AS INTEGER) AS rate
+        |  FROM documents WHERE doc_id % 3 = 2 AND doc_id < 1500),
+        |chunks AS (
+        |  SELECT media_id, rate, n_samples, CAST(c AS INTEGER) AS chunk_idx,
+        |    CAST(c * 256 AS BIGINT) AS fromv,
+        |    CAST(least(CAST(n_samples AS BIGINT), c * 256 + 256) AS BIGINT) AS untilv
+        |  FROM specs, UNNEST(range(0, (n_samples + 255) // 256)) AS t(c)),
+        |feat AS (
+        |  SELECT media_id, chunk_idx, fromv, untilv, rate,
+        |    CAST(sum(sv * sv) AS BIGINT) AS energy_sum,
+        |    CAST(sum(CASE WHEN i < untilv - 1 AND sv * snext < 0
+        |             THEN 1 ELSE 0 END) AS INTEGER) AS zero_crossings
+        |  FROM (
+        |    SELECT media_id, chunk_idx, fromv, untilv, rate, u.i,
+        |      (media_id * 31 + 17 * u.i) % 65536 - 32768 AS sv,
+        |      (media_id * 31 + 17 * (u.i + 1)) % 65536 - 32768 AS snext
+        |    FROM chunks, LATERAL (SELECT unnest(range(fromv, untilv)) AS i) u)
+        |  GROUP BY 1, 2, 3, 4, 5)
+        |SELECT media_id, chunk_idx, (fromv * 1000) // rate AS start_ms,
+        |  CAST(untilv - fromv AS INTEGER) AS n, energy_sum, zero_crossings
+        |FROM feat ORDER BY media_id, chunk_idx""".stripMargin,
     "q_audio_chunks" ->
       """WITH st AS (
         |  SELECT doc_id AS media_id, n_chars * 10 AS dur,

@@ -468,11 +468,15 @@ object Multimodal {
       bits: Int, n_samples: Long, sum_samples: Long, min_sample: Int,
       max_sample: Int)
 
-  /** Decode WAV bytes: verify the RIFF/WAVE magic, WALK the chunk list
-    * (arbitrary chunk order, odd-size pad bytes) to `fmt ` and `data`,
-    * require PCM s16, then reduce the samples to exact count/sum/min/max.
+  /** Parsed s16-mono WAV: format fields + the decoded sample array.
+    * The ONE chunk-walking parse [[decodeWav]] (aggregate reduction) and
+    * [[wavVadFeatures]] (frame-level features) share — two parsers would
+    * inevitably drift on the chunk-walk details the gate exists to pin.
     */
-  def decodeWav(id: Long, bytes: Array[Byte]): DecodedAudio = {
+  private[operators] case class ParsedWav(rate: Int, channels: Int,
+      bits: Int, samples: Array[Int])
+
+  private[operators] def parseWav(id: Long, bytes: Array[Byte]): ParsedWav = {
     val buf = java.nio.ByteBuffer.wrap(bytes)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     def fourcc(): String = {
@@ -505,15 +509,28 @@ object Multimodal {
     require(bits == 16 && channels == 1,
       s"media $id: expected s16 mono, got ${bits}-bit x$channels")
     val n = dataLen / 2
-    var (s, mn, mx) = (0L, Int.MaxValue, Int.MinValue)
+    val samples = new Array[Int](n)
     buf.position(dataOff)
     var i = 0
-    while (i < n) {
-      val v = buf.getShort.toInt
+    while (i < n) { samples(i) = buf.getShort.toInt; i += 1 }
+    ParsedWav(rate, channels, bits, samples)
+  }
+
+  /** Decode WAV bytes: verify the RIFF/WAVE magic, WALK the chunk list
+    * (arbitrary chunk order, odd-size pad bytes) to `fmt ` and `data`,
+    * require PCM s16, then reduce the samples to exact count/sum/min/max.
+    */
+  def decodeWav(id: Long, bytes: Array[Byte]): DecodedAudio = {
+    val w = parseWav(id, bytes)
+    var (s, mn, mx) = (0L, Int.MaxValue, Int.MinValue)
+    var i = 0
+    while (i < w.samples.length) {
+      val v = w.samples(i)
       s += v; if (v < mn) mn = v; if (v > mx) mx = v
       i += 1
     }
-    DecodedAudio(id, rate, channels, bits, n.toLong, s,
+    val n = w.samples.length
+    DecodedAudio(id, w.rate, w.channels, w.bits, n.toLong, s,
       if (n == 0) 0 else mn, if (n == 0) 0 else mx)
   }
 
@@ -532,6 +549,58 @@ object Multimodal {
       .as[(Long, Int, Int)]
       .mapPartitions { rows =>
         rows.map { case (id, n, rate) => decodeWav(id, encodeWav(id, n, rate)) }
+      }
+  }
+
+  case class AudioChunkFeatures(media_id: Long, chunk_idx: Int,
+      start_ms: Long, n: Int, energy_sum: Long, zero_crossings: Int)
+
+  /** Frame-level voice-activity features over REAL decoded PCM — the
+    * energy/ZCR pair every ASR-data curation front-end computes
+    * (silence gating, speech/noise triage): the clip decodes through
+    * the SAME chunk-walking parser as [[decodeWav]], then fixed windows
+    * of `windowSamples` samples each emit exact integer features:
+    *
+    *   energy_sum      — Σ s_i² over the window (s16 ⇒ ≤ 2^30 per
+    *                     sample, long-exact at any window size)
+    *   zero_crossings  — adjacent pairs WITHIN the window with strictly
+    *                     opposite signs (s_i·s_{i+1} < 0; zeros cross
+    *                     nothing, window-boundary pairs belong to no
+    *                     window — both rules engine-replayable)
+    *
+    * All integer arithmetic, so an external oracle can replay every
+    * feature from the sample formula analytically. Same
+    * `mapPartitions` codec seam as the other modalities: at 100 TB the
+    * payload column arrives from parquet and only this stage changes —
+    * features are per-row work, no shuffle.
+    */
+  def wavVadFeatures(spark: SparkSession, specs: DataFrame,
+      windowSamples: Int): Dataset[AudioChunkFeatures] = {
+    import spark.implicits._
+    require(windowSamples >= 2,
+      s"VAD window must hold at least one sample pair (got $windowSamples)")
+    specs.select(col("media_id").cast(LongType),
+        col("n_samples").cast(IntegerType), col("sample_rate").cast(IntegerType))
+      .as[(Long, Int, Int)]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, n, rate) =>
+          val w = parseWav(id, encodeWav(id, n, rate))
+          val ss = w.samples
+          (0 until (ss.length + windowSamples - 1) / windowSamples).map { c =>
+            val from = c * windowSamples
+            val until = math.min(ss.length, from + windowSamples)
+            var energy = 0L
+            var zc = 0
+            var i = from
+            while (i < until) {
+              energy += ss(i).toLong * ss(i)
+              if (i + 1 < until && ss(i).toLong * ss(i + 1) < 0L) zc += 1
+              i += 1
+            }
+            AudioChunkFeatures(id, c, from.toLong * 1000L / w.rate,
+              until - from, energy, zc)
+          }
+        }
       }
   }
 

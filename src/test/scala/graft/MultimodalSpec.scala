@@ -331,4 +331,35 @@ class MultimodalSpec extends SparkSpec {
     assert(got.nonEmpty && got.size < Multimodal.aviRoundtrip(spark, specs).count(),
       "sampling must decode a strict subset")
   }
+
+  test("VAD features: exact energy/ZCR per window, boundary pairs cross nothing") {
+    import spark.implicits._
+    // 7 samples, window 3 -> chunks [0,3) [3,6) [6,7); features computed
+    // from the REAL decoded samples, compared against the formula
+    val id = 5L
+    val n = 7
+    val rate = 8000
+    def s(i: Int): Long = (id * 31 + 17L * i) % 65536 - 32768
+    val specs = Seq((id, n, rate)).toDF("media_id", "n_samples", "sample_rate")
+    val got = Multimodal.wavVadFeatures(spark, specs, windowSamples = 3)
+      .collect().sortBy(_.chunk_idx).toSeq
+    assert(got.map(_.n) === Seq(3, 3, 1))
+    assert(got.map(_.start_ms) === Seq(0L, 3000L / rate, 6000L / rate))
+    got.foreach { f =>
+      val from = f.chunk_idx * 3
+      val until = from + f.n
+      assert(f.energy_sum === (from until until).map(i => s(i) * s(i)).sum)
+      val zc = (from until until - 1).count(i => s(i) * s(i + 1) < 0)
+      assert(f.zero_crossings === zc,
+        s"chunk ${f.chunk_idx}: boundary pairs must not count")
+    }
+    // a sign flip straddling the window boundary is NO window's crossing:
+    // total crossings over windows <= crossings of the whole clip
+    val whole = (0 until n - 1).count(i => s(i) * s(i + 1) < 0)
+    assert(got.map(_.zero_crossings).sum <= whole)
+    // degenerate window rejected
+    intercept[IllegalArgumentException] {
+      Multimodal.wavVadFeatures(spark, specs, windowSamples = 1)
+    }
+  }
 }
