@@ -84,4 +84,82 @@ class MergeOpsSpec extends SparkSpec {
     assert(bySku(Some("a1")) === false, "non-ingested non-null key updates")
     assert(bySku(None) === true, "null key compares unknown under NOT IN - never updated")
   }
+
+  // -------------------------------------------------------------------
+  // Generative properties over random states/batches (seeded, like
+  // NativePropertiesSpec): the semantic facts the replay story rests on.
+  // -------------------------------------------------------------------
+
+  private def randState(rnd: scala.util.Random, keys: Seq[String]) = {
+    import spark.implicits._
+    keys.map(k => (Option(k),
+      if (rnd.nextBoolean()) Some(s"t-$k-${rnd.nextInt(5)}") else None,
+      if (rnd.nextBoolean()) Some(rnd.nextInt(100)) else None))
+      .toDF("key", "title", "qty")
+  }
+
+  test("property: coalesceMerge under a pinned stamp is idempotent exactly on non-null keys") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(27)
+    for (trial <- 1 to 10) {
+      val target = randState(rnd, rnd.shuffle(('a' to 'j').map(_.toString)).take(6))
+      val nNullRows = rnd.nextInt(3)
+      val staged = randState(rnd,
+          rnd.shuffle(('d' to 'm').map(_.toString)).take(5))
+        .unionByName((1 to nNullRows).map(i =>
+          (None: Option[String], Some(s"anon$i"), Some(i)))
+          .toDF("key", "title", "qty"))
+      def merge(t: org.apache.spark.sql.DataFrame) =
+        MergeOps.coalesceMerge(t, staged, Seq("key"),
+          touchedCol = Some("title"), stamp = lit("s"))
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq.map(Option(_))).toSeq
+          .sortBy(_.toString)
+      val once = merge(target)
+      val twice = merge(once)
+      if (nNullRows == 0) {
+        assert(canon(twice) === canon(once),
+          s"trial $trial: merge must be idempotent with no null keys")
+      } else {
+        // the DOCUMENTED non-idempotent window: each null-key staged row
+        // inserts again (full-outer join never matches null keys) —
+        // exactly what the ingest markers exist to fence
+        assert(twice.count() === once.count() + nNullRows,
+          s"trial $trial: second merge must re-insert exactly the null-key rows")
+        assert(canon(twice.filter(col("key").isNotNull)) ===
+          canon(once.filter(col("key").isNotNull)),
+          s"trial $trial: non-null-key rows must be stable under re-merge")
+      }
+    }
+  }
+
+  test("property: lastNonNullWins == the reference's file-order setattr fold") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(28)
+    for (trial <- 1 to 10) {
+      val rows = (0 until 20).map { i =>
+        (s"k${rnd.nextInt(5)}", i,
+          if (rnd.nextBoolean()) Some(s"t$i") else None,
+          if (rnd.nextBoolean()) Some(i * 10) else None)
+      }
+      val got = MergeOps.lastNonNullWins(
+          rows.toDF("key", "ord", "title", "qty"),
+          keys = Seq("key"), orderCol = "ord", dataCols = Seq("title", "qty"))
+        .collect().map(r => r.getString(0) ->
+          (Option(r.get(1)), Option(r.get(2)))).toMap
+      // reference: per key, fold rows in file order, each non-null
+      // column overwrites (service.py:92-102 applies supplied columns)
+      val want = rows.groupBy(_._1).map { case (k, rs) =>
+        val fold = rs.sortBy(_._2).foldLeft(
+            (Option.empty[String], Option.empty[Int])) { case ((t, q), r) =>
+          (r._3.orElse(t), r._4.orElse(q))
+        }
+        k -> fold
+      }
+      want.foreach { case (k, (t, q)) =>
+        assert(got(k) === ((t, q)), s"trial $trial key $k")
+      }
+      assert(got.keySet === want.keySet)
+    }
+  }
 }
