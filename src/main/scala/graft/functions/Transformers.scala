@@ -24,18 +24,31 @@ object Transformers {
 
   val Money: DecimalType = DecimalType(12, 2)
 
+  /** Python `str.strip()` parity for the whole catalog: the reference
+    * strips ALL whitespace, while SQL TRIM removes only ASCII spaces —
+    * under TRIM a tab-padded boolean cell ("\ttrue") fails the strict
+    * membership test and ABORTS a batch the reference accepts, and a
+    * tab-padded text value keeps its padding. Java-regex `\s` covers
+    * the ASCII whitespace class (space, tab, newline, CR, FF, VT);
+    * Python additionally strips the Unicode space category (NBSP and
+    * friends) — a documented residual, not observed in any source the
+    * reference's tests exercise.
+    */
+  private def strip(c: Column): Column =
+    regexp_replace(c, "^\\s+|\\s+$", "")
+
   /** `text`: str(value).strip() — reference ingestion/transformers.py:33-38. */
-  def text(c: Column): Column = trim(c.cast(StringType))
+  def text(c: Column): Column = strip(c.cast(StringType))
 
   /** `decimal`: strip currency symbols and thousands separators anywhere,
-    * trim leading/trailing whitespace only, parse as exact decimal —
+    * strip leading/trailing whitespace only, parse as exact decimal —
     * reference ingestion/transformers.py:19-30 (`replace('$','')
     * .replace('£','').replace(',','').strip()`; INTERNAL whitespace is
     * kept, so "1 234.50" raises there and yields NULL here). Unparseable
     * input yields NULL (flag via [[errorFlag]]).
     */
   def decimal(c: Column): Column =
-    trim(regexp_replace(c.cast(StringType), "[$£,]", "")).try_cast(Money)
+    strip(regexp_replace(c.cast(StringType), "[$£,]", "")).try_cast(Money)
 
   /** `integer`: truncate-toward-zero of the float value ("3.7" -> 3);
     * unparseable or missing input -> 0 — reference transformers.py:40-53.
@@ -44,15 +57,15 @@ object Transformers {
     */
   def integer(c: Column): Column =
     coalesce(
-      trim(c.cast(StringType)).try_cast(DoubleType).try_cast(IntegerType),
+      strip(c.cast(StringType)).try_cast(DoubleType).try_cast(IntegerType),
       lit(0))
 
-  /** `boolean`: case-insensitive trimmed membership in {yes,true,1} /
+  /** `boolean`: case-insensitive stripped membership in {yes,true,1} /
     * {no,false,0}; anything else is a strict error (reference
     * transformers.py:55-68 raises TransformerError -> batch abort).
     */
   def boolean(c: Column): Column = {
-    val s = lower(trim(c.cast(StringType)))
+    val s = lower(strip(c.cast(StringType)))
     when(s.isin("yes", "true", "1"), lit(true))
       .when(s.isin("no", "false", "0"), lit(false))
       .otherwise(lit(null).cast(BooleanType))
@@ -89,7 +102,7 @@ object Transformers {
     * (the reference's `except ValueError: return 0`).
     */
   def integerRangeErrorFlag(raw: Column): Column = {
-    val d = trim(raw.cast(StringType)).try_cast(DoubleType)
+    val d = strip(raw.cast(StringType)).try_cast(DoubleType)
     d.isNotNull &&
       (d > lit(Int.MaxValue.toDouble) || d < lit(Int.MinValue.toDouble))
   }
