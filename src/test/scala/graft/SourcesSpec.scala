@@ -35,6 +35,29 @@ class SourcesSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq === Seq("v1", "v2"))
   }
 
+  test("csv: duplicate header keeps the LAST column's values (DictReader overwrite)") {
+    // Reference parity: csv.DictReader builds a dict per row, so the
+    // later of two same-named columns silently wins. Spark instead
+    // renames to name+position (sku0, sku2) — the column mapping's
+    // source 'sku' would then match nothing and every row became a
+    // silent typed-NULL (a sku-less INSERT where the reference upserts).
+    val dir = tmpDir("csvdup")
+    val p = writeText(dir, "in.csv",
+      "sku,title,sku\nA1,T1,B1\nA2,T2,B2\n")
+    val df = IngestSource("csv").read(spark, p)
+    val cols = df.columns.filterNot(_ == IngestSource.ROW_IDX).toSet
+    assert(cols === Set("sku", "title"))
+    assert(df.orderBy(IngestSource.ROW_IDX).select("sku", "title")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("B1", "T1"), ("B2", "T2")),
+      "the LAST duplicate column's values must win, under the plain name")
+    // trimmed duplicates collide too (' sku ' and 'sku' are one name)
+    val p2 = writeText(dir, "in2.csv", " sku ,sku\nx,y\n")
+    val df2 = IngestSource("csv").read(spark, p2)
+    assert(df2.columns.filterNot(_ == IngestSource.ROW_IDX).toSet === Set("sku"))
+    assert(df2.select("sku").head().getString(0) === "y")
+  }
+
   test("json lines: primitives kept as strings") {
     val dir = tmpDir("json")
     val p = writeText(dir, "in.json",
