@@ -156,6 +156,16 @@ class IngestionService(
     val skuPresent =
       if (hasSku) col("sku").isNotNull && length(col("sku")) > 0 else lit(false)
 
+    // client_id is pinned to the authenticated tenant UNCONDITIONALLY.
+    // Deliberate deviation on a pathological-but-accepted config: the
+    // reference allows mapping a source column to client_id (base.py's
+    // reflective target list excludes only `id`), and while its INSERT
+    // path overrides the value just like this line (service.py:109's
+    // dict union puts the service's client last), its UPDATE path
+    // setattr's every supplied non-None column — so a mapped client_id
+    // can MOVE an existing row to another tenant mid-upsert
+    // (service.py:96-99). That is a tenancy escape, not a feature;
+    // here the mapped value is ignored on both paths.
     val staged = clean.withColumn("client_id", lit(clientId))
     val keyed = staged.filter(skuPresent)
     val inserts = staged.filter(!skuPresent).drop(IngestSource.ROW_IDX)

@@ -582,6 +582,31 @@ class IngestionServiceSpec extends SparkSpec {
     assert(store.read().count() === before)
   }
 
+  test("a mapped client_id column never moves rows across tenants (tenancy pin)") {
+    // The reference ACCEPTS a config targeting client_id (base.py's
+    // reflective list excludes only `id`) and its update path setattr's
+    // it — a tenancy escape. Here the mapped value is ignored on both
+    // the insert and the update path (documented deviation).
+    val cidCfg = ParserConfig("csv", Seq(
+      "sku" -> ("sku", "text"),
+      "title" -> ("title", "text"),
+      "cid" -> ("client_id", "integer")))
+    val store = new ProductStore(spark, tmpDir("store-cidpin"))
+    val svc = new IngestionService(spark, store, clientId = 1)
+    val r1 = svc.ingest(cidCfg,
+      writeText(tmpDir("cid1"), "b1.csv", "sku,title,cid\na1,First,9"),
+      batchTs = ts1)
+    assert(r1.success, r1.message)
+    val r2 = svc.ingest(cidCfg,
+      writeText(tmpDir("cid2"), "b2.csv", "sku,title,cid\na1,Updated,7"),
+      batchTs = ts1)
+    assert(r2.success, r2.message)
+    val rows = store.read().select("client_id", "sku", "title").collect()
+    assert(rows.length === 1, "one upserted row, never a cross-tenant copy")
+    assert(rows.head.getInt(0) === 1, "client_id stays the authenticated tenant")
+    assert(rows.head.getString(2) === "Updated")
+  }
+
   test("marker retention: retire drops only non-kept tokens, atomically, without churn") {
     import spark.implicits._
     import java.nio.file.{Files, Paths}
