@@ -25,6 +25,13 @@ object CatalogQueries {
     require(limit >= 1 && limit <= MaxLimit, s"limit must be in [1,$MaxLimit]")
     require(offset >= 0, "offset must be >= 0")
     val scoped = products.filter(col("client_id") === clientId)
+    // NULLS LAST on the sku key: the reference's ORDER BY runs on
+    // Postgres, whose ascending default puts NULLs last — Spark's
+    // default is NULLS FIRST, which would LEAD every page with the
+    // persisted no-sku insert rows instead of trailing them. (A page
+    // actually containing such a row makes the reference's response
+    // model blow up — ClientProductOut declares sku non-optional — so
+    // trailing them additionally keeps the well-formed pages aligned.)
     val ordered = query.filter(_.nonEmpty) match {
       case Some(q) =>
         val contains = s"%$q%"
@@ -35,8 +42,8 @@ object CatalogQueries {
           .orderBy(
             when(lower(col("sku")) === lower(lit(q)), 0).otherwise(1),
             when(col("sku").ilike(s"$q%"), 0).otherwise(1),
-            col("sku"))
-      case None => scoped.orderBy(col("sku"))
+            col("sku").asc_nulls_last)
+      case None => scoped.orderBy(col("sku").asc_nulls_last)
     }
     ordered.offset(offset).limit(limit)
   }

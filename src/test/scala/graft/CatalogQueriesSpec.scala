@@ -24,6 +24,27 @@ class CatalogQueriesSpec extends SparkSpec {
     assert(CatalogQueries.list(products, clientId = 2, limit = 50).count() === 1)
   }
 
+  test("null-sku rows trail every page (Postgres NULLS LAST parity)") {
+    import spark.implicits._
+    // the no-sku insert path persists NULL skus; the reference's ORDER
+    // BY runs on Postgres (ascending = NULLS LAST) while Spark's default
+    // is NULLS FIRST — unfixed, the anonymous rows Lead page 1
+    val withNulls = products.unionByName(Seq(
+      (1, null: String, "rn", "Anonymous Apple")).toDF(
+      "client_id", "sku", "remote_id", "title"))
+    val page1 = CatalogQueries.list(withNulls, clientId = 1, limit = 4)
+      .select("sku").collect().map(r => Option(r.getString(0)))
+    assert(page1.forall(_.isDefined), "page 1 must be the non-null skus")
+    val page2 = CatalogQueries.list(withNulls, clientId = 1, offset = 4, limit = 4)
+      .select("sku").collect().map(r => Option(r.getString(0)))
+    assert(page2.toSeq === Seq(None), "the null-sku row trails")
+    // a title-matched search carrying a null sku: still last in rank
+    val hits = CatalogQueries.list(withNulls, clientId = 1,
+        query = Some("Apple"), limit = 50)
+      .select("sku").collect().map(r => Option(r.getString(0)))
+    assert(hits.last === None && hits.init.forall(_.isDefined))
+  }
+
   test("default ordering by sku, offset/limit window") {
     val page = CatalogQueries.list(products, 1, offset = 1, limit = 2)
       .collect().map(_.getAs[String]("sku"))
