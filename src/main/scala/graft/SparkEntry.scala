@@ -7304,10 +7304,14 @@ object SparkEntry {
        |         columns={sku: 'VARCHAR', title: 'VARCHAR', active: 'VARCHAR'})),
        |b5 AS (SELECT *, row_number() OVER () - 1 AS ridx
        |       FROM read_csv('$e2eDir/batch5.csv', header=true, all_varchar=true)),
-       |m1 AS (SELECT trim(sku) AS sku, trim(title) AS title, $bool AS active,
+       |-- sku canonicalizes to '' like the reference (DictReader yields
+       |-- '' for empty cells; the DDL is NOT NULL): empty skus always
+       |-- INSERT (the falsy route) but sit INSIDE full-update's
+       |-- deactivation scope
+       |m1 AS (SELECT coalesce(trim(sku), '') AS sku, trim(title) AS title, $bool AS active,
        |         TRY_CAST(trim(regexp_replace(price, '[$$£,]', '', 'g')) AS DECIMAL(12,2)) AS max_price
        |       FROM b1),
-       |m2r AS (SELECT trim(sku) AS sku, trim(title) AS title, $bool AS active, ridx
+       |m2r AS (SELECT coalesce(trim(sku), '') AS sku, trim(title) AS title, $bool AS active, ridx
        |        FROM b2 WHERE NOT (sku IS NULL AND title IS NULL AND active IS NULL)),
        |m2 AS (SELECT sku, title, active FROM (
        |         SELECT sku,
@@ -7318,8 +7322,8 @@ object SparkEntry {
        |         WINDOW w AS (PARTITION BY sku ORDER BY ridx
        |           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
        |       WHERE rn = 1),
-       |m3 AS (SELECT trim(sku) AS sku, trim(title) AS title FROM b3),
-       |m4 AS (SELECT trim(sku) AS sku, trim(title) AS title, $bool AS active FROM b4),
+       |m3 AS (SELECT coalesce(trim(sku), '') AS sku, trim(title) AS title FROM b3),
+       |m4 AS (SELECT coalesce(trim(sku), '') AS sku, trim(title) AS title, $bool AS active FROM b4),
        |rep AS (SELECT CAST(NULL AS INTEGER) AS client_id, CAST(NULL AS VARCHAR) AS sku,
        |         CAST(NULL AS VARCHAR) AS title, CAST(NULL AS BOOLEAN) AS active,
        |         CAST(NULL AS DOUBLE) AS max_price, CAST(NULL AS TIMESTAMP) AS last_changed_on,
@@ -7333,20 +7337,24 @@ object SparkEntry {
        |       FROM b5 WHERE len(trim(title)) > 255),
        |s1 AS (SELECT sku, title, coalesce(active, true) AS active, max_price,
        |         TIMESTAMP '2024-01-01 00:00:00' AS lco FROM m1),
+       |-- every merge joins ONLY non-empty staged skus (the reference's
+       |-- `if sku:` falsy route: '' rows always INSERT, never update),
+       |-- and the full-update key set EXCLUDES '' (falsy-skipped by
+       |-- _extract_skus_from_items), so stored '' rows DO deactivate
        |s2 AS (SELECT coalesce(t.sku, s.sku) AS sku,
        |         coalesce(s.title, t.title) AS title,
        |         coalesce(s.active, t.active, true) AS active,
        |         t.max_price AS max_price,
        |         CASE WHEN s.sku IS NOT NULL THEN TIMESTAMP '2024-01-02 00:00:00'
        |              ELSE t.lco END AS lco
-       |       FROM s1 t FULL JOIN m2 s ON t.sku = s.sku),
+       |       FROM s1 t FULL JOIN m2 s ON t.sku = s.sku AND s.sku <> ''),
        |deact AS (SELECT sku, title,
        |         CASE WHEN sku IS NOT NULL
-       |                   AND sku NOT IN (SELECT sku FROM m3 WHERE sku IS NOT NULL)
+       |                   AND sku NOT IN (SELECT sku FROM m3 WHERE sku <> '')
        |              THEN false ELSE active END AS active,
        |         max_price,
        |         CASE WHEN sku IS NOT NULL
-       |                   AND sku NOT IN (SELECT sku FROM m3 WHERE sku IS NOT NULL)
+       |                   AND sku NOT IN (SELECT sku FROM m3 WHERE sku <> '')
        |              THEN TIMESTAMP '2024-01-03 00:00:00' ELSE lco END AS lco
        |       FROM s2),
        |s3 AS (SELECT coalesce(t.sku, s.sku) AS sku,
@@ -7355,7 +7363,7 @@ object SparkEntry {
        |         t.max_price AS max_price,
        |         CASE WHEN s.sku IS NOT NULL THEN TIMESTAMP '2024-01-03 00:00:00'
        |              ELSE t.lco END AS lco
-       |       FROM deact t FULL JOIN m3 s ON t.sku = s.sku),
+       |       FROM deact t FULL JOIN m3 s ON t.sku = s.sku AND s.sku <> ''),
        |s4 AS (SELECT CAST(1 AS INTEGER) AS client_id,
        |       coalesce(t.sku, s.sku) AS sku,
        |       coalesce(s.title, t.title) AS title,
@@ -7364,7 +7372,7 @@ object SparkEntry {
        |       CASE WHEN s.sku IS NOT NULL THEN TIMESTAMP '2024-01-04 00:00:00'
        |            ELSE t.lco END AS last_changed_on,
        |       CAST(NULL AS VARCHAR) AS report
-       |FROM s3 t FULL JOIN m4 s ON t.sku = s.sku)
+       |FROM s3 t FULL JOIN m4 s ON t.sku = s.sku AND s.sku <> '')
        |SELECT * FROM s4
        |UNION ALL SELECT * FROM rep
        |ORDER BY sku NULLS FIRST, report NULLS FIRST""".stripMargin

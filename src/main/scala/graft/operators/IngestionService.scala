@@ -107,10 +107,26 @@ class IngestionService(
     }
 
   private def doIngestLocked(
-      mapped: DataFrame,
+      mapped0: DataFrame,
       fullUpdate: Boolean,
       batchTs: Timestamp,
       marker: Option[String]): IngestionReport = {
+    // Reference sku REPRESENTATION: csv.DictReader yields '' for an
+    // empty sku cell and the DDL declares sku NOT NULL
+    // (001_up_init.sql:27), so the reference's anonymous rows are
+    // stored as EMPTY STRINGS — which `if sku:` keeps on the
+    // always-insert path (service.py:92) but full-update's
+    // `sku IS NOT NULL` deactivation scope INCLUDES (service.py:76).
+    // Spark's CSV reader surfaces the same cell as NULL; left null,
+    // anonymous rows escaped full-update deactivation and persisted a
+    // different value than the reference. A mapped-but-null sku
+    // therefore canonicalizes to '' BEFORE the gate pass, so bucket
+    // discovery, the store writer and the merge all see the
+    // reference's representation.
+    val mapped =
+      if (mapped0.columns.contains("sku"))
+        mapped0.withColumn("sku", coalesce(col("sku"), lit("")))
+      else mapped0
     val errCols = mapped.columns.filter(_.startsWith("_err_"))
     // One pass over the batch yields the strict-error count (abort gate),
     // the processed count, AND the distinct-sku count full-update needs —

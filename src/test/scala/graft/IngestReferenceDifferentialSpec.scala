@@ -41,8 +41,12 @@ class IngestReferenceDifferentialSpec extends SparkSpec {
       ts: Timestamp): Unit = {
     def bool(s: String): Boolean = Seq("yes", "true", "1").contains(s.trim.toLowerCase)
     val batchSkus = rows.flatMap(_._1).filter(_.nonEmpty).toSet
+    // Deactivation scope is `sku IS NOT NULL` (service.py:76) and the
+    // key set EXCLUDES '' (falsy-skipped, service.py:22) — and since the
+    // reference STORES '' for anonymous rows (DictReader yields '', the
+    // DDL forbids NULL), those rows are IN scope and DO deactivate.
     if (fullUpdate) state.foreach { r =>
-      if (r.sku.exists(_.nonEmpty) && !batchSkus.contains(r.sku.get)) {
+      if (!batchSkus.contains(r.sku.getOrElse(""))) {
         r.active = false; r.ts = ts
       }
     }
@@ -61,7 +65,8 @@ class IngestReferenceDifferentialSpec extends SparkSpec {
           active.foreach(a => r.active = bool(a))
           r.ts = ts // reference bumps unconditionally on the update path
         case None =>
-          state += SimRow(keyed, title.map(_.trim),
+          // an anonymous row stores sku '' like the reference, never NULL
+          state += SimRow(Some(keyed.getOrElse("")), title.map(_.trim),
             active.map(bool).getOrElse(true), ts)
       }
       }
