@@ -111,6 +111,22 @@ class IngestionService(
       fullUpdate: Boolean,
       batchTs: Timestamp,
       marker: Option[String]): IngestionReport = {
+    // Reference parity (base.py:54-67 + service.py:88-90): interpret
+    // DROPS unmapped elements and a row whose record_data comes out
+    // EMPTY is skipped without counting — so a row carrying values only
+    // in UNMAPPED columns (header-mismatched file, short row) must
+    // neither count nor insert. The source already drops rows empty
+    // across ALL columns; this drops rows empty across the MAPPED
+    // projection — except rows carrying a strict-transform error flag,
+    // which the reference aborts on BEFORE its empty check (interpret
+    // raises mid-loop), so they must stay visible to the gate.
+    val auxPrefixes = Seq("_err_", "_raw_")
+    val targetCols0 = mapped0.columns.filterNot(c =>
+      auxPrefixes.exists(c.startsWith) || c == graft.sources.IngestSource.ROW_IDX)
+    val errFlags0 = mapped0.columns.filter(_.startsWith("_err_")).map(c =>
+      coalesce(col(c), lit(false)))
+    val recordPresent = (targetCols0.map(col(_).isNotNull) ++ errFlags0)
+      .reduceOption(_ || _).getOrElse(lit(false))
     // Reference sku REPRESENTATION: csv.DictReader yields '' for an
     // empty sku cell and the DDL declares sku NOT NULL
     // (001_up_init.sql:27), so the reference's anonymous rows are
@@ -123,10 +139,12 @@ class IngestionService(
     // therefore canonicalizes to '' BEFORE the gate pass, so bucket
     // discovery, the store writer and the merge all see the
     // reference's representation.
-    val mapped =
-      if (mapped0.columns.contains("sku"))
-        mapped0.withColumn("sku", coalesce(col("sku"), lit("")))
-      else mapped0
+    val mapped = {
+      val kept = mapped0.filter(recordPresent)
+      if (kept.columns.contains("sku"))
+        kept.withColumn("sku", coalesce(col("sku"), lit("")))
+      else kept
+    }
     val errCols = mapped.columns.filter(_.startsWith("_err_"))
     // One pass over the batch yields the strict-error count (abort gate),
     // the processed count, AND the distinct-sku count full-update needs —
@@ -162,6 +180,19 @@ class IngestionService(
       return IngestionReport(success = false,
         s"Error during data ingestion: $badCount row(s) failed transformation",
         0L, Map.empty, errorDetails(mapped, errCols))
+
+    // ZERO processable rows (header-mismatched file, everything skipped):
+    // the reference succeeds with processed 0 (service.py's loop simply
+    // never runs) — in DEFAULT mode that is a pure no-op, so return
+    // without a publish (the empty-staging guard exists precisely to stop
+    // an accidental truncation). A FULL UPDATE with zero rows is NOT a
+    // no-op — the reference's UPDATE ... NOT IN (empty set) deactivates
+    // every non-null-sku row — so that path falls through to the normal
+    // deactivate+publish flow; only when the tenant has no rows either is
+    // it a no-op too (and publishing nothing would trip the same guard).
+    if (processed == 0L && !fullUpdate)
+      return IngestionReport(success = true,
+        "Successfully processed 0 items", 0L, Map("processed_count" -> 0L))
 
     val stamp = lit(batchTs)
     val aux = mapped.columns.filter(c =>
@@ -200,6 +231,14 @@ class IngestionService(
     val target =
       if (touched.nonEmpty) store.readClientBuckets(clientId, touched)
       else store.readClient(clientId)
+    // the remaining zero-row case: a FULL UPDATE with nothing to ingest
+    // AND nothing stored deactivates nothing — succeed without a publish
+    // (isEmpty is one job over the tenant-pruned read, on a rare path)
+    if (processed == 0L && fullUpdate && target.isEmpty)
+      return IngestionReport(success = true,
+        "Successfully processed 0 items", 0L,
+        Map("processed_count" -> 0L, "deactivated_count" -> 0L,
+          "total_ingested_skus" -> 0L))
     var stats = Map("processed_count" -> processed)
 
     // Within-batch duplicate skus: later row wins column-wise (reference

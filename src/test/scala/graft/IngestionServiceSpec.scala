@@ -582,6 +582,47 @@ class IngestionServiceSpec extends SparkSpec {
     assert(store.read().count() === before)
   }
 
+  test("rows with values only in unmapped columns are skipped, not inserted") {
+    // Reference parity: interpret drops unmapped elements and an empty
+    // record_data row is skipped without counting (base.py:54-67,
+    // service.py:88-90) — a header-mismatched file processes 0 items
+    // and publishes nothing, it does NOT insert anonymous empty rows.
+    val store = new ProductStore(spark, tmpDir("store-unmapped"))
+    val svc = new IngestionService(spark, store, clientId = 1)
+    val mismatched = writeText(tmpDir("um1"), "b.csv",
+      "foo,bar\nx1,y1\nx2,y2")
+    val r = svc.ingest(cfg, mismatched, batchTs = ts1)
+    assert(r.success, r.message)
+    assert(r.processedCount === 0L)
+    assert(!store.exists || store.read().count() === 0,
+      "a zero-row batch must not publish anything")
+    // a mixed file: only the rows whose MAPPED cells carry values count
+    val mixed = writeText(tmpDir("um2"), "b.csv",
+      "foo,title\njunk,Widget\njunk2,")
+    val r2 = svc.ingest(cfg, mixed, batchTs = ts1)
+    assert(r2.success, r2.message)
+    assert(r2.processedCount === 1L, "only the mapped-value row counts")
+    assert(store.read().count() === 1)
+  }
+
+  test("zero-row full update on an empty store succeeds; on data it deactivates all") {
+    val store = new ProductStore(spark, tmpDir("store-fu0"))
+    val svc = new IngestionService(spark, store, clientId = 1)
+    val empty = writeText(tmpDir("fu0a"), "b.csv", "foo\nx")
+    // empty store: nothing to deactivate, success without a publish
+    val r0 = svc.ingest(cfg, empty, fullUpdate = true, batchTs = ts1)
+    assert(r0.success && r0.processedCount === 0L, r0.message)
+    // seed data, then a zero-row full update: the reference's
+    // UPDATE ... NOT IN (empty set) deactivates every non-null-sku row
+    val seed = writeText(tmpDir("fu0b"), "b.csv", "sku,title,active\na1,T,1")
+    assert(svc.ingest(cfg, seed, batchTs = ts1).success)
+    val r1 = svc.ingest(cfg, empty, fullUpdate = true, batchTs = ts2)
+    assert(r1.success && r1.processedCount === 0L, r1.message)
+    val row = store.read().collect().head
+    assert(row.getAs[Boolean]("active") === false,
+      "a zero-row full update deactivates the whole tenant")
+  }
+
   test("a mapped client_id column never moves rows across tenants (tenancy pin)") {
     // The reference ACCEPTS a config targeting client_id (base.py's
     // reflective list excludes only `id`) and its update path setattr's
