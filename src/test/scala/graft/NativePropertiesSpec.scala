@@ -530,6 +530,34 @@ class NativePropertiesSpec extends SparkSpec {
   }
 
   // -------------------------------------------------------------------
+  // Coreset's distributed d2 and its driver-side scalar mirror must
+  // agree BIT-FOR-BIT (CoresetStream re-checks distributed survivors on
+  // the driver — any divergence would flap admission decisions)
+  // -------------------------------------------------------------------
+  test("property: Coreset.d2 (codegen) == d2Scalar (driver) bit-for-bit") {
+    import spark.implicits._
+    import graft.operators.Coreset
+    val rnd = new scala.util.Random(30)
+    val dim = 16
+    val center = Array.fill(dim)(rnd.nextGaussian())
+    val rows = (1 to 150).map { i =>
+      // include near-center points where cancellation is worst
+      val v = if (i % 3 == 0) center.map(_ + rnd.nextGaussian() * 1e-8)
+        else Array.fill(dim)(rnd.nextGaussian())
+      (i.toLong, v)
+    }
+    val got = rows.toDF("id", "v")
+      .withColumn("d2", Coreset.d2(col("v"), typedLit(center.toSeq)))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    rows.foreach { case (id, v) =>
+      val want = Coreset.d2Scalar(v, center)
+      assert(java.lang.Double.doubleToLongBits(got(id)) ===
+        java.lang.Double.doubleToLongBits(want),
+        s"id $id: distributed ${got(id)} != driver $want")
+    }
+  }
+
+  // -------------------------------------------------------------------
   // NormalizeText: idempotence — a canonicalizer that moves on a second
   // application is not canonical
   // -------------------------------------------------------------------
