@@ -25,17 +25,32 @@ object Transformers {
   val Money: DecimalType = DecimalType(12, 2)
 
   /** Python `str.strip()` parity for the whole catalog: the reference
-    * strips ALL whitespace, while SQL TRIM removes only ASCII spaces —
-    * under TRIM a tab-padded boolean cell ("\ttrue") fails the strict
-    * membership test and ABORTS a batch the reference accepts, and a
-    * tab-padded text value keeps its padding. Java-regex `\s` covers
-    * the ASCII whitespace class (space, tab, newline, CR, FF, VT);
-    * Python additionally strips the Unicode space category (NBSP and
-    * friends) — a documented residual, not observed in any source the
-    * reference's tests exercise.
+    * strips every char where `str.isspace()` is True, while SQL TRIM
+    * removes only ASCII spaces — under TRIM a tab-padded boolean cell
+    * ("\ttrue") fails the strict membership test and ABORTS a batch the
+    * reference accepts. Python's set is: the ASCII whitespace class
+    * (space, tab, newline, CR, FF, VT — Java-regex `\s`), the
+    * file/group/record/unit separators U+001C–U+001F, NEL U+0085, and
+    * the full Unicode space category `\p{Z}` (NBSP, figure space,
+    * ideographic space, line/paragraph separators). NBSP is endemic in
+    * spreadsheet-exported CSV, so the class must match exactly — an
+    * NBSP-padded boolean cell is ACCEPTED here exactly as the
+    * reference accepts it (ingestion/transformers.py:33-38,63).
     */
+  private[graft] val PyWhitespaceClass = "[\\s\\u001C-\\u001F\\u0085\\p{Z}]"
+
   private def strip(c: Column): Column =
-    regexp_replace(c, "^\\s+|\\s+$", "")
+    regexp_replace(c, s"^$PyWhitespaceClass+|$PyWhitespaceClass+$$", "")
+
+  /** Driver-side twin of [[strip]] for header names (reference
+    * parsers.py:43 `column_name.strip()`) — the same Python
+    * `str.isspace()` set, char-for-char.
+    */
+  private[graft] def pyStrip(s: String): String = {
+    def ws(c: Char) = Character.isWhitespace(c) || Character.isSpaceChar(c) ||
+      c == '\u0085'
+    s.dropWhile(ws).reverse.dropWhile(ws).reverse
+  }
 
   /** `text`: str(value).strip() — reference ingestion/transformers.py:33-38. */
   def text(c: Column): Column = strip(c.cast(StringType))
@@ -51,14 +66,23 @@ object Transformers {
     strip(regexp_replace(c.cast(StringType), "[$£,]", "")).try_cast(Money)
 
   /** `integer`: truncate-toward-zero of the float value ("3.7" -> 3);
-    * unparseable or missing input -> 0 — reference transformers.py:40-53.
-    * Spark's double->int cast truncates toward zero, matching Python
-    * int(float(s)).
+    * unparseable PRESENT input -> 0 — reference transformers.py:40-53
+    * (`except ValueError: return 0`). Spark's double->int cast truncates
+    * toward zero, matching Python int(float(s)).
+    *
+    * NULL input passes through as NULL, NOT 0: in the reference an
+    * absent cell never reaches the transformer at all (parsers.py:42
+    * drops value-is-None elements before interpret), so the column is
+    * simply not supplied — coalescing the absence to 0 would make a
+    * merge OVERWRITE the stored quantity with 0 where the reference
+    * leaves it untouched. Only a present-but-unparseable string (which
+    * the reference DOES transform, to 0) takes the fallback.
     */
-  def integer(c: Column): Column =
-    coalesce(
-      strip(c.cast(StringType)).try_cast(DoubleType).try_cast(IntegerType),
-      lit(0))
+  def integer(c: Column): Column = {
+    val s = strip(c.cast(StringType))
+    when(c.isNull, lit(null).cast(IntegerType))
+      .otherwise(coalesce(s.try_cast(DoubleType).try_cast(IntegerType), lit(0)))
+  }
 
   /** `boolean`: case-insensitive stripped membership in {yes,true,1} /
     * {no,false,0}; anything else is a strict error (reference
@@ -79,14 +103,12 @@ object Transformers {
   /** True when the raw input was present (non-null) but the strict
     * transform produced NULL — the reportable error channel. An empty or
     * whitespace-only string IS an error (the reference raises on
-    * `Decimal('')` / `bool('')`, aborting the batch).
-    *
-    * Known deviation: Spark's CSV reader surfaces an empty unquoted cell
-    * as NULL, indistinguishable from a short row's missing column, so an
-    * empty strict cell in a CSV batch is treated as "not supplied"
-    * (skipped) rather than aborting as the reference's csv.DictReader
-    * (which yields '' for empty cells) would. JSON sources and any source
-    * that preserves empty strings get the reference's abort behavior.
+    * `Decimal('')` / `bool('')`, aborting the batch), and the CSV source
+    * preserves a present-but-empty cell as '' (DictReader semantics,
+    * sources.Sources) — NULL reaches here only for a cell that was
+    * physically absent (short row, or source column missing from the
+    * header), which the reference never transforms at all
+    * (parsers.py:42 drops value-is-None elements).
     */
   def errorFlag(raw: Column, transformed: Column): Column =
     raw.isNotNull && transformed.isNull

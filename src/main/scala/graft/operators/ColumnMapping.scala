@@ -165,11 +165,27 @@ object ColumnMapping {
         col(s"`$src`").cast(org.apache.spark.sql.types.StringType)
           .as(s"_raw_range_$dst")
     }
+    // Presence of the row AFTER mapping (the reference's `if not
+    // record_data: continue`, service.py:88-90): a row counts iff at
+    // least one mapped SOURCE cell is physically present — tested on the
+    // RAW cells, never on transformed outputs (integer coalesces
+    // present-garbage to 0; testing the output would make the gate
+    // inert). The source keeps ''-cells non-null (DictReader yields ''
+    // for a present empty field), so '' rows stay present; only short
+    // rows / missing source columns go absent.
+    val presentFlag: Column = cfg.columnMapping.collect {
+      case (src, _) if present.contains(src) => col(s"`$src`").isNotNull
+    }.reduceOption(_ || _).getOrElse(lit(false)).as(PRESENT)
     val passthrough: Seq[Column] =
       if (present.contains(IngestSource.ROW_IDX)) Seq(col(IngestSource.ROW_IDX)) else Nil
     raw.select(mapped ++ errFlags ++ lenFlags ++ rangeFlags ++ rawVals ++
-      lenRawVals ++ rangeRawVals ++ passthrough: _*)
+      lenRawVals ++ rangeRawVals ++ Seq(presentFlag) ++ passthrough: _*)
   }
+
+  /** Flag column marking rows with at least one physically-present mapped
+    * source cell — the reference's record_data non-emptiness.
+    */
+  val PRESENT = "_present"
 
   private def targetType(dst: String) =
     if (ProductSchema.allowedTargets.contains(dst)) ProductSchema.fieldType(dst)

@@ -39,7 +39,9 @@ object IngestionService {
   *   atomic table swap.
   *
   * Semantics pinned by the reference tests (tests/web/api/test_products.py):
-  *  - rows with empty/absent sku always insert, never merge (:216-236);
+  *  - rows with EMPTY ('') sku always insert, never merge (:216-236);
+  *    rows whose sku cell is physically ABSENT abort the batch (the DDL's
+  *    NOT NULL on sku, 001_up_init.sql:27);
   *  - a merge updates only supplied, non-null, non-sku columns and bumps
   *    last_changed_on (:187-214, 238-267);
   *  - full-update deactivates absent skus BEFORE upserting, so re-ingested
@@ -111,40 +113,21 @@ class IngestionService(
       fullUpdate: Boolean,
       batchTs: Timestamp,
       marker: Option[String]): IngestionReport = {
-    // Reference parity (base.py:54-67 + service.py:88-90): interpret
-    // DROPS unmapped elements and a row whose record_data comes out
-    // EMPTY is skipped without counting — so a row carrying values only
-    // in UNMAPPED columns (header-mismatched file, short row) must
-    // neither count nor insert. The source already drops rows empty
-    // across ALL columns; this drops rows empty across the MAPPED
-    // projection — except rows carrying a strict-transform error flag,
-    // which the reference aborts on BEFORE its empty check (interpret
-    // raises mid-loop), so they must stay visible to the gate.
-    val auxPrefixes = Seq("_err_", "_raw_")
-    val targetCols0 = mapped0.columns.filterNot(c =>
-      auxPrefixes.exists(c.startsWith) || c == graft.sources.IngestSource.ROW_IDX)
-    val errFlags0 = mapped0.columns.filter(_.startsWith("_err_")).map(c =>
-      coalesce(col(c), lit(false)))
-    val recordPresent = (targetCols0.map(col(_).isNotNull) ++ errFlags0)
-      .reduceOption(_ || _).getOrElse(lit(false))
-    // Reference sku REPRESENTATION: csv.DictReader yields '' for an
-    // empty sku cell and the DDL declares sku NOT NULL
-    // (001_up_init.sql:27), so the reference's anonymous rows are
-    // stored as EMPTY STRINGS — which `if sku:` keeps on the
-    // always-insert path (service.py:92) but full-update's
-    // `sku IS NOT NULL` deactivation scope INCLUDES (service.py:76).
-    // Spark's CSV reader surfaces the same cell as NULL; left null,
-    // anonymous rows escaped full-update deactivation and persisted a
-    // different value than the reference. A mapped-but-null sku
-    // therefore canonicalizes to '' BEFORE the gate pass, so bucket
-    // discovery, the store writer and the merge all see the
-    // reference's representation.
-    val mapped = {
-      val kept = mapped0.filter(recordPresent)
-      if (kept.columns.contains("sku"))
-        kept.withColumn("sku", coalesce(col("sku"), lit("")))
-      else kept
-    }
+    // Reference parity (parsers.py:41-43 + service.py:88-90): interpret
+    // keeps only MAPPED elements whose cell was physically PRESENT in
+    // the row, and a row whose record_data comes out EMPTY is skipped
+    // without counting. Presence is the RAW-cell test computed by
+    // ColumnMapping (`_present`), never the transformed outputs — the
+    // source keeps a present-but-empty cell as '' (DictReader yields ''
+    // for it, so the reference COUNTS and INSERTS such rows even when
+    // every other value sits in unmapped columns), while a short row /
+    // missing source column is NULL and genuinely unsupplied. A strict
+    // error can only flag a PRESENT cell, so error rows always survive
+    // this filter and stay visible to the abort gate below.
+    val mapped =
+      if (mapped0.columns.contains(ColumnMapping.PRESENT))
+        mapped0.filter(col(ColumnMapping.PRESENT))
+      else mapped0
     val errCols = mapped.columns.filter(_.startsWith("_err_"))
     // One pass over the batch yields the strict-error count (abort gate),
     // the processed count, AND the distinct-sku count full-update needs —
@@ -168,18 +151,35 @@ class IngestionService(
           (if (rawHasSku) col("sku") else lit(null)).cast("string"), n))
       case _ => typedLit(Seq.empty[Int])
     }
+    // The reference DDL declares sku NOT NULL (001_up_init.sql:27): a
+    // COUNTED row whose record_data lacks a sku key entirely (short row,
+    // sku source column absent from the header, or no sku mapping at
+    // all) reaches ClientProduct(**record_data) with sku=None and the
+    // INSERT dies on the constraint — failing the whole batch. An EMPTY
+    // sku ('') is a present value and inserts fine (the anonymous-row
+    // path). Transform errors abort FIRST: the reference interprets
+    // every item before any database work (parsers.py:21-24).
+    val skuIsNull =
+      if (rawHasSku) col("sku").isNull else lit(true)
     val gate = mapped.agg(
       count(lit(1)).as("n"),
       coalesce(sum(when(errOr, 1L).otherwise(0L)), lit(0L)).as("bad"),
       distinctSkus.as("n_skus"),
-      bucketSet.as("bkts")).head()
+      bucketSet.as("bkts"),
+      coalesce(sum(when(skuIsNull, 1L).otherwise(0L)), lit(0L)).as("nullsku")).head()
     val (processed, badCount, nSkus) =
       (gate.getLong(0), gate.getLong(1), gate.getLong(2))
     val touched: Seq[Int] = gate.getSeq[Int](3).sorted
+    val nullSkuCount = gate.getLong(4)
     if (badCount > 0)
       return IngestionReport(success = false,
         s"Error during data ingestion: $badCount row(s) failed transformation",
         0L, Map.empty, errorDetails(mapped, errCols))
+    if (nullSkuCount > 0)
+      return IngestionReport(success = false,
+        s"Error during data ingestion: $nullSkuCount row(s) with no sku " +
+          "value violate NOT NULL (client_products.sku)",
+        0L, Map.empty, nullSkuDetails(mapped, rawHasSku))
 
     // ZERO processable rows (header-mismatched file, everything skipped):
     // the reference succeeds with processed 0 (service.py's loop simply
@@ -196,7 +196,8 @@ class IngestionService(
 
     val stamp = lit(batchTs)
     val aux = mapped.columns.filter(c =>
-      c.startsWith("_err_") || c.startsWith("_raw_"))
+      c.startsWith("_err_") || c.startsWith("_raw_") ||
+        c == ColumnMapping.PRESENT)
     val clean = mapped.drop(aux.toIndexedSeq: _*)
 
     val hasSku = clean.columns.contains("sku")
@@ -262,8 +263,15 @@ class IngestionService(
     var toUnpersist = Option.empty[DataFrame]
     try {
       val (base, deactStats) =
-        if (fullUpdate && hasSku) {
-          val ingestedSkus = deduped.select("client_id", "sku")
+        if (fullUpdate) {
+          // With no sku column mapped the key set is EMPTY (the
+          // reference's `UPDATE ... NOT IN (empty)` deactivates every
+          // non-null-sku row) — reachable only at processed==0, since
+          // any counted sku-less row already aborted on NOT NULL above.
+          val ingestedSkus =
+            if (hasSku) deduped.select("client_id", "sku")
+            else deduped.select(col("client_id"),
+              lit(null).cast(org.apache.spark.sql.types.StringType).as("sku")).limit(0)
           val (updated, affectedFlag) = MergeOps.antiUpdate(
             target, ingestedSkus, Seq("client_id", "sku"),
             scope = col("client_id") === clientId && col("sku").isNotNull,
@@ -279,10 +287,10 @@ class IngestionService(
         } else (target, Map.empty[String, Long])
       stats ++= deactStats
 
-      // No sku column mapped at all: every row is an insert (the
-      // reference's `if sku:` routes them all to the INSERT path) — a
-      // merge on the sku key would fail ANALYSIS on the missing USING
-      // column and reject a batch the reference accepts.
+      // No sku column mapped at all: only reachable with zero counted
+      // rows (any counted row aborted on NOT NULL above) — a merge on
+      // the sku key would fail ANALYSIS on the missing USING column, so
+      // skip it and keep the (possibly full-update-deactivated) base.
       val merged =
         if (hasSku)
           MergeOps.coalesceMerge(
@@ -302,6 +310,27 @@ class IngestionService(
       IngestionReport(success = true,
         s"Successfully processed $processed items", processed, stats)
     } finally toUnpersist.foreach(_.unpersist())
+  }
+
+  /** Bounded per-row details for a NOT NULL sku abort: the first
+    * [[IngestionService.MaxReportedErrors]] counted rows whose sku cell
+    * is physically absent (or every counted row, when no sku column is
+    * mapped at all).
+    */
+  private def nullSkuDetails(mapped: DataFrame, rawHasSku: Boolean): Seq[String] = {
+    val hasIdx = mapped.columns.contains(graft.sources.IngestSource.ROW_IDX)
+    val idxCol =
+      if (hasIdx) col(graft.sources.IngestSource.ROW_IDX) else lit(-1L)
+    val offending =
+      if (rawHasSku) mapped.filter(col("sku").isNull) else mapped
+    offending
+      .select(idxCol.as("_i"))
+      .orderBy(col("_i"))
+      .limit(IngestionService.MaxReportedErrors)
+      .collect()
+      .map(r => s"row ${r.getLong(0)}: column 'sku' null value violates " +
+        "NOT NULL constraint")
+      .toSeq
   }
 
   /** Per-row failure details for the abort report: up to

@@ -76,14 +76,20 @@ object PqIndex {
     * rounded distance is the ranking key so top-k membership is
     * engine-stable.
     */
-  def adcTopK(
-      embeddings: DataFrame,
-      vecCol: String,
-      idCol: String,
+  /** The rounded ADC distance column for ONE query over pre-computed
+    * code columns — the scoring half of [[adcTopK]], exposed so a
+    * multi-query eval panel can score EVERY query in a single corpus
+    * pass: the m code columns are query-independent and computed once
+    * per row, and each additional query costs only m table lookups.
+    * Identical table algebra and left-to-right fold to [[adcTopK]]
+    * (which delegates here), so rankings agree bit-for-bit with the
+    * oracle's replay.
+    */
+  def adcDistExpr(
+      codes: Seq[Column],
       queryVec: Seq[Double],
       codebooks: Array[Array[Array[Double]]],
-      k: Int = 10,
-      roundTo: Int = 6): DataFrame = {
+      roundTo: Int = 6): Column = {
     val q = queryVec.toArray
     val dsub = codebooks.head.head.length
     require(q.length == codebooks.length * dsub,
@@ -100,14 +106,24 @@ object PqIndex {
       val qs = q.slice(s * dsub, (s + 1) * dsub)
       cb.map(c => dot(qs, qs) - 2.0 * dot(qs, c) + dot(c, c))
     }
+    // left-to-right fold matches the oracle's explicit t0 + t1 + ... sum
+    round(codes.zipWithIndex.map { case (code, s) =>
+      element_at(lit(tables(s)), code + 1)
+    }.reduce(_ + _), roundTo)
+  }
+
+  def adcTopK(
+      embeddings: DataFrame,
+      vecCol: String,
+      idCol: String,
+      queryVec: Seq[Double],
+      codebooks: Array[Array[Array[Double]]],
+      k: Int = 10,
+      roundTo: Int = 6): DataFrame = {
     val v = Similarity.toDouble(col(vecCol))
     val codes = codeColumns(v, codebooks)
-    // left-to-right fold matches the oracle's explicit t0 + t1 + ... sum
-    val adc = codes.zipWithIndex.map { case (code, s) =>
-      element_at(lit(tables(s)), code + 1)
-    }.reduce(_ + _)
     embeddings
-      .withColumn("adc_dist", round(adc, roundTo))
+      .withColumn("adc_dist", adcDistExpr(codes, queryVec, codebooks, roundTo))
       .select(col(idCol), col("adc_dist"))
       // nulls LAST: a null embedding yields a null code chain and a null
       // distance; the ascending sort's NULLS FIRST default would let k

@@ -1,7 +1,9 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.functions.Transformers.pyStrip
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** Ingest source formats.
   *
@@ -15,8 +17,8 @@ import org.apache.spark.sql.functions._
   * duplicate-SKU-within-batch semantics ("later row wins", reference
   * ingestion/service.py:83-106 processes rows sequentially) survive the
   * shuffle. At 100 TB the index is per input split and only needs to be
-  * monotone within a key's occurrences in one file, which
-  * monotonically_increasing_id guarantees per partition.
+  * monotone within a key's occurrences in one file, which a
+  * partition-prefixed per-split counter guarantees.
   */
 trait IngestSource {
   def id: String
@@ -27,51 +29,148 @@ object IngestSource {
   val ROW_IDX = "_row_idx"
 
   /** CSV with header row, all columns read as strings (no inference —
-    * reference semantics: types come only from transformers). Header names
-    * are trimmed; columns with empty header are dropped; fully-empty rows
-    * are dropped; DUPLICATE header names keep the LAST column's values
-    * (reference ingestion/parsers.py:34-48 — csv.DictReader builds a dict
-    * per row, so a later column with the same name silently overwrites).
+    * reference semantics: types come only from transformers), parsed
+    * POSITIONALLY against the raw header line with csv.DictReader's exact
+    * cell semantics (reference ingestion/parsers.py:34-48):
+    *
+    *  - a present-but-EMPTY cell is the empty string `''` (DictReader
+    *    yields '' for an empty field) — it IS supplied, so `text` maps it
+    *    to '', `integer` to 0, and a strict `boolean`/`decimal` ABORTS
+    *    the batch exactly as `bool('')`/`Decimal('')` raise there;
+    *  - a cell that is physically ABSENT (short row: csv.DictReader's
+    *    restval None; or the column missing from the header) is NULL —
+    *    never transformed, never supplied, never an error;
+    *  - header names are Python-stripped; columns whose raw header is
+    *    empty are dropped (`if column_name` falsy check, parsers.py:42);
+    *  - DUPLICATE exact header names follow dict(zip(fieldnames, row)) +
+    *    restval: only the LAST position counts — even a value at an
+    *    earlier duplicate position is masked by a short row (the restval
+    *    loop overwrites it with None);
+    *  - headers DISTINCT raw but equal after strip ("sku" vs "sku ")
+    *    land on the same record_data key: the LAST PRESENT value in
+    *    first-occurrence order wins (dict-comprehension overwrite,
+    *    service.py:88 — an absent later cell does NOT erase an earlier
+    *    present one);
+    *  - a BLANK line yields no row (csv.reader emits [] and DictReader
+    *    skips it); a row whose every truthy-header cell is absent yields
+    *    no elements and is dropped (parsers.py:44-45);
+    *  - extra fields beyond the header land under DictReader's None key
+    *    and are dropped.
+    *
+    * Spark's own CSV datasource cannot express the ''-vs-absent
+    * distinction (univocity's nullValue conflates them before Spark sees
+    * the field), so data rows are parsed per line with univocity
+    * directly, with Python csv's dialect (quote `"`, escape by doubling,
+    * no whitespace trimming). Parsing is per input split — distributed,
+    * codec-aware, one parser instance per task — NOT a driver loop; only
+    * the single header line is probed driver-side. Quoted embedded
+    * newlines split records here (line-framed input), the same limit
+    * Spark's default (multiLine=false) CSV reader has.
     */
   object CsvSource extends IngestSource {
     val id = "csv"
-    def read(spark: SparkSession, path: String): DataFrame = {
-      val raw = spark.read
-        .option("header", "true")
-        .option("mode", "PERMISSIVE")
-        .option("inferSchema", "false")
-        .csv(path)
-      // Spark's header handling loses information the reference's
-      // DictReader keeps: a BLANK header at position i becomes the
-      // placeholder `_ci` (indistinguishable from a client column
-      // genuinely named `_c0`), and DUPLICATE header names are renamed
-      // to name+position (sku, sku -> sku0, sku2) — the column mapping's
-      // source then matches NOTHING, so every row silently becomes a
-      // typed-NULL (e.g. sku-less INSERT) where the reference upserts by
-      // the last duplicate's value. Both are resolved POSITIONALLY from
-      // the raw header line (read driver-side with the same univocity
-      // CSV parser Spark uses, so quoting semantics match); a probe
-      // failure falls back to a one-row Spark read (exotic filesystems).
+    def read(spark: SparkSession, path: String): DataFrame =
       rawHeaderLine(spark, path) match {
-        case Some(headers) if headers.length == raw.columns.length =>
-          normalizeByHeaders(raw, headers)
-        case _ =>
-          // headers unavailable or ragged: keep every non-placeholder
-          // column under its Spark name (pre-duplicate-fix behavior)
-          normalize(raw)
+        case Some(headers) => parsePositional(spark, path, headers)
+        case None =>
+          // header unobtainable (exotic filesystem, unreadable first
+          // line): best-effort Spark read under its own header handling
+          normalize(spark.read
+            .option("header", "true")
+            .option("mode", "PERMISSIVE")
+            .option("inferSchema", "false")
+            .csv(path))
       }
+
+    private def parsePositional(
+        spark: SparkSession, path: String, rawHeaders: Array[String]): DataFrame = {
+      // dict(zip(fieldnames, row)) + restval semantics: per EXACT raw
+      // name, only the last position counts; key order is first
+      // occurrence. Blank raw names are DictReader-falsy and dropped.
+      val headerLen = rawHeaders.length
+      val names = rawHeaders.map(h => Option(h).getOrElse(""))
+      val distinctRaw = names.distinct.filter(_.nonEmpty)
+      val zipPos: Map[String, Int] =
+        distinctRaw.map(r => r -> names.lastIndexOf(r)).toMap
+      // record_data key = stripped name; candidate positions in
+      // first-occurrence order of the raw names sharing it
+      val groups: Seq[(String, Seq[Int])] = {
+        val seen = scala.collection.mutable.LinkedHashMap.empty[String, Vector[Int]]
+        distinctRaw.foreach { r =>
+          val s = pyStrip(r)
+          if (s.nonEmpty) seen.updateWith(s)(v => Some(v.getOrElse(Vector.empty) :+ zipPos(r)))
+        }
+        seen.toSeq.map { case (s, ps) => (s, ps) }
+      }
+      val outNames = groups.map(_._1)
+      val schema = StructType(
+        outNames.map(StructField(_, StringType, nullable = true)) :+
+          StructField(ROW_IDX, LongType, nullable = false))
+      if (groups.isEmpty)
+        return spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row], schema)
+      // presence of ANY truthy-raw-header cell keeps the row (the
+      // reference's `if elements:`); positions of truthy raw names
+      val truthyPos = distinctRaw.map(zipPos).toArray
+      val groupPos: Array[Array[Int]] = groups.map(_._2.toArray).toArray
+      val lines = spark.sparkContext.newAPIHadoopFile(
+        path,
+        classOf[org.apache.hadoop.mapreduce.lib.input.TextInputFormat],
+        classOf[org.apache.hadoop.io.LongWritable],
+        classOf[org.apache.hadoop.io.Text])
+      val rows = lines.mapPartitionsWithIndex { (pid, it) =>
+        val settings = new com.univocity.parsers.csv.CsvParserSettings
+        settings.setMaxColumns(4096)
+        settings.setMaxCharsPerColumn(1 << 20)
+        settings.setIgnoreLeadingWhitespaces(false)
+        settings.setIgnoreTrailingWhitespaces(false)
+        settings.setNullValue("") // empty unquoted field -> '' (DictReader)
+        settings.setEmptyValue("") // quoted "" -> ''
+        val parser = new com.univocity.parsers.csv.CsvParser(settings)
+        var counter = 0L
+        it.flatMap { case (off, text) =>
+          val line = text.toString
+          if (off.get == 0L || line.isEmpty) None // header / blank line
+          else {
+            val fs = parser.parseLine(line)
+            if (fs == null) None
+            else {
+              val k = fs.length
+              if (!truthyPos.exists(_ < k)) None // zero elements: dropped
+              else {
+                val idx = (pid.toLong << 33) | counter
+                counter += 1
+                val cells = groupPos.map { ps =>
+                  // last PRESENT candidate wins; all-absent -> null
+                  var v: String = null
+                  var i = ps.length - 1
+                  while (v == null && i >= 0) {
+                    if (ps(i) < k) v = fs(ps(i))
+                    i -= 1
+                  }
+                  v
+                }
+                Some(Row.fromSeq(cells.toIndexedSeq :+ idx))
+              }
+            }
+          }
+        }
+      }
+      spark.createDataFrame(rows, schema)
     }
 
+    /** Driver-side probe of the raw header line, with the same dialect
+      * the data parse uses (no trimming, Python-csv quoting) so header
+      * quoting semantics match the reference's DictReader fieldnames.
+      * A directory reads its first visible data file ('_'/'.'-prefixed
+      * names are invisible to the scan, like Spark's own listing filter).
+      */
     private def rawHeaderLine(spark: SparkSession, path: String): Option[Array[String]] =
       try {
         val p = new org.apache.hadoop.fs.Path(path)
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val target =
           if (fs.getFileStatus(p).isDirectory)
-            // mirror Spark's own listing filter: BOTH '_' and '.'
-            // prefixed names are invisible to the scan ('.'-files —
-            // e.g. Hadoop's .part.crc checksums — sort before data
-            // files and would otherwise be probed as the header)
             fs.listStatus(p).filter(_.isFile).map(_.getPath)
               .filterNot(n => n.getName.startsWith("_") ||
                 n.getName.startsWith("."))
@@ -83,10 +182,14 @@ object IngestSource {
             new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
             .readLine()
           finally in.close()
-        if (line == null) Some(Array.empty)
+        if (line == null || line.isEmpty) Some(Array.empty)
         else {
           val settings = new com.univocity.parsers.csv.CsvParserSettings
           settings.setMaxColumns(4096)
+          settings.setIgnoreLeadingWhitespaces(false)
+          settings.setIgnoreTrailingWhitespaces(false)
+          settings.setNullValue("")
+          settings.setEmptyValue("")
           Option(new com.univocity.parsers.csv.CsvParser(settings).parseLine(line))
         }
       } catch {
@@ -100,6 +203,9 @@ object IngestSource {
 
   /** JSON lines, primitives kept as strings (README backlog task 2 —
     * reference /root/reference/README.md:33, never implemented there).
+    * JSON has a native present-vs-absent distinction: a missing field is
+    * NULL (not supplied); an explicit `""` is the empty string (supplied,
+    * so strict targets abort on it like the CSV path).
     */
   object JsonSource extends IngestSource {
     val id = "json"
@@ -111,36 +217,13 @@ object IngestSource {
     }
   }
 
-  /** POSITIONAL normalization from the raw header line: per DISTINCT
-    * trimmed header name keep the column at the name's LAST position
-    * (the DictReader dict-overwrite rule), blank headers drop naturally
-    * (their trimmed name is empty), and a client column genuinely named
-    * `_c0` survives because its own header says so. Positions index
-    * `raw.columns`, so Spark's placeholder/duplicate renaming scheme
-    * never needs to be reverse-engineered.
-    */
-  private[graft] def normalizeByHeaders(
-      raw: DataFrame, rawHeaders: Array[String]): DataFrame = {
-    require(rawHeaders.length == raw.columns.length,
-      s"header probe saw ${rawHeaders.length} columns, Spark ${raw.columns.length}")
-    val stripped = rawHeaders.map(h => Option(h).fold("")(_.trim))
-    // toMap keeps the LAST index per name — exactly the overwrite rule
-    val lastPos = stripped.zipWithIndex.filter(_._1.nonEmpty).toMap
-    val keep = lastPos.values.toSeq.sorted
-    finish(raw.select(keep.map(i =>
-      col(s"`${raw.columns(i)}`").as(stripped(i))): _*))
-  }
-
   /** Name-based normalization (JSON, and the CSV fallback when no raw
-    * header line is available): trim names, drop empty-named columns.
+    * header line is available): Python-strip names, drop empty-named
+    * columns, drop all-null rows, append the read-order index.
     */
   private[graft] def normalize(raw: DataFrame): DataFrame = {
-    val kept = raw.columns.filter(c => c.trim.nonEmpty)
-    finish(raw.select(kept.map(c => col(s"`$c`").as(c.trim)): _*))
-  }
-
-  /** Shared tail: drop all-null rows, append the read-order index. */
-  private def finish(renamed: DataFrame): DataFrame = {
+    val kept = raw.columns.filter(c => pyStrip(c).nonEmpty)
+    val renamed = raw.select(kept.map(c => col(s"`$c`").as(pyStrip(c))).toIndexedSeq: _*)
     val anyPresent = renamed.columns
       .map(c => col(s"`$c`").isNotNull)
       .reduceOption(_ || _)

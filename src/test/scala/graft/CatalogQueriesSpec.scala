@@ -45,6 +45,37 @@ class CatalogQueriesSpec extends SparkSpec {
     assert(hits.last === None && hits.init.forall(_.isDefined))
   }
 
+  test("''-sku rows (anonymous inserts) lead list pages and are outside the keyset view") {
+    import spark.implicits._
+    // The ingest path stores anonymous rows as EMPTY STRINGS (DictReader
+    // yields '' and the DDL forbids NULL). Under ascending text order ''
+    // sorts FIRST on both Postgres and Spark, so they lead page one of
+    // the offset listing — and the keyset sibling EXCLUDES them by
+    // contract (sku <> ''), so every page walk covers exactly the
+    // non-empty skus no matter the cursor.
+    val withAnon = products.unionByName(Seq(
+      (1, "", "ra", "Anon A"),
+      (1, "", "rb", "Anon B")).toDF(
+      "client_id", "sku", "remote_id", "title"))
+    val page1 = CatalogQueries.list(withAnon, clientId = 1, limit = 3)
+      .select("sku").collect().map(_.getString(0))
+    assert(page1.take(2).forall(_ == ""), "'' rows lead page one")
+    assert(page1(2) === "apple-1")
+    // keyset: starting at the conventional "" cursor, '' rows never
+    // appear and the walk visits each non-empty sku exactly once
+    var after = ""
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    var go = true
+    while (go) {
+      val page = CatalogQueries.listKeyset(withAnon, 1, after, limit = 2)
+        .select("sku").collect().map(_.getString(0))
+      seen ++= page
+      if (page.length < 2) go = false else after = page.last
+    }
+    assert(seen.toSeq === Seq("apple-1", "apple-2", "banana", "cherry"))
+    assert(!seen.contains(""))
+  }
+
   test("default ordering by sku, offset/limit window") {
     val page = CatalogQueries.list(products, 1, offset = 1, limit = 2)
       .collect().map(_.getAs[String]("sku"))

@@ -21,7 +21,8 @@ class ColumnMappingSpec extends SparkSpec {
     val out = ColumnMapping(raw, cfg)
     assert(out.columns.toSet === Set("sku", "title", "max_price", "active",
       "_err_max_price", "_err_active", "_raw_max_price", "_raw_active",
-      "_err_len_sku", "_err_len_title", "_raw_len_sku", "_raw_len_title"))
+      "_err_len_sku", "_err_len_title", "_raw_len_sku", "_raw_len_title",
+      ColumnMapping.PRESENT))
     val r = out.head()
     assert(r.getAs[String]("sku") === "a1")
     assert(r.getAs[java.math.BigDecimal]("max_price").toString === "9.99")

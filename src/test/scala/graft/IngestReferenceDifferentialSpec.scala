@@ -13,6 +13,14 @@ import scala.util.Random
   * insert otherwise, empty-sku always-insert, and full-update
   * deactivation before the upsert loop. Seeded, so failures reproduce.
   *
+  * Cell semantics follow csv.DictReader exactly (parsers.py:34-48):
+  * a row is a prefix of the header's columns — a TRAILING-SHORT row
+  * leaves the missing cells unsupplied (restval None, element dropped),
+  * while a PRESENT empty cell is '' (supplied: text maps it to '',
+  * boolean('') would abort). "Absent" is therefore only expressible as
+  * a short row; a generator emitting '' can never mean "not supplied".
+  * A zero-length row is a blank line, which csv.reader skips.
+  *
   * The engine's distributed plan (window dedup + full-outer coalesce
   * merge + anti-join deactivation + partition swap) must land on exactly
   * the same final table as the row-at-a-time reference semantics for
@@ -26,59 +34,86 @@ class IngestReferenceDifferentialSpec extends SparkSpec {
     "active" -> ("active", "boolean")))
 
   private case class SimRow(
-      sku: Option[String],
+      sku: String, // stored representation: '' for anonymous, never NULL
       var title: Option[String],
       var active: Boolean,
       var ts: Timestamp)
 
-  /** One batch applied with reference semantics. Rows carry RAW csv cells
-    * (None = empty cell = not supplied, matching Spark CSV's null).
+  /** One batch applied with reference semantics. Each row is the PREFIX
+    * of (sku, title, active) cells physically present in the CSV line —
+    * length 0 is a blank line, length 2 leaves `active` unsupplied.
     */
   private def simulate(
       state: mutable.ArrayBuffer[SimRow],
-      rows: Seq[(Option[String], Option[String], Option[String])],
+      rows: Seq[Vector[String]],
       fullUpdate: Boolean,
       ts: Timestamp): Unit = {
+    def text(s: String): String = s.trim
     def bool(s: String): Boolean = Seq("yes", "true", "1").contains(s.trim.toLowerCase)
-    val batchSkus = rows.flatMap(_._1).filter(_.nonEmpty).toSet
+    def cell(r: Vector[String], i: Int): Option[String] =
+      if (i < r.length) Some(r(i)) else None
     // Deactivation scope is `sku IS NOT NULL` (service.py:76) and the
     // key set EXCLUDES '' (falsy-skipped, service.py:22) — and since the
     // reference STORES '' for anonymous rows (DictReader yields '', the
     // DDL forbids NULL), those rows are IN scope and DO deactivate.
+    val batchSkus = rows.flatMap(cell(_, 0)).map(text).filter(_.nonEmpty).toSet
     if (fullUpdate) state.foreach { r =>
-      if (!batchSkus.contains(r.sku.getOrElse(""))) {
+      if (!batchSkus.contains(r.sku)) {
         r.active = false; r.ts = ts
       }
     }
-    rows.foreach { case (sku, title, active) =>
-      // A row with EVERY cell empty is dropped by the source (blank-line
-      // semantics: Spark CSV reads empty cells as null, and the reference
-      // parser keeps only rows that produced elements) — documented CSV
-      // deviation; the reference would instead abort on boolean('').
-      if (sku.isEmpty && title.isEmpty && active.isEmpty) ()
-      else {
-      val keyed = sku.filter(_.nonEmpty)
-      val existing = keyed.flatMap(k => state.find(_.sku.contains(k)))
-      existing match {
-        case Some(r) =>
-          title.foreach(t => r.title = Some(t.trim))
-          active.foreach(a => r.active = bool(a))
-          r.ts = ts // reference bumps unconditionally on the update path
-        case None =>
-          // an anonymous row stores sku '' like the reference, never NULL
-          state += SimRow(Some(keyed.getOrElse("")), title.map(_.trim),
-            active.map(bool).getOrElse(true), ts)
-      }
+    rows.foreach { row =>
+      if (row.nonEmpty) { // blank line: csv.reader yields [], row skipped
+        val sku = cell(row, 0).map(text)
+        val title = cell(row, 1).map(text)
+        val active = cell(row, 2).map(bool)
+        val keyed = sku.filter(_.nonEmpty)
+        val existing = keyed.flatMap(k => state.find(_.sku == k))
+        existing match {
+          case Some(r) =>
+            title.foreach(t => r.title = Some(t)) // '' IS supplied
+            active.foreach(a => r.active = a)
+            r.ts = ts // reference bumps unconditionally on the update path
+          case None =>
+            // anonymous rows store sku '' like the reference, never NULL
+            // (sku is always present here: column 0 of a non-blank row)
+            state += SimRow(sku.getOrElse(""), title,
+              active.getOrElse(true), ts)
+        }
       }
     }
   }
 
-  private def csvFor(rows: Seq[(Option[String], Option[String], Option[String])]): String = {
+  private def csvFor(rows: Seq[Vector[String]]): String = {
     val dir = tmpDir("diff")
-    val body = rows.map { case (s, t, a) =>
-      Seq(s, t, a).map(_.getOrElse("")).mkString(",")
-    }
+    val body = rows.map(_.mkString(","))
     writeText(dir, "b.csv", ("sku,title,active" +: body).mkString("\n"))
+  }
+
+  /** Random row: a prefix of (sku, title, active). Length-1 rows keep a
+    * non-empty sku (a lone '' cell would serialize as a blank line and
+    * mean something else); '' cells elsewhere exercise the supplied-empty
+    * path; absent active exercises the unsupplied path.
+    */
+  private def genRow(rnd: Random, skuPool: Seq[String], boolPool: Seq[String],
+      poisonActive: Option[String] = None): Vector[String] = {
+    val sku =
+      if (rnd.nextInt(10) == 0) "" // anonymous '' insert
+      else skuPool(rnd.nextInt(skuPool.length))
+    val title =
+      if (rnd.nextInt(6) == 0) "" // supplied-empty title overwrites with ''
+      else s"T${rnd.nextInt(50)}"
+    val active = poisonActive.getOrElse(boolPool(rnd.nextInt(boolPool.length)))
+    val len = poisonActive match {
+      case Some(_) => 3 // the poison cell must be present to abort
+      case None => rnd.nextInt(10) match {
+        case 0 => 0 // blank line
+        case 1 | 2 => if (sku.nonEmpty) 1 else 2 // short rows
+        case 3 | 4 => 2
+        case _ => 3
+      }
+    }
+    Vector(sku, title, active).take(len)
   }
 
   test("random batch sequences: engine == reference simulation (seeded)") {
@@ -91,19 +126,7 @@ class IngestReferenceDifferentialSpec extends SparkSpec {
       val state = mutable.ArrayBuffer.empty[SimRow]
       (1 to 4).foreach { b =>
         val n = 1 + rnd.nextInt(10)
-        val rows = (1 to n).map { _ =>
-          val sku = rnd.nextInt(10) match {
-            case 0 => None                                  // empty -> insert
-            case _ => Some(skuPool(rnd.nextInt(skuPool.length)))
-          }
-          val title =
-            if (rnd.nextInt(4) == 0) None
-            else Some(s"T${rnd.nextInt(50)}")
-          val active =
-            if (rnd.nextInt(4) == 0) None
-            else Some(boolPool(rnd.nextInt(boolPool.length)))
-          (sku, title, active)
-        }
+        val rows = (1 to n).map(_ => genRow(rnd, skuPool, boolPool))
         val fullUpdate = rnd.nextInt(3) == 0
         val ts = Timestamp.valueOf(f"2024-02-0$b%d 00:00:00")
         val rep = svc.ingest(cfg, csvFor(rows), fullUpdate, ts)
@@ -112,7 +135,7 @@ class IngestReferenceDifferentialSpec extends SparkSpec {
 
         val actual = store.read()
           .collect()
-          .map(r => (Option(r.getAs[String]("sku")),
+          .map(r => (r.getAs[String]("sku"),
             Option(r.getAs[String]("title")),
             r.getAs[Boolean]("active"),
             r.getAs[Timestamp]("last_changed_on")))
@@ -142,13 +165,8 @@ class IngestReferenceDifferentialSpec extends SparkSpec {
         val poison = rnd.nextInt(3) == 0
         val badAt = if (poison) rnd.nextInt(n) else -1
         val rows = (0 until n).map { i =>
-          val sku = Some(skuPool(rnd.nextInt(skuPool.length)))
-          val title = Some(s"T${rnd.nextInt(30)}")
-          val active =
-            if (i == badAt) Some(s"bogus${rnd.nextInt(9)}")
-            else if (rnd.nextInt(4) == 0) None
-            else Some(boolPool(rnd.nextInt(boolPool.length)))
-          (sku, title, active)
+          genRow(rnd, skuPool, boolPool,
+            poisonActive = if (i == badAt) Some(s"bogus${rnd.nextInt(9)}") else None)
         }
         val fullUpdate = rnd.nextInt(3) == 0
         val ts = Timestamp.valueOf(f"2024-03-0$b%d 00:00:00")
@@ -163,7 +181,7 @@ class IngestReferenceDifferentialSpec extends SparkSpec {
         }
         val actual = store.read()
           .collect()
-          .map(r => (Option(r.getAs[String]("sku")),
+          .map(r => (r.getAs[String]("sku"),
             Option(r.getAs[String]("title")),
             r.getAs[Boolean]("active"),
             r.getAs[Timestamp]("last_changed_on")))

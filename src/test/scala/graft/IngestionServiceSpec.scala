@@ -316,19 +316,22 @@ class IngestionServiceSpec extends SparkSpec {
     assert(!rep.success && rep.message.contains("Unknown parser id"))
   }
 
-  test("config mapping no sku column: every row inserts (reference `if sku:` path)") {
-    // the reference routes sku-less records to the INSERT path; a merge
-    // on the missing sku key previously failed ANALYSIS and rejected
-    // the whole batch
+  test("config mapping no sku column: counted rows abort on NOT NULL (DDL parity)") {
+    // The reference routes sku-less records to the INSERT path, where
+    // ClientProduct(**record_data) carries sku=None and the DDL's
+    // NOT NULL on sku (001_up_init.sql:27) kills the INSERT — the whole
+    // batch fails and nothing commits. (An EMPTY-STRING sku is a present
+    // value and inserts fine — that is the anonymous-row path, covered
+    // by the empty-sku tests above.)
     val store = freshStore()
     val svc = new IngestionService(spark, store, clientId = 1)
     val noSkuCfg = ParserConfig("csv", Seq("title" -> ("title", "text")))
     val rep = svc.ingest(noSkuCfg, csv("a1,First,1", "a2,Second,0"))
-    assert(rep.success, rep.message)
-    assert(rep.processedCount === 2)
-    val rows = store.read().orderBy("title").collect()
-    assert(rows.map(_.getAs[String]("title")).toSeq === Seq("First", "Second"))
-    assert(rows.forall(_.getAs[String]("sku") == null))
+    assert(!rep.success, "sku-less counted rows must abort the batch")
+    assert(rep.message.contains("NOT NULL"), rep.message)
+    assert(rep.report.nonEmpty && rep.report.head.contains("sku"), rep.report)
+    assert(!store.exists || store.read().count() === 0,
+      "a failed batch must not publish anything")
   }
 
   test("parseable out-of-INTEGER-range value aborts the batch (DB INSERT parity)") {
@@ -582,11 +585,14 @@ class IngestionServiceSpec extends SparkSpec {
     assert(store.read().count() === before)
   }
 
-  test("rows with values only in unmapped columns are skipped, not inserted") {
+  test("record_data presence: skipped only when mapped cells are physically absent") {
     // Reference parity: interpret drops unmapped elements and an empty
     // record_data row is skipped without counting (base.py:54-67,
-    // service.py:88-90) — a header-mismatched file processes 0 items
-    // and publishes nothing, it does NOT insert anonymous empty rows.
+    // service.py:88-90). Presence is per RAW cell: DictReader yields ''
+    // for a present-but-empty field (still supplied), and None only when
+    // the mapped source column is missing from the header or the row is
+    // short — a header-mismatched file processes 0 items and publishes
+    // nothing, it does NOT insert anonymous empty rows.
     val store = new ProductStore(spark, tmpDir("store-unmapped"))
     val svc = new IngestionService(spark, store, clientId = 1)
     val mismatched = writeText(tmpDir("um1"), "b.csv",
@@ -596,13 +602,36 @@ class IngestionServiceSpec extends SparkSpec {
     assert(r.processedCount === 0L)
     assert(!store.exists || store.read().count() === 0,
       "a zero-row batch must not publish anything")
-    // a mixed file: only the rows whose MAPPED cells carry values count
+    // a mixed file where the mapped columns ARE in the header: DictReader
+    // yields '' for a present-but-empty cell, so BOTH rows have non-empty
+    // record_data and both count — row 2 becomes an anonymous ''-sku
+    // insert with title '' (the reference processes 2, not 1), even
+    // though its only non-empty value sits in an unmapped column
     val mixed = writeText(tmpDir("um2"), "b.csv",
-      "foo,title\njunk,Widget\njunk2,")
+      "foo,title,sku\njunk,Widget,A1\njunk2,,")
     val r2 = svc.ingest(cfg, mixed, batchTs = ts1)
     assert(r2.success, r2.message)
-    assert(r2.processedCount === 1L, "only the mapped-value row counts")
-    assert(store.read().count() === 1)
+    assert(r2.processedCount === 2L,
+      "''-celled rows are present: the reference counts and inserts them")
+    val rows = store.read().orderBy("sku").collect()
+    assert(rows.map(_.getAs[String]("sku")).toSeq === Seq("", "A1"))
+    assert(rows.head.getAs[String]("title") === "")
+    // mapped columns MISSING from the header entirely (only unmapped
+    // cells carry values): record_data is empty, the row is skipped
+    // uncounted — but with sku UNMAPPED too this is the 0-row success
+    // path, not a NOT NULL abort
+    val onlyUnmapped = writeText(tmpDir("um3"), "b.csv",
+      "foo,bar\nx1,y1")
+    val r3 = svc.ingest(cfg, onlyUnmapped, batchTs = ts2)
+    assert(r3.success && r3.processedCount === 0L, r3.message)
+    // sku mapped-but-absent from the header while ANOTHER mapped column
+    // is present: rows count, their record_data lacks sku, the INSERT
+    // violates NOT NULL -> batch aborts (reference DB parity)
+    val noSkuHeader = writeText(tmpDir("um4"), "b.csv",
+      "foo,title\njunk,Widget")
+    val r4 = svc.ingest(cfg, noSkuHeader, batchTs = ts2)
+    assert(!r4.success && r4.message.contains("NOT NULL"), r4.message)
+    assert(store.read().count() === 2, "failed batch must not publish")
   }
 
   test("zero-row full update on an empty store succeeds; on data it deactivates all") {

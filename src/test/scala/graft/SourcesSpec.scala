@@ -5,10 +5,10 @@ import graft.sources.IngestSource
 /** Source-format semantics — reference ingestion/parsers.py:34-48. */
 class SourcesSpec extends SparkSpec {
 
-  test("csv: header trim, empty-header drop, all-string, empty-row drop") {
+  test("csv: header trim, empty-header drop, all-string, blank-line drop") {
     val dir = tmpDir("csv")
     val p = writeText(dir, "in.csv",
-      " sku , title ,,qty\na1,Widget,junk,5\n,,,\na2,Gadget,junk,7\n")
+      " sku , title ,,qty\na1,Widget,junk,5\n\na2,Gadget,junk,7\n")
     val df = IngestSource("csv").read(spark, p)
     val cols = df.columns.filterNot(_ == IngestSource.ROW_IDX).toSet
     assert(cols === Set("sku", "title", "qty"))
@@ -16,9 +16,60 @@ class SourcesSpec extends SparkSpec {
       .forall(_.dataType.typeName === "string"))
     val rows = df.orderBy(IngestSource.ROW_IDX)
       .select("sku", "title", "qty").collect()
-    assert(rows.length === 2) // fully-empty row dropped
+    assert(rows.length === 2) // blank line dropped (csv.reader yields [])
     assert(rows.map(_.getString(0)).toSeq === Seq("a1", "a2"))
     assert(rows.head.getString(2) === "5") // numbers stay strings
+  }
+
+  test("csv: DictReader cell semantics — '' is present, a short row's cell is absent") {
+    // Reference parsers.py:41-42: csv.DictReader yields '' for a
+    // present-but-empty field (kept: `value is not None`) and restval
+    // None for a short row's missing trailing field (dropped element).
+    // The all-''-cells row is therefore KEPT (the reference inserts an
+    // anonymous ''-sku row for it), unlike a blank line.
+    val dir = tmpDir("csvcells")
+    val p = writeText(dir, "in.csv",
+      "sku,title,qty\n,,\nA1,T1\nA2,\"\",9\n")
+    val df = IngestSource("csv").read(spark, p)
+    val rows = df.orderBy(IngestSource.ROW_IDX)
+      .select("sku", "title", "qty").collect()
+    assert(rows.length === 3)
+    // row 0: all empty strings, none null
+    assert((0 to 2).map(rows(0).getString) === Seq("", "", ""))
+    // row 1: short row — qty physically absent -> NULL, not ''
+    assert(rows(1).getString(0) === "A1" && rows(1).getString(1) === "T1")
+    assert(rows(1).isNullAt(2), "short row's missing cell must be NULL")
+    // row 2: quoted empty string is present
+    assert(rows(2).getString(1) === "")
+    assert(rows(2).getString(2) === "9")
+  }
+
+  test("csv: exact-duplicate header masks earlier value under a short row (zip+restval)") {
+    // dict(zip(fieldnames, row)) + the restval loop: for EXACT duplicate
+    // names only the LAST position counts — DictReader sets d['sku']=None
+    // for the short row even though position 0 held a value.
+    val dir = tmpDir("csvzip")
+    val p = writeText(dir, "in.csv", "sku,sku\nA,B\nC\n")
+    val df = IngestSource("csv").read(spark, p)
+    val rows = df.orderBy(IngestSource.ROW_IDX).select("sku").collect()
+    // row 'C': d={'sku': None} after the restval loop — its only element
+    // is value-None, so the reference DROPS the whole row (parsers.py:44)
+    assert(rows.length === 1,
+      "short row under an exact-duplicate header has zero elements: dropped")
+    assert(rows(0).getString(0) === "B")
+  }
+
+  test("csv: strip-duplicate headers — last PRESENT value wins, absence does not erase") {
+    // 'sku' and 'sku ' are distinct DictReader keys that strip to the
+    // same record_data key: the dict comprehension overwrites in header
+    // order, but an ABSENT later cell never lands (value-is-None filter),
+    // so the earlier present value survives.
+    val dir = tmpDir("csvstripdup")
+    val p = writeText(dir, "in.csv", "sku,sku \nA,B\nC\n")
+    val df = IngestSource("csv").read(spark, p)
+    val rows = df.orderBy(IngestSource.ROW_IDX).select("sku").collect()
+    assert(rows(0).getString(0) === "B") // later present value wins
+    assert(rows(1).getString(0) === "C") // absent later cell keeps earlier
   }
 
   test("csv: a client column genuinely named _c0 survives the placeholder drop") {

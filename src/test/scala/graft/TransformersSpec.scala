@@ -27,9 +27,13 @@ class TransformersSpec extends SparkSpec {
       Seq("1234.50", "99.90", "7.00", "12.35", null, null))
   }
 
-  test("integer: truncates toward zero; bad string -> 0") {
+  test("integer: truncates toward zero; bad PRESENT string -> 0; absent -> null") {
+    // '' is a present cell (int(float('')) raises ValueError -> 0,
+    // transformers.py:49-51); NULL is a physically absent cell the
+    // reference never transforms — it must stay unsupplied (NULL), not
+    // become a 0 that would overwrite a stored value on merge.
     assert(run("integer", Seq("3.7", "-3.7", "42", "nope", "", null)) ===
-      Seq(3, -3, 42, 0, 0, 0))
+      Seq(3, -3, 42, 0, 0, null))
   }
 
   test("boolean: yes/true/1 -> true, no/false/0 -> false, else null (strict)") {
@@ -69,9 +73,34 @@ class TransformersSpec extends SparkSpec {
     assert(dec.map(v => Option(v).map(_.toString).orNull) === Seq("5.25"))
   }
 
+  test("str.strip() parity: the full UNICODE whitespace set strips (NBSP and friends)") {
+    // Python strips every char where str.isspace() is True — NBSP
+    // (U+00A0, endemic in spreadsheet-exported CSV), figure space
+    // U+2007, narrow NBSP U+202F, ideographic space U+3000, NEL U+0085,
+    // line/paragraph separators U+2028/U+2029, and the file separators
+    // U+001C-U+001F. An NBSP-padded boolean cell must be ACCEPTED, not
+    // abort the batch (reference transformers.py:63 `str(value).strip()`).
+    val nbsp = " "
+    assert(run("boolean", Seq(s"${nbsp}true$nbsp", " no ",
+      " 1 ", "　yes　", "false",
+      " 0 ", "true")) ===
+      Seq(true, false, true, true, false, false, true))
+    assert(run("text", Seq(s"$nbsp hi $nbsp", s"a${nbsp}b", "　x ")) ===
+      Seq("hi", s"a${nbsp}b", "x")) // inner NBSP kept, like Python
+    assert(run("integer", Seq(s"${nbsp}3.7$nbsp", "　9　")) === Seq(3, 9))
+    val dec = run("decimal", Seq(s"$nbsp$$5.25 "))
+    assert(dec.map(v => Option(v).map(_.toString).orNull) === Seq("5.25"))
+    // pyStrip (the driver-side header twin) agrees char-for-char
+    val all = " \t\n\f\r  " +
+      "       　"
+    assert(Transformers.pyStrip(all + "k" + all) === "k")
+    assert(Transformers.pyStrip(all) === "")
+  }
+
   test("property: transformer catalog == Python-semantics reference on messy strings") {
     val rnd = new scala.util.Random(29)
-    val pads = Seq("", " ", "  ", "\t", "\n", " \t")
+    val pads = Seq("", " ", "  ", "\t", "\n", " \t",
+      " ", "  ", "　", "", " ", "")
     val bools = Seq("yes", "No", "TRUE", "false", "0", "1", "Maybe", "2", "")
     val nums = Seq("3.7", "-3.7", "42", "0", "1e3", "-0.5", "junk", "", "12.345",
       "$1,234.50", "£99.9", "1 234.50")
@@ -80,7 +109,7 @@ class TransformersSpec extends SparkSpec {
     // boolean: stripped lowercase membership
     val bIn = (1 to 120).map(_ => messy(bools(rnd.nextInt(bools.size))))
     run("boolean", bIn).zip(bIn).foreach { case (got, in) =>
-      val s = in.trim.toLowerCase // ASCII inputs: String.trim == strip
+      val s = Transformers.pyStrip(in).toLowerCase // model: Python strip
       val want: Any =
         if (Set("yes", "true", "1")(s)) true
         else if (Set("no", "false", "0")(s)) false
@@ -90,14 +119,15 @@ class TransformersSpec extends SparkSpec {
     // integer: int(float(strip(s))) else 0
     val iIn = (1 to 120).map(_ => messy(nums(rnd.nextInt(nums.size))))
     run("integer", iIn).zip(iIn).foreach { case (got, in) =>
-      val want = scala.util.Try(in.trim.toDouble.toInt).getOrElse(0)
+      val want = scala.util.Try(Transformers.pyStrip(in).toDouble.toInt).getOrElse(0)
       assert(got === want, s"integer('$in')")
     }
     // decimal: strip currency/thousands anywhere, outer whitespace, then
     // exact decimal at scale 2 (HALF_UP) or null
     val dIn = (1 to 120).map(_ => messy(nums(rnd.nextInt(nums.size))))
     run("decimal", dIn).zip(dIn).foreach { case (got, in) =>
-      val cleaned = in.replace("$", "").replace("£", "").replace(",", "").trim
+      val cleaned = Transformers.pyStrip(
+        in.replace("$", "").replace("£", "").replace(",", ""))
       val want = scala.util.Try(BigDecimal(cleaned)).toOption
         // Spark's try_cast to DECIMAL parses scientific notation like
         // BigDecimal does; internal whitespace fails both
