@@ -81,13 +81,14 @@ class JdbcProductStore(
 
   if (url.startsWith("jdbc:derby")) JdbcProductStore.ensureDerbyDialect()
 
-  /** Reference DDL column types (001_up_init.sql:22-36) for tables Spark
-    * creates: without this, Spark's Derby dialect maps StringType to
-    * CLOB, which can't be compared or inserted into the VARCHAR target.
+  /** The dialect seam (see [[SqlDialect]]): identifier-folding probes,
+    * CREATE TABLE texts, staged-write column types, and the optional
+    * row-level upsert text all resolve per URL — Derby in the sandbox,
+    * Postgres (the reference's engine) in a real deployment.
     */
-  private val columnTypes =
-    "sku VARCHAR(100), remote_id VARCHAR(100), brand VARCHAR(100), " +
-      "title VARCHAR(255)"
+  private val dialect: SqlDialect = SqlDialect.forUrl(url)
+
+  private val columnTypes = dialect.columnTypes
 
   /** Spark's JDBC writer quotes column identifiers (so the staging table
     * gets case-sensitive lowercase names); quote ours the same way or the
@@ -95,20 +96,7 @@ class JdbcProductStore(
     */
   private def q(name: String): String = "\"" + name + "\""
 
-  private val createDdl =
-    s"""CREATE TABLE $table (
-       |  ${q("client_id")} INTEGER NOT NULL,
-       |  ${q("sku")} VARCHAR(100),
-       |  ${q("remote_id")} VARCHAR(100),
-       |  ${q("brand")} VARCHAR(100),
-       |  ${q("title")} VARCHAR(255),
-       |  ${q("last_changed_on")} TIMESTAMP,
-       |  ${q("stock_quantity")} INTEGER,
-       |  ${q("active")} BOOLEAN,
-       |  ${q("max_price")} DECIMAL(12,2),
-       |  ${q("min_price")} DECIMAL(12,2),
-       |  ${q("reference_price")} DECIMAL(12,2)
-       |)""".stripMargin
+  private val createDdl = dialect.productsDdl(table, q)
 
   ensureTable() // after the DDL vals above — class body runs in order
 
@@ -119,17 +107,15 @@ class JdbcProductStore(
 
   /** Unquoted identifiers fold per-database: Derby/Oracle store them
     * upper-case, Postgres (the reference's actual DB, db/models.py)
-    * lower-case. Ask the driver which folding it applies; for drivers
-    * that report neither, probe exact + both foldings so an existing
-    * table is never missed (a miss re-runs CREATE TABLE and fails).
+    * lower-case. The dialect asks the driver which folding it applies;
+    * for drivers that report neither, it probes exact + both foldings so
+    * an existing table is never missed (a miss re-runs CREATE TABLE and
+    * fails).
     */
   private def tableExists(conn: Connection, name: String): Boolean = {
     val md = conn.getMetaData
-    val candidates =
-      if (Try(md.storesUpperCaseIdentifiers()).getOrElse(false)) Seq(name.toUpperCase)
-      else if (Try(md.storesLowerCaseIdentifiers()).getOrElse(false)) Seq(name.toLowerCase)
-      else Seq(name, name.toUpperCase, name.toLowerCase)
-    candidates.distinct.exists { n =>
+    val candidates = dialect.foldedCandidates(md, name)
+    candidates.exists { n =>
       // getTables treats its name argument as a LIKE pattern, where '_'
       // matches ANY single character — a bare rs.next() probe for
       // client_products (or the _ingest_locks/_ingest_markers siblings)
@@ -170,8 +156,7 @@ class JdbcProductStore(
   private def ensureLockTable(): Unit = withConnection { conn =>
     if (!tableExists(conn, lockTable)) {
       val st = conn.createStatement()
-      try st.executeUpdate(
-        s"CREATE TABLE $lockTable (${q("client_id")} INTEGER PRIMARY KEY)")
+      try st.executeUpdate(dialect.lockTableDdl(lockTable, q))
       catch {
         case _: java.sql.SQLException
             if Try(tableExists(conn, lockTable)).getOrElse(false) => ()
@@ -266,8 +251,7 @@ class JdbcProductStore(
   private def ensureMarkerTable(): Unit = withConnection { conn =>
     if (!tableExists(conn, markerTable)) {
       val st = conn.createStatement()
-      try st.executeUpdate(
-        s"CREATE TABLE $markerTable (${q("token")} VARCHAR(128) PRIMARY KEY)")
+      try st.executeUpdate(dialect.markerTableDdl(markerTable, q))
       catch {
         case _: java.sql.SQLException
             if Try(tableExists(conn, markerTable)).getOrElse(false) => ()
@@ -359,6 +343,43 @@ class JdbcProductStore(
       // (Derby 25001), masking the real DELETE failure.
       case t: Throwable => Try(conn.rollback()); throw t
     } finally st.close()
+  }
+
+  /** Row-level incremental upsert via the dialect's single-statement
+    * merge — Derby `MERGE INTO` (executed live by JdbcProductStoreSpec),
+    * Postgres `INSERT .. ON CONFLICT DO UPDATE` (text-spec'd; needs the
+    * deployment to add the (client_id, sku) unique index the reference
+    * schema omits). The alternative to [[overwriteClientAtomic]]'s swap
+    * when a delta is tiny against a huge tenant: no DELETE of untouched
+    * rows, one statement, same single-transaction atomicity.
+    *
+    * Keys STRICTLY on (client_id, sku) equality — the reference's
+    * ''-always-insert anonymous path and the column-wise
+    * null-keeps-old-value coalesce live in the ingestion service's
+    * routing/merge, not here: feed this only keyed, fully-resolved rows.
+    */
+  def upsertClientBatch(clientId: Int, df: DataFrame): Unit = {
+    val staging =
+      s"${table}_ups_${ProcessHandle.current().pid()}_${Thread.currentThread().getId}"
+    try {
+      align(df).filter(col("client_id") === clientId)
+        .write.mode(SaveMode.Overwrite)
+        .option("createTableColumnTypes", columnTypes)
+        .jdbc(url, staging, props)
+      withConnection { conn =>
+        conn.setAutoCommit(false)
+        val st = conn.createStatement()
+        try {
+          st.executeUpdate(dialect.upsertSql(table, staging, q))
+          conn.commit()
+        } catch {
+          case t: Throwable => Try(conn.rollback()); throw t
+        } finally st.close()
+      }
+    } finally withConnection { conn =>
+      val st = conn.createStatement()
+      try Try(st.executeUpdate(s"DROP TABLE $staging")) finally st.close()
+    }
   }
 
   def append(df: DataFrame): Unit =

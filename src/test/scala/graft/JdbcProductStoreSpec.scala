@@ -309,6 +309,72 @@ class JdbcProductStoreSpec extends SparkSpec {
     }
   }
 
+  test("dialect matrix: URL resolution and the three dialect-sensitive texts") {
+    import graft.operators.{DerbyDialect, PostgresDialect, SqlDialect}
+    def q(n: String) = "\"" + n + "\""
+    assert(SqlDialect.forUrl("jdbc:derby:memory:x") eq DerbyDialect)
+    assert(SqlDialect.forUrl("jdbc:postgresql://db:5432/ing") eq PostgresDialect)
+    assert(SqlDialect.forUrl("jdbc:weird:whatever") eq DerbyDialect) // conservative fallback
+
+    // Postgres products DDL == the reference migration's client_products
+    // (db/migrations/000/001_up_init.sql:22-36), minus the clients FK the
+    // engine doesn't manage: every column, type, NOT NULL and DEFAULT.
+    val pg = PostgresDialect.productsDdl("client_products", q)
+    assert(pg.contains("\"id\" SERIAL PRIMARY KEY NOT NULL"))
+    assert(pg.contains("\"client_id\" INTEGER NOT NULL"))
+    assert(pg.contains("\"sku\" VARCHAR(100) NOT NULL"))
+    assert(pg.contains("\"remote_id\" VARCHAR(100)"))
+    assert(pg.contains("\"brand\" VARCHAR(100)"))
+    assert(pg.contains("\"title\" VARCHAR(255)"))
+    assert(pg.contains(
+      "\"last_changed_on\" TIMESTAMP WITHOUT TIME ZONE DEFAULT (CURRENT_TIMESTAMP)"))
+    assert(pg.contains("\"stock_quantity\" INTEGER"))
+    assert(pg.contains("\"active\" BOOLEAN NOT NULL DEFAULT true"))
+    assert(Seq("max_price", "min_price", "reference_price")
+      .forall(c => pg.contains(s""""$c" DECIMAL(12,2)""")))
+
+    // Derby's table omits the surrogate id (engine key is (client_id,
+    // sku)) and relaxes the NOT NULLs the service enforces upstream
+    val derby = DerbyDialect.productsDdl("client_products", q)
+    assert(!derby.contains("\"id\""))
+    assert(derby.contains("\"client_id\" INTEGER NOT NULL"))
+
+    // the row-level upsert texts: PG ON CONFLICT on the natural key
+    // updating every data column from EXCLUDED; Derby MERGE with the
+    // same key and column set
+    val ups = PostgresDialect.upsertSql("client_products", "stg", q)
+    assert(ups.contains("ON CONFLICT (\"client_id\", \"sku\") DO UPDATE SET"))
+    assert(ups.contains("\"title\" = EXCLUDED.\"title\""))
+    assert(!ups.contains("EXCLUDED.\"sku\" =") && !ups.contains("\"sku\" = EXCLUDED"))
+    val mrg = DerbyDialect.upsertSql("client_products", "stg", q)
+    assert(mrg.contains("MERGE INTO client_products t"))
+    assert(mrg.contains("ON t.\"client_id\" = s.\"client_id\" AND t.\"sku\" = s.\"sku\""))
+    assert(mrg.contains("WHEN MATCHED THEN UPDATE SET"))
+    assert(mrg.contains("WHEN NOT MATCHED THEN INSERT"))
+
+    // folding probes: a driver reporting upper-case folding gets ONE
+    // candidate; one reporting neither gets exact + both foldings
+    val store = freshStore()
+    assert(store.exists) // Derby (upper-folding) still probes correctly
+  }
+
+  test("dialect upsert executes live on Derby: update existing, insert new") {
+    import spark.implicits._
+    val store = freshStore()
+    store.overwriteClientAtomic(1, Seq(
+      (1, "A1", "Old", true), (1, "B2", "Keep", true))
+      .toDF("client_id", "sku", "title", "active"))
+    store.upsertClientBatch(1, Seq(
+      (1, "A1", "New", false), // matched: update
+      (1, "C3", "Ins", true))  // unmatched: insert
+      .toDF("client_id", "sku", "title", "active"))
+    val rows = store.readClient(1).orderBy("sku").collect()
+      .map(r => (r.getAs[String]("sku"), r.getAs[String]("title"),
+        r.getAs[Boolean]("active")))
+    assert(rows.toSeq === Seq(("A1", "New", false), ("B2", "Keep", true),
+      ("C3", "Ins", true)))
+  }
+
   test("tableExists escapes LIKE wildcards: similar names don't mask a missing table") {
     // client_products's probe pattern contains '_', a single-char LIKE
     // wildcard: with table `clientXproducts` already present, an
