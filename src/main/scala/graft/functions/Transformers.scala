@@ -55,15 +55,65 @@ object Transformers {
   /** `text`: str(value).strip() — reference ingestion/transformers.py:33-38. */
   def text(c: Column): Column = strip(c.cast(StringType))
 
+  /** Python float() string grammar (after strip), used as an acceptance
+    * GATE in front of Spark's double cast because the two parsers
+    * disagree in both directions:
+    *
+    *  - Spark's cast accepts Java-style trailing type suffixes ("1d",
+    *    "2.5f" parse as doubles) that Python's float() REJECTS — the
+    *    reference turns them into the ValueError->0 fallback;
+    *  - Python (PEP 515) accepts single underscores BETWEEN digits
+    *    ("1_000" == 1000.0, also in fraction and exponent) that Spark's
+    *    cast rejects.
+    *
+    * Grammar: optional sign; digitpart [. [digitpart]] | . digitpart,
+    * optional [eE][+-]digitpart exponent, digitpart = \d(_?\d)*; or the
+    * inf/infinity/nan words (case-insensitive, no underscores). Known
+    * residual: Python's float() also accepts non-ASCII Unicode decimal
+    * digits ("１２３"); `\d` here is ASCII, so those fall to the 0
+    * fallback — no realistic CSV hits this.
+    */
+  private[graft] val PyFloatGrammar: String = {
+    val dp = "\\d(_?\\d)*"
+    s"^[+-]?(($dp(\\.($dp)?)?|\\.$dp)([eE][+-]?$dp)?|(?i:inf(inity)?|nan))$$"
+  }
+
+  /** float(s) under Python's grammar: NULL unless the stripped string
+    * matches [[PyFloatGrammar]]; underscores removed before the cast.
+    */
+  private def pyFloat(s: Column): Column =
+    when(s.rlike(PyFloatGrammar), translate(s, "_", "").try_cast(DoubleType))
+
   /** `decimal`: strip currency symbols and thousands separators anywhere,
     * strip leading/trailing whitespace only, parse as exact decimal —
     * reference ingestion/transformers.py:19-30 (`replace('$','')
     * .replace('£','').replace(',','').strip()`; INTERNAL whitespace is
     * kept, so "1 234.50" raises there and yields NULL here). Unparseable
     * input yields NULL (flag via [[errorFlag]]).
+    *
+    * Underscores are removed ANYWHERE before parsing: Python's Decimal
+    * constructor documents that "underscores throughout the string are
+    * removed" (so Decimal('1_000') == 1000 AND Decimal('_1') == 1 —
+    * looser than float()'s between-digits rule). A lone '_' reduces to
+    * '' and aborts, same as the reference's InvalidOperation.
+    *
+    * Documented deviation: Decimal('nan') is a VALID Python decimal and
+    * PostgreSQL's numeric accepts NaN even at declared precision, so the
+    * reference STORES NaN for a 'nan' cell; Spark's DecimalType has no
+    * NaN representation, so the engine ABORTS the batch (strict flag).
+    * 'inf'/'Infinity' parse as Python decimals too but numeric(12,2)
+    * REJECTS infinities at INSERT — both engines abort, same outcome.
     */
-  def decimal(c: Column): Column =
-    strip(regexp_replace(c.cast(StringType), "[$£,]", "")).try_cast(Money)
+  def decimal(c: Column): Column = {
+    val cleaned =
+      translate(strip(regexp_replace(c.cast(StringType), "[$£,]", "")), "_", "")
+    // Underscore removal can EXPOSE inner whitespace at the ends
+    // ('_ 1' -> ' 1'): Python still rejects it (Decimal('_ 1') raises —
+    // the strip happens before underscore removal, not after), while
+    // Spark's decimal cast trims outer whitespace and would accept it.
+    when(cleaned.rlike(PyWhitespaceClass), lit(null).cast(Money))
+      .otherwise(cleaned.try_cast(Money))
+  }
 
   /** `integer`: truncate-toward-zero of the float value ("3.7" -> 3);
     * unparseable PRESENT input -> 0 — reference transformers.py:40-53
@@ -81,7 +131,7 @@ object Transformers {
   def integer(c: Column): Column = {
     val s = strip(c.cast(StringType))
     when(c.isNull, lit(null).cast(IntegerType))
-      .otherwise(coalesce(s.try_cast(DoubleType).try_cast(IntegerType), lit(0)))
+      .otherwise(coalesce(pyFloat(s).try_cast(IntegerType), lit(0)))
   }
 
   /** `boolean`: case-insensitive stripped membership in {yes,true,1} /
@@ -124,9 +174,20 @@ object Transformers {
     * (the reference's `except ValueError: return 0`).
     */
   def integerRangeErrorFlag(raw: Column): Column = {
-    val d = strip(raw.cast(StringType)).try_cast(DoubleType)
-    d.isNotNull &&
-      (d > lit(Int.MaxValue.toDouble) || d < lit(Int.MinValue.toDouble))
+    val d = pyFloat(strip(raw.cast(StringType)))
+    // Python applies int() — truncation toward zero — BEFORE the range
+    // check, so "2147483647.9" truncates to a fitting 2147483647 and
+    // stores fine there: the bound must be on the truncated value, i.e.
+    // |d| reaching the first double whose truncation overflows (2^31 for
+    // the positive side, -(2^31)-1 for the negative). 'inf'/'1e999'
+    // parse to ±Infinity and land here as out-of-range, matching the
+    // reference's uncaught OverflowError from int(float('inf')) —
+    // ValueError is the only exception its fallback catches. NaN is
+    // excluded EXPLICITLY: Spark's SQL ordering puts NaN above every
+    // double (so NaN >= 2^31 is TRUE here, unlike Java), but Python's
+    // int(float('nan')) raises ValueError -> caught -> 0, never an abort.
+    d.isNotNull && !isnan(d) &&
+      (d >= lit(2147483648.0) || d <= lit(-2147483649.0))
   }
 
   val registry: Map[String, Column => Column] = Map(

@@ -119,14 +119,7 @@ object IngestSource {
         classOf[org.apache.hadoop.io.LongWritable],
         classOf[org.apache.hadoop.io.Text])
       val rows = lines.mapPartitionsWithIndex { (pid, it) =>
-        val settings = new com.univocity.parsers.csv.CsvParserSettings
-        settings.setMaxColumns(4096)
-        settings.setMaxCharsPerColumn(1 << 20)
-        settings.setIgnoreLeadingWhitespaces(false)
-        settings.setIgnoreTrailingWhitespaces(false)
-        settings.setNullValue("") // empty unquoted field -> '' (DictReader)
-        settings.setEmptyValue("") // quoted "" -> ''
-        val parser = new com.univocity.parsers.csv.CsvParser(settings)
+        val parser = new com.univocity.parsers.csv.CsvParser(pythonCsvSettings())
         var counter = 0L
         it.flatMap { case (off, text) =>
           val line = text.toString
@@ -159,6 +152,31 @@ object IngestSource {
       spark.createDataFrame(rows, schema)
     }
 
+    /** The one shared dialect for header probe AND data parse — Python
+      * csv's default dialect (reference parsers.py:36 uses csv.DictReader
+      * with no dialect args): quote `"`, escape by doubling, NO
+      * whitespace trimming, NO comment lines. Univocity's own default
+      * treats `#` as a line comment, which Python csv has no concept of —
+      * left enabled it silently DROPS any data row whose first cell
+      * starts with `#` (an unquoted "#1 Best Seller" title) and NULLs a
+      * `#`-leading header probe; `\u0000` disables it. One documented
+      * residual divergence (malformed input only): chars after a CLOSING
+      * quote (`"a"x,b`) stay literal here (`"a"x`) where Python strips
+      * the outer quotes (`ax`) — no univocity mode reproduces that, and
+      * well-formed CSV never hits it.
+      */
+    private def pythonCsvSettings(): com.univocity.parsers.csv.CsvParserSettings = {
+      val settings = new com.univocity.parsers.csv.CsvParserSettings
+      settings.setMaxColumns(4096)
+      settings.setMaxCharsPerColumn(1 << 20)
+      settings.setIgnoreLeadingWhitespaces(false)
+      settings.setIgnoreTrailingWhitespaces(false)
+      settings.setNullValue("") // empty unquoted field -> '' (DictReader)
+      settings.setEmptyValue("") // quoted "" -> ''
+      settings.getFormat.setComment('\u0000') // Python csv: '#' lines are DATA
+      settings
+    }
+
     /** Driver-side probe of the raw header line, with the same dialect
       * the data parse uses (no trimming, Python-csv quoting) so header
       * quoting semantics match the reference's DictReader fieldnames.
@@ -183,15 +201,9 @@ object IngestSource {
             .readLine()
           finally in.close()
         if (line == null || line.isEmpty) Some(Array.empty)
-        else {
-          val settings = new com.univocity.parsers.csv.CsvParserSettings
-          settings.setMaxColumns(4096)
-          settings.setIgnoreLeadingWhitespaces(false)
-          settings.setIgnoreTrailingWhitespaces(false)
-          settings.setNullValue("")
-          settings.setEmptyValue("")
-          Option(new com.univocity.parsers.csv.CsvParser(settings).parseLine(line))
-        }
+        else
+          Option(new com.univocity.parsers.csv.CsvParser(pythonCsvSettings())
+            .parseLine(line))
       } catch {
         case _: Exception =>
           // bounded fallback: one-row Spark probe of the raw header line

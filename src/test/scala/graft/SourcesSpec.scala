@@ -44,6 +44,30 @@ class SourcesSpec extends SparkSpec {
     assert(rows(2).getString(2) === "9")
   }
 
+  test("csv: '#'-leading lines are DATA, not comments (Python csv has no comments)") {
+    // Python's csv module has no comment concept: a row whose first cell
+    // starts with '#' is an ordinary data row, and a '#'-leading header
+    // names an ordinary column. Univocity's DEFAULT dialect treats '#'
+    // as a line comment — left enabled it silently dropped such rows
+    // (an unquoted "#1 Best Seller" title in column 0) and returned a
+    // null header probe. The shared dialect disables the comment char.
+    val dir = tmpDir("csvhash")
+    val p = writeText(dir, "in.csv",
+      "sku,title\n#1,Best Seller\nA2,#2 pick\n")
+    val df = IngestSource("csv").read(spark, p)
+    val rows = df.orderBy(IngestSource.ROW_IDX).select("sku", "title").collect()
+    assert(rows.length === 2, "a '#'-leading data row must survive")
+    assert(rows(0).getString(0) === "#1" && rows(0).getString(1) === "Best Seller")
+    assert(rows(1).getString(1) === "#2 pick")
+
+    val dir2 = tmpDir("csvhashhdr")
+    val p2 = writeText(dir2, "in.csv", "#tag,sku\nx,A1\n")
+    val df2 = IngestSource("csv").read(spark, p2)
+    assert(df2.columns.contains("#tag"), "a '#'-leading header is a real column")
+    val r2 = df2.select("#tag", "sku").collect()
+    assert(r2.length === 1 && r2(0).getString(0) === "x" && r2(0).getString(1) === "A1")
+  }
+
   test("csv: exact-duplicate header masks earlier value under a short row (zip+restval)") {
     // dict(zip(fieldnames, row)) + the restval loop: for EXACT duplicate
     // names only the LAST position counts — DictReader sets d['sku']=None

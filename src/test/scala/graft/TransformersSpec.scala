@@ -97,6 +97,54 @@ class TransformersSpec extends SparkSpec {
     assert(Transformers.pyStrip(all) === "")
   }
 
+  test("integer/decimal: Python numeric-literal parity (underscores, Java suffixes, inf/nan)") {
+    // PEP 515: float('1_000') == 1000.0 — single underscores BETWEEN
+    // digits only ('_1', '1__0', '5_' all ValueError -> 0). Spark's own
+    // double cast instead accepts Java suffixes ('1d', '2.5f') that
+    // float() rejects -> the reference returns 0 for those, so the
+    // transformer must too.
+    assert(run("integer", Seq(
+      "1_000", "-2_5.9", "1_0e0_1", "+.5_5",
+      "1d", "2.5f", "1D", "3F",
+      "_1", "1__0", "5_", "1._5",
+      "nan", "NaN", "-nan")) ===
+      Seq(1000, -25, 100, 0,
+        0, 0, 0, 0,
+        0, 0, 0, 0,
+        0, 0, 0))
+    // Decimal() removes underscores ANYWHERE ("underscores throughout
+    // the string are removed", decimal docs) — looser than float():
+    // Decimal('_1') == 1 and Decimal('1__0') == 10 are VALID there.
+    // '_ 1' stays invalid: Python strips whitespace BEFORE removing
+    // underscores, so the exposed inner space still raises there — and
+    // must stay a strict error here even though Spark's decimal cast
+    // would trim it.
+    val dec = run("decimal", Seq("1_000", "_1", "1__0", "$1_000.2_5", "1d", "_ 1"))
+    assert(dec.map(v => Option(v).map(_.toString).orNull) ===
+      Seq("1000.00", "1.00", "10.00", "1000.25", null, null))
+  }
+
+  test("integer range flag: truncation-before-range-check and the inf OverflowError") {
+    import spark.implicits._
+    // Python runs int() (truncate toward zero) BEFORE the DB sees the
+    // value: "2147483647.9" truncates to a fitting 2147483647 and
+    // stores fine — it must NOT abort. "2147483648" overflows INTEGER at
+    // INSERT -> abort. int(float('inf')) raises OverflowError, which the
+    // except-ValueError fallback does NOT catch -> the reference batch
+    // dies; the flag reproduces that as out-of-range. int(float('nan'))
+    // raises ValueError -> caught -> 0, never an abort.
+    val in = Seq("2147483647.9", "2147483648", "-2147483648.5",
+      "-2147483649", "inf", "-Infinity", "1e999", "1_0e999", "nan", "junk", "")
+    val got = in.toDF("v")
+      .select(Transformers.integerRangeErrorFlag(col("v")).as("f"))
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(got === Seq(false, true, false, true, true, true, true, true,
+      false, false, false))
+    // and the VALUES for the non-aborting rows truncate like Python
+    assert(run("integer", Seq("2147483647.9", "-2147483648.5")) ===
+      Seq(2147483647, -2147483648))
+  }
+
   test("property: transformer catalog == Python-semantics reference on messy strings") {
     val rnd = new scala.util.Random(29)
     val pads = Seq("", " ", "  ", "\t", "\n", " \t",

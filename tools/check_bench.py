@@ -85,21 +85,27 @@ SLICE_CONTRACT = {
 
 
 def check_slice_contract(failures):
+    # The registry was split by query family in r17 (SparkEntry.scala ->
+    # SparkEntryDedup/Ann/Events/Ingest/Catalog/...): the contract scans
+    # the whole SparkEntry*.scala family. Prof*.scala scratch profilers
+    # are deliberately OUT of scope — they reuse slice predicates for
+    # A/B runs without gating anything.
+    import glob
     import os
     here = os.path.dirname(os.path.abspath(__file__))
-    entry = os.path.join(here, "..", "src", "main", "scala", "graft",
-                         "SparkEntry.scala")
-    if not os.path.exists(entry):
-        print("note: SparkEntry.scala not found beside tools/; "
+    files = sorted(glob.glob(os.path.join(
+        here, "..", "src", "main", "scala", "graft", "SparkEntry*.scala")))
+    if not files:
+        print("note: SparkEntry*.scala not found beside tools/; "
               "slice-contract check skipped")
         return
-    src = open(entry).read()
+    src = "".join(open(f).read() for f in files)
     for label, (needle, need) in SLICE_CONTRACT.items():
         have = src.count(needle)
         if have != need:
             failures.append(
                 f"slice contract broken: {label}: expected exactly {need} "
-                f"occurrence(s) of `{needle}` in SparkEntry.scala, "
+                f"occurrence(s) of `{needle}` in SparkEntry*.scala, "
                 f"found {have} (BASELINE.md Round-13 slice contract)")
 
 
