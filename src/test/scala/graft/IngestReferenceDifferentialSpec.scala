@@ -213,6 +213,164 @@ class IngestReferenceDifferentialSpec extends SparkSpec {
     assert(rows.head.getAs[String]("title") === "T2")
   }
 
+  // ---- Python numeric models (independent re-implementations: a
+  // hand-rolled grammar walk, NOT the engine's regex) ----
+
+  /** float(s) under Python's literal grammar: None on ValueError.
+    * digitpart = digits with single underscores BETWEEN digits; the
+    * mantissa needs at least one digit on either side of the dot; the
+    * inf/infinity/nan words parse (case-insensitive, signed).
+    */
+  private def pyFloatOpt(raw: String): Option[Double] = {
+    val s = graft.functions.Transformers.pyStrip(raw).toLowerCase
+    def digitpart(t: String): Boolean =
+      t.nonEmpty && t.head.isDigit && t.last.isDigit && !t.contains("__") &&
+        t.forall(c => c.isDigit || c == '_')
+    val (sign, body) =
+      if (s.startsWith("+")) (1.0, s.drop(1))
+      else if (s.startsWith("-")) (-1.0, s.drop(1)) else (1.0, s)
+    if (body == "inf" || body == "infinity")
+      return Some(sign * Double.PositiveInfinity)
+    if (body == "nan") return Some(Double.NaN)
+    val (mant, exp) = body.indexOf('e') match {
+      case -1 => (body, "")
+      case i => (body.take(i), body.drop(i + 1))
+    }
+    val expOk = exp.isEmpty || {
+      val e = if (exp.startsWith("+") || exp.startsWith("-")) exp.drop(1) else exp
+      digitpart(e)
+    }
+    val mantOk = mant.indexOf('.') match {
+      case -1 => digitpart(mant)
+      case i =>
+        val (ip, fp) = (mant.take(i), mant.drop(i + 1))
+        (ip.isEmpty || digitpart(ip)) && (fp.isEmpty || digitpart(fp)) &&
+          (ip.nonEmpty || fp.nonEmpty)
+    }
+    if (mantOk && expOk) Some(s.replace("_", "").toDouble) else None
+  }
+
+  /** IntegerTransformer: int(float(s)) with the ValueError->0 fallback;
+    * None = the uncatchable abort (OverflowError from int(inf), or the
+    * DB INTEGER overflow on a parseable out-of-range value).
+    */
+  private def pyIntOutcome(raw: String): Either[Unit, Int] =
+    pyFloatOpt(raw) match {
+      case Some(d) if d.isInfinite => Left(()) // int(inf): OverflowError
+      case Some(d) if d.isNaN => Right(0) // int(nan): ValueError -> 0
+      case Some(d) if d >= 2147483648.0 || d <= -2147483649.0 => Left(()) // DB overflow
+      case Some(d) => Right(d.toInt)
+      case None => Right(0) // ValueError -> 0
+    }
+
+  /** DecimalTransformer + NUMERIC(12,2): currency/comma removal, Python
+    * strip, Decimal's remove-underscores-anywhere, quantize half-away.
+    * None = InvalidOperation or numeric overflow -> batch abort.
+    * ('nan' stays OUT of the generator pools: the reference stores a
+    * NaN numeric there — the engine's documented abort deviation.)
+    */
+  private def pyDecimalOutcome(raw: String): Option[BigDecimal] = {
+    val stripped = graft.functions.Transformers.pyStrip(
+      raw.replace("$", "").replace("£", "").replace(",", ""))
+    val cleaned = stripped.replace("_", "")
+    if (cleaned.exists(c => Character.isWhitespace(c) || Character.isSpaceChar(c)))
+      return None // exposed/inner whitespace: InvalidOperation
+    scala.util.Try(BigDecimal(cleaned)).toOption
+      .map(_.setScale(2, BigDecimal.RoundingMode.HALF_UP))
+      .filter(_.abs < BigDecimal("10000000000")) // DECIMAL(12,2) overflow aborts
+  }
+
+  test("random numeric batches: integer/decimal Python grammar == simulation (seeded)") {
+    // Same differential discipline over the NUMERIC transformers: the
+    // generator emits the literal forms where Spark's casts and Python's
+    // parsers disagree (PEP 515 underscores, Java 'd'/'f' suffixes,
+    // inf words, truncation-edge range values, '#'-leading skus), the
+    // simulation replays Python semantics from an independent model,
+    // and poisoned batches must abort without touching the table.
+    val cfgNum = ParserConfig("csv", Seq(
+      "sku" -> ("sku", "text"),
+      "qty" -> ("stock_quantity", "integer"),
+      "price" -> ("max_price", "decimal")))
+    def csvNum(rows: Seq[Vector[String]]): String = {
+      val dir = tmpDir("diffnum")
+      // csv.writer quoting: a field containing the delimiter is wrapped
+      // in quotes (price values like "$1,234.50" must survive as ONE
+      // cell, exactly as a real client export would carry them)
+      def field(v: String): String =
+        if (v.exists(c => c == ',' || c == '"' || c == '\n'))
+          "\"" + v.replace("\"", "\"\"") + "\""
+        else v
+      val body = rows.map(_.map(field).mkString(","))
+      writeText(dir, "b.csv", ("sku,qty,price" +: body).mkString("\n"))
+    }
+    case class NumRow(sku: String, var qty: Option[Int],
+        var price: Option[BigDecimal], var ts: Timestamp)
+    val qtyPool = Seq("3.7", "-3.7", "42", "junk", "", "1_000", "1d",
+      "2.5f", "nan", "2147483647.9", "-2147483648.5", "1_0e0_1", "_1", "5_")
+    val qtyPoison = Seq("inf", "-Infinity", "1e999", "2147483648", "-2147483649")
+    val pricePool = Seq("$1,234.50", "£99.9", "7", "1_000.2_5", "_1",
+      "12.345", "1e3", "-0.5")
+    val pricePoison = Seq("garbage", "1 234.50", "_ 1", "", "1d", "99999999999")
+    val skuPool = Seq("A1", "B2", "#1", "C3", "D4")
+    val rnd = new Random(123)
+    (1 to 3).foreach { trial =>
+      val store = new ProductStore(spark, tmpDir(s"nstore$trial"))
+      val svc = new IngestionService(spark, store, clientId = 1)
+      val state = mutable.ArrayBuffer.empty[NumRow]
+      (1 to 5).foreach { b =>
+        val poison = rnd.nextInt(3) == 0
+        val skus = rnd.shuffle(skuPool).take(1 + rnd.nextInt(4))
+        val badAt = if (poison) rnd.nextInt(skus.length) else -1
+        val rows = skus.zipWithIndex.map { case (sku, i) =>
+          val qty = qtyPool(rnd.nextInt(qtyPool.length))
+          val price = pricePool(rnd.nextInt(pricePool.length))
+          if (i == badAt) {
+            if (rnd.nextBoolean()) Vector(sku, qtyPoison(rnd.nextInt(qtyPoison.length)), price)
+            else Vector(sku, qty, pricePoison(rnd.nextInt(pricePoison.length)))
+          } else {
+            rnd.nextInt(6) match {
+              case 0 => Vector(sku) // qty+price unsupplied
+              case 1 => Vector(sku, qty) // price unsupplied
+              case _ => Vector(sku, qty, price)
+            }
+          }
+        }
+        val ts = Timestamp.valueOf(f"2024-05-0$b%d 00:00:00")
+        val rep = svc.ingest(cfgNum, csvNum(rows), batchTs = ts)
+        if (poison) {
+          assert(!rep.success, s"trial $trial batch $b must abort: $rows")
+          // state NOT simulated: table must equal the pre-batch state
+        } else {
+          assert(rep.success, s"trial $trial batch $b: ${rep.message} $rows")
+          rows.foreach { row =>
+            val sku = row.head
+            val qty = row.lift(1).map(v => pyIntOutcome(v)
+              .getOrElse(fail(s"non-poison qty '$v' aborted in the model")))
+            val price = row.lift(2).map(v => pyDecimalOutcome(v)
+              .getOrElse(fail(s"non-poison price '$v' aborted in the model")))
+            state.find(_.sku == sku) match {
+              case Some(r) =>
+                qty.foreach(v => r.qty = Some(v))
+                price.foreach(v => r.price = Some(v))
+                r.ts = ts
+              case None =>
+                state += NumRow(sku, qty, price, ts)
+            }
+          }
+        }
+        val actual = store.read().collect()
+          .map(r => (r.getAs[String]("sku"),
+            Option(r.getAs[Integer]("stock_quantity")).map(_.intValue),
+            Option(r.getAs[java.math.BigDecimal]("max_price")).map(BigDecimal(_)),
+            r.getAs[Timestamp]("last_changed_on")))
+          .sortBy(_.toString)
+        val expected = state.map(r => (r.sku, r.qty, r.price, r.ts))
+          .sortBy(_.toString)
+        assert(actual.toSeq === expected.toSeq, s"trial $trial after batch $b")
+      }
+    }
+  }
+
   test("random sequences with abort batches: failures commit nothing (seeded)") {
     // Same differential, but ~1 in 3 batches carries an unparseable strict
     // boolean: the engine must report failure WITHOUT touching the table
