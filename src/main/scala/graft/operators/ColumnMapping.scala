@@ -42,6 +42,14 @@ case class ParserConfig(
     val srcs = columnMapping.map(_._1)
     require(srcs.distinct.size == srcs.size,
       s"Source column mapped more than once: ${srcs.diff(srcs.distinct).mkString(",")}")
+    // A mapping key '' is REJECTED rather than silently never matching:
+    // in the reference, element names are stripped at parse
+    // (parsers.py:43), so a whitespace-only CSV header's elements carry
+    // the name '' and a pathological {'': [target, t]} mapping would
+    // capture them — the engine's source drops those columns outright
+    // (they cannot name anything), so the config is refused up front.
+    require(srcs.forall(s => Transformers.pyStrip(s).nonEmpty),
+      "Source column mapping key is empty after strip")
     this
   }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import graft.sources.IngestSource
+import org.apache.spark.sql.functions.col
 
 /** Source-format semantics — reference ingestion/parsers.py:34-48. */
 class SourcesSpec extends SparkSpec {
@@ -66,6 +67,83 @@ class SourcesSpec extends SparkSpec {
     assert(df2.columns.contains("#tag"), "a '#'-leading header is a real column")
     val r2 = df2.select("#tag", "sku").collect()
     assert(r2.length === 1 && r2(0).getString(0) === "x" && r2(0).getString(1) === "A1")
+  }
+
+  test("property: csv source == DictReader model on random hostile matrices (seeded)") {
+    // Generative differential of the WHOLE csv dialect: random header
+    // vectors (duplicates, blanks, padded, '#'-leading) and random data
+    // matrices (embedded quotes/commas/hashes, empty cells, short rows,
+    // long rows, unicode), serialized with csv.writer's minimal quoting,
+    // read through CsvSource, and compared cell-for-cell against a
+    // hand-rolled DictReader model (dict(zip)+restval, truthy-raw-name
+    // aliveness, stripped-name groups with last-PRESENT-wins).
+    val rnd = new scala.util.Random(41)
+    val headerPool = Seq("sku", "sku ", " sku", "title", "", " ", "#h", "b", "\"q\"")
+    val cellPool = Seq("", "a", "b,c", "\"x\"", "#1 pick", " padded ", "ü±",
+      "x\"\"y", "5", "a\"b", ",", "trail,")
+    def quoteMin(v: String): String =
+      if (v.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+        "\"" + v.replace("\"", "\"\"") + "\""
+      else v
+    def pyStrip(s: String) = graft.functions.Transformers.pyStrip(s)
+    (1 to 25).foreach { trial =>
+      val hn = 1 + rnd.nextInt(5)
+      val headers = Vector.fill(hn)(headerPool(rnd.nextInt(headerPool.size)))
+      val nRows = rnd.nextInt(8)
+      val data = Vector.fill(nRows) {
+        val len = rnd.nextInt(hn + 2) // 0 = blank line, hn+1 = extra field
+        Vector.fill(len)(cellPool(rnd.nextInt(cellPool.size)))
+      }
+      val headerLine = headers.map(quoteMin).mkString(",")
+      val dataLines = data.map(_.map(quoteMin).mkString(","))
+      val dir = tmpDir(s"csvprop$trial")
+      val p = writeText(dir, "in.csv", (headerLine +: dataLines).mkString("\n"))
+
+      // ---- DictReader model ----
+      // A header line that serializes to "" reads back as an EMPTY
+      // fieldname list (zero columns), not [""].
+      val effHeaders = if (headerLine.isEmpty) Vector.empty[String] else headers
+      val distinctRaw = effHeaders.distinct.filter(_.nonEmpty)
+      val lastPos = distinctRaw.map(r => r -> effHeaders.lastIndexOf(r)).toMap
+      val groups: Seq[(String, Seq[Int])] = {
+        val seen = scala.collection.mutable.LinkedHashMap.empty[String, Vector[Int]]
+        distinctRaw.foreach { r =>
+          val s = pyStrip(r)
+          if (s.nonEmpty)
+            seen.updateWith(s)(v => Some(v.getOrElse(Vector.empty) :+ lastPos(r)))
+        }
+        seen.toSeq
+      }
+      // With NO mappable (nonempty-stripped-name) column at all the
+      // source short-circuits to zero rows — the DictReader-level rows
+      // it skips carry only ''-named elements, whose record_data comes
+      // out empty and is skipped uncounted downstream anyway (the
+      // behavior-equivalence the e2e differential pins).
+      val expectRows: Seq[Seq[String]] =
+        if (groups.isEmpty) Nil
+        else data.zip(dataLines).flatMap {
+          case (cells, line) =>
+            if (line.isEmpty) None // csv.writer of a lone '' emits a blank line
+            else if (!distinctRaw.exists(r => lastPos(r) < cells.length)) None
+            else Some(groups.map { case (_, ps) =>
+              ps.reverse.collectFirst { case i if i < cells.length => cells(i) }.orNull
+            })
+        }
+
+      val df = IngestSource("csv").read(spark, p)
+      val gotCols = df.columns.filterNot(_ == IngestSource.ROW_IDX).toSeq
+      assert(gotCols === groups.map(_._1), s"trial $trial: columns ($headers)")
+      val got = df.orderBy(IngestSource.ROW_IDX)
+        .select(gotCols.map(c => col(s"`$c`")): _*)
+        .collect()
+        .map(r => gotCols.indices.map(i =>
+          if (r.isNullAt(i)) null else r.getString(i)))
+      assert(got.length === expectRows.length,
+        s"trial $trial: row count ($headers / $data)")
+      got.zip(expectRows).zipWithIndex.foreach { case ((g, e), i) =>
+        assert(g === e, s"trial $trial surviving-row $i ($headers / $data)")
+      }
+    }
   }
 
   test("csv: exact-duplicate header masks earlier value under a short row (zip+restval)") {
