@@ -37,8 +37,13 @@ def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    import os
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+        # driver testdata ships single files; GenData's sf1 tables are
+        # Spark-written DIRECTORIES named <t>.parquet — glob inside those
+        p = f"{sfdir}/{t}.parquet"
+        pat = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = n_noorc = 0
     for name in sorted(oracle):
