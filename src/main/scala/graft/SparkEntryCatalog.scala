@@ -650,6 +650,30 @@ private[graft] trait SparkEntryCatalog { this: SparkEntry.type =>
       .orderBy(col("p_partkey"))
   }
 
+  /** Python numeric-literal grammar under the oracle gate: the row set
+    * walks the forms where Spark's own casts and Python's parsers
+    * disagree — PEP 515 underscore literals ('1_000' == 1000, also in
+    * exponents), Java suffix literals ('1d' parses in Spark but is a
+    * float() ValueError -> 0), 'nan' (int(nan) ValueError -> 0), the
+    * truncation edge ('2147483647.9' fits after int()), and Decimal's
+    * remove-underscores-anywhere rule ('_1' == 1 for Decimal but 0 for
+    * float). The oracle replays the SAME grammar in DuckDB: a regex
+    * acceptance gate + underscore removal in front of TRY_CAST, so the
+    * contract is executed independently on both engines.
+    */
+  private[graft] def transformPyFloat(s: SparkSession, d: String): DataFrame = {
+    val intLits = Seq("1_000", "1d", "2.5f", "1_0e0_1", "nan", "_1",
+      "2147483647.9", "junk")
+    val decLits = Seq("1_000.2_5", "_1", "$1,234.5_0", "7", "1__0",
+      "£9_9.9", "12.345", "-0.5")
+    val idx = (col("p_partkey") % 8 + 1).cast(IntegerType)
+    t(s, d, "part").select(col("p_partkey"),
+      Transformers.integer(element_at(typedLit(intLits), idx)).as("int_val"),
+      Transformers.decimal(element_at(typedLit(decLits), idx))
+        .cast(DoubleType).as("dec_val"))
+      .orderBy(col("p_partkey"))
+  }
+
   private[graft] def transformBoolean(s: SparkSession, d: String): DataFrame = {
     val raw = when(col("p_partkey") % 6 === 0, "yes")
       .when(col("p_partkey") % 6 === 1, " No ")

@@ -242,6 +242,30 @@ private[graft] trait SparkEntryOraclesA { this: SparkEntry.type =>
         |  coalesce(CAST(trunc(TRY_CAST(trim(CASE WHEN p_partkey % 5 = 0 THEN 'garbage'
         |    ELSE concat(CAST(p_size AS VARCHAR), '.7') END) AS DOUBLE)) AS INTEGER), 0) AS int_val
         |FROM part ORDER BY p_partkey""".stripMargin,
+    // Python float()/Decimal() literal grammar: regex acceptance gate +
+    // underscore removal in front of TRY_CAST — '1d'/'2.5f' fail the
+    // grammar (float() ValueError -> 0) even though both engines' bare
+    // casts would parse them; trunc-before-int matches Python's int()
+    "q_transform_pyfloat" ->
+      """WITH v AS (
+        |  SELECT p_partkey,
+        |    CASE CAST(p_partkey % 8 AS INTEGER)
+        |      WHEN 0 THEN '1_000' WHEN 1 THEN '1d' WHEN 2 THEN '2.5f'
+        |      WHEN 3 THEN '1_0e0_1' WHEN 4 THEN 'nan' WHEN 5 THEN '_1'
+        |      WHEN 6 THEN '2147483647.9' ELSE 'junk' END AS s,
+        |    CASE CAST(p_partkey % 8 AS INTEGER)
+        |      WHEN 0 THEN '1_000.2_5' WHEN 1 THEN '_1' WHEN 2 THEN '$1,234.5_0'
+        |      WHEN 3 THEN '7' WHEN 4 THEN '1__0' WHEN 5 THEN '£9_9.9'
+        |      WHEN 6 THEN '12.345' ELSE '-0.5' END AS ds
+        |  FROM part)
+        |SELECT p_partkey,
+        |  coalesce(TRY_CAST(trunc(TRY_CAST(
+        |    CASE WHEN regexp_matches(s,
+        |      '^[+-]?((\d(_?\d)*(\.(\d(_?\d)*)?)?|\.\d(_?\d)*)([eE][+-]?\d(_?\d)*)?|(?i:inf(inity)?|nan))$')
+        |      THEN replace(s, '_', '') ELSE NULL END AS DOUBLE)) AS INTEGER), 0) AS int_val,
+        |  CAST(TRY_CAST(replace(trim(regexp_replace(ds, '[$£,]', '', 'g')), '_', '')
+        |    AS DECIMAL(12,2)) AS DOUBLE) AS dec_val
+        |FROM v ORDER BY p_partkey""".stripMargin,
     // Python str.strip() Unicode set: pad per row with NBSP / figure
     // space / ideographic space / NEL / tab / space, rebuild the padded
     // strings and trim with the explicit char list
