@@ -120,9 +120,25 @@ object IngestSource {
         classOf[org.apache.hadoop.io.Text])
       val rows = lines.mapPartitionsWithIndex { (pid, it) =>
         val parser = new com.univocity.parsers.csv.CsvParser(pythonCsvSettings())
+        // STRICT UTF-8, not Text.toString: the reference decodes the whole
+        // upload up front (`client_data.decode('utf-8')`, parsers.py:35) and
+        // an invalid byte ANYWHERE aborts the batch with a UnicodeDecodeError
+        // — Hadoop's Text would silently substitute U+FFFD and ingest
+        // mojibake (latin-1 exports are the classic case). The decoder is
+        // per-task; the throw fails the Spark job and the ingest service
+        // reports the failed batch, nothing written.
+        val decoder = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
         var counter = 0L
         it.flatMap { case (off, text) =>
-          val line = text.toString
+          val line =
+            try decoder.decode(java.nio.ByteBuffer.wrap(
+              text.getBytes, 0, text.getLength)).toString
+            catch {
+              case _: java.nio.charset.CharacterCodingException =>
+                throw new IllegalArgumentException(
+                  s"invalid UTF-8 byte sequence in input line at offset ${off.get}" +
+                    " — 'utf-8' codec can't decode the upload")
+            }
           if (off.get == 0L || line.isEmpty) None // header / blank line
           else {
             val fs = parser.parseLine(line)
@@ -195,9 +211,14 @@ object IngestSource {
               .sortBy(_.getName).head
           else p
         val in = fs.open(target)
+        // STRICT decoder (InputStreamReader's default substitutes U+FFFD):
+        // an invalid byte in the header line aborts the batch exactly like
+        // the reference's up-front decode — the CharacterCodingException
+        // is rethrown below, never swallowed into the fallback read.
         val line =
           try new java.io.BufferedReader(
-            new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+            new java.io.InputStreamReader(in,
+              java.nio.charset.StandardCharsets.UTF_8.newDecoder()))
             .readLine()
           finally in.close()
         if (line == null || line.isEmpty) Some(Array.empty)
@@ -205,6 +226,10 @@ object IngestSource {
           Option(new com.univocity.parsers.csv.CsvParser(pythonCsvSettings())
             .parseLine(line))
       } catch {
+        case e: java.nio.charset.CharacterCodingException =>
+          throw new IllegalArgumentException(
+            "invalid UTF-8 byte sequence in the CSV header line — " +
+              "'utf-8' codec can't decode the upload", e)
         case _: Exception =>
           // bounded fallback: one-row Spark probe of the raw header line
           try Some(spark.read.option("header", "false").option("inferSchema", "false")

@@ -69,6 +69,42 @@ class SourcesSpec extends SparkSpec {
     assert(r2.length === 1 && r2(0).getString(0) === "x" && r2(0).getString(1) === "A1")
   }
 
+  test("csv: invalid UTF-8 aborts the batch, never silently ingests mojibake") {
+    // Reference parsers.py:35 decodes the WHOLE upload up front —
+    // client_data.decode('utf-8') raises UnicodeDecodeError on any bad
+    // byte (a latin-1 export is the classic case) and the service
+    // reports the failed batch. Hadoop's Text.toString would substitute
+    // U+FFFD and ingest the mangled rows; the source decodes strictly.
+    val dir = tmpDir("csvbadutf8")
+    val p = java.nio.file.Paths.get(dir, "in.csv")
+    val bytes = "sku,title\nA1,caf".getBytes("UTF-8") ++
+      Array(0xE9.toByte) ++ "\n".getBytes("UTF-8") // lone latin-1 é
+    java.nio.file.Files.write(p, bytes)
+    val ex = intercept[Exception] {
+      IngestSource("csv").read(spark, p.toString).collect()
+    }
+    def causes(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: causes(e.getCause))
+    assert(causes(ex).exists(m => m != null && m.contains("utf-8")),
+      s"expected a decode abort, got: $ex")
+
+    // a bad byte in the HEADER aborts at read() (the probe is strict too)
+    val dir2 = tmpDir("csvbadhdr")
+    val p2 = java.nio.file.Paths.get(dir2, "in.csv")
+    java.nio.file.Files.write(p2,
+      "sk".getBytes("UTF-8") ++ Array(0xFF.toByte) ++ ",title\nA,B\n".getBytes("UTF-8"))
+    val ex2 = intercept[IllegalArgumentException] {
+      IngestSource("csv").read(spark, p2.toString)
+    }
+    assert(ex2.getMessage.contains("utf-8"))
+
+    // valid multi-byte UTF-8 still reads exactly
+    val dir3 = tmpDir("csvutf8ok")
+    val p3 = writeText(dir3, "in.csv", "sku,title\nA1,café 中文 ü\n")
+    val rows = IngestSource("csv").read(spark, p3).select("title").collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("café 中文 ü"))
+  }
+
   test("property: csv source == DictReader model on random hostile matrices (seeded)") {
     // Generative differential of the WHOLE csv dialect: random header
     // vectors (duplicates, blanks, padded, '#'-leading) and random data
