@@ -69,6 +69,43 @@ class SourcesSpec extends SparkSpec {
     assert(r2.length === 1 && r2(0).getString(0) === "x" && r2(0).getString(1) === "A1")
   }
 
+  test("csv: multi-split parse — header skipped once, file order preserved, last wins") {
+    // The positional parser's 100 TB contract, exercised for real: with
+    // the split size forced down, one file parses as MANY input splits.
+    // Only the line at FILE offset 0 is the header (a line at offset 0
+    // of a later SPLIT is data); partition ids follow split offsets, so
+    // the partition-prefixed _row_idx reproduces exact file order; and
+    // the within-batch last-wins dedup therefore resolves duplicate
+    // skus correctly even when the occurrences land in different splits.
+    val dir = tmpDir("csvsplits")
+    val n = 20000
+    val body = (0 until n).map(i => s"S${i % 97},T$i")
+    val p = writeText(dir, "in.csv", ("sku,title" +: body).mkString("\n"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val key = "mapreduce.input.fileinputformat.split.maxsize"
+    val old = Option(conf.get(key))
+    conf.set(key, "32768") // ~240 KB file -> ~8 splits
+    try {
+      val df = IngestSource("csv").read(spark, p)
+      assert(df.rdd.getNumPartitions >= 4,
+        s"expected a multi-split read, got ${df.rdd.getNumPartitions} partition(s)")
+      val rows = df.orderBy(IngestSource.ROW_IDX)
+        .select("sku", "title").collect()
+      assert(rows.length === n, "every data line survives; only the real header drops")
+      assert(rows.map(_.getString(1)).toSeq === body.map(_.split(",")(1)).toSeq,
+        "_row_idx must reproduce exact file order across splits")
+      // last-wins across split boundaries: for each sku the surviving
+      // title is the one from its LAST occurrence in file order
+      val deduped = graft.operators.MergeOps.lastNonNullWins(
+        df, Seq("sku"), IngestSource.ROW_IDX, Seq("title"))
+      val got = deduped.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      val want = (0 until n).map(i => s"S${i % 97}" -> s"T$i").toMap // later wins
+      assert(got === want)
+    } finally {
+      old match { case Some(v) => conf.set(key, v); case None => conf.unset(key) }
+    }
+  }
+
   test("csv: invalid UTF-8 aborts the batch, never silently ingests mojibake") {
     // Reference parsers.py:35 decodes the WHOLE upload up front —
     // client_data.decode('utf-8') raises UnicodeDecodeError on any bad
