@@ -210,7 +210,16 @@ object IngestSource {
                 n.getName.startsWith("."))
               .sortBy(_.getName).head
           else p
-        val in = fs.open(target)
+        // Codec-aware open: TextInputFormat decompresses .gz/.bz2/... data
+        // lines transparently (the first line of a compressed file still
+        // carries key 0, so the header skip holds) — the probe must read
+        // through the same codec or a compressed upload parses its
+        // DEFLATE bytes as the header.
+        val rawIn = fs.open(target)
+        val codec = new org.apache.hadoop.io.compress.CompressionCodecFactory(
+          spark.sparkContext.hadoopConfiguration).getCodec(target)
+        val in: java.io.InputStream =
+          if (codec == null) rawIn else codec.createInputStream(rawIn)
         // STRICT decoder (InputStreamReader's default substitutes U+FFFD):
         // an invalid byte in the header line aborts the batch exactly like
         // the reference's up-front decode — the CharacterCodingException

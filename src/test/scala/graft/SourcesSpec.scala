@@ -69,6 +69,24 @@ class SourcesSpec extends SparkSpec {
     assert(r2.length === 1 && r2(0).getString(0) === "x" && r2(0).getString(1) === "A1")
   }
 
+  test("csv: gzip-compressed files parse end-to-end (codec-aware header probe)") {
+    // TextInputFormat decompresses .gz data lines transparently; the
+    // driver-side header probe must read through the same codec or it
+    // parses DEFLATE bytes as the header. Non-splittable is fine — one
+    // task per .gz file, the standard Hadoop contract.
+    val dir = tmpDir("csvgz")
+    val p = java.nio.file.Paths.get(dir, "in.csv.gz")
+    val out = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(p))
+    out.write("sku,title\nA1,Widget\nA2,\"a,b\"\n".getBytes("UTF-8"))
+    out.close()
+    val df = IngestSource("csv").read(spark, p.toString)
+    assert(df.columns.toSet === Set("sku", "title", IngestSource.ROW_IDX))
+    val rows = df.orderBy(IngestSource.ROW_IDX).select("sku", "title").collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("A1", "Widget"), ("A2", "a,b")))
+  }
+
   test("csv: multi-split parse — header skipped once, file order preserved, last wins") {
     // The positional parser's 100 TB contract, exercised for real: with
     // the split size forced down, one file parses as MANY input splits.
