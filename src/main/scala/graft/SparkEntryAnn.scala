@@ -1325,10 +1325,18 @@ private[graft] trait SparkEntryAnn { this: SparkEntry.type =>
     // gated slice: a scale-proportional 50% basket sample (the full
     // pair pipeline is billed by q_copurchase; this gates the CF
     // projection, not the pair build twice)
+    // pinned: both unionAll branches below read the pair table, and the
+    // union defeats ReuseExchange, so an unpinned pairs re-ran the whole
+    // basket self-join + pair aggregate for the swapped branch (measured
+    // ~1.0 s of the gate's 2.9 s warm floor — the ProfPairs stage
+    // decomposition). The pair table itself is support-filtered and
+    // item-pair-sized, far smaller than the basket stream it came from,
+    // so the checkpoint is cheap at any scale.
     val pairs = MarketBasket.pairCounts(
       t(s, d, "lineitem").filter(pmod(col("l_orderkey"), lit(2)) === 0)
         .select(col("l_orderkey"), col("l_partkey")),
       "l_orderkey", "l_partkey", minSupport = 2L, maxBasket = 64)
+      .localCheckpoint()
     val sym = pairs.select(col("item_a").as("item"), col("item_b").as("other"),
         col("n_ab"), col("n_a").as("n_i"), col("n_b").as("n_o"))
       .unionAll(pairs.select(col("item_b"), col("item_a"),

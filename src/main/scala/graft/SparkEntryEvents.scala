@@ -841,7 +841,7 @@ private[graft] trait SparkEntryEvents { this: SparkEntry.type =>
     */
   private[graft] def starJoin(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem")
-      .select(col("l_orderkey"), dec(col("l_extendedprice")).as("_p"))
+      .select(col("l_orderkey"), cents(col("l_extendedprice")).as("_p"))
       .join(t(s, d, "orders").select(col("o_orderkey").as("l_orderkey"),
         col("o_custkey")), "l_orderkey")
       .join(t(s, d, "customer").select(col("c_custkey").as("o_custkey"),
@@ -852,7 +852,9 @@ private[graft] trait SparkEntryEvents { this: SparkEntry.type =>
         col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(count(lit(1)).as("n_lines"),
-        sum(col("_p")).cast(DoubleType).as("revenue"))
+        // _p carries exact cents (scaled-long fast path, see sumd)
+        (sum(col("_p")).cast(DecimalType(28, 0)) / 100)
+          .cast(DoubleType).as("revenue"))
       .orderBy(col("r_name"), col("n_name"))
 
   /** End-to-end entity resolution: the [[fuzzyMatch]] dictionary

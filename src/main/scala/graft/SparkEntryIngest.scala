@@ -1162,7 +1162,10 @@ private[graft] trait SparkEntryIngest { this: SparkEntry.type =>
     val w = Window.partitionBy(col("o_custkey")).orderBy(col("days"))
       .rangeBetween(-30, 0)
     o.select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
-        sum(dec(col("o_totalprice"))).over(w).cast(DoubleType).as("rolling_30d"))
+        // scaled-long window sum (see sumd): long frame buffer instead
+        // of BigDecimal, value-identical after the exact /100
+        (sum(cents(col("o_totalprice"))).over(w)
+          .cast(DecimalType(28, 0)) / 100).cast(DoubleType).as("rolling_30d"))
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
