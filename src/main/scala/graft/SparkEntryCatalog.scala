@@ -764,7 +764,13 @@ private[graft] trait SparkEntryCatalog { this: SparkEntry.type =>
     // Native top-k aggregate: 3 groups with a single-window plan would
     // serialize 600k rows through 3 reducers; graft_topk's map-side heaps
     // shuffle only k rows per task per group.
-    TopK.perGroupAgg(t(s, d, "lineitem"),
+    // project BEFORE the aggregate: perGroupAgg's payload is struct(*),
+    // so an unprojected input carried all 11 lineitem columns into every
+    // heap insert and through the shuffle when the gate reads 4 (guide
+    // §2.3 — project before opaque operators the optimizer can't see into)
+    TopK.perGroupAgg(t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice")),
         groupCols = Seq(col("l_returnflag")),
         sortKey = struct(negate(col("l_extendedprice")), col("l_orderkey"),
           col("l_linenumber")),

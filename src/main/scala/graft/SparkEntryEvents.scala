@@ -595,8 +595,13 @@ private[graft] trait SparkEntryEvents { this: SparkEntry.type =>
       .select(col("src"), pmod(col("src") * 3 + 1, lit(97)).as("dst"))
       .unionAll(hosts
         .select(col("src"), pmod(col("src") * 7 + 2, lit(97)).as("dst")))
-    LinkGraph.shortestPaths(edges, "src", "dst",
-        hosts.filter(col("src") === 0), "src", maxHops = 4)
+    // bounded driver BFS: <= 97 hosts by construction at every corpus
+    // scale, integer distances (no float-order caveat at all); the
+    // distributed per-level join/anti-join/checkpoint stages were pure
+    // scheduling overhead here (33 jobs measured). The corpus-scale
+    // stage — the distinct over documents — stays distributed.
+    LinkGraph.shortestPathsBounded(edges, "src", "dst",
+        hosts.filter(col("src") === 0), "src", maxHops = 4, maxNodes = 97)
       .orderBy(col("node"))
   }
 

@@ -103,7 +103,15 @@ object Dsir {
     // the tokenize+explode subtree four times (Spark shares no common
     // subtrees across aggregation branches), quadrupling the dominant
     // corpus-scan cost of a model fit.
-    val occ = featureOccurrences(docs, textCol, idCol, isTarget, buckets)
+    termsFromOccurrences(
+      featureOccurrences(docs, textCol, idCol, isTarget, buckets), buckets)
+  }
+
+  /** [[modelTerms]]'s aggregate half over an already-built feature
+    * stream — split out so [[importanceScores]] can fit the model and
+    * score from ONE tokenize+hash pass.
+    */
+  private def termsFromOccurrences(occ: DataFrame, buckets: Int): DataFrame = {
     val counts = occ.groupBy(col("bucket")).agg(
       sum(when(col("_tgt"), 1L).otherwise(0L)).as("_ct"),
       sum(when(!col("_tgt"), 1L).otherwise(0L)).as("_cr"))
@@ -202,9 +210,30 @@ object Dsir {
       textCol: String,
       idCol: String,
       isTarget: Column,
-      buckets: Int = 4096): DataFrame =
-    scoreAgainst(docs.filter(!isTarget), textCol, idCol,
-      modelTerms(docs, textCol, idCol, isTarget, buckets), buckets)
+      buckets: Int = 4096): DataFrame = {
+    // ONE tokenize+hash pass for BOTH halves of the job: the model fit
+    // (per-bucket class counts) and the scoring aggregate (per-(doc,
+    // bucket) counts over the raw slice) each consume the same feature
+    // stream, and the md5 per n-gram explode is the operator's dominant
+    // cost — an unpinned composition re-tokenized and re-hashed the
+    // corpus for the scoring pass (measured ~0.4 s of q_dsir_sample's
+    // 1.5 s at sf0.1). The pinned stream is three narrow columns
+    // (id, bool, bucket), far cheaper to materialize than to recompute.
+    // occ.filter(!_tgt) == featureOccurrences(docs.filter(!isTarget))
+    // row-for-row: _tgt carries the same predicate, and NULL predicate
+    // rows drop under both forms.
+    val occ = featureOccurrences(docs, textCol, idCol, isTarget, buckets)
+      .localCheckpoint()
+    val terms = termsFromOccurrences(occ, buckets)
+    val perDoc = occ.filter(!col("_tgt"))
+      .groupBy(col("id"), col("bucket")).agg(count(lit(1)).as("_c"))
+    perDoc.join(broadcast(terms), "bucket")
+      .groupBy(col("id"))
+      .agg(sum(col("_c")).as("n_feats"),
+        round(sum(col("_c").cast(DecimalType(9, 0)) * col("_term")), 4)
+          .cast(DoubleType).as("score"))
+      .withColumnRenamed("id", idCol)
+  }
 
   /** Flag the top-`k` rows by (`scoreCol` desc, `idCol` asc) with a
     * boolean `selected` — equivalent to row_number() <= k over that

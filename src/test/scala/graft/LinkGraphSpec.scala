@@ -132,4 +132,45 @@ class LinkGraphSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("pageRankBounded is bit-identical to the distributed pageRank " +
+      "on an indegree<=2 generator graph (the q_domain_authority shape)") {
+    import spark.implicits._
+    // 61 of 97 residues present (the partial-residue small-SF case),
+    // edges from the two injective generator maps -> indegree <= 2.
+    val hosts = (0L until 97L).filter(_ % 3 != 1)
+    val edges = (hosts.map(h => (h, (3 * h + 1) % 97)) ++
+      hosts.map(h => (h, (7 * h + 2) % 97))).toDF("src", "dst")
+    val dist = LinkGraph.pageRank(edges, "src", "dst", iters = 10)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val bounded = LinkGraph.pageRankBounded(edges, "src", "dst", iters = 10)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(bounded.toSeq === dist.toSeq)
+  }
+
+  test("pageRankBounded fails loud on indegree > 2 and on maxNodes") {
+    import spark.implicits._
+    val dense = Seq((1L, 0L), (2L, 0L), (3L, 0L), (0L, 1L)).toDF("src", "dst")
+    assertThrows[IllegalArgumentException] {
+      LinkGraph.pageRankBounded(dense, "src", "dst", iters = 2)
+    }
+    val ring = (0L until 5L).map(i => (i, (i + 1) % 5)).toDF("src", "dst")
+    assertThrows[IllegalArgumentException] {
+      LinkGraph.pageRankBounded(ring, "src", "dst", iters = 2, maxNodes = 3)
+    }
+  }
+
+  test("shortestPathsBounded matches the distributed BFS rows exactly") {
+    import spark.implicits._
+    val hosts = (0L until 97L).filter(_ % 5 != 2)
+    val edges = (hosts.map(h => (h, (3 * h + 1) % 97)) ++
+      hosts.map(h => (h, (7 * h + 2) % 97))).toDF("src", "dst")
+    val seeds = Seq(0L).toDF("src")
+    val dist = LinkGraph.shortestPaths(edges, "src", "dst", seeds, "src", 4)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val bounded = LinkGraph
+      .shortestPathsBounded(edges, "src", "dst", seeds, "src", 4)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(bounded.toSeq === dist.toSeq)
+  }
 }
