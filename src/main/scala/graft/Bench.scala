@@ -366,6 +366,22 @@ object Bench {
       // 10k entries is megabytes — negligible against the 128 GiB heap.
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "10000"))
+      // Scan-split packing: openCostInBytes (default 4 MB) floors the
+      // computed split size at 4 MB, so this harness's single-file
+      // sub-4MB parquet tables scanned as ONE task each — every
+      // per-row-expensive scan stage (tokenize+explode, md5 features,
+      // NB scoring) ran on one of 32 cores before its first shuffle.
+      // 128 KB restores the split-size formula to bytesPerCore (guide
+      // §6.1: minPartitionNum is the parallelism floor, but
+      // max(openCost, bytesPerCore) defeats it for small inputs).
+      // Measured: q_text_stats 0.70 -> 0.54 s, q_quality_classifier
+      // 2.0 -> 1.3 s warm at sf0.1. Scale-adaptive, not local-tuned:
+      // at production scale bytesPerCore >> 4 MB and the value is
+      // irrelevant to split sizing; its only production role is task-
+      // count damping over many tiny files, where 128 KB still bounds
+      // tasks at ~32 files per 4 MB. Env hook for A/B.
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", "131072"))
       // Shuffle/spill scratch on tmpfs — the sandbox's /tmp is on a
       // throttled shared disk whose stall windows dominate measured
       // times (see Scratch).

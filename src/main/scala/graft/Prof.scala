@@ -35,6 +35,10 @@ object Prof {
       // (skew splits, runtime coalesce), so production keeps it on.
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // Scan-split packing, matching Bench's default (see there for the
+      // measured rationale); env hook for A/B
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", "131072"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -23,6 +23,11 @@ object Verify {
       // 120+ queries x several codegen fragments each overflow the
       // 100-entry Janino class cache (see Bench) — static conf.
       .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // Same scan-split packing as Bench (see there): verification runs
+      // under the bench's split layout, so order-insensitivity of every
+      // gate is exercised against the same partitioning the bench times.
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", "131072"))
       // Shuffle/spill scratch on tmpfs — the sandbox's /tmp is on a
       // throttled shared disk whose stall windows dominate measured
       // times (see Scratch).
