@@ -1112,12 +1112,33 @@ object Dedup {
     *
     * Input: (id_a, id_b) pair rows (extra columns ignored).
     * Output: (id, component) for every id that appears in a pair.
+    *
+    * ADAPTIVE EXECUTION (optimization round): the pair list is pinned
+    * once (it previously re-ran the upstream candidate pipeline for the
+    * second union branch), counted, and — when it fits
+    * `driverMaxEdges` — resolved with a driver-side union-find instead
+    * of the iterative joins. Min-label propagation's fixpoint IS "every
+    * node labeled with its component's minimum id", an all-integer
+    * quantity with no ordering sensitivity, so the two paths are
+    * exactly interchangeable (differential-tested in DedupSpec); the
+    * broadcast-join analogy applies — pick the runtime by the measured
+    * input size, not the worst case. Near-dup match graphs after
+    * support filtering are typically thousands of edges, where the
+    * 3-6 distributed rounds (join + aggregate + checkpoint + probe
+    * each) are pure scheduling overhead; a corpus-scale graph stays on
+    * the distributed path unchanged. One caveat: a small graph whose
+    * diameter exceeds `maxIters` now resolves instead of throwing —
+    * the throw guarded unconverged DISTRIBUTED output, and union-find
+    * has no such state.
     */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val edges = pairs
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20,
+      driverMaxEdges: Long = 1000000L): DataFrame = {
+    val p = pairs
       .select(col("id_a").cast("long").as("a"), col("id_b").cast("long").as("b"))
-      .union(pairs.select(col("id_b").cast("long").as("a"),
-        col("id_a").cast("long").as("b")))
+      .localCheckpoint()
+    if (p.count() <= driverMaxEdges) return connectedComponentsLocal(p)
+    val edges = p
+      .union(p.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .localCheckpoint()
     var labels = edges.select(col("a").as("id")).distinct()
@@ -1159,6 +1180,39 @@ object Dedup {
           "a component's diameter exceeds maxIters; raise it (cost is " +
           "one join+aggregate per round) or pre-contract the graph")
     labels
+  }
+
+  /** Driver union-find over a collected (a, b) edge list — the small-
+    * graph arm of [[connectedComponents]]. Path-halving find, union by
+    * attaching the larger root id under the smaller, then every node
+    * labeled with its root (== the component's minimum id, the same
+    * fixpoint min-label propagation converges to).
+    */
+  private def connectedComponentsLocal(p: DataFrame): DataFrame = {
+    val spark = p.sparkSession
+    import spark.implicits._
+    val es = p.as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) {
+        val g = parent.getOrElse(parent(r), parent(r))
+        parent.update(r, g)
+        r = g
+      }
+      r
+    }
+    es.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        // smaller id becomes the root, so the root IS the component min
+        if (ra < rb) parent.update(rb, ra) else parent.update(ra, rb)
+      }
+    }
+    val rows = parent.keysIterator.map(v => (v, find(v))).toSeq.sorted
+    spark.createDataFrame(rows).toDF("id", "component")
   }
 
   /** Cluster rows (id, component, cluster_size) from a pair graph —

@@ -58,4 +58,18 @@ class ClusterDecontamSpec extends SparkSpec {
     // "alpha beta gamma"; doc 2 shares nothing and must be absent.
     assert(rep === Map(1L -> ((2L, 1L)), 3L -> ((1L, 1L))))
   }
+
+  test("connectedComponents: driver union-find arm matches the " +
+      "distributed propagation arm row-for-row") {
+    import spark.implicits._
+    // bridged cliques + an isolated island + a self-pair
+    val pairs = (Seq((7L, 3L), (3L, 9L), (9L, 7L), (9L, 12L), (12L, 15L),
+      (20L, 21L), (30L, 30L)) ++ (40L to 52L).map(i => (i, i + 1)))
+      .toDF("id_a", "id_b")
+    val local = Dedup.connectedComponents(pairs)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val dist = Dedup.connectedComponents(pairs, driverMaxEdges = 0L)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(local.toSeq === dist.toSeq)
+  }
 }
