@@ -31,10 +31,21 @@ object ShardManifest {
     * width`, one range shard per directory.
     */
   def writeSharded(df: DataFrame, dir: String, keyCol: String,
-      width: Long): Unit =
+      width: Long): Unit = {
+    // Pin the repartition width: an un-numbered repartition(col) lets
+    // AQE coalesce by BYTES toward the advisory size, which collapses a
+    // small-byte/many-shard write to one task — but this write's unit
+    // cost is FILE CREATES (one per shard directory), invisible to the
+    // byte heuristic (measured: 1.6 s one-task vs 0.7 s at session
+    // parallelism for the sf0.1 gate's 147 shards). The session's
+    // shuffle-partition count is the deployment's parallelism knob, so
+    // the pin stays scale-adaptive rather than hard-coding a local
+    // width.
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
     df.withColumn("shard_id", expr(s"CAST($keyCol AS BIGINT) div $width"))
-      .repartition(col("shard_id"))
+      .repartition(n, col("shard_id"))
       .write.mode("overwrite").partitionBy("shard_id").parquet(dir)
+  }
 
   /** Per-shard statistics of the written table: (shard_id, n_rows,
     * min/max of every column in `statCols`).

@@ -772,7 +772,14 @@ object TermIndex {
           lit(lambda) * col("_cb").cast(DoubleType) / col("_cp").cast(DoubleType) +
           lit(1.0 - lambda) * col("_cu").cast(DoubleType) / col("_t").cast(DoubleType)), 9)
           .cast(DecimalType(28, 9)).as("_nll"))
-    tf.join(model, Seq("prev", "cur"))
+    // SHUFFLE_HASH: both sides are bigram-vocabulary-scale, but size
+    // ESTIMATES here run through two aggregates and a cross join, and
+    // the planner was broadcasting the LARGER side (tf — the per-doc
+    // bigram table, a strict superset of the model's distinct-bigram
+    // rows). A shuffled hash join on the bigram key needs no sort, no
+    // driver collect, and no full-table broadcast — the right strategy
+    // at every scale for two same-order tables (guide §3.1).
+    tf.join(model.hint("shuffle_hash"), Seq("prev", "cur"))
       .groupBy(col("id"))
       .agg(sum(col("_c")).as("n_bigrams"),
         round(sum(col("_c").cast(DecimalType(9, 0)) * col("_nll")), 4)
