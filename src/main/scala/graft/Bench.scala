@@ -382,6 +382,18 @@ object Bench {
       // tasks at ~32 files per 4 MB. Env hook for A/B.
       .config("spark.sql.files.openCostInBytes",
         sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", "131072"))
+      // AQE reduce-partition target: the 64 MB default coalesces every
+      // sub-64MB shuffle to ONE reduce task, which serializes the
+      // reduce side exactly when the map side starts to matter (the
+      // sf1 rehearsal: q_item_cf 16.5 -> 4.7 s, q_concurrency_peak
+      // 9.6 -> 3.8 s at 8 MB; sf0.1 unchanged — its shuffles sit under
+      // 8 MB either way). The principled target is shuffle-bytes /
+      // cores, which on this box's data range is single-digit MB; a
+      // production cluster overrides via SPARK_GRAFT_ADVISORY (guide
+      // §9 suggests 256m there — at 100 TB the bigger value is load-
+      // bearing against block-count blowup, §2.2).
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY", "8388608"))
       // Shuffle/spill scratch on tmpfs — the sandbox's /tmp is on a
       // throttled shared disk whose stall windows dominate measured
       // times (see Scratch).

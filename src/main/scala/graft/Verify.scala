@@ -28,6 +28,10 @@ object Verify {
       // gate is exercised against the same partitioning the bench times.
       .config("spark.sql.files.openCostInBytes",
         sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", "131072"))
+      // AQE reduce-partition target, matching Bench (see there) — the
+      // gates verify under the same reduce layout the bench times
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY", "8388608"))
       // Shuffle/spill scratch on tmpfs — the sandbox's /tmp is on a
       // throttled shared disk whose stall windows dominate measured
       // times (see Scratch).
