@@ -45,9 +45,22 @@ object FuzzyMatch {
            |                substr(name, i + 1, length(name))))),
            |  s -> xxhash64(s)))""".stripMargin)
 
-  /** Variant table of one dataframe of names: (name, variant-hash). */
+  /** Variant table of one dataframe of names: (name, variant-hash).
+    *
+    * The DISTINCT dictionary is pinned: both sides of the candidate
+    * self-join read this table, their subplans canonicalize differently
+    * (aliases), and ReuseExchange does not fire — so an unpinned
+    * dictionary re-ran the caller's whole upstream build (typically a
+    * multi-source union of distincts) once per join side (measured: 4
+    * duplicated exchanges in q_fuzzy_match's plan). The dictionary is
+    * distinct NAMES — tiny next to the variant explode it feeds — so
+    * the checkpoint is cheap at any scale; the explode itself stays
+    * lazy per consumer (pure codegen, cheaper to re-run than to
+    * materialize, the r17 LM-family measurement).
+    */
   private def variants(entities: DataFrame, nameCol: String): DataFrame =
     entities.select(col(nameCol).as("name")).distinct()
+      .localCheckpoint()
       .select(col("name"), explode(delete1Hashes).as("vh"))
 
   /** Candidate join + exact verify over a (name, vh) variant table — the
